@@ -1,0 +1,176 @@
+# Regex pattern constants for the rule kernels.
+#
+# Semantics parity notes: every pattern below reproduces, character for
+# character where required, the matching behavior of the reference library
+# JioNLP (see /root/reference/jionlp/rule/rule_pattern.py) so that cleaned
+# text is byte-identical per url and mention spans line up exactly.  These
+# are Python-`re` patterns (lookbehind/lookahead heavy) and must NOT be fed
+# to Spark SQL's Java regex engine — they run inside Arrow-batched pandas
+# UDFs only.
+#
+# Each constant cites the reference definition it must stay in sync with.
+
+import re
+
+# ---------------------------------------------------------------------------
+# Sentinel characters.  The reference pads text before matching so that the
+# (?<=...) / (?=...) guards fire at string boundaries, then shifts offsets by
+# -1 (rule/extractor.py:62-69).  '#' is the generic pad; urls use '￥' because
+# '#' is a legal url char (extractor.py:364); emails use '龥' (extractor.py:168).
+PAD_GENERIC = '#'
+PAD_URL = '￥'
+PAD_EMAIL = '龥'
+
+# ---------------------------------------------------------------------------
+# Phone numbers (rule_pattern.py:16-36)
+CELL_PHONE = (
+    r'(?<=[^\d])(((\+86)?([- ])?)?((1[3-9][0-9]))([- ])?\d{4}([- ])?\d{4})(?=[^\d])'
+)
+# location check variant: no trailing guard, used on an exact number string
+CELL_PHONE_CHECK = r'(?<=[^\d])(((1[3-9][0-9]))([- ])?\d{4}([- ])?\d{4})'
+LANDLINE_PHONE = (
+    r'(?<=[^\d])(([\(（])?0\d{2,3}[\)） —-]{1,2}\d{7,8}|\d{3,4}[ -]\d{3,4}[ -]\d{4})(?=[^\d])'
+)
+LANDLINE_PHONE_CHECK = (
+    r'(([\(（])?0\d{2,3}[\)） —-]{1,2}\d{7,8}|\d{3,4}[ -]\d{3,4}[ -]\d{4})'
+)
+LANDLINE_AREA_CODE = r'(0\d{2,3})[\)） —-]'
+PHONE_PREFIX = (
+    r'((tel(ephone)?|cell(phone)?|phone|'
+    r'((联系)?电[ \t　]*话|手[ \t　]*机)(号(码)?)?)[:：\t 　]*)'
+    r'(?=[^:： \t　])'
+)
+
+# ---------------------------------------------------------------------------
+# E-mail (rule_pattern.py:44-55)
+EMAIL = (
+    r"(?<=[^0-9a-zA-Z\!\#\$\%\&\'\*\+\-\/\=\?\^\_\`\{\|\}\~\-])"
+    r"([a-zA-Z0-9_.-]+@[a-zA-Z0-9_.-]+(?:\.[a-zA-Z0-9]+)*\.[a-zA-Z0-9]{2,6})"
+    r"(?=[^0-9a-zA-Z\!\#\$\%\&\'\*\+\-\/\=\?\^\_\`\{\|\}\~\-])"
+)
+EMAIL_DOMAIN = r'(?<=@)([0-9a-zA-Z]+)(?=\.)'
+EMAIL_PREFIX = (
+    r'((e(\-|—| |_)?mail|(电子)?邮[箱件])(地址)?[:：\t 　]*)'
+    r'(?=[^:： \t　])'
+)
+
+# ---------------------------------------------------------------------------
+# URL (rule_pattern.py:354-356)
+URL = (
+    r'(?<=[^.])((?:(?:https?|ftp|file)://|(?<![a-zA-Z\-\.])www\.)'
+    r'[\-A-Za-z0-9\+&@\(\)#/%\?=\~_|!:\,\.\;]+[\-A-Za-z0-9\+&@#/%=\~_\|])'
+    r'(?=[\.<一-龥￥"，。；！？、“”‘’>（）—《》…● \t\n])'
+)
+
+# ---------------------------------------------------------------------------
+# Chinese resident ID (rule_pattern.py:93-103): 18 digits with strict
+# province/city/county prefixes and a calendar-valid birth date.
+ID_CARD = (
+    r'(?<=[^0-9a-zA-Z])'
+    r'((1[1-5]|2[1-3]|3[1-7]|4[1-6]|5[0-4]|6[1-5]|71|81|82|91)'
+    r'(0[0-9]|1[0-9]|2[0-9]|3[0-9]|4[0-3]|5[1-3]|90)'
+    r'(0[0-9]|1[0-9]|2[0-9]|3[0-9]|4[0-3]|5[1-7]|6[1-4]|7[1-4]|8[1-7])'
+    r'(18|19|20)\d{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])'
+    r'\d{3}[0-9xX])'
+    r'(?=[^0-9a-zA-Z])'
+)
+ID_CARD_CHECK = (
+    r'^(1[1-5]|2[1-3]|3[1-7]|4[1-6]|5[0-4]|6[1-5]|71|81|82|91)'
+    r'(0[0-9]|1[0-9]|2[0-9]|3[0-4]|4[0-3]|5[1-3]|90)'
+    r'(0[0-9]|1[0-9]|2[0-9]|3[0-9]|4[0-3]|5[1-7]|6[1-4]|7[1-4]|8[1-7])'
+    r'(19|20)\d{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])\d{3}[0-9xX]$'
+)
+
+# ---------------------------------------------------------------------------
+# IPv4 (rule_pattern.py:108-110)
+_IP_OCTET = r'(25[0-5]|2[0-4]\d|[0-1]\d{2}|[1-9]?\d)'
+IP_ADDRESS = (
+    r'(?<=[^0-9])(' + _IP_OCTET + r'\.' + _IP_OCTET + r'\.'
+    + _IP_OCTET + r'\.' + _IP_OCTET + r')(?=[^0-9])'
+)
+
+# ---------------------------------------------------------------------------
+# QQ / WeChat (rule_pattern.py:188-196)
+QQ = r'(?<=[^0-9])([1-9][0-9]{5,10})(?=[^0-9])'
+QQ_CUE = r'(qq|QQ|\+q|\+Q|加q|加Q|q号|Q号)'
+WECHAT_ID = r'(?<=[^\da-zA-Z_\-])([a-zA-Z][a-zA-Z\d_\-]{5,19})(?=[^\da-zA-Z_\-])'
+WECHAT_CUE = r'(微信(号)?(:|：)?|wx(:|：)|wechat(:|：))'
+# the strict wechat check looks back this many chars before the candidate
+WECHAT_CUE_WINDOW = 8
+
+# ---------------------------------------------------------------------------
+# Mainland motor-vehicle licence plates (rule_pattern.py:211-221).
+# Province single-char aliases, order as published; plates use all but the
+# first three (Hong Kong/Macao/Taiwan are excluded by the reference).
+PROVINCE_ALIAS_CHARS = '港澳台京津沪渝黑吉辽新藏青蒙晋冀豫甘陕川贵云宁苏浙皖鲁赣鄂湘粤闽桂琼'
+LICENCE_PLATE = (
+    '([' + PROVINCE_ALIAS_CHARS[3:] + ']'
+    + r'[A-HJ-NP-Za-hj-np-z]'
+    + r'[·. 　]?'
+    + r'[A-HJ-NP-Za-hj-np-z0-9]{5,6})'
+    + r'(?![\da-zA-Z])'
+)
+
+# ---------------------------------------------------------------------------
+# Chinese characters (rule_pattern.py:29)
+CHINESE_CHAR = '[一-龥]'
+
+# ---------------------------------------------------------------------------
+# HTML tag removal inside clean_text (rule_pattern.py:88): a tag may not
+# contain another '<' nor common CJK punctuation (avoids eating math like
+# "a<b，b>c").
+HTML_TAG = '<[^<一-龥，。；！？、“”‘’（）—《》…●]+?>'
+
+# ---------------------------------------------------------------------------
+# Exception (non-printable / out-of-scope unicode) characters are replaced by
+# a space (rule_pattern.py:71-79).  Single-byte whitelist keeps \t..\r, the
+# printable ASCII range, NBSP and a few currency/math signs; the unicode arm
+# keeps common CJK punctuation, enumeration signs, CJK ideographs, fullwidth
+# forms.  The two character classes are concatenated exactly like the
+# reference does (complement-of-union).
+EXCEPTION_CHAR = (
+    '[^\x09-\x0d\x20-\x7e\xa0£¥©®°±×÷'
+    '‐-”•·・…‰※℃℉Ⅰ-ⅹ①-⒛　-】〔-〞㈠-㈩一-龥﹐-﹫！-～￠￡￥]'
+)
+
+# ---------------------------------------------------------------------------
+# Fullwidth → halfwidth translation alphabet (rule_pattern.py:83-84).  Note:
+# fullwidth ！？（） etc. are deliberately NOT mapped.
+FULLWIDTH_CHARS = (
+    '　＂＃＄％＆＇＊＋－．／０１２３４５６７８９＜＝＞＠'
+    'ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ［＼］＾＿｀'
+    'ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ｛｜｝～'
+)
+HALFWIDTH_CHARS = (
+    ' "#$%&\'*+-./0123456789<=>@'
+    'ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`'
+    'abcdefghijklmnopqrstuvwxyz{|}~'
+)
+
+# ---------------------------------------------------------------------------
+# Redundant-run collapse (rule_pattern.py:201): runs of any of these chars
+# collapse to a single occurrence via a (?<=c)c+ alternation.
+REDUNDANT_CHARS = ' -\t\n啊哈呀~　\xa0•·・'
+
+# ---------------------------------------------------------------------------
+# Bracket pairs handled by remove/extract_parentheses (rule_pattern.py:179),
+# listed as left1 right1 left2 right2 ...
+BRACKET_PAIRS = '{}「」[]【】()（）<>《》〈〉『』〔〕｛｝＜＞〖〗'
+
+
+def build_redundant_pattern(chars: str = REDUNDANT_CHARS) -> re.Pattern:
+    """Collapse runs: for each char c emit ``(?<=c)c+`` (extractor.py:83-94)."""
+    alts = ['(?<={c}){c}+'.format(c=re.escape(ch)) for ch in chars]
+    return re.compile('|'.join(alts))
+
+
+def build_remove_brackets_pattern(pairs: str = BRACKET_PAIRS) -> re.Pattern:
+    """``left[^leftright]*right`` per pair, or-joined (extractor.py:552-566).
+
+    Applied repeatedly to a fixpoint to peel nested brackets.
+    """
+    alts = []
+    for i in range(0, len(pairs), 2):
+        left, right = re.escape(pairs[i]), re.escape(pairs[i + 1])
+        alts.append('{l}[^{l}{r}]*{r}'.format(l=left, r=right))
+    return re.compile('|'.join(alts))

@@ -1,0 +1,223 @@
+"""Lexicon loading for the KG pipeline.
+
+Two sources, in priority order:
+
+1. A full JioNLP-format dictionary directory (env ``JIONLP_SPARK_DICT_DIR``
+   or the ``dict_dir=`` argument) — the same file formats the reference
+   loaders parse (/root/reference/jionlp/dictionary/dictionary_loader.py:
+   china_location_loader:98, phone_location_loader:429,
+   telecom_operator_loader:532).  Point this at a real dictionary tree for
+   full-coverage canonicalization.
+2. The small vendored subsets under ``jionlp_spark/lexicons/data/`` —
+   deterministic factual subsets (admin divisions, phone prefixes, area
+   codes, operators) large enough for tests/bench, shipped in-repo so the
+   package is standalone.
+
+Everything loads on the DRIVER once and is shipped to executors via
+``SparkContext.broadcast`` (see jionlp_spark.functions.udfs) — never per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), 'data')
+
+
+def _dict_dir(dict_dir: str | None) -> str | None:
+    d = dict_dir or os.environ.get('JIONLP_SPARK_DICT_DIR')
+    if d and os.path.isdir(d):
+        return d
+    return None
+
+
+# ---------------------------------------------------------------------------
+# phone location: cell prefix -> "province city", area code -> "province city"
+
+def load_phone_location(dict_dir: str | None = None) -> tuple:
+    """→ (cell_prefix_map 7-digit, area_code_map)."""
+    d = _dict_dir(dict_dir)
+    if d and os.path.exists(os.path.join(d, 'phone_location.txt')):
+        return _parse_jionlp_phone_location(os.path.join(d, 'phone_location.txt'))
+    return _load_vendored_phone_location()
+
+
+def _parse_jionlp_phone_location(path: str) -> tuple:
+    """Parse the reference format: a city header line
+    ``<province city>\\t<area_code>\\t<zip>`` followed by indented lines
+    ``\\t<3-digit prefix>\\t<csv of 4-digit mid ranges>``
+    (dictionary_loader.py:429-468)."""
+    cell_map: dict = {}
+    area_map: dict = {}
+    cur_location = ''
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            if not line.strip():
+                continue
+            if line.startswith('\t'):
+                front, info = line.strip().split('\t')
+                for chunk in info.split(','):
+                    if '-' in chunk:
+                        lo, hi = chunk.split('-')
+                        for i in range(int(lo), int(hi) + 1):
+                            cell_map[front + '{:0>4d}'.format(i)] = cur_location
+                    else:
+                        cell_map[front + chunk] = cur_location
+            else:
+                cur_location, area_code, _zip = line.strip().split('\t')
+                area_map[area_code] = cur_location
+    return cell_map, area_map
+
+
+def _load_vendored_phone_location() -> tuple:
+    cell_map: dict = {}
+    area_map: dict = {}
+    with open(os.path.join(_DATA_DIR, 'cell_prefix.tsv'), encoding='utf-8') as f:
+        for line in f:
+            prefix, loc = line.rstrip('\n').split('\t')
+            cell_map[prefix] = loc
+    with open(os.path.join(_DATA_DIR, 'area_code.tsv'), encoding='utf-8') as f:
+        for line in f:
+            code, loc = line.rstrip('\n').split('\t')
+            area_map[code] = loc
+    return cell_map, area_map
+
+
+# ---------------------------------------------------------------------------
+# telecom operator: leading digits -> operator name
+
+def load_telecom_operator(dict_dir: str | None = None) -> dict:
+    d = _dict_dir(dict_dir)
+    path = os.path.join(d, 'telecom_operator.txt') if d else None
+    if path and os.path.exists(path):
+        out = {}
+        with open(path, encoding='utf-8') as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    num, op = line.split(' ')
+                    out[num] = op
+        return out
+    out = {}
+    with open(os.path.join(_DATA_DIR, 'operator.tsv'), encoding='utf-8') as f:
+        for line in f:
+            num, op = line.rstrip('\n').split('\t')
+            out[num] = op
+    return out
+
+
+# ---------------------------------------------------------------------------
+# china admin divisions
+
+def load_admin_divisions(dict_dir: str | None = None) -> list:
+    """→ flat rows [{'province','province_code','province_alias',
+    'city','city_code','city_alias':list,'county','county_code',
+    'county_alias'}] — one row per county, plus rows with county=None for
+    city-level and city=None for province-level entries."""
+    d = _dict_dir(dict_dir)
+    if d and os.path.exists(os.path.join(d, 'china_location.txt')):
+        return _parse_jionlp_china_location(os.path.join(d, 'china_location.txt'))
+    return _load_vendored_admin_divisions()
+
+
+def _parse_jionlp_china_location(path: str) -> list:
+    """Parse the tab-indented hierarchy (dictionary_loader.py:98-170);
+    town/village levels are skipped (not needed for the triple path)."""
+    rows: list = []
+    cur = {}
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            if line.startswith('\t\t\t'):  # town / village level
+                continue
+            if line.startswith('\t\t'):  # county
+                parts = line.strip().split('\t')
+                if len(parts) != 3:
+                    continue
+                county, code, alias = parts
+                rows.append({**cur, 'county': county, 'county_code': code,
+                             'county_alias': alias})
+            elif line.startswith('\t'):  # city
+                parts = line.strip().split('\t')
+                if len(parts) != 3:
+                    continue
+                city, code, alias = parts
+                cur = {k: v for k, v in cur.items() if k.startswith('province')}
+                cur.update({'city': city, 'city_code': code,
+                            'city_alias': alias.split('/')})
+                rows.append({**cur, 'county': None, 'county_code': None,
+                             'county_alias': None})
+            else:  # province
+                parts = line.strip().split('\t')
+                if len(parts) != 3:
+                    continue
+                province, code, alias = parts
+                cur = {'province': province, 'province_code': code,
+                       'province_alias': alias}
+                rows.append({**cur, 'city': None, 'city_code': None,
+                             'city_alias': None, 'county': None,
+                             'county_code': None, 'county_alias': None})
+    return rows
+
+
+def _load_vendored_admin_divisions() -> list:
+    rows = []
+    with open(os.path.join(_DATA_DIR, 'admin_div.tsv'), encoding='utf-8') as f:
+        for line in f:
+            p, pc, pa, c, cc, ca, co, coc, coa = line.rstrip('\n').split('\t')
+            rows.append({
+                'province': p, 'province_code': pc, 'province_alias': pa,
+                'city': c or None, 'city_code': cc or None,
+                'city_alias': ca.split('/') if ca else None,
+                'county': co or None, 'county_code': coc or None,
+                'county_alias': coa or None,
+            })
+    return rows
+
+
+def admin_code_map(dict_dir: str | None = None) -> dict:
+    """6-digit admin code -> (province, city, county) with province/city
+    rows included — the IDCard lookup table (id_card_parser.py:47-65)."""
+    out: dict = {}
+    for r in load_admin_divisions(dict_dir):
+        if r['county'] is not None:
+            out[r['county_code']] = (r['province'], r['city'], r['county'])
+        elif r['city'] is not None:
+            out[r['city_code']] = (r['province'], r['city'], None)
+        else:
+            out[r['province_code']] = (r['province'], None, None)
+    return out
+
+
+def load_location_changes(dict_dir: str | None = None) -> list:
+    """Old→new renames since 2018 (china_location_change.txt,
+    dictionary_loader.py:173-214) → [{'old': (prov,city,county),
+    'new': [prov,city,county]}] using full names."""
+    d = _dict_dir(dict_dir)
+    path = os.path.join(d, 'china_location_change.txt') if d else \
+        os.path.join(_DATA_DIR, 'location_change.tsv')
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if '=>' in line:  # JioNLP format
+                old_part, new_part = line.split('=>')
+                o = old_part.split('\t')
+                n = new_part.split('\t')
+                if len(o) == 8:
+                    out.append({'old': (o[2], o[4], o[6]),
+                                'old_alias': (o[3], o[5], o[7]),
+                                'new': list(n)})
+                elif len(o) == 6:
+                    out.append({'old': (o[2], o[4], None),
+                                'old_alias': (o[3], o[5], None),
+                                'new': [n[0], n[1], None]})
+            else:  # vendored format: oldp\toldc\toldco\tnewp\tnewc\tnewco
+                f1 = line.split('\t')
+                out.append({'old': (f1[0] or None, f1[1] or None, f1[2] or None),
+                            'old_alias': (None, None, None),
+                            'new': [f1[3] or None, f1[4] or None, f1[5] or None]})
+    return out
