@@ -1,0 +1,45 @@
+"""SparkSession builder with the pipeline's scale-hygiene defaults.
+
+Defaults target the sandbox (local[N], 32 cores); on a real cluster the same
+code runs under spark-submit --py-files with executor counts supplied by the
+cluster manager — nothing here assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# one Arrow batch per UDF call; bounded so per-batch Python memory stays flat
+ARROW_BATCH_ROWS = 2048
+
+
+def get_spark(app_name: str = 'jionlp_spark',
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    master = master or f'local[{cpus}]'
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+
+    return (
+        SparkSession.builder
+        .appName(app_name)
+        .master(master)
+        # AQE: runtime coalesce + skew-join splitting for hot-entity joins
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+        .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
+        # Arrow everywhere; bounded batches keep UDF memory flat
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch',
+                str(ARROW_BATCH_ROWS))
+        # 128MB scan splits — sized so a 100TB table yields ~800k tasks,
+        # fine for a 1000-executor cluster
+        .config('spark.sql.files.maxPartitionBytes', str(128 * 1024 * 1024))
+        .config('spark.driver.memory',
+                os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
+        .config('spark.ui.showConsoleProgress', 'false')
+        .getOrCreate()
+    )

@@ -1,0 +1,222 @@
+"""Vectorized pandas/Arrow UDFs wrapping the pure-Python kernels.
+
+This is the only place reference-equivalent logic executes on executors.
+Patterns compile once per Python worker (module-level singletons inside the
+kernels); lexicons are built once on the driver and shipped as Spark
+broadcasts.  No per-row Python UDFs anywhere (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from jionlp_spark import lexicons
+from jionlp_spark.kernels.cleaner import get_cleaner
+from jionlp_spark.kernels.extractors import get_extractor
+from jionlp_spark.kernels.html_clean import clean_html
+from jionlp_spark.kernels.idcard import IdCardParser
+from jionlp_spark.kernels.phone_loc import PhoneLocator
+
+# ---------------------------------------------------------------------------
+# Schemas
+
+MENTION_FIELDS = [
+    T.StructField('text', T.StringType()),
+    T.StructField('offset_start', T.IntegerType()),
+    T.StructField('offset_end', T.IntegerType()),
+    T.StructField('mention_type', T.StringType()),
+]
+MENTION_TYPE = T.StructType(MENTION_FIELDS)
+MENTIONS_ARRAY = T.ArrayType(MENTION_TYPE)
+
+CLEAN_RESULT = T.StructType([
+    # full reference clean_text chain: redacts urls/emails/phones/brackets —
+    # the byte-identical-per-url invariant column (training text)
+    T.StructField('clean', T.StringType()),
+    # normalization WITHOUT redaction: what stage-2 extraction scans.
+    # == reference clean_text(remove_parentheses=False, remove_url=False,
+    #    remove_email=False, remove_phone_number=False)
+    T.StructField('extract_text', T.StringType()),
+    T.StructField('meta', T.StringType()),  # JSON meta info from <meta> tags
+])
+
+LINK_RESULT = T.StructType([
+    T.StructField('obj', T.StringType()),       # canonical entity key
+    T.StructField('obj_type', T.StringType()),
+    T.StructField('norm', T.StringType()),      # JSON canonical detail
+])
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 cleaning
+
+def _normalize_only(cleaner, body: str, strip_tags: bool) -> str:
+    """Normalization without redaction (keeps brackets/urls/emails/phones)."""
+    return cleaner.clean_text(
+        body, remove_html_tag=strip_tags, remove_parentheses=False,
+        remove_url=False, remove_email=False, remove_phone_number=False)
+
+
+@pandas_udf(T.StringType())
+def clean_text_udf(text: pd.Series) -> pd.Series:
+    cleaner = get_cleaner()
+    return text.map(lambda t: cleaner.clean_text(t) if t is not None else None)
+
+
+@pandas_udf(CLEAN_RESULT)
+def clean_html_text_udf(html: pd.Series) -> pd.DataFrame:
+    """html:binary → (clean, extract_text, meta json).  Fused kernel: strip
+    html boilerplate (CleanHTML) once, then derive both text variants from
+    the same body, so the expensive html pass runs once per row."""
+    cleaner = get_cleaner()
+    cleans, extracts, metas = [], [], []
+    for raw in html:
+        if raw is None:
+            cleans.append(None); extracts.append(None); metas.append(None)
+            continue
+        if isinstance(raw, (bytes, bytearray)):
+            raw = raw.decode('utf-8', errors='replace')
+        body, meta = clean_html(raw)
+        cleans.append(cleaner.clean_text(body, remove_html_tag=False))
+        extracts.append(_normalize_only(cleaner, body, strip_tags=False))
+        metas.append(json.dumps(meta, ensure_ascii=False) if meta else None)
+    return pd.DataFrame({'clean': cleans, 'extract_text': extracts,
+                         'meta': metas})
+
+
+@pandas_udf(CLEAN_RESULT)
+def clean_plain_text_udf(text: pd.Series) -> pd.DataFrame:
+    """text:string (pre-extracted body) → (clean, extract_text, meta=None)."""
+    cleaner = get_cleaner()
+    cleans, extracts = [], []
+    for t in text:
+        if t is None:
+            cleans.append(None); extracts.append(None)
+            continue
+        cleans.append(cleaner.clean_text(t))
+        extracts.append(_normalize_only(cleaner, t, strip_tags=True))
+    return pd.DataFrame({'clean': cleans, 'extract_text': extracts,
+                         'meta': [None] * len(cleans)})
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 mention sweep
+
+@pandas_udf(MENTIONS_ARRAY)
+def rule_mentions_udf(text: pd.Series) -> pd.Series:
+    """One fused pass emitting every rule-extractor mention per document."""
+    ex = get_extractor()
+
+    def sweep(t):
+        if t is None:
+            return []
+        return [(m['text'], m['offset'][0], m['offset'][1], m['type'])
+                for m in ex.sweep(t)]
+
+    return text.map(sweep)
+
+
+def make_lexicon_mentions_udf(trie_broadcast):
+    """FMM dictionary NER over a broadcast CharTrie → mentions array."""
+    @pandas_udf(MENTIONS_ARRAY)
+    def lexicon_mentions_udf(text: pd.Series) -> pd.Series:
+        trie = trie_broadcast.value
+
+        def scan(t):
+            if t is None:
+                return []
+            return [(m['text'], m['offset'][0], m['offset'][1],
+                     'lexicon:' + m['type'])
+                    for m in trie.scan_fmm(t)]
+
+        return text.map(scan)
+    return lexicon_mentions_udf
+
+
+# ---------------------------------------------------------------------------
+# Stage-3 canonicalization (broadcast lexicons)
+
+class LexiconBundle:
+    """Driver-side lexicon container; broadcast once per session."""
+
+    def __init__(self, dict_dir: str | None = None) -> None:
+        cell_map, area_map = lexicons.load_phone_location(dict_dir)
+        op_map = lexicons.load_telecom_operator(dict_dir)
+        self.phone = PhoneLocator(cell_map, area_map, op_map)
+        self.idcard = IdCardParser(lexicons.admin_code_map(dict_dir))
+
+    def broadcast(self, spark: SparkSession):
+        return spark.sparkContext.broadcast(self)
+
+
+def make_link_udf(bundle_broadcast):
+    """(mention_type, text) → (obj, obj_type, norm-json).
+
+    Canonical keys:
+      cell/landline phone → 'province city' geo + digits-only number
+      id_card             → issuing region 'province/city/county'
+      email               → lowercased address; url → as-is; others → text
+    """
+    @pandas_udf(LINK_RESULT)
+    def link_udf(mention_type: pd.Series, text: pd.Series) -> pd.DataFrame:
+        bundle = bundle_broadcast.value
+        objs, obj_types, norms = [], [], []
+        for mtype, t in zip(mention_type, text):
+            if t is None:
+                objs.append(None); obj_types.append(None); norms.append(None)
+                continue
+            if mtype in ('cell_phone', 'landline_phone'):
+                res = bundle.phone.locate(t)
+                geo = ' '.join(x for x in (res['province'], res['city']) if x)
+                objs.append(bundle.phone.canonical_number(t))
+                obj_types.append('phone')
+                norms.append(json.dumps(
+                    {'province': res['province'], 'city': res['city'],
+                     'type': res['type'],
+                     'operator': res.get('operator'),
+                     'geo': geo or None}, ensure_ascii=False))
+            elif mtype == 'id_card':
+                res = bundle.idcard.parse(t)
+                # canonical id form: trailing X lowercased
+                # (id_card_parser.py:91-92)
+                objs.append(t[:-1] + t[-1].lower())
+                obj_types.append('id_card')
+                norms.append(json.dumps(res, ensure_ascii=False)
+                             if res is not None else None)
+            elif mtype == 'email':
+                ex = get_extractor()
+                objs.append(t.lower())
+                obj_types.append('email')
+                dom = ex.email_domain(t)
+                norms.append(json.dumps({'domain_name': dom},
+                                        ensure_ascii=False) if dom else None)
+            elif mtype and mtype.startswith('lexicon:'):
+                objs.append(t)
+                obj_types.append(mtype.split(':', 1)[1])
+                norms.append(None)
+            else:
+                objs.append(t)
+                obj_types.append(mtype)
+                norms.append(None)
+        return pd.DataFrame({'obj': objs, 'obj_type': obj_types,
+                             'norm': norms})
+    return link_udf
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def explode_mentions(df, mentions_col: str = 'mentions', keep_cols=('url',)):
+    """array<mention> column → long-format mention rows."""
+    cols = [F.col(c) for c in keep_cols]
+    return (
+        df.select(*cols, F.explode(mentions_col).alias('m'))
+        .select(*cols, 'm.text', 'm.offset_start', 'm.offset_end',
+                'm.mention_type')
+    )

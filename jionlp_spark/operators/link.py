@@ -1,0 +1,61 @@
+"""Stage 3 — entity linking / canonicalization.
+
+mentions → entities(url, text, offset_start, offset_end, mention_type,
+obj, obj_type, norm): every mention annotated with its canonical entity key
+and a JSON canonical detail (phone geo/operator, id-card region/birth/gender,
+email domain, ...), via one pandas UDF over broadcast lexicons.
+
+Hot-entity hygiene: canonical keys are heavily skewed (e.g. a handful of
+provinces dominate).  ``entity_counts`` shows the two-phase salted
+aggregation pattern used wherever a groupBy on a canonical key feeds a wide
+shuffle; AQE skew-join handles the join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jionlp_spark.functions.udfs import LexiconBundle, make_link_udf
+
+
+def build_bundle(spark: SparkSession, dict_dir: str | None = None):
+    """Load lexicons on the driver and broadcast once."""
+    return LexiconBundle(dict_dir).broadcast(spark)
+
+
+def link_mentions(mentions: DataFrame, bundle_broadcast) -> DataFrame:
+    link_udf = make_link_udf(bundle_broadcast)
+    return (
+        mentions
+        .withColumn('l', link_udf(F.col('mention_type'), F.col('text')))
+        .select(*mentions.columns,
+                F.col('l.obj').alias('obj'),
+                F.col('l.obj_type').alias('obj_type'),
+                F.col('l.norm').alias('norm'))
+    )
+
+
+def entity_counts(entities: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """Count mentions per canonical entity with two-phase salted agg.
+
+    Phase 1 groups on (obj, obj_type, salt) — map-side partial aggregation
+    spreads a hot key over ``salt_buckets`` reducers; phase 2 merges the
+    per-salt partials.  Equivalent plan to a plain groupBy for uniform keys,
+    strictly better under skew (north_rule: salted-key dedup for hot
+    entities).
+    """
+    salted = entities.withColumn(
+        'salt', F.pmod(F.xxhash64('url'), F.lit(salt_buckets)))
+    partial = (
+        salted.groupBy('obj', 'obj_type', 'salt')
+        .agg(F.count('*').alias('partial_cnt'),
+             F.countDistinct('url').alias('partial_urls'))
+    )
+    # the per-salt distinct-url sum is EXACT: salt is a function of url, so
+    # no url can appear under two salts of the same entity
+    return (
+        partial.groupBy('obj', 'obj_type')
+        .agg(F.sum('partial_cnt').alias('mention_cnt'),
+             F.sum('partial_urls').alias('url_cnt'))
+    )

@@ -1,0 +1,167 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1).
+
+Schema fixed by BASELINE.json input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Generation is pure-functional in the row index: row i is always the same
+bytes regardless of partitioning, run, or parallelism level (seeded
+``random.Random(seed << 32 | i)`` per row), so digests are comparable across
+local[8]/local[32] runs.  Content templates embed the surface forms the
+reference golden tests exercise — phones/landlines built from the vendored
+prefix lexicons, valid resident IDs (admin prefix + calendar date + proper
+check digit), urls/emails/qq/wechat/plates/times/money/locations — plus a
+20% hot-entity block (北京/上海) to exercise the skew path.
+
+Scales: generated through ``spark.range(n).mapInPandas`` so a 10^12-row
+corpus generates distributed; local tests call ``write_pages`` once and
+reuse the parquet.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from jionlp_spark import lexicons
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField('url', T.StringType(), False),
+    T.StructField('warc_ts', T.TimestampType(), False),
+    T.StructField('html', T.BinaryType(), False),
+    T.StructField('text', T.StringType(), False),
+    T.StructField('lang', T.StringType(), False),
+])
+
+_EPOCH = datetime.datetime(2021, 9, 1, 0, 0, 0)
+
+# ID-card check digit per GB 11643-1999
+_ID_WEIGHTS = (7, 9, 10, 5, 8, 4, 2, 1, 6, 3, 7, 9, 10, 5, 8, 4, 2)
+_ID_CHECK = '10X98765432'
+
+
+def _id_check_char(first17: str) -> str:
+    s = sum(int(c) * w for c, w in zip(first17, _ID_WEIGHTS))
+    return _ID_CHECK[s % 11]
+
+
+class _Pools:
+    """Driver-built value pools (from the vendored lexicons); broadcast-sized."""
+
+    def __init__(self, dict_dir: str | None = None) -> None:
+        cell_map, area_map = lexicons.load_phone_location(dict_dir)
+        self.cell_prefixes = sorted(cell_map)[::37] or ['1328856']
+        self.area_codes = sorted(area_map)
+        rows = lexicons.load_admin_divisions(dict_dir)
+        self.county_codes = sorted(
+            r['county_code'] for r in rows if r['county'] is not None)
+        self.locations = sorted(
+            r['province'] + r['city'] + r['county']
+            for r in rows
+            if r['county'] is not None and not r['city'].startswith(r['province'][:2]))
+        self.filler = (
+            '今天 天气 晴朗 适合 出行 数据 处理 平台 发布 新版 内容 专注 '
+            '中文 文本 分析 工具 提供 高效 稳定 服务 用户 反馈 良好 记者 '
+            '报道 当地 居民 表示 生活 水平 持续 提高 经济 发展 前景 广阔'
+        ).split()
+
+
+_TEMPLATES = [
+    lambda r, p: '联系电话：' + r.choice(p.cell_prefixes)
+                 + '{:0>4d}'.format(r.randrange(10000)),
+    lambda r, p: '(' + r.choice(p.area_codes) + ')'
+                 + '{:0>8d}'.format(r.randrange(10_000_000, 100_000_000)),
+    lambda r, p: 'Tel: +86 ' + r.choice(p.cell_prefixes)[:3]
+                 + '-' + r.choice(p.cell_prefixes)[3:7] + '-'
+                 + '{:0>4d}'.format(r.randrange(10000)),
+    lambda r, p: 'E-mail: user{}@sub{}.example.com'.format(
+        r.randrange(1000), r.randrange(9)),
+    lambda r, p: (lambda f17: '身份证号' + f17 + _id_check_char(f17))(
+        r.choice(p.county_codes)
+        + '{}'.format(r.randrange(1950, 2010))
+        + '{:0>2d}{:0>2d}'.format(r.randrange(1, 13), r.randrange(1, 29))
+        + '{:0>3d}'.format(r.randrange(1000))),
+    lambda r, p: '详见 https://v{}.example-site.com/a/{}/ 页面'.format(
+        r.randrange(9), r.randrange(100000)),
+    lambda r, p: '服务器10.{}.{}.{}端口'.format(
+        r.randrange(256), r.randrange(256), r.randrange(255)),
+    lambda r, p: '加QQ {}'.format(r.randrange(100000, 2_000_000_000)),
+    lambda r, p: '微信号：wx{}_abc-{}'.format(
+        'abcdefgh'[r.randrange(8)], r.randrange(100, 999)),
+    lambda r, p: '川A·{:0>5d}{}'.format(r.randrange(100000), 'BDF'[r.randrange(3)]),
+    lambda r, p: '粤B{}{:0>5d}'.format('DF'[r.randrange(2)], r.randrange(100000)),
+    lambda r, p: '定于2021年{}月{}日上午{}点半开会'.format(
+        r.randrange(1, 13), r.randrange(1, 29), r.randrange(6, 12)),
+    lambda r, p: '预算为{:,}元'.format(r.randrange(1000, 99_999_999)),
+    lambda r, p: '成交价七千三百万港元',
+    lambda r, p: '家住' + r.choice(p.locations) + '幸福路{}号'.format(r.randrange(1, 300)),
+    lambda r, p: '湖北省襄樊市小水街{}号'.format(r.randrange(1, 300)),
+]
+
+_HOT = ['北京市朝阳区发布新政策', '上海市嘉定区举办活动',
+        '记者在北京报道', '上海交通部门表示']
+
+_LANGS = ('zh',) * 49 + ('en',)  # 98% zh
+
+
+def _make_row(i: int, seed: int, pools: _Pools) -> tuple:
+    r = random.Random((seed << 32) | i)
+    n_sent = r.randint(3, 8)
+    sentences = []
+    for _ in range(n_sent):
+        if r.random() < 0.5:
+            sentences.append(_TEMPLATES[r.randrange(len(_TEMPLATES))](r, pools))
+        else:
+            sentences.append(''.join(r.choice(pools.filler) for _ in range(6)))
+    if r.random() < 0.2:  # hot-entity skew block
+        sentences.append(_HOT[r.randrange(len(_HOT))])
+    text = '，'.join(sentences) + '。'
+
+    url = 'https://site{}.example.cn/a/{}'.format(i % 1000, i)
+    ts = _EPOCH + datetime.timedelta(seconds=37 * i)
+    lang = _LANGS[i % len(_LANGS)]
+
+    paragraphs = ''.join('<p>{}</p>'.format(s) for s in sentences)
+    html = (
+        '<!DOCTYPE html><html><head>'
+        '<meta name="description" content="page {i}">'
+        '<script>var a={i};function f(){{return a;}}</script>'
+        '<style>.main {{color: #333;}}</style>'
+        '</head><body>'
+        '<div class="nav"><div><a href="/x">首页</a></div><div>导航</div></div>'
+        '<h2>标题 {i}</h2>'
+        '{body}<br>'
+        '<table><tr><td>junk</td></tr></table>'
+        '<!-- comment {i} -->'
+        '<div id="footer-1">版权所有 &amp; 保留 &#20013;</div>'
+        '</body></html>'
+    ).format(i=i, body=paragraphs)
+
+    return url, ts, html.encode('utf-8'), text, lang
+
+
+def generate_pages(spark: SparkSession, n_rows: int, seed: int = 42,
+                   num_partitions: int | None = None,
+                   dict_dir: str | None = None) -> DataFrame:
+    pools = _Pools(dict_dir)
+    seed_ = seed
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_make_row(int(i), seed_, pools) for i in pdf['id']]
+            yield pd.DataFrame(rows, columns=[
+                'url', 'warc_ts', 'html', 'text', 'lang'])
+
+    rng = spark.range(n_rows, numPartitions=num_partitions or
+                      spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark: SparkSession, path: str, n_rows: int,
+                seed: int = 42, num_partitions: int | None = None) -> str:
+    generate_pages(spark, n_rows, seed, num_partitions) \
+        .write.mode('overwrite').parquet(path)
+    return path
