@@ -74,9 +74,9 @@ _TEMPLATES = [
                  + '{:0>4d}'.format(r.randrange(10000)),
     lambda r, p: '(' + r.choice(p.area_codes) + ')'
                  + '{:0>8d}'.format(r.randrange(10_000_000, 100_000_000)),
-    lambda r, p: 'Tel: +86 ' + r.choice(p.cell_prefixes)[:3]
-                 + '-' + r.choice(p.cell_prefixes)[3:7] + '-'
-                 + '{:0>4d}'.format(r.randrange(10000)),
+    lambda r, p: (lambda pref: 'Tel: +86 ' + pref[:3] + '-' + pref[3:7]
+                  + '-' + '{:0>4d}'.format(r.randrange(10000)))(
+        r.choice(p.cell_prefixes)),
     lambda r, p: 'E-mail: user{}@sub{}.example.com'.format(
         r.randrange(1000), r.randrange(9)),
     lambda r, p: (lambda f17: '身份证号' + f17 + _id_check_char(f17))(

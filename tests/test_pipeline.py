@@ -1,0 +1,134 @@
+"""End-to-end pipeline tests: mention P/R vs the reference extractors run on
+the same text (north_star gate ≥0.95; kernels are ports so target is 1.0),
+cross-run determinism, and checkpoint resume."""
+
+import hashlib
+import os
+import shutil
+
+import pytest
+
+N_PAGES = 120
+
+_REF_EXTRACTORS = {
+    'cell_phone': lambda jio, t: [
+        m for m in jio.extract_phone_number(t, detail=True)
+        if m['type'] == 'cell_phone'],
+    'landline_phone': lambda jio, t: [
+        m for m in jio.extract_phone_number(t, detail=True)
+        if m['type'] == 'landline_phone'],
+    'email': lambda jio, t: jio.extract_email(t, detail=True),
+    'url': lambda jio, t: jio.extract_url(t, detail=True),
+    'id_card': lambda jio, t: jio.extract_id_card(t, detail=True),
+    'ip_address': lambda jio, t: jio.extract_ip_address(t, detail=True),
+    'qq': lambda jio, t: jio.extract_qq(t, detail=True),
+    'wechat_id': lambda jio, t: jio.extract_wechat_id(t, detail=True),
+    'licence_plate': lambda jio, t:
+        jio.extract_motor_vehicle_licence_plate(t, detail=True),
+}
+
+
+@pytest.fixture(scope='module')
+def pipeline_result(spark):
+    from jionlp_spark.plans.pipeline import run_pipeline
+    from jionlp_spark.sources.pages import generate_pages
+    pages = generate_pages(spark, N_PAGES, num_partitions=4).cache()
+    res = run_pipeline(spark, pages)
+    res['clean'] = res['clean'].cache()
+    res['mentions'] = res['mentions'].cache()
+    return pages, res
+
+
+def test_mention_precision_recall_vs_reference(jio, pipeline_result):
+    """P/R per mention type vs the reference extractors on the same
+    extract_text — computed as in the reference's own F1 tooling
+    (jionlp/algorithm/ner/measure.py): span+type exact match."""
+    _pages, res = pipeline_result
+    clean_rows = {r['url']: r['extract_text']
+                  for r in res['clean'].collect()}
+    ours = {}
+    for r in res['mentions'].collect():
+        ours.setdefault(r['mention_type'], set()).add(
+            (r['url'], r['text'], r['offset_start'], r['offset_end']))
+
+    for mtype, ref_fn in _REF_EXTRACTORS.items():
+        expected = set()
+        for url, text in clean_rows.items():
+            for m in ref_fn(jio, text):
+                expected.add((url, m['text'], m['offset'][0], m['offset'][1]))
+        got = ours.get(mtype, set())
+        tp = len(expected & got)
+        precision = tp / len(got) if got else 1.0
+        recall = tp / len(expected) if expected else 1.0
+        assert precision >= 0.95, (mtype, precision, got - expected)
+        assert recall >= 0.95, (mtype, recall, expected - got)
+
+
+def test_clean_text_column_byte_identical(jio, pipeline_result):
+    """Per-url byte identity of the redacted clean column vs reference
+    clean_html→clean_text on the raw page html."""
+    pages, res = pipeline_result
+    raw = {r['url']: bytes(r['html']).decode('utf-8')
+           for r in pages.collect() if r['lang'] == 'zh'}
+    ours = {r['url']: r['clean'] for r in res['clean'].collect()}
+    assert set(raw) == set(ours)
+    for url, html in raw.items():
+        body, _meta = jio.clean_html(html)
+        ref_clean = jio.clean_text(body, remove_html_tag=False)
+        assert ref_clean == ours[url], url
+
+
+def _digest(df):
+    rows = sorted(map(str, df.collect()))
+    return hashlib.sha256('\n'.join(rows).encode()).hexdigest()
+
+
+def test_triples_deterministic_across_parallelism(spark, pipeline_result):
+    """Same triple set regardless of partitioning (scaling invariance)."""
+    from jionlp_spark.plans.pipeline import run_pipeline
+    from jionlp_spark.sources.pages import generate_pages
+    _pages, res = pipeline_result
+    d1 = _digest(res['triples'])
+    pages2 = generate_pages(spark, N_PAGES, num_partitions=13)
+    res2 = run_pipeline(spark, pages2, num_partitions=3)
+    assert _digest(res2['triples']) == d1
+
+
+def test_checkpoint_resume(spark, tmp_path_factory):
+    """Kill after S2 (simulated: run S1+S2 only), resume, byte-equal output."""
+    from jionlp_spark.operators.clean import clean_pages
+    from jionlp_spark.operators.mentions import extract_mentions
+    from jionlp_spark.plans.pipeline import run_pipeline
+    from jionlp_spark.sources import catalog
+    from jionlp_spark.sources.pages import generate_pages
+
+    out = str(tmp_path_factory.mktemp('ckpt'))
+    pages = generate_pages(spark, 60, num_partitions=3)
+
+    # full run → reference digests
+    full = run_pipeline(spark, pages, out_dir=os.path.join(out, 'full'),
+                        input_fingerprint='fp1')
+    want = _digest(full['triples'])
+
+    # partial run: stages 1-2 only
+    part_dir = os.path.join(out, 'part')
+    catalog.run_stage(spark, os.path.join(part_dir, 's1_clean'), 's1_clean',
+                      lambda: clean_pages(pages), input_fingerprint='fp1')
+    s1 = spark.read.parquet(os.path.join(part_dir, 's1_clean'))
+    catalog.run_stage(spark, os.path.join(part_dir, 's2_mentions'),
+                      's2_mentions', lambda: extract_mentions(s1),
+                      input_fingerprint='fp1|s1_clean')
+    # mark: the manifests exist, s3/s4 do not
+    assert catalog.is_complete(os.path.join(part_dir, 's2_mentions'))
+    assert not os.path.exists(os.path.join(part_dir, 's3_entities'))
+
+    # resume: stages 1-2 must be skipped (manifest hit), 3-4 computed
+    resumed = run_pipeline(spark, pages, out_dir=part_dir,
+                           input_fingerprint='fp1')
+    assert _digest(resumed['triples']) == want
+
+    # changed input fingerprint → full recompute, not a stale read
+    shutil.rmtree(os.path.join(part_dir, 's1_clean'))
+    fresh = run_pipeline(spark, pages, out_dir=part_dir,
+                         input_fingerprint='fp2')
+    assert _digest(fresh['triples']) == want
