@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline on a deterministic synthetic
+page corpus.  ``queries()`` exposes the implemented operators from
+SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every query whose semantics are SQL-expressible.
+
+Oracle technique for the (non-SQL) rule extractors: mentions are INJECTED
+into the digit-free ``documents.text`` corpus with values derived purely
+from ``doc_id`` (phones from known prefixes, valid resident IDs, ...), so
+DuckDB can reconstruct the exact expected extraction output — text, offsets
+and canonical links — without regexes, while the Spark side runs the real
+clean→extract→link pipeline end to end.
 """
 
 from __future__ import annotations
@@ -12,27 +18,390 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared deterministic injection formulas (Spark SQL + DuckDB dialects agree
+# on every function used here: %, lpad, concat, length, md5, round, ...)
+
+# cell-phone prefixes with known geo in the vendored lexicon
+_PREFIX_CASE_SQL = (
+    "case doc_id % 3 when 0 then '1320756' when 1 then '1328856' "
+    "else '1390101' end"
+)
+_PHONE_SQL = f"concat({_PREFIX_CASE_SQL}, lpad(cast((doc_id * 7919) % 10000 as string), 4, '0'))"
+_PHONE_GEO_SQL = (
+    "case doc_id % 3 when 0 then '天津 天津' when 1 then '广东 揭阳' "
+    "else '北京 北京' end"
+)
+# resident id: admin code + birth date + sequence + check char, all from doc_id
+_ID_CODE_SQL = (
+    "case doc_id % 3 when 0 then '110108' when 1 then '520103' "
+    "else '310114' end"
+)
+_ID_REGION_SQL = (
+    "case doc_id % 3 when 0 then '北京市/北京市/海淀区' "
+    "when 1 then '贵州省/贵阳市/云岩区' else '上海市/上海市/嘉定区' end"
+)
+_ID_SQL = (
+    f"concat({_ID_CODE_SQL}, cast(1950 + doc_id % 50 as string), "
+    "lpad(cast(1 + doc_id % 12 as string), 2, '0'), "
+    "lpad(cast(1 + doc_id % 28 as string), 2, '0'), "
+    "lpad(cast(doc_id % 1000 as string), 3, '0'), "
+    "cast(doc_id % 10 as string))"
+)
+_BORN_SQL = (
+    "concat(cast(1950 + doc_id % 50 as string), '-', "
+    "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
+    "lpad(cast(1 + doc_id % 28 as string), 2, '0'))"
+)
+
+# DuckDB spells string casts/strings differently in a few spots
+_DUCK = {'as string': 'as varchar'}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _duck(sql: str) -> str:
+    for a, b in _DUCK.items():
+        sql = sql.replace(a, b)
+    return sql
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f'{sf_dir}/documents.parquet')
+
+
+def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected phone/id sentence (deterministic in doc_id)."""
+    return _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
+        "'。', text) as text",
+    )
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real S1→S2 operators over the injected corpus."""
+    from jionlp_spark.operators.clean import clean_pages
+    from jionlp_spark.operators.mentions import extract_mentions
+
+    pages = _injected_docs(spark, sf_dir).withColumnRenamed('doc_id', 'url')
+    clean = clean_pages(pages, lang=None, use_html=False)
+    m = extract_mentions(clean, keep_cols=('url',))
+    return m.withColumnRenamed('url', 'doc_id')
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_kg_extract_phone(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col('mention_type') == 'cell_phone')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('phone'),
+                F.col('offset_start').cast('long').alias('offset_start'),
+                F.col('offset_end').cast('long').alias('offset_end'))
+    )
+
+
+def q_kg_extract_idcard(spark, sf_dir):
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col('mention_type') == 'id_card')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('id_card'))
+    )
+
+
+def q_kg_link_phone_geo(spark, sf_dir):
+    from jionlp_spark.operators.link import build_bundle, link_mentions
+    bundle = build_bundle(spark)
+    m = _extracted(spark, sf_dir).filter(F.col('mention_type') == 'cell_phone')
+    linked = link_mentions(m, bundle)
+    return linked.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('obj').alias('phone'),
+        F.get_json_object('norm', '$.geo').alias('geo'))
+
+
+def q_kg_link_idcard_region(spark, sf_dir):
+    from jionlp_spark.operators.link import build_bundle, link_mentions
+    bundle = build_bundle(spark)
+    m = _extracted(spark, sf_dir).filter(F.col('mention_type') == 'id_card')
+    linked = link_mentions(m, bundle)
+    return linked.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.concat_ws('/',
+                    F.get_json_object('norm', '$.province'),
+                    F.get_json_object('norm', '$.city'),
+                    F.get_json_object('norm', '$.county')).alias('region'),
+        F.concat_ws('-',
+                    F.get_json_object('norm', '$.birth_year'),
+                    F.get_json_object('norm', '$.birth_month'),
+                    F.get_json_object('norm', '$.birth_day')).alias('born_on'),
+        F.get_json_object('norm', '$.gender').alias('gender'))
+
+
+def q_kg_entity_counts(spark, sf_dir):
+    """Salted two-phase aggregation over canonical entities (skew-safe)."""
+    from jionlp_spark.operators.link import (build_bundle, entity_counts,
+                                             link_mentions)
+    bundle = build_bundle(spark)
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card'))
+    linked = link_mentions(m, bundle).withColumnRenamed('doc_id', 'url')
+    return (
+        entity_counts(linked)
+        .select(F.col('obj'), F.col('obj_type'),
+                F.col('mention_cnt').cast('long').alias('mention_cnt'),
+                F.col('url_cnt').cast('long').alias('url_cnt'))
+    )
+
+
+def q_clean_text(spark, sf_dir):
+    """clean_text chain over decorated docs (html strip + fullwidth + bracket
+    removal all exercised)."""
+    from jionlp_spark.functions.udfs import clean_text_udf
+    decorated = _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        "concat('<b>标题</b>（注释 删除）', text, 'ＡＢＣ  尾') as raw")
+    return decorated.select(
+        'doc_id', clean_text_udf(F.col('raw')).alias('clean'))
+
+
+def q_doc_stats(spark, sf_dir):
+    """Per-doc quality stats (token count, distinct ratio) — text-analysis op."""
+    return _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        "cast(size(split(text, ' ')) as long) as n_tokens",
+        "cast(size(array_distinct(split(text, ' '))) as long) as n_distinct",
+        "round(size(array_distinct(split(text, ' '))) / size(split(text, ' ')), 6) as distinct_ratio",
+        'cast(length(text) as long) as n_chars',
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .groupBy('lang').agg(F.count('*').cast('long').alias('n_docs'))
+            )
+
+
+def q_word_freq_by_source(spark, sf_dir):
+    """analyse_freq_words analog: per-source token frequencies ≥ 10."""
+    return (
+        _docs(spark, sf_dir)
+        .select('source', F.explode(F.split('text', ' ')).alias('word'))
+        .groupBy('source', 'word').agg(F.count('*').cast('long').alias('freq'))
+        .filter(F.col('freq') >= 10)
+    )
+
+
+def q_token_idf(spark, sf_dir):
+    """idf.txt analog: ln(N/df) per token over the corpus."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return (
+        docs.select('doc_id', F.explode(
+            F.array_distinct(F.split('text', ' '))).alias('token'))
+        .groupBy('token').agg(F.count('*').cast('long').alias('df'))
+        .withColumn('idf', F.round(F.log(F.lit(float(n)) / F.col('df')), 6))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: clusters with >1 doc."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col('text')).alias('content_hash'))
+        .agg(F.count('*').cast('long').alias('cluster_size'),
+             F.min('doc_id').cast('long').alias('keep_doc_id'))
+        .filter(F.col('cluster_size') > 1)
+    )
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (4 md5-salted permutations over the token set) —
+    the LSH pre-stage; md5 keeps Spark and DuckDB bit-identical."""
+    toks = _docs(spark, sf_dir).select(
+        'doc_id', F.explode(F.array_distinct(F.split('text', ' '))).alias('t'))
+    return toks.groupBy(F.col('doc_id').cast('long').alias('doc_id')).agg(
+        *[F.min(F.md5(F.concat(F.lit(str(k)), F.col('t'))))
+          .alias(f'mh{k}') for k in range(4)])
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs among the first 200 docs (bounded
+    self-join; the scale path is the minhash/LSH variant)."""
+    d = _docs(spark, sf_dir).filter(F.col('doc_id') < 200).select(
+        'doc_id', F.array_distinct(F.split('text', ' ')).alias('toks'))
+    a, b = d.alias('a'), d.alias('b')
+    return (
+        a.join(b, F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'),
+                F.round(
+                    F.size(F.array_intersect('a.toks', 'b.toks')) /
+                    F.size(F.array_union('a.toks', 'b.toks')), 6
+                ).alias('jaccard'))
+        .filter(F.col('jaccard') >= 0.6)
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 3 query vectors (ANN baseline)."""
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    emb.createOrReplaceTempView('emb_v')
+    return spark.sql("""
+        with q as (select vec_id qid, embedding qe from emb_v where vec_id < 3),
+        c as (select qid, vec_id, round(
+            aggregate(zip_with(qe, embedding, (x,y)->cast(x as double)*cast(y as double)),
+                      cast(0.0 as double), (a,b)->a+b)
+            / (sqrt(aggregate(transform(qe, x->cast(x as double)*cast(x as double)),
+                              cast(0.0 as double), (a,b)->a+b))
+             * sqrt(aggregate(transform(embedding, x->cast(x as double)*cast(x as double)),
+                              cast(0.0 as double), (a,b)->a+b))), 6) as cos
+            from q cross join emb_v where vec_id != qid)
+        select qid, vec_id, cos from
+          (select *, row_number() over (partition by qid order by cos desc, vec_id) rn from c) t
+        where rn <= 5
+    """)
+
+
+def q_events_daily(spark, sf_dir):
+    """Windowed/rollup analog on the events table; decimal sum keeps the
+    float aggregation engine-exact."""
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    return (
+        ev.groupBy(F.col('user_id').cast('long').alias('user_id'),
+                   F.to_date('ts').alias('day'),
+                   'event_type')
+        .agg(F.count('*').cast('long').alias('n_events'),
+             F.sum(F.col('value').cast('decimal(18,6)'))
+             .cast('decimal(18,6)').alias('sum_value'))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        'kg_extract_phone': q_kg_extract_phone,
+        'kg_extract_idcard': q_kg_extract_idcard,
+        'kg_link_phone_geo': q_kg_link_phone_geo,
+        'kg_link_idcard_region': q_kg_link_idcard_region,
+        'kg_entity_counts': q_kg_entity_counts,
+        'clean_text': q_clean_text,
+        'doc_stats': q_doc_stats,
+        'lang_distribution': q_lang_distribution,
+        'word_freq_by_source': q_word_freq_by_source,
+        'token_idf': q_token_idf,
+        'dedup_exact': q_dedup_exact,
+        'dedup_minhash_sig': q_dedup_minhash_sig,
+        'dedup_jaccard_pairs': q_dedup_jaccard_pairs,
+        'ann_cosine_topk': q_ann_cosine_topk,
+        'events_daily': q_events_daily,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    phone = _duck(_PHONE_SQL)
+    idc = _duck(_ID_SQL)
+    born = _duck(_BORN_SQL)
+    return {
+        # offsets: '联系电话：' is 5 chars; phone is 11; '，身份证号' is 5
+        'kg_extract_phone': f"""
+            select doc_id, {phone} as phone,
+                   cast(5 as bigint) as offset_start,
+                   cast(16 as bigint) as offset_end
+            from documents""",
+        'kg_extract_idcard': f"""
+            select doc_id, {idc} as id_card from documents""",
+        'kg_link_phone_geo': f"""
+            select doc_id, {phone} as phone, {_PHONE_GEO_SQL} as geo
+            from documents""",
+        'kg_link_idcard_region': f"""
+            select doc_id, {_ID_REGION_SQL} as region, {born} as born_on,
+                   case when doc_id % 2 = 1 then '男' else '女' end as gender
+            from documents""",
+        'kg_entity_counts': f"""
+            with m as (
+              select doc_id, {phone} as obj, 'phone' as obj_type from documents
+              union all
+              select doc_id, {idc} as obj, 'id_card' as obj_type from documents)
+            select obj, obj_type, count(*) as mention_cnt,
+                   count(distinct doc_id) as url_cnt
+            from m group by obj, obj_type""",
+        # the double space before 尾 collapses via remove_redundant_char
+        'clean_text': """
+            select doc_id, concat('标题', text, 'ABC 尾') as clean
+            from documents""",
+        'doc_stats': """
+            select doc_id,
+                   len(string_split(text, ' ')) as n_tokens,
+                   len(list_distinct(string_split(text, ' '))) as n_distinct,
+                   round(len(list_distinct(string_split(text, ' ')))
+                         / len(string_split(text, ' ')), 6) as distinct_ratio,
+                   length(text) as n_chars
+            from documents""",
+        'lang_distribution': """
+            select lang, count(*) as n_docs from documents group by lang""",
+        'word_freq_by_source': """
+            select source, word, count(*) as freq
+            from (select source, unnest(string_split(text, ' ')) as word
+                  from documents)
+            group by source, word having count(*) >= 10""",
+        'token_idf': """
+            select token, count(*) as df,
+                   round(ln((select count(*) from documents)
+                            / count(*)), 6) as idf
+            from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
+                  from documents)
+            group by token""",
+        'dedup_exact': """
+            select md5(text) as content_hash, count(*) as cluster_size,
+                   min(doc_id) as keep_doc_id
+            from documents group by md5(text) having count(*) > 1""",
+        'dedup_minhash_sig': """
+            select doc_id,
+                   min(md5(concat('0', t))) as mh0,
+                   min(md5(concat('1', t))) as mh1,
+                   min(md5(concat('2', t))) as mh2,
+                   min(md5(concat('3', t))) as mh3
+            from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
+                  from documents)
+            group by doc_id""",
+        'dedup_jaccard_pairs': """
+            with d as (select doc_id, list_distinct(string_split(text, ' ')) toks
+                       from documents where doc_id < 200)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(len(list_intersect(a.toks, b.toks))::double
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) as jaccard
+            from d a join d b on a.doc_id < b.doc_id
+            where round(len(list_intersect(a.toks, b.toks))::double
+                        / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.6""",
+        'ann_cosine_topk': """
+            with q as (select vec_id qid, embedding qe from embeddings where vec_id < 3),
+            c as (select qid, vec_id, round(
+                list_dot_product(qe::DOUBLE[], embedding::DOUBLE[])
+                / (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+                 * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) as cos
+                from q cross join embeddings where vec_id != qid)
+            select qid, vec_id, cos from
+              (select *, row_number() over (partition by qid order by cos desc, vec_id) rn from c) t
+            where rn <= 5""",
+        'events_daily': """
+            select user_id, cast(ts as date) as day, event_type,
+                   count(*) as n_events,
+                   cast(sum(cast(value as decimal(18,6))) as decimal(18,6))
+                       as sum_value
+            from events group by 1, 2, 3""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full 4-stage KG pipeline over a deterministic synthetic
+    Common-Crawl-style corpus; returns the triples table."""
+    from jionlp_spark.plans.pipeline import run_pipeline
+    from jionlp_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, num_partitions=8)
+    res = run_pipeline(spark, pages)
+    return res['triples']

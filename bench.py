@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the end-to-end KG
+pipeline over the deterministic synthetic page corpus, and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf",
+plus informational throughput extras}.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+# pages for the e2e pipeline benchmark; ~4 pages per lineitem-scale 'row unit'
+N_PAGES = int(os.environ.get('BENCH_PAGES', '20000'))
+
+HEADLINE = [
+    'kg_extract_phone', 'kg_link_phone_geo', 'kg_link_idcard_region',
+    'kg_entity_counts', 'clean_text', 'doc_stats', 'word_freq_by_source',
+    'token_idf', 'dedup_exact', 'dedup_minhash_sig', 'dedup_jaccard_pairs',
+    'ann_cosine_topk', 'events_daily',
+]
+
+
+def main() -> None:
+    from jionlp_spark.config import get_spark
+    spark = get_spark('bench', master=f'local[{CPUS}]',
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel('ERROR')
+
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    timings: dict = {}
+    total = 0.0
+
+    # ---- end-to-end KG pipeline ------------------------------------------
+    from jionlp_spark.plans.pipeline import run_pipeline
+    from jionlp_spark.sources.pages import generate_pages
+
+    # warmup: spin up JVM stages + Python UDF workers once (measurement
+    # protocol in BASELINE.md discards the cold run)
+    run_pipeline(spark, generate_pages(spark, 512))['triples'].count()
+
+    t0 = time.time()
+    pages = generate_pages(spark, N_PAGES)
+    res = run_pipeline(spark, pages)
+    n_triples = res['triples'].count()
+    e2e = time.time() - t0
+    timings['kg_pipeline_e2e'] = round(e2e, 3)
+    total += e2e
+
+    # ---- headline queries -------------------------------------------------
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        _ = n
+
+    out = {
+        'metric': 'kg_e2e_plus_headline_queries',
+        'value': round(total, 3),
+        'unit': 'sec',
+        'queries': timings,
+        'sf': SF_DIR.rstrip('/').rsplit('sf', 1)[-1],
+        'pages': N_PAGES,
+        'triples': n_triples,
+        'triples_per_sec': round(n_triples / e2e, 1),
+        'pages_per_sec': round(N_PAGES / e2e, 1),
+        'cpus': CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

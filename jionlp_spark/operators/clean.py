@@ -36,8 +36,9 @@ def clean_pages(pages: DataFrame, lang: str | None = 'zh',
     src = clean_html_text_udf(F.col('html')) \
         if use_html and 'html' in df.columns \
         else clean_plain_text_udf(F.col('text'))
-    df = df.select('url', 'warc_ts', src.alias('c')) \
-        .select('url', 'warc_ts',
+    keep = ['url'] + (['warc_ts'] if 'warc_ts' in df.columns else [])
+    df = df.select(*keep, src.alias('c')) \
+        .select(*keep,
                 F.col('c.clean').alias('clean'),
                 F.col('c.extract_text').alias('extract_text'),
                 F.col('c.meta').alias('meta'))

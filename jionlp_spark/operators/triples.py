@@ -1,7 +1,7 @@
 """Stage 4 — triple materialization.
 
 entities → triples(subj, subj_type, pred, obj, obj_type, url, offset_start,
-offset_end).  Two triple families:
+offset_end).  Edge families:
 
   (url, mentions_<type>, canonical_entity)   — provenance edges
   (entity, <relation>, derived_entity)       — facts from canonicalization
@@ -11,15 +11,15 @@ offset_end).  Two triple families:
         id     —born_on→      'YYYY-MM-DD'
         email  —has_domain→   domain
 
-Everything is column-level Catalyst work (get_json_object over the norm
-column + unions) — no Python in this stage, so it whole-stage-codegens.
-Output is written partitioned by pred, bucketed-by-hash on url via
-repartition, matching the north_rule graph-table layout.
+Single-pass design: every entity row emits an ARRAY of candidate edges
+(mention edge + type-specific fact edges) which is exploded and null-
+filtered.  One scan of the entities table, no self-unions (a naive
+union-of-branches plan recomputes the upstream UDF chain once per branch —
+6× the work), all column-level Catalyst expressions (get_json_object), fully
+whole-stage-codegen'd.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,76 +28,63 @@ PROVENANCE = ['subj', 'subj_type', 'pred', 'obj', 'obj_type', 'url',
               'offset_start', 'offset_end']
 
 
-def _mention_edges(entities: DataFrame) -> DataFrame:
-    return entities.select(
-        F.col('url').alias('subj'),
-        F.lit('page').alias('subj_type'),
-        F.concat(F.lit('mentions_'), F.col('obj_type')).alias('pred'),
-        F.col('obj'),
-        F.col('obj_type'),
-        F.col('url'),
-        F.col('offset_start'),
-        F.col('offset_end'),
-    )
+def _edge(subj, subj_type: str, pred: str, obj, obj_type: str):
+    return F.struct(
+        subj.alias('subj'), F.lit(subj_type).alias('subj_type'),
+        F.lit(pred).alias('pred'), obj.alias('obj'),
+        F.lit(obj_type).alias('obj_type'))
 
 
-def _fact_edges(entities: DataFrame) -> list:
-    norm = F.col('norm')
-    out = []
-
-    phones = entities.filter(F.col('obj_type') == 'phone')
-    out.append(phones.select(
-        F.col('obj').alias('subj'), F.lit('phone').alias('subj_type'),
-        F.lit('located_in').alias('pred'),
-        F.get_json_object(norm, '$.geo').alias('obj'),
-        F.lit('region').alias('obj_type'),
-        'url', 'offset_start', 'offset_end',
-    ).filter(F.col('obj').isNotNull()))
-    out.append(phones.select(
-        F.col('obj').alias('subj'), F.lit('phone').alias('subj_type'),
-        F.lit('operated_by').alias('pred'),
-        F.get_json_object(norm, '$.operator').alias('obj'),
-        F.lit('operator').alias('obj_type'),
-        'url', 'offset_start', 'offset_end',
-    ).filter(F.col('obj').isNotNull()))
-
-    ids = entities.filter(F.col('obj_type') == 'id_card')
-    out.append(ids.select(
-        F.col('obj').alias('subj'), F.lit('id_card').alias('subj_type'),
-        F.lit('issued_in').alias('pred'),
-        F.concat_ws('/',
-                    F.get_json_object(norm, '$.province'),
-                    F.get_json_object(norm, '$.city'),
-                    F.get_json_object(norm, '$.county')).alias('obj'),
-        F.lit('region').alias('obj_type'),
-        'url', 'offset_start', 'offset_end',
-    ).filter(F.col('obj') != ''))
-    out.append(ids.select(
-        F.col('obj').alias('subj'), F.lit('id_card').alias('subj_type'),
-        F.lit('born_on').alias('pred'),
-        F.concat_ws('-',
-                    F.get_json_object(norm, '$.birth_year'),
-                    F.get_json_object(norm, '$.birth_month'),
-                    F.get_json_object(norm, '$.birth_day')).alias('obj'),
-        F.lit('date').alias('obj_type'),
-        'url', 'offset_start', 'offset_end',
-    ).filter(F.col('obj') != ''))
-
-    emails = entities.filter(F.col('obj_type') == 'email')
-    out.append(emails.select(
-        F.col('obj').alias('subj'), F.lit('email').alias('subj_type'),
-        F.lit('has_domain').alias('pred'),
-        F.get_json_object(norm, '$.domain_name').alias('obj'),
-        F.lit('domain').alias('obj_type'),
-        'url', 'offset_start', 'offset_end',
-    ).filter(F.col('obj').isNotNull()))
-
-    return out
+def _when_type(entity_type: str, edge):
+    """Edge applies only to rows of one obj_type; others yield null (dropped
+    after explode)."""
+    return F.when(F.col('obj_type') == entity_type, edge)
 
 
 def build_triples(entities: DataFrame) -> DataFrame:
-    parts = [_mention_edges(entities)] + _fact_edges(entities)
-    return reduce(DataFrame.unionByName, parts).select(*PROVENANCE)
+    norm = F.col('norm')
+    obj = F.col('obj')
+    j = lambda p: F.get_json_object(norm, '$.' + p)  # noqa: E731
+
+    edges = F.array(
+        # provenance: (url, mentions_<type>, entity) — pred is dynamic
+        F.struct(F.col('url').alias('subj'), F.lit('page').alias('subj_type'),
+                 F.concat(F.lit('mentions_'), F.col('obj_type')).alias('pred'),
+                 obj.alias('obj'), F.col('obj_type').alias('obj_type')),
+        # phone facts
+        _when_type('phone', _edge(obj, 'phone', 'located_in',
+                                  j('geo'), 'region')),
+        _when_type('phone', _edge(obj, 'phone', 'operated_by',
+                                  j('operator'), 'operator')),
+        # id-card facts
+        _when_type('id_card', _edge(
+            obj, 'id_card', 'issued_in',
+            F.when(j('province').isNotNull(),
+                   F.concat_ws('/', j('province'), j('city'), j('county'))),
+            'region')),
+        _when_type('id_card', _edge(
+            obj, 'id_card', 'born_on',
+            F.when(j('birth_year').isNotNull(),
+                   F.concat_ws('-', j('birth_year'), j('birth_month'),
+                               j('birth_day'))),
+            'date')),
+        # email facts
+        _when_type('email', _edge(obj, 'email', 'has_domain',
+                                  j('domain_name'), 'domain')),
+    )
+
+    return (
+        entities
+        .select('url', 'offset_start', 'offset_end',
+                F.explode(edges).alias('e'))
+        .filter(F.col('e.obj').isNotNull() & (F.col('e.obj') != ''))
+        .select(F.col('e.subj').alias('subj'),
+                F.col('e.subj_type').alias('subj_type'),
+                F.col('e.pred').alias('pred'),
+                F.col('e.obj').alias('obj'),
+                F.col('e.obj_type').alias('obj_type'),
+                'url', 'offset_start', 'offset_end')
+    )
 
 
 def write_triples(triples: DataFrame, path: str,

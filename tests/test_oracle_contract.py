@@ -1,0 +1,83 @@
+"""Mimics the driver's correctness gate: run every ``queries()`` entry on
+Spark and its ``oracle_sql()`` on DuckDB over the same sf0.01 parquet,
+compare row count + column names + order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR_TEST', '/root/testdata/sf0.01')
+
+TABLES = ('region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings')
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return 'nan'
+        return format(v, '.6f')
+    if v is None:
+        return ''
+    return str(v)
+
+
+def _rows_to_set(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted('\x01'.join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope='module')
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f'{SF_DIR}/{t}.parquet'
+        if os.path.exists(p):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{p}')")
+    return con
+
+
+def _entry():
+    import importlib
+    import sys
+    sys.path.insert(0, '/root/repo')
+    return importlib.import_module('__spark_entry__')
+
+
+def test_all_queries_match_oracle(spark, duck):
+    mod = _entry()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        got_cols = df.columns
+        got = df.collect()
+        if name not in oracles:
+            assert len(got) >= 0  # rows-only check
+            continue
+        res = duck.execute(oracles[name])
+        want_cols = [d[0] for d in res.description]
+        want = res.fetchall()
+        if sorted(got_cols) != sorted(want_cols):
+            failures.append((name, 'columns', got_cols, want_cols))
+            continue
+        if len(got) != len(want):
+            failures.append((name, 'rowcount', len(got), len(want)))
+            continue
+        g = _rows_to_set([tuple(r) for r in got], got_cols)
+        w = _rows_to_set(want, want_cols)
+        if g != w:
+            diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            failures.append((name, 'values', diff, None))
+    assert not failures, failures
+
+
+def test_entry_smoke(spark):
+    mod = _entry()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {'subj', 'pred', 'obj', 'url'}
