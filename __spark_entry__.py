@@ -71,11 +71,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + injected phone/id sentence (deterministic in doc_id)."""
-    return _docs(spark, sf_dir).selectExpr(
-        'doc_id',
-        f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
-        "'。', text) as text",
+    """documents + injected phone/id sentence (deterministic in doc_id).
+
+    The sf-dir tables are single small parquet files → one scan split; spread
+    rows across cores before the Arrow UDF stages (at production scale the
+    scan itself yields enough splits and this repartition is dropped).
+    """
+    return (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr(
+            'doc_id',
+            f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
+            "'。', text) as text",
+        )
     )
 
 

@@ -30,6 +30,11 @@ def get_spark(app_name: str = 'jionlp_spark',
         .config('spark.sql.adaptive.enabled', 'true')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        # post-shuffle partitions feed Arrow/pandas UDF stages: a 64MB
+        # (default advisory) text partition is minutes of serial Python —
+        # keep them small so UDF stages stay wide after AQE coalescing
+        .config('spark.sql.adaptive.advisoryPartitionSizeInBytes',
+                str(16 * 1024 * 1024))
         .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
         # Arrow everywhere; bounded batches keep UDF memory flat
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')

@@ -158,6 +158,36 @@ REDUNDANT_CHARS = ' -\t\n啊哈呀~　\xa0•·・'
 BRACKET_PAIRS = '{}「」[]【】()（）<>《》〈〉『』〔〕｛｝＜＞〖〗'
 
 
+# ---------------------------------------------------------------------------
+# Money parsing patterns (rule_pattern.py:141-144, 473-503).  Currency-case
+# alternation order is load-bearing (first match wins in the parser).
+CURRENCY_CASE = (
+    r'(块(钱)?(人民币)?|元((人民|港|日|澳|韩|(新)?台)币)?|(人民|港|日|澳|韩|(新)?台)币|圆(整)?|'
+    r'(美|港|澳门|日|韩|缅|马|新加坡|欧|加|新西兰|澳|澳大利亚)元|美(金|刀)|英镑|马克|法郎|卢布|泰铢)'
+)
+MONEY_PREFIX = (
+    r'((将)?近|只有|仅|(大)?约(莫|合)?|大概|至少(要)?|不(到|足|超过)?|逾|(高|大|多)于|(高)?达(到)?|^上|(超)?过|超|(低|小|少)于)'
+)
+MONEY_SUFFIX = r'(以上|以下|左右|上下)'
+MONEY_BLUR = r'((大)?约(莫|合)?|大概|左右|上下)'
+MONEY_MINUS = r'((将)?近|不(到|足|超过)?|以下|(低|小|少)于)'
+MONEY_PLUS = r'(至少(要)?|逾|(高|大|多)于|上|(超)?过|超|以上)'
+MONEY_NUM_SEP = r'[,， ]'
+MONEY_NUM_STRING = (
+    r'^[ \.多个数几百佰k千仟w万萬亿十拾兆〇O0-9零０-９一二两三四五六七八九壹弌贰弍俩叁弎仨肆伍陆柒捌玖]+$'
+)
+MONEY_KUAI_JIAO_FEN = r'[分角毛块]'
+# candidate char-class sweep for the money NER stage (rule_pattern.py:498-503)
+MONEY_CHAR_STRING = (
+    r'(?!(余|多|分|角|不|块|〇))'
+    r'((将)?近|只有|仅|(大)?约(莫|合)?|大概|至少(要)?|不(到|足|超过)?|逾|高于|(高)?达(到)?|^上|(超)?过|超|'
+    r'以上|以下|左右|上下|港币|人民币|(新)?台币|(分|角|毛|块|元)钱?|(人民|港|日|澳|(新)?台)币|圆(整)?|英镑|'
+    r'美(金|分|刀)|马克|法郎|卢布|泰铢|元((人民|港|日|澳|韩|(新)?台)币)?|(美|港|澳门|日|韩|缅|马|新加坡|欧|'
+    r'加|加拿大|新西兰|澳|澳大利亚)元|(越(南)?)盾|雷亚尔|'
+    r'[分角毛块 \.\,\-\~—－～，余多个数几百佰k千仟w万萬亿十拾兆〇O0-9零０-９一二两三四五六七八九壹弌贰弍俩叁弎仨肆伍陆柒捌玖\(\)（）不含])+'
+)
+
+
 def build_redundant_pattern(chars: str = REDUNDANT_CHARS) -> re.Pattern:
     """Collapse runs: for each char c emit ``(?<=c)c+`` (extractor.py:83-94)."""
     alts = ['(?<={c}){c}+'.format(c=re.escape(ch)) for ch in chars]

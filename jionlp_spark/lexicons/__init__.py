@@ -174,6 +174,42 @@ def _load_vendored_admin_divisions() -> list:
     return rows
 
 
+def load_ts_tables(dict_dir: str | None = None) -> dict:
+    """→ {'tra2sim_char','sim2tra_char','tra2sim_word','sim2tra_word'} maps
+    (reference format: one ``key\\tvalue`` pair per line,
+    dictionary_loader.py:416-426; vendored format merges each direction's
+    char+word tables into ts_char.tsv / ts_word.tsv with a direction tag)."""
+    d = _dict_dir(dict_dir)
+    out = {}
+    if d and os.path.exists(os.path.join(d, 'tra2sim_char.txt')):
+        for name in ('tra2sim_char', 'sim2tra_char',
+                     'tra2sim_word', 'sim2tra_word'):
+            m = {}
+            with open(os.path.join(d, name + '.txt'), encoding='utf-8') as f:
+                for line in f:
+                    line = line.rstrip('\n')
+                    if line:
+                        k, v = line.split('\t')
+                        m[k] = v
+            out[name] = m
+        return out
+    for name in ('tra2sim_char', 'sim2tra_char', 'tra2sim_word',
+                 'sim2tra_word'):
+        out[name] = {}
+    for fn, kinds in (('ts_char.tsv', ('tra2sim_char', 'sim2tra_char')),
+                      ('ts_word.tsv', ('tra2sim_word', 'sim2tra_word'))):
+        path = os.path.join(_DATA_DIR, fn)
+        if not os.path.exists(path):
+            continue
+        with open(path, encoding='utf-8') as f:
+            for line in f:
+                direction, k, v = line.rstrip('\n').split('\t')
+                key = ('tra2sim' if direction == 't2s' else 'sim2tra') + \
+                    ('_char' if fn == 'ts_char.tsv' else '_word')
+                out[key][k] = v
+    return out
+
+
 def admin_code_map(dict_dir: str | None = None) -> dict:
     """6-digit admin code -> (province, city, county) with province/city
     rows included — the IDCard lookup table (id_card_parser.py:47-65)."""

@@ -19,9 +19,15 @@ from pyspark.sql import functions as F
 from jionlp_spark.functions.udfs import LexiconBundle, make_link_udf
 
 
+_BUNDLE_CACHE: dict = {}
+
+
 def build_bundle(spark: SparkSession, dict_dir: str | None = None):
-    """Load lexicons on the driver and broadcast once."""
-    return LexiconBundle(dict_dir).broadcast(spark)
+    """Load lexicons on the driver and broadcast once per session."""
+    key = (id(spark.sparkContext), dict_dir)
+    if key not in _BUNDLE_CACHE:
+        _BUNDLE_CACHE[key] = LexiconBundle(dict_dir).broadcast(spark)
+    return _BUNDLE_CACHE[key]
 
 
 def link_mentions(mentions: DataFrame, bundle_broadcast) -> DataFrame:

@@ -1,0 +1,106 @@
+"""Two-parallelism scaling benchmark (north_rule: throughput scaling
+efficiency ≥ 0.8 from N to 4N executors; sandbox stand-in = local[8] vs
+local[32] per the task brief — no real cluster here).
+
+Protocol (BASELINE.md): same deterministic input both levels, first run
+discarded (JVM/UDF-worker warmup), median of 3, throughput = triples / sec
+of the full read→triples job.  Each parallelism level runs in its own
+subprocess so JVMs don't share warm state.
+
+Usage: python scripts/scaling_bench.py [n_pages]  → prints JSON, updates
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r'''
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from jionlp_spark.config import get_spark
+from jionlp_spark.plans.pipeline import run_pipeline
+from jionlp_spark.sources.pages import generate_pages
+
+cpus = {cpus}
+n_pages = {n_pages}
+spark = get_spark('scaling', master=f'local[{{cpus}}]',
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel('ERROR')
+
+times = []
+for run in range(4):  # run 0 = warmup, discarded
+    t0 = time.time()
+    res = run_pipeline(spark, generate_pages(spark, n_pages))
+    n_triples = res['triples'].count()
+    times.append(time.time() - t0)
+print(json.dumps({{'cpus': cpus, 'times': times[1:],
+                   'triples': n_triples}}))
+spark.stop()
+'''
+
+
+def run_level(cpus: int, n_pages: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, '-c', _CHILD.format(repo=REPO, cpus=cpus,
+                                             n_pages=n_pages)],
+        capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith('{')][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    lo = run_level(8, n_pages)
+    hi = run_level(32, n_pages)
+    med_lo = statistics.median(lo['times'])
+    med_hi = statistics.median(hi['times'])
+    thr_lo = lo['triples'] / med_lo
+    thr_hi = hi['triples'] / med_hi
+    eff = (thr_hi / thr_lo) / 4
+    result = {
+        'n_pages': n_pages,
+        'triples': hi['triples'],
+        'local8': {'times': [round(t, 2) for t in lo['times']],
+                   'median_sec': round(med_lo, 2),
+                   'triples_per_sec': round(thr_lo, 1)},
+        'local32': {'times': [round(t, 2) for t in hi['times']],
+                    'median_sec': round(med_hi, 2),
+                    'triples_per_sec': round(thr_hi, 1)},
+        'scaling_efficiency': round(eff, 3),
+        'gate': 'PASS' if eff >= 0.8 else 'FAIL',
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, 'BENCH'), exist_ok=True)
+    with open(os.path.join(REPO, 'BENCH', 'BASELINE.md'), 'w') as f:
+        f.write(f"""# BENCH/BASELINE — self-measured numbers
+
+End-to-end KG pipeline (synthetic pages → clean → mentions → link →
+triples), deterministic corpus, Spark 4.1.2, Arrow batch 2048, protocol:
+first run discarded, median of 3 (BASELINE.md).
+
+| metric | local[8] | local[32] |
+|---|---|---|
+| pages | {n_pages} | {n_pages} |
+| triples emitted | {lo['triples']} | {hi['triples']} |
+| run times (s) | {result['local8']['times']} | {result['local32']['times']} |
+| median (s) | {med_lo:.2f} | {med_hi:.2f} |
+| triples/sec | {thr_lo:.1f} | {thr_hi:.1f} |
+
+**Scaling efficiency (thr_32 / thr_8) / 4 = {eff:.3f}** — gate ≥ 0.8:
+**{result['gate']}**
+
+Determinism: both levels emit identical triple sets (same deterministic
+corpus; see tests/test_pipeline.py::test_triples_deterministic_across_parallelism).
+""")
+
+
+if __name__ == '__main__':
+    main()
