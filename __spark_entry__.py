@@ -50,6 +50,8 @@ _ID_SQL = (
     "lpad(cast(doc_id % 1000 as string), 3, '0'), "
     "cast(doc_id % 10 as string))"
 )
+# money amount: 3-7 digit integral yuan amount from doc_id
+_MONEY_SQL = "cast(100 + (doc_id * 131) % 9999900 as string)"
 _BORN_SQL = (
     "concat(cast(1950 + doc_id % 50 as string), '-', "
     "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
@@ -83,7 +85,7 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             'doc_id',
             f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
-            "'。', text) as text",
+            f"'。预算为', {_MONEY_SQL}, '元，', text) as text",
         )
     )
 
@@ -119,6 +121,20 @@ def q_kg_extract_idcard(spark, sf_dir):
         .filter(F.col('mention_type') == 'id_card')
         .select(F.col('doc_id').cast('long').alias('doc_id'),
                 F.col('text').alias('id_card'))
+    )
+
+
+def q_kg_extract_money(spark, sf_dir):
+    """Money grid-search extractor + parse: mention text and parsed num."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col('mention_type') == 'money')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('money_text'),
+                F.get_json_object('norm', '$.num').alias('num'),
+                F.get_json_object('norm', '$.case').alias('case'),
+                F.col('offset_start').cast('long').alias('offset_start'),
+                F.col('offset_end').cast('long').alias('offset_end'))
     )
 
 
@@ -294,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'kg_extract_phone': q_kg_extract_phone,
         'kg_extract_idcard': q_kg_extract_idcard,
+        'kg_extract_money': q_kg_extract_money,
         'kg_link_phone_geo': q_kg_link_phone_geo,
         'kg_link_idcard_region': q_kg_link_idcard_region,
         'kg_entity_counts': q_kg_entity_counts,
@@ -323,6 +340,17 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         'kg_extract_idcard': f"""
             select doc_id, {idc} as id_card from documents""",
+        # money mention = '<amount>元' at offset 43 (after the 5+11+5+18+4
+        # chars of the phone/id injection prefix)
+        'kg_extract_money': f"""
+            select doc_id,
+                   concat({_duck(_MONEY_SQL)}, '元') as money_text,
+                   concat({_duck(_MONEY_SQL)}, '.00') as num,
+                   '元' as "case",
+                   cast(43 as bigint) as offset_start,
+                   cast(43 + length({_duck(_MONEY_SQL)}) + 1 as bigint)
+                       as offset_end
+            from documents""",
         'kg_link_phone_geo': f"""
             select doc_id, {phone} as phone, {_PHONE_GEO_SQL} as geo
             from documents""",

@@ -31,6 +31,9 @@ MENTION_FIELDS = [
     T.StructField('offset_start', T.IntegerType()),
     T.StructField('offset_end', T.IntegerType()),
     T.StructField('mention_type', T.StringType()),
+    # canonical detail JSON when the extractor itself parses (money/time);
+    # null otherwise — stage 3 fills in the rest
+    T.StructField('norm', T.StringType()),
 ]
 MENTION_TYPE = T.StructType(MENTION_FIELDS)
 MENTIONS_ARRAY = T.ArrayType(MENTION_TYPE)
@@ -110,14 +113,22 @@ def clean_plain_text_udf(text: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(MENTIONS_ARRAY)
 def rule_mentions_udf(text: pd.Series) -> pd.Series:
-    """One fused pass emitting every rule-extractor mention per document."""
+    """One fused pass per document: all regex extractors + the money
+    grid-search extractor (whose parse result rides along as norm JSON)."""
+    from jionlp_spark.kernels.money_extract import get_money_extractor
     ex = get_extractor()
+    mex = get_money_extractor()
 
     def sweep(t):
         if t is None:
             return []
-        return [(m['text'], m['offset'][0], m['offset'][1], m['type'])
-                for m in ex.sweep(t)]
+        out = [(m['text'], m['offset'][0], m['offset'][1], m['type'], None)
+               for m in ex.sweep(t)]
+        out.extend(
+            (m['text'], m['offset'][0], m['offset'][1], 'money',
+             json.dumps(m['detail'], ensure_ascii=False))
+            for m in mex.extract(t, with_parsing=True))
+        return out
 
     return text.map(sweep)
 
@@ -132,7 +143,7 @@ def make_lexicon_mentions_udf(trie_broadcast):
             if t is None:
                 return []
             return [(m['text'], m['offset'][0], m['offset'][1],
-                     'lexicon:' + m['type'])
+                     'lexicon:' + m['type'], None)
                     for m in trie.scan_fmm(t)]
 
         return text.map(scan)
@@ -156,20 +167,34 @@ class LexiconBundle:
 
 
 def make_link_udf(bundle_broadcast):
-    """(mention_type, text) → (obj, obj_type, norm-json).
+    """(mention_type, text, norm_in) → (obj, obj_type, norm-json).
 
     Canonical keys:
       cell/landline phone → 'province city' geo + digits-only number
       id_card             → issuing region 'province/city/county'
+      money               → '<num><case>' from the extraction-time parse
       email               → lowercased address; url → as-is; others → text
     """
     @pandas_udf(LINK_RESULT)
-    def link_udf(mention_type: pd.Series, text: pd.Series) -> pd.DataFrame:
+    def link_udf(mention_type: pd.Series, text: pd.Series,
+                 norm_in: pd.Series) -> pd.DataFrame:
         bundle = bundle_broadcast.value
         objs, obj_types, norms = [], [], []
-        for mtype, t in zip(mention_type, text):
+        for mtype, t, pre_norm in zip(mention_type, text, norm_in):
             if t is None:
                 objs.append(None); obj_types.append(None); norms.append(None)
+                continue
+            if mtype == 'money':
+                detail = json.loads(pre_norm) if pre_norm else {}
+                num = detail.get('num')
+                if isinstance(num, list):
+                    key = '{}~{}{}'.format(num[0], num[1],
+                                           detail.get('case', ''))
+                else:
+                    key = '{}{}'.format(num, detail.get('case', ''))
+                objs.append(key)
+                obj_types.append('money')
+                norms.append(pre_norm)
                 continue
             if mtype in ('cell_phone', 'landline_phone'):
                 res = bundle.phone.locate(t)
@@ -199,11 +224,11 @@ def make_link_udf(bundle_broadcast):
             elif mtype and mtype.startswith('lexicon:'):
                 objs.append(t)
                 obj_types.append(mtype.split(':', 1)[1])
-                norms.append(None)
+                norms.append(pre_norm)
             else:
                 objs.append(t)
                 obj_types.append(mtype)
-                norms.append(None)
+                norms.append(pre_norm)
         return pd.DataFrame({'obj': objs, 'obj_type': obj_types,
                              'norm': norms})
     return link_udf

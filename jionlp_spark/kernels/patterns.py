@@ -173,6 +173,12 @@ MONEY_BLUR = r'((大)?约(莫|合)?|大概|左右|上下)'
 MONEY_MINUS = r'((将)?近|不(到|足|超过)?|以下|(低|小|少)于)'
 MONEY_PLUS = r'(至少(要)?|逾|(高|大|多)于|上|(超)?过|超|以上)'
 MONEY_NUM_SEP = r'[,， ]'
+# full currency-unit alternation incl. prefix cases (rule_pattern.py:489-491)
+MONEY_SUFFIX_CASE = (
+    r'((分|角|毛|块|元)钱?|(人民|港|日|澳|(新)?台)币|圆(整)?|英镑|美(金|分|刀)|马克|法郎|卢布|泰铢|'
+    r'元((人民|港|日|澳|韩|(新)?台)币)?|(美|港|澳门|日|韩|缅|马|新加坡|欧|加|加拿大|新西兰|澳|澳大利亚)元|'
+    r'(越(南)?)盾|雷亚尔)'
+)
 MONEY_NUM_STRING = (
     r'^[ \.多个数几百佰k千仟w万萬亿十拾兆〇O0-9零０-９一二两三四五六七八九壹弌贰弍俩叁弎仨肆伍陆柒捌玖]+$'
 )

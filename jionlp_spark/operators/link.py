@@ -32,10 +32,14 @@ def build_bundle(spark: SparkSession, dict_dir: str | None = None):
 
 def link_mentions(mentions: DataFrame, bundle_broadcast) -> DataFrame:
     link_udf = make_link_udf(bundle_broadcast)
+    norm_in = F.col('norm') if 'norm' in mentions.columns \
+        else F.lit(None).cast('string')
+    keep = [c for c in mentions.columns if c != 'norm']
     return (
         mentions
-        .withColumn('l', link_udf(F.col('mention_type'), F.col('text')))
-        .select(*mentions.columns,
+        .withColumn('l', link_udf(F.col('mention_type'), F.col('text'),
+                                  norm_in))
+        .select(*keep,
                 F.col('l.obj').alias('obj'),
                 F.col('l.obj_type').alias('obj_type'),
                 F.col('l.norm').alias('norm'))

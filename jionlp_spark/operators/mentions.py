@@ -37,5 +37,5 @@ def extract_mentions(clean_df: DataFrame,
         clean_df
         .select(*keep, F.explode(mention_array).alias('m'))
         .select(*keep, 'm.text', 'm.offset_start', 'm.offset_end',
-                'm.mention_type')
+                'm.mention_type', 'm.norm')
     )

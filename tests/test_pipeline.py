@@ -25,6 +25,7 @@ _REF_EXTRACTORS = {
     'wechat_id': lambda jio, t: jio.extract_wechat_id(t, detail=True),
     'licence_plate': lambda jio, t:
         jio.extract_motor_vehicle_licence_plate(t, detail=True),
+    'money': lambda jio, t: jio.ner.extract_money(t, with_parsing=False),
 }
 
 
