@@ -52,6 +52,15 @@ _ID_SQL = (
 )
 # money amount: 3-7 digit integral yuan amount from doc_id
 _MONEY_SQL = "cast(100 + (doc_id * 131) % 9999900 as string)"
+# location phrase (case 2 is an old name: 襄樊市 → 襄阳市 rename)
+_LOC_SQL = (
+    "case doc_id % 3 when 0 then '贵州省贵阳市云岩区' "
+    "when 1 then '上海市嘉定区' else '湖北省襄樊市' end"
+)
+_LOC_REGION_SQL = (
+    "case doc_id % 3 when 0 then '贵州省/贵阳市/云岩区' "
+    "when 1 then '上海市/上海市/嘉定区' else '湖北省/襄阳市' end"
+)
 _BORN_SQL = (
     "concat(cast(1950 + doc_id % 50 as string), '-', "
     "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
@@ -85,19 +94,22 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             'doc_id',
             f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
-            f"'。预算为', {_MONEY_SQL}, '元，', text) as text",
+            f"'。预算为', {_MONEY_SQL}, '元，家住', {_LOC_SQL}, "
+            "'幸福路，', text) as text",
         )
     )
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the real S1→S2 operators over the injected corpus."""
+    from jionlp_spark.functions.udfs import build_location_trie
     from jionlp_spark.operators.clean import clean_pages
     from jionlp_spark.operators.mentions import extract_mentions
 
     pages = _injected_docs(spark, sf_dir).withColumnRenamed('doc_id', 'url')
     clean = clean_pages(pages, lang=None, use_html=False)
-    m = extract_mentions(clean, keep_cols=('url',))
+    m = extract_mentions(clean, keep_cols=('url',),
+                         lexicon_trie_broadcast=build_location_trie(spark))
     return m.withColumnRenamed('url', 'doc_id')
 
 
@@ -136,6 +148,22 @@ def q_kg_extract_money(spark, sf_dir):
                 F.col('offset_start').cast('long').alias('offset_start'),
                 F.col('offset_end').cast('long').alias('offset_end'))
     )
+
+
+def q_kg_link_location(spark, sf_dir):
+    """Lexicon-NER (FMM) location mentions + LocationParser linking,
+    including old→new renames (襄樊市 → 襄阳市)."""
+    from jionlp_spark.operators.link import build_bundle, link_mentions
+    bundle = build_bundle(spark)
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type') == 'lexicon:location')
+    linked = link_mentions(m, bundle)
+    return linked.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('text').alias('loc_text'),
+        F.col('obj').alias('region'),
+        F.col('offset_start').cast('long').alias('offset_start'),
+        F.col('offset_end').cast('long').alias('offset_end'))
 
 
 def q_kg_link_phone_geo(spark, sf_dir):
@@ -311,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_extract_phone': q_kg_extract_phone,
         'kg_extract_idcard': q_kg_extract_idcard,
         'kg_extract_money': q_kg_extract_money,
+        'kg_link_location': q_kg_link_location,
         'kg_link_phone_geo': q_kg_link_phone_geo,
         'kg_link_idcard_region': q_kg_link_idcard_region,
         'kg_entity_counts': q_kg_entity_counts,
@@ -353,6 +382,15 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         'kg_link_phone_geo': f"""
             select doc_id, {phone} as phone, {_PHONE_GEO_SQL} as geo
+            from documents""",
+        # location starts after 43-char prefix + money + '元，家住' (4 chars)
+        'kg_link_location': f"""
+            select doc_id, {_LOC_SQL} as loc_text,
+                   {_LOC_REGION_SQL} as region,
+                   cast(43 + length({_duck(_MONEY_SQL)}) + 4 as bigint)
+                       as offset_start,
+                   cast(43 + length({_duck(_MONEY_SQL)}) + 4
+                        + length({_LOC_SQL}) as bigint) as offset_end
             from documents""",
         'kg_link_idcard_region': f"""
             select doc_id, {_ID_REGION_SQL} as region, {born} as born_on,

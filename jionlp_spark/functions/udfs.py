@@ -133,8 +133,13 @@ def rule_mentions_udf(text: pd.Series) -> pd.Series:
     return text.map(sweep)
 
 
-def make_lexicon_mentions_udf(trie_broadcast):
-    """FMM dictionary NER over a broadcast CharTrie → mentions array."""
+def make_lexicon_mentions_udf(trie_broadcast, merge_adjacent: bool = True):
+    """FMM dictionary NER over a broadcast CharTrie → mentions array.
+
+    ``merge_adjacent`` fuses contiguous same-type matches into one span —
+    '湖北省'+'襄樊市' → '湖北省襄樊市' — so the location linker sees whole
+    admin phrases.
+    """
     @pandas_udf(MENTIONS_ARRAY)
     def lexicon_mentions_udf(text: pd.Series) -> pd.Series:
         trie = trie_broadcast.value
@@ -142,9 +147,21 @@ def make_lexicon_mentions_udf(trie_broadcast):
         def scan(t):
             if t is None:
                 return []
+            hits = trie.scan_fmm(t)
+            if merge_adjacent and len(hits) > 1:
+                merged = [hits[0]]
+                for h in hits[1:]:
+                    prev = merged[-1]
+                    if h['type'] == prev['type'] and \
+                            h['offset'][0] == prev['offset'][1]:
+                        prev['text'] += h['text']
+                        prev['offset'][1] = h['offset'][1]
+                    else:
+                        merged.append(h)
+                hits = merged
             return [(m['text'], m['offset'][0], m['offset'][1],
                      'lexicon:' + m['type'], None)
-                    for m in trie.scan_fmm(t)]
+                    for m in hits]
 
         return text.map(scan)
     return lexicon_mentions_udf
@@ -157,13 +174,26 @@ class LexiconBundle:
     """Driver-side lexicon container; broadcast once per session."""
 
     def __init__(self, dict_dir: str | None = None) -> None:
+        from jionlp_spark.kernels.location import LocationParser
         cell_map, area_map = lexicons.load_phone_location(dict_dir)
         op_map = lexicons.load_telecom_operator(dict_dir)
         self.phone = PhoneLocator(cell_map, area_map, op_map)
         self.idcard = IdCardParser(lexicons.admin_code_map(dict_dir))
+        self.location = LocationParser(
+            lexicons.load_admin_divisions(dict_dir),
+            lexicons.load_location_changes(dict_dir))
 
     def broadcast(self, spark: SparkSession):
         return spark.sparkContext.broadcast(self)
+
+
+def build_location_trie(spark: SparkSession, dict_dir: str | None = None):
+    """Broadcast FMM trie over the admin-division lexicon (the
+    'Aho-Corasick dictionary matching' of the north star, with the
+    reference's FMM semantics preserved — lexicon_ner.py:59-76)."""
+    from jionlp_spark.kernels.trie import build_trie
+    trie = build_trie({'location': lexicons.location_ner_words(dict_dir)})
+    return spark.sparkContext.broadcast(trie)
 
 
 def make_link_udf(bundle_broadcast):
@@ -221,6 +251,15 @@ def make_link_udf(bundle_broadcast):
                 dom = ex.email_domain(t)
                 norms.append(json.dumps({'domain_name': dom},
                                         ensure_ascii=False) if dom else None)
+            elif mtype == 'lexicon:location':
+                res = bundle.location.parse(t)
+                key = '/'.join(x for x in (res['province'], res['city'],
+                                           res['county']) if x)
+                objs.append(key or t)
+                obj_types.append('location')
+                norms.append(json.dumps(
+                    {'province': res['province'], 'city': res['city'],
+                     'county': res['county']}, ensure_ascii=False))
             elif mtype and mtype.startswith('lexicon:'):
                 objs.append(t)
                 obj_types.append(mtype.split(':', 1)[1])

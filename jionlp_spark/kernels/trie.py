@@ -60,6 +60,24 @@ class CharTrie:
                 best = (step, node[_LEAF])
         return best if best is not None else (1, None)
 
+    def scan_all(self, text: str) -> set:
+        """ALL dictionary words occurring anywhere in ``text`` (overlaps
+        included) — used as the candidate prefilter index for the location
+        parser.  O(len(text) · depth)."""
+        found: set = set()
+        n = len(text)
+        for i in range(n):
+            node = self.root
+            j = i
+            while j < n:
+                node = node.get(text[j])
+                if node is None:
+                    break
+                j += 1
+                if _LEAF in node:
+                    found.add(text[i:j])
+        return found
+
     def scan_fmm(self, text: str) -> list:
         """Leftmost-longest non-overlapping matches →
         [{'type','text','offset':[s,e)}] (lexicon_ner.py:59-76)."""

@@ -224,6 +224,26 @@ def admin_code_map(dict_dir: str | None = None) -> dict:
     return out
 
 
+def location_ner_words(dict_dir: str | None = None) -> list:
+    """Dictionary for the location LexiconNER stage: all admin full names,
+    multi-char aliases, and old (pre-rename) names."""
+    words: set = set()
+    for r in load_admin_divisions(dict_dir):
+        for name in (r['province'], r['city'], r['county']):
+            if name:
+                words.add(name)
+        for alias in ([r['province_alias']] +
+                      (r['city_alias'] or []) +
+                      [r['county_alias']]):
+            if alias and len(alias) >= 2:
+                words.add(alias)
+    for ch in load_location_changes(dict_dir):
+        for name in list(ch['old']) + list(ch.get('old_alias') or ()):
+            if name and len(name) >= 2:
+                words.add(name)
+    return sorted(words)
+
+
 def load_location_changes(dict_dir: str | None = None) -> list:
     """Old→new renames since 2018 (china_location_change.txt,
     dictionary_loader.py:173-214) → [{'old': (prov,city,county),
@@ -236,10 +256,11 @@ def load_location_changes(dict_dir: str | None = None) -> list:
     out = []
     with open(path, encoding='utf-8') as f:
         for line in f:
-            line = line.strip()
-            if not line:
+            line = line.rstrip('\n')
+            if not line.strip():
                 continue
             if '=>' in line:  # JioNLP format
+                line = line.strip()
                 old_part, new_part = line.split('=>')
                 o = old_part.split('\t')
                 n = new_part.split('\t')
@@ -251,9 +272,11 @@ def load_location_changes(dict_dir: str | None = None) -> list:
                     out.append({'old': (o[2], o[4], None),
                                 'old_alias': (o[3], o[5], None),
                                 'new': [n[0], n[1], None]})
-            else:  # vendored format: oldp\toldc\toldco\tnewp\tnewc\tnewco
+            else:  # vendored: oldp oldpa oldc oldca oldco oldcoa newp newc newco
                 f1 = line.split('\t')
-                out.append({'old': (f1[0] or None, f1[1] or None, f1[2] or None),
-                            'old_alias': (None, None, None),
-                            'new': [f1[3] or None, f1[4] or None, f1[5] or None]})
+                out.append({'old': (f1[0] or None, f1[2] or None, f1[4] or None),
+                            'old_alias': (f1[1] or None, f1[3] or None,
+                                          f1[5] or None),
+                            'new': [f1[6] or None, f1[7] or None,
+                                    f1[8] or None]})
     return out

@@ -71,6 +71,9 @@ def build_triples(entities: DataFrame) -> DataFrame:
         # email facts
         _when_type('email', _edge(obj, 'email', 'has_domain',
                                   j('domain_name'), 'domain')),
+        # location facts
+        _when_type('location', _edge(obj, 'location', 'in_province',
+                                     j('province'), 'province')),
     )
 
     return (

@@ -30,7 +30,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
                  num_partitions: int | None = None,
                  resume: bool = True) -> dict:
     """→ {'clean','mentions','entities','triples'} DataFrames."""
+    from jionlp_spark.functions.udfs import build_location_trie
+
     bundle = build_bundle(spark, dict_dir)
+    loc_trie = build_location_trie(spark, dict_dir)
     n = num_partitions or spark.sparkContext.defaultParallelism
 
     def s1():
@@ -47,7 +50,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
 
     clean_df = stage('s1_clean', s1)
     mentions_df = stage('s2_mentions',
-                        lambda: extract_mentions(clean_df), 's1_clean')
+                        lambda: extract_mentions(
+                            clean_df, lexicon_trie_broadcast=loc_trie),
+                        's1_clean')
     entities_df = stage('s3_entities',
                         lambda: link_mentions(mentions_df, bundle),
                         's2_mentions')

@@ -109,8 +109,9 @@ def main(dict_dir):
     with open(os.path.join(DATA, 'location_change.tsv'), 'w',
               encoding='utf-8') as f:
         for ch in changes:
-            o, n = ch['old'], ch['new']
-            f.write('\t'.join([o[0] or '', o[1] or '', o[2] or '',
+            o, oa, n = ch['old'], ch['old_alias'], ch['new']
+            f.write('\t'.join([o[0] or '', oa[0] or '', o[1] or '',
+                               oa[1] or '', o[2] or '', oa[2] or '',
                                n[0] or '', n[1] or '',
                                (n[2] or '') if len(n) > 2 else '']) + '\n')
     print('location_change rows:', len(changes))

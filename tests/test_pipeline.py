@@ -116,8 +116,12 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     catalog.run_stage(spark, os.path.join(part_dir, 's1_clean'), 's1_clean',
                       lambda: clean_pages(pages), input_fingerprint='fp1')
     s1 = spark.read.parquet(os.path.join(part_dir, 's1_clean'))
+    from jionlp_spark.functions.udfs import build_location_trie
+    trie = build_location_trie(spark)
     catalog.run_stage(spark, os.path.join(part_dir, 's2_mentions'),
-                      's2_mentions', lambda: extract_mentions(s1),
+                      's2_mentions',
+                      lambda: extract_mentions(
+                          s1, lexicon_trie_broadcast=trie),
                       input_fingerprint='fp1|s1_clean')
     # mark: the manifests exist, s3/s4 do not
     assert catalog.is_complete(os.path.join(part_dir, 's2_mentions'))
