@@ -52,6 +52,15 @@ _ID_SQL = (
 )
 # money amount: 3-7 digit integral yuan amount from doc_id
 _MONEY_SQL = "cast(100 + (doc_id * 131) % 9999900 as string)"
+# time expression: 2021-<M>-<D> 上午<H>点半, all from doc_id; H∈6..11 keeps
+# 上午 a no-op on the hour (convert_hour only shifts 下午/晚/中午)
+_TIME_M_SQL = 'cast(1 + doc_id % 12 as string)'
+_TIME_D_SQL = 'cast(1 + doc_id % 28 as string)'
+_TIME_H_SQL = 'cast(6 + doc_id % 6 as string)'
+_TIME_TEXT_SQL = (
+    f"concat('2021年', {_TIME_M_SQL}, '月', {_TIME_D_SQL}, '日上午', "
+    f"{_TIME_H_SQL}, '点半')"
+)
 # location phrase (case 2 is an old name: 襄樊市 → 襄阳市 rename)
 _LOC_SQL = (
     "case doc_id % 3 when 0 then '贵州省贵阳市云岩区' "
@@ -95,7 +104,9 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             'doc_id',
             f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
             f"'。预算为', {_MONEY_SQL}, '元，家住', {_LOC_SQL}, "
-            "'幸福路，', text) as text",
+            f"'幸福路。定于', {_TIME_TEXT_SQL}, '开会，', text) as text",
+            # deterministic crawl timestamp = the time-parsing base
+            "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id * 37) as warc_ts",
         )
     )
 
@@ -111,6 +122,14 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = extract_mentions(clean, keep_cols=('url',),
                          lexicon_trie_broadcast=build_location_trie(spark))
     return m.withColumnRenamed('url', 'doc_id')
+
+
+_TIME_START_SQL = (
+    f"concat('2021-', lpad({_TIME_M_SQL}, 2, '0'), '-', "
+    f"lpad({_TIME_D_SQL}, 2, '0'), ' ', lpad({_TIME_H_SQL}, 2, '0'), "
+    "':30:00')"
+)
+_TIME_END_SQL = _TIME_START_SQL.replace("':30:00'", "':30:59'")
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +167,19 @@ def q_kg_extract_money(spark, sf_dir):
                 F.col('offset_start').cast('long').alias('offset_start'),
                 F.col('offset_end').cast('long').alias('offset_end'))
     )
+
+
+def q_kg_extract_time(spark, sf_dir):
+    """Time grid-search extractor + parser: mention text and the parsed
+    [start, end] range (time_base = injected warc_ts)."""
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').startswith('time'))
+    return m.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('text').alias('time_text'),
+        F.col('mention_type').alias('time_type'),
+        F.get_json_object('norm', '$.time[0]').alias('time_start'),
+        F.get_json_object('norm', '$.time[1]').alias('time_end'))
 
 
 def q_kg_link_location(spark, sf_dir):
@@ -340,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_extract_idcard': q_kg_extract_idcard,
         'kg_extract_money': q_kg_extract_money,
         'kg_link_location': q_kg_link_location,
+        'kg_extract_time': q_kg_extract_time,
         'kg_link_phone_geo': q_kg_link_phone_geo,
         'kg_link_idcard_region': q_kg_link_idcard_region,
         'kg_entity_counts': q_kg_entity_counts,
@@ -382,6 +415,12 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         'kg_link_phone_geo': f"""
             select doc_id, {phone} as phone, {_PHONE_GEO_SQL} as geo
+            from documents""",
+        'kg_extract_time': f"""
+            select doc_id, {_duck(_TIME_TEXT_SQL)} as time_text,
+                   'time_point' as time_type,
+                   {_duck(_TIME_START_SQL)} as time_start,
+                   {_duck(_TIME_END_SQL)} as time_end
             from documents""",
         # location starts after 43-char prefix + money + '元，家住' (4 chars)
         'kg_link_location': f"""

@@ -112,25 +112,39 @@ def clean_plain_text_udf(text: pd.Series) -> pd.DataFrame:
 # Stage-2 mention sweep
 
 @pandas_udf(MENTIONS_ARRAY)
-def rule_mentions_udf(text: pd.Series) -> pd.Series:
-    """One fused pass per document: all regex extractors + the money
-    grid-search extractor (whose parse result rides along as norm JSON)."""
+def rule_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
+    """One fused pass per document: all regex extractors + the money and
+    time grid-search extractors (parse results ride along as norm JSON).
+
+    ``warc_ts`` is the per-row time base for time parsing — deterministic
+    and replayable, never wall-clock (north_rule requirement).
+    """
     from jionlp_spark.kernels.money_extract import get_money_extractor
+    from jionlp_spark.kernels.time_extract import get_time_extractor
     ex = get_extractor()
     mex = get_money_extractor()
+    tex = get_time_extractor()
 
-    def sweep(t):
+    out_rows = []
+    for t, ts in zip(text, warc_ts):
         if t is None:
-            return []
+            out_rows.append([])
+            continue
         out = [(m['text'], m['offset'][0], m['offset'][1], m['type'], None)
                for m in ex.sweep(t)]
         out.extend(
             (m['text'], m['offset'][0], m['offset'][1], 'money',
              json.dumps(m['detail'], ensure_ascii=False))
             for m in mex.extract(t, with_parsing=True))
-        return out
-
-    return text.map(sweep)
+        time_base = ts.to_pydatetime() if ts is not None and not pd.isna(ts) \
+            else None
+        if time_base is not None:
+            out.extend(
+                (m['text'], m['offset'][0], m['offset'][1], m['type'],
+                 json.dumps(m['detail'], ensure_ascii=False))
+                for m in tex.extract(t, time_base, with_parsing=True))
+        out_rows.append(out)
+    return pd.Series(out_rows)
 
 
 def make_lexicon_mentions_udf(trie_broadcast, merge_adjacent: bool = True):
@@ -251,6 +265,18 @@ def make_link_udf(bundle_broadcast):
                 dom = ex.email_domain(t)
                 norms.append(json.dumps({'domain_name': dom},
                                         ensure_ascii=False) if dom else None)
+            elif mtype in ('time_point', 'time_span', 'time_delta',
+                           'time_period'):
+                detail = json.loads(pre_norm) if pre_norm else {}
+                tval = detail.get('time')
+                if isinstance(tval, list) and tval and \
+                        all(isinstance(x, str) for x in tval):
+                    key = '~'.join(tval)
+                else:
+                    key = json.dumps(tval, ensure_ascii=False, sort_keys=True)
+                objs.append(key)
+                obj_types.append('time')
+                norms.append(pre_norm)
             elif mtype == 'lexicon:location':
                 res = bundle.location.parse(t)
                 key = '/'.join(x for x in (res['province'], res['city'],

@@ -194,6 +194,75 @@ MONEY_CHAR_STRING = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Time parsing pattern strings (rule_pattern.py:362-469).  Same compositional
+# helpers as the reference: b() wraps a group, ba() an optional group,
+# a() a trailing '?'.
+
+def _b(s):  # bracket
+    return '(' + s + ')'
+
+
+def _ba(s):  # bracket_absence
+    return '(' + s + ')?'
+
+
+def _a(s):  # absence
+    return s + '?'
+
+
+TP_I = '|'
+LIMIT_YEAR_STRING = r'(前(一)?|今|明|去|同|当|后|大前|本|次|上(一)?|这(一)?)年'
+YEAR_STRING = r'([12]?\d{2,3}|[一二三四五六七八九零〇]{2,4})年'
+MONTH_NUM_STRING = r'(1[012]|[0]?[1-9]|十[一二]|[一二三四五六七八九十])'
+MONTH_STRING = MONTH_NUM_STRING + r'月(份)?'
+LIMIT_MONTH_STRING = r'((下(下)?|上(上)?)((一)?个)?|同|本|当|次|(这((一)?个)?))月'
+DAY_NUM_STRING = r'(([12]\d|3[01]|[0]?[1-9])|([一二]?十)?[一二三四五六七八九]|(三十)?[一]|[二三]?十)'
+DAY_STRING = DAY_NUM_STRING + r'[日号]'
+LIMIT_DAY_STRING = r'(前|今|明|同一|当|后|大大前|大大后|大前|大后|昨|次|本)[天日晚]'
+LIMIT_SPAN_DAY_STRING = r'(最?[前后]([二两三四五六七八九十\d])[天日])'
+WEEK_NUM_STRING = r'周?[一二两三四五六七八九十0-9]{1,3}'
+WEEK_STRING = r'(周|星期|礼拜)'
+HOUR_STRING = r'((十)?[一两二三四五六七八九]|[零〇十]|二十[一二三四]?|[01]?\d|2[01234])[时点](整|钟)?'
+BLUR_HOUR_STRING = r'(凌晨|白天|清[晨|早]|黎明|一(大)?早|早[晨上]?|[上中下]午|午后|(傍)?晚[间上]?|[深半午]?夜[里间]?|[上下前后]半夜)'
+CONSECUTIVE_BLUR_HOUR_STRING = r'(一两|两三|三四|四五|五六|六七|七八|八九|九十)[点]'
+MIN_SEC_STRING = r'((零|〇|[一二三四五]?十)[一二三四五六七八九]|[二三四五]?十|[012345]?\d)'
+TIME_POINT_SUFFIX = r'(左右|许|前后)'
+NOW_STRING = r'(现在|此时(此刻)?|此刻)'
+DELTA_NUM_STRING = r'(([一两俩二仨三四五六七八九十百千万零]+点)?[一两二三四五六七八九十百千万零]+|([\d十百千万,]+\.)?[\d十百千万,]+)'
+QUARTER_NUM_STRING = r'[一两二三四1-4]'
+SINGLE_NUM_STRING = r'[一两俩二仨三四五六七八九十\d]'
+
+YEAR_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?(周)?年(多)?', TP_I, '半年', TP_I, SINGLE_NUM_STRING, '年半'])
+SOLAR_SEASON_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'个(多)?季度'])
+MONTH_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'(多)?个(多)?月', TP_I, '(俩|三|仨)月', TP_I, '半(个(多)?)?月', TP_I,
+                              SINGLE_NUM_STRING, '个半月'])
+WORKDAY_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?(个)?(工作|交易)日'])
+DAY_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?[天日]', TP_I, '半天', TP_I, SINGLE_NUM_STRING, '天半'])
+WEEK_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?((个(多)?)?(星期|礼拜)|周(?!年))', TP_I, r'俩(星期|礼拜)'])
+HOUR_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?(个(多)?)?(小时|钟头)', TP_I,
+                             '半(个(多)?)?(小时|钟头)', TP_I, '俩(小时|钟头)', TP_I, SINGLE_NUM_STRING, '个半(小时|钟头)'])
+QUARTER_DELTA_STRING = ''.join([QUARTER_NUM_STRING, '刻钟'])
+MINUTE_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?分(钟)?(半)?', TP_I, '半分钟', TP_I,
+                               SINGLE_NUM_STRING, '+分半(钟)?'])
+SECOND_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?秒(钟)?'])
+DELTA_SUB = r'([之以]?[内前后来])'
+
+# time NER candidate char-class sweep (rule_pattern.py:458-469)
+TIME_CHAR_STRING = ''.join(
+    [r'(现在|开始|黎明|过去|未来|愚人|感恩|圣诞|情人|儿童|劳动|父亲|母亲|礼拜|霜降|立春|立冬|小寒|大寒|',
+     r'立夏|立秋|冬至|',
+     r'[102年月日3589647时午至天上个分今下\:\-点晚前一小后周起内以底三晨钟来半两凌当十份季Qq去早多第五中初廿\.度二从六期旬到间四节号：',
+     r'代\~\—～春明昨星末秋之同·世纪本七九秒每次八夏/夜零正冬腊余工作元国清傍交易首 ()（）、万宵全暑头端庆旦－际消费者权益大里农阴历双财',
+     r'近运深, ”夕〇几汛假壹无数白百刻许左右的这本])+'])
+FAKE_POSITIVE_TIME_PATTERN = TP_I.join([
+    r'点' + SINGLE_NUM_STRING + '$',
+    r'点' + SINGLE_NUM_STRING + '(?![时分秒刻月日' + SINGLE_NUM_STRING[1:-1] + '])',
+])
+FAKE_POSITIVE_START_STRING = r'[起到至以开－\—\-\~～]'
+FAKE_POSITIVE_END_STRING = r'[到至－\—\-\~～\,]'
+
+
 def build_redundant_pattern(chars: str = REDUNDANT_CHARS) -> re.Pattern:
     """Collapse runs: for each char c emit ``(?<=c)c+`` (extractor.py:83-94)."""
     alts = ['(?<={c}){c}+'.format(c=re.escape(ch)) for ch in chars]

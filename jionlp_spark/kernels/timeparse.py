@@ -1,0 +1,1485 @@
+"""Time parsing kernel (high-coverage subset).
+
+Behavioral port of the most-used families of the reference TimeParser
+(/root/reference/jionlp/gadget/time_parser.py, ~4.9k lines) plus a full port
+of its TimeDelta parser (time_parser_new/time_delta.py) and shared utility
+layer (time_parser_new/time_utility.py).  Same 6-slot handler model
+[Y,M,D,h,m,s] with -1 = unknown, same dispatch (period → delta →
+span/point), same longest-match pattern selection inside parse_time_point
+(time_parser.py:1570-1630), same rendering/completion rules.
+
+COVERAGE (round 1): standard numeric dates (2016-05-22, 20180209, 2009年5月
+31日, 一九九二年四月二十五日), limit words (今年/去年/明年/本月/下个月/
+今天/昨天/明天/大前天…), weekdays (下周三/星期六/上上周), clock times
+(8点半/14:30/二十三点一刻/上午8点/下午七八点/晚上), spans (从X到Y, X至Y,
+X以来, X之前), deltas (三个月/一万个小时/3天半/俩星期…, 法律型 3年以上7年
+以下, 特殊型 三天两夜), periods (每周五下午4点).  NOT yet ported (raise →
+the extractor falls back to shorter matches): lunar dates, festivals,
+solar terms, seasons, 世纪/年代, blur years (三十年前), delta→span
+(未来三个月), enum days, 旬.  Tracked as the round-2 gap in SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import time as _time
+
+from . import patterns as P
+from .money import MoneyParseError, get_money_parser
+
+_b, _ba, _a, I = P._b, P._ba, P._a, P.TP_I
+
+
+class TimeParseError(ValueError):
+    pass
+
+
+class TimePoint:
+    __slots__ = ('year', 'month', 'day', 'hour', 'minute', 'second')
+
+    def __init__(self) -> None:
+        self.year = self.month = self.day = -1
+        self.hour = self.minute = self.second = -1
+
+    def handler(self) -> list:
+        return [self.year, self.month, self.day,
+                self.hour, self.minute, self.second]
+
+    def assign(self, *args) -> None:
+        for name, val in zip(self.__slots__, args):
+            setattr(self, name, val)
+
+
+class TimeDelta:
+    def __init__(self) -> None:
+        self.year = 0
+        self.month = 0
+        self.day = 0
+        self.workday = 0
+        self.hour = 0
+        self.minute = 0
+        self.second = 0
+        self.millisecond = 0
+        self.microsecond = 0
+        self.nanosecond = 0
+        self.infinite = 0
+        self.zero = 0
+
+
+_BIG_MOON = {1, 3, 5, 7, 8, 10, 12}
+_SMALL_MOON = {4, 6, 9, 11}
+_FUTURE = 'inf'
+_PAST = '-inf'
+_CN2AR = str.maketrans('零〇一二三四五六七八九', '00123456789')
+
+
+# ---------------------------------------------------------------------------
+# shared utility layer (time_utility.py)
+
+def compare_handler(a, b) -> int:
+    for f, s in zip(a, b):
+        if f == -1 or s == -1:
+            break
+        if f == s:
+            continue
+        return 1 if f > s else -1
+    return 0
+
+
+def cut_zero_key(d: dict) -> dict:
+    return {k: v for k, v in d.items() if v > 0}
+
+
+def time_completion(handler, base):
+    if handler in (_FUTURE, _PAST):
+        return handler
+    for i in range(len(handler)):
+        if handler[i] > -1:
+            break
+        handler[i] = base[i]
+    return handler
+
+
+def check_handler(handler) -> bool:
+    if handler in (_FUTURE, _PAST):
+        return True
+    if set(handler) == {-1}:
+        return False
+    first = second = False
+    for i in range(5):
+        if handler[i] > -1 and handler[i + 1] == -1:
+            first = True
+        if handler[i] == -1 and handler[i + 1] > -1 and first:
+            second = True
+    return not (first and second)
+
+
+def time_base2handler(time_base):
+    if isinstance(time_base, (float, int)):
+        t = datetime.datetime.fromtimestamp(time_base)
+        return [t.year, t.month, t.day, t.hour, t.minute, t.second]
+    if isinstance(time_base, datetime.datetime):
+        return [time_base.year, time_base.month, time_base.day,
+                time_base.hour, time_base.minute, time_base.second]
+    if isinstance(time_base, list):
+        tb = list(time_base)
+        tb.extend([-1] * (6 - len(tb)))
+        return tb
+    if isinstance(time_base, dict):
+        return [time_base.get(k, -1) for k in
+                ('year', 'month', 'day', 'hour', 'minute', 'second')]
+    if isinstance(time_base, str):
+        t = _time.strptime(time_base, '%Y-%m-%d %H:%M:%S')
+        return [t.tm_year, t.tm_mon, t.tm_mday,
+                t.tm_hour, t.tm_min, t.tm_sec]
+    if time_base is None:
+        return None
+    raise TimeParseError('illegal time_base')
+
+
+def handler2datetime(handler) -> datetime.datetime:
+    vals = []
+    for idx, v in enumerate(handler):
+        if v > -1:
+            vals.append(v)
+        else:
+            vals.append(1 if idx <= 2 else 0)
+    return datetime.datetime(*vals)
+
+
+def handler2standard(first, second):
+    """Render a handler pair to 'YYYY-MM-DD HH:MM:SS' strings, filling the
+    start down (01-01 00:00:00) and the end up (12-31 23:59:59 with correct
+    month length / leap day) — time_utility.py:212-287."""
+    if first == _PAST:
+        first_str = _PAST
+    else:
+        vals = []
+        for idx, f in enumerate(first):
+            if f > -1:
+                vals.append(f)
+            elif idx in (1, 2):
+                vals.append(1)
+            elif idx in (3, 4, 5):
+                vals.append(0)
+            else:
+                raise TimeParseError('illegal first handler')
+        try:
+            first_str = datetime.datetime(*vals).strftime('%Y-%m-%d %H:%M:%S')
+        except Exception as e:
+            raise TimeParseError(str(e))
+
+    if second == _FUTURE:
+        second_str = _FUTURE
+    else:
+        vals = []
+        for idx, s in enumerate(second):
+            if s > -1:
+                vals.append(s)
+            elif idx == 1:
+                vals.append(12)
+            elif idx == 2:
+                m = vals[1]
+                if m in _BIG_MOON:
+                    vals.append(31)
+                elif m in _SMALL_MOON:
+                    vals.append(30)
+                else:
+                    y = vals[0]
+                    leap = (y % 100 != 0 and y % 4 == 0) or \
+                        (y % 100 == 0 and y % 400 == 0)
+                    vals.append(29 if leap else 28)
+            elif idx == 3:
+                vals.append(23)
+            elif idx in (4, 5):
+                vals.append(59)
+            else:
+                raise TimeParseError('illegal second handler')
+        try:
+            second_str = datetime.datetime(*vals).strftime(
+                '%Y-%m-%d %H:%M:%S')
+        except Exception as e:
+            raise TimeParseError(str(e))
+
+    return first_str, second_str
+
+
+def _search(pattern: re.Pattern, s: str) -> str:
+    m = pattern.search(s)
+    return m.group() if m else ''
+
+
+# ---------------------------------------------------------------------------
+# TimeDelta parser (full port of time_delta.py)
+
+class TimeDeltaParser:
+    def __init__(self) -> None:
+        self.exception_standard_delta = re.compile(
+            r'(([12]\d{3}|[一二三四五六七八九零〇]{2}|[一二三四五六七八九零〇]{4})年)')
+        self.ambivalent_delta_point = re.compile(
+            '(' + P.DAY_NUM_STRING + r'日|\d{2}年)')
+        self.delta_num = re.compile(P.DELTA_NUM_STRING)
+        self.single_num = re.compile(P.SINGLE_NUM_STRING)
+
+        self.year_delta = re.compile(_b(P.YEAR_DELTA_STRING))
+        self.season_delta = re.compile(_b(P.SOLAR_SEASON_DELTA_STRING))
+        self.month_delta = re.compile(_b(P.MONTH_DELTA_STRING))
+        self.workday_delta = re.compile(_b(P.WORKDAY_DELTA_STRING))
+        self.day_delta = re.compile(_b(P.DAY_DELTA_STRING))
+        self.week_delta = re.compile(_b(P.WEEK_DELTA_STRING))
+        self.hour_delta = re.compile(_b(P.HOUR_DELTA_STRING))
+        self.quarter_delta = re.compile(_b(P.QUARTER_DELTA_STRING))
+        self.minute_delta = re.compile(_b(P.MINUTE_DELTA_STRING))
+        self.second_delta = re.compile(_b(P.SECOND_DELTA_STRING))
+
+        self.standard_delta = re.compile(''.join(
+            ['^(', _b(P.YEAR_DELTA_STRING), I, _b(P.SOLAR_SEASON_DELTA_STRING),
+             I, _b(P.MONTH_DELTA_STRING), I, _b(P.WORKDAY_DELTA_STRING), I,
+             _b(P.DAY_DELTA_STRING), I, _b(P.WEEK_DELTA_STRING), I,
+             _b(P.HOUR_DELTA_STRING), I, _b(P.QUARTER_DELTA_STRING), I,
+             _b(P.MINUTE_DELTA_STRING), I, _b(P.SECOND_DELTA_STRING), ')+$']))
+        self.law_delta = re.compile(''.join(
+            [P.DELTA_NUM_STRING, '(年|个月|日|天)(以[上下])',
+             _ba(''.join(['[、,，]?', P.DELTA_NUM_STRING, '(年|个月|日|天)(以下)']))]))
+        self.special_delta = re.compile(
+            '(' + P.SINGLE_NUM_STRING + '天' + P.SINGLE_NUM_STRING + '[夜晚]|'
+            + P.SINGLE_NUM_STRING + '+[个载度]春秋|一年四季|大半(天|年|(个)?(月|小时|钟头)))')
+
+        self.span_compensation = re.compile(
+            r'[\d一两二三四五六七八九十百千万零]{1,10}(到|至|——|－－|--|~~|～～|—|－|-|~|～)'
+            r'([\d一两二三四五六七八九十百千万零]{1,10}(年|个月|周|(个)?(星期|礼拜)|日|天|(个)?(小时|钟头)|分钟|秒))')
+        self.delta_exception = re.compile(
+            '(' + _b(P.YEAR_STRING) + I + _b(P.DAY_STRING) + ')')
+        self.first_span = re.compile(r'([^到至\-—~～]+)(?=(——|--|~~|～～|－－|到|至|－|—|-|~|～))')
+        self.second_1_span = re.compile(r'(?<=(——|--|~~|～～|－－))([^到至\-—~～]+)')
+        self.second_2_span = re.compile(r'(?<=[到至－—\-~～])([^到至－\-—~～]+)')
+
+        self._money = get_money_parser()
+
+    def char_num2num(self, s: str) -> float:
+        try:
+            res = self._money.parse(s)
+        except MoneyParseError:
+            return 0
+        num = res['num']
+        if num is None:
+            return 0
+        return float(num)
+
+    def _compensate(self, time_string, first, second):
+        comp = self.span_compensation.search(time_string)
+        if comp and self.delta_exception.search(time_string) is None:
+            comp = comp.group()
+            if '年' in comp:
+                first += '年'
+            elif '个月' in comp:
+                first += '个月'
+            elif '星期' in comp or '周' in comp or '礼拜' in comp:
+                first += '个星期'
+            elif '日' in comp or '天' in comp:
+                first += '天'
+            elif '小时' in comp or '钟头' in comp:
+                first += '个小时'
+            elif '秒' in comp:
+                first += '秒钟'
+            elif '分' in comp:
+                first += '分钟'
+        return first, second
+
+    def parse_time_delta_span(self, time_string, time_type=None):
+        first = _search(self.first_span, time_string) or None
+        second = (_search(self.second_1_span, time_string) or
+                  _search(self.second_2_span, time_string) or None)
+        if first is not None and second is not None:
+            first, second = self._compensate(time_string, first, second)
+            fd, _t, _bl = self.parse_time_delta(first, time_type='time_delta')
+            sd, _t, _bl = self.parse_time_delta(second, time_type='time_delta')
+            if fd != {} and sd != {}:
+                return {'type': 'time_delta', 'definition': 'blur',
+                        'time': [fd, sd]}
+            return None
+        delta_dict, time_type, blur = self.parse_time_delta(
+            time_string, time_type=time_type)
+        if delta_dict != {}:
+            return {'type': 'time_delta', 'definition': blur,
+                    'time': delta_dict}
+        return None
+
+    def parse_time_delta(self, time_string, time_type=None):
+        funcs = [(self.standard_delta, self._normalize_standard),
+                 (self.law_delta, self._normalize_law),
+                 (self.special_delta, self._normalize_special)]
+        cur_func, cur_string = None, ''
+        for pattern, func in funcs:
+            s = _search(pattern, time_string)
+            if len(s) > len(cur_string):
+                cur_func, cur_string = func, s
+            if cur_string == time_string:
+                break
+        if len(cur_string) < len(time_string):
+            return {}, time_type, 'blur'
+        delta, time_type, blur = cur_func(time_string, time_type)
+        if isinstance(delta, list):
+            return [cut_zero_key(d.__dict__) for d in delta], time_type, blur
+        return cut_zero_key(delta.__dict__), time_type, blur
+
+    def _normalize_standard(self, time_string, time_type=None):
+        delta = TimeDelta()
+        if self.exception_standard_delta.search(time_string) is None:
+            if self.ambivalent_delta_point.search(time_string):
+                if time_type in (None, 'time_point', 'time_span',
+                                 'time_period'):
+                    return delta, 'time_point', 'blur'
+        else:
+            return delta, 'time_span', 'blur'
+
+        definition = 'accurate'
+        units = [('second', 1, self.second_delta),
+                 ('minute', 1, self.minute_delta),
+                 ('minute', 15, self.quarter_delta),
+                 ('hour', 1, self.hour_delta),
+                 ('day', 1, self.day_delta),
+                 ('workday', 1, self.workday_delta),
+                 ('day', 7, self.week_delta),
+                 ('month', 1, self.month_delta),
+                 ('month', 3, self.season_delta),
+                 ('year', 1, self.year_delta)]
+        for unit, multi, pattern in units:
+            num, _definition = self._normalize_unit(time_string, pattern)
+            setattr(delta, unit, getattr(delta, unit) + num * multi)
+            if num > 0:
+                definition = _definition
+        return delta, 'time_delta', definition
+
+    def _normalize_unit(self, time_string, pattern):
+        time_string = time_string.replace('俩', '两个').replace('仨', '三个')
+        m = pattern.search(time_string)
+        num = 0
+        definition = 'accurate'
+        if m:
+            dn = self.delta_num.search(m.group())
+            if dn:
+                num = float(self.char_num2num(dn.group()))
+            if '半' in time_string:
+                num = num + 0.5 if num > 0 else 0.5
+                definition = 'blur'
+            if '多' in time_string or '余' in time_string:
+                definition = 'blur'
+        return num, definition
+
+    def _normalize_law(self, time_string, time_type=None):
+        if '以上' in time_string and '以下' in time_string:
+            first_s, second_s = time_string.split('以上', 1)
+            return [self._law_base(first_s), self._law_base(second_s)], \
+                'time_delta', 'blur'
+        if '以上' in time_string:
+            hi = TimeDelta()
+            hi.infinite = True
+            return [self._law_base(time_string), hi], 'time_delta', 'blur'
+        if '以下' in time_string:
+            lo = TimeDelta()
+            lo.zero = True
+            return [lo, self._law_base(time_string)], 'time_delta', 'blur'
+        raise TimeParseError(time_string)
+
+    def _law_base(self, time_string):
+        delta = TimeDelta()
+        dn = self.delta_num.search(time_string)
+        if not dn:
+            raise TimeParseError(time_string)
+        num = self.char_num2num(dn.group())
+        if '年' in time_string:
+            delta.year = num
+        elif '个月' in time_string:
+            delta.month = num
+        elif '日' in time_string or '天' in time_string:
+            delta.day = num
+        else:
+            raise TimeParseError(time_string)
+        return delta
+
+    def _normalize_special(self, time_string, time_type=None):
+        if '天' in time_string and ('夜' in time_string or '晚' in time_string):
+            m = self.single_num.search(time_string)
+            if m:
+                d = TimeDelta()
+                d.day = self.char_num2num(m.group())
+                return d, 'time_delta', 'accurate'
+        elif '春秋' in time_string:
+            m = self.single_num.search(time_string)
+            if m:
+                d = TimeDelta()
+                d.year = self.char_num2num(m.group())
+                return d, 'time_delta', 'blur'
+        elif '一年四季' in time_string:
+            d = TimeDelta()
+            d.year = 1
+            return d, 'time_delta', 'blur'
+        elif '大半' in time_string:
+            lo, hi = TimeDelta(), TimeDelta()
+            for unit, names in (('year', ('年',)), ('month', ('月',)),
+                                ('day', ('天',)),
+                                ('hour', ('小时', '钟头'))):
+                if any(n in time_string for n in names):
+                    setattr(lo, unit, 0.5)
+                    setattr(hi, unit, 0.9)
+                    return [lo, hi], 'time_delta', 'blur'
+            raise TimeParseError(time_string)
+        raise TimeParseError(time_string)
+
+
+# ---------------------------------------------------------------------------
+# TimeParser (subset)
+
+_BLUR_HOUR_MAP = [
+    (('清晨',), 5, 7), (('清早',), 5, 8),
+    (('早上', '早晨', '一早', '一大早'), 6, 9),
+    (('黎明',), 4, 6), (('白天',), 6, 18), (('上午',), 7, 11),
+    (('中午',), 12, 13), (('午后',), 13, 14),
+    (('下午',), 13, 17), (('傍晚',), 17, 18),
+    (('晚', '晚上'), 18, 23), (('晚间', '夜间', '夜里'), 20, 23),
+    (('深夜',), 23, 23),
+    (('上半夜', '前半夜'), 0, 2), (('下半夜', '后半夜'), 2, 4),
+    (('半夜', '凌晨'), 0, 4), (('午夜',), 0, 0),
+]
+
+_LIMIT_YEAR_RULES = [
+    (('大前',), -3), (('前一',), -1), (('前',), -2), (('去', '上'), -1),
+    (('今', '这', '同', '当', '本'), 0), (('明', '次'), 1), (('后',), 2),
+]
+
+
+class TimeParser:
+    def __init__(self) -> None:
+        self.delta = TimeDeltaParser()
+        self._compile()
+        self.time_base_handler = None
+        self.string_strict = False
+        self.ret_future = False
+
+    # -- patterns -------------------------------------------------------------
+
+    def _compile(self) -> None:
+        YS, LYS, MS, LMS, DS, LDS = (P.YEAR_STRING, P.LIMIT_YEAR_STRING,
+                                     P.MONTH_STRING, P.LIMIT_MONTH_STRING,
+                                     P.DAY_STRING, P.LIMIT_DAY_STRING)
+        SUF = P.TIME_POINT_SUFFIX
+
+        self.chinese_char = re.compile(P.CHINESE_CHAR)
+        self.ymd_segs = re.compile(r'[\-.·/ ]')
+        self.hms_segs = re.compile('[:：]')
+
+        # span seg control (time_parser.py:255-263)
+        self.seg_force = re.compile(
+            r'((17|18|19|20|21)\d{2})[./](1[012]|[0]?\d)[\-]((17|18|19|20|21)\d{2})([./](1[012]|[0]?\d))?')
+        self.seg_suppress = re.compile(
+            r'((17|18|19|20|21)\d{2})\-(1[012]|[0]?\d)[\-./](30|31|[012]?\d)|'
+            r'((17|18|19|20|21)\d{2})[\-./](1[012]|[0]?\d)\-(30|31|[012]?\d)|'
+            r'(^\d)(1[012]|[0]?\d)\-(30|31|[012]?\d)(^\d)')
+
+        # span split (time_parser.py:685-698)
+        self.first_1_span = re.compile(
+            r'(?<=(从|自))([^起到至\-—~～]+)(?=(起|到|至|以来|开始|—|－|-|~|～))|'
+            r'(?<=(从|自))([^起到至\-—~～]+)')
+        self.first_2_span = re.compile(r'(.+)(?=(——|--|~~|－－|～～))')
+        self.first_3_span = re.compile(r'([^起到至\-—~～]+)(?=(起|到|至|以来|开始|－|—|-|~|～))')
+        self.first_4_span = re.compile(r'(.+)(?=(之后|以后)$)')
+        self.first_5_span = re.compile(r'(.+)(?=(后)$)')
+        self.second_0_span = re.compile(r'(?<=(以来|开始|——|--|~~|－－|～～))(.+)')
+        self.second_1_span = re.compile(
+            r'(?<=[起到至\-—~～－])([^起到至\-—~～－]+)(?=([之以]?前|止)$)')
+        self.second_2_span = re.compile(r'(?<=[起到至\-—~～－])([^起到至\-—~～－]+)')
+        self.second_3_span = re.compile(
+            r'^((\d{1,2}|[一二两三四五六七八九十百千]+)[几多]?年(半)?(多)?|半年(多)?|几[十百千](多)?年)'
+            r'(?=([之以]?前|止)$)')
+
+        # point patterns (subset of the preamble, time_parser.py:265-528)
+        self.standard_ymd = re.compile(
+            r'((17|18|19|20|21)\d{2})[\-./](1[012]|[0]?\d)([\-./](30|31|[012]?\d))?[ \t　\-./]?|'
+            r'((17|18|19|20|21)\d{2} (1[012]|[0]?\d) (30|31|[012]?\d))|'
+            r'(1[012]|[0]?\d)[·\-/](30|31|[012]?\d)')
+        self.standard_2_ymd = re.compile(
+            r'((18|19|20)\d{2})(1[012]|0\d)(3[01]|[012]\d)')
+        self.standard_year = re.compile(r'(17|18|19|20|21)\d{2}')
+        self.ymd = re.compile(''.join(
+            [_b(YS), _ba(MS), _ba(DS), _a(SUF), I,
+             _b(MS), _ba(DS), _a(SUF), I, _b(DS), _a(SUF)]))
+        self.limit_ymd = re.compile(''.join(
+            [_b(LYS), _ba(MS), _ba(DS), _a(SUF)]))
+        self.limit_month_day = re.compile(''.join([_b(LMS), _ba(DS)]))
+        self.limit_month_limit_span_day = re.compile(
+            ''.join([_b(LMS), _ba(P.LIMIT_SPAN_DAY_STRING)]))
+        self.month_limit_span_day = re.compile(
+            ''.join([_b(MS), _ba(P.LIMIT_SPAN_DAY_STRING)]))
+        self.limit_span_day = re.compile(P.LIMIT_SPAN_DAY_STRING)
+        self.limit_month = re.compile(LMS)
+        self.limit_day = re.compile(LDS)
+        self.standard_week_day = re.compile(
+            '(上+|下+|本|这)?(一)?(个)?(周)?' + P.WEEK_STRING + '[一二三四五六日末天]')
+        self.blur_week = re.compile(
+            '[前后]' + P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + I +
+            P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + '(之)?[前后]' + I +
+            '(上+|下+|本|这)?(一)?(个)?' + P.WEEK_STRING)
+        self.xianzai = re.compile(P.NOW_STRING)
+        self.special_span = re.compile(r'(今明两[天年]|全[天月年])')
+        self.num_month_num = re.compile(
+            '^' + P.MONTH_NUM_STRING + '月' + r'([12]\d|3[01]|[0]?[1-9])' + '$')
+
+        # hms patterns
+        self.hour_minute_second = re.compile(''.join(
+            [_a(P.BLUR_HOUR_STRING), _b(P.HOUR_STRING),
+             _ba(P.MIN_SEC_STRING + '分?'), _ba(P.MIN_SEC_STRING + '秒'),
+             _a(SUF), I,
+             _b(P.MIN_SEC_STRING + '分'), _ba(P.MIN_SEC_STRING + '秒'),
+             _a(SUF)]))
+        self.num_hour_minute_second = re.compile(''.join(
+            [_a(P.BLUR_HOUR_STRING),
+             r'([01]\d|2[01234]|\d)[:：]([012345]\d)([:：]([012345]\d))?',
+             _a(SUF), r'(时)?', I,
+             r'([012345]\d)[:：]([012345]\d)', _a(SUF), r'(时)?']))
+        self.hour_limit_minute = re.compile(''.join(
+            [_a(P.BLUR_HOUR_STRING), _b(P.HOUR_STRING), r'([123一二三]刻|半)']))
+        self.blur_hour = re.compile(P.BLUR_HOUR_STRING)
+        self.consecutive_blur_hour = re.compile(''.join(
+            [_a(P.BLUR_HOUR_STRING), _b(P.CONSECUTIVE_BLUR_HOUR_STRING)]))
+
+        # element extractors
+        self.year_pattern = re.compile(YS[:-1] + r'(?=年)')
+        self.limit_year_pattern = re.compile(LYS[:-1] + r'(?=年)')
+        self.month_pattern = re.compile(MS)
+        self.month_num_pattern = re.compile(P.MONTH_NUM_STRING)
+        self.day_pattern = re.compile(DS)
+        self.week_3 = re.compile('(上+|下+|本|这)(一)?(个)?' + P.WEEK_STRING)
+        self.week_4 = re.compile(P.WEEK_STRING + '[一二三四五六日末天]')
+        self.week_1 = re.compile('[前后][一二两三四五六七八九1-9](个)?' + P.WEEK_STRING)
+        self.week_2 = re.compile('[一两三四五六七八九1-9](个)?' + P.WEEK_STRING + '(之)?[前后]')
+        self.week_num = re.compile(P.WEEK_NUM_STRING)
+        self.hour_pattern = re.compile(
+            P.HOUR_STRING.replace('[时点]', '') + r'(?=[时点])')
+        self.hour_limitation = re.compile(P.BLUR_HOUR_STRING)
+        self.consecutive_hour = re.compile(
+            P.CONSECUTIVE_BLUR_HOUR_STRING.replace('[点]', '') + r'(?=[点])')
+        self.minute_pattern = re.compile(r'(?<=[时点])' + P.MIN_SEC_STRING + '(?=分)?')
+        self.limit_minute = re.compile(r'(?<=[时点])([123一二三]刻|半)')
+        self.second_pattern = re.compile(r'(?<=分)' + P.MIN_SEC_STRING + '(?=秒)?')
+
+        # period (time_parser.py:746-748)
+        self.period_time = re.compile(
+            r'每((间)?隔)?([一二两三四五六七八九十0-9]+|半)?'
+            r'(年|(个)?季度|(个)?月|(个)?(星期|礼拜)|(个)?周|((个)?工作)?日|天|(个)?(小时|钟头)|分(钟)?|秒(钟)?)')
+        self.delta_num_pattern = re.compile(P.DELTA_NUM_STRING)
+
+        # span compensation (time_parser.py:752-756)
+        self.span_point_compensation = re.compile(
+            _a(P.BLUR_HOUR_STRING) +
+            r'(?!:)[\d一二三四五六七八九十零]{1,2}[月日号点时]?(半|[13一三]刻|[\d一二三四五六七八九十零]{1,2}分)?'
+            r'(到|至|——|－－|--|~~|～～|—|－|-|~|～)'
+            r'([\d一二三四五六七八九十零]{1,2}[月日号点时](半|[13一三]刻|[\d一二三四五六七八九十零]{1,2}分?)?|[\d一二三四五六七八九十零]{2,4}年)')
+        self.ymd_meta = re.compile('[年月日号]')
+
+        # ordered handler tables (relative order as in
+        # time_parser.py:1468-1568 for the supported subset)
+        self.ymd_funcs = [
+            (self.standard_ymd, self.norm_standard_ymd),
+            (self.standard_2_ymd, self.norm_standard_2_ymd),
+            (self.standard_week_day, self.norm_standard_week_day),
+            (self.blur_week, self.norm_blur_week),
+            (self.limit_month_limit_span_day,
+             self.norm_limit_month_limit_span_day),
+            (self.limit_month_day, self.norm_limit_month_day),
+            (self.limit_month, self.norm_limit_month),
+            (self.month_limit_span_day, self.norm_month_limit_span_day),
+            (self.xianzai, self.norm_xianzai),
+            (self.limit_ymd, self.norm_limit_ymd),
+            (self.limit_day, self.norm_limit_day),
+            (self.ymd, self.norm_ymd),
+            (self.standard_year, self.norm_standard_year),
+            (self.special_span, self.norm_special_span),
+        ]
+        self.hms_funcs = [
+            (self.consecutive_blur_hour, self.norm_consecutive_blur_hour),
+            (self.hour_minute_second, self.norm_hour_minute_second),
+            (self.num_hour_minute_second, self.norm_num_hour_minute_second),
+            (self.hour_limit_minute, self.norm_hour_limit_minute),
+            (self.blur_hour, self.norm_blur_hour),
+        ]
+
+    # -- helpers ---------------------------------------------------------------
+
+    def char_num2num(self, s: str) -> float:
+        return self.delta.char_num2num(s)
+
+    @staticmethod
+    def _year_completion(year_string, base):
+        if len(year_string) == 2:
+            year_base = str(base[0])
+            if year_base[:2] in ('17', '18', '19'):
+                return year_base[:2] + year_string
+            if year_base[:2] == '20':
+                if int(year_string) > int(year_base[2:]) + 10:
+                    return '19' + year_string
+                return '20' + year_string
+            raise TimeParseError('year completion failed')
+        return year_string
+
+    def _normalize_year(self, time_string, base):
+        m = self.year_pattern.search(time_string)
+        if m is None:
+            return None
+        ys = m.group(1).translate(_CN2AR)
+        if len(ys) == 2:
+            ys = self._year_completion(ys, base)
+        return int(ys)
+
+    def _normalize_limit_year(self, time_string, base):
+        m = self.limit_year_pattern.search(time_string)
+        if m is None:
+            return base[0], base[0]
+        ys = m.group(1)
+        for keywords, off in _LIMIT_YEAR_RULES:
+            if any(kw in ys for kw in keywords):
+                return base[0] + off, base[0] + off
+        raise TimeParseError(time_string)
+
+    def _normalize_limit_month(self, time_string, base, fp, sp):
+        m = self.limit_month.search(time_string)
+        if m is None:
+            fp.month = sp.month = base[1]
+            return fp, sp
+        ms = m.group()
+        if '上' in ms:
+            count = ms.count('上')
+            if base[1] == 1:
+                fp.year = sp.year = base[0] - 1
+                fp.month = sp.month = 12 - (count - 1)
+            else:
+                fp.month = sp.month = base[1] - count
+        elif '下' in ms or '次' in ms:
+            count = ms.count('下') or 1
+            if base[1] == 12:
+                fp.year = sp.year = base[0] + 1
+                fp.month = sp.month = count
+            else:
+                fp.month = sp.month = base[1] + count
+        elif '同' in ms or '本' in ms or '当' in ms or '这' in ms:
+            fp.month = sp.month = base[1]
+        else:
+            raise TimeParseError(time_string)
+        return fp, sp
+
+    @staticmethod
+    def _check_blur(time_string, definition):
+        if '左右' in time_string[-2:]:
+            return 'blur'
+        if time_string and '许' in time_string[-1]:
+            return 'blur'
+        if '前后' in time_string[-2:]:
+            return 'blur'
+        return definition
+
+    @staticmethod
+    def convert_hour(h, h_string):
+        if (5 <= h <= 12) and ('晚' in h_string or '夜' in h_string):
+            h += 12
+        if '中午' in h_string and h not in (11, 12):
+            h += 12
+        if '下午' in h_string and (1 <= h <= 11):
+            h += 12
+        return h
+
+    @staticmethod
+    def compute_week_day(cur_day, target, flag=True):
+        one = datetime.timedelta(days=1)
+        delta = cur_day.weekday() - target
+        if delta == 0:
+            return cur_day
+        if delta > 0:
+            if flag:
+                return cur_day + one * (7 - delta)
+            return cur_day - one * delta
+        return cur_day + one * abs(delta)
+
+    # -- public API --------------------------------------------------------------
+
+    def parse(self, time_string, time_base=None, time_type=None,
+              strict=False, period_results_num=None) -> dict:
+        """→ {'type', 'definition', 'time'} — mirrors TimeParser.__call__
+        (time_parser.py:797-842)."""
+        if time_base is None:
+            time_base = _time.time()
+        self.string_strict = strict
+        time_string = time_string.strip()
+        self.time_base_handler = time_base2handler(time_base)
+
+        period_res, blur = self.parse_time_period(
+            time_string, period_results_num=period_results_num)
+        if period_res:
+            return {'type': 'time_period', 'definition': blur,
+                    'time': period_res}
+
+        delta_res = self.delta.parse_time_delta_span(
+            time_string, time_type=time_type)
+        if delta_res is not None:
+            return delta_res
+
+        if not (check_handler(self.time_base_handler) and
+                self.time_base_handler[0] != -1):
+            raise TimeParseError('illegal time base')
+
+        time_string = time_string.replace('的', '')
+        first, second, ttype, blur = self.parse_time_span_point(time_string)
+        first_str, second_str = handler2standard(first, second)
+        return {'type': ttype, 'definition': blur,
+                'time': [first_str, second_str]}
+
+    # -- period ------------------------------------------------------------------
+
+    def parse_time_period(self, time_string, period_results_num=None):
+        has_weekday = '工作日' in time_string
+        m = self.period_time.search(time_string)
+        if not m:
+            return None, None
+        period_time = m.group()
+        period_delta = self._normalize_time_period(period_time)
+        if len(time_string) > len(period_time):
+            point_string = time_string.replace(period_time, '')
+            if (period_time.endswith(('礼拜', '周', '星期'))) and \
+                    not point_string.startswith('周'):
+                point_string = '周' + point_string
+            try:
+                if period_results_num is None:
+                    if has_weekday:
+                        point_string = point_string.split('工作日')[-1] \
+                            .replace('的', '')
+                        for _ in range(7):
+                            f, s, _t, blur = self.parse_time_span_point(
+                                point_string)
+                            if handler2datetime(f).weekday() <= 4:
+                                break
+                            base_dt = handler2datetime(
+                                self.time_base_handler)
+                            base_dt += datetime.timedelta(days=1)
+                            self.time_base_handler = time_base2handler(base_dt)
+                        fs, ss = handler2standard(f, s)
+                        results = [fs, ss]
+                    else:
+                        f, s, _t, blur = self.parse_time_span_point(
+                            point_string)
+                        fs, ss = handler2standard(f, s)
+                        results = [fs, ss]
+                elif isinstance(period_results_num, int) and \
+                        period_results_num > 0:
+                    if has_weekday:
+                        point_string = point_string.split('工作日')[-1]
+                    results = []
+                    while len(results) < period_results_num:
+                        f, s, _t, blur = self.parse_time_span_point(
+                            point_string)
+                        fs, ss = handler2standard(f, s)
+                        base_dt = handler2datetime(self.time_base_handler)
+                        if has_weekday:
+                            if base_dt.weekday() <= 4 and \
+                                    [fs, ss] not in results:
+                                results.append([fs, ss])
+                        elif [fs, ss] not in results:
+                            results.append([fs, ss])
+                        if 'year' in period_delta:
+                            base_dt += datetime.timedelta(days=365)
+                        if 'month' in period_delta:
+                            base_dt += datetime.timedelta(days=30.417)
+                        if 'day' in period_delta:
+                            base_dt += datetime.timedelta(
+                                days=1 if has_weekday else 7)
+                        if 'hour' in period_delta:
+                            base_dt += datetime.timedelta(hours=1)
+                        if 'minute' in period_delta:
+                            base_dt += datetime.timedelta(minutes=1)
+                        if 'second' in period_delta:
+                            base_dt += datetime.timedelta(seconds=1)
+                        self.time_base_handler = time_base2handler(base_dt)
+                else:
+                    raise TimeParseError('illegal period_results_num')
+            except Exception:
+                if self.string_strict:
+                    raise TimeParseError(time_string)
+                results = [None, None]
+                blur = 'blur'
+            period_point = {'time': results, 'string': point_string}
+        else:
+            period_point = None
+            blur = 'accurate'
+        return {'delta': period_delta, 'point': period_point}, blur
+
+    def _normalize_time_period(self, time_string):
+        m = self.delta_num_pattern.search(time_string)
+        if m:
+            num = self.char_num2num(m.group())
+        else:
+            num = 0.5 if '半' in time_string else 1
+        delta = TimeDelta()
+        if '年' in time_string:
+            delta.year = num
+        elif '季度' in time_string:
+            delta.month = num * 3
+        elif '月' in time_string:
+            delta.month = num
+        elif '星期' in time_string or '周' in time_string or \
+                '礼拜' in time_string:
+            delta.day = num * 7
+        elif '日' in time_string or '天' in time_string:
+            delta.day = num
+        elif '小时' in time_string or '钟头' in time_string:
+            delta.hour = num
+        elif '分' in time_string:
+            delta.minute = num
+        elif '秒' in time_string:
+            delta.second = num
+        else:
+            raise TimeParseError(time_string)
+        return cut_zero_key(delta.__dict__)
+
+    # -- span --------------------------------------------------------------------
+
+    def _seg_or_not_first(self, time_string):
+        if time_string is None:
+            return None
+        if _search(self.seg_force, time_string):
+            return time_string
+        if self.seg_suppress.search(time_string):
+            time_string = time_string.replace('-', '䶵')
+        if '起' in time_string or '至' in time_string or '到' in time_string:
+            time_string = time_string.replace('-', '䶵')
+        return time_string
+
+    @staticmethod
+    def _seg_or_not_second(time_string):
+        if time_string is None:
+            return None
+        return time_string.replace('䶵', '-').strip()
+
+    def parse_span_2_2_point(self, time_string):
+        time_string = self._seg_or_not_first(time_string)
+
+        if self.first_1_span.search(time_string):
+            first_res = self.first_1_span.search(time_string)
+        elif self.first_2_span.search(time_string):
+            first_res = self.first_2_span.search(time_string)
+        elif self.first_3_span.search(time_string):
+            first_res = None if time_string[-2:] in ('夏至', '冬至') \
+                else self.first_3_span.search(time_string)
+        elif self.first_4_span.search(time_string) and \
+                '前后' not in time_string:
+            first_res = self.first_4_span.search(time_string)
+        elif self.first_5_span.search(time_string) and \
+                '前后' not in time_string:
+            first_res = self.first_5_span.search(time_string)
+        else:
+            first_res = None
+        first_string = None if first_res is None else first_res.group()
+
+        second_string = None
+        second_res = None
+        if self.second_0_span.search(time_string):
+            second_res = self.second_0_span.search(time_string)
+        elif self.second_1_span.search(time_string):
+            second_res = self.second_1_span.search(time_string)
+        elif self.second_2_span.search(time_string):
+            second_res = self.second_2_span.search(time_string)
+        elif self.second_3_span.search(time_string) is None:
+            if '之前' in time_string[-2:] or '以前' in time_string[-2:]:
+                second_string = time_string[:-2]
+            elif '前' in time_string[-1:]:
+                second_string = time_string[:-1]
+        if second_string is None:
+            second_string = None if second_res is None else second_res.group()
+
+        return (self._seg_or_not_second(first_string),
+                self._seg_or_not_second(second_string))
+
+    def _compensate_num_month_num(self, time_string):
+        if self.num_month_num.search(time_string) is not None:
+            return time_string + '日'
+        return time_string
+
+    def _compensate_string(self, time_string, first, second):
+        comp = self.span_point_compensation.search(time_string)
+        if not comp:
+            return first, second
+        comp = comp.group()
+        if '年' in comp:
+            if first[-1] not in '秒分点时日号月年':
+                first += '年'
+        elif '月' in comp:
+            if first[-1] not in '秒分点时日号月':
+                first += '月'
+        elif '日' in comp or '号' in comp:
+            if first[-1] not in '秒分点时日号':
+                first += '日'
+        elif '点' in comp or '时' in comp:
+            if first[-1] not in '秒分点时':
+                first += '时'
+        hour_lim = self.hour_limitation.search(time_string)
+        if hour_lim and self.ymd_meta.search(second) is None:
+            second = hour_lim.group() + second
+        return first, second
+
+    def _check_limit_time_base(self, first_string, second_string,
+                               first_full_handler):
+        """If the SECOND string is a limit-type expression, time_base stays;
+        otherwise it becomes the first time (time_parser.py:844-906)."""
+        limit_patterns = [self.limit_month_day, self.limit_month,
+                          self.standard_week_day, self.limit_ymd,
+                          self.limit_day]
+        second_limit = False
+        for pat in limit_patterns:
+            if _search(pat, second_string) != '':
+                second_limit = True
+                break
+        if second_limit:
+            return self.time_base_handler
+        return first_full_handler
+
+    def parse_time_span_point(self, time_string):
+        first_string, second_string = self.parse_span_2_2_point(time_string)
+        if first_string is not None or second_string is not None:
+            time_type = 'time_span'
+            old_base = self.time_base_handler
+            try:
+                if first_string is not None and second_string is None:
+                    first_string = self._compensate_num_month_num(first_string)
+                    first, _s, _t, blur = self.parse_time_point(
+                        first_string, self.time_base_handler)
+                    if compare_handler(first, self.time_base_handler) >= 0:
+                        second = _FUTURE
+                    else:
+                        second = self.time_base_handler
+                elif first_string is not None and second_string is not None:
+                    first_string = self._compensate_num_month_num(first_string)
+                    second_string = self._compensate_num_month_num(
+                        second_string)
+                    first_string, second_string = self._compensate_string(
+                        time_string, first_string, second_string)
+                    first, _s, _t, blur = self.parse_time_point(
+                        first_string, self.time_base_handler)
+                    if second_string in ('今', '至今', '现在', '今天'):
+                        second = self.time_base_handler
+                    else:
+                        self.time_base_handler = self._check_limit_time_base(
+                            first_string, second_string, first)
+                        _f, second, _t, blur = self.parse_time_point(
+                            second_string, self.time_base_handler)
+                        if second[3] > -1 and second[4:] == [-1, -1]:
+                            if time_string[-1] in '点时':
+                                second[4:] = [0, 0]
+                else:
+                    second_string = self._compensate_num_month_num(
+                        second_string)
+                    _f, second, _t, blur = self.parse_time_point(
+                        second_string, self.time_base_handler)
+                    if compare_handler(self.time_base_handler, second) >= 0:
+                        first = _PAST
+                    else:
+                        first = self.time_base_handler
+            except Exception:
+                self.time_base_handler = old_base
+                first, second, time_type, blur = self.parse_time_point(
+                    time_string, self.time_base_handler)
+        else:
+            time_string = self._compensate_num_month_num(time_string)
+            first, second, time_type, blur = self.parse_time_point(
+                time_string, self.time_base_handler)
+        return first, second, time_type, blur
+
+    # -- point -------------------------------------------------------------------
+
+    def parse_time_point(self, time_string, time_base_handler):
+        """Longest-match pattern pair selection + handler merge
+        (time_parser.py:1462-1696)."""
+        ymd_strings, ymd_funcs = [], []
+        empty_seen = False
+        for pattern, func in self.ymd_funcs:
+            s = _search(pattern, time_string)
+            if s != '':
+                ymd_strings.append(s)
+                ymd_funcs.append(func)
+            elif not empty_seen:
+                ymd_strings.append('')
+                ymd_funcs.append(func)
+                empty_seen = True
+
+        hms_strings, hms_funcs = [], []
+        empty_seen = False
+        for pattern, func in self.hms_funcs:
+            s = _search(pattern, time_string)
+            if s != '':
+                hms_strings.append(s)
+                hms_funcs.append(func)
+            elif not empty_seen:
+                hms_strings.append('')
+                hms_funcs.append(func)
+                empty_seen = True
+
+        cur_ymd_func = cur_hms_func = None
+        cur_ymd = cur_hms = ''
+        done = False
+        for ys, yf in zip(ymd_strings, ymd_funcs):
+            for hs, hf in zip(hms_strings, hms_funcs):
+                if len(ys) + len(hs) > len(cur_ymd) + len(cur_hms):
+                    cur_ymd_func, cur_hms_func = yf, hf
+                    cur_ymd, cur_hms = ys, hs
+                if cur_ymd + cur_hms == time_string:
+                    done = True
+                    break
+            if done:
+                break
+
+        if len(cur_ymd + cur_hms) < len(time_string.replace(' ', '')):
+            if self.chinese_char.search(time_string):
+                if self.string_strict:
+                    raise TimeParseError(time_string)
+            else:
+                raise TimeParseError(time_string)
+
+        day_bias = [0, '弱']
+        if cur_ymd != '' and cur_hms == '':
+            first, second, ttype, blur = cur_ymd_func(cur_ymd)
+        elif cur_ymd != '' and cur_hms != '':
+            yf, ys_, yt, yb = cur_ymd_func(cur_ymd)
+            if yf != ys_ or yf[2] == -1:
+                raise TimeParseError(time_string)
+            hf, hs, ht, hb, day_bias = cur_hms_func(cur_hms)
+            first = [max(i, j) for i, j in zip(yf, hf)]
+            second = [max(i, j) for i, j in zip(yf, hs)]
+            ttype, blur = ht, hb
+        elif cur_hms != '':
+            first, second, ttype, blur, day_bias = cur_hms_func(cur_hms)
+        else:
+            raise TimeParseError(time_string)
+
+        if not check_handler(first):
+            raise TimeParseError(time_string)
+
+        first = time_completion(first, time_base_handler)
+        second = time_completion(second, time_base_handler)
+
+        if day_bias[1] == '强':
+            for handler in (first, second):
+                dt = handler2datetime(handler)
+                dt += datetime.timedelta(days=day_bias[0])
+                new = time_base2handler(dt)
+                handler[:] = [i if i == -1 else j
+                              for i, j in zip(handler, new)]
+        return first, second, ttype, blur
+
+    # -- ymd handlers --------------------------------------------------------------
+
+    def norm_standard_ymd(self, time_string):
+        segs = self.ymd_segs
+        while segs.search(time_string[0]) or segs.search(time_string[-1]):
+            if segs.search(time_string[0]):
+                time_string = time_string[1:]
+            if segs.search(time_string[-1]):
+                time_string = time_string[:-1]
+        n = len(segs.findall(time_string))
+        if n == 2:
+            year, month, day = segs.split(time_string)
+        elif n == 1:
+            a, b = segs.split(time_string)
+            if 1600 < int(a) < 2200 and int(b) <= 12:
+                year, month, day = int(a), int(b), -1
+            elif int(a) <= 12 and int(b) <= 31:
+                year, month, day = -1, int(a), int(b)
+            else:
+                raise TimeParseError(time_string)
+        else:
+            raise TimeParseError(time_string)
+        tp = TimePoint()
+        tp.year, tp.month, tp.day = int(year), int(month), int(day)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_standard_2_ymd(self, time_string):
+        tp = TimePoint()
+        tp.year = int(time_string[:4])
+        tp.month = int(time_string[4:6])
+        tp.day = int(time_string[6:])
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_standard_year(self, time_string):
+        tp = TimePoint()
+        m = self.standard_year.search(time_string)
+        tp.year = int(m.group()) if m else self.time_base_handler[0]
+        h = tp.handler()
+        return h, h, 'time_span', 'accurate'
+
+    def norm_ymd(self, time_string):
+        month = self.month_pattern.search(time_string)
+        day = self.day_pattern.search(time_string)
+        tp = TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            tp.year = year
+        if month is not None:
+            tp.month = int(self.char_num2num(month.group(1)))
+        if day is not None:
+            tp.day = int(self.char_num2num(day.group(1)))
+        h = tp.handler()
+        return h, h, 'time_point', self._check_blur(time_string, 'accurate')
+
+    def norm_limit_ymd(self, time_string):
+        month = self.month_pattern.search(time_string)
+        day = self.day_pattern.search(time_string)
+        tp = TimePoint()
+        tp.year, _ = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        ttype = 'time_span'
+        if month is not None:
+            tp.month = int(self.char_num2num(month.group(1)))
+        if day is not None:
+            tp.day = int(self.char_num2num(day.group(1)))
+            ttype = 'time_point'
+        h = tp.handler()
+        return h, h, ttype, self._check_blur(time_string, 'accurate')
+
+    def norm_limit_month_day(self, time_string):
+        day = self.day_pattern.search(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        fp, sp = self._normalize_limit_month(
+            time_string, self.time_base_handler, fp, sp)
+        if day:
+            d = int(self.char_num2num(day.group(1)))
+            fp.day = sp.day = d
+        return fp.handler(), sp.handler(), 'time_point', \
+            'blur' if fp.handler()[2] < 0 else 'accurate'
+
+    def norm_limit_month(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp, sp = self._normalize_limit_month(
+            time_string, self.time_base_handler, fp, sp)
+        return fp.handler(), sp.handler(), 'time_point', \
+            'blur' if fp.handler()[2] < 0 else 'accurate'
+
+    def _normalize_limit_span_day(self, time_string, fp, sp):
+        """首/末 N 天 of a month (time_parser.py:4633-4664)."""
+        m = self.limit_span_day.search(time_string)
+        if m:
+            s = m.group()
+            num = 0
+            try:
+                num = int(self.char_num2num(m.group(2)))
+            except Exception:
+                pass
+            if '前' in s:
+                fp.day = 1
+                sp.day = num
+            elif '后' in s:
+                if fp.month in _BIG_MOON:
+                    fp.day, sp.day = 31 - num, 31
+                elif fp.month in _SMALL_MOON:
+                    fp.day, sp.day = 30 - num, 30
+                else:
+                    fp.day, sp.day = 28 - num, 28
+        return fp, sp
+
+    def norm_limit_month_limit_span_day(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp, sp = self._normalize_limit_month(
+            time_string, self.time_base_handler, fp, sp)
+        fp, sp = self._normalize_limit_span_day(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_point', 'accurate'
+
+    def norm_month_limit_span_day(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        m = self.month_pattern.search(time_string)
+        if not m:
+            raise TimeParseError(time_string)
+        n = self.month_num_pattern.search(m.group())
+        fp.month = sp.month = int(self.char_num2num(n.group()))
+        fp, sp = self._normalize_limit_span_day(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_point', 'accurate'
+
+    def norm_limit_day(self, time_string):
+        m = self.limit_day.search(time_string)
+        tp = TimePoint()
+        if m:
+            s = m.group()
+            dt = handler2datetime(self.time_base_handler)
+            if '大大前' in s:
+                dt -= datetime.timedelta(days=4)
+            elif '大前' in s:
+                dt -= datetime.timedelta(days=3)
+            elif '前' in s:
+                dt -= datetime.timedelta(days=2)
+            elif '昨' in s:
+                dt -= datetime.timedelta(days=1)
+            elif '今' in s or '同一' in s or '当' in s:
+                pass
+            elif '明' in s or '次' in s:
+                dt += datetime.timedelta(days=1)
+            elif '大大后' in s:
+                dt += datetime.timedelta(days=4)
+            elif '大后' in s:
+                dt += datetime.timedelta(days=3)
+            elif '后' in s:
+                dt += datetime.timedelta(days=2)
+            else:
+                raise TimeParseError(time_string)
+            tp.year, tp.month, tp.day = dt.year, dt.month, dt.day
+        else:
+            tp.day = self.time_base_handler[2]
+        if tp.day < 0:
+            raise TimeParseError(time_string)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_standard_week_day(self, time_string):
+        week = self.week_3.search(time_string)
+        week_day = self.week_4.search(time_string)
+        one_week = datetime.timedelta(days=7)
+        dt = handler2datetime(self.time_base_handler)
+        if week:
+            ws = week.group()
+            if '上' in ws:
+                dt -= one_week * ws.count('上')
+            elif '下' in ws:
+                dt += one_week * ws.count('下')
+        target_day = None
+        if week_day:
+            wds = week_day.group()
+            for c, i in zip('一二三四五六天末日', [0, 1, 2, 3, 4, 5, 6, 6, 6]):
+                if c in wds:
+                    target_day = self.compute_week_day(dt, i, flag=False)
+                    break
+            else:
+                raise TimeParseError(time_string)
+        h = time_base2handler(target_day)
+        tp = TimePoint()
+        tp.year, tp.month, tp.day = h[0], h[1], h[2]
+        hh = tp.handler()
+        return hh, hh, 'time_point', 'accurate'
+
+    def norm_blur_week(self, time_string):
+        w1 = self.week_1.search(time_string)
+        w2 = self.week_2.search(time_string)
+        w3 = self.week_3.search(time_string)
+        one_week = datetime.timedelta(days=7)
+        dt = handler2datetime(self.time_base_handler)
+        fp, sp = TimePoint(), TimePoint()
+
+        def assign(point, d):
+            point.year, point.month, point.day = d.year, d.month, d.day
+
+        if w1:
+            ws = w1.group()
+            m = self.week_num.search(ws)
+            num = int(self.char_num2num(m.group())) if m else 0
+            if '前' in ws:
+                dt -= one_week * num
+                assign(fp, self.compute_week_day(dt, 0, flag=False))
+                return fp.handler(), self.time_base_handler, \
+                    'time_point', 'blur'
+            if '后' in ws:
+                dt += one_week * num
+                assign(sp, self.compute_week_day(dt, 6, flag=False))
+                return self.time_base_handler, sp.handler(), \
+                    'time_point', 'blur'
+            raise TimeParseError(time_string)
+        if w2:
+            ws = w2.group()
+            m = self.week_num.search(ws)
+            num = int(self.char_num2num(m.group())) if m else 0
+            if '前' in ws:
+                dt -= one_week * num
+            elif '后' in ws:
+                dt += one_week * num
+            else:
+                raise TimeParseError(time_string)
+            assign(fp, self.compute_week_day(dt, 0, flag=False))
+            assign(sp, self.compute_week_day(dt, 6, flag=False))
+            return fp.handler(), sp.handler(), 'time_point', 'blur'
+        if w3:
+            ws = w3.group()
+            if '上上' in ws:
+                dt -= one_week * 2
+            elif '下下' in ws:
+                dt += one_week * 2
+            elif '上' in ws:
+                dt -= one_week
+            elif '下' in ws:
+                dt += one_week
+            assign(fp, self.compute_week_day(dt, 0, flag=False))
+            assign(sp, self.compute_week_day(dt, 6, flag=False))
+            return fp.handler(), sp.handler(), 'time_point', 'blur'
+        raise TimeParseError(time_string)
+
+    def norm_xianzai(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.assign(*self.time_base_handler)
+        sp.assign(*self.time_base_handler)
+        return fp.handler(), sp.handler(), 'time_point', 'accurate'
+
+    def norm_special_span(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        base = self.time_base_handler
+        if '今明' in time_string:
+            if '年' in time_string:
+                fp.year, sp.year = base[0], base[0] + 1
+            elif '天' in time_string:
+                if base[2] == -1:
+                    raise TimeParseError(time_string)
+                fp.day, sp.day = base[2], base[2] + 1
+            else:
+                raise TimeParseError(time_string)
+        elif '全' in time_string:
+            if '年' in time_string:
+                fp.year = sp.year = base[0]
+            elif '月' in time_string:
+                fp.month = sp.month = base[1]
+            elif '天' in time_string:
+                fp.day = sp.day = base[2]
+            else:
+                raise TimeParseError(time_string)
+        else:
+            raise TimeParseError(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    # -- hms handlers ----------------------------------------------------------------
+
+    def norm_hour_minute_second(self, time_string):
+        day_bias = [0, '弱']
+        hour = self.hour_pattern.search(time_string)
+        minute = self.minute_pattern.search(time_string)
+        second = self.second_pattern.search(time_string)
+        tp = TimePoint()
+        if hour:
+            h = int(self.char_num2num(hour.group(1)))
+            lim = self.hour_limitation.search(time_string)
+            if lim:
+                h = self.convert_hour(h, lim.group())
+            if h == 24:
+                h = 0
+                day_bias = [1, '强']
+            tp.hour = h
+        if minute:
+            tp.minute = int(self.char_num2num(minute.group(1)))
+        if second:
+            tp.second = int(self.char_num2num(second.group(1)))
+        hh = tp.handler()
+        return hh, hh, 'time_point', \
+            self._check_blur(time_string, 'accurate'), day_bias
+
+    def norm_consecutive_blur_hour(self, time_string):
+        day_bias = [0, '弱']
+        hour = self.consecutive_hour.search(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        if hour:
+            hs = hour.group(1)
+            first_h = int(self.char_num2num(hs[0]))
+            second_h = int(self.char_num2num(hs[-1]))
+            lim = self.hour_limitation.search(time_string)
+            if lim:
+                ls = lim.group()
+                if (5 <= first_h <= 12) and ('晚' in ls or '夜' in ls):
+                    first_h += 12
+                    second_h += 12
+                if '中午' in ls and first_h not in (11, 12):
+                    first_h += 12
+                    second_h += 12
+                if '下午' in ls and (1 <= first_h <= 11):
+                    first_h += 12
+                    second_h += 12
+            if first_h == 24:
+                first_h, second_h = 0, 1
+                day_bias = [1, '强']
+            fp.hour, sp.hour = first_h, second_h
+        return fp.handler(), sp.handler(), 'time_span', 'blur', day_bias
+
+    def norm_num_hour_minute_second(self, time_string):
+        time_string = time_string.replace('时', '')
+        day_bias = [0, '弱']
+        lim = self.hour_limitation.search(time_string)
+        lim_string = None
+        if lim:
+            lim_string = lim.group()
+            time_string = time_string.replace(lim_string, '')
+        n = len(self.hms_segs.findall(time_string))
+        if n == 2:
+            hour, minute, second = self.hms_segs.split(time_string)
+            if lim_string:
+                hour = self.convert_hour(int(hour), lim_string)
+        elif n == 1:
+            a, b = self.hms_segs.split(time_string)
+            if int(a) == 24 and int(b) == 0:
+                hour, minute, second = 24, 0, -1
+            elif int(a) <= 23:
+                hour, minute, second = int(a), int(b), -1
+                if lim_string:
+                    hour = self.convert_hour(hour, lim_string)
+            else:
+                hour, minute, second = -1, int(a), int(b)
+        else:
+            raise TimeParseError(time_string)
+        tp = TimePoint()
+        tp.hour, tp.minute, tp.second = int(hour), int(minute), int(second)
+        hh = tp.handler()
+        return hh, hh, 'time_point', \
+            self._check_blur(time_string, 'accurate'), day_bias
+
+    def norm_hour_limit_minute(self, time_string):
+        day_bias = [0, '弱']
+        hour = self.hour_pattern.search(time_string)
+        lim = self.hour_limitation.search(time_string)
+        limit_minute = self.limit_minute.search(time_string)
+        tp = TimePoint()
+        if hour:
+            h = int(self.char_num2num(hour.group(1)))
+            if lim:
+                h = self.convert_hour(h, lim.group())
+            tp.hour = h
+        if limit_minute:
+            lms = limit_minute.group()
+            if '半' in lms:
+                tp.minute = 30
+            elif '刻' in lms:
+                m = self.month_num_pattern.search(lms)
+                if not m:
+                    raise TimeParseError(time_string)
+                n = int(self.char_num2num(m.group()))
+                if n == 1:
+                    tp.minute = 15
+                elif n == 2:
+                    tp.minute = 30
+                elif n == 3:
+                    tp.minute = 45
+                else:
+                    raise TimeParseError(time_string)
+            else:
+                raise TimeParseError(time_string)
+        hh = tp.handler()
+        return hh, hh, 'time_point', \
+            self._check_blur(time_string, 'accurate'), day_bias
+
+    def norm_blur_hour(self, time_string):
+        day_bias = [0, '弱']
+        m = self.hour_limitation.search(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        if m:
+            hs = m.group()
+            for names, lo, hi in _BLUR_HOUR_MAP:
+                if hs in names:
+                    fp.hour, sp.hour = lo, hi
+            if fp.hour == -1:
+                raise TimeParseError(time_string)
+        return fp.handler(), sp.handler(), 'time_point', 'blur', day_bias
+
+
+_PARSER: TimeParser | None = None
+
+
+def get_time_parser() -> TimeParser:
+    global _PARSER
+    if _PARSER is None:
+        _PARSER = TimeParser()
+    return _PARSER

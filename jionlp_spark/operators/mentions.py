@@ -25,7 +25,9 @@ def extract_mentions(clean_df: DataFrame,
                      text_col: str = 'extract_text',
                      lexicon_trie_broadcast=None,
                      keep_cols=('url', 'warc_ts')) -> DataFrame:
-    arrays = [rule_mentions_udf(F.col(text_col))]
+    ts_col = F.col('warc_ts') if 'warc_ts' in clean_df.columns \
+        else F.lit(None).cast('timestamp')
+    arrays = [rule_mentions_udf(F.col(text_col), ts_col)]
     if lexicon_trie_broadcast is not None:
         lex_udf = make_lexicon_mentions_udf(lexicon_trie_broadcast)
         arrays.append(lex_udf(F.col(text_col)))

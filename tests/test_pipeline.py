@@ -28,6 +28,14 @@ _REF_EXTRACTORS = {
     'money': lambda jio, t: jio.ner.extract_money(t, with_parsing=False),
 }
 
+# time needs the row's warc_ts as time_base → handled separately
+
+
+def _ref_time(jio, t, ts):
+    return [{'text': m['text'], 'offset': m['offset']}
+            for m in jio.ner.extract_time(t, time_base=ts,
+                                          with_parsing=False)]
+
 
 @pytest.fixture(scope='module')
 def pipeline_result(spark):
@@ -45,13 +53,29 @@ def test_mention_precision_recall_vs_reference(jio, pipeline_result):
     extract_text — computed as in the reference's own F1 tooling
     (jionlp/algorithm/ner/measure.py): span+type exact match."""
     _pages, res = pipeline_result
-    clean_rows = {r['url']: r['extract_text']
+    clean_rows = {r['url']: (r['extract_text'], r['warc_ts'])
                   for r in res['clean'].collect()}
     ours = {}
     for r in res['mentions'].collect():
-        ours.setdefault(r['mention_type'], set()).add(
+        mt = r['mention_type']
+        if mt.startswith('time_'):
+            mt = 'time'
+        ours.setdefault(mt, set()).add(
             (r['url'], r['text'], r['offset_start'], r['offset_end']))
 
+    # time: span+text match vs reference extract_time at warc_ts time base
+    expected_time = set()
+    for url, (text, ts) in clean_rows.items():
+        for m in _ref_time(jio, text, ts):
+            expected_time.add((url, m['text'], m['offset'][0], m['offset'][1]))
+    got_time = ours.get('time', set())
+    tp = len(expected_time & got_time)
+    assert (tp / len(got_time) if got_time else 1.0) >= 0.95, \
+        ('time precision', got_time - expected_time)
+    assert (tp / len(expected_time) if expected_time else 1.0) >= 0.95, \
+        ('time recall', expected_time - got_time)
+
+    clean_rows = {u: t for u, (t, _ts) in clean_rows.items()}
     for mtype, ref_fn in _REF_EXTRACTORS.items():
         expected = set()
         for url, text in clean_rows.items():
