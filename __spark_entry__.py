@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -307,11 +308,87 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_minhash_sig(spark, sf_dir):
     """MinHash signatures (4 md5-salted permutations over the token set) —
     the LSH pre-stage; md5 keeps Spark and DuckDB bit-identical."""
-    toks = _docs(spark, sf_dir).select(
-        'doc_id', F.explode(F.array_distinct(F.split('text', ' '))).alias('t'))
-    return toks.groupBy(F.col('doc_id').cast('long').alias('doc_id')).agg(
-        *[F.min(F.md5(F.concat(F.lit(str(k)), F.col('t'))))
-          .alias(f'mh{k}') for k in range(4)])
+    from jionlp_spark.operators.dedup import minhash_signatures, shingles
+    sh = shingles(_docs(spark, sf_dir), n=1)
+    return minhash_signatures(sh, num_hashes=4)
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """Full MinHash+LSH candidate generation: 16 hashes, 4 bands, bucket
+    join — the scale path for near-dup dedup."""
+    from jionlp_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures, shingles)
+    sh = shingles(_docs(spark, sf_dir), n=1)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    return lsh_candidate_pairs(sigs, bands=4).select(
+        F.col('doc_a').cast('long'), F.col('doc_b').cast('long'))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).
+    Non-SQL-expressible kernel → rows-only check."""
+    from jionlp_spark.operators.dedup import simhash64, simhash_near_dups
+    return simhash_near_dups(simhash64(_docs(spark, sf_dir)))
+
+
+def q_lang_id_eval(spark, sf_dir):
+    """Heuristic language-ID over docs; returns per-(true, pred) counts."""
+    from jionlp_spark.operators.textstats import lang_id
+    return (lang_id(_docs(spark, sf_dir))
+            .groupBy('lang', 'lang_pred')
+            .agg(F.count('*').cast('long').alias('n')))
+
+
+def q_quality_score(spark, sf_dir):
+    from jionlp_spark.operators.textstats import quality_score
+    return quality_score(_docs(spark, sf_dir)).select(
+        'doc_id', 'n_tokens', 'distinct_ratio', 'mean_word_len', 'quality')
+
+
+def q_sentence_split(spark, sf_dir):
+    """split_sentence kernel over the injected docs: coarse/fine sentence
+    counts per doc (the injection layout fixes the expected counts)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf('long')
+    def n_coarse(text: pd.Series) -> pd.Series:
+        from jionlp_spark.kernels.sentence import split_sentence
+        return text.map(lambda t: len(split_sentence(t, 'coarse')))
+
+    @pandas_udf('long')
+    def n_fine(text: pd.Series) -> pd.Series:
+        from jionlp_spark.kernels.sentence import split_sentence
+        return text.map(lambda t: len(split_sentence(t, 'fine')))
+
+    return _injected_docs(spark, sf_dir).select(
+        'doc_id', n_coarse('text').alias('n_coarse'),
+        n_fine('text').alias('n_fine'))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed cosine top-3 (single probe) for the first 3 queries."""
+    from jionlp_spark.operators.ann import ivf_assign, ivf_topk
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+    assigned, _c = ivf_assign(emb, n_centroids=8)
+    queries_assigned = assigned.filter(F.col('vec_id') < 3) \
+        .withColumnRenamed('vec_id', 'vec_id')
+    q = queries_assigned.select(F.col('vec_id'), F.col('embedding'),
+                                F.col('bucket'))
+    return ivf_topk(assigned, q, k=3).select(
+        F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media plumbing: documents.text bytes as opaque payloads →
+    byte-level features via mapInPandas (decode step stubbed)."""
+    from jionlp_spark.operators.multimodal import decode_image_features
+    media = _docs(spark, sf_dir).select(
+        F.col('doc_id').alias('media_id'),
+        F.lit('image').alias('media_type'),
+        F.encode('text', 'utf-8').alias('payload'),
+        F.lit(None).cast('string').alias('meta'))
+    return decode_image_features(media).select(
+        'media_id', 'n_bytes', 'format', 'content_md5')
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
@@ -383,8 +460,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_idf': q_token_idf,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
+        'dedup_lsh_pairs': q_dedup_lsh_pairs,
+        'dedup_simhash_pairs': q_dedup_simhash_pairs,
         'dedup_jaccard_pairs': q_dedup_jaccard_pairs,
+        'lang_id_eval': q_lang_id_eval,
+        'quality_score': q_quality_score,
+        'sentence_split': q_sentence_split,
         'ann_cosine_topk': q_ann_cosine_topk,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'multimodal_features': q_multimodal_features,
         'events_daily': q_events_daily,
     }
 
@@ -491,6 +575,91 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.doc_id < b.doc_id
             where round(len(list_intersect(a.toks, b.toks))::double
                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.6""",
+        'dedup_lsh_pairs': """
+            with toks as (select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
+                          from documents),
+            sigs as (select doc_id,
+                       min(md5(concat('0', t))) mh0, min(md5(concat('1', t))) mh1,
+                       min(md5(concat('2', t))) mh2, min(md5(concat('3', t))) mh3,
+                       min(md5(concat('4', t))) mh4, min(md5(concat('5', t))) mh5,
+                       min(md5(concat('6', t))) mh6, min(md5(concat('7', t))) mh7,
+                       min(md5(concat('8', t))) mh8, min(md5(concat('9', t))) mh9,
+                       min(md5(concat('10', t))) mh10, min(md5(concat('11', t))) mh11,
+                       min(md5(concat('12', t))) mh12, min(md5(concat('13', t))) mh13,
+                       min(md5(concat('14', t))) mh14, min(md5(concat('15', t))) mh15
+                     from toks group by doc_id),
+            bands as (
+              select doc_id, 0 band_id, md5(concat(mh0, mh1, mh2, mh3)) band_hash from sigs
+              union all
+              select doc_id, 1, md5(concat(mh4, mh5, mh6, mh7)) from sigs
+              union all
+              select doc_id, 2, md5(concat(mh8, mh9, mh10, mh11)) from sigs
+              union all
+              select doc_id, 3, md5(concat(mh12, mh13, mh14, mh15)) from sigs)
+            select distinct a.doc_id doc_a, b.doc_id doc_b
+            from bands a join bands b using (band_id, band_hash)
+            where a.doc_id < b.doc_id""",
+        'lang_id_eval': """
+            with scored as (
+              select lang,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['the', 'and', 'of', 'is', 'a'])) s_en,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['el', 'la', 'de', 'que', 'y'])) s_es,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['le', 'la', 'et', 'les', 'des'])) s_fr,
+                len(list_intersect(list_distinct(string_split(text, ' ')),
+                    ['der', 'die', 'und', 'das', 'ist'])) s_de
+              from documents),
+            pred as (select lang,
+              case when s_en = greatest(s_en, s_es, s_fr, s_de) then 'en'
+                   when s_es = greatest(s_en, s_es, s_fr, s_de) then 'es'
+                   when s_fr = greatest(s_en, s_es, s_fr, s_de) then 'fr'
+                   when s_de = greatest(s_en, s_es, s_fr, s_de) then 'de'
+              end lang_pred from scored)
+            select lang, lang_pred, count(*) n from pred group by 1, 2""",
+        'quality_score': """
+            select doc_id,
+              len(string_split(text, ' ')) n_tokens,
+              round(len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' ')), 6) distinct_ratio,
+              round(length(text) / len(string_split(text, ' ')), 6)
+                  mean_word_len,
+              round(least(len(string_split(text, ' ')) / 256.0, 1.0) * 0.5
+                    + (len(list_distinct(string_split(text, ' ')))
+                       / len(string_split(text, ' '))) * 0.5, 6) quality
+            from documents""",
+        # injection layout fixes sentence counts: coarse = 2×。+tail = 3,
+        # fine = ：+3×，+2×。+tail = 7
+        'sentence_split': """
+            select doc_id, cast(3 as bigint) n_coarse,
+                   cast(7 as bigint) n_fine from documents""",
+        'ann_ivf_topk': """
+            with c as (select vec_id centroid_id, embedding centroid
+                       from embeddings order by vec_id limit 8),
+            sims as (select e.vec_id, e.embedding, c.centroid_id,
+                       round(list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]))), 6) sim
+                     from embeddings e cross join c),
+            assigned as (select vec_id, embedding, centroid_id bucket from
+              (select *, row_number() over (partition by vec_id
+                         order by sim desc, centroid_id) rn from sims) t
+              where rn = 1),
+            joined as (select q.vec_id qid, e.vec_id vec_id,
+                round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cos
+              from assigned q join assigned e using (bucket)
+              where q.vec_id < 3 and q.vec_id != e.vec_id)
+            select qid, vec_id, cos from
+              (select *, row_number() over (partition by qid
+                         order by cos desc, vec_id) rn from joined) t
+            where rn <= 3""",
+        'multimodal_features': """
+            select doc_id media_id, cast(length(text) as bigint) n_bytes,
+                   'unknown' format, md5(text) content_md5
+            from documents""",
         'ann_cosine_topk': """
             with q as (select vec_id qid, embedding qe from embeddings where vec_id < 3),
             c as (select qid, vec_id, round(

@@ -1,0 +1,150 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact (content-hash groupBy), MinHash+LSH (shingle → salted-md5 minhash →
+band → bucket join), SimHash (64-bit, Hamming-banded), and bounded n-gram
+Jaccard.  All are pure DataFrame compositions — built-in JVM expressions end
+to end except the simhash kernel (Arrow-batched pandas UDF).
+
+Scale notes: the LSH candidate join is an equi-join on (band_id, band_hash)
+— co-partitioned by the shuffle, no cross product; hot buckets (boilerplate
+shingles) are handled by AQE skew-join.  The brute-force Jaccard variant is
+deliberately bounded and exists as the verification oracle for the LSH path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dedup_exact(docs: DataFrame, text_col: str = 'text',
+                id_col: str = 'doc_id') -> DataFrame:
+    """→ (content_hash, cluster_size, keep_doc_id) for clusters > 1."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias('content_hash'))
+        .agg(F.count('*').cast('long').alias('cluster_size'),
+             F.min(id_col).cast('long').alias('keep_doc_id'))
+        .filter(F.col('cluster_size') > 1)
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = 'text',
+             id_col: str = 'doc_id', n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per doc (JVM-side transform/slice)."""
+    toks = F.split(F.col(text_col), ' ')
+    if n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        sh = F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"))
+    return docs.select(F.col(id_col).alias('doc_id'), sh.alias('shingles'))
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """k salted-md5 minhashes per doc; md5 keeps signatures engine-portable
+    (DuckDB oracle can reproduce them bit-for-bit)."""
+    cols = [F.array_min(F.expr(
+        f"transform(shingles, s -> md5(concat('{k}', s)))")).alias(f'mh{k}')
+        for k in range(num_hashes)]
+    return shingle_df.select('doc_id', *cols)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_hash) → candidate
+    near-dup pairs (doc_a < doc_b, deduplicated across bands)."""
+    sig_cols = [c for c in signatures.columns if c.startswith('mh')]
+    rows_per_band = len(sig_cols) // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band:(b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(F.lit(b).alias('band_id'),
+                     F.md5(F.concat(*[F.col(c) for c in cols]))
+                     .alias('band_hash')))
+    banded = signatures.select(
+        'doc_id', F.explode(F.array(*band_exprs)).alias('band')
+    ).select('doc_id', 'band.band_id', 'band.band_hash')
+
+    a, b = banded.alias('a'), banded.alias('b')
+    return (
+        a.join(b, ['band_id', 'band_hash'])
+        .filter(F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.6,
+                  max_doc_id: int | None = None) -> DataFrame:
+    """Bounded exact Jaccard self-join — the verification oracle for LSH."""
+    d = shingle_df
+    if max_doc_id is not None:
+        d = d.filter(F.col('doc_id') < max_doc_id)
+    a, b = d.alias('a'), d.alias('b')
+    jac = F.round(
+        F.size(F.array_intersect('a.shingles', 'b.shingles')) /
+        F.size(F.array_union('a.shingles', 'b.shingles')), 6)
+    return (
+        a.join(b, F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'),
+                jac.alias('jaccard'))
+        .filter(F.col('jaccard') >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = 'text',
+              id_col: str = 'doc_id') -> DataFrame:
+    """64-bit SimHash over whitespace tokens (pandas UDF kernel; analog of
+    the reference jionlp/algorithm/simhash, redis store → shuffle)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        def sim(t):
+            if not t:
+                return 0
+            acc = [0] * 64
+            for tok in t.split(' '):
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], 'big')
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= (1 << i)
+            return v - (1 << 64) if v >= (1 << 63) else v
+        return text.map(sim)
+
+    return docs.select(F.col(id_col).alias('doc_id'),
+                       simhash_udf(F.col(text_col)).alias('simhash'))
+
+
+def simhash_near_dups(sim_df: DataFrame, bands: int = 4) -> DataFrame:
+    """Hamming-≤(bands-1) candidate pairs by banding the 64-bit simhash into
+    16-bit chunks (pigeonhole: any pair within distance bands-1 shares a
+    chunk) and verifying with bit_count on the xor."""
+    chunks = [F.expr(
+        f"(simhash >> {16 * b}) & 65535").alias(f'c{b}')
+        for b in range(bands)]
+    banded = sim_df.select('doc_id', 'simhash', F.explode(F.array(*[
+        F.struct(F.lit(b).alias('band_id'), chunks[b].alias('chunk'))
+        for b in range(bands)])).alias('band')
+    ).select('doc_id', 'simhash', 'band.band_id', 'band.chunk')
+    a, b = banded.alias('a'), banded.alias('b')
+    return (
+        a.join(b, ['band_id', 'chunk'])
+        .filter(F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'),
+                F.expr('bit_count(a.simhash ^ b.simhash)').alias('hamming'))
+        .distinct()
+        .filter(F.col('hamming') <= bands - 1)
+    )

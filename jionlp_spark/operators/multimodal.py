@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched mapInPandas.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image`` computes real byte-level features (size, magic-sniffed
+format, content hash) and returns a deterministic fake for pixel-level
+fields, clearly marked.  The Spark-side contract — schema, batch shape,
+partitioning, UDF signature — is real and tested; swapping in PIL/ffmpeg on
+a production cluster only changes the kernel body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField('media_id', T.LongType()),
+    T.StructField('media_type', T.StringType()),   # image | audio | video
+    T.StructField('payload', T.BinaryType()),      # opaque bytes
+    T.StructField('meta', T.StringType()),         # JSON sidecar
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField('media_id', T.LongType()),
+    T.StructField('n_bytes', T.LongType()),
+    T.StructField('format', T.StringType()),
+    T.StructField('content_md5', T.StringType()),
+    T.StructField('width', T.IntegerType()),       # STUB: deterministic fake
+    T.StructField('height', T.IntegerType()),      # STUB: deterministic fake
+    T.StructField('embedding', T.ArrayType(T.FloatType())),  # STUB
+])
+
+_MAGIC = [(b'\x89PNG', 'png'), (b'\xff\xd8\xff', 'jpeg'),
+          (b'GIF8', 'gif'), (b'RIFF', 'riff'), (b'\x00\x00\x00', 'mp4?')]
+
+
+def _sniff(payload: bytes) -> str:
+    for magic, name in _MAGIC:
+        if payload[:len(magic)] == magic:
+            return name
+    return 'unknown'
+
+
+def decode_image_features(media: DataFrame,
+                          embedding_dim: int = 8) -> DataFrame:
+    """binary payload → per-image features via mapInPandas (one Arrow batch
+    per call).  Pixel decode is a STUB: width/height/embedding are
+    deterministic functions of the content hash, NOT decoded pixels —
+    replace the marked block with a real decoder (PIL etc.) in production.
+    """
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf['media_id'], pdf['payload']):
+                b = bytes(payload) if payload is not None else b''
+                digest = hashlib.md5(b).digest()
+                # --- STUB decode: derived from the hash, deterministic ----
+                width = 64 + digest[0]
+                height = 64 + digest[1]
+                emb = [(digest[i % 16] - 128) / 128.0
+                       for i in range(embedding_dim)]
+                # ----------------------------------------------------------
+                rows.append((int(mid), len(b), _sniff(b),
+                             digest.hex(), width, height, emb))
+            yield pd.DataFrame(rows, columns=[
+                'media_id', 'n_bytes', 'format', 'content_md5',
+                'width', 'height', 'embedding'])
+
+    return media.select('media_id', 'payload') \
+        .mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
+    """Video 'frame sampling' plumbing: emits one row per sampled offset
+    (real decoders replace byte offsets with frame timestamps)."""
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf['media_id'], pdf['payload']):
+                b = bytes(payload) if payload is not None else b''
+                for off in range(0, max(len(b), 1), every_n_bytes):
+                    chunk = b[off: off + every_n_bytes]
+                    rows.append((int(mid), off,
+                                 hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=['media_id', 'offset',
+                                              'frame_md5'])
+
+    schema = T.StructType([
+        T.StructField('media_id', T.LongType()),
+        T.StructField('offset', T.LongType()),
+        T.StructField('frame_md5', T.StringType()),
+    ])
+    return media.select('media_id', 'payload').mapInPandas(kernel, schema)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting,
+idf/keyword stats (the distributed analogs of the reference's idf.txt and
+analyse_freq_words, dictionary_loader.py:402-413 /
+text_classification/analyse_freq_words.py).
+
+Everything is built-in JVM expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons (deterministic heuristic; the synthetic
+# corpus' lang column is the ground truth to score against)
+_LANG_MARKERS = {
+    'en': ('the', 'and', 'of', 'is', 'a'),
+    'es': ('el', 'la', 'de', 'que', 'y'),
+    'fr': ('le', 'la', 'et', 'les', 'des'),
+    'de': ('der', 'die', 'und', 'das', 'ist'),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Heuristic language-ID: CJK ratio → zh, else argmax marker-word hits.
+    Adds ``lang_pred``."""
+    toks = F.split(F.col(text_col), ' ')
+    cjk_ratio = (F.length(F.regexp_replace(text_col, '[^一-龥]', '')) /
+                 F.greatest(F.length(text_col), F.lit(1)))
+    scores = [
+        (lang, F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _l, s in scores])
+    pred = F.when(cjk_ratio > 0.2, F.lit('zh'))
+    for lang, score in scores:
+        pred = pred.when(score == best, F.lit(lang))
+    return docs.withColumn('lang_pred', pred)
+
+
+def quality_score(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Length / distinct-token ratio / mean word length quality features +
+    a composite [0,1] score."""
+    toks = F.split(F.col(text_col), ' ')
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens,
+                                                                 F.lit(1))
+    mean_wlen = F.length(F.col(text_col)) / F.greatest(n_tokens, F.lit(1))
+    return docs.select(
+        '*',
+        n_tokens.cast('long').alias('n_tokens'),
+        F.round(distinct_ratio, 6).alias('distinct_ratio'),
+        F.round(mean_wlen, 6).alias('mean_word_len'),
+        F.round(
+            F.least(n_tokens / F.lit(256.0), F.lit(1.0)) * 0.5
+            + distinct_ratio * 0.5, 6).alias('quality'),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Whitespace + BPE-ish sub-token counts per doc."""
+    ws = F.size(F.split(F.col(text_col), ' '))
+    # BPE-ish: split on non-alnum AND count ~4-char chunks of long words
+    subword = F.size(F.flatten(F.expr(
+        f"transform(split({text_col}, '[^a-zA-Z0-9一-龥]+'), "
+        "w -> transform(sequence(0, greatest(int((length(w)-1)/4), 0)), "
+        "i -> substring(w, i*4+1, 4)))")))
+    return docs.select(
+        '*', ws.cast('long').alias('ws_tokens'),
+        subword.cast('long').alias('subword_tokens'))
+
+
+def fingerprint(docs: DataFrame, text_col: str = 'text') -> DataFrame:
+    """64-bit content fingerprint (xxhash64) + 128-bit md5 — the exact-dedup
+    and lineage key."""
+    return docs.select(
+        '*', F.xxhash64(text_col).alias('fp64'),
+        F.md5(F.col(text_col)).alias('fp_md5'))
+
+
+def token_idf(docs: DataFrame, text_col: str = 'text',
+              id_col: str = 'doc_id') -> DataFrame:
+    """Corpus idf per token: ln(N / df) (analog of the reference idf.txt)."""
+    n = docs.count()
+    return (
+        docs.select(id_col, F.explode(
+            F.array_distinct(F.split(F.col(text_col), ' '))).alias('token'))
+        .groupBy('token').agg(F.count('*').cast('long').alias('df'))
+        .withColumn('idf', F.round(F.log(F.lit(float(n)) / F.col('df')), 6))
+    )
+
+
+def word_freq_by_class(docs: DataFrame, class_col: str = 'source',
+                       text_col: str = 'text',
+                       min_freq: int = 10) -> DataFrame:
+    """Per-class token frequencies (analyse_freq_words analog)."""
+    return (
+        docs.select(class_col, F.explode(
+            F.split(F.col(text_col), ' ')).alias('word'))
+        .groupBy(class_col, 'word')
+        .agg(F.count('*').cast('long').alias('freq'))
+        .filter(F.col('freq') >= min_freq)
+    )
+
+
+def stopword_filter(docs: DataFrame, stopwords: list,
+                    text_col: str = 'text') -> DataFrame:
+    """Token-level stopword removal (remove_stopwords analog, array_except
+    keeps it JVM-side)."""
+    return docs.withColumn(
+        'tokens_clean',
+        F.array_except(F.split(F.col(text_col), ' '),
+                       F.array(*[F.lit(w) for w in stopwords])))
