@@ -45,6 +45,11 @@ def get_spark(app_name: str = 'jionlp_spark',
         .config('spark.sql.files.maxPartitionBytes', str(128 * 1024 * 1024))
         .config('spark.driver.memory',
                 os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
+        # RAM-backed shuffle spill dir when available (cluster equivalents:
+        # NVMe-local shuffle dirs); /tmp on this sandbox is slow shared disk
+        .config('spark.local.dir',
+                '/dev/shm/spark-local' if os.path.isdir('/dev/shm')
+                else '/tmp')
         .config('spark.ui.showConsoleProgress', 'false')
         .getOrCreate()
     )

@@ -299,6 +299,122 @@ def make_link_udf(bundle_broadcast):
     return link_udf
 
 
+LINKED_MENTION_TYPE = T.StructType(MENTION_FIELDS + [
+    T.StructField('obj', T.StringType()),
+    T.StructField('obj_type', T.StringType()),
+])
+
+
+def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None):
+    """Fused stage-2+3: mention sweep AND canonicalization in ONE Python
+    pass per batch → array<linked mention>.
+
+    Physically halves the Python hops of the hot stage (each chained
+    ArrowEvalPython node costs a dedicated worker per task); logically the
+    output is identical to extract_mentions → link_mentions.
+    """
+    from jionlp_spark.kernels.money_extract import get_money_extractor
+    from jionlp_spark.kernels.time_extract import get_time_extractor
+
+    @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
+    def linked_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
+        bundle = bundle_broadcast.value
+        trie = trie_broadcast.value if trie_broadcast is not None else None
+        ex = get_extractor()
+        mex = get_money_extractor()
+        tex = get_time_extractor()
+
+        def link_one(mtype, t, pre_norm):
+            # same canonicalization as make_link_udf, inline
+            if mtype in ('cell_phone', 'landline_phone'):
+                res = bundle.phone.locate(t)
+                geo = ' '.join(x for x in (res['province'], res['city']) if x)
+                return (bundle.phone.canonical_number(t), 'phone',
+                        json.dumps({'province': res['province'],
+                                    'city': res['city'], 'type': res['type'],
+                                    'operator': res.get('operator'),
+                                    'geo': geo or None}, ensure_ascii=False))
+            if mtype == 'id_card':
+                res = bundle.idcard.parse(t)
+                return (t[:-1] + t[-1].lower(), 'id_card',
+                        json.dumps(res, ensure_ascii=False)
+                        if res is not None else None)
+            if mtype == 'email':
+                dom = ex.email_domain(t)
+                return (t.lower(), 'email',
+                        json.dumps({'domain_name': dom}, ensure_ascii=False)
+                        if dom else None)
+            if mtype == 'money':
+                detail = json.loads(pre_norm) if pre_norm else {}
+                num = detail.get('num')
+                key = ('{}~{}{}'.format(num[0], num[1], detail.get('case', ''))
+                       if isinstance(num, list)
+                       else '{}{}'.format(num, detail.get('case', '')))
+                return key, 'money', pre_norm
+            if mtype in ('time_point', 'time_span', 'time_delta',
+                         'time_period'):
+                detail = json.loads(pre_norm) if pre_norm else {}
+                tval = detail.get('time')
+                key = ('~'.join(tval) if isinstance(tval, list) and tval and
+                       all(isinstance(x, str) for x in tval)
+                       else json.dumps(tval, ensure_ascii=False,
+                                       sort_keys=True))
+                return key, 'time', pre_norm
+            if mtype == 'lexicon:location':
+                res = bundle.location.parse(t)
+                key = '/'.join(x for x in (res['province'], res['city'],
+                                           res['county']) if x)
+                return (key or t, 'location',
+                        json.dumps({'province': res['province'],
+                                    'city': res['city'],
+                                    'county': res['county']},
+                                   ensure_ascii=False))
+            if mtype and mtype.startswith('lexicon:'):
+                return t, mtype.split(':', 1)[1], pre_norm
+            return t, mtype, pre_norm
+
+        out_rows = []
+        for t, ts in zip(text, warc_ts):
+            if t is None:
+                out_rows.append([])
+                continue
+            raw = [(m['text'], m['offset'][0], m['offset'][1], m['type'],
+                    None) for m in ex.sweep(t)]
+            raw.extend(
+                (m['text'], m['offset'][0], m['offset'][1], 'money',
+                 json.dumps(m['detail'], ensure_ascii=False))
+                for m in mex.extract(t, with_parsing=True))
+            tb = ts.to_pydatetime() if ts is not None and not pd.isna(ts) \
+                else None
+            if tb is not None:
+                raw.extend(
+                    (m['text'], m['offset'][0], m['offset'][1], m['type'],
+                     json.dumps(m['detail'], ensure_ascii=False))
+                    for m in tex.extract(t, tb, with_parsing=True))
+            if trie is not None:
+                hits = trie.scan_fmm(t)
+                if len(hits) > 1:
+                    merged = [hits[0]]
+                    for h in hits[1:]:
+                        prev = merged[-1]
+                        if h['type'] == prev['type'] and \
+                                h['offset'][0] == prev['offset'][1]:
+                            prev['text'] += h['text']
+                            prev['offset'][1] = h['offset'][1]
+                        else:
+                            merged.append(h)
+                    hits = merged
+                raw.extend((m['text'], m['offset'][0], m['offset'][1],
+                            'lexicon:' + m['type'], None) for m in hits)
+            linked = []
+            for mtext, s, e, mtype, pre_norm in raw:
+                obj, obj_type, norm = link_one(mtype, mtext, pre_norm)
+                linked.append((mtext, s, e, mtype, norm, obj, obj_type))
+            out_rows.append(linked)
+        return pd.Series(out_rows)
+    return linked_mentions_udf
+
+
 # ---------------------------------------------------------------------------
 # helpers
 

@@ -36,9 +36,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     loc_trie = build_location_trie(spark, dict_dir)
     n = num_partitions or spark.sparkContext.defaultParallelism
 
-    def s1():
+    def s1(repartition=True):
+        # the url-hash repartition belongs to the MATERIALIZED path (stable
+        # stage-table layout, north_rule); in the lazy single-plan path it
+        # would shuffle the full clean struct for no load-balancing gain —
+        # scan splits already spread the map-only chain
         return clean_pages(pages, lang=lang, use_html=use_html,
-                           num_partitions=n)
+                           num_partitions=n if repartition else None)
 
     def stage(name, build, prev_name=None):
         if out_dir is None:
@@ -48,16 +52,40 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
             spark, os.path.join(out_dir, name), name, build,
             input_fingerprint=fp, resume=resume)
 
-    clean_df = stage('s1_clean', s1)
-    mentions_df = stage('s2_mentions',
-                        lambda: extract_mentions(
-                            clean_df, lexicon_trie_broadcast=loc_trie),
-                        's1_clean')
-    entities_df = stage('s3_entities',
-                        lambda: link_mentions(mentions_df, bundle),
-                        's2_mentions')
-    triples_df = stage('s4_triples',
-                       lambda: build_triples(entities_df), 's3_entities')
+    clean_df = stage('s1_clean', s1) if out_dir is not None \
+        else s1(repartition=False)
+
+    if out_dir is None:
+        # lazy single-plan mode: fuse S2+S3 into one Python pass — chained
+        # ArrowEvalPython nodes each pin a worker per task, and at high
+        # parallelism that oversubscription dominates; the fused UDF emits
+        # linked mentions directly (same output, half the Python hops)
+        from pyspark.sql import functions as F
+
+        from jionlp_spark.functions.udfs import make_linked_mentions_udf
+        fused = make_linked_mentions_udf(bundle, loc_trie)
+        keep = [c for c in ('url', 'warc_ts') if c in clean_df.columns]
+        ts_col = F.col('warc_ts') if 'warc_ts' in clean_df.columns \
+            else F.lit(None).cast('timestamp')
+        entities_df = (
+            clean_df
+            .select(*keep, F.explode(
+                fused(F.col('extract_text'), ts_col)).alias('m'))
+            .select(*keep, 'm.text', 'm.offset_start', 'm.offset_end',
+                    'm.mention_type', 'm.norm', 'm.obj', 'm.obj_type')
+        )
+        mentions_df = entities_df.drop('obj', 'obj_type')
+        triples_df = build_triples(entities_df)
+    else:
+        mentions_df = stage('s2_mentions',
+                            lambda: extract_mentions(
+                                clean_df, lexicon_trie_broadcast=loc_trie),
+                            's1_clean')
+        entities_df = stage('s3_entities',
+                            lambda: link_mentions(mentions_df, bundle),
+                            's2_mentions')
+        triples_df = stage('s4_triples',
+                           lambda: build_triples(entities_df), 's3_entities')
 
     return {'clean': clean_df, 'mentions': mentions_df,
             'entities': entities_df, 'triples': triples_df}

@@ -1,0 +1,128 @@
+"""Unit tests for the training-data-pipeline operators (dedup, textstats,
+ann, multimodal, streaming) beyond the oracle contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    rows = [
+        (0, 'the quick brown fox jumps over the lazy dog', 'en', 's0'),
+        (1, 'the quick brown fox jumps over the lazy dog', 'en', 's0'),
+        (2, 'the quick brown fox jumps over a lazy cat', 'en', 's1'),
+        (3, 'el rapido zorro marron salta sobre el perro', 'es', 's1'),
+        (4, 'completely different text about spark engines', 'en', 's2'),
+        (5, 'der schnelle braune fuchs und der faule hund', 'de', 's2'),
+    ]
+    return spark.createDataFrame(rows, 'doc_id long, text string, '
+                                       'lang string, source string').cache()
+
+
+def test_dedup_exact(docs):
+    from jionlp_spark.operators.dedup import dedup_exact
+    res = dedup_exact(docs).collect()
+    assert len(res) == 1 and res[0]['cluster_size'] == 2
+    assert res[0]['keep_doc_id'] == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from jionlp_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures, shingles)
+    sigs = minhash_signatures(shingles(docs, n=1), num_hashes=16)
+    pairs = {(r['doc_a'], r['doc_b'])
+             for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (0, 1) in pairs          # exact dups always collide
+    assert (0, 5) not in pairs      # unrelated languages don't
+
+
+def test_simhash_near_dups(docs):
+    from jionlp_spark.operators.dedup import simhash64, simhash_near_dups
+    sims = simhash64(docs)
+    vals = {r['doc_id']: r['simhash'] for r in sims.collect()}
+    assert vals[0] == vals[1]       # identical text → identical simhash
+    pairs = {(r['doc_a'], r['doc_b'], r['hamming'])
+             for r in simhash_near_dups(sims).collect()}
+    assert (0, 1, 0) in pairs
+
+
+def test_jaccard_pairs(docs):
+    from jionlp_spark.operators.dedup import jaccard_pairs, shingles
+    res = {(r['doc_a'], r['doc_b']): r['jaccard']
+           for r in jaccard_pairs(shingles(docs, n=1), 0.5).collect()}
+    assert res[(0, 1)] == 1.0
+    assert (0, 2) in res            # 7/9 shared tokens
+
+
+def test_lang_id(docs):
+    from jionlp_spark.operators.textstats import lang_id
+    res = {r['doc_id']: r['lang_pred'] for r in lang_id(docs).collect()}
+    assert res[0] == 'en' and res[3] == 'es' and res[5] == 'de'
+
+
+def test_quality_and_tokens(docs):
+    from jionlp_spark.operators.textstats import quality_score, token_counts
+    q = quality_score(docs).filter('doc_id = 0').collect()[0]
+    assert q['n_tokens'] == 9
+    assert 0 < q['quality'] <= 1
+    t = token_counts(docs).filter('doc_id = 0').collect()[0]
+    assert t['ws_tokens'] == 9
+    assert t['subword_tokens'] >= 9
+
+
+def test_ann_brute_vs_ivf(spark):
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    from jionlp_spark.operators.ann import (brute_force_topk, ivf_assign,
+                                            ivf_topk)
+    queries = emb.filter('vec_id < 2').select(
+        F.col('vec_id').alias('qid'), F.col('embedding').alias('qe'))
+    brute = brute_force_topk(emb, queries, k=3).collect()
+    assert {r['qid'] for r in brute} == {0, 1}
+    assigned, _ = ivf_assign(emb, n_centroids=4)
+    q = assigned.filter('vec_id < 2')
+    ivf = ivf_topk(assigned, q, k=3).collect()
+    # single-probe IVF returns ≤ k per query, from the same bucket
+    assert all(r['cos'] <= 1.0 for r in ivf)
+
+
+def test_multimodal_plumbing(spark):
+    from jionlp_spark.operators.multimodal import (decode_image_features,
+                                                   frame_sample_stub)
+    media = spark.createDataFrame(
+        [(1, 'image', b'\x89PNG1234' * 100, None),
+         (2, 'image', b'\xff\xd8\xffrest', None)],
+        'media_id long, media_type string, payload binary, meta string')
+    feats = {r['media_id']: r for r in decode_image_features(media).collect()}
+    assert feats[1]['format'] == 'png'
+    assert feats[2]['format'] == 'jpeg'
+    assert feats[1]['n_bytes'] == 800
+    assert len(feats[1]['embedding']) == 8
+    frames = frame_sample_stub(media, every_n_bytes=256).collect()
+    assert len([f for f in frames if f['media_id'] == 1]) == 4  # 800/256→4
+
+
+def test_streaming_mentions(spark, tmp_path):
+    """Structured Streaming variant: file source → mention deltas."""
+    import os
+
+    from jionlp_spark.functions.udfs import build_location_trie
+    from jionlp_spark.sources.pages import generate_pages
+    from jionlp_spark.streaming.stream import run_file_stream
+
+    src = str(tmp_path / 'src')
+    out = str(tmp_path / 'out')
+    ckpt = str(tmp_path / 'ckpt')
+    generate_pages(spark, 50, num_partitions=2).write.parquet(src)
+    q = run_file_stream(spark, src, out, ckpt,
+                        trie_broadcast=build_location_trie(spark))
+    q.awaitTermination(120)
+    n = spark.read.parquet(out).count()
+    assert n > 0
+    # batch pipeline on the same pages gives the same mention count
+    from jionlp_spark.operators.clean import clean_pages
+    from jionlp_spark.operators.mentions import extract_mentions
+    batch = extract_mentions(
+        clean_pages(spark.read.parquet(src)),
+        lexicon_trie_broadcast=build_location_trie(spark)).count()
+    assert n == batch
+    assert os.path.exists(ckpt)
