@@ -339,6 +339,12 @@ def q_lang_id_eval(spark, sf_dir):
             .agg(F.count('*').cast('long').alias('n')))
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """New-word-discovery analog: adjacent-token PMI over the corpus."""
+    from jionlp_spark.operators.textstats import bigram_pmi
+    return bigram_pmi(_docs(spark, sf_dir), min_pair_freq=5)
+
+
 def q_quality_score(spark, sf_dir):
     from jionlp_spark.operators.textstats import quality_score
     return quality_score(_docs(spark, sf_dir)).select(
@@ -464,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_simhash_pairs': q_dedup_simhash_pairs,
         'dedup_jaccard_pairs': q_dedup_jaccard_pairs,
         'lang_id_eval': q_lang_id_eval,
+        'bigram_pmi': q_bigram_pmi,
         'quality_score': q_quality_score,
         'sentence_split': q_sentence_split,
         'ann_cosine_topk': q_ann_cosine_topk,
@@ -618,6 +625,20 @@ def oracle_sql() -> dict[str, str]:
                    when s_de = greatest(s_en, s_es, s_fr, s_de) then 'de'
               end lang_pred from scored)
             select lang, lang_pred, count(*) n from pred group by 1, 2""",
+        'bigram_pmi': """
+            with toks as (select string_split(text, ' ') l from documents),
+            pairs as (select unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) p
+                      from toks),
+            pc as (select p[1] w1, p[2] w2, count(*) c12
+                   from pairs group by 1, 2),
+            uni as (select unnest(l) w from toks),
+            uc as (select w, count(*) c from uni group by w),
+            n as (select count(*) nt from uni)
+            select w1, w2, c12,
+                   round(ln(c12 * (select nt from n)::double
+                            / (a.c * b.c)), 6) pmi
+            from pc join uc a on pc.w1 = a.w join uc b on pc.w2 = b.w
+            where c12 >= 5""",
         'quality_score': """
             select doc_id,
               len(string_split(text, ' ')) n_tokens,

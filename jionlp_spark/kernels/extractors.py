@@ -108,6 +108,105 @@ class RuleExtractor:
             return []
         return [m.group() for m in self._chinese_run.finditer(text)]
 
+    # -- remove / replace variants (extractor.py:507-791) -------------------
+
+    def remove_id_card(self, text: str) -> str:
+        return self._id_card.sub('', P.PAD_GENERIC + text
+                                 + P.PAD_GENERIC)[1:-1]
+
+    def remove_ip_address(self, text: str) -> str:
+        return self._ip.sub('', P.PAD_GENERIC + text + P.PAD_GENERIC)[1:-1]
+
+    def remove_qq(self, text: str, strict: bool = True) -> str:
+        if strict and not self._qq_cue.search(text):
+            return text
+        return self._qq.sub('', P.PAD_GENERIC + text + P.PAD_GENERIC)[1:-1]
+
+    def replace_email(self, text: str, token: str = '<email>') -> str:
+        # reference pads with '#' here, not '龥' (extractor.py:685)
+        return self._email.sub(token, P.PAD_GENERIC + text
+                               + P.PAD_GENERIC)[1:-1]
+
+    def replace_id_card(self, text: str, token: str = '<id>') -> str:
+        return self._id_card.sub(token, P.PAD_GENERIC + text
+                                 + P.PAD_GENERIC)[1:-1]
+
+    def replace_ip_address(self, text: str, token: str = '<ip>') -> str:
+        return self._ip.sub(token, P.PAD_GENERIC + text
+                            + P.PAD_GENERIC)[1:-1]
+
+    def replace_phone_number(self, text: str, token: str = '<tel>') -> str:
+        padded = P.PAD_GENERIC + text + P.PAD_GENERIC
+        padded = self._cell.sub(token, padded)
+        padded = self._landline.sub(token, padded)
+        return padded[1:-1]
+
+    def replace_qq(self, text: str, strict: bool = True,
+                   token: str = '<qq>') -> str:
+        if strict and not self._qq_cue.search(text):
+            return text
+        return self._qq.sub(token, P.PAD_GENERIC + text
+                            + P.PAD_GENERIC)[1:-1]
+
+    def replace_url(self, text: str, token: str = '<url>') -> str:
+        return self._url.sub(token, P.PAD_URL + text + P.PAD_URL)[1:-1]
+
+    def replace_chinese(self, text: str, substitute: str = ' '):
+        if text == '':
+            return []
+        return re.sub(P.CHINESE_CHAR, substitute, text)
+
+    # -- parentheses (extractor.py:369-432) ----------------------------------
+
+    def extract_parentheses(self, text: str,
+                            pairs: str = P.BRACKET_PAIRS,
+                            detail: bool = False) -> list:
+        """Stack-based pair matcher returning inner spans (incl. brackets)."""
+        close2open = {pairs[i + 1]: pairs[i]
+                      for i in range(0, len(pairs), 2)}
+        char_re = re.compile('[' + re.escape(pairs) + ']')
+        stack, starts, out = [], [], []
+        for m in char_re.finditer(text):
+            ch = text[m.start()]
+            if ch in close2open:
+                if stack and stack[-1] == close2open[ch]:
+                    stack.pop()
+                    s = starts.pop()
+                    if detail:
+                        out.append({'content': text[s: m.start() + 1],
+                                    'offset': (s, m.start() + 1)})
+                    else:
+                        out.append(text[s: m.start() + 1])
+            else:
+                stack.append(ch)
+                starts.append(m.start())
+        return out
+
+    # -- predicates (rule/checker.py:26-146) ---------------------------------
+
+    @staticmethod
+    def check_any_chinese_char(text: str) -> bool:
+        return bool(text) and re.search(P.CHINESE_CHAR, text) is not None
+
+    @staticmethod
+    def check_all_chinese_char(text: str) -> bool:
+        if not text:
+            return False
+        m = re.search(P.CHINESE_CHAR + '+', text)
+        return m is not None and m.span()[1] - m.span()[0] == len(text)
+
+    @staticmethod
+    def check_any_arabic_num(text: str) -> bool:
+        return bool(text) and \
+            re.search(r'(\d|[０１２３４５６７８９])', text) is not None
+
+    @staticmethod
+    def check_all_arabic_num(text: str) -> bool:
+        if not text:
+            return False
+        m = re.search(r'(\d|[０１２３４５６７８９])+', text)
+        return m is not None and m.span()[1] - m.span()[0] == len(text)
+
     # fused sweep used by the Spark mentions stage: one pass per doc emitting
     # every typed mention.  Keeps per-batch overhead to a single call.
     def sweep(self, text: str) -> list:

@@ -195,6 +195,84 @@ MONEY_CHAR_STRING = (
 
 
 # ---------------------------------------------------------------------------
+# Stopword-filter patterns (rule_pattern.py:116-124, 261-350): full-token
+# time/number/location classifiers used by the remove_stopwords kernel.
+
+CHINESE_NUM_CHARS = '[一二三四五六七八九壹弌贰弍叁弎仨肆伍陆柒捌玖俩两零]'
+CHINESE_UNIT_CHARS = '[〇O零十百千万亿兆拾佰仟萬億]'
+_BASE_NUMBER = ('[' + CHINESE_NUM_CHARS[1:-1] + CHINESE_UNIT_CHARS[1:-1]
+                + r'点\d\%％\.\,．多余几]+')
+NUMBER_PATTERN = (r'^((十|百|千|万)分之|第|数|好|\-)?' + _BASE_NUMBER
+                  + r'([\~\-～－至]?' + _BASE_NUMBER + ')?(多|余)?$')
+
+LOCATION_PATTERN = '^(' + '|'.join([
+    '(亚|欧|非|(中)?(北|南)?美|拉丁美|南极|大洋)洲',
+    '(东|西|南|北)?(太平|大西|印度|北冰)洋',
+    '((东|西|南|北|中|东南|中北)亚|(东|西|南|北|中)欧|(东|西|北)非|拉美|北美|南美|(中|近|远)东)',
+    CHINESE_CHAR + '+[县市镇村区山州路河城湖岛港江省湾乡街庄堡国寺桥溪岭海郡]',
+]) + ')$'
+
+
+def _stopword_time_pattern() -> str:
+    """The composite TIME_PATTERN of rule_pattern.py:280-350 (full-token
+    time classifier for stopword filtering)."""
+    ho_n = r'([01]?\d|2[01234])'
+    mi_n = r'[012345]?\d'
+    se_n = r'[012345]?\d'
+    gap = '[:：]'
+    hms1 = '^(' + ho_n + gap + mi_n + '(' + gap + se_n + ')?)$'
+    hms2 = '^(' + ho_n + '(点|时|小时)(' + mi_n + '分(钟)?(' + se_n + '秒(钟)?)?)?)$'
+    hms3 = '^(' + hms1 + r'[\-\~～—]{1,2}' + hms1 + ')$'
+    ye_n = r'[12]?\d{2,3}'
+    mo_n = r'([0]?\d|1[012])'
+    mo_c = r'(元|正|腊|一|二|三|四|五|六|七|八|九|十(一|二)?)'
+    da_n = r'([012]?\d|3[01])'
+    ymd_gap = r'[\-\~— ～\.]{1,2}'
+    span_gap = r'[\~\-～－至]'
+    ymd1 = ('^((公元(前)?)?' + ye_n + '年(初|底|中)?)?((' + mo_n + '|' + mo_c
+            + ')月(份|底|初)?)?(' + da_n + '[日号])?$')
+    ymd2 = '^(' + ye_n + ymd_gap + mo_n + '(' + ymd_gap + da_n + ')?)$'
+    ymd3 = '^(' + mo_n + ymd_gap + da_n + '(' + ymd_gap + ye_n + ')?)$'
+    ymd4 = ('^((公元(前)?)?' +
+            r'(([12]?\d|(二)?十(一|二|三|四|五|六|七|八|九)?)世纪)?'
+            r'((\d0|(一|二|三|四|五|六|七|八|九)十)年代)?(初|末)?' + ')$')
+    ymd5 = '^(一|二|三|四|五|六|七|八|九|零|〇|○|0){4}年$'
+    ymd_hms = '^(' + ymd2[1:-1] + r'([\-\~\—～]{1,2})?' + hms1[1:-1] + ')$'
+    lunar = ('((闰)?(元|正|腊|一|二|三|四|五|六|七|八|九|十(一|二)?)月|大年)'
+             '(初(一|二|三|四|五|六|七|八|九|十)|(一|二|三|四|五|六|七|八|九|十){2,3})')
+    year_span = '^' + ye_n + span_gap + ye_n + '年(代)?$'
+    month_span = '^' + mo_n + span_gap + mo_n + '月(份)?$'
+    day_span = '^' + da_n + span_gap + da_n + '日$'
+    season = '((春|夏|秋|冬){1,2}(季|天|日)|(第)?(一|二|三|四)(季度)(末)?)'
+    week = ('((上(半)?|下(半)?|这|本|前|今|当|上上|下下)?(星期|周)'
+            '(六日|一|二|三|四|五|六|日|七|天|末|初)?(时)?)')
+    c1 = '^(年|月|日|时)$'
+    cy = (r'(昔|翌|头(一|两|几|些)?|(大)?前(一|半|两|几|些)?|近(一|两|几|些)?|'
+          r'这(一|两|几|些)?|那(一|两|几|些)?|上(半)?|下(半)?|(大)?后(一|半|两|几|些)?|'
+          r'同|当|早(一|两|几|些)?|每|去|今|往|本|次|明|明后)?年(中|度|初|前|末|底|终|内)?')
+    cs = r'(本|上|下|这)'
+    cm = (r'(下(个)?|首(个)?|前(两|几)?|上(个)?|这(个)?|次|这(些|个)?|那(些|个)?|'
+          r'上半(个)?|下半(个)?|同|本|当|每)?月(份|中|度|初|末|底)?')
+    cd = (r'(昔|首|前(一|两|几|些)?|翌|昨|次|今|往|明|平|即|往|半|旧|近(一|两|几|些)?|'
+          r'后(一|两|几|些)?|这(一|两|几|些)?|那(一|两|几|些)?|上半|下半|同|当|每(一)?)?'
+          r'(天|日)(前|后)?')
+    c2 = '(下|中|上)(午|旬)|近(期|日)|此前'
+    c3 = '(晚|早)(上|间)'
+    c4 = '(深|每|昨|前|今|午|后|半|上半|下半|春|当|夏|秋|冬)?夜(里|晚|间)?'
+    c5 = '(今|傍|昨|当)晚'
+    c6 = '(早|凌|今|清)晨|黎明'
+    c7 = '午(后|时)'
+    return '(' + '|'.join([
+        c1, cy, cs, cm, cd, c2, c3, c4, c5, c6, c7,
+        week, lunar, ymd_hms, season,
+        ymd1, ymd2, ymd3, ymd4, ymd5,
+        hms1, hms2, hms3,
+        year_span, month_span, day_span]) + ')'
+
+
+STOPWORD_TIME_PATTERN = _stopword_time_pattern()
+
+# ---------------------------------------------------------------------------
 # Time parsing pattern strings (rule_pattern.py:362-469).  Same compositional
 # helpers as the reference: b() wraps a group, ba() an optional group,
 # a() a trailing '?'.

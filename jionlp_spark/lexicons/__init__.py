@@ -224,6 +224,65 @@ def admin_code_map(dict_dir: str | None = None) -> dict:
     return out
 
 
+def load_stopword_sets(dict_dir: str | None = None) -> tuple:
+    """→ (stopwords, negative_words, location_words) sets for the stopword
+    filter kernel.  With a full JioNLP dict dir the location set matches the
+    reference exactly (china full/alias names at every level + world
+    continents/countries/capitals/main cities,
+    remove_stopwords.py:74-137); vendored fallback uses the subset lexicons.
+    """
+    d = _dict_dir(dict_dir)
+    stop: set = set()
+    neg: set = set()
+    loc: set = set()
+    if d and os.path.exists(os.path.join(d, 'stopwords.txt')):
+        with open(os.path.join(d, 'stopwords.txt'), encoding='utf-8') as f:
+            stop = {line.rstrip('\n') for line in f}
+        with open(os.path.join(d, 'negative_words.txt'),
+                  encoding='utf-8') as f:
+            neg = {line.strip() for line in f if line.strip()}
+    else:
+        path = os.path.join(_DATA_DIR, 'filter_words.tsv')
+        if os.path.exists(path):
+            with open(path, encoding='utf-8') as f:
+                for line in f:
+                    tag, word = line.rstrip('\n').split('\t', 1)
+                    stop.add(word)
+                    if tag == 'neg':
+                        neg.add(word)
+
+    # china locations: every level name + alias
+    for r in load_admin_divisions(dict_dir):
+        for name in (r['province'], r['city'], r['county'],
+                     r['province_alias'], r['county_alias']):
+            if name:
+                loc.add(name)
+        for a in (r['city_alias'] or []):
+            if a:
+                loc.add(a)
+
+    # world locations
+    wpath = os.path.join(d, 'world_location.txt') if d else \
+        os.path.join(_DATA_DIR, 'world_loc.tsv')
+    if os.path.exists(wpath):
+        with open(wpath, encoding='utf-8') as f:
+            for line in f:
+                line = line.rstrip('\n')
+                if not line.strip():
+                    continue
+                if '洲:' in line:
+                    loc.add(line.replace(':', ''))
+                    continue
+                parts = line.split('\t')
+                if len(parts) >= 3:
+                    loc.add(parts[0])
+                    loc.add(parts[1])
+                    loc.add(parts[2])
+                if len(parts) == 4:
+                    loc.update(parts[3].split('/'))
+    return stop, neg, loc
+
+
 def location_ner_words(dict_dir: str | None = None) -> list:
     """Dictionary for the location LexiconNER stage: all admin full names,
     multi-char aliases, and old (pre-rename) names."""

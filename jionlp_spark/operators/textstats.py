@@ -106,6 +106,41 @@ def word_freq_by_class(docs: DataFrame, class_col: str = 'source',
     )
 
 
+def bigram_pmi(docs: DataFrame, text_col: str = 'text',
+               min_pair_freq: int = 5) -> DataFrame:
+    """Corpus bigram PMI — the distributed analog of the reference's
+    new-word-discovery scoring (jionlp/algorithm/new_word/
+    new_word_discovery.py:86-103: pair frequency vs unigram product):
+    pmi(w1,w2) = ln(c12 · N / (c1 · c2)) over adjacent token pairs.
+    Map-side ngram expansion (JVM slice/zip), two groupBys, broadcast-sized
+    unigram join.
+    """
+    toks = F.split(F.col(text_col), ' ')
+    pairs = (
+        docs.select(F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias('w1'),
+            F.slice(toks, 2, F.size(toks) - 1).alias('w2'))).alias('p'))
+        .select(F.col('p.w1').alias('w1'), F.col('p.w2').alias('w2'))
+    )
+    pair_counts = pairs.groupBy('w1', 'w2').agg(
+        F.count('*').cast('long').alias('c12'))
+    unigrams = (docs.select(F.explode(toks).alias('w'))
+                .groupBy('w').agg(F.count('*').cast('long').alias('c')))
+    n_tokens = docs.select(
+        F.sum(F.size(toks)).alias('n')).collect()[0]['n']
+    return (
+        pair_counts
+        .filter(F.col('c12') >= min_pair_freq)
+        .join(F.broadcast(unigrams.withColumnRenamed('w', 'w1')
+                          .withColumnRenamed('c', 'c1')), 'w1')
+        .join(F.broadcast(unigrams.withColumnRenamed('w', 'w2')
+                          .withColumnRenamed('c', 'c2')), 'w2')
+        .select('w1', 'w2', 'c12',
+                F.round(F.log(F.col('c12') * F.lit(float(n_tokens))
+                              / (F.col('c1') * F.col('c2'))), 6).alias('pmi'))
+    )
+
+
 def stopword_filter(docs: DataFrame, stopwords: list,
                     text_col: str = 'text') -> DataFrame:
     """Token-level stopword removal (remove_stopwords analog, array_except
