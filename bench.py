@@ -25,10 +25,13 @@ CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
 N_PAGES = int(os.environ.get('BENCH_PAGES', '20000'))
 
 HEADLINE = [
-    'kg_extract_phone', 'kg_link_phone_geo', 'kg_link_idcard_region',
-    'kg_entity_counts', 'clean_text', 'doc_stats', 'word_freq_by_source',
-    'token_idf', 'dedup_exact', 'dedup_minhash_sig', 'dedup_jaccard_pairs',
-    'ann_cosine_topk', 'events_daily',
+    'kg_extract_phone', 'kg_extract_money', 'kg_extract_time',
+    'kg_link_phone_geo', 'kg_link_idcard_region', 'kg_link_location',
+    'kg_entity_counts', 'clean_text', 'sentence_split', 'doc_stats',
+    'word_freq_by_source', 'token_idf', 'bigram_pmi', 'lang_id_eval',
+    'quality_score', 'dedup_exact', 'dedup_minhash_sig', 'dedup_lsh_pairs',
+    'dedup_simhash_pairs', 'dedup_jaccard_pairs', 'ann_cosine_topk',
+    'ann_ivf_topk', 'multimodal_features', 'events_daily',
 ]
 
 

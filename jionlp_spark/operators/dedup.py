@@ -45,11 +45,16 @@ def shingles(docs: DataFrame, text_col: str = 'text',
 
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16) -> DataFrame:
     """k salted-md5 minhashes per doc; md5 keeps signatures engine-portable
-    (DuckDB oracle can reproduce them bit-for-bit)."""
-    cols = [F.array_min(F.expr(
-        f"transform(shingles, s -> md5(concat('{k}', s)))")).alias(f'mh{k}')
-        for k in range(num_hashes)]
-    return shingle_df.select('doc_id', *cols)
+    (DuckDB oracle can reproduce them bit-for-bit).
+
+    Shape: explode → groupBy with k min() aggregates — an order of magnitude
+    faster than per-row array `transform` lambdas (whole-stage codegen +
+    partial aggregation vs interpreted higher-order functions)."""
+    exploded = shingle_df.select(
+        'doc_id', F.explode('shingles').alias('s'))
+    aggs = [F.min(F.md5(F.concat(F.lit(str(k)), F.col('s'))))
+            .alias(f'mh{k}') for k in range(num_hashes)]
+    return exploded.groupBy('doc_id').agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
@@ -67,6 +72,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     banded = signatures.select(
         'doc_id', F.explode(F.array(*band_exprs)).alias('band')
     ).select('doc_id', 'band.band_id', 'band.band_hash')
+
+    # the self-join would recompute the whole minhash subplan for each side
+    # (Spark has no subplan reuse across aliases) — persist the small banded
+    # table once
+    banded = banded.persist()
 
     a, b = banded.alias('a'), banded.alias('b')
     return (
@@ -105,21 +115,21 @@ def simhash64(docs: DataFrame, text_col: str = 'text',
 
     from pyspark.sql.functions import pandas_udf
 
+    import numpy as np
+
     @pandas_udf(T.LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:
         def sim(t):
             if not t:
                 return 0
-            acc = [0] * 64
-            for tok in t.split(' '):
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], 'big')
-                for i in range(64):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= (1 << i)
+            digests = np.frombuffer(
+                b''.join(hashlib.md5(tok.encode()).digest()[:8]
+                         for tok in t.split(' ')), dtype=np.uint8
+            ).reshape(-1, 8)
+            bits = np.unpackbits(digests, axis=1)          # (n_tokens, 64)
+            votes = bits.sum(axis=0) * 2 - len(digests)    # +1/-1 majority
+            out_bits = np.packbits(votes > 0)
+            v = int.from_bytes(out_bits.tobytes(), 'big')
             return v - (1 << 64) if v >= (1 << 63) else v
         return text.map(sim)
 
@@ -138,6 +148,8 @@ def simhash_near_dups(sim_df: DataFrame, bands: int = 4) -> DataFrame:
         F.struct(F.lit(b).alias('band_id'), chunks[b].alias('chunk'))
         for b in range(bands)])).alias('band')
     ).select('doc_id', 'simhash', 'band.band_id', 'band.chunk')
+    # persist: the self-join must not recompute the simhash UDF per side
+    banded = banded.persist()
     a, b = banded.alias('a'), banded.alias('b')
     return (
         a.join(b, ['band_id', 'chunk'])
