@@ -294,6 +294,9 @@ LIMIT_YEAR_STRING = r'(前(一)?|今|明|去|同|当|后|大前|本|次|上(一)
 YEAR_STRING = r'([12]?\d{2,3}|[一二三四五六七八九零〇]{2,4})年'
 MONTH_NUM_STRING = r'(1[012]|[0]?[1-9]|十[一二]|[一二三四五六七八九十])'
 MONTH_STRING = MONTH_NUM_STRING + r'月(份)?'
+# the reference REDEFINES MONTH_NUM_STRING after MONTH_STRING is built,
+# adding 两 (rule_pattern.py:369) — ordinal month contexts use this variant
+MONTH_NUM_ORDER_STRING = MONTH_NUM_STRING[:-2] + r'两])'
 LIMIT_MONTH_STRING = r'((下(下)?|上(上)?)((一)?个)?|同|本|当|次|(这((一)?个)?))月'
 DAY_NUM_STRING = r'(([12]\d|3[01]|[0]?[1-9])|([一二]?十)?[一二三四五六七八九]|(三十)?[一]|[二三]?十)'
 DAY_STRING = DAY_NUM_STRING + r'[日号]'

@@ -522,6 +522,18 @@ class TimeParser:
             P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + '(之)?[前后]' + I +
             '(上+|下+|本|这)?(一)?(个)?' + P.WEEK_STRING)
         self.xianzai = re.compile(P.NOW_STRING)
+        self.span_month = re.compile(
+            '([第前后头]([一二两三四五六七八九十]|十[一二]|[1-9]|1[012])|首)(个)?月(份)?')
+        self.year_span_month = re.compile(''.join(
+            [_ba(YS), r'(([第前后头]', P.MONTH_NUM_ORDER_STRING,
+             r'|首)(个)?月(份)?)']))
+        self.limit_year_span_month = re.compile(''.join(
+            [_b(LYS), r'(([第前后头]', P.MONTH_NUM_ORDER_STRING,
+             r'|首)(个)?月(份)?)']))
+        self.year_order_dp = re.compile('第' + P.DELTA_NUM_STRING + '年')
+        self.day_order_dp = re.compile('第' + P.DELTA_NUM_STRING + '[天日]')
+        self.year_day_order_dp = re.compile(
+            P.YEAR_STRING[:-1] + '年?' + '第' + P.DELTA_NUM_STRING + '[天日]')
         self.special_span = re.compile(r'(今明两[天年]|全[天月年])')
         self.num_month_num = re.compile(
             '^' + P.MONTH_NUM_STRING + '月' + r'([12]\d|3[01]|[0]?[1-9])' + '$')
@@ -548,7 +560,9 @@ class TimeParser:
         self.year_pattern = re.compile(YS[:-1] + r'(?=年)')
         self.limit_year_pattern = re.compile(LYS[:-1] + r'(?=年)')
         self.month_pattern = re.compile(MS)
-        self.month_num_pattern = re.compile(P.MONTH_NUM_STRING)
+        # the reference's month_num_pattern is the post-redefinition variant
+        # (includes 两) — used for ordinal months AND the 刻 count
+        self.month_num_pattern = re.compile(P.MONTH_NUM_ORDER_STRING)
         self.day_pattern = re.compile(DS)
         self.week_3 = re.compile('(上+|下+|本|这)(一)?(个)?' + P.WEEK_STRING)
         self.week_4 = re.compile(P.WEEK_STRING + '[一二三四五六日末天]')
@@ -563,6 +577,32 @@ class TimeParser:
         self.minute_pattern = re.compile(r'(?<=[时点])' + P.MIN_SEC_STRING + '(?=分)?')
         self.limit_minute = re.compile(r'(?<=[时点])([123一二三]刻|半)')
         self.second_pattern = re.compile(r'(?<=分)' + P.MIN_SEC_STRING + '(?=秒)?')
+
+        # delta→point / delta→span patterns (time_parser.py:579-602)
+        d = self.delta
+        self.second_dp = re.compile(_b(P.SECOND_DELTA_STRING) + P.DELTA_SUB)
+        self.minute_dp = re.compile(_b(P.MINUTE_DELTA_STRING) + P.DELTA_SUB)
+        self.quarter_dp = re.compile(_b(P.QUARTER_DELTA_STRING) + P.DELTA_SUB)
+        self.hour_dp = re.compile(_b(P.HOUR_DELTA_STRING) + P.DELTA_SUB)
+        self.day_dp = re.compile(_b(P.DAY_DELTA_STRING) + P.DELTA_SUB)
+        self.workday_dp = re.compile(_b(P.WORKDAY_DELTA_STRING) + P.DELTA_SUB)
+        self.week_dp = re.compile(_b(P.WEEK_DELTA_STRING) + P.DELTA_SUB)
+        self.month_dp = re.compile(_b(P.MONTH_DELTA_STRING) + P.DELTA_SUB)
+        self.season_dp = re.compile(
+            _b(P.SOLAR_SEASON_DELTA_STRING) + P.DELTA_SUB)
+        self.year_dp = re.compile(_b(P.YEAR_DELTA_STRING) + P.DELTA_SUB)
+
+        standard_delta_string = ''.join(
+            ['(', _b(P.YEAR_DELTA_STRING), I, _b(P.SOLAR_SEASON_DELTA_STRING),
+             I, _b(P.MONTH_DELTA_STRING), I, _b(P.WORKDAY_DELTA_STRING), I,
+             _b(P.DAY_DELTA_STRING), I, _b(P.WEEK_DELTA_STRING), I,
+             _b(P.HOUR_DELTA_STRING), I, _b(P.MINUTE_DELTA_STRING), I,
+             _b(P.SECOND_DELTA_STRING), ')+'])
+        self.weilai_d2s = re.compile(
+            '(未来|今后)(的)?' + standard_delta_string + '[里内]?')
+        self.guoqu_d2s = re.compile(
+            '((过去)(的)?|(最)?近|([之提]?前))' + standard_delta_string + '[里内]?')
+        self.guo_d2s = re.compile('(再)?(过)' + standard_delta_string)
 
         # period (time_parser.py:746-748)
         self.period_time = re.compile(
@@ -590,7 +630,21 @@ class TimeParser:
             (self.limit_month_day, self.norm_limit_month_day),
             (self.limit_month, self.norm_limit_month),
             (self.month_limit_span_day, self.norm_month_limit_span_day),
+            (self.limit_year_span_month, self.norm_limit_year_span_month),
+            (self.year_span_month, self.norm_year_span_month),
+            (self.year_day_order_dp, self.norm_year_day_order_delta_point),
+            (self.year_order_dp, self.norm_year_order_delta_point),
+            (self.day_order_dp, self.norm_day_order_delta_point),
             (self.xianzai, self.norm_xianzai),
+            (self.weilai_d2s, self.norm_weilai_delta2span),
+            (self.guoqu_d2s, self.norm_guoqu_delta2span),
+            (self.guo_d2s, self.norm_guo_delta2span),
+            (self.workday_dp, self.norm_workday_delta_point),
+            (self.day_dp, self.norm_day_delta_point),
+            (self.week_dp, self.norm_week_delta_point),
+            (self.month_dp, self.norm_month_delta_point),
+            (self.season_dp, self.norm_season_delta_point),
+            (self.year_dp, self.norm_year_delta_point),
             (self.limit_ymd, self.norm_limit_ymd),
             (self.limit_day, self.norm_limit_day),
             (self.ymd, self.norm_ymd),
@@ -598,6 +652,10 @@ class TimeParser:
             (self.special_span, self.norm_special_span),
         ]
         self.hms_funcs = [
+            (self.second_dp, self.norm_second_delta_point),
+            (self.minute_dp, self.norm_minute_delta_point),
+            (self.quarter_dp, self.norm_quarter_delta_point),
+            (self.hour_dp, self.norm_hour_delta_point),
             (self.consecutive_blur_hour, self.norm_consecutive_blur_hour),
             (self.hour_minute_second, self.norm_hour_minute_second),
             (self.num_hour_minute_second, self.norm_num_hour_minute_second),
@@ -1314,6 +1372,70 @@ class TimeParser:
             return fp.handler(), sp.handler(), 'time_point', 'blur'
         raise TimeParseError(time_string)
 
+    def _normalize_span_month(self, time_string):
+        """前N个月 → [1,N]; 后N个月 → [13-N,12]; 第N个月 → [N,N]; 首月 → [1,1]
+        (time_parser.py:2187-2214)."""
+        m = self.span_month.search(time_string)
+        if m is None:
+            return -1, -1
+        s = m.group()
+        if '首' in s:
+            return 1, 1
+        n = int(self.char_num2num(self.month_num_pattern.search(s).group()))
+        if '前' in s or '头' in s:
+            return 1, n
+        if '后' in s:
+            return 13 - n, 12
+        if '第' in s:
+            return n, n
+        raise TimeParseError(time_string)
+
+    def norm_year_span_month(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+        fp.month, sp.month = self._normalize_span_month(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_year_span_month(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, sp.year = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        fp.month, sp.month = self._normalize_span_month(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def _order_num(self, time_string):
+        m = self.delta.delta_num.search(time_string)
+        if not m:
+            raise TimeParseError(time_string)
+        return int(self.char_num2num(m.group()))
+
+    def norm_year_order_delta_point(self, time_string):
+        n = self._order_num(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        fp.year = sp.year = self.time_base_handler[0] + n - 1
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    def norm_day_order_delta_point(self, time_string):
+        n = self._order_num(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        fp.day = sp.day = self.time_base_handler[2] + n - 1
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_year_day_order_delta_point(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year_string, rest = time_string.split('第')
+        year = self._normalize_year(year_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+            fp.month = sp.month = 1
+            fp.day = sp.day = 1
+        n = self._order_num('第' + rest)
+        fp.day = fp.day + n - 1
+        sp.day = sp.day + n - 1
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
     def norm_xianzai(self, time_string):
         fp, sp = TimePoint(), TimePoint()
         fp.assign(*self.time_base_handler)
@@ -1344,6 +1466,425 @@ class TimeParser:
         else:
             raise TimeParseError(time_string)
         return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    # -- delta→point / delta→span handlers (time_parser.py:2238-3261) ---------
+
+    def _delta_unit(self, time_string, pattern, unit=None):
+        """TimeParser's own delta-unit extractor (time_parser.py:1406-1442):
+        unit-aware 俩/仨 replacement + the 近 blur rule."""
+        if unit is None:
+            time_string = time_string.replace('俩', '两个').replace('仨', '三个')
+        elif unit in ('second', 'minute', 'day', 'year'):
+            time_string = time_string.replace('俩', '两').replace('仨', '三')
+        elif unit in ('hour', 'month'):
+            time_string = time_string.replace('俩', '两个').replace('仨', '三个')
+        m = pattern.search(time_string)
+        num = 0
+        definition = 'accurate'
+        if m:
+            dn = self.delta.delta_num.search(m.group())
+            if dn:
+                num = self.char_num2num(dn.group())
+            if '半' in time_string:
+                num = num + 0.5 if num > 0 else 0.5
+                definition = 'blur'
+            if '多' in time_string or '余' in time_string:
+                definition = 'blur'
+            if '近' in time_string and '最近' not in time_string:
+                definition = 'blur'
+        return num, definition
+
+    def _standard_delta_dict(self, time_string):
+        units = [('second', 1, self.delta.second_delta),
+                 ('minute', 1, self.delta.minute_delta),
+                 ('minute', 15, self.delta.quarter_delta),
+                 ('hour', 1, self.delta.hour_delta),
+                 ('day', 1, self.delta.day_delta),
+                 ('workday', 1, self.delta.workday_delta),
+                 ('day', 7, self.delta.week_delta),
+                 ('month', 1, self.delta.month_delta),
+                 ('month', 3, self.delta.season_delta),
+                 ('year', 1, self.delta.year_delta)]
+        delta = TimeDelta()
+        for unit, multi, pattern in units:
+            num, _d = self._delta_unit(time_string, pattern, unit=unit)
+            setattr(delta, unit, getattr(delta, unit) + num * multi)
+        return cut_zero_key(delta.__dict__)
+
+    _UNIT_IDX = {'year': 0, 'month': 1, 'day': 2,
+                 'hour': 3, 'minute': 4, 'second': 5}
+
+    def _check_delta_base_conflict(self, delta_dict):
+        for unit, idx in self._UNIT_IDX.items():
+            if delta_dict.get(unit, 0) > 0 and \
+                    self.time_base_handler[idx] == -1:
+                raise TimeParseError('time base lacks ' + unit)
+
+    @staticmethod
+    def _apply_delta(dt, delta_dict, coefficient=1):
+        dt += datetime.timedelta(days=coefficient * 365
+                                 * delta_dict.get('year', 0))
+        dt += datetime.timedelta(days=coefficient * 30.417
+                                 * delta_dict.get('month', 0))
+        dt += datetime.timedelta(days=coefficient * delta_dict.get('day', 0))
+        dt += datetime.timedelta(hours=coefficient * delta_dict.get('hour', 0))
+        dt += datetime.timedelta(minutes=coefficient
+                                 * delta_dict.get('minute', 0))
+        dt += datetime.timedelta(seconds=coefficient
+                                 * delta_dict.get('second', 0))
+        return dt
+
+    def _delta2span(self, time_string, direction):
+        """weilai(+)/guoqu(-)/guo(+, open-ended) → span
+        (time_parser.py:2265-2351)."""
+        delta_dict = self._standard_delta_dict(time_string)
+        self._check_delta_base_conflict(delta_dict)
+        base_dt = handler2datetime(self.time_base_handler)
+        moved = time_base2handler(
+            self._apply_delta(base_dt, delta_dict,
+                              -1 if direction == 'guoqu' else 1))
+        delta_set = set(delta_dict.keys())
+        fine_units = ({'hour', 'minute', 'second', 'day'}
+                      if direction != 'guo' else {'hour', 'minute', 'second'})
+        if delta_set & fine_units:
+            definition = 'accurate'
+            if direction == 'guoqu' and '近' in time_string and \
+                    '最近' not in time_string:
+                definition = 'blur'
+            moved = [s if b > -1 else -1
+                     for b, s in zip(self.time_base_handler, moved)]
+        else:
+            definition = 'blur'
+            moved = [s if (b > -1 and idx <= 2) else -1
+                     for idx, (b, s) in enumerate(
+                         zip(self.time_base_handler, moved))]
+        if direction == 'weilai':
+            return self.time_base_handler, moved, 'time_span', definition
+        if direction == 'guoqu':
+            return moved, self.time_base_handler, 'time_span', definition
+        return moved, _FUTURE, 'time_span', definition
+
+    def norm_weilai_delta2span(self, time_string):
+        return self._delta2span(time_string, 'weilai')
+
+    def norm_guoqu_delta2span(self, time_string):
+        return self._delta2span(time_string, 'guoqu')
+
+    def norm_guo_delta2span(self, time_string):
+        return self._delta2span(time_string, 'guo')
+
+    def _hms_delta_point(self, time_string, pattern, unit,
+                         step_minutes=None):
+        """second/minute/quarter delta→point (time_parser.py:2353-2609):
+        exact datetime arithmetic, no handler truncation."""
+        day_bias = [0, '弱']
+        base_idx = 5 if unit == 'second' else 4
+        if self.time_base_handler[base_idx] == -1:
+            raise TimeParseError('time base lacks ' + unit)
+        num, definition = self._delta_unit(time_string, pattern)
+        scale = step_minutes if step_minutes else 1
+        kw = 'seconds' if unit == 'second' else 'minutes'
+
+        base_dt = handler2datetime(self.time_base_handler)
+
+        def shifted(sign, amount):
+            return time_base2handler(
+                base_dt + datetime.timedelta(**{kw: sign * amount * scale}))
+
+        if '之前' in time_string or '以前' in time_string:
+            return (_PAST, shifted(-1, num), 'time_span', 'blur', day_bias)
+        if '前' in time_string:
+            cur = base_dt - datetime.timedelta(**{kw: num * scale})
+            if step_minutes:
+                if num >= 1:
+                    first = cur - datetime.timedelta(minutes=scale)
+                else:
+                    raise TimeParseError(time_string)
+            elif num == 0.5:
+                first = cur - datetime.timedelta(**{kw: 0.5})
+            elif num >= 1:
+                first = cur - datetime.timedelta(**{kw: 1})
+            else:
+                raise TimeParseError(time_string)
+            return (time_base2handler(first), time_base2handler(cur),
+                    'time_point', 'accurate', day_bias)
+        if '之后' in time_string or '以后' in time_string:
+            return (shifted(1, num), _FUTURE, 'time_span', 'blur', day_bias)
+        if '后' in time_string:
+            cur = base_dt + datetime.timedelta(**{kw: num * scale})
+            if step_minutes:
+                if num >= 1:
+                    second = cur + datetime.timedelta(minutes=scale)
+                else:
+                    raise TimeParseError(time_string)
+            elif num == 0.5:
+                second = cur + datetime.timedelta(**{kw: 0.5})
+            elif num >= 1:
+                second = cur + datetime.timedelta(**{kw: 1})
+            else:
+                raise TimeParseError(time_string)
+            return (time_base2handler(cur), time_base2handler(second),
+                    'time_point', 'accurate', day_bias)
+        if '内' in time_string:
+            return (self.time_base_handler, shifted(1, num),
+                    'time_span', 'accurate', day_bias)
+        if '来' in time_string:
+            return (shifted(-1, num), self.time_base_handler,
+                    'time_span', 'accurate', day_bias)
+        raise TimeParseError(time_string)
+
+    def norm_second_delta_point(self, time_string):
+        return self._hms_delta_point(time_string, self.delta.second_delta,
+                                     'second')
+
+    def norm_minute_delta_point(self, time_string):
+        return self._hms_delta_point(time_string, self.delta.minute_delta,
+                                     'minute')
+
+    def norm_quarter_delta_point(self, time_string):
+        return self._hms_delta_point(time_string, self.delta.quarter_delta,
+                                     'minute', step_minutes=15)
+
+    def norm_hour_delta_point(self, time_string):
+        """Hour delta→point (time_parser.py:2611-2709): results truncated to
+        minute precision (second := -1)."""
+        day_bias = [0, '弱']
+        if self.time_base_handler[3] == -1:
+            raise TimeParseError('time base lacks hour')
+        num, definition = self._delta_unit(time_string,
+                                           self.delta.hour_delta)
+        base_dt = handler2datetime(self.time_base_handler)
+
+        def trunc(dt):
+            h = time_base2handler(dt)
+            return h[:5] + [-1]
+
+        if '之前' in time_string or '以前' in time_string:
+            return (_PAST, trunc(base_dt - datetime.timedelta(hours=num)),
+                    'time_span', 'blur', day_bias)
+        if '前' in time_string:
+            cur = base_dt - datetime.timedelta(hours=num)
+            if num == 0.5:
+                first = cur - datetime.timedelta(hours=0.5)
+            elif num >= 1:
+                first = cur - datetime.timedelta(hours=1)
+            else:
+                raise TimeParseError(time_string)
+            # reference keeps the full second on the cur handler here
+            return (trunc(first), time_base2handler(cur),
+                    'time_point', 'accurate', day_bias)
+        if '之后' in time_string or '以后' in time_string:
+            return (trunc(base_dt + datetime.timedelta(hours=num)), _FUTURE,
+                    'time_span', 'blur', day_bias)
+        if '后' in time_string:
+            cur = base_dt + datetime.timedelta(hours=num)
+            if num == 0.5:
+                second = cur + datetime.timedelta(hours=0.5)
+            elif num >= 1:
+                second = cur + datetime.timedelta(hours=1)
+            else:
+                raise TimeParseError(time_string)
+            return (time_base2handler(cur), trunc(second),
+                    'time_point', 'accurate', day_bias)
+        if '内' in time_string:
+            return (self.time_base_handler,
+                    trunc(base_dt + datetime.timedelta(hours=num)),
+                    'time_span', 'accurate', day_bias)
+        if '来' in time_string:
+            return (trunc(base_dt - datetime.timedelta(hours=num)),
+                    self.time_base_handler, 'time_span', 'accurate', day_bias)
+        raise TimeParseError(time_string)
+
+    def norm_workday_delta_point(self, time_string):
+        """Workday delta→point (time_parser.py:2711-2772)."""
+        if self.time_base_handler[2] == -1:
+            raise TimeParseError('time base lacks day')
+        num, definition = self._delta_unit(time_string,
+                                           self.delta.workday_delta)
+        if num < 1 or int(num) != num:
+            # the reference's counting loop never terminates on fractional
+            # workdays (time_parser.py:2730-2735) — fail fast instead
+            raise TimeParseError(time_string)
+        cur = handler2datetime(self.time_base_handler)
+        count = 0
+        while True:
+            cur += datetime.timedelta(days=1)
+            if cur.weekday() <= 4:
+                count += 1
+            if count == num:
+                break
+        h = time_base2handler(cur)
+        day_h = h[:3] + [-1, -1, -1]
+        if '之后' in time_string or '以后' in time_string:
+            return day_h, _FUTURE, 'time_span', 'blur'
+        if '后' in time_string:
+            return day_h, list(day_h), 'time_point', 'accurate'
+        if '内' in time_string:
+            return self.time_base_handler, day_h, 'time_span', 'accurate'
+        raise TimeParseError(time_string)
+
+    def norm_day_delta_point(self, time_string):
+        """Day delta→point (time_parser.py:2774-2894): integral deltas
+        truncate to day precision, half-days keep the hour."""
+        if self.time_base_handler[2] == -1:
+            raise TimeParseError('time base lacks day')
+        num, definition = self._delta_unit(time_string, self.delta.day_delta)
+        base_dt = handler2datetime(self.time_base_handler)
+
+        def trunc(dt):
+            h = time_base2handler(dt)
+            if int(num) == num:
+                return h[:3] + [-1, -1, -1]
+            return h[:4] + [-1, -1]
+
+        if '之前' in time_string or '以前' in time_string:
+            return (_PAST, trunc(base_dt - datetime.timedelta(days=num)),
+                    'time_span', 'blur')
+        if '前' in time_string:
+            cur = base_dt - datetime.timedelta(days=num)
+            if num == 0.5:
+                first = cur - datetime.timedelta(days=0.5)
+            elif num >= 1:
+                first = cur
+            else:
+                raise TimeParseError(time_string)
+            return trunc(first), trunc(cur), 'time_point', 'accurate'
+        if '之后' in time_string or '以后' in time_string:
+            return (trunc(base_dt + datetime.timedelta(days=num)), _FUTURE,
+                    'time_span', 'blur')
+        if '后' in time_string:
+            cur = base_dt + datetime.timedelta(days=num)
+            if num == 0.5:
+                second = cur + datetime.timedelta(days=0.5)
+            elif num >= 1:
+                second = cur
+            else:
+                raise TimeParseError(time_string)
+            return trunc(cur), trunc(second), 'time_point', 'accurate'
+        if '内' in time_string:
+            return (self.time_base_handler,
+                    trunc(base_dt + datetime.timedelta(days=num)),
+                    'time_span', 'accurate')
+        if '来' in time_string:
+            return (trunc(base_dt - datetime.timedelta(days=num)),
+                    self.time_base_handler, 'time_span', 'accurate')
+        raise TimeParseError(time_string)
+
+    def norm_week_delta_point(self, time_string):
+        """Week delta→point (time_parser.py:2896-2980).  NOTE: the reference
+        shifts by timedelta(days=N) for N weeks — reproduced as-is."""
+        if self.time_base_handler[2] == -1:
+            raise TimeParseError('time base lacks day')
+        num, definition = self._delta_unit(time_string, self.delta.week_delta)
+        base_dt = handler2datetime(self.time_base_handler)
+        dpw = 7
+
+        def day_h(dt):
+            h = time_base2handler(dt)
+            return h[:3] + [-1, -1, -1]
+
+        if '之前' in time_string or '以前' in time_string:
+            return (_PAST, day_h(base_dt - datetime.timedelta(days=num)),
+                    'time_span', 'blur')
+        if '前' in time_string:
+            cur = base_dt - datetime.timedelta(days=num)
+            return (day_h(cur - datetime.timedelta(days=dpw)), day_h(cur),
+                    'time_point', 'accurate')
+        if '之后' in time_string or '以后' in time_string:
+            return (day_h(base_dt + datetime.timedelta(days=num)), _FUTURE,
+                    'time_span', 'blur')
+        if '后' in time_string:
+            cur = base_dt + datetime.timedelta(days=num)
+            return (day_h(cur), day_h(cur + datetime.timedelta(days=dpw)),
+                    'time_point', 'accurate')
+        if '内' in time_string:
+            return (self.time_base_handler,
+                    day_h(base_dt + datetime.timedelta(days=num)),
+                    'time_span', 'accurate')
+        if '来' in time_string:
+            return (day_h(base_dt - datetime.timedelta(days=num)),
+                    self.time_base_handler, 'time_span', 'accurate')
+        raise TimeParseError(time_string)
+
+    def _coarse_delta_point(self, time_string, pattern, dpu, keep_levels,
+                            frac_extra_level, first_back_step):
+        """month/season/year delta→point shared template
+        (time_parser.py:2982-3261): shift by num·dpu days, truncate to
+        ``keep_levels`` handler slots (one more for fractional deltas)."""
+        if self.time_base_handler[keep_levels - 1] == -1:
+            raise TimeParseError('time base insufficient')
+        num, _definition = self._delta_unit(time_string, pattern)
+        base_dt = handler2datetime(self.time_base_handler)
+
+        def trunc(dt):
+            h = time_base2handler(dt)
+            keep = keep_levels if int(num) == num else \
+                keep_levels + frac_extra_level
+            return h[:keep] + [-1] * (6 - keep)
+
+        if '之前' in time_string or '以前' in time_string:
+            return (_PAST, trunc(base_dt - datetime.timedelta(days=num * dpu)),
+                    'time_span', 'blur')
+        if '前' in time_string:
+            cur = base_dt - datetime.timedelta(days=num * dpu)
+            if first_back_step and num == 0.5:
+                first = cur - datetime.timedelta(days=dpu * 0.5)
+            elif first_back_step and num >= 1:
+                first = cur - datetime.timedelta(days=dpu)
+            elif not first_back_step:
+                if num == 0.5:
+                    first = cur - datetime.timedelta(days=0.5 * dpu)
+                elif num >= 1:
+                    first = cur
+                else:
+                    raise TimeParseError(time_string)
+            else:
+                raise TimeParseError(time_string)
+            return trunc(first), trunc(cur), 'time_span', 'blur'
+        if '之后' in time_string or '以后' in time_string:
+            return (trunc(base_dt + datetime.timedelta(days=num * dpu)),
+                    _FUTURE, 'time_span', 'blur')
+        if '后' in time_string:
+            cur = base_dt + datetime.timedelta(days=num * dpu)
+            if first_back_step and num == 0.5:
+                second = cur + datetime.timedelta(days=dpu * 0.5)
+            elif first_back_step and num >= 1:
+                second = cur + datetime.timedelta(days=dpu)
+            elif not first_back_step:
+                second = cur
+            else:
+                raise TimeParseError(time_string)
+            return trunc(cur), trunc(second), 'time_span', 'blur'
+        if '内' in time_string:
+            return (self.time_base_handler,
+                    trunc(base_dt + datetime.timedelta(days=num * dpu)),
+                    'time_span', 'blur')
+        if '来' in time_string:
+            return (trunc(base_dt - datetime.timedelta(days=num * dpu)),
+                    self.time_base_handler, 'time_span', 'blur')
+        raise TimeParseError(time_string)
+
+    def norm_month_delta_point(self, time_string):
+        return self._coarse_delta_point(
+            time_string, self.delta.month_delta, 30.417,
+            keep_levels=2, frac_extra_level=1, first_back_step=True)
+
+    def norm_season_delta_point(self, time_string):
+        """Season keeps year+month always (no fractional widening)."""
+        return self._coarse_delta_point(
+            time_string, self.delta.season_delta, 30.417 * 3,
+            keep_levels=2, frac_extra_level=0, first_back_step=False)
+
+    def norm_year_delta_point(self, time_string):
+        """Year delta→point with the `2025年内` whole-year special case."""
+        num, _d = self._delta_unit(time_string, self.delta.year_delta)
+        if '内' in time_string and num > 2000 and \
+                '之' not in time_string and '以' not in time_string:
+            h = [int(num), -1, -1, -1, -1, -1]
+            return h, list(h), 'time_span', 'blur'
+        return self._coarse_delta_point(
+            time_string, self.delta.year_delta, 365,
+            keep_levels=1, frac_extra_level=1, first_back_step=False)
 
     # -- hms handlers ----------------------------------------------------------------
 

@@ -26,6 +26,21 @@ PARSE_CASES = [
     '9点之前', '明天8点到10点', '昨天11点到明天晚上',
     '2017年9月10日11:00至2018年', '去年11月到今年3月', '十月一日',
     '6月30日晚上7点半', '正午12点', '2021.9.14', '清晨五点',
+    # delta→point / delta→span families
+    '三天前', '3天后', '三天之后', '10天以前', '5天内', '三天来', '半天前',
+    '两天半后', '三周前', '两个星期后', '俩星期前', '一周内', '3个星期之后',
+    '三个月前', '两个月后', '半个月前', '三个月内', '俩月后', '一个半月后',
+    '两个季度前', '一个季度后', '三个季度内', '三年前', '五年后', '半年前',
+    '三年内', '2025年内', '十年来', '两年半前', '三小时前', '两个小时后',
+    '半小时前', '仨小时后', '两个半小时前', '48小时内', '十分钟前',
+    '5分钟后', '半分钟前', '三分钟内', '十分钟来', '30秒前', '十秒后',
+    '30秒内', '一刻钟前', '两刻钟后', '3刻钟内', '三个工作日后',
+    '5个工作日内', '三个交易日后', '未来三天', '未来两个月', '今后三年',
+    '未来48小时', '未来三个星期', '过去三天', '过去两年', '近三个月',
+    '最近一周', '近三天', '前三个月', '过去24小时', '再过三天', '过三个月',
+    '再过两年', '过两天', '第三年', '第五天', '2025年第三天',
+    '2018年前三个月', '今年前三个月', '2019年后两个月', '首月', '第三个月',
+    '2021年第100天', '去年前三个月',
 ]
 
 EXTRACT_TEXTS = [
