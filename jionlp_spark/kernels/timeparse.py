@@ -521,6 +521,33 @@ class TimeParser:
             '[前后]' + P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + I +
             P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + '(之)?[前后]' + I +
             '(上+|下+|本|这)?(一)?(个)?' + P.WEEK_STRING)
+        self.super_blur_two_ymd = re.compile('^前两(天|(个)?月|年)$')
+        self.super_blur_two_hms = re.compile(
+            '^前两((个)?(小时|钟头)|分钟|秒(钟)?)$')
+        BLUR_MONTH = r'年?(初|[一]开年|伊始|末|尾|终|底|[上下]半年|[暑寒][假期]|[前中后]期)'
+        BLUR_DAY = r'月?([上中下]旬|初|中|底|末)'
+        LUNAR_YEAR = r'([一二三四五六七八九零〇]{2}|[一二三四五六七八九零〇]{4}|[12]\d{3}|\d{2})年'
+        self.blur_month_pattern = re.compile(BLUR_MONTH)
+        self.blur_day_pattern = re.compile(BLUR_DAY)
+        self.year_blur_month = re.compile(''.join(
+            [_b(YS), r'(年)?(初|[一]开年|伊始|末|尾|终|底)|',
+             _ba(YS), r'([上|下]半年|[暑寒][假期]|[前中后]期)']))
+        self.limit_year_blur_month = re.compile(
+            '(' + _b(LYS) + '(年)?|年)' + BLUR_MONTH)
+        self.limit_month_blur_day = re.compile(_b(LMS) + BLUR_DAY)
+        self.year_month_blur_day = re.compile(
+            _ba(LUNAR_YEAR) + _b(MS) + BLUR_DAY)
+        self.limit_year_month_blur_day = re.compile(
+            _b(LYS) + _b(MS) + BLUR_DAY)
+        self.solar_season_pattern = re.compile(
+            '((([第前后头Qq][一二三四1-4两]|首)(个)?|[一二三四1-4])季度[初中末]?)')
+        self.year_solar_season = re.compile(''.join(
+            [_ba(YS), r'(([第前后头Qq]?[一二三四1-4两]|首)(个)?季度'
+                      r'([初末]|中(?!国))?)']))
+        self.limit_year_solar_season = re.compile(''.join(
+            [_b(LYS), r'(([第前后头Qq]?[一二三四1-4两]|首)(个)?季度[初中末]?)']))
+        self.limit_solar_season = re.compile(
+            r'([上下]+(一)?(个)?|本|这)季度[初中末]?')
         self.xianzai = re.compile(P.NOW_STRING)
         self.span_month = re.compile(
             '([第前后头]([一二两三四五六七八九十]|十[一二]|[1-9]|1[012])|首)(个)?月(份)?')
@@ -555,6 +582,24 @@ class TimeParser:
         self.blur_hour = re.compile(P.BLUR_HOUR_STRING)
         self.consecutive_blur_hour = re.compile(''.join(
             [_a(P.BLUR_HOUR_STRING), _b(P.CONSECUTIVE_BLUR_HOUR_STRING)]))
+
+        # blur year / century (time_parser.py:345-354, 616-624)
+        self.blur_year = re.compile(
+            r'(\d{1,4}|[一二两三四五六七八九十百千]+)[几多]?年(半)?(多)?[以之]?[前后]|'
+            r'半年(多)?[以之]?[前|后]|'
+            r'几[十百千](多)?年[以之]?[前|后]')
+        self.century_year = re.compile(
+            r'(公元(前)?)?(\d{1,2}|((二)?十)?[一二三四五六七八九]|(二)?十|上)世纪'
+            r'((\d0|[一二三四五六七八九]十)年代)?([初中末](期)?|前期|后期)?|'
+            r'(\d0|[一二三四五六七八九]十)年代([初中末](期)?|前期|后期)?')
+        self.blur_year_1 = re.compile(
+            r'([12]?\d{1,4}|(?<!几)[一二两三四五六七八九十百千])[几多]?年(半)?(多)?[以之]?[前后]')
+        self.blur_year_2 = re.compile('半年(多)?[以之]?[前后]')
+        self.blur_year_3 = re.compile('几[十百千](多)?年[以之]?[前后]')
+        self.century_pattern = re.compile(
+            r'(\d{1,2}|((二)?十)?[一二三四五六七八九]|(二)?十|上)(?=世纪)')
+        self.decade_pattern = re.compile(r'(\d0|[一二三四五六七八九]十)(?=年代)')
+        self.year_num_pattern = re.compile('[一二两三四五六七八九十百千0-9]{1,4}')
 
         # element extractors
         self.year_pattern = re.compile(YS[:-1] + r'(?=年)')
@@ -621,15 +666,27 @@ class TimeParser:
         # ordered handler tables (relative order as in
         # time_parser.py:1468-1568 for the supported subset)
         self.ymd_funcs = [
+            (self.super_blur_two_ymd, self.norm_super_blur_two_ymd),
             (self.standard_ymd, self.norm_standard_ymd),
             (self.standard_2_ymd, self.norm_standard_2_ymd),
+            (self.limit_year_month_blur_day,
+             self.norm_limit_year_month_blur_day),
+            (self.year_month_blur_day, self.norm_year_month_blur_day),
+            (self.limit_year_solar_season,
+             self.norm_limit_year_solar_season),
+            (self.limit_solar_season, self.norm_limit_solar_season),
+            (self.year_solar_season, self.norm_year_solar_season),
             (self.standard_week_day, self.norm_standard_week_day),
             (self.blur_week, self.norm_blur_week),
+            (self.limit_year_blur_month, self.norm_limit_year_blur_month),
+            (self.limit_month_blur_day, self.norm_limit_month_blur_day),
             (self.limit_month_limit_span_day,
              self.norm_limit_month_limit_span_day),
             (self.limit_month_day, self.norm_limit_month_day),
             (self.limit_month, self.norm_limit_month),
             (self.month_limit_span_day, self.norm_month_limit_span_day),
+            (self.year_blur_month, self.norm_year_blur_month),
+            (self.century_year, self.norm_century_year),
             (self.limit_year_span_month, self.norm_limit_year_span_month),
             (self.year_span_month, self.norm_year_span_month),
             (self.year_day_order_dp, self.norm_year_day_order_delta_point),
@@ -646,12 +703,14 @@ class TimeParser:
             (self.season_dp, self.norm_season_delta_point),
             (self.year_dp, self.norm_year_delta_point),
             (self.limit_ymd, self.norm_limit_ymd),
+            (self.blur_year, self.norm_blur_year),
             (self.limit_day, self.norm_limit_day),
             (self.ymd, self.norm_ymd),
             (self.standard_year, self.norm_standard_year),
             (self.special_span, self.norm_special_span),
         ]
         self.hms_funcs = [
+            (self.super_blur_two_hms, self.norm_super_blur_two_hms),
             (self.second_dp, self.norm_second_delta_point),
             (self.minute_dp, self.norm_minute_delta_point),
             (self.quarter_dp, self.norm_quarter_delta_point),
@@ -1372,6 +1431,187 @@ class TimeParser:
             return fp.handler(), sp.handler(), 'time_point', 'blur'
         raise TimeParseError(time_string)
 
+    # -- blur month / blur day / solar season (time_parser.py:1969-2185,
+    #    3321-3364, 3407-3415, 3472-3525, 4026-4061) ------------------------
+
+    _BLUR_MONTH_RULES = [
+        (('初',), (1, 2)), (('开年', '伊始'), (1, 1)),
+        (('末', '尾', '终', '底'), (11, 12)),
+        (('上半年',), (1, 6)), (('下半年',), (7, 12)),
+        (('暑',), (7, 8)), (('寒',), (2, 2)),
+        (('前期',), (1, 3)), (('中期',), (4, 9)), (('后期',), (10, 12)),
+    ]
+
+    def _normalize_blur_month(self, time_string):
+        m = self.blur_month_pattern.search(time_string)
+        if m is None:
+            return -1, -1
+        s = m.group()
+        for keywords, (f, sm) in self._BLUR_MONTH_RULES:
+            if any(kw in s for kw in keywords):
+                return f, sm
+        raise TimeParseError(time_string)
+
+    def norm_year_blur_month(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+        fp.month, sp.month = self._normalize_blur_month(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    def norm_limit_year_blur_month(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, sp.year = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        fp.month, sp.month = self._normalize_blur_month(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    _BLUR_DAY_RULES = [
+        ('上旬', (1, 10)), ('中旬', (11, 20)), ('下旬', (21, -1)),
+        ('初', (1, 5)), ('中', (10, 20)), ('底', (25, -1)), ('末', (25, -1)),
+    ]
+
+    def _normalize_blur_day(self, time_string, fp, sp):
+        m = self.blur_day_pattern.search(time_string)
+        if m is None:
+            fp.day = sp.day = -1
+            return fp, sp
+        s = m.group()
+        for keyword, (f, sd) in self._BLUR_DAY_RULES:
+            if keyword in s:
+                fp.day, sp.day = int(f), int(sd)
+                return fp, sp
+        raise TimeParseError(time_string)
+
+    def norm_limit_month_blur_day(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp, sp = self._normalize_limit_month(
+            time_string, self.time_base_handler, fp, sp)
+        fp, sp = self._normalize_blur_day(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_point', \
+            'blur' if fp.handler()[2] < 0 else 'accurate'
+
+    def norm_year_month_blur_day(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+        m = self.month_pattern.search(time_string)
+        if m:
+            fp.month = sp.month = int(self.char_num2num(m.group(1)))
+        fp, sp = self._normalize_blur_day(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    def norm_limit_year_month_blur_day(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, sp.year = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        m = self.month_pattern.search(time_string)
+        if m:
+            fp.month = sp.month = int(self.char_num2num(m.group(1)))
+        fp, sp = self._normalize_blur_day(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    _SEASON_MONTHS = {'1': (1, 3), '一': (1, 3), '首': (1, 3),
+                      '2': (4, 6), '二': (4, 6),
+                      '3': (7, 9), '三': (7, 9),
+                      '4': (10, 12), '四': (10, 12)}
+
+    def _normalize_solar_season(self, time_string):
+        """第N季度(初|中|末) / 前N季度 / 后N季度 (time_parser.py:2033-2163)."""
+        m = self.solar_season_pattern.search(time_string)
+        if m is None:
+            return -1, -1
+        s = m.group()
+
+        def pick(q_first, with_sub=True):
+            base = q_first  # first month of quarter
+            if with_sub:
+                if '初' in s:
+                    return base, base
+                if '中' in s:
+                    return base + 1, base + 1
+                if '末' in s:
+                    return base + 2, base + 2
+            return base, base + 2
+
+        for key in ('1一首', '2二', '3三', '4四'):
+            if any(c in s for c in key):
+                q = {'1': 1, '2': 4, '3': 7, '4': 10}[key[0]]
+                if key[0] != '4':
+                    if '第' in s:
+                        return pick(q)
+                    if '前' in s or '头' in s:
+                        return 1, q + 2
+                    if '后' in s:
+                        return 13 - q - 2, 12
+                    return pick(q)
+                return pick(q)
+        if '前两' in s or '头两' in s:
+            return 1, 6
+        if '后两' in s:
+            return 7, 12
+        raise TimeParseError(time_string)
+
+    def norm_year_solar_season(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+        fp.month, sp.month = self._normalize_solar_season(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_year_solar_season(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, sp.year = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        fp.month, sp.month = self._normalize_solar_season(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_solar_season(self, time_string):
+        """上/下/本季度(初|中|末) (time_parser.py:1969-2031)."""
+        fp, sp = TimePoint(), TimePoint()
+        base = self.time_base_handler
+        if base[1] == -1 or base[1] > 12:
+            raise TimeParseError(time_string)
+        infos = [[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]]
+        spans = ['初', '中', '末']
+
+        def assign(idx_shift_sign, count):
+            for idx, item in enumerate(infos):
+                if base[1] not in item:
+                    continue
+                if idx_shift_sign < 0:
+                    season_idx = idx - count % 4
+                    year_gap = (idx - count) // 4
+                else:
+                    season_idx = idx + count % 4 - 4
+                    year_gap = (idx + count) // 4
+                matched = False
+                for i, span in enumerate(spans):
+                    if span in time_string:
+                        fp.month = sp.month = infos[season_idx][i]
+                        matched = True
+                        break
+                if not matched:
+                    fp.month = infos[season_idx][0]
+                    sp.month = infos[season_idx][2]
+                fp.year = sp.year = base[0] + year_gap
+
+        if '上' in time_string:
+            assign(-1, time_string.count('上'))
+        elif '下' in time_string:
+            assign(1, time_string.count('下'))
+        elif '这' in time_string or '本' in time_string:
+            for item in infos:
+                if base[1] in item:
+                    fp.month = item[0]
+                    sp.month = item[2]
+        else:
+            raise TimeParseError(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
     def _normalize_span_month(self, time_string):
         """前N个月 → [1,N]; 后N个月 → [13-N,12]; 第N个月 → [N,N]; 首月 → [1,1]
         (time_parser.py:2187-2214)."""
@@ -1435,6 +1675,246 @@ class TimeParser:
         fp.day = fp.day + n - 1
         sp.day = sp.day + n - 1
         return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_super_blur_two_ymd(self, time_string):
+        """前两天/前两(个)月/前两年 — colloquial fuzzy counts
+        (time_parser.py:1835-1872)."""
+        fp, sp = TimePoint(), TimePoint()
+        base = self.time_base_handler
+        if '前' in time_string:
+            if '年' in time_string:
+                fp.year = base[0] - 5
+                sp.year = base[0] - 2
+            elif '月' in time_string:
+                base_dt = handler2datetime(base)
+                f_dt = base_dt - datetime.timedelta(days=30.417 * 2)
+                s_dt = base_dt - datetime.timedelta(days=30.417 * 1)
+                fp.assign(*tuple(f_dt.utctimetuple())[:2])
+                sp.assign(*tuple(s_dt.utctimetuple())[:2])
+            elif '天' in time_string:
+                base_dt = handler2datetime(base)
+                f_dt = base_dt - datetime.timedelta(days=7)
+                s_dt = base_dt - datetime.timedelta(days=2)
+                fp.assign(*tuple(f_dt.utctimetuple())[:3])
+                sp.assign(*tuple(s_dt.utctimetuple())[:3])
+            else:
+                raise TimeParseError(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    def norm_super_blur_two_hms(self, time_string):
+        """前两(个)小时/分钟/秒 (time_parser.py:1874-1915)."""
+        fp, sp = TimePoint(), TimePoint()
+        base = self.time_base_handler
+        base_dt = handler2datetime(base)
+        if '前' in time_string:
+            if '小时' in time_string or '钟头' in time_string:
+                if base[3] <= -1:
+                    raise TimeParseError('hour must exist')
+                fp.assign(*tuple((base_dt - datetime.timedelta(hours=6))
+                                 .utctimetuple())[:4])
+                sp.assign(*tuple((base_dt - datetime.timedelta(hours=2))
+                                 .utctimetuple())[:4])
+            elif '分' in time_string:
+                if base[4] <= -1:
+                    raise TimeParseError('minute must exist')
+                fp.assign(*tuple((base_dt - datetime.timedelta(minutes=9))
+                                 .utctimetuple())[:5])
+                sp.assign(*tuple((base_dt - datetime.timedelta(minutes=2))
+                                 .utctimetuple())[:5])
+            elif '秒' in time_string:
+                if base[5] <= -1:
+                    raise TimeParseError('second must exist')
+                fp.assign(*tuple((base_dt - datetime.timedelta(seconds=9))
+                                 .utctimetuple())[:6])
+                sp.assign(*tuple((base_dt - datetime.timedelta(seconds=2))
+                                 .utctimetuple())[:6])
+            else:
+                raise TimeParseError(time_string)
+        return fp.handler(), sp.handler(), 'time_span', 'blur', [0, '弱']
+
+    def norm_century_year(self, time_string):
+        """世纪/年代 (time_parser.py:3563-3643)."""
+        century_m = self.century_pattern.search(time_string)
+        decade_m = self.decade_pattern.search(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        christ_era = '公元前' not in time_string
+
+        century = None
+        if century_m is not None:
+            century = 20 if '上世纪' in time_string \
+                else int(self.char_num2num(century_m.group()))
+        decade = int(self.char_num2num(decade_m.group())) \
+            if decade_m is not None else None
+
+        if century is None:
+            year = (1900 if decade > 20 else 2000) + decade
+            if '初期' in time_string or '初' in time_string or \
+                    '前' in time_string:
+                fy, sy = year, year + 2
+            elif '中期' in time_string or '中' in time_string:
+                fy, sy = year + 3, year + 6
+            elif '末期' in time_string or '末' in time_string or \
+                    '后' in time_string:
+                fy, sy = year + 7, year + 9
+            else:
+                fy, sy = year, year + 9
+        elif decade is None:
+            year = (century - 1) * 100 if christ_era else -century * 100
+            if '初期' in time_string or '初' in time_string or \
+                    '前' in time_string:
+                fy, sy = year, year + 19
+            elif '中期' in time_string or '中' in time_string:
+                fy, sy = year + 20, year + 79
+            elif '末期' in time_string or '末' in time_string or \
+                    '后' in time_string:
+                fy, sy = year + 80, year + 99
+            else:
+                fy, sy = year, year + 99
+        else:
+            year = ((century - 1) * 100 if christ_era
+                    else -century * 100) + decade
+            if '初期' in time_string or '初' in time_string or \
+                    '前期' in time_string:
+                fy, sy = year, year + 2
+            elif '中期' in time_string or '中' in time_string:
+                fy, sy = year + 3, year + 6
+            elif '末期' in time_string or '末' in time_string or \
+                    '后' in time_string:
+                fy, sy = year + 7, year + 9
+            else:
+                fy, sy = year, year + 9
+
+        fp.year, sp.year = fy, sy
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    def norm_blur_year(self, time_string):
+        """模糊年：二十多年前 / 半年前 / 几十年后 (time_parser.py:3666-3834)."""
+        b1 = self.blur_year_1.search(time_string)
+        b2 = self.blur_year_2.search(time_string)
+        b3 = self.blur_year_3.search(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        base = self.time_base_handler
+        first_month = second_month = -1
+
+        if b1 is not None:
+            year_num = int(self.char_num2num(
+                self.year_num_pattern.search(time_string).group()))
+            if '几' in time_string or ('多' in time_string and
+                                       time_string.index('多') <
+                                       time_string.index('年')):
+                if '年前' in time_string or '年之前' in time_string or \
+                        '年以前' in time_string:
+                    if year_num % 1000 == 0:
+                        first_year = base[0] - year_num - 1000
+                    elif year_num % 100 == 0:
+                        first_year = base[0] - year_num - 100
+                    elif year_num % 10 == 0:
+                        first_year = base[0] - year_num - 10
+                    else:
+                        raise TimeParseError(time_string)
+                    second_year = base[0] - year_num
+                elif '年后' in time_string or '年之后' in time_string or \
+                        '年以后' in time_string:
+                    first_year = base[0] + year_num
+                    if year_num % 1000 == 0:
+                        second_year = base[0] + year_num + 1000
+                    elif year_num % 100 == 0:
+                        second_year = base[0] + year_num + 100
+                    elif year_num % 10 == 0:
+                        second_year = base[0] + year_num + 10
+                    else:
+                        raise TimeParseError(time_string)
+                else:
+                    raise TimeParseError(time_string)
+            elif '年半' in time_string:
+                m = base[1]
+                if '前' in time_string:
+                    if 3 < m <= 9:
+                        first_year = base[0] - year_num - 1
+                        first_month = m + 3
+                        second_year = base[0] - year_num
+                        second_month = m - 3
+                    elif 0 < m <= 3:
+                        first_year = second_year = base[0] - year_num
+                        first_month, second_month = m + 3, m + 9
+                    elif m > 9:
+                        first_year = second_year = base[0] - year_num
+                        first_month, second_month = m - 9, m - 3
+                    else:
+                        first_year = second_year = base[0] - year_num
+                elif '后' in time_string:
+                    if 3 < m <= 9:
+                        first_year = base[0] + year_num
+                        first_month = m + 3
+                        second_year = base[0] + year_num + 1
+                        second_month = m - 3
+                    elif 0 < m <= 3:
+                        first_year = second_year = base[0] + year_num
+                        first_month, second_month = m + 3, m + 9
+                    elif m > 9:
+                        first_year = second_year = base[0] + year_num + 1
+                        first_month, second_month = m - 9, m - 3
+                    else:
+                        first_year = second_year = base[0] + year_num
+                else:
+                    raise TimeParseError(time_string)
+            else:
+                if '前' in time_string:
+                    first_year = second_year = base[0] - year_num
+                elif '后' in time_string:
+                    first_year = second_year = base[0] + year_num
+                else:
+                    raise TimeParseError(time_string)
+        elif b2 is not None:
+            m = base[1]
+            if '前' in time_string:
+                if 3 < m <= 9:
+                    first_year, first_month = base[0] - 1, m + 3
+                    second_year, second_month = base[0], m - 3
+                elif 0 < m <= 3:
+                    first_year = second_year = base[0]
+                    first_month, second_month = m + 3, m + 9
+                elif m > 9:
+                    first_year = second_year = base[0]
+                    first_month, second_month = m - 9, m - 3
+                else:
+                    first_year = second_year = base[0]
+            elif '后' in time_string:
+                if 3 < m <= 9:
+                    first_year, first_month = base[0], m + 3
+                    second_year, second_month = base[0] + 1, m - 3
+                elif 0 < m <= 3:
+                    first_year = second_year = base[0]
+                    first_month, second_month = m + 3, m + 9
+                elif m > 9:
+                    first_year = second_year = base[0] + 1
+                    first_month, second_month = m - 9, m - 3
+                else:
+                    first_year = second_year = base[0]
+            else:
+                raise TimeParseError(time_string)
+        elif b3 is not None:
+            scales = {'几十': (20, 100), '几百': (200, 1000),
+                      '几千': (2000, 10000)}
+            for key, (lo, hi) in scales.items():
+                if key in time_string:
+                    if '前' in time_string:
+                        first_year = base[0] - hi
+                        second_year = base[0] - lo
+                    elif '后' in time_string:
+                        first_year = base[0] + lo
+                        second_year = base[0] + hi
+                    else:
+                        raise TimeParseError(time_string)
+                    break
+            else:
+                raise TimeParseError(time_string)
+        else:
+            raise TimeParseError(time_string)
+
+        fp.year, sp.year = first_year, second_year
+        fp.month, sp.month = first_month, second_month
+        return fp.handler(), sp.handler(), 'time_span', 'blur'
 
     def norm_xianzai(self, time_string):
         fp, sp = TimePoint(), TimePoint()
