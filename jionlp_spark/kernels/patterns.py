@@ -329,6 +329,28 @@ MINUTE_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?分(钟)?(半)?', TP
 SECOND_DELTA_STRING = ''.join([DELTA_NUM_STRING, r'[多余]?秒(钟)?'])
 DELTA_SUB = r'([之以]?[内前后来])'
 
+# lunar / festival / solar-term strings (rule_pattern.py:363-425)
+LUNAR_YEAR_STRING = r'([一二三四五六七八九零〇]{2}|[一二三四五六七八九零〇]{4}|[12]\d{3}|\d{2})年'
+LUNAR_MONTH_STRING = r'(闰)?([正一二三四五六七八九十冬腊]|十[一二]|[1-9]|1[012])月'
+SELF_EVI_LUNAR_MONTH_STRING = r'((闰)?[正冬腊]|闰([一二三四五六七八九十]|十[一二]|[1-9]|1[012]))月'
+LUNAR_SOLAR_DAY_STRING = r'((初|(二)?十|廿)[一二三四五六七八九]|[初二三]十|初([1-9]|10)|[12]\d|3[01]|[0]?[1-9])'
+LUNAR_DAY_STRING = r'((初|(二)?十|廿)[一二三四五六七八九]|[初二三]十|初([1-9]|10))'
+SELF_EVI_LUNAR_DAY_STRING = r'([初廿]([一二三四五六七八九十1-9]|10))'
+LU_STRING = r'([农阴]历)'
+CONJ_STRING = r'([的地得])'
+SOLAR_TERM_STRING = (r'(立春|雨水|惊蛰|春分|清明|谷雨|立夏|小满|芒种|夏至|小暑|大暑|'
+                     r'立秋|处暑|白露|秋分|寒露|霜降|立冬|小雪|大雪|冬至|小寒|大寒)')
+FIXED_SOLAR_FESTIVAL = (
+    r'((元旦|十一(?![点时分秒]))|(三八|五一|六一|七一|八一|国庆|圣诞)(节)?|'
+    r'((三八)?妇女|女神|植树|(五一)?劳动|(五四)?青年|(六一)?儿童|(七一)?建党|(八一)?建军|教师|情人|愚人|万圣|护士)节|'
+    r'地球日|三[\.•·・]?一五|双(十一|11)|(.{1,4})?消费者权益日)')
+FIXED_LUNAR_FESTIVAL = (
+    r'((春|填仓|上巳|寒食|浴佛|姑姑|财神|下元|寒衣)节|'
+    r'(龙抬头|除夕)|'
+    r'(大年(初[一二三四五六七八九十]|三十))|'
+    r'(端午|端阳|七夕|元宵|中秋|重阳|腊八|中元)(节)?)')
+REGULAR_FOREIGN_FESTIVAL = r'(感恩|母亲|父亲)节'
+
 # time NER candidate char-class sweep (rule_pattern.py:458-469)
 TIME_CHAR_STRING = ''.join(
     [r'(现在|开始|黎明|过去|未来|愚人|感恩|圣诞|情人|儿童|劳动|父亲|母亲|礼拜|霜降|立春|立冬|小寒|大寒|',

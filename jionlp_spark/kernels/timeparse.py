@@ -450,6 +450,56 @@ _LIMIT_YEAR_RULES = [
 ]
 
 
+_FIXED_SOLAR_HOLIDAYS = {
+    '元旦': [1, 1], '妇女节': [3, 8], '女神节': [3, 8], '三八': [3, 8],
+    '植树节': [3, 12], '五一': [5, 1], '劳动节': [5, 1], '青年节': [5, 4],
+    '六一': [6, 1], '儿童节': [6, 1], '七一': [7, 1], '建党节': [7, 1],
+    '八一': [8, 1], '建军节': [8, 1], '教师节': [9, 10], '国庆节': [10, 1],
+    '十一': [10, 1], '国庆': [10, 1], '清明节': [4, 5],
+    '情人节': [2, 14], '愚人节': [4, 1], '万圣节': [10, 31], '圣诞': [12, 25],
+    '地球日': [4, 22], '护士节': [5, 12], '三一五': [3, 15],
+    '消费者权益日': [3, 15], '三.一五': [3, 15], '三·一五': [3, 15],
+    '双11': [11, 11], '双十一': [11, 11], '双十二': [12, 12], '双12': [12, 12],
+}
+_FIXED_LUNAR_HOLIDAYS = {
+    '春节': [1, 1], '大年初一': [1, 1], '大年初二': [1, 2], '大年初三': [1, 3],
+    '大年初四': [1, 4], '大年初五': [1, 5], '大年初六': [1, 6],
+    '大年初七': [1, 7], '大年初八': [1, 8], '大年初九': [1, 9],
+    '大年初十': [1, 10], '元宵': [1, 15], '填仓节': [1, 25], '龙抬头': [2, 2],
+    '上巳节': [3, 3], '寒食节': [4, 3], '浴佛节': [4, 8], '端午': [5, 5],
+    '端阳': [5, 5], '姑姑节': [6, 6], '七夕': [7, 7], '中元': [7, 15],
+    '财神节': [7, 22], '中秋': [8, 15], '重阳': [9, 9], '下元节': [10, 15],
+    '寒衣节': [10, 1], '腊八': [12, 8], '除夕': [12, 30], '大年三十': [12, 30],
+}
+_REGULAR_SOLAR_HOLIDAYS = {
+    '母亲节': {'month': 5, 'week': 2, 'day': 7},
+    '父亲节': {'month': 6, 'week': 3, 'day': 7},
+    '感恩节': {'month': 11, 'week': 4, 'day': 4},
+}
+
+_20C_ST_KEYS = [6.11, 20.84, 4.6295, 19.4599, 6.3826, 21.4155, 5.59, 20.888,
+                6.318, 21.86, 6.5, 22.2, 7.928, 23.65, 8.35, 23.95, 8.44,
+                23.822, 9.098, 24.218, 8.218, 23.08, 7.9, 22.6]
+_21C_ST_KEYS = [5.4055, 20.12, 3.87, 18.73, 5.63, 20.646, 4.81, 20.1, 5.52,
+                21.04, 5.678, 21.37, 7.108, 22.83, 7.5, 23.13, 7.646, 23.042,
+                8.318, 23.438, 7.438, 22.36, 7.18, 21.94]
+_ST_NAMES = ['小寒', '大寒', '立春', '雨水', '惊蛰', '春分', '清明', '谷雨',
+             '立夏', '小满', '芒种', '夏至', '小暑', '大暑', '立秋', '处暑',
+             '白露', '秋分', '寒露', '霜降', '立冬', '小雪', '大雪', '冬至']
+_ST_MONTHS = ['1', '1', '2', '2', '3', '3', '4', '4', '5', '5', '6', '6',
+              '7', '7', '8', '8', '9', '9', '10', '10', '11', '11', '12',
+              '12']
+_ST_SPECIALS = {
+    '小寒': [(2019, -1), (1982, 1)], '大寒': [(2082, 1)],
+    '雨水': [(2026, -1)], '春分': [(2084, 1)], '立夏': [(1911, 1)],
+    '小满': [(2008, 1)], '芒种': [(1902, 1)], '小暑': [(2016, 1), (1925, 1)],
+    '大暑': [(1922, 1)], '立秋': [(2002, 1)], '白露': [(1927, 1)],
+    '寒露': [(2088, 0)], '霜降': [(2089, 1)], '立冬': [(2089, 1)],
+    '小雪': [(1978, 0)], '大雪': [(1954, 1)],
+    '冬至': [(2021, -1), (1918, -1)],
+}
+
+
 class TimeParser:
     def __init__(self) -> None:
         self.delta = TimeDeltaParser()
@@ -457,6 +507,7 @@ class TimeParser:
         self.time_base_handler = None
         self.string_strict = False
         self.ret_future = False
+        self.lunar_date = True
 
     # -- patterns -------------------------------------------------------------
 
@@ -521,6 +572,56 @@ class TimeParser:
             '[前后]' + P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + I +
             P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + '(之)?[前后]' + I +
             '(上+|下+|本|这)?(一)?(个)?' + P.WEEK_STRING)
+        # lunar / festival / solar-term patterns (time_parser.py:362-496)
+        LU = P.LU_STRING
+        LU_A = _a(LU)
+        CONJ_A = _a(P.CONJ_STRING)
+        LYSTR = P.LUNAR_YEAR_STRING
+        LMSTR = P.LUNAR_MONTH_STRING
+        self.lunar_ymd = re.compile(''.join([
+            LU_A, _ba(LYSTR), LU_A, _ba(LMSTR),
+            P.SELF_EVI_LUNAR_DAY_STRING, I,
+            LU_A, _ba(LYSTR), LU_A, _b(P.SELF_EVI_LUNAR_MONTH_STRING),
+            _a(P.LUNAR_SOLAR_DAY_STRING), I,
+            _b(LYSTR), LU, _b(LMSTR), _b(P.DAY_STRING), I,
+            LU, _b(LYSTR), _b(LMSTR), I,
+            _b(LYSTR), LU, _b(LMSTR), I,
+            LU_A, _b(LMSTR), P.LUNAR_DAY_STRING, I,
+            LU, _b(LMSTR), I,
+            LU, _b(LYSTR), I,
+            LU, P.LUNAR_DAY_STRING]))
+        self.lunar_limit_ymd = re.compile(''.join([
+            LU_A, _b(LYS), LU_A, _b(LMSTR),
+            P.SELF_EVI_LUNAR_DAY_STRING, I,
+            _b(LYS), LU_A, _b(P.SELF_EVI_LUNAR_MONTH_STRING),
+            _a(P.LUNAR_SOLAR_DAY_STRING), I,
+            LU_A, _b(LYS), LU_A, _b(LMSTR), P.LUNAR_DAY_STRING, I,
+            LU, _b(LYS), I,
+            LU, _b(LYS), _b(LMSTR), I,
+            _b(LYS), LU, _b(LMSTR)]))
+        self.year_24st = re.compile(_ba(LYSTR) + P.SOLAR_TERM_STRING)
+        self.year_lunar_season = re.compile(''.join(
+            [_ba(LYSTR), r'[春夏秋冬][季天]|', _b(LYSTR), r'[春夏秋冬]']))
+        self.limit_year_lunar_season = re.compile(
+            _b(P.LIMIT_YEAR_STRING) + r'[春夏秋冬][季天]?')
+        self.year_fixed_solar_festival = re.compile(
+            _ba(P.YEAR_STRING) + P.FIXED_SOLAR_FESTIVAL)
+        self.limit_year_fixed_solar_festival = re.compile(
+            _b(P.LIMIT_YEAR_STRING) + P.FIXED_SOLAR_FESTIVAL)
+        self.year_fixed_lunar_festival = re.compile(''.join(
+            [_ba(P.YEAR_STRING), CONJ_A, LU_A, P.FIXED_LUNAR_FESTIVAL]))
+        self.limit_year_fixed_lunar_festival = re.compile(''.join(
+            [_b(P.LIMIT_YEAR_STRING), CONJ_A, LU_A, P.FIXED_LUNAR_FESTIVAL,
+             _a(P.TIME_POINT_SUFFIX)]))
+        self.year_regular_solar_festival = re.compile(
+            _ba(P.YEAR_STRING) + P.REGULAR_FOREIGN_FESTIVAL)
+        self.limit_year_regular_solar_festival = re.compile(
+            _ba(P.LIMIT_YEAR_STRING) + P.REGULAR_FOREIGN_FESTIVAL)
+        self.lunar_month_pattern = re.compile(_b(LMSTR[:-1]) + '(?=月)')
+        self.lunar_day_pattern = re.compile(P.LUNAR_DAY_STRING + '(?!月)')
+        self.lunar_24st_pattern = re.compile(P.SOLAR_TERM_STRING)
+        self.lunar_season_pattern = re.compile('([春夏秋冬][季天]?)')
+
         self.super_blur_two_ymd = re.compile('^前两(天|(个)?月|年)$')
         self.super_blur_two_hms = re.compile(
             '^前两((个)?(小时|钟头)|分钟|秒(钟)?)$')
@@ -669,6 +770,9 @@ class TimeParser:
             (self.super_blur_two_ymd, self.norm_super_blur_two_ymd),
             (self.standard_ymd, self.norm_standard_ymd),
             (self.standard_2_ymd, self.norm_standard_2_ymd),
+            (self.year_24st, self.norm_year_24st),
+            (self.limit_year_lunar_season, self.norm_limit_year_lunar_season),
+            (self.year_lunar_season, self.norm_year_lunar_season),
             (self.limit_year_month_blur_day,
              self.norm_limit_year_month_blur_day),
             (self.year_month_blur_day, self.norm_year_month_blur_day),
@@ -702,9 +806,23 @@ class TimeParser:
             (self.month_dp, self.norm_month_delta_point),
             (self.season_dp, self.norm_season_delta_point),
             (self.year_dp, self.norm_year_delta_point),
+            (self.limit_year_fixed_solar_festival,
+             self.norm_limit_year_fixed_solar_festival),
+            (self.limit_year_fixed_lunar_festival,
+             self.norm_limit_year_fixed_lunar_festival),
+            (self.year_fixed_lunar_festival,
+             self.norm_year_fixed_lunar_festival),
+            (self.limit_year_regular_solar_festival,
+             self.norm_limit_year_regular_solar_festival),
+            (self.year_regular_solar_festival,
+             self.norm_year_regular_solar_festival),
+            (self.lunar_limit_ymd, self.norm_lunar_limit_ymd),
             (self.limit_ymd, self.norm_limit_ymd),
             (self.blur_year, self.norm_blur_year),
             (self.limit_day, self.norm_limit_day),
+            (self.year_fixed_solar_festival,
+             self.norm_year_fixed_solar_festival),
+            (self.lunar_ymd, self.norm_lunar_ymd),
             (self.ymd, self.norm_ymd),
             (self.standard_year, self.norm_standard_year),
             (self.special_span, self.norm_special_span),
@@ -1675,6 +1793,241 @@ class TimeParser:
         fp.day = fp.day + n - 1
         sp.day = sp.day + n - 1
         return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    # -- lunar dates / festivals / solar terms (time_parser.py:3836-4592,
+    #    4879-4941) -----------------------------------------------------------
+
+    def _parse_solar_terms(self, year, term):
+        keys = _20C_ST_KEYS if (19 == year // 100 or year == 2000) \
+            else _21C_ST_KEYS
+        idx = _ST_NAMES.index(term)
+        if term in ('小寒', '大寒', '立春', '雨水'):
+            flag_day = int((year % 100) * 0.2422 + keys[idx]) \
+                - int((year % 100 - 1) / 4)
+        else:
+            flag_day = int((year % 100) * 0.2422 + keys[idx]) \
+                - int((year % 100) / 4)
+        for special_year, offset in _ST_SPECIALS.get(term, ()):
+            if year == special_year:
+                flag_day += offset
+                break
+        return _ST_MONTHS[idx], str(flag_day)
+
+    def _convert_lunar2solar(self, lunar_handler, leap_month):
+        from .lunar import lunar2solar
+
+        def to_handler(dt):
+            return [dt.year, dt.month, dt.day, -1, -1, -1]
+
+        if lunar_handler[2] == -1:
+            first = lunar2solar(lunar_handler[0], lunar_handler[1], 1,
+                                leap_month)
+            try:
+                second = lunar2solar(lunar_handler[0], lunar_handler[1], 30,
+                                     leap_month)
+            except Exception:
+                second = lunar2solar(lunar_handler[0], lunar_handler[1], 29,
+                                     leap_month)
+            return to_handler(first), to_handler(second)
+        try:
+            solar = lunar2solar(lunar_handler[0], lunar_handler[1],
+                                lunar_handler[2], leap_month)
+        except ValueError:
+            if lunar_handler[1] == 12:  # 除夕 falls on 12-29 in some years
+                solar = lunar2solar(lunar_handler[0], lunar_handler[1], 29,
+                                    leap_month)
+            else:
+                raise
+        h = to_handler(solar)
+        return h, list(h)
+
+    def _lunar_month_day(self, time_string, tp):
+        """Extract lunar month/day into ``tp``; returns leap flag."""
+        leap_month = False
+        m = self.lunar_month_pattern.search(time_string)
+        if m:
+            s = m.group(1)
+            if '闰' in s:
+                leap_month = True
+            s = s.replace('正', '一').replace('冬', '十一') \
+                .replace('腊', '十二').replace('闰', '')
+            tp.month = int(self.char_num2num(s))
+        return leap_month
+
+    def norm_lunar_ymd(self, time_string):
+        lunar_day = self.lunar_day_pattern.search(time_string)
+        use_lunar_day = True
+        if lunar_day is None:
+            lunar_day = self.day_pattern.search(time_string)
+            if lunar_day is not None:
+                use_lunar_day = False
+        tp = TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            tp.year = year
+        leap_month = self._lunar_month_day(time_string, tp)
+        if lunar_day:
+            if use_lunar_day:
+                s = lunar_day.group(0).replace('初', '').replace('廿', '二十')
+            else:
+                s = lunar_day.group(1)
+            tp.day = int(self.char_num2num(s))
+        handler = time_completion(tp.handler(), self.time_base_handler)
+        if self.lunar_date:
+            first, second = self._convert_lunar2solar(handler, leap_month)
+        else:
+            first, second = handler, handler
+        return first, second, 'time_point', 'accurate'
+
+    def norm_lunar_limit_ymd(self, time_string):
+        lunar_day = self.lunar_day_pattern.search(time_string)
+        tp = TimePoint()
+        tp.year, _ = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        leap_month = self._lunar_month_day(time_string, tp)
+        if lunar_day:
+            s = lunar_day.group(0).replace('初', '').replace('廿', '二十')
+            tp.day = int(self.char_num2num(s))
+        handler = time_completion(tp.handler(), self.time_base_handler)
+        first, second = self._convert_lunar2solar(handler, leap_month)
+        return first, second, 'time_point', 'accurate'
+
+    def norm_year_24st(self, time_string):
+        m = self.lunar_24st_pattern.search(time_string)
+        tp = TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            tp.year = year
+        if m:
+            if tp.year == -1:
+                tp.year = self.time_base_handler[0]
+            term = m.group()
+            month_s, day_s = self._parse_solar_terms(tp.year, term)
+            tp.month = int(month_s)
+            tp.day = int(day_s)
+            if term in ('小寒', '大寒'):
+                tp.year += 1
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def _lunar_season_span(self, time_string, fp, sp):
+        m = self.lunar_season_pattern.search(time_string)
+        if m is None:
+            return fp, sp
+        s = m.group()
+        seasons = '春夏秋冬春'
+        for idx in range(4):
+            if seasons[idx] in s:
+                fm, fd = self._parse_solar_terms(fp.year, '立' + seasons[idx])
+                sm, sd = self._parse_solar_terms(fp.year,
+                                                 '立' + seasons[idx + 1])
+                if idx == 3:
+                    sp.year += 1
+                fp.month, sp.month = int(fm), int(sm)
+                fp.day, sp.day = int(fd), int(sd) - 1
+                return fp, sp
+        raise TimeParseError(time_string)
+
+    def norm_year_lunar_season(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        fp.year = sp.year = year if year is not None \
+            else self.time_base_handler[0]
+        fp, sp = self._lunar_season_span(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_year_lunar_season(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, sp.year = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        fp, sp = self._lunar_season_span(time_string, fp, sp)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def _fixed_solar_festival(self, time_string, tp):
+        for festival, (m, d) in sorted(_FIXED_SOLAR_HOLIDAYS.items(),
+                                       key=lambda kv: len(kv[0]),
+                                       reverse=True):
+            if festival in time_string:
+                tp.month, tp.day = m, d
+                break
+        if tp.day < 0:
+            raise TimeParseError(time_string)
+
+    def norm_year_fixed_solar_festival(self, time_string):
+        tp = TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        tp.year = year if year is not None else self.time_base_handler[0]
+        self._fixed_solar_festival(time_string, tp)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_limit_year_fixed_solar_festival(self, time_string):
+        tp = TimePoint()
+        tp.year, _ = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        self._fixed_solar_festival(time_string, tp)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_year_fixed_lunar_festival(self, time_string):
+        tp = TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        tp.year = year if year is not None else self.time_base_handler[0]
+        for festival, (m, d) in _FIXED_LUNAR_HOLIDAYS.items():
+            if festival in time_string:
+                first, _s = self._convert_lunar2solar(
+                    [tp.year, m, d, -1, -1, -1], False)
+                tp.year, tp.month, tp.day = first[0], first[1], first[2]
+                break
+        if tp.day < 0:
+            raise TimeParseError(time_string)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_limit_year_fixed_lunar_festival(self, time_string):
+        tp = TimePoint()
+        tp.year, _ = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        for festival, (m, d) in _FIXED_LUNAR_HOLIDAYS.items():
+            if festival in time_string:
+                first, _s = self._convert_lunar2solar(
+                    [tp.year, m, d, -1, -1, -1], False)
+                tp.month, tp.day = first[1], first[2]
+                break
+        if tp.day < 0:
+            raise TimeParseError(time_string)
+        h = tp.handler()
+        return h, h, 'time_point', self._check_blur(time_string, 'accurate')
+
+    def _regular_solar_festival(self, time_string, tp):
+        for festival, spec in _REGULAR_SOLAR_HOLIDAYS.items():
+            if festival in time_string:
+                tp.month = spec['month']
+                base_dt = handler2datetime(
+                    [tp.year, tp.month, 1, 0, 0, 0])
+                target = self.compute_week_day(base_dt, spec['day'] - 1,
+                                               flag=True)
+                target += datetime.timedelta(days=7) * (spec['week'] - 1)
+                tp.day = time_base2handler(target)[2]
+                break
+        if tp.day < 0:
+            raise TimeParseError(time_string)
+
+    def norm_year_regular_solar_festival(self, time_string):
+        tp = TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        tp.year = year if year is not None else self.time_base_handler[0]
+        self._regular_solar_festival(time_string, tp)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_limit_year_regular_solar_festival(self, time_string):
+        tp = TimePoint()
+        tp.year, _ = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        self._regular_solar_festival(time_string, tp)
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
 
     def norm_super_blur_two_ymd(self, time_string):
         """前两天/前两(个)月/前两年 — colloquial fuzzy counts
