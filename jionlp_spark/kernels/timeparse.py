@@ -566,8 +566,25 @@ class TimeParser:
         self.limit_span_day = re.compile(P.LIMIT_SPAN_DAY_STRING)
         self.limit_month = re.compile(LMS)
         self.limit_day = re.compile(LDS)
+        self.limit_day_inner = re.compile(
+            r'(前|今|明|同一|当|后|大大前|大大后|大前|大后|昨|次)(?=[天日晚])')
         self.standard_week_day = re.compile(
             '(上+|下+|本|这)?(一)?(个)?(周)?' + P.WEEK_STRING + '[一二三四五六日末天]')
+        _ORDER_WEEK = '第[1-5一二三四五](个)?' + P.WEEK_STRING
+        self.limit_week = re.compile(
+            _b(MS) + '(的)?' + _ORDER_WEEK + '[一二三四五六日末天]')
+        self.month_week = re.compile(_b(MS) + '(的)?' + _ORDER_WEEK)
+        self.limit_month_week = re.compile(_b(LMS) + '(的)?' + _ORDER_WEEK)
+        self.year_month_week = re.compile(
+            _b(YS) + _b(MS) + '的?' + _ORDER_WEEK)
+        self.limit_year_month_week = re.compile(
+            _b(LYS) + _b(MS) + '的?' + _ORDER_WEEK)
+        self.year_week = re.compile(
+            _b(YS) + '第' + _b(P.WEEK_NUM_STRING) + '(个)?' + P.WEEK_STRING)
+        self.limit_year_week = re.compile(
+            _b(LYS) + '第' + _b(P.WEEK_NUM_STRING) + '(个)?' + P.WEEK_STRING)
+        self.week_5 = re.compile(
+            '第' + P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING)
         self.blur_week = re.compile(
             '[前后]' + P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + I +
             P.WEEK_NUM_STRING + '(个)?' + P.WEEK_STRING + '(之)?[前后]' + I +
@@ -622,6 +639,9 @@ class TimeParser:
         self.lunar_24st_pattern = re.compile(P.SOLAR_TERM_STRING)
         self.lunar_season_pattern = re.compile('([春夏秋冬][季天]?)')
 
+        self.enum_day = re.compile(''.join(
+            [_ba(P.YEAR_STRING), _ba(P.MONTH_STRING), _b(P.DAY_STRING),
+             _b('[、，, ]' + _b(P.DAY_STRING)), '+']))
         self.super_blur_two_ymd = re.compile('^前两(天|(个)?月|年)$')
         self.super_blur_two_hms = re.compile(
             '^前两((个)?(小时|钟头)|分钟|秒(钟)?)$')
@@ -767,6 +787,7 @@ class TimeParser:
         # ordered handler tables (relative order as in
         # time_parser.py:1468-1568 for the supported subset)
         self.ymd_funcs = [
+            (self.enum_day, self.norm_enum_day),
             (self.super_blur_two_ymd, self.norm_super_blur_two_ymd),
             (self.standard_ymd, self.norm_standard_ymd),
             (self.standard_2_ymd, self.norm_standard_2_ymd),
@@ -780,6 +801,13 @@ class TimeParser:
              self.norm_limit_year_solar_season),
             (self.limit_solar_season, self.norm_limit_solar_season),
             (self.year_solar_season, self.norm_year_solar_season),
+            (self.limit_month_week, self.norm_limit_month_week),
+            (self.month_week, self.norm_month_week),
+            (self.year_month_week, self.norm_year_month_week),
+            (self.limit_year_month_week, self.norm_limit_year_month_week),
+            (self.limit_year_week, self.norm_limit_year_week),
+            (self.year_week, self.norm_year_week),
+            (self.limit_week, self.norm_limit_week),
             (self.standard_week_day, self.norm_standard_week_day),
             (self.blur_week, self.norm_blur_week),
             (self.limit_year_blur_month, self.norm_limit_year_blur_month),
@@ -1299,12 +1327,15 @@ class TimeParser:
         second = time_completion(second, time_base_handler)
 
         if day_bias[1] == '强':
-            for handler in (first, second):
+            # first/second may alias the SAME list (point handlers return
+            # handler, handler) — rebind, never mutate in place
+            def shift(handler):
                 dt = handler2datetime(handler)
                 dt += datetime.timedelta(days=day_bias[0])
                 new = time_base2handler(dt)
-                handler[:] = [i if i == -1 else j
-                              for i, j in zip(handler, new)]
+                return [i if i == -1 else j for i, j in zip(handler, new)]
+            first = shift(first)
+            second = shift(second)
         return first, second, ttype, blur
 
     # -- ymd handlers --------------------------------------------------------------
@@ -1436,7 +1467,10 @@ class TimeParser:
         return fp.handler(), sp.handler(), 'time_point', 'accurate'
 
     def norm_limit_day(self, time_string):
-        m = self.limit_day.search(time_string)
+        # dispatch pattern includes 本 but the inner extractor is the
+        # reference's day_2 variant WITHOUT 本 (time_parser.py:643) — '本日'
+        # therefore falls through to the base-day branch
+        m = self.limit_day_inner.search(time_string)
         tp = TimePoint()
         if m:
             s = m.group()
@@ -2029,6 +2063,23 @@ class TimeParser:
         h = tp.handler()
         return h, h, 'time_point', 'accurate'
 
+    def norm_enum_day(self, time_string):
+        """(年月)?枚举日: 9月10号、11号、12号 → span over min..max day
+        (time_parser.py:1917-1943)."""
+        month = self.month_pattern.search(time_string)
+        day_list = self.day_pattern.findall(time_string)
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+        if month is not None:
+            fp.month = sp.month = int(self.char_num2num(month.group(1)))
+        if day_list:
+            days = [int(item[0]) for item in day_list]
+            fp.day = min(days)
+            sp.day = max(days)
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
     def norm_super_blur_two_ymd(self, time_string):
         """前两天/前两(个)月/前两年 — colloquial fuzzy counts
         (time_parser.py:1835-1872)."""
@@ -2268,6 +2319,150 @@ class TimeParser:
         fp.year, sp.year = first_year, second_year
         fp.month, sp.month = first_month, second_month
         return fp.handler(), sp.handler(), 'time_span', 'blur'
+
+    # -- 第N个星期 group (time_parser.py:4222-4439) ---------------------------
+
+    @staticmethod
+    def _map_units(tp, dt, units):
+        for u in units:
+            setattr(tp, u, getattr(dt, u))
+
+    def _month_order_week(self, time_string, month, year=None):
+        m = self.week_5.search(time_string)
+        if not m:
+            raise TimeParseError(time_string)
+        n = int(self.char_num2num(self.week_num.search(m.group()).group()))
+        day_offset = n * 7
+        first_day = datetime.datetime(
+            year if year is not None else self.time_base_handler[0],
+            month, 1)
+        w = int(first_day.strftime('%w'))
+        if w == 1:
+            pass
+        elif w == 0:
+            day_offset += 1
+        else:
+            day_offset += 7 + 1 - w
+        first = first_day + datetime.timedelta(days=day_offset - 7)
+        second = first_day + datetime.timedelta(days=day_offset - 1)
+        if first.month != month:
+            raise TimeParseError(time_string)
+        return first, second
+
+    def _year_order_week(self, time_string, year):
+        m = self.week_5.search(time_string)
+        if not m:
+            raise TimeParseError(time_string)
+        n = int(self.char_num2num(self.week_num.search(m.group()).group()))
+        day_offset = n * 7
+        first_day = datetime.datetime(year, 1, 1)
+        w = int(first_day.strftime('%w'))
+        if w == 1:
+            pass
+        elif w == 0:
+            day_offset += 1
+        else:
+            day_offset += 7 + 1 - w
+        first = first_day + datetime.timedelta(days=day_offset - 7)
+        second = first_day + datetime.timedelta(days=day_offset - 1)
+        if first.year != year:
+            raise TimeParseError(time_string)
+        return first, second
+
+    def norm_limit_week(self, time_string):
+        """M月第N个星期K → one day (time_parser.py:4222-4271)."""
+        month = self.month_pattern.search(time_string)
+        week_res = self.week_5.search(time_string)
+        week_day = self.week_4.search(time_string)
+        tp = TimePoint()
+        if not month:
+            raise TimeParseError(time_string)
+        mn = self.month_num_pattern.search(month.group())
+        if not mn:
+            raise TimeParseError(time_string)
+        tp.month = int(self.char_num2num(mn.group()))
+        if not (week_res and week_day):
+            raise TimeParseError(time_string)
+        n = int(self.char_num2num(
+            self.week_num.search(week_res.group()).group()))
+        tp.year = self.time_base_handler[0]
+        base_dt = handler2datetime([tp.year, tp.month, 1, 0, 0, 0])
+        wds = week_day.group()
+        for c, i in zip('一二三四五六天末日', [0, 1, 2, 3, 4, 5, 6, 6, 6]):
+            if c in wds:
+                target = self.compute_week_day(base_dt, i, flag=True)
+                break
+        else:
+            raise TimeParseError(time_string)
+        target += datetime.timedelta(days=7) * (n - 1)
+        tp.day = time_base2handler(target)[2]
+        h = tp.handler()
+        return h, h, 'time_point', 'accurate'
+
+    def norm_month_week(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        month = self.month_pattern.search(time_string)
+        if not month:
+            raise TimeParseError(time_string)
+        mn = int(self.char_num2num(
+            self.month_num_pattern.search(month.group()).group()))
+        fp.month = sp.month = mn
+        first, second = self._month_order_week(time_string, mn)
+        self._map_units(fp, first, ('month', 'day'))
+        self._map_units(sp, second, ('year', 'month', 'day'))
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_month_week(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp, sp = self._normalize_limit_month(
+            time_string, self.time_base_handler, fp, sp)
+        first, second = self._month_order_week(time_string, fp.month)
+        self._map_units(fp, first, ('month', 'day'))
+        self._map_units(sp, second, ('year', 'month', 'day'))
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_year_month_week(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        if year is not None:
+            fp.year = sp.year = year
+        m = self.month_pattern.search(time_string)
+        if m:
+            fp.month = sp.month = int(self.char_num2num(m.group(1)))
+        first, second = self._month_order_week(time_string, fp.month, fp.year)
+        self._map_units(fp, first, ('month', 'day'))
+        self._map_units(sp, second, ('year', 'month', 'day'))
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_year_month_week(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, sp.year = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        m = self.month_pattern.search(time_string)
+        if m:
+            fp.month = sp.month = int(self.char_num2num(m.group(1)))
+        first, second = self._month_order_week(time_string, fp.month, fp.year)
+        self._map_units(fp, first, ('month', 'day'))
+        self._map_units(sp, second, ('year', 'month', 'day'))
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_year_week(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        year = self._normalize_year(time_string, self.time_base_handler)
+        fp.year = year if year is not None else self.time_base_handler[0]
+        first, second = self._year_order_week(time_string, fp.year)
+        self._map_units(fp, first, ('month', 'day'))
+        self._map_units(sp, second, ('year', 'month', 'day'))
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
+
+    def norm_limit_year_week(self, time_string):
+        fp, sp = TimePoint(), TimePoint()
+        fp.year, _ = self._normalize_limit_year(
+            time_string, self.time_base_handler)
+        first, second = self._year_order_week(time_string, fp.year)
+        self._map_units(fp, first, ('month', 'day'))
+        self._map_units(sp, second, ('year', 'month', 'day'))
+        return fp.handler(), sp.handler(), 'time_span', 'accurate'
 
     def norm_xianzai(self, time_string):
         fp, sp = TimePoint(), TimePoint()

@@ -101,6 +101,58 @@ def test_time_parser_parity(jio):
             assert ref == got, (c, base, ref, got)
 
 
+def test_reference_golden_time_file(jio):
+    """Replay every case of the reference's own golden test file
+    (/root/reference/test/test_time_parser.py, captured by monkeypatching
+    parse_time) through both parsers — the north_star's 'verified against
+    the repo's own test suite' gate.  Requires 100% agreement."""
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, '/root/reference/test')
+    from test_time_parser import TestTimeParser
+
+    class AnyEq:
+        def __eq__(self, other):
+            return True
+
+        def __ne__(self, other):
+            return False
+
+    captured = []
+    real_parse = jio.parse_time
+    jio.parse_time = lambda s, time_base=None, **kw: (
+        captured.append((s, time_base, kw)), AnyEq())[1]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            try:
+                TestTimeParser('test_time_parser').test_time_parser()
+            except Exception:
+                pass
+    finally:
+        jio.parse_time = real_parse
+
+    from jionlp_spark.kernels.timeparse import get_time_parser
+    tp = get_time_parser()
+    assert len(captured) > 400
+    mismatches = []
+    for s, base, kw in captured:
+        if kw:
+            continue
+        try:
+            ref = real_parse(s, time_base=base)
+        except Exception:
+            ref = ('ERR',)
+        try:
+            got = tp.parse(s, time_base=base)
+        except Exception:
+            got = ('ERR',)
+        if ref != got:
+            mismatches.append((s, ref, got))
+    assert not mismatches, mismatches[:5]
+
+
 def test_time_extractor_parity(jio, sample_texts):
     from jionlp_spark.kernels.time_extract import get_time_extractor
     te = get_time_extractor()
