@@ -12,7 +12,7 @@ import os
 from pyspark.sql import SparkSession
 
 # one Arrow batch per UDF call; bounded so per-batch Python memory stays flat
-ARROW_BATCH_ROWS = 2048
+ARROW_BATCH_ROWS = 512
 
 
 def get_spark(app_name: str = 'jionlp_spark',

@@ -35,12 +35,12 @@ spark = get_spark('scaling', master=f'local[{{cpus}}]',
 spark.sparkContext.setLogLevel('ERROR')
 
 # materialize the input corpus once — the measured job is read→triples
-# (BASELINE.md protocol), not corpus synthesis.  64 files so the scan
+# (BASELINE.md protocol), not corpus synthesis.  256 files so the scan
 # yields enough splits for either parallelism level (a production table
 # always does).
-pages_path = '/tmp/scaling_pages_{n_pages}_p64'
+pages_path = '/tmp/scaling_pages_{n_pages}_p256'
 if not os.path.exists(pages_path):
-    write_pages(spark, pages_path + '.tmp', n_pages, num_partitions=64)
+    write_pages(spark, pages_path + '.tmp', n_pages, num_partitions=256)
     os.rename(pages_path + '.tmp', pages_path)
 
 times = []
@@ -97,7 +97,7 @@ def main() -> None:
         f.write(f"""# BENCH/BASELINE — self-measured numbers
 
 End-to-end KG pipeline (synthetic pages → clean → mentions → link →
-triples), deterministic corpus, Spark 4.1.2, Arrow batch 2048, protocol:
+triples), deterministic corpus, Spark 4.1.2, Arrow batch 512, protocol:
 first run discarded, median of 3 (BASELINE.md).
 
 | metric | local[8] | local[32] |
