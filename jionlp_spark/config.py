@@ -22,6 +22,15 @@ def get_spark(app_name: str = 'jionlp_spark',
     master = master or f'local[{cpus}]'
     shuffle_partitions = shuffle_partitions or max(cpus, 32)
 
+    # make the package importable on executor Python workers regardless of
+    # the driver's cwd (the local-mode stand-in for --py-files: workers read
+    # PYTHONPATH, not the driver's sys.path)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get('PYTHONPATH', '')
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ['PYTHONPATH'] = (pkg_root + os.pathsep + existing
+                                    if existing else pkg_root)
+
     return (
         SparkSession.builder
         .appName(app_name)
