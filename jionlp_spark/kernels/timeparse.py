@@ -966,12 +966,14 @@ class TimeParser:
     # -- public API --------------------------------------------------------------
 
     def parse(self, time_string, time_base=None, time_type=None,
-              strict=False, period_results_num=None) -> dict:
+              strict=False, period_results_num=None,
+              ret_future=False) -> dict:
         """→ {'type', 'definition', 'time'} — mirrors TimeParser.__call__
         (time_parser.py:797-842)."""
         if time_base is None:
             time_base = _time.time()
         self.string_strict = strict
+        self.ret_future = ret_future
         time_string = time_string.strip()
         self.time_base_handler = time_base2handler(time_base)
 
@@ -1252,7 +1254,58 @@ class TimeParser:
             time_string = self._compensate_num_month_num(time_string)
             first, second, time_type, blur = self.parse_time_point(
                 time_string, self.time_base_handler)
+            if self.ret_future:
+                future_string = self._adjust_underlying_future_time(
+                    time_string, first, second)
+                first, second, time_type, blur = self.parse_time_point(
+                    future_string, self.time_base_handler)
         return first, second, time_type, blur
+
+    def _adjust_underlying_future_time(self, time_string, first, second):
+        """ret_future mode: re-anchor past-pointing strings to the future
+        (明年/下个月/下周/明天 prefixes) — time_parser.py:908-1002."""
+        ymd_patterns = [
+            self.year_24st, self.year_lunar_season,
+            self.year_month_blur_day, self.year_solar_season,
+            self.standard_week_day, self.blur_week, self.year_blur_month,
+            self.century_year, self.year_span_month,
+            self.year_order_dp, self.day_order_dp,
+            self.year_fixed_solar_festival, self.year_fixed_lunar_festival,
+            self.year_regular_solar_festival, self.lunar_limit_ymd,
+            self.blur_year, self.lunar_ymd, self.ymd, self.standard_year,
+        ]
+        hms_patterns = [
+            self.hour_minute_second, self.num_hour_minute_second,
+            self.hour_limit_minute, self.blur_hour,
+        ]
+        hit = any(_search(p, time_string) != ''
+                  for p in ymd_patterns + hms_patterns)
+        if not hit:
+            return time_string
+        m = re.search('(年|月|周|星期|礼拜|日|号|节|时|点)', time_string)
+        if not m:
+            return time_string
+        unit = m.group()
+        if unit in ('月', '节'):
+            return '明年' + time_string
+        if unit in ('日', '号'):
+            return '下个月' + time_string
+        if unit in ('周', '星期', '礼拜'):
+            return '下' + time_string
+        if unit in ('时', '点'):
+            base = self.time_base_handler
+            if first[3] != -1 and base[3] != -1:
+                if first[3] > base[3]:
+                    return time_string
+                if first[3] < base[3]:
+                    return '明天' + time_string
+                if first[4] != -1 and base[4] != -1:
+                    if first[4] > base[4]:
+                        return time_string
+                    return '明天' + time_string
+                return '明天' + time_string
+            return '明天' + time_string
+        return time_string
 
     # -- point -------------------------------------------------------------------
 
