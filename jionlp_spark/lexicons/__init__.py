@@ -224,6 +224,70 @@ def admin_code_map(dict_dir: str | None = None) -> dict:
     return out
 
 
+STRUCTURE_NAMES = {
+    0: '一体结构', 1: '左右结构', 2: '上下结构', 3: '左中右结构',
+    4: '上中下结构', 5: '右上包围结构', 6: '左上包围结构', 7: '左下包围结构',
+    8: '全包围结构', 9: '半包围结构'}
+
+_PINYIN_RE = None
+
+
+def load_char_info(dict_dir: str | None = None) -> tuple:
+    """→ (pinyin_phrase, pinyin_char, radical_map).  Parses the JioNLP
+    chinese_char_dictionary / pinyin_phrase formats
+    (dictionary_loader.py:270-321, 471-482) or the vendored ~4k-common-char
+    subset."""
+    import re
+    global _PINYIN_RE
+    if _PINYIN_RE is None:
+        _PINYIN_RE = re.compile(
+            r'\[[a-zàáāǎòóōǒèéēěìíīǐùúūǔǜǘǖǚǹńňüḿ]{1,8}\]')
+
+    d = _dict_dir(dict_dir)
+    phrase: dict = {}
+    pinyin_char: dict = {}
+    radical: dict = {}
+    if d and os.path.exists(os.path.join(d, 'chinese_char_dictionary.txt')):
+        with open(os.path.join(d, 'chinese_char_dictionary.txt'),
+                  encoding='utf-8') as f:
+            for line in f:
+                segs = line.rstrip('\n').split('\t')
+                if len(segs) != 8:
+                    continue
+                pys = [p[1:-1] for p in _PINYIN_RE.findall(segs[7])]
+                if pys:
+                    pinyin_char[segs[0]] = pys
+                radical[segs[0]] = {
+                    'radical': segs[1],
+                    'structure': STRUCTURE_NAMES[int(segs[2])],
+                    'corner_coding': segs[3], 'stroke_order': segs[4],
+                    'wubi_coding': segs[6]}
+        with open(os.path.join(d, 'pinyin_phrase.txt'),
+                  encoding='utf-8') as f:
+            for line in f:
+                key, val = line.rstrip('\n').split('\t')
+                phrase[key] = val.split('/')
+        return phrase, pinyin_char, radical
+
+    with open(os.path.join(_DATA_DIR, 'char_info.tsv'),
+              encoding='utf-8') as f:
+        for line in f:
+            ch, rad, struct, corner, stroke, wubi, pys = \
+                line.rstrip('\n').split('\t')
+            if pys:
+                pinyin_char[ch] = pys.split('/')
+            radical[ch] = {'radical': rad,
+                           'structure': STRUCTURE_NAMES[int(struct)],
+                           'corner_coding': corner, 'stroke_order': stroke,
+                           'wubi_coding': wubi}
+    with open(os.path.join(_DATA_DIR, 'pinyin_phrase.tsv'),
+              encoding='utf-8') as f:
+        for line in f:
+            key, val = line.rstrip('\n').split('\t')
+            phrase[key] = val.split('/')
+    return phrase, pinyin_char, radical
+
+
 def load_stopword_sets(dict_dir: str | None = None) -> tuple:
     """→ (stopwords, negative_words, location_words) sets for the stopword
     filter kernel.  With a full JioNLP dict dir the location set matches the
