@@ -87,7 +87,36 @@ def _duck(sql: str) -> str:
     return sql
 
 
+_SHIPPED: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make jionlp_spark importable on executor Python workers even when the
+    caller built its own SparkSession from an arbitrary cwd: zip the package
+    once and addPyFile it (the runtime equivalent of --py-files)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'jionlp_spark')
+    # pid-scoped path: never reuse a stale zip from an older process
+    zip_path = f'/tmp/jionlp_spark_pkg_{os.getpid()}.zip'
+    with zipfile.ZipFile(zip_path, 'w') as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if '__pycache__' in root:
+                continue
+            for fn in files:
+                fp = os.path.join(root, fn)
+                zf.write(fp, os.path.relpath(fp, os.path.dirname(pkg_dir)))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     # single small parquet file → one scan split; spread rows so the heavy
     # shingle/hash/vector work parallelizes (production tables have enough
     # splits on their own)
@@ -721,6 +750,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from jionlp_spark.plans.pipeline import run_pipeline
     from jionlp_spark.sources.pages import generate_pages
 
+    _ensure_shipped(spark)
     pages = generate_pages(spark, 300, num_partitions=8)
     res = run_pipeline(spark, pages)
     return res['triples']
