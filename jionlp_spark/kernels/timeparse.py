@@ -967,13 +967,14 @@ class TimeParser:
 
     def parse(self, time_string, time_base=None, time_type=None,
               strict=False, period_results_num=None,
-              ret_future=False) -> dict:
+              ret_future=False, lunar_date=True) -> dict:
         """→ {'type', 'definition', 'time'} — mirrors TimeParser.__call__
         (time_parser.py:797-842)."""
         if time_base is None:
             time_base = _time.time()
         self.string_strict = strict
         self.ret_future = ret_future
+        self.lunar_date = lunar_date
         time_string = time_string.strip()
         self.time_base_handler = time_base2handler(time_base)
 
