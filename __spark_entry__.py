@@ -94,7 +94,9 @@ def _ensure_shipped(spark: SparkSession) -> None:
     """Make jionlp_spark importable on executor Python workers even when the
     caller built its own SparkSession from an arbitrary cwd: zip the package
     once and addPyFile it (the runtime equivalent of --py-files)."""
-    key = id(spark.sparkContext)
+    # applicationId is unique per context (id() can be recycled by CPython
+    # after a stopped context is garbage-collected)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import os
@@ -132,8 +134,7 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan itself yields enough splits and this repartition is dropped).
     """
     return (
-        _docs(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        _docs(spark, sf_dir)  # _docs already spreads rows across cores
         .selectExpr(
             'doc_id',
             f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
@@ -151,7 +152,7 @@ _EXTRACTED_CACHE: dict = {}
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the real S1→S2 operators over the injected corpus (cached per
     session+sf so the kg_* queries share one extraction pass)."""
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _EXTRACTED_CACHE:
         return _EXTRACTED_CACHE[key]
 
@@ -368,10 +369,14 @@ def q_dedup_lsh_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).
-    Non-SQL-expressible kernel → rows-only check."""
+    """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
+    md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
+    oracle (unnest → hex-nibble bit extraction → per-bit vote)."""
     from jionlp_spark.operators.dedup import simhash64, simhash_near_dups
-    return simhash_near_dups(simhash64(_docs(spark, sf_dir)))
+    return simhash_near_dups(simhash64(_docs(spark, sf_dir))).select(
+        F.col('doc_a').cast('long').alias('doc_a'),
+        F.col('doc_b').cast('long').alias('doc_b'),
+        F.col('hamming').cast('int').alias('hamming'))
 
 
 def q_lang_id_eval(spark, sf_dir):
@@ -481,14 +486,19 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_events_daily(spark, sf_dir):
     """Windowed/rollup analog on the events table; decimal sum keeps the
-    float aggregation engine-exact."""
+    float aggregation engine-exact.
+
+    The double→decimal cast goes through a string: a double's string form is
+    its shortest round-trip representation in both Spark and DuckDB, whereas
+    the direct double→decimal cast rounds HALF_UP in Spark but half-even in
+    DuckDB, diverging on tie values in the 6th decimal."""
     ev = spark.read.parquet(f'{sf_dir}/events.parquet')
     return (
         ev.groupBy(F.col('user_id').cast('long').alias('user_id'),
                    F.to_date('ts').alias('day'),
                    'event_type')
         .agg(F.count('*').cast('long').alias('n_events'),
-             F.sum(F.col('value').cast('decimal(18,6)'))
+             F.sum(F.col('value').cast('string').cast('decimal(18,6)'))
              .cast('decimal(18,6)').alias('sum_value'))
     )
 
@@ -650,6 +660,39 @@ def oracle_sql() -> dict[str, str]:
             select distinct a.doc_id doc_a, b.doc_id doc_b
             from bands a join bands b using (band_id, band_hash)
             where a.doc_id < b.doc_id""",
+        # simhash reproduced bit-exactly: md5 hex → per-nibble bit extract →
+        # per-bit majority vote → hugeint assembly → signed 64-bit; banding
+        # and Hamming verify mirror the Spark plan
+        'dedup_simhash_pairs': """
+            with toks as (select doc_id, unnest(string_split(text, ' ')) t
+                          from documents),
+            hx as (select doc_id, substr(md5(t), 1, 16) h from toks),
+            bits as (
+              select doc_id, p,
+                ((strpos('0123456789abcdef', substr(h, (p//4) + 1, 1)) - 1)
+                 >> (3 - (p % 4))) & 1 as bit
+              from hx, (select unnest(range(64)) p) ps),
+            votes as (select doc_id, p, 2*sum(bit) > count(*) as maj
+                      from bits group by 1, 2),
+            sims as (select doc_id,
+              sum(case when maj then (1::hugeint << (63 - p))
+                       else 0::hugeint end) as u
+              from votes group by doc_id),
+            banded as (
+              select doc_id, u, b.band_id,
+                     cast((u >> (16*b.band_id)) & 65535 as int) chunk
+              from sims, (select unnest(range(4)) band_id) b),
+            cand as (
+              select distinct a.doc_id doc_a, b.doc_id doc_b, a.u ua, b.u ub
+              from banded a join banded b using (band_id, chunk)
+              where a.doc_id < b.doc_id)
+            select doc_a, doc_b, cast(bit_count(xor(
+                cast(case when ua >= 9223372036854775808::hugeint
+                     then ua - 18446744073709551616::hugeint else ua end as bigint),
+                cast(case when ub >= 9223372036854775808::hugeint
+                     then ub - 18446744073709551616::hugeint else ub end as bigint)))
+                as int) hamming
+            from cand where hamming <= 3""",
         'lang_id_eval': """
             with scored as (
               select lang,
@@ -738,8 +781,8 @@ def oracle_sql() -> dict[str, str]:
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,
-                   cast(sum(cast(value as decimal(18,6))) as decimal(18,6))
-                       as sum_value
+                   cast(sum(cast(cast(value as varchar) as decimal(18,6)))
+                        as decimal(18,6)) as sum_value
             from events group by 1, 2, 3""",
     }
 

@@ -43,6 +43,12 @@ class PhoneLocator:
         (rule_pattern.py:18 lookbehind), so callers there pass the number
         with leading context; we pad internally so a bare extracted mention
         still resolves, and report the unpadded mention as ``number``.
+
+        Deliberate divergence: on a cell prefix absent from the lexicon the
+        reference crashes (``location.split`` on None,
+        phone_location.py:91); we return province/city = None instead so a
+        distributed run never dies on one unknown prefix.  Asserted by
+        tests/test_kernels_parity.py::test_phone_loc_unknown_prefix.
         """
         padded = P.PAD_GENERIC + text
         res = self._cell_re.search(padded)

@@ -8,15 +8,14 @@ layer (time_parser_new/time_utility.py).  Same 6-slot handler model
 span/point), same longest-match pattern selection inside parse_time_point
 (time_parser.py:1570-1630), same rendering/completion rules.
 
-COVERAGE (round 1): standard numeric dates (2016-05-22, 20180209, 2009年5月
-31日, 一九九二年四月二十五日), limit words (今年/去年/明年/本月/下个月/
-今天/昨天/明天/大前天…), weekdays (下周三/星期六/上上周), clock times
-(8点半/14:30/二十三点一刻/上午8点/下午七八点/晚上), spans (从X到Y, X至Y,
-X以来, X之前), deltas (三个月/一万个小时/3天半/俩星期…, 法律型 3年以上7年
-以下, 特殊型 三天两夜), periods (每周五下午4点).  NOT yet ported (raise →
-the extractor falls back to shorter matches): lunar dates, festivals,
-solar terms, seasons, 世纪/年代, blur years (三十年前), delta→span
-(未来三个月), enum days, 旬.  Tracked as the round-2 gap in SURVEY §7.
+COVERAGE: all families exercised by the reference's own 1215-line golden
+test file pass 414/414 (tests/test_time_parity.py) — numeric dates, limit
+words (今年/去年…), weekdays, clock times, spans, deltas, periods,
+delta→point/span, blur months/days/years, solar seasons, 世纪/年代,
+super-blur, lunar calendar + lunar dates (kernels/lunar.py), festivals, the
+24 solar terms, lunar seasons, enum days, 第n个星期k, 旬.  API flags
+ret_future / period_results_num / lunar_date are ported; virtual_time is
+round-2 work (SURVEY §8).
 """
 
 from __future__ import annotations

@@ -75,7 +75,9 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
 
     # the self-join would recompute the whole minhash subplan for each side
     # (Spark has no subplan reuse across aliases) — persist the small banded
-    # table once
+    # table once.  Lifecycle: the block is owned by the caller's session; in a
+    # long-running service unpersist after consuming the result (blocks are
+    # LRU-evictable, so a leak degrades to recompute, never OOM).
     banded = banded.persist()
 
     a, b = banded.alias('a'), banded.alias('b')
@@ -127,7 +129,10 @@ def simhash64(docs: DataFrame, text_col: str = 'text',
                          for tok in t.split(' ')), dtype=np.uint8
             ).reshape(-1, 8)
             bits = np.unpackbits(digests, axis=1)          # (n_tokens, 64)
-            votes = bits.sum(axis=0) * 2 - len(digests)    # +1/-1 majority
+            # signed accumulator: uint8 sums promote to uint64 and negative
+            # votes would wrap to huge positives, setting every non-tie bit
+            votes = (bits.sum(axis=0).astype(np.int64) * 2
+                     - len(digests))                       # +1/-1 majority
             out_bits = np.packbits(votes > 0)
             v = int.from_bytes(out_bits.tobytes(), 'big')
             return v - (1 << 64) if v >= (1 << 63) else v
@@ -148,7 +153,8 @@ def simhash_near_dups(sim_df: DataFrame, bands: int = 4) -> DataFrame:
         F.struct(F.lit(b).alias('band_id'), chunks[b].alias('chunk'))
         for b in range(bands)])).alias('band')
     ).select('doc_id', 'simhash', 'band.band_id', 'band.chunk')
-    # persist: the self-join must not recompute the simhash UDF per side
+    # persist: the self-join must not recompute the simhash UDF per side.
+    # Caller owns unpersist (see lsh_candidate_pairs note).
     banded = banded.persist()
     a, b = banded.alias('a'), banded.alias('b')
     return (

@@ -24,7 +24,8 @@ _BUNDLE_CACHE: dict = {}
 
 def build_bundle(spark: SparkSession, dict_dir: str | None = None):
     """Load lexicons on the driver and broadcast once per session."""
-    key = (id(spark.sparkContext), dict_dir)
+    # applicationId, not id(): CPython can recycle a dead context's id
+    key = (spark.sparkContext.applicationId, dict_dir)
     if key not in _BUNDLE_CACHE:
         _BUNDLE_CACHE[key] = LexiconBundle(dict_dir).broadcast(spark)
     return _BUNDLE_CACHE[key]

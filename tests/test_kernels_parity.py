@@ -136,3 +136,27 @@ def test_vendored_lexicons_self_consistent():
             assert idp.parse(m['text']) is not None, m['text']
             ids += 1
     assert phones > 50 and ids > 20
+
+
+def test_phone_loc_unknown_prefix(jio):
+    """Deliberate divergence (documented in kernels/phone_loc.py): the
+    reference crashes on a cell prefix missing from its dictionary
+    (phone_location.py:91 ``location.split`` on None); we return
+    province/city None.  1344710 is a prefix absent from both lexicons
+    (verified against the full reference dictionary)."""
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.phone_loc import PhoneLocator
+
+    cell, area = lexicons.load_phone_location(REF_DICTS)
+    ops = lexicons.load_telecom_operator(REF_DICTS)
+    loc = PhoneLocator(cell, area, ops)
+    number = '13447104567'
+    got = loc.locate(number)
+    assert got['province'] is None and got['city'] is None
+    assert got['number'] == number
+    try:
+        jio.phone_location('#' + number)
+        crashed = False
+    except AttributeError:
+        crashed = True
+    assert crashed, 'reference no longer crashes; revisit the divergence'
