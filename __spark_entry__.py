@@ -484,6 +484,122 @@ def q_ann_cosine_topk(spark, sf_dir):
     """)
 
 
+# ---------------------------------------------------------------------------
+# normalization-kernel queries: deterministic Chinese inputs keyed on doc_id,
+# Spark runs the real kernels, the oracle hardcodes the expected outputs
+# (literals anchored to the live reference by tests/test_norm_query_anchors.py)
+
+_TRA_IN_SQL = (
+    "case doc_id % 4 when 0 then '乾坤一擲，鞠躬盡瘁' "
+    "when 1 then '他用滑鼠點擊視窗' when 2 then '皇天后土為證' "
+    "else '出租車司機讚嘆不已' end"
+)
+_TRA_WORD_OUT = ('乾坤一掷，鞠躬尽瘁', '他用鼠标点击视窗', '皇天后土为证',
+                 '出租车司机赞叹不已')
+_TRA_CHAR_OUT = ('干坤一掷，鞠躬尽瘁', '他用滑鼠点击视窗', '皇天后土为证',
+                 '出租车司机赞叹不已')
+
+_STOP_IN = ('今天|天气|不|错|的', '我们|在|北京|开会|，|讨论|2023年|计划',
+            '他|说|：|不要|放弃|！', '数据|清洗|是|关键|步骤|了')
+_STOP_OUT = ('今天|天气|错', '北京|开会|讨论|2023年|计划', '说|放弃',
+             '数据|清洗|关键|步骤')
+_STOP_IN_SQL = (
+    "case doc_id % 4 when 0 then '{}' when 1 then '{}' when 2 then '{}' "
+    "else '{}' end".format(*_STOP_IN)
+)
+
+_MONEY_NUM_IN = (640143.17, 100.0, 1005.0, 20300.05, 90909090.0,
+                 1234567.89, 700000003.0, 3.4)
+_MONEY_SIM_OUT = ('六十四万零一百四十三点一七', '一百', '一千零五',
+                  '二万零三百点零五', '九千零九十万九千零九十',
+                  '一百二十三万四千五百六十七点八九', '七亿万零三', '三点四')
+_MONEY_TRA_OUT = ('陆拾肆萬零壹佰肆拾叁點壹柒', '壹佰', '壹仟零伍',
+                  '贰萬零叁佰點零伍', '玖仟零玖拾萬玖仟零玖拾',
+                  '壹佰贰拾叁萬肆仟伍佰陆拾柒點捌玖', '柒亿萬零叁', '叁點肆')
+_MONEY_NUM_SQL = (
+    'case doc_id % 8 '
+    + ' '.join(f'when {i} then cast({v!r} as double)'
+               for i, v in enumerate(_MONEY_NUM_IN[:-1]))
+    + f' else cast({_MONEY_NUM_IN[-1]!r} as double) end'
+)
+
+_ZH_IN = ('中国人民', '数据处理', '北京大学', '时间解析')
+_PINYIN_OUT = ('zhōng guó rén mín', 'shù jù chǔ lǐ', 'běi jīng dà xué',
+               'shí jiān jiě xī')
+_RADICAL_IN = ('清洗数据', '中文字符', '部首查询', '时间金钱')
+_RADICAL_OUT = ('水 水 攵 手', '丨 文 子 竹', '阝 首 木 言', '日 门 金 金')
+_STRUCT_OUT = ('左右结构 左右结构 左右结构 左右结构',
+               '一体结构 一体结构 上下结构 上下结构',
+               '左右结构 上下结构 上下结构 左右结构',
+               '左右结构 半包围结构 上下结构 左右结构')
+_ZH_IN_SQL = ("case doc_id % 4 when 0 then '{}' when 1 then '{}' "
+              "when 2 then '{}' else '{}' end".format(*_ZH_IN))
+_RADICAL_IN_SQL = ("case doc_id % 4 when 0 then '{}' when 1 then '{}' "
+                   "when 2 then '{}' else '{}' end".format(*_RADICAL_IN))
+
+
+def _case4(col_vals) -> str:
+    return ("case doc_id % 4 when 0 then '{}' when 1 then '{}' "
+            "when 2 then '{}' else '{}' end".format(*col_vals))
+
+
+_NORM_BUNDLE_CACHE: dict = {}
+
+
+def _norm_bundle(spark):
+    from jionlp_spark.functions.udfs import NormBundle
+    key = spark.sparkContext.applicationId
+    if key not in _NORM_BUNDLE_CACHE:
+        _NORM_BUNDLE_CACHE[key] = NormBundle().broadcast(spark)
+    return _NORM_BUNDLE_CACHE[key]
+
+
+def q_norm_tra2sim(spark, sf_dir):
+    """tra2sim word (FMM trie) + char modes over injected traditional text."""
+    from jionlp_spark.functions.udfs import make_tra2sim_udf
+    udf = make_tra2sim_udf(_norm_bundle(spark))
+    d = _docs(spark, sf_dir).selectExpr('doc_id', f'{_TRA_IN_SQL} as tra')
+    return d.select('doc_id', 'tra', udf(F.col('tra')).alias('r')) \
+            .select('doc_id', 'tra', 'r.sim_word', 'r.sim_char')
+
+
+def q_norm_stopwords(spark, sf_dir):
+    """remove_stopwords full cascade (incl. negation keep-list 不要→放弃…)."""
+    from jionlp_spark.functions.udfs import make_stopword_udf
+    udf = make_stopword_udf(_norm_bundle(spark))
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_STOP_IN_SQL} as tokens_in')
+    return d.select('doc_id', 'tokens_in',
+                    udf(F.col('tokens_in')).alias('tokens_out'))
+
+
+def q_norm_money_num2char(spark, sf_dir):
+    """money_num2char: numeric → Chinese money rendering, both char sets."""
+    from jionlp_spark.functions.udfs import (money_num2char_sim_udf,
+                                             money_num2char_tra_udf)
+    d = _docs(spark, sf_dir).selectExpr('doc_id', f'{_MONEY_NUM_SQL} as num')
+    return d.select('doc_id', F.round('num', 2).alias('num'),
+                    money_num2char_sim_udf(F.col('num')).alias('sim'),
+                    money_num2char_tra_udf(F.col('num')).alias('tra'))
+
+
+def q_norm_pinyin_radical(spark, sf_dir):
+    """Fused pinyin + char_radical lookup (one Arrow pass per batch)."""
+    from jionlp_spark.functions.udfs import make_chartext_udf
+    udf = make_chartext_udf(_norm_bundle(spark))
+    d = _docs(spark, sf_dir).selectExpr(
+        'doc_id', f'{_ZH_IN_SQL} as text_py', f'{_RADICAL_IN_SQL} as text_rad')
+    # single fused UDF per text column, same stage
+    return (d
+            .select('doc_id', 'text_py', 'text_rad',
+                    udf(F.col('text_py')).alias('p'),
+                    udf(F.col('text_rad')).alias('r'))
+            .select('doc_id', 'text_py', 'text_rad',
+                    F.col('p.pinyin').alias('pinyin'),
+                    F.col('r.radicals').alias('radicals'),
+                    F.col('r.structures').alias('structures')))
+
+
 def q_events_daily(spark, sf_dir):
     """Windowed/rollup analog on the events table; decimal sum keeps the
     float aggregation engine-exact.
@@ -531,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_topk': q_ann_ivf_topk,
         'multimodal_features': q_multimodal_features,
         'events_daily': q_events_daily,
+        'norm_tra2sim': q_norm_tra2sim,
+        'norm_stopwords': q_norm_stopwords,
+        'norm_money_num2char': q_norm_money_num2char,
+        'norm_pinyin_radical': q_norm_pinyin_radical,
     }
 
 
@@ -778,6 +898,33 @@ def oracle_sql() -> dict[str, str]:
             select qid, vec_id, cos from
               (select *, row_number() over (partition by qid order by cos desc, vec_id) rn from c) t
             where rn <= 5""",
+        'norm_tra2sim': f"""
+            select doc_id, {_TRA_IN_SQL} as tra,
+                   {_case4(_TRA_WORD_OUT)} as sim_word,
+                   {_case4(_TRA_CHAR_OUT)} as sim_char
+            from documents""",
+        'norm_stopwords': f"""
+            select doc_id, {_STOP_IN_SQL} as tokens_in,
+                   {_case4(_STOP_OUT)} as tokens_out
+            from documents""",
+        'norm_money_num2char': f"""
+            select doc_id, round({_MONEY_NUM_SQL}, 2) as num,
+                   case doc_id % 8 {' '.join(
+                       f"when {i} then '{v}'"
+                       for i, v in enumerate(_MONEY_SIM_OUT[:-1]))}
+                       else '{_MONEY_SIM_OUT[-1]}' end as sim,
+                   case doc_id % 8 {' '.join(
+                       f"when {i} then '{v}'"
+                       for i, v in enumerate(_MONEY_TRA_OUT[:-1]))}
+                       else '{_MONEY_TRA_OUT[-1]}' end as tra
+            from documents""",
+        'norm_pinyin_radical': f"""
+            select doc_id, {_ZH_IN_SQL} as text_py,
+                   {_RADICAL_IN_SQL} as text_rad,
+                   {_case4(_PINYIN_OUT)} as pinyin,
+                   {_case4(_RADICAL_OUT)} as radicals,
+                   {_case4(_STRUCT_OUT)} as structures
+            from documents""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,

@@ -32,6 +32,8 @@ HEADLINE = [
     'quality_score', 'dedup_exact', 'dedup_minhash_sig', 'dedup_lsh_pairs',
     'dedup_simhash_pairs', 'dedup_jaccard_pairs', 'ann_cosine_topk',
     'ann_ivf_topk', 'multimodal_features', 'events_daily',
+    'norm_tra2sim', 'norm_stopwords', 'norm_money_num2char',
+    'norm_pinyin_radical',
 ]
 
 

@@ -426,3 +426,89 @@ def explode_mentions(df, mentions_col: str = 'mentions', keep_cols=('url',)):
         .select(*cols, 'm.text', 'm.offset_start', 'm.offset_end',
                 'm.mention_type')
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization kernels exposed as columnar ops: tra⟷sim conversion,
+# stopword filtering, money rendering, per-char pinyin/radical features.
+# One fused pandas UDF per op (single ArrowEvalPython node per stage).
+
+NORM_TEXT_RESULT = T.StructType([
+    T.StructField('sim_word', T.StringType()),   # tra2sim word (FMM) mode
+    T.StructField('sim_char', T.StringType()),   # tra2sim char mode
+])
+
+CHARTEXT_RESULT = T.StructType([
+    T.StructField('pinyin', T.StringType()),     # space-joined standard form
+    T.StructField('radicals', T.StringType()),   # space-joined radicals
+    T.StructField('structures', T.StringType()),  # space-joined structures
+])
+
+
+class NormBundle:
+    """Driver-side normalization lexicons (tsconv/stopwords/chartext);
+    broadcast once per session (~1 MB vendored subsets)."""
+
+    def __init__(self, dict_dir: str | None = None) -> None:
+        from jionlp_spark.kernels.chartext import CharRadical, Pinyin
+        from jionlp_spark.kernels.stopwords import StopwordFilter
+        from jionlp_spark.kernels.tsconv import TSConverter
+        ts = lexicons.load_ts_tables(dict_dir)
+        self.tsconv = TSConverter(ts['tra2sim_char'], ts['sim2tra_char'],
+                                  ts['tra2sim_word'], ts['sim2tra_word'])
+        self.stopwords = StopwordFilter(*lexicons.load_stopword_sets(dict_dir))
+        phrase, pchar, rad = lexicons.load_char_info(dict_dir)
+        self.pinyin = Pinyin(phrase, pchar)
+        self.radical = CharRadical(rad)
+
+    def broadcast(self, spark: SparkSession):
+        return spark.sparkContext.broadcast(self)
+
+
+def make_tra2sim_udf(bundle_broadcast):
+    @pandas_udf(NORM_TEXT_RESULT)
+    def tra2sim_udf(text: pd.Series) -> pd.DataFrame:
+        conv = bundle_broadcast.value.tsconv
+        return pd.DataFrame({
+            'sim_word': text.map(lambda t: conv.tra2sim(t, mode='word')),
+            'sim_char': text.map(lambda t: conv.tra2sim(t, mode='char'))})
+    return tra2sim_udf
+
+
+def make_stopword_udf(bundle_broadcast, sep: str = '|'):
+    """tokens joined by `sep` → filtered tokens joined by `sep` (the full
+    reference cascade incl. negation keep-list, remove_stopwords.py:139)."""
+    @pandas_udf(T.StringType())
+    def stopword_udf(tokens: pd.Series) -> pd.Series:
+        filt = bundle_broadcast.value.stopwords
+        return tokens.map(
+            lambda s: sep.join(filt.filter(s.split(sep))))
+    return stopword_udf
+
+
+@pandas_udf(T.StringType())
+def money_num2char_sim_udf(num: pd.Series) -> pd.Series:
+    from jionlp_spark.kernels.money_fmt import money_num2char
+    return num.map(lambda n: money_num2char(n, 'sim'))
+
+
+@pandas_udf(T.StringType())
+def money_num2char_tra_udf(num: pd.Series) -> pd.Series:
+    from jionlp_spark.kernels.money_fmt import money_num2char
+    return num.map(lambda n: money_num2char(n, 'tra'))
+
+
+def make_chartext_udf(bundle_broadcast):
+    """Fused pinyin + radical/structure lookup (one Python pass per batch)."""
+    @pandas_udf(CHARTEXT_RESULT)
+    def chartext_udf(text: pd.Series) -> pd.DataFrame:
+        b = bundle_broadcast.value
+        pys, rads, structs = [], [], []
+        for t in text:
+            pys.append(' '.join(b.pinyin(t)))
+            info = b.radical(t)
+            rads.append(' '.join(d['radical'] for d in info))
+            structs.append(' '.join(d['structure'] for d in info))
+        return pd.DataFrame({'pinyin': pys, 'radicals': rads,
+                             'structures': structs})
+    return chartext_udf

@@ -1,0 +1,40 @@
+"""The norm_* driver queries hardcode expected outputs in their DuckDB
+oracles; this suite anchors every hardcoded literal to the live reference
+(and to our kernels), so the oracle can never drift from JioNLP semantics."""
+
+import sys
+
+sys.path.insert(0, '/root/repo')
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def test_tra2sim_literals(jio):
+    texts = ('乾坤一擲，鞠躬盡瘁', '他用滑鼠點擊視窗', '皇天后土為證',
+             '出租車司機讚嘆不已')
+    assert f"'{texts[0]}'" in entry._TRA_IN_SQL
+    for t, word, char in zip(texts, entry._TRA_WORD_OUT, entry._TRA_CHAR_OUT):
+        assert jio.tra2sim(t, mode='word') == word
+        assert jio.tra2sim(t, mode='char') == char
+
+
+def test_stopword_literals(jio):
+    for s_in, s_out in zip(entry._STOP_IN, entry._STOP_OUT):
+        assert '|'.join(jio.remove_stopwords(s_in.split('|'))) == s_out
+
+
+def test_money_num2char_literals(jio):
+    for num, sim, tra in zip(entry._MONEY_NUM_IN, entry._MONEY_SIM_OUT,
+                             entry._MONEY_TRA_OUT):
+        assert jio.money_num2char(num, sim_or_tra='sim') == sim
+        assert jio.money_num2char(num, sim_or_tra='tra') == tra
+
+
+def test_pinyin_radical_literals(jio):
+    for t, py in zip(entry._ZH_IN, entry._PINYIN_OUT):
+        assert ' '.join(jio.pinyin(t)) == py
+    for t, rad, struct in zip(entry._RADICAL_IN, entry._RADICAL_OUT,
+                              entry._STRUCT_OUT):
+        info = jio.char_radical(t)
+        assert ' '.join(d['radical'] for d in info) == rad
+        assert ' '.join(d['structure'] for d in info) == struct
