@@ -71,6 +71,29 @@ _LOC_REGION_SQL = (
     "case doc_id % 3 when 0 then '贵州省/贵阳市/云岩区' "
     "when 1 then '上海市/上海市/嘉定区' else '湖北省/襄阳市' end"
 )
+# licence plate (verified parse results hardcoded in the oracle; anchored to
+# the reference by tests/test_norm_query_anchors.py)
+_PLATE_IN = ('川A·23047B', '京A12345', '沪AD12345', '云A·F12345',
+             '津A12345B', '黑DK12345')
+_PLATE_LOC = ('川A', '京A', '沪A', '云A', '津A', '黑D')
+_PLATE_TYPE = ('PEV', 'GV', 'PEV', 'NPEV', 'PEV', 'NPEV')
+_PLATE_SIZE = ('big', None, 'small', 'small', 'big', 'small')
+_PLATE_SQL = (
+    'case doc_id % 6 '
+    + ' '.join(f"when {i} then '{p}'" for i, p in enumerate(_PLATE_IN[:-1]))
+    + f" else '{_PLATE_IN[-1]}' end"
+)
+
+# person-name candidates for check_person_name (half names, half not)
+_PERSON_IN = ('欧阳娜娜', '办公室', '王小明', '章鱼', '司马光', '北京市',
+              '刘王晨曦', '明天见')
+_PERSON_OUT = (True, False, True, False, True, False, True, False)
+_PERSON_SQL = (
+    'case doc_id % 8 '
+    + ' '.join(f"when {i} then '{p}'" for i, p in enumerate(_PERSON_IN[:-1]))
+    + f" else '{_PERSON_IN[-1]}' end"
+)
+
 _BORN_SQL = (
     "concat(cast(1950 + doc_id % 50 as string), '-', "
     "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
@@ -139,7 +162,8 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             'doc_id',
             f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
             f"'。预算为', {_MONEY_SQL}, '元，家住', {_LOC_SQL}, "
-            f"'幸福路。定于', {_TIME_TEXT_SQL}, '开会，', text) as text",
+            f"'幸福路。定于', {_TIME_TEXT_SQL}, '开会，车牌号', {_PLATE_SQL}, "
+            "'，', text) as text",
             # deterministic crawl timestamp = the time-parsing base
             "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id * 37) as warc_ts",
         )
@@ -420,16 +444,18 @@ def q_sentence_split(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed cosine top-3 (single probe) for the first 3 queries."""
-    from jionlp_spark.operators.ann import ivf_assign, ivf_topk
+    """IVF cosine top-3: centroids = 1 Lloyd iteration of deterministic
+    hash-seeded k-means (exact decimal means → engine-identical centroids),
+    index probes=1, queries probe their top-2 buckets."""
+    from jionlp_spark.operators.ann import (ivf_assign, ivf_topk,
+                                            kmeans_centroids)
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
         .repartition(spark.sparkContext.defaultParallelism)
-    assigned, _c = ivf_assign(emb, n_centroids=8)
-    queries_assigned = assigned.filter(F.col('vec_id') < 3) \
-        .withColumnRenamed('vec_id', 'vec_id')
-    q = queries_assigned.select(F.col('vec_id'), F.col('embedding'),
-                                F.col('bucket'))
-    return ivf_topk(assigned, q, k=3).select(
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    assigned, _ = ivf_assign(emb, centroids=cents)
+    queries_assigned, _ = ivf_assign(emb.filter(F.col('vec_id') < 3),
+                                     centroids=cents, probes=2)
+    return ivf_topk(assigned, queries_assigned, k=3).select(
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
 
 
@@ -484,6 +510,35 @@ def q_ann_cosine_topk(spark, sf_dir):
     """)
 
 
+def q_kg_link_plate(spark, sf_dir):
+    """Licence-plate mentions from the fused sweep + plate canonicalization
+    → (plate, registered_in, car_loc) with car_type/car_size detail."""
+    from jionlp_spark.operators.link import build_bundle, link_mentions
+    bundle = build_bundle(spark)
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type') == 'licence_plate')
+    linked = link_mentions(m, bundle)
+    return linked.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('obj').alias('plate'),
+        F.get_json_object('norm', '$.car_loc').alias('car_loc'),
+        F.get_json_object('norm', '$.car_type').alias('car_type'),
+        F.get_json_object('norm', '$.car_size').alias('car_size'),
+        F.col('offset_start').cast('long').alias('offset_start'),
+        F.col('offset_end').cast('long').alias('offset_end'))
+
+
+def q_kg_check_person(spark, sf_dir):
+    """check_person_name surname heuristic over injected candidates."""
+    from jionlp_spark.functions.udfs import check_person_name_udf
+    _ensure_shipped(spark)
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_PERSON_SQL} as candidate')
+    return d.select('doc_id', 'candidate',
+                    check_person_name_udf(F.col('candidate'))
+                    .alias('is_person'))
+
+
 # ---------------------------------------------------------------------------
 # normalization-kernel queries: deterministic Chinese inputs keyed on doc_id,
 # Spark runs the real kernels, the oracle hardcodes the expected outputs
@@ -536,6 +591,13 @@ _ZH_IN_SQL = ("case doc_id % 4 when 0 then '{}' when 1 then '{}' "
               "when 2 then '{}' else '{}' end".format(*_ZH_IN))
 _RADICAL_IN_SQL = ("case doc_id % 4 when 0 then '{}' when 1 then '{}' "
                    "when 2 then '{}' else '{}' end".format(*_RADICAL_IN))
+
+
+_SENTI_IN = ('今天天气真好，心情舒畅，非常开心。',
+             '这部电影不好看，情节拖沓，令人失望。',
+             '虽然开局不利，可是结局非常圆满，大家都很高兴！',
+             '14岁女孩坠亡生前遭强奸致孕。')
+_SENTI_OUT = (0.970688, 0.001359, 0.960075, 0.001113)
 
 
 def _case4(col_vals) -> str:
@@ -600,6 +662,134 @@ def q_norm_pinyin_radical(spark, sf_dir):
                     F.col('r.structures').alias('structures')))
 
 
+_TOWN_IN = ('上海市嘉定区华亭镇华亭村88号', '北京市海淀区中关村街道',
+            '贵州省贵阳市云岩区三桥社区服务中心改茶社区')
+_TOWN_REGION = ('上海市/上海市/嘉定区', '北京市/北京市/海淀区',
+                '贵州省/贵阳市/云岩区')
+_TOWN_TOWN = ('华亭镇', '中关村街道', '三桥社区服务中心')
+_TOWN_VILLAGE = ('华亭村', None, '改茶社区')
+
+
+def _case3(vals) -> str:
+    def lit(v):
+        return f"'{v}'" if v is not None else 'null'
+    return ('case doc_id % 3 when 0 then {} when 1 then {} else {} end'
+            .format(*[lit(v) for v in vals]))
+
+
+def q_kg_location_town(spark, sf_dir):
+    """Five-level location parse (town/village mode) over injected
+    addresses in the vendored counties."""
+    from jionlp_spark.functions.udfs import make_location_town_udf
+    from jionlp_spark.operators.link import build_bundle
+    udf = make_location_town_udf(build_bundle(spark))
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_case3(_TOWN_IN)} as loc_text')
+    return (d.select('doc_id', 'loc_text',
+                     udf(F.col('loc_text')).alias('r'))
+            .select('doc_id', 'loc_text',
+                    F.concat_ws('/', 'r.province', 'r.city', 'r.county')
+                    .alias('region'),
+                    F.col('r.town').alias('town'),
+                    F.col('r.village').alias('village')))
+
+
+_BPE_IN = ('メトロ', '中文字符', 'hello world', '¡Ωmega™')
+_BPE_OUT = ('ãĥ¡ãĥĪãĥŃ', 'ä¸ŃæĸĩåŃĹç¬¦', 'helloĠworld', 'Â¡Î©megaâĦ¢')
+
+
+def q_bpe_byte_codec(spark, sf_dir):
+    """Byte-level BPE codec (GPT-2 byte→unicode bijection) round-trip over
+    injected multilingual strings."""
+    from pyspark.sql.functions import pandas_udf
+    _ensure_shipped(spark)
+
+    @pandas_udf('encoded string, decoded string')
+    def codec(text: pd.Series) -> pd.DataFrame:
+        from jionlp_spark.kernels.bpe import (byte_level_decode,
+                                              byte_level_encode)
+        enc = text.map(byte_level_encode)
+        return pd.DataFrame({'encoded': enc,
+                             'decoded': enc.map(byte_level_decode)})
+
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_case4(_BPE_IN)} as text_in')
+    return (d.select('doc_id', 'text_in', codec(F.col('text_in')).alias('c'))
+            .select('doc_id', 'text_in', 'c.encoded', 'c.decoded'))
+
+
+def q_new_word_scores(spark, sf_dir):
+    """New-word discovery: PMI + boundary entropy (completes the
+    reference's unfinished sketch, new_word_discovery.py:41)."""
+    from jionlp_spark.operators.textstats import new_word_scores
+    return new_word_scores(_docs(spark, sf_dir), min_pair_freq=5).select(
+        'w1', 'w2', F.col('c12').cast('long').alias('c12'),
+        'pmi', 'h_left', 'h_right', 'score')
+
+
+def q_keyphrase_topk(spark, sf_dir):
+    """Keyphrase extraction (tf·idf/n_tok word weights, 1–3-gram candidates,
+    reference length-control weights, first-occurrence dedup, window top-3).
+    The MMR re-rank variant runs in tests (iterative → not SQL)."""
+    from jionlp_spark.operators.keytext import keyphrases
+    return keyphrases(_docs(spark, sf_dir), top_k=3, ns=(1, 2, 3),
+                      mmr=False).select(
+        F.col('doc_id').cast('long').alias('doc_id'), 'phrase',
+        F.col('rank').cast('int').alias('rank'), 'weight')
+
+
+def _window_sentences(docs, width: int = 12):
+    """Pseudo-sentences for the digit-free corpus: fixed `width`-token
+    windows (the documents table has no sentence punctuation)."""
+    toks = docs.select(
+        F.col('doc_id'),
+        F.posexplode(F.split('text', ' ')).alias('pos', 'word'))
+    return (toks.withColumn('sen_id', (F.col('pos') / width).cast('int'))
+            .groupBy('doc_id', 'sen_id')
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct('pos', 'word'))),
+                    lambda x: x['word']), ' ').alias('sentence')))
+
+
+def q_summary_top_sentence(spark, sf_dir):
+    """Extractive-summary scoring (mean word tfidf × length damp × lead-3):
+    the top-1 sentence per doc — identical to the greedy MMR pick #1, which
+    is what the full summarize() operator starts from."""
+    from jionlp_spark.operators.keytext import sentence_weights
+    docs = _docs(spark, sf_dir)
+    sw = sentence_weights(_window_sentences(docs), docs)
+    from pyspark.sql import Window
+    rk = Window.partitionBy('doc_id').orderBy(
+        F.col('weight').desc(), F.col('sen_id'))
+    return (sw.withColumn('rn', F.row_number().over(rk))
+            .filter(F.col('rn') == 1)
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    F.col('sen_id').cast('int').alias('sen_id'),
+                    'sentence', 'weight'))
+
+
+_SENTI_CACHE: dict = {}
+
+
+def q_sentiment_score(spark, sf_dir):
+    """Lexicon sentiment (negation scope + multiplier adverbs + transition
+    words + sigmoid) over injected sentences."""
+    from jionlp_spark.functions.udfs import make_sentiment_udf
+    key = spark.sparkContext.applicationId
+    if key not in _SENTI_CACHE:
+        from jionlp_spark import lexicons
+        from jionlp_spark.kernels.sentiment import SentimentAnalyzer
+        _ensure_shipped(spark)
+        sa = SentimentAnalyzer(*lexicons.load_sentiment_lexicons())
+        _SENTI_CACHE[key] = spark.sparkContext.broadcast(sa)
+    udf = make_sentiment_udf(_SENTI_CACHE[key])
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_case4(_SENTI_IN)} as text_zh')
+    return d.select('doc_id', 'text_zh',
+                    F.round(udf(F.col('text_zh')), 6).alias('senti'))
+
+
 def q_events_daily(spark, sf_dir):
     """Windowed/rollup analog on the events table; decimal sum keeps the
     float aggregation engine-exact.
@@ -647,10 +837,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_topk': q_ann_ivf_topk,
         'multimodal_features': q_multimodal_features,
         'events_daily': q_events_daily,
+        'kg_link_plate': q_kg_link_plate,
+        'kg_check_person': q_kg_check_person,
         'norm_tra2sim': q_norm_tra2sim,
         'norm_stopwords': q_norm_stopwords,
         'norm_money_num2char': q_norm_money_num2char,
         'norm_pinyin_radical': q_norm_pinyin_radical,
+        'sentiment_score': q_sentiment_score,
+        'kg_location_town': q_kg_location_town,
+        'bpe_byte_codec': q_bpe_byte_codec,
+        'new_word_scores': q_new_word_scores,
+        'keyphrase_topk': q_keyphrase_topk,
+        'summary_top_sentence': q_summary_top_sentence,
     }
 
 
@@ -708,6 +906,35 @@ def oracle_sql() -> dict[str, str]:
             select obj, obj_type, count(*) as mention_cnt,
                    count(distinct doc_id) as url_cnt
             from m group by obj, obj_type""",
+        # plate sits after the 59-char fixed prefix + money + loc + time text
+        'kg_link_plate': f"""
+            select doc_id, {_PLATE_SQL} as plate,
+                   case doc_id % 6 {' '.join(
+                       f"when {i} then '{v}'"
+                       for i, v in enumerate(_PLATE_LOC[:-1]))}
+                       else '{_PLATE_LOC[-1]}' end as car_loc,
+                   case doc_id % 6 {' '.join(
+                       f"when {i} then '{v}'"
+                       for i, v in enumerate(_PLATE_TYPE[:-1]))}
+                       else '{_PLATE_TYPE[-1]}' end as car_type,
+                   case doc_id % 6 {' '.join(
+                       f"when {i} then " + (f"'{v}'" if v else 'null')
+                       for i, v in enumerate(_PLATE_SIZE[:-1]))}
+                       else '{_PLATE_SIZE[-1]}' end as car_size,
+                   cast(59 + length({_duck(_MONEY_SQL)}) + length({_LOC_SQL})
+                        + length({_duck(_TIME_TEXT_SQL)}) as bigint)
+                       as offset_start,
+                   cast(59 + length({_duck(_MONEY_SQL)}) + length({_LOC_SQL})
+                        + length({_duck(_TIME_TEXT_SQL)})
+                        + length({_PLATE_SQL}) as bigint) as offset_end
+            from documents""",
+        'kg_check_person': f"""
+            select doc_id, {_PERSON_SQL} as candidate,
+                   case doc_id % 8 {' '.join(
+                       f'when {i} then {str(v).lower()}'
+                       for i, v in enumerate(_PERSON_OUT[:-1]))}
+                       else {str(_PERSON_OUT[-1]).lower()} end as is_person
+            from documents""",
         # the double space before 尾 collapses via remove_redundant_char
         'clean_text': """
             select doc_id, concat('标题', text, 'ABC 尾') as clean
@@ -858,28 +1085,56 @@ def oracle_sql() -> dict[str, str]:
                        / len(string_split(text, ' '))) * 0.5, 6) quality
             from documents""",
         # injection layout fixes sentence counts: coarse = 2×。+tail = 3,
-        # fine = ：+3×，+2×。+tail = 7
+        # fine = ：+4×，+2×。+tail = 8 (the plate injection adds one ，)
         'sentence_split': """
             select doc_id, cast(3 as bigint) n_coarse,
-                   cast(7 as bigint) n_fine from documents""",
+                   cast(8 as bigint) n_fine from documents""",
+        # 1 Lloyd iteration from hash-seeded init; decimal means keep the
+        # centroids bit-identical to Spark; queries probe top-2 buckets
         'ann_ivf_topk': """
-            with c as (select vec_id centroid_id, embedding centroid
-                       from embeddings order by vec_id limit 8),
-            sims as (select e.vec_id, e.embedding, c.centroid_id,
-                       round(list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[])
-                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                          * sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]))), 6) sim
-                     from embeddings e cross join c),
-            assigned as (select vec_id, embedding, centroid_id bucket from
+            with emb as (select vec_id, embedding::DOUBLE[] e
+                         from embeddings),
+            seeds as (select vec_id, e,
+                             md5(cast(vec_id as varchar)) h
+                      from emb order by h, vec_id limit 8),
+            init as (select row_number() over (order by h, vec_id) - 1 cid,
+                            e cen
+                     from seeds),
+            sim0 as (select emb.vec_id, emb.e, init.cid,
+                       round(list_dot_product(emb.e, init.cen)
+                         / (sqrt(list_dot_product(emb.e, emb.e))
+                          * sqrt(list_dot_product(init.cen, init.cen))), 6)
+                           sim
+                     from emb cross join init),
+            a0 as (select vec_id, e, cid bucket from
               (select *, row_number() over (partition by vec_id
-                         order by sim desc, centroid_id) rn from sims) t
+                         order by sim desc, cid) rn from sim0) t
               where rn = 1),
-            joined as (select q.vec_id qid, e.vec_id vec_id,
-                round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
-                  / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cos
-              from assigned q join assigned e using (bucket)
-              where q.vec_id < 3 and q.vec_id != e.vec_id)
+            dims as (select bucket, unnest(e) v,
+                            unnest(range(len(e))) pos from a0),
+            cmean as (select bucket, pos,
+                        cast(sum(cast(cast(v as varchar) as decimal(38,18)))
+                             as double) / count(*) mv
+                      from dims group by 1, 2),
+            cent1 as (select bucket cid, list(mv order by pos) cen
+                      from cmean group by bucket),
+            sim1 as (select emb.vec_id, emb.e, c.cid,
+                       round(list_dot_product(emb.e, c.cen)
+                         / (sqrt(list_dot_product(emb.e, emb.e))
+                          * sqrt(list_dot_product(c.cen, c.cen))), 6) sim
+                     from emb cross join cent1 c),
+            ranked1 as (select *, row_number() over (partition by vec_id
+                               order by sim desc, cid) rn from sim1),
+            assigned as (select vec_id, e, cid bucket
+                         from ranked1 where rn = 1),
+            probes as (select vec_id, e, cid bucket
+                       from ranked1 where rn <= 2 and vec_id < 3),
+            joined as (select distinct q.vec_id qid, x.vec_id vec_id,
+                round(list_dot_product(q.e, x.e)
+                  / (sqrt(list_dot_product(q.e, q.e))
+                   * sqrt(list_dot_product(x.e, x.e))), 6) cos
+              from probes q join assigned x using (bucket)
+              where q.vec_id != x.vec_id)
             select qid, vec_id, cos from
               (select *, row_number() over (partition by qid
                          order by cos desc, vec_id) rn from joined) t
@@ -924,6 +1179,172 @@ def oracle_sql() -> dict[str, str]:
                    {_case4(_PINYIN_OUT)} as pinyin,
                    {_case4(_RADICAL_OUT)} as radicals,
                    {_case4(_STRUCT_OUT)} as structures
+            from documents""",
+        'kg_location_town': f"""
+            select doc_id, {_case3(_TOWN_IN)} as loc_text,
+                   {_case3(_TOWN_REGION)} as region,
+                   {_case3(_TOWN_TOWN)} as town,
+                   {_case3(_TOWN_VILLAGE)} as village
+            from documents""",
+        # encoded literals anchored to the live reference by
+        # tests/test_norm_query_anchors.py; decode must round-trip
+        'bpe_byte_codec': f"""
+            select doc_id, {_case4(_BPE_IN)} as text_in,
+                   {_case4(_BPE_OUT)} as encoded,
+                   {_case4(_BPE_IN)} as decoded
+            from documents""",
+        # entropy terms are per-row float trees summed through exact decimals
+        'new_word_scores': """
+            with toks as (
+              select doc_id did,
+                     unnest(string_split(text, ' ')) word,
+                     unnest(range(len(string_split(text, ' ')))) pos
+              from documents),
+            quads0 as (
+              select lag(word, 1) over win lft, word w1,
+                     lead(word, 1) over win w2, lead(word, 2) over win rgt
+              from toks window win as (partition by did order by pos)),
+            quads as (select * from quads0 where w2 is not null),
+            pc as (select w1, w2, count(*) c12 from quads
+                   group by 1, 2 having count(*) >= 5),
+            ld as (select w1, w2, lft, count(*) c from quads
+                   where lft is not null group by 1, 2, 3),
+            lt as (select w1, w2, sum(c) tot from ld group by 1, 2),
+            hl as (select ld.w1, ld.w2,
+                     cast(sum(cast(cast(-(c / tot) * ln(c / tot) as varchar)
+                              as decimal(38,18))) as double) h_left
+                   from ld join lt on ld.w1 = lt.w1 and ld.w2 = lt.w2
+                   group by 1, 2),
+            rd as (select w1, w2, rgt, count(*) c from quads
+                   where rgt is not null group by 1, 2, 3),
+            rt as (select w1, w2, sum(c) tot from rd group by 1, 2),
+            hr as (select rd.w1, rd.w2,
+                     cast(sum(cast(cast(-(c / tot) * ln(c / tot) as varchar)
+                              as decimal(38,18))) as double) h_right
+                   from rd join rt on rd.w1 = rt.w1 and rd.w2 = rt.w2
+                   group by 1, 2),
+            uni as (select unnest(string_split(text, ' ')) word
+                    from documents),
+            uc as (select word, count(*) c from uni group by word),
+            n as (select count(*) nt from uni)
+            select pc.w1, pc.w2, c12,
+                   ln(c12 * (select nt from n) / (a.c * b.c)) pmi,
+                   coalesce(hl.h_left, 0.0) h_left,
+                   coalesce(hr.h_right, 0.0) h_right,
+                   ln(c12 * (select nt from n) / (a.c * b.c))
+                     + least(coalesce(hl.h_left, 0.0),
+                             coalesce(hr.h_right, 0.0)) score
+            from pc
+            join uc a on pc.w1 = a.word
+            join uc b on pc.w2 = b.word
+            left join hl on pc.w1 = hl.w1 and pc.w2 = hl.w2
+            left join hr on pc.w1 = hr.w1 and pc.w2 = hr.w2""",
+        # word weight = tf·ln(N/df)/n_tok (pure per-row float tree → doubles
+        # are bit-identical to Spark); n-grams via lead() windows; length
+        # weights from the reference table; first-occurrence dedup; top-3
+        'keyphrase_topk': """
+            with toks as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) word,
+                     unnest(range(len(string_split(text, ' ')))) pos
+              from documents),
+            tf as (select doc_id, word, count(*) tf from toks group by 1, 2),
+            ntok as (select doc_id, count(*) n_tok from toks group by 1),
+            df as (select word, count(distinct doc_id) df from toks group by 1),
+            nd as (select count(*) n_docs from documents),
+            tw as (
+              select t.doc_id, t.pos, t.word,
+                     tf.tf * ln((select n_docs from nd) / df.df) / ntok.n_tok
+                         as w
+              from toks t
+              join tf on t.doc_id = tf.doc_id and t.word = tf.word
+              join ntok on t.doc_id = ntok.doc_id
+              join df on t.word = df.word),
+            grams as (
+              select doc_id, pos as first_pos, word w1,
+                     lead(word, 1) over win word2,
+                     lead(word, 2) over win word3,
+                     w,
+                     lead(w, 1) over win w2,
+                     lead(w, 2) over win w3
+              from tw window win as (partition by doc_id order by pos)),
+            cand as (
+              select doc_id, first_pos, w1 as phrase, (w) * 1.0 as weight
+              from grams
+              union all
+              select doc_id, first_pos, concat(w1, ' ', word2),
+                     (w + w2) * 5.6
+              from grams where word2 is not null
+              union all
+              select doc_id, first_pos, concat(w1, ' ', word2, ' ', word3),
+                     (w + w2 + w3) * 1.1
+              from grams where word3 is not null),
+            dedup as (
+              select doc_id, phrase, weight,
+                     row_number() over (partition by doc_id, phrase
+                                        order by first_pos) rn
+              from cand),
+            ranked as (
+              select doc_id, phrase, weight,
+                     row_number() over (partition by doc_id
+                                        order by weight desc, phrase) rank
+              from dedup where rn = 1)
+            select doc_id, phrase, cast(rank as int) rank, weight
+            from ranked where rank <= 3""",
+        # sentence mean goes through exact decimal sums (order-independent);
+        # everything else is a per-row float tree
+        'summary_top_sentence': """
+            with toks as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) word,
+                     unnest(range(len(string_split(text, ' ')))) pos
+              from documents),
+            tf as (select doc_id, word, count(*) tf from toks group by 1, 2),
+            ntok as (select doc_id, count(*) n_tok from toks group by 1),
+            df as (select word, count(distinct doc_id) df from toks group by 1),
+            nd as (select count(*) n_docs from documents),
+            word_w as (
+              select distinct tf.doc_id, tf.word,
+                     tf.tf * ln((select n_docs from nd) / df.df) / ntok.n_tok
+                         as w
+              from tf join ntok on tf.doc_id = ntok.doc_id
+              join df on tf.word = df.word),
+            sen as (
+              select doc_id, cast(pos // 12 as int) sen_id, pos, word
+              from toks),
+            sentences as (
+              select doc_id, sen_id,
+                     string_agg(word, ' ' order by pos) sentence
+              from sen group by 1, 2),
+            mean_w as (
+              select s.doc_id, s.sen_id,
+                     cast(sum(cast(cast(w.w as varchar) as decimal(38,18)))
+                          as double) / count(*) as tfidf_weight
+              from sen s join word_w w
+                on s.doc_id = w.doc_id and s.word = w.word
+              group by 1, 2),
+            weighted as (
+              select s.doc_id, s.sen_id, s.sentence,
+                     m.tfidf_weight
+                     * (case when length(s.sentence) < 15
+                             or length(s.sentence) > 70
+                        then 0.7 else 1.0 end)
+                     * (case when s.sen_id < 3 then 1.2 else 1.0 end)
+                         as weight
+              from sentences s join mean_w m
+                on s.doc_id = m.doc_id and s.sen_id = m.sen_id),
+            ranked as (
+              select *, row_number() over (partition by doc_id
+                                           order by weight desc, sen_id) rn
+              from weighted)
+            select doc_id, cast(sen_id as int) sen_id, sentence, weight
+            from ranked where rn = 1""",
+        'sentiment_score': f"""
+            select doc_id, {_case4(_SENTI_IN)} as text_zh,
+                   case doc_id % 4 {' '.join(
+                       f'when {i} then {v}'
+                       for i, v in enumerate(_SENTI_OUT[:-1]))}
+                       else {_SENTI_OUT[-1]} end as senti
             from documents""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,

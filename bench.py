@@ -33,7 +33,9 @@ HEADLINE = [
     'dedup_simhash_pairs', 'dedup_jaccard_pairs', 'ann_cosine_topk',
     'ann_ivf_topk', 'multimodal_features', 'events_daily',
     'norm_tra2sim', 'norm_stopwords', 'norm_money_num2char',
-    'norm_pinyin_radical',
+    'norm_pinyin_radical', 'kg_link_plate', 'kg_check_person',
+    'sentiment_score', 'keyphrase_topk', 'summary_top_sentence',
+    'new_word_scores', 'bpe_byte_codec', 'kg_location_town',
 ]
 
 

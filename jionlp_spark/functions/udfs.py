@@ -195,7 +195,8 @@ class LexiconBundle:
         self.idcard = IdCardParser(lexicons.admin_code_map(dict_dir))
         self.location = LocationParser(
             lexicons.load_admin_divisions(dict_dir),
-            lexicons.load_location_changes(dict_dir))
+            lexicons.load_location_changes(dict_dir),
+            lexicons.load_town_villages(dict_dir))
 
     def broadcast(self, spark: SparkSession):
         return spark.sparkContext.broadcast(self)
@@ -286,6 +287,13 @@ def make_link_udf(bundle_broadcast):
                 norms.append(json.dumps(
                     {'province': res['province'], 'city': res['city'],
                      'county': res['county']}, ensure_ascii=False))
+            elif mtype == 'licence_plate':
+                from jionlp_spark.kernels.plate import parse_licence_plate
+                res = parse_licence_plate(t)
+                objs.append(t)
+                obj_types.append('licence_plate')
+                norms.append(json.dumps(res, ensure_ascii=False)
+                             if res is not None else None)
             elif mtype and mtype.startswith('lexicon:'):
                 objs.append(t)
                 obj_types.append(mtype.split(':', 1)[1])
@@ -369,6 +377,12 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None):
                                     'city': res['city'],
                                     'county': res['county']},
                                    ensure_ascii=False))
+            if mtype == 'licence_plate':
+                from jionlp_spark.kernels.plate import parse_licence_plate
+                res = parse_licence_plate(t)
+                return (t, 'licence_plate',
+                        json.dumps(res, ensure_ascii=False)
+                        if res is not None else None)
             if mtype and mtype.startswith('lexicon:'):
                 return t, mtype.split(':', 1)[1], pre_norm
             return t, mtype, pre_norm
@@ -512,3 +526,44 @@ def make_chartext_udf(bundle_broadcast):
         return pd.DataFrame({'pinyin': pys, 'radicals': rads,
                              'structures': structs})
     return chartext_udf
+
+
+@pandas_udf(T.BooleanType())
+def check_person_name_udf(text: pd.Series) -> pd.Series:
+    """Surname-heuristic person-name predicate
+    (ref algorithm/ner/check_person_name.py:21-69)."""
+    from jionlp_spark.kernels.person import get_person_checker
+    ck = get_person_checker()
+    return text.map(lambda t: ck(t) if t is not None else None)
+
+
+def make_sentiment_udf(analyzer_broadcast):
+    """Lexicon sentiment score in [0,1]
+    (ref algorithm/sentiment/sentiment_analysis.py:94-201)."""
+    @pandas_udf(T.DoubleType())
+    def sentiment_udf(text: pd.Series) -> pd.Series:
+        sa = analyzer_broadcast.value
+        return text.map(lambda t: sa(t) if t is not None else None)
+    return sentiment_udf
+
+
+def make_location_town_udf(bundle_broadcast):
+    """Five-level location parse (province…village; town_village=True mode,
+    ref location_parser.py:488-523)."""
+    schema = T.StructType([
+        T.StructField('province', T.StringType()),
+        T.StructField('city', T.StringType()),
+        T.StructField('county', T.StringType()),
+        T.StructField('town', T.StringType()),
+        T.StructField('village', T.StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def location_town_udf(text: pd.Series) -> pd.DataFrame:
+        lp = bundle_broadcast.value.location
+        rows = [lp.parse(t, town_village=True) if t is not None else {}
+                for t in text]
+        return pd.DataFrame({k: [r.get(k) for r in rows]
+                             for k in ('province', 'city', 'county',
+                                       'town', 'village')})
+    return location_town_udf

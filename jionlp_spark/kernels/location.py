@@ -89,7 +89,11 @@ def build_admin_map(admin_rows: list, location_changes: list):
 
 
 class LocationParser:
-    def __init__(self, admin_rows: list, location_changes: list) -> None:
+    def __init__(self, admin_rows: list, location_changes: list,
+                 town_village_dict: dict | None = None) -> None:
+        # {prov+city+county: {town: {village: None}}}, same keying as the
+        # reference (location_parser.py:118-122)
+        self.town_village_dict = town_village_dict or {}
         self.rows, self.old2new = build_admin_map(admin_rows,
                                                   location_changes)
         # inverted index: name -> sorted row ids (prefilter only)
@@ -160,12 +164,16 @@ class LocationParser:
 
     # -- tie-breaking cascade (location_parser.py:234-420) ---------------------
 
-    def parse(self, text: str, change2new: bool = True) -> dict:
+    def parse(self, text: str, change2new: bool = True,
+              town_village: bool = False) -> dict:
         candidates = self.get_candidates(text)
         if not candidates:
-            return {'province': None, 'city': None, 'county': None,
-                    'detail': text, 'full_location': text,
-                    'orig_location': text}
+            res = {'province': None, 'city': None, 'county': None,
+                   'detail': text, 'full_location': text,
+                   'orig_location': text}
+            if town_village:
+                res.update({'town': None, 'village': None})
+            return res
 
         # 2.0 drop rows where one offset matched a higher-level full name AND
         # a lower-level alias (湖南省长沙市 must not pull in 长沙县)
@@ -193,7 +201,8 @@ class LocationParser:
                 candidates = [c for c in candidates if c[0].is_new]
 
         if len(candidates) == 1:
-            return self._final(candidates[0], text, [], change2new)
+            return self._final(candidates[0], text, [], change2new,
+                               town_village)
 
         # 2.2 earliest total offset first
         candidates = sorted(candidates, key=lambda c: sum(o[0] for o in c[2]))
@@ -208,9 +217,12 @@ class LocationParser:
                 filtered.append((row, count, offsets))
         candidates = filtered
         if not candidates:
-            return {'province': None, 'city': None, 'county': None,
-                    'detail': text, 'full_location': text,
-                    'orig_location': text}
+            res = {'province': None, 'city': None, 'county': None,
+                   'detail': text, 'full_location': text,
+                   'orig_location': text}
+            if town_village:
+                res.update({'town': None, 'village': None})
+            return res
 
         min_offset = sum(o[0] for o in candidates[0][2])
         candidates = [c for c in candidates
@@ -267,12 +279,13 @@ class LocationParser:
         county_dups = [n for n, cnt in dup_counts
                        if cnt > 1 and n not in exceptions]
 
-        return self._final(candidates[0], text, county_dups, change2new)
+        return self._final(candidates[0], text, county_dups, change2new,
+                           town_village)
 
     # -- final assembly (location_parser.py:422-491) ----------------------------
 
     def _final(self, candidate, text: str, county_dups: list,
-               change2new: bool) -> dict:
+               change2new: bool, town_village: bool = False) -> dict:
         row, _count, offsets = candidate
         detail_idx = 0
         prov = city = county = None
@@ -310,6 +323,37 @@ class LocationParser:
         if county is not None:
             admin_part += county
 
-        return {'province': prov, 'city': city, 'county': county,
-                'detail': detail, 'full_location': admin_part + detail,
-                'orig_location': text}
+        res = {'province': prov, 'city': city, 'county': county,
+               'detail': detail, 'full_location': admin_part + detail,
+               'orig_location': text}
+        if town_village:
+            res = self._get_town_village(res)
+        return res
+
+    def _get_town_village(self, result: dict) -> dict:
+        """Town/village lookup inside the detail remainder — port of
+        location_parser.py:493-523 (first listed town contained in detail
+        wins, then first village of that town)."""
+        town = village = None
+        prov = result['province'] if result['province'] is not None else ''
+        city = result['city'] if result['city'] is not None \
+            else '省直辖行政区划'
+        county = result['county'] if result['county'] is not None \
+            else '市直辖行政区划'
+        key_name = ''.join([prov, city, county])
+
+        tv = self.town_village_dict.get(key_name)
+        if tv is None:
+            result.update({'town': town, 'village': village})
+            return result
+        for _town in tv:
+            if _town in result['detail']:
+                town = _town
+                break
+        if town is not None:
+            for _village in tv[town]:
+                if _village in result['detail']:
+                    village = _village
+                    break
+        result.update({'town': town, 'village': village})
+        return result

@@ -15,7 +15,8 @@ delta→point/span, blur months/days/years, solar seasons, 世纪/年代,
 super-blur, lunar calendar + lunar dates (kernels/lunar.py), festivals, the
 24 solar terms, lunar seasons, enum days, 第n个星期k, 旬.  API flags
 ret_future / period_results_num / lunar_date are ported; virtual_time is
-round-2 work (SURVEY §8).
+accepted as a documented no-op (the reference stores but never reads it,
+time_parser.py:805).
 """
 
 from __future__ import annotations
@@ -966,9 +967,14 @@ class TimeParser:
 
     def parse(self, time_string, time_base=None, time_type=None,
               strict=False, period_results_num=None,
-              ret_future=False, lunar_date=True) -> dict:
+              ret_future=False, lunar_date=True,
+              virtual_time=False) -> dict:
         """→ {'type', 'definition', 'time'} — mirrors TimeParser.__call__
-        (time_parser.py:797-842)."""
+        (time_parser.py:797-842).
+
+        ``virtual_time`` is accepted for API parity: the reference stores
+        the flag (time_parser.py:805) but never reads it anywhere — verified
+        against v1.5.29 — so it is a documented no-op here too."""
         if time_base is None:
             time_base = _time.time()
         self.string_strict = strict

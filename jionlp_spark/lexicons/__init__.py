@@ -403,3 +403,102 @@ def load_location_changes(dict_dir: str | None = None) -> list:
                             'new': [f1[6] or None, f1[7] or None,
                                     f1[8] or None]})
     return out
+
+
+# ---------------------------------------------------------------------------
+# sentiment lexicons: sentiment word weights, negation words, multiplier
+# adverb weights (reference dictionary_loader.py:261-267,496-511,514-529)
+
+def load_sentiment_lexicons(dict_dir: str | None = None) -> tuple:
+    """→ (sentiment_words {word: weight}, negative_words [..],
+    expand_words {word: weight})."""
+    d = _dict_dir(dict_dir)
+    if d and os.path.exists(os.path.join(d, 'sentiment_words.txt')):
+        sw = {}
+        with open(os.path.join(d, 'sentiment_words.txt'),
+                  encoding='utf-8') as f:
+            for line in f:
+                word, weight = line.rstrip('\n').split('\t')
+                sw[word] = float(weight)
+        with open(os.path.join(d, 'negative_words.txt'),
+                  encoding='utf-8') as f:
+            neg = [x for x in f.read().splitlines() if x]
+        ew = {}
+        with open(os.path.join(d, 'sentiment_expand_words.txt'),
+                  encoding='utf-8') as f:
+            for line in f:
+                word, weight = line.rstrip('\n').split('\t')
+                ew[word] = float(weight)
+        return sw, neg, ew
+
+    sw = {}
+    with open(os.path.join(_DATA_DIR, 'sentiment_words.tsv'),
+              encoding='utf-8') as f:
+        for line in f:
+            word, weight = line.rstrip('\n').split('\t')
+            sw[word] = float(weight)
+    with open(os.path.join(_DATA_DIR, 'negative.tsv'), encoding='utf-8') as f:
+        neg = [x for x in f.read().splitlines() if x]
+    ew = {}
+    with open(os.path.join(_DATA_DIR, 'expand.tsv'), encoding='utf-8') as f:
+        for line in f:
+            word, weight = line.rstrip('\n').split('\t')
+            ew[word] = float(weight)
+    return sw, neg, ew
+
+
+# ---------------------------------------------------------------------------
+# town/village detail levels (china_location.txt 4th/5th levels; reference
+# china_location_loader(detail=True), dictionary_loader.py:98-170)
+
+def load_town_villages(dict_dir: str | None = None) -> dict:
+    """→ {prov+city+county (full names): {town: {village: None}}}.
+
+    Vendored subset covers the fixture counties; point dict_dir at a full
+    JioNLP dictionary tree for national coverage (~700k rows)."""
+    d = _dict_dir(dict_dir)
+    out: dict = {}
+    if d and os.path.exists(os.path.join(d, 'china_location.txt')):
+        cur_p = cur_c = cur_t = None
+        key = None
+        with open(os.path.join(d, 'china_location.txt'),
+                  encoding='utf-8') as f:
+            for line in f:
+                if line.startswith('\t\t\t\t'):      # village
+                    if key is not None and cur_t is not None:
+                        out[key][cur_t][line.strip()] = None
+                elif line.startswith('\t\t\t'):      # town
+                    cur_t = line.strip()
+                    if key is not None:
+                        out[key][cur_t] = {}
+                elif line.startswith('\t\t'):        # county
+                    parts = line.strip().split('\t')
+                    if len(parts) == 3 and cur_p and cur_c:
+                        key = cur_p + cur_c + parts[0]
+                        out[key] = {}
+                    else:
+                        key = None
+                    cur_t = None
+                elif line.startswith('\t'):          # city
+                    parts = line.strip().split('\t')
+                    cur_c = parts[0] if len(parts) == 3 else None
+                    key = None
+                else:                                # province
+                    parts = line.strip().split('\t')
+                    cur_p = parts[0] if len(parts) == 3 else None
+                    key = None
+        return out
+
+    path = os.path.join(_DATA_DIR, 'town_village.tsv')
+    if not os.path.exists(path):
+        return out
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            prov, city, county, town, village = \
+                line.rstrip('\n').split('\t')
+            key = prov + city + county
+            towns = out.setdefault(key, {})
+            villages = towns.setdefault(town, {})
+            if village:
+                villages[village] = None
+    return out

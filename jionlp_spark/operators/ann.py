@@ -38,35 +38,91 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col('rn') <= k).drop('rn'))
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16,
-               vec_col: str = 'embedding',
-               id_col: str = 'vec_id') -> tuple:
-    """Deterministic IVF bucketing: centroids = the n lowest-id vectors
-    (a stand-in for trained k-means — the plumbing, partitioning and join
-    shape are the point at this scale)."""
-    centroids = (emb.orderBy(id_col).limit(n_centroids)
-                 .select(F.col(id_col).alias('centroid_id'),
-                         F.col(vec_col).alias('centroid')))
-    bc = F.broadcast(centroids)
-    assigned = (
-        emb.crossJoin(bc)
-        # rounded before ranking: keeps the assignment deterministic across
-        # engines/summation orders
-        .select(id_col, vec_col, 'centroid_id',
-                F.round(_cosine(vec_col, 'centroid'), 6).alias('sim'))
-    )
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
+                     vec_col: str = 'embedding',
+                     id_col: str = 'vec_id') -> DataFrame:
+    """Deterministic Lloyd k-means over cosine assignment.
+
+    Init = the k vectors with the smallest md5(vec_id) (a deterministic
+    uniform sample, unlike first-N which inherits whatever order the data
+    arrived in).  Each iteration: broadcast centroids → argmax-cosine assign
+    → element-wise mean per bucket.  Means are computed with exact decimal
+    sums so centroids are bit-identical run-to-run and engine-to-engine
+    (double addition is order-sensitive under shuffle).
+
+    Scale shape per iteration: one broadcast crossJoin (N·k row expressions,
+    whole-stage codegen), one shuffle keyed (bucket, dim) with partial aggs.
+    Returns (centroid_id, centroid array<double>).
+    """
+    centroids = _hash_seed_centroids(emb, k, vec_col, id_col)
+    for _ in range(iters):
+        assigned = _assign(emb, centroids, probes=1, vec_col=vec_col,
+                           id_col=id_col)
+        dim = (assigned
+               .select('bucket', F.posexplode(
+                   F.expr(f'transform({vec_col}, x -> cast(x as double))'))
+                   .alias('pos', 'v'))
+               .groupBy('bucket', 'pos')
+               .agg((F.sum(F.col('v').cast('string').cast('decimal(38,18)'))
+                     .cast('double') / F.count('*')).alias('m')))
+        centroids = (dim.groupBy('bucket')
+                     .agg(F.array_sort(F.collect_list(F.struct('pos', 'm')))
+                          .alias('s'))
+                     .select(F.col('bucket').alias('centroid_id'),
+                             F.expr('transform(s, x -> x.m)')
+                             .alias('centroid')))
+    return centroids
+
+
+def _hash_seed_centroids(emb: DataFrame, k: int, vec_col: str,
+                         id_col: str) -> DataFrame:
+    """k deterministic hash-sampled seed vectors.  orderBy().limit(k) plans
+    as TakeOrderedAndProject (distributed top-k, no global sort); the
+    row-number window then runs over just k rows."""
     from pyspark.sql.window import Window
+    seeds = (emb.select(id_col, vec_col,
+                        F.md5(F.col(id_col).cast('string')).alias('_h'))
+             .orderBy('_h', id_col).limit(k))
+    rk = Window.orderBy('_h', id_col)
+    return (seeds.withColumn('_rn', F.row_number().over(rk))
+            .select((F.col('_rn') - 1).alias('centroid_id'),
+                    F.expr(f'transform({vec_col}, x -> cast(x as double))')
+                    .alias('centroid')))
+
+
+def _assign(emb: DataFrame, centroids: DataFrame, probes: int,
+            vec_col: str, id_col: str) -> DataFrame:
+    """Top-`probes` buckets per vector by cosine (round-6 before ranking —
+    deterministic across engines; ties by centroid_id)."""
+    from pyspark.sql.window import Window
+    sims = (emb.crossJoin(F.broadcast(centroids))
+            .select(id_col, vec_col, 'centroid_id',
+                    F.round(_cosine(vec_col, 'centroid'), 6).alias('sim')))
     w = Window.partitionBy(id_col).orderBy(F.desc('sim'), 'centroid_id')
-    assigned = (assigned.withColumn('rn', F.row_number().over(w))
-                .filter(F.col('rn') == 1)
-                .select(id_col, vec_col, F.col('centroid_id').alias('bucket')))
+    return (sims.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= probes)
+            .select(id_col, vec_col, F.col('centroid_id').alias('bucket')))
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16,
+               vec_col: str = 'embedding', id_col: str = 'vec_id',
+               centroids: DataFrame | None = None,
+               probes: int = 1) -> tuple:
+    """IVF bucketing against `centroids` (default: deterministic
+    hash-sampled vectors; pass kmeans_centroids(...) output for trained
+    buckets).  probes > 1 emits one row per (vector, probed bucket) — used
+    on the query side for multi-probe recall."""
+    if centroids is None:
+        centroids = _hash_seed_centroids(emb, n_centroids, vec_col, id_col)
+    assigned = _assign(emb, centroids, probes, vec_col, id_col)
     return assigned, centroids
 
 
 def ivf_topk(assigned: DataFrame, queries_assigned: DataFrame,
              k: int = 5, vec_col: str = 'embedding',
              id_col: str = 'vec_id') -> DataFrame:
-    """Search only within the query's bucket (single-probe IVF)."""
+    """Search only the probed bucket(s); multi-probe queries contribute one
+    row per probe and the distinct() collapses duplicates."""
     from pyspark.sql.window import Window
     joined = (
         queries_assigned.alias('q')
@@ -76,6 +132,7 @@ def ivf_topk(assigned: DataFrame, queries_assigned: DataFrame,
                 F.col(f'e.{id_col}').alias(id_col),
                 F.round(_cosine(f'q.{vec_col}', f'e.{vec_col}'), 6)
                 .alias('cos'))
+        .distinct()
     )
     w = Window.partitionBy('qid').orderBy(F.desc('cos'), F.col(id_col))
     return (joined.withColumn('rn', F.row_number().over(w))

@@ -145,7 +145,12 @@ def simhash64(docs: DataFrame, text_col: str = 'text',
 def simhash_near_dups(sim_df: DataFrame, bands: int = 4) -> DataFrame:
     """Hamming-≤(bands-1) candidate pairs by banding the 64-bit simhash into
     16-bit chunks (pigeonhole: any pair within distance bands-1 shares a
-    chunk) and verifying with bit_count on the xor."""
+    chunk) and verifying with bit_count on the xor.
+
+    Scale note: 16-bit chunks give only 65,536 buckets per band — fine up to
+    ~10⁷ docs, but at 10⁹+ the expected bucket holds ~15k docs and the
+    verify join quadratically explodes.  Use simhash_near_dups_wide for the
+    billion-doc path (32-bit keys, same exact output)."""
     chunks = [F.expr(
         f"(simhash >> {16 * b}) & 65535").alias(f'c{b}')
         for b in range(bands)]
@@ -165,4 +170,61 @@ def simhash_near_dups(sim_df: DataFrame, bands: int = 4) -> DataFrame:
                 F.expr('bit_count(a.simhash ^ b.simhash)').alias('hamming'))
         .distinct()
         .filter(F.col('hamming') <= bands - 1)
+    )
+
+
+def simhash_near_dups_wide(sim_df: DataFrame,
+                           max_hamming: int = 3) -> DataFrame:
+    """Scale-hardened simhash near-dup pairs: Manku-style block-combination
+    banding (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW'07 — the multi-table permuted-prefix scheme).
+
+    Split the 64 bits into 6 blocks (11,11,11,11,10,10).  Any pair within
+    Hamming distance ≤3 differs in at most 3 blocks, so at least 3 blocks
+    are clean → the pair agrees on at least one of the C(6,3)=20 block
+    triples.  Each triple is one join table keyed on the concatenated 31–33
+    bits → ~2–8·10⁹ buckets per table instead of 65,536: at 10⁹ docs the
+    expected bucket occupancy stays O(1) and the verify join is linear.
+    Cost: 20 rows per doc instead of 4 (a (doc_id, long) pair each — ~320 GB
+    shuffle at 10⁹ docs, well within a 1000-executor cluster).
+
+    Output is identical to simhash_near_dups (both are exact for ≤3 after
+    the bit_count verify); only the candidate-generation geometry differs.
+    """
+    from itertools import combinations
+
+    widths = [11, 11, 11, 11, 10, 10]
+    offsets = []
+    off = 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    blocks = [F.expr(f'(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1}')
+              .alias(f'b{i}') for i in range(6)]
+
+    combos = list(combinations(range(6), 3))
+    band_exprs = []
+    for band_id, (i, j, k) in enumerate(combos):
+        key = F.expr(
+            f'(((simhash >> {offsets[i]}) & {(1 << widths[i]) - 1})'
+            f' << {widths[j] + widths[k]}) | '
+            f'(((simhash >> {offsets[j]}) & {(1 << widths[j]) - 1})'
+            f' << {widths[k]}) | '
+            f'((simhash >> {offsets[k]}) & {(1 << widths[k]) - 1})')
+        band_exprs.append(F.struct(F.lit(band_id).alias('band_id'),
+                                   key.alias('key')))
+    banded = sim_df.select(
+        'doc_id', 'simhash',
+        F.explode(F.array(*band_exprs)).alias('band')
+    ).select('doc_id', 'simhash', 'band.band_id', 'band.key')
+    banded = banded.persist()
+    a, b = banded.alias('a'), banded.alias('b')
+    return (
+        a.join(b, ['band_id', 'key'])
+        .filter(F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'),
+                F.expr('bit_count(a.simhash ^ b.simhash)').alias('hamming'))
+        .distinct()
+        .filter(F.col('hamming') <= max_hamming)
     )

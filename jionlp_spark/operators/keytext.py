@@ -1,0 +1,232 @@
+"""Keyphrase extraction and extractive summarization as DataFrame jobs.
+
+Distributed analogs of the reference ChineseKeyPhrasesExtractor
+(/root/reference/jionlp/algorithm/keyphrase/extract_keyphrase.py:165-363)
+and ChineseSummaryExtractor (algorithm/summary/extract_summary.py:100-215),
+with the model-bound parts replaced by corpus statistics (documented
+deviations — the reference needs the jiojio CWS/POS model and an LDA
+matrix, both out of scope per SURVEY §2.5):
+
+- tokenization: whitespace tokens (no jiojio); POS gating dropped (all
+  tokens notional), stopword weight-zeroing optional via `stopwords`.
+- word weight: tf(word, doc) · idf(word) / n_tokens(doc) — identical shape
+  to the reference (freq_dict[word] * idf / total_length,
+  extract_keyphrase.py:237-239) but idf comes from the corpus itself
+  (ln(N/df)) instead of the shipped idf.txt.
+- LDA topic prominence: omitted (reference supports topic_theta=0 /
+  allow_topic_weight=False which zeroes it the same way).
+- phrase length weight: the reference's published phrase-length control
+  table (extract_keyphrase.py:119-121).
+- MMR re-rank / dedup: exact replay of the reference loops
+  (extract_keyphrase.py:331-346, extract_summary.py:184-191) inside
+  applyInPandas — per-doc sequential, embarrassingly parallel across docs.
+
+Scale shape: one shuffle for the per-doc token window (reused by every
+n-gram width via lead()), shuffle aggs for tf/df, a broadcast scalar for N;
+no Python in the scoring path — only the optional MMR stage is Arrow.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# reference phrases_length_control_dict (extract_keyphrase.py:119-121)
+PHRASE_LENGTH_WEIGHT = {1: 1.0, 2: 5.6, 3: 1.1, 4: 2.0, 5: 0.7, 6: 0.9,
+                        7: 0.48, 8: 0.43, 9: 0.24, 10: 0.15, 11: 0.07,
+                        12: 0.05}
+
+
+def doc_token_weights(docs: DataFrame, text_col: str = 'text',
+                      id_col: str = 'doc_id') -> DataFrame:
+    """→ (doc_id, pos, word, weight) with weight = tf·idf/n_tok.
+
+    idf = ln(N / df) over the corpus; N rides along as a broadcast scalar
+    crossJoin (no driver collect, single pass over the corpus).
+    """
+    toks = (docs.select(F.col(id_col).alias('doc_id'),
+                        F.posexplode(F.split(F.col(text_col), ' '))
+                        .alias('pos', 'word')))
+    n_docs = docs.select(F.count('*').alias('n_docs'))
+    tf = toks.groupBy('doc_id', 'word').agg(F.count('*').alias('tf'))
+    ntok = toks.groupBy('doc_id').agg(F.count('*').alias('n_tok'))
+    df = (toks.select('doc_id', 'word').distinct()
+          .groupBy('word').agg(F.count('*').alias('df')))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        'word', F.log(F.col('n_docs') / F.col('df')).alias('idf'))
+    return (toks
+            .join(tf, ['doc_id', 'word'])
+            .join(F.broadcast(ntok), 'doc_id')
+            .join(idf, 'word')
+            .select('doc_id', 'pos', 'word',
+                    (F.col('tf') * F.col('idf') / F.col('n_tok'))
+                    .alias('weight')))
+
+
+def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
+                         text_col: str = 'text',
+                         id_col: str = 'doc_id') -> DataFrame:
+    """n-gram candidates with summed word weights × length weight
+    (extract_keyphrase.py:247-320 minus POS/topic terms).
+
+    → (doc_id, phrase, n, first_pos, weight); duplicate phrase strings keep
+    their first occurrence (reference dict-update-if-absent :324-328).
+    """
+    tw = doc_token_weights(docs, text_col, id_col)
+    w = Window.partitionBy('doc_id').orderBy('pos')
+    per_n = []
+    for n in ns:
+        words = [F.col('word')] + [F.lead('word', k).over(w)
+                                   for k in range(1, n)]
+        wsum = sum([F.col('weight')] + [F.lead('weight', k).over(w)
+                                        for k in range(1, n)])
+        per_n.append(
+            tw.select('doc_id', F.col('pos').alias('first_pos'),
+                      F.concat_ws(' ', *words).alias('phrase'),
+                      F.lit(n).alias('n'),
+                      (wsum * F.lit(PHRASE_LENGTH_WEIGHT[n])).alias('weight'),
+                      words[-1].isNotNull().alias('_complete'))
+            .filter('_complete').drop('_complete'))
+    cand = per_n[0]
+    for d in per_n[1:]:
+        cand = cand.unionByName(d)
+    first = Window.partitionBy('doc_id', 'phrase').orderBy('first_pos')
+    return (cand.withColumn('_rn', F.row_number().over(first))
+            .filter(F.col('_rn') == 1).drop('_rn'))
+
+
+def keyphrases(docs: DataFrame, top_k: int = 5, ns=(1, 2, 3),
+               mmr: bool = True, text_col: str = 'text',
+               id_col: str = 'doc_id') -> DataFrame:
+    """Top-k keyphrases per doc.  With mmr=True the reference's overlap
+    re-weighting runs per doc in applyInPandas; with mmr=False the ranking
+    is a pure window top-k (fully SQL-expressible, used by the oracle)."""
+    cand = keyphrase_candidates(docs, ns, text_col, id_col)
+    if not mmr:
+        rk = Window.partitionBy('doc_id').orderBy(
+            F.col('weight').desc(), F.col('phrase'))
+        # weight stays an unrounded double: it is a pure per-row expression
+        # tree (no cross-row float aggregation), so Spark and the DuckDB
+        # oracle produce bit-identical IEEE doubles
+        return (cand.withColumn('rank', F.row_number().over(rk))
+                .filter(F.col('rank') <= top_k)
+                .select('doc_id', 'phrase', 'rank', 'weight'))
+
+    schema = ('doc_id long, phrase string, rank int, weight double')
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # reference extract_keyphrase.py:331-346: process candidates by
+        # token-count desc (stable: first occurrence order within a length),
+        # penalize by max token-overlap ratio vs already-kept phrases, drop
+        # full-overlap (ratio == 1)
+        pdf = pdf.sort_values(['n', 'first_pos'],
+                              ascending=[False, True])
+        kept, sets, weights = [], [], []
+        for row in pdf.itertuples():
+            toks = set(row.phrase.split(' '))
+            sim = 0.0
+            for s in sets:
+                ratio = len(toks & s) / len(toks)
+                if ratio > sim:
+                    sim = ratio
+            if sim != 1.0:
+                kept.append(row.phrase)
+                sets.append(toks)
+                weights.append((1 - sim) * row.weight)
+        out = pd.DataFrame({'doc_id': pdf['doc_id'].iloc[0],
+                            'phrase': kept, 'weight': weights})
+        out = out.sort_values(['weight', 'phrase'],
+                              ascending=[False, True]).head(top_k)
+        out['rank'] = range(1, len(out) + 1)
+        out['weight'] = out['weight'].round(6)
+        return out[['doc_id', 'phrase', 'rank', 'weight']]
+
+    return cand.groupBy('doc_id').applyInPandas(_mmr, schema)
+
+
+# ---------------------------------------------------------------------------
+# extractive summary
+
+
+def sentence_weights(sentences: DataFrame, docs: DataFrame,
+                     lead_3_weight: float = 1.2,
+                     text_col: str = 'text',
+                     id_col: str = 'doc_id') -> DataFrame:
+    """Score sentences: mean word tfidf weight (extract_summary.py:148-150)
+    × length damp (chars <15 or >70 → ×0.7, :164-166) × lead-3 boost
+    (sen_id < 3 → ×lead_3_weight, :168-170).
+
+    `sentences` = (doc_id, sen_id, sentence); word weights come from the
+    whole-doc statistics (reference freq over the full text)."""
+    tw = doc_token_weights(docs, text_col, id_col)
+    sen_tok = sentences.select(
+        'doc_id', 'sen_id',
+        F.posexplode(F.split('sentence', ' ')).alias('spos', 'word'))
+    # reference weights are per word-position with whole-doc tf·idf/n_tok —
+    # dedupe tw to (doc_id, word, weight) first
+    word_w = tw.select('doc_id', 'word', 'weight').distinct()
+    # mean via exact decimal sum: float addition is order-sensitive and
+    # shuffle order is nondeterministic, so a double avg() would wobble in
+    # the last bit between runs/engines; decimal sums are exact and
+    # order-independent (double→decimal goes through the string form — the
+    # shortest round-trip representation both engines agree on)
+    wdec = F.col('weight').cast('string').cast('decimal(38,18)')
+    mean_w = (sen_tok.join(word_w, ['doc_id', 'word'], 'left')
+              .na.fill({'weight': 0.0})
+              .groupBy('doc_id', 'sen_id')
+              .agg((F.sum(wdec).cast('double') / F.count('*'))
+                   .alias('tfidf_weight')))
+    return (sentences.join(mean_w, ['doc_id', 'sen_id'])
+            .withColumn('damp', F.when(
+                (F.length('sentence') < 15) | (F.length('sentence') > 70),
+                F.lit(0.7)).otherwise(F.lit(1.0)))
+            .withColumn('lead', F.when(F.col('sen_id') < 3,
+                                       F.lit(lead_3_weight))
+                        .otherwise(F.lit(1.0)))
+            .select('doc_id', 'sen_id', 'sentence',
+                    (F.col('tfidf_weight') * F.col('damp') * F.col('lead'))
+                    .alias('weight')))
+
+
+def summarize(sentences: DataFrame, docs: DataFrame,
+              summary_length: int = 120, lead_3_weight: float = 1.2,
+              text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Greedy MMR summary per doc (extract_summary.py:175-215): sentences
+    sorted by weight, each penalized by max token-overlap vs already-picked,
+    greedily added until the char budget, output in original order."""
+    sw = sentence_weights(sentences, docs, lead_3_weight, text_col, id_col)
+    schema = 'doc_id long, summary string'
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(['weight', 'sen_id'],
+                              ascending=[False, True]).reset_index(drop=True)
+        # MMR re-weight in weight order (reference :184-191)
+        sets, new_w = [], []
+        for row in pdf.itertuples():
+            toks = set(row.sentence.split(' '))
+            sim = 0.0
+            for s in sets:
+                if toks:
+                    ratio = len(toks & s) / len(toks)
+                    if ratio > sim:
+                        sim = ratio
+            new_w.append((1 - sim) * row.weight)
+            sets.append(toks)
+        pdf['weight'] = new_w
+        pdf = pdf.sort_values(['weight', 'sen_id'],
+                              ascending=[False, True])
+        total, picked = 0, []
+        for row in pdf.itertuples():
+            ln = len(row.sentence)
+            if total + ln > summary_length:
+                if not picked:
+                    picked = [(row.sen_id, row.sentence)]
+                break
+            picked.append((row.sen_id, row.sentence))
+            total += ln
+        picked.sort()
+        return pd.DataFrame({'doc_id': [pdf['doc_id'].iloc[0]],
+                             'summary': [' '.join(s for _i, s in picked)]})
+
+    return sw.groupBy('doc_id').applyInPandas(_pick, schema)

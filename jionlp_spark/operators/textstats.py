@@ -149,3 +149,70 @@ def stopword_filter(docs: DataFrame, stopwords: list,
         'tokens_clean',
         F.array_except(F.split(F.col(text_col), ' '),
                        F.array(*[F.lit(w) for w in stopwords])))
+
+
+def new_word_scores(docs: DataFrame, text_col: str = 'text',
+                    id_col: str = 'doc_id',
+                    min_pair_freq: int = 5) -> DataFrame:
+    """New-word discovery: PMI + left/right boundary entropy.
+
+    Distributed completion of the reference's (explicitly unfinished,
+    new_word_discovery.py:41 "未完成") sketch: PMI filter
+    (:86-103) + neighbor-entropy "degree of freedom" (:111-124,
+    entropy = -Σ p·log p over the boundary-neighbor distribution).
+    Candidates are adjacent token pairs; score = pmi + min(H_left, H_right)
+    — a candidate must be both internally cohesive and externally free.
+
+    Scale shape: one window shuffle per doc for neighbors, three groupBys
+    with partial aggregation; entropy terms are per-row float trees summed
+    through exact decimals (order-independent → engine-identical).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.col(id_col).alias('did'),
+                       F.posexplode(F.split(F.col(text_col), ' '))
+                       .alias('pos', 'word'))
+    w = Window.partitionBy('did').orderBy('pos')
+    quads = toks.select(
+        F.lag('word', 1).over(w).alias('lft'),
+        F.col('word').alias('w1'),
+        F.lead('word', 1).over(w).alias('w2'),
+        F.lead('word', 2).over(w).alias('rgt'),
+    ).filter(F.col('w2').isNotNull())
+
+    pair_counts = (quads.groupBy('w1', 'w2')
+                   .agg(F.count('*').cast('long').alias('c12'))
+                   .filter(F.col('c12') >= min_pair_freq))
+
+    def _entropy(neigh_col, alias):
+        dist = (quads.filter(F.col(neigh_col).isNotNull())
+                .groupBy('w1', 'w2', neigh_col)
+                .agg(F.count('*').alias('c')))
+        tot = dist.groupBy('w1', 'w2').agg(F.sum('c').alias('tot'))
+        term = -(F.col('c') / F.col('tot')) * F.log(F.col('c') / F.col('tot'))
+        return (dist.join(tot, ['w1', 'w2'])
+                .groupBy('w1', 'w2')
+                .agg(F.sum(term.cast('string').cast('decimal(38,18)'))
+                     .cast('double').alias(alias)))
+
+    unigrams = (docs.select(F.explode(F.split(F.col(text_col), ' '))
+                            .alias('word'))
+                .groupBy('word').agg(F.count('*').cast('long').alias('c')))
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.col(text_col), ' '))).alias('n'))
+
+    return (pair_counts
+            .join(F.broadcast(unigrams.withColumnRenamed('word', 'w1')
+                              .withColumnRenamed('c', 'c1')), 'w1')
+            .join(F.broadcast(unigrams.withColumnRenamed('word', 'w2')
+                              .withColumnRenamed('c', 'c2')), 'w2')
+            .crossJoin(F.broadcast(n_tokens))
+            .join(_entropy('lft', 'h_left'), ['w1', 'w2'], 'left')
+            .join(_entropy('rgt', 'h_right'), ['w1', 'w2'], 'left')
+            .na.fill({'h_left': 0.0, 'h_right': 0.0})
+            .select('w1', 'w2', 'c12',
+                    F.log(F.col('c12') * F.col('n')
+                          / (F.col('c1') * F.col('c2'))).alias('pmi'),
+                    'h_left', 'h_right')
+            .withColumn('score',
+                        F.col('pmi') + F.least('h_left', 'h_right')))

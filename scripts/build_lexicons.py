@@ -116,6 +116,47 @@ def main(dict_dir):
                                (n[2] or '') if len(n) > 2 else '']) + '\n')
     print('location_change rows:', len(changes))
 
+    # --- sentiment lexicons --------------------------------------------------
+    # negative + expand word lists are tiny → vendored whole; the 33k-entry
+    # sentiment_words file is capped at the strongest |weight| entries PLUS
+    # every entry that is a substring of the fixture sentences (so vendored
+    # FMM segmentation is identical to the full dictionary on those)
+    fixture_sentences = SENTIMENT_FIXTURES
+    sw = {}
+    with open(os.path.join(dict_dir, 'sentiment_words.txt'),
+              encoding='utf-8') as f:
+        for line in f:
+            word, weight = line.rstrip('\n').split('\t')
+            sw[word] = float(weight)
+    must = {w for w in sw
+            if any(w in s for s in fixture_sentences)}
+    ranked = sorted(sw, key=lambda w: (-abs(sw[w]), w))
+    keep_words = set(ranked[:8000]) | must
+    with open(os.path.join(DATA, 'sentiment_words.tsv'), 'w',
+              encoding='utf-8') as f:
+        for w in sorted(keep_words):
+            f.write(f'{w}\t{sw[w]}\n')
+    print('sentiment words rows:', len(keep_words), 'must-keep:', len(must))
+
+    for name in ('negative_words', 'sentiment_expand_words'):
+        with open(os.path.join(dict_dir, f'{name}.txt'),
+                  encoding='utf-8') as f:
+            content = f.read()
+        out = 'negative.tsv' if name == 'negative_words' else 'expand.tsv'
+        with open(os.path.join(DATA, out), 'w', encoding='utf-8') as f:
+            f.write(content)
+        print(f'{name} vendored whole')
+
+
+# fixture sentences used by the sentiment driver query — every full-dict
+# word occurring in them must survive the vendoring cap
+SENTIMENT_FIXTURES = (
+    '今天天气真好，心情舒畅，非常开心。',
+    '这部电影不好看，情节拖沓，令人失望。',
+    '虽然开局不利，可是结局非常圆满，大家都很高兴！',
+    '14岁女孩坠亡生前遭强奸致孕。',
+)
+
 
 if __name__ == '__main__':
     main(sys.argv[1] if len(sys.argv) > 1

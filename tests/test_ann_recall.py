@@ -1,0 +1,55 @@
+"""IVF recall gate: trained (Lloyd-iterated) multi-probe IVF must beat the
+untrained single-probe baseline against exact brute-force top-k, and clear
+an absolute floor.  Everything in the chain is deterministic (hash-seeded
+init, exact decimal means, round-6 sims), so the measured recalls are exact
+constants of the fixture."""
+
+from pyspark.sql import functions as F
+
+SF = '/root/testdata/sf0.01'
+
+
+def _recall(bf, iv):
+    per_q = [len(bf[q] & iv.get(q, set())) / len(bf[q]) for q in bf]
+    return sum(per_q) / len(per_q)
+
+
+def test_ivf_kmeans_multiprobe_recall(spark):
+    from jionlp_spark.operators.ann import (brute_force_topk, ivf_assign,
+                                            ivf_topk, kmeans_centroids)
+    emb = spark.read.parquet(f'{SF}/embeddings.parquet').cache()
+    queries = emb.filter(F.col('vec_id') < 20).select(
+        F.col('vec_id').alias('qid'), F.col('embedding').alias('qe'))
+    bf = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        bf.setdefault(r.qid, set()).add(r.vec_id)
+
+    def run(iters, probes):
+        cents = kmeans_centroids(emb, k=8, iters=iters)
+        assigned, _ = ivf_assign(emb, centroids=cents)
+        qa, _ = ivf_assign(emb.filter(F.col('vec_id') < 20),
+                           centroids=cents, probes=probes)
+        out = {}
+        for r in ivf_topk(assigned, qa, k=5).collect():
+            out.setdefault(r.qid, set()).add(r.vec_id)
+        return _recall(bf, out)
+
+    baseline = run(iters=0, probes=1)     # hash seeds, single probe
+    trained = run(iters=2, probes=3)      # 2 Lloyd iterations, 3 probes
+    assert trained > baseline, (trained, baseline)
+    assert trained >= 0.5, trained
+
+
+def test_simhash_wide_banding_equivalent(spark):
+    """The Manku block-combination banding must produce exactly the pairs
+    of the 4×16-bit scheme (both are exact for Hamming ≤ 3)."""
+    from jionlp_spark.operators.dedup import (simhash64, simhash_near_dups,
+                                              simhash_near_dups_wide)
+    docs = spark.read.parquet(f'{SF}/documents.parquet')
+    sims = simhash64(docs).cache()
+    classic = {(r.doc_a, r.doc_b, r.hamming)
+               for r in simhash_near_dups(sims).collect()}
+    wide = {(r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups_wide(sims).collect()}
+    assert classic == wide
+    assert classic  # fixture has at least one true near-dup pair

@@ -137,3 +137,47 @@ def test_location_parser_vendored_subset(jio):
         got = lp.parse(t)
         assert (ref['province'], ref['city'], ref['county']) == \
             (got['province'], got['city'], got['county']), (t, ref, got)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DICTS),
+                    reason='full dictionaries unavailable')
+def test_location_town_village_parity(jio):
+    """town_village=True five-level parsing vs the reference (full dicts)."""
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.location import LocationParser
+    lp = LocationParser(lexicons.load_admin_divisions(REF_DICTS),
+                        lexicons.load_location_changes(REF_DICTS),
+                        lexicons.load_town_villages(REF_DICTS))
+    cases = ['喀左旗覃家岗街道梨树湾村芭蕉沟村民小组临.222号',
+             '上海市嘉定区华亭镇华亭村88号',
+             '上海市嘉定区南翔镇东园社区',
+             '贵州省贵阳市云岩区黔灵东路街道',
+             '北京市海淀区中关村街道',
+             '湖北省襄阳市襄城区古城街道',
+             '成都是西部大开发先锋城市。',
+             '不含地名的一句话。']
+    for t in cases:
+        ref = jio.parse_location(t, town_village=True)
+        got = lp.parse(t, town_village=True)
+        assert ref == got, (t, ref, got)
+    # flag off keeps the five-level keys absent (three-level dict shape)
+    no_tv = lp.parse('上海市嘉定区华亭镇华亭村88号')
+    assert 'town' not in no_tv and 'village' not in no_tv
+
+
+def test_location_town_village_vendored(jio):
+    """The vendored town/village slice must agree with the reference on
+    fixture addresses inside the vendored counties."""
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.location import LocationParser
+    lp = LocationParser(lexicons.load_admin_divisions(),
+                        lexicons.load_location_changes(),
+                        lexicons.load_town_villages())
+    for t in ['上海市嘉定区华亭镇华亭村88号',
+              '上海市嘉定区南翔镇东园社区',
+              '北京市海淀区中关村街道']:
+        ref = jio.parse_location(t, town_village=True)
+        got = lp.parse(t, town_village=True)
+        assert (ref['town'], ref['village']) == (got['town'],
+                                                 got['village']), (t, ref,
+                                                                   got)

@@ -30,6 +30,35 @@ def test_money_num2char_literals(jio):
         assert jio.money_num2char(num, sim_or_tra='tra') == tra
 
 
+def test_plate_literals(jio):
+    for plate, loc, typ, size in zip(entry._PLATE_IN, entry._PLATE_LOC,
+                                     entry._PLATE_TYPE, entry._PLATE_SIZE):
+        ref = jio.parse_motor_vehicle_licence_plate(plate)
+        assert ref == {'car_loc': loc, 'car_type': typ, 'car_size': size}, \
+            (plate, ref)
+
+
+def test_person_literals(jio):
+    for cand, expect in zip(entry._PERSON_IN, entry._PERSON_OUT):
+        assert bool(jio.ner.check_person_name(cand)) == expect, cand
+
+
+def test_location_town_literals(jio):
+    for t, region, town, village in zip(entry._TOWN_IN, entry._TOWN_REGION,
+                                        entry._TOWN_TOWN,
+                                        entry._TOWN_VILLAGE):
+        r = jio.parse_location(t, town_village=True)
+        assert '/'.join(x for x in (r['province'], r['city'], r['county'])
+                        if x) == region, (t, r)
+        assert r['town'] == town and r['village'] == village, (t, r)
+
+
+def test_bpe_literals(jio):
+    for t, enc in zip(entry._BPE_IN, entry._BPE_OUT):
+        assert jio.bpe.byte_level_bpe.encode(t) == enc, t
+        assert jio.bpe.byte_level_bpe.decode(enc) == t, t
+
+
 def test_pinyin_radical_literals(jio):
     for t, py in zip(entry._ZH_IN, entry._PINYIN_OUT):
         assert ' '.join(jio.pinyin(t)) == py
