@@ -662,6 +662,33 @@ def q_norm_pinyin_radical(spark, sf_dir):
                     F.col('r.structures').alias('structures')))
 
 
+def q_kg_mentions_bioes(spark, sf_dir):
+    """NER-dataset export: per-doc mentions → BIOES tag sequence via the
+    entity2tag converter (ner_data_converter.py:44-95) over the char tokens
+    of the injected prefix (phone + id + money spans)."""
+    from pyspark.sql.functions import pandas_udf
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card', 'money'))
+    per_doc = m.groupBy('doc_id').agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col('offset_start').alias('s'), F.col('offset_end').alias('e'),
+            F.col('mention_type').alias('t')))).alias('ents'))
+
+    @pandas_udf('string')
+    def bioes(ents: pd.Series) -> pd.Series:
+        from jionlp_spark.kernels.ner_convert import entity2tag
+
+        def conv(lst):
+            n = max(e['e'] for e in lst)
+            entities = [{'offset': [e['s'], e['e']], 'type': e['t'],
+                         'text': ''} for e in lst]
+            return ','.join(entity2tag([''] * n, entities))
+        return ents.map(conv)
+
+    return per_doc.select(F.col('doc_id').cast('long').alias('doc_id'),
+                          bioes(F.col('ents')).alias('tags'))
+
+
 _TOWN_IN = ('上海市嘉定区华亭镇华亭村88号', '北京市海淀区中关村街道',
             '贵州省贵阳市云岩区三桥社区服务中心改茶社区')
 _TOWN_REGION = ('上海市/上海市/嘉定区', '北京市/北京市/海淀区',
@@ -790,6 +817,48 @@ def q_sentiment_score(spark, sf_dir):
                     F.round(udf(F.col('text_zh')), 6).alias('senti'))
 
 
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (relational breadth:
+    multi-agg groupBy; double sums go through exact decimals so the
+    aggregation is order-independent and engine-exact)."""
+    li = spark.read.parquet(f'{sf_dir}/lineitem.parquet')
+    dec = lambda c: F.col(c).cast('string').cast('decimal(38,12)')  # noqa
+    disc = (F.col('l_extendedprice') * (1 - F.col('l_discount')))
+    charge = disc * (1 + F.col('l_tax'))
+    return (li.filter(F.col('l_shipdate') <= '1998-09-02')
+            .groupBy('l_returnflag', 'l_linestatus')
+            .agg(F.sum(dec('l_quantity')).cast('decimal(38,12)')
+                 .alias('sum_qty'),
+                 F.sum(dec('l_extendedprice')).cast('decimal(38,12)')
+                 .alias('sum_base_price'),
+                 F.sum(disc.cast('string').cast('decimal(38,12)'))
+                 .cast('decimal(38,12)').alias('sum_disc_price'),
+                 F.sum(charge.cast('string').cast('decimal(38,12)'))
+                 .cast('decimal(38,12)').alias('sum_charge'),
+                 F.count('*').cast('long').alias('count_order')))
+
+
+def q_tpch_top_orders(spark, sf_dir):
+    """TPC-H Q3-style: revenue of building-segment orders, top 10.  No
+    broadcast hints: orders/customer are fact-sized at 100 TB — the joins
+    stay shuffle joins in the plan and AQE converts them to broadcast at
+    small SF where the filtered sides fit."""
+    li = spark.read.parquet(f'{sf_dir}/lineitem.parquet')
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    cust = spark.read.parquet(f'{sf_dir}/customer.parquet')
+    rev = (F.col('l_extendedprice') * (1 - F.col('l_discount')))
+    return (li.join(orders.filter(F.col('o_orderdate') < '1995-03-15'),
+                    F.col('l_orderkey') == F.col('o_orderkey'))
+            .join(cust.filter(F.col('c_mktsegment') == 'BUILDING'),
+                  F.col('o_custkey') == F.col('c_custkey'))
+            .groupBy(F.col('l_orderkey').cast('long').alias('l_orderkey'),
+                     F.to_date('o_orderdate').alias('o_orderdate'))
+            .agg(F.sum(rev.cast('string').cast('decimal(38,12)'))
+                 .cast('decimal(38,12)').alias('revenue'))
+            .orderBy(F.desc('revenue'), 'l_orderkey')
+            .limit(10))
+
+
 def q_events_daily(spark, sf_dir):
     """Windowed/rollup analog on the events table; decimal sum keeps the
     float aggregation engine-exact.
@@ -837,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_topk': q_ann_ivf_topk,
         'multimodal_features': q_multimodal_features,
         'events_daily': q_events_daily,
+        'tpch_pricing_summary': q_tpch_pricing_summary,
+        'tpch_top_orders': q_tpch_top_orders,
         'kg_link_plate': q_kg_link_plate,
         'kg_check_person': q_kg_check_person,
         'norm_tra2sim': q_norm_tra2sim,
@@ -844,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'norm_money_num2char': q_norm_money_num2char,
         'norm_pinyin_radical': q_norm_pinyin_radical,
         'sentiment_score': q_sentiment_score,
+        'kg_mentions_bioes': q_kg_mentions_bioes,
         'kg_location_town': q_kg_location_town,
         'bpe_byte_codec': q_bpe_byte_codec,
         'new_word_scores': q_new_word_scores,
@@ -1180,6 +1252,20 @@ def oracle_sql() -> dict[str, str]:
                    {_case4(_RADICAL_OUT)} as radicals,
                    {_case4(_STRUCT_OUT)} as structures
             from documents""",
+        # injected layout: 5 O-chars, 11-char phone, 5 O, 18-char id, 4 O,
+        # then the money mention '<digits>元'
+        'kg_mentions_bioes': f"""
+            select doc_id, concat(
+                repeat('O,', 5),
+                'B-cell_phone,', repeat('I-cell_phone,', 9),
+                'E-cell_phone,',
+                repeat('O,', 5),
+                'B-id_card,', repeat('I-id_card,', 16), 'E-id_card,',
+                repeat('O,', 4),
+                'B-money,',
+                repeat('I-money,', length({_duck(_MONEY_SQL)}) - 1),
+                'E-money') as tags
+            from documents""",
         'kg_location_town': f"""
             select doc_id, {_case3(_TOWN_IN)} as loc_text,
                    {_case3(_TOWN_REGION)} as region,
@@ -1339,6 +1425,35 @@ def oracle_sql() -> dict[str, str]:
               from weighted)
             select doc_id, cast(sen_id as int) sen_id, sentence, weight
             from ranked where rn = 1""",
+        'tpch_pricing_summary': """
+            select l_returnflag, l_linestatus,
+              cast(sum(cast(cast(l_quantity as varchar) as decimal(38,12)))
+                   as decimal(38,12)) as sum_qty,
+              cast(sum(cast(cast(l_extendedprice as varchar)
+                            as decimal(38,12))) as decimal(38,12))
+                  as sum_base_price,
+              cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
+                                 as varchar) as decimal(38,12)))
+                   as decimal(38,12)) as sum_disc_price,
+              cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) as varchar)
+                            as decimal(38,12))) as decimal(38,12))
+                  as sum_charge,
+              count(*) as count_order
+            from lineitem
+            where l_shipdate <= '1998-09-02'
+            group by l_returnflag, l_linestatus""",
+        'tpch_top_orders': """
+            select l_orderkey, cast(o_orderdate as date) o_orderdate,
+              cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
+                                 as varchar) as decimal(38,12)))
+                   as decimal(38,12)) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where o_orderdate < '1995-03-15' and c_mktsegment = 'BUILDING'
+            group by 1, 2
+            order by revenue desc, l_orderkey limit 10""",
         'sentiment_score': f"""
             select doc_id, {_case4(_SENTI_IN)} as text_zh,
                    case doc_id % 4 {' '.join(

@@ -36,6 +36,7 @@ HEADLINE = [
     'norm_pinyin_radical', 'kg_link_plate', 'kg_check_person',
     'sentiment_score', 'keyphrase_topk', 'summary_top_sentence',
     'new_word_scores', 'bpe_byte_codec', 'kg_location_town',
+    'kg_mentions_bioes', 'tpch_pricing_summary', 'tpch_top_orders',
 ]
 
 

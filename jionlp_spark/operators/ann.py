@@ -54,7 +54,11 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
     whole-stage codegen), one shuffle keyed (bucket, dim) with partial aggs.
     Returns (centroid_id, centroid array<double>).
     """
-    centroids = _hash_seed_centroids(emb, k, vec_col, id_col)
+    # localCheckpoint after every round: centroids are k tiny rows but
+    # their lineage spans the whole corpus — every downstream use (index
+    # assign, query assign, next iteration) would otherwise recompute it
+    centroids = _hash_seed_centroids(emb, k, vec_col, id_col) \
+        .localCheckpoint()
     for _ in range(iters):
         assigned = _assign(emb, centroids, probes=1, vec_col=vec_col,
                            id_col=id_col)
@@ -70,7 +74,8 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
                           .alias('s'))
                      .select(F.col('bucket').alias('centroid_id'),
                              F.expr('transform(s, x -> x.m)')
-                             .alias('centroid')))
+                             .alias('centroid'))
+                     .localCheckpoint())
     return centroids
 
 

@@ -49,15 +49,20 @@ def doc_token_weights(docs: DataFrame, text_col: str = 'text',
                         F.posexplode(F.split(F.col(text_col), ' '))
                         .alias('pos', 'word')))
     n_docs = docs.select(F.count('*').alias('n_docs'))
-    tf = toks.groupBy('doc_id', 'word').agg(F.count('*').alias('tf'))
-    ntok = toks.groupBy('doc_id').agg(F.count('*').alias('n_tok'))
     df = (toks.select('doc_id', 'word').distinct()
           .groupBy('word').agg(F.count('*').alias('df')))
     idf = df.crossJoin(F.broadcast(n_docs)).select(
         'word', F.log(F.col('n_docs') / F.col('df')).alias('idf'))
+    # tf/n_tok as window counts, doc-level window FIRST: the (doc_id, word)
+    # window is then satisfied by hash(doc_id) (subset rule) → the whole
+    # chain, including the caller's per-doc lead()/rank windows, costs ONE
+    # shuffle of the token table.  The idf join stays a shuffle join in the
+    # plan and AQE turns it into a broadcast when the vocabulary is small.
+    w_d = Window.partitionBy('doc_id')
+    w_dw = Window.partitionBy('doc_id', 'word')
     return (toks
-            .join(tf, ['doc_id', 'word'])
-            .join(F.broadcast(ntok), 'doc_id')
+            .withColumn('n_tok', F.count('*').over(w_d))
+            .withColumn('tf', F.count('*').over(w_dw))
             .join(idf, 'word')
             .select('doc_id', 'pos', 'word',
                     (F.col('tf') * F.col('idf') / F.col('n_tok'))
@@ -75,22 +80,30 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
     """
     tw = doc_token_weights(docs, text_col, id_col)
     w = Window.partitionBy('doc_id').orderBy('pos')
-    per_n = []
+    max_n = max(ns)
+    # every n-gram width in ONE pass over one windowed subplan (a per-n
+    # union would recompute the whole token-weight join per width); window
+    # expressions must be projected before they can feed the struct array
+    lead_cols = [F.col('word').alias('w0'), F.col('weight').alias('v0')]
+    for k in range(1, max_n):
+        lead_cols.append(F.lead('word', k).over(w).alias(f'w{k}'))
+        lead_cols.append(F.lead('weight', k).over(w).alias(f'v{k}'))
+    base = tw.select('doc_id', F.col('pos').alias('first_pos'), *lead_cols)
+    structs = []
     for n in ns:
-        words = [F.col('word')] + [F.lead('word', k).over(w)
-                                   for k in range(1, n)]
-        wsum = sum([F.col('weight')] + [F.lead('weight', k).over(w)
-                                        for k in range(1, n)])
-        per_n.append(
-            tw.select('doc_id', F.col('pos').alias('first_pos'),
-                      F.concat_ws(' ', *words).alias('phrase'),
-                      F.lit(n).alias('n'),
-                      (wsum * F.lit(PHRASE_LENGTH_WEIGHT[n])).alias('weight'),
-                      words[-1].isNotNull().alias('_complete'))
-            .filter('_complete').drop('_complete'))
-    cand = per_n[0]
-    for d in per_n[1:]:
-        cand = cand.unionByName(d)
+        words = [F.col(f'w{k}') for k in range(n)]
+        wsum = F.col('v0')
+        for k in range(1, n):
+            wsum = wsum + F.col(f'v{k}')
+        structs.append(F.struct(
+            F.concat_ws(' ', *words).alias('phrase'),
+            F.lit(n).alias('n'),
+            (wsum * F.lit(PHRASE_LENGTH_WEIGHT[n])).alias('weight'),
+            words[-1].isNotNull().alias('complete')))
+    cand = (base.select('doc_id', 'first_pos',
+                        F.explode(F.array(*structs)).alias('c'))
+            .filter(F.col('c.complete'))
+            .select('doc_id', 'first_pos', 'c.phrase', 'c.n', 'c.weight'))
     first = Window.partitionBy('doc_id', 'phrase').orderBy('first_pos')
     return (cand.withColumn('_rn', F.row_number().over(first))
             .filter(F.col('_rn') == 1).drop('_rn'))
