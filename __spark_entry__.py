@@ -721,6 +721,30 @@ def q_kg_location_town(spark, sf_dir):
                     F.col('r.village').alias('village')))
 
 
+_AUG_IN = ('民盟发言人：昂山素季目前情况良好',
+           '孙俪晒年对比照庆领证纪念日邓超被指沧桑',
+           '中国驻英记者一向恪守新闻职业道德',
+           '数据清洗是大规模语料处理的关键步骤')
+_AUG_OUT = ('民盟发言人：昂山素季目前情况好良|民盟发言人：昂山素季目前良况情好',
+            '孙晒俪年对比照庆领证纪日念邓超被指沧桑|孙俪晒年照比对庆领证纪念日邓被超指沧桑',
+            '中英驻国记者一向恪守新闻职业道德|国中驻英记者一向恪守新闻职业道德',
+            '数据清洗是大规模处料语的理关键步骤|数据清洗是大规模语料处的理关键骤步')
+
+
+def q_textaug_swap(spark, sf_dir):
+    """swap_char_position augmentation with per-doc seeded RNGs (seed =
+    doc_id % 4, matching the anchored reference stream)."""
+    from jionlp_spark.operators.textaug import augment_swap
+    _ensure_shipped(spark)
+    d = (_docs(spark, sf_dir)
+         .selectExpr('doc_id', 'doc_id % 4 as seed_id',
+                     f'{_case4(_AUG_IN)} as text_zh'))
+    return (augment_swap(d, augmentation_num=2, swap_ratio=0.08,
+                         base_seed=0, text_col='text_zh',
+                         seed_col='seed_id')
+            .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
+
+
 _BPE_IN = ('メトロ', '中文字符', 'hello world', '¡Ωmega™')
 _BPE_OUT = ('ãĥ¡ãĥĪãĥŃ', 'ä¸ŃæĸĩåŃĹç¬¦', 'helloĠworld', 'Â¡Î©megaâĦ¢')
 
@@ -917,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sentiment_score': q_sentiment_score,
         'kg_mentions_bioes': q_kg_mentions_bioes,
         'kg_location_town': q_kg_location_town,
+        'textaug_swap': q_textaug_swap,
         'bpe_byte_codec': q_bpe_byte_codec,
         'new_word_scores': q_new_word_scores,
         'keyphrase_topk': q_keyphrase_topk,
@@ -1265,6 +1290,12 @@ def oracle_sql() -> dict[str, str]:
                 'B-money,',
                 repeat('I-money,', length({_duck(_MONEY_SQL)}) - 1),
                 'E-money') as tags
+            from documents""",
+        # literals anchored to the reference RNG stream by
+        # tests/test_textaug.py::test_swap_query_literals
+        'textaug_swap': f"""
+            select doc_id, {_case4(_AUG_IN)} as text_zh,
+                   {_case4(_AUG_OUT)} as augmented
             from documents""",
         'kg_location_town': f"""
             select doc_id, {_case3(_TOWN_IN)} as loc_text,

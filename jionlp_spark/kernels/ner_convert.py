@@ -111,3 +111,53 @@ def entity_f1(gold: list, pred: list) -> dict:
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return {'precision': p, 'recall': r, 'f1': f1,
             'tp': tp, 'n_gold': len(gold_set), 'n_pred': len(pred_set)}
+
+
+# ---------------------------------------------------------------------------
+# CWS (word segmentation) dataset converters — ports of
+# algorithm/cws/cws_data_converter.py:36-145 (BI tagging standard)
+
+def cws_word2tag(word_list) -> tuple:
+    """word list → (chars, BI tag list) (cws_data_converter.py:36-67)."""
+    chars = ''.join(word_list)
+    tags = []
+    for word in word_list:
+        tags.append('B')
+        tags.extend('I' * (len(word) - 1))
+    return chars, tags
+
+
+def cws_tag2word(chars: str, tags) -> list:
+    """(chars, BI tags) → word list, replaying the reference's exact
+    malformed-sequence behavior (cws_data_converter.py:70-145), including
+    the early return on an unknown tag."""
+    tag_length = len(tags)
+    if tag_length == 1:
+        return [chars]
+    word_list = []
+    start = None
+    for idx, tag in enumerate(tags):
+        if tag == 'I':
+            if idx == 0:
+                start = idx
+                continue
+            elif idx == tag_length - 1:
+                word = chars[start:]
+            else:
+                continue
+        elif tag == 'B':
+            if idx == 0:
+                start = idx
+                continue
+            elif idx == tag_length - 1:
+                word_list.append(chars[start: idx])
+                word = chars[-1]
+            else:
+                if start is None:
+                    continue
+                word = chars[start: idx]
+                start = idx
+        else:
+            return word_list
+        word_list.append(word)
+    return word_list

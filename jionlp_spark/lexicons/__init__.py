@@ -502,3 +502,24 @@ def load_town_villages(dict_dir: str | None = None) -> dict:
             if village:
                 villages[village] = None
     return out
+
+
+def load_char_distribution(dict_dir: str | None = None) -> dict:
+    """utf-8 char → {'total_num', 'prob', 'log_prob'} corpus statistics
+    (reference dictionary_loader.py:72-93; vendored whole — factual
+    frequency data used by the add/delete augmenter's insert sampler)."""
+    import json
+    import math
+    d = _dict_dir(dict_dir)
+    path = os.path.join(d, 'char_distribution.json') if d else None
+    if not (path and os.path.exists(path)):
+        path = os.path.join(_DATA_DIR, 'char_distribution.json')
+    # line-oriented JSON: one ["char", count] per line
+    items = []
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            if line.strip():
+                items.append(json.loads(line))
+    total = sum(c for _ch, c in items)
+    return {ch: {'total_num': c, 'prob': c / total,
+                 'log_prob': -math.log10(c / total)} for ch, c in items}

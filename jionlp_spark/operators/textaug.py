@@ -1,0 +1,74 @@
+"""Distributed text augmentation over a document table.
+
+Wraps the kernels in jionlp_spark.kernels.textaug with per-document seeded
+RNGs: the reference consumes the GLOBAL numpy RNG (nondeterministic under
+any parallelism); here each row gets ``numpy.random.RandomState(base_seed +
+doc_id)``, whose Mersenne stream is identical to the reference's
+``np.random.seed(s)`` — so results are reproducible, shuffle-order
+independent, and still bit-equal to the single-threaded reference for the
+same per-row seed (asserted by tests/test_textaug.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def augment_swap(docs: DataFrame, augmentation_num: int = 3,
+                 swap_ratio: float = 0.02, scale: float = 1.0,
+                 base_seed: int = 0, text_col: str = 'text',
+                 id_col: str = 'doc_id', seed_col: str | None = None,
+                 sep: str = '|') -> DataFrame:
+    """→ (doc_id, text, augmented) with `sep`-joined swap augmentations.
+    The RNG seed per row is base_seed + `seed_col` (default: the id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf('string')
+    def swap_udf(seed: pd.Series, text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from jionlp_spark.kernels.textaug import SwapCharPosition
+
+        def one(s, t):
+            aug = SwapCharPosition(
+                swap_ratio=swap_ratio, scale=scale,
+                rng=np.random.RandomState(base_seed + int(s)))
+            return sep.join(aug(t, augmentation_num=augmentation_num))
+        return pd.Series([one(s, t) for s, t in zip(seed, text)])
+
+    return docs.select(F.col(id_col).alias('doc_id'),
+                       F.col(text_col).alias('text'),
+                       swap_udf(F.col(seed_col or id_col), F.col(text_col))
+                       .alias('augmented'))
+
+
+def augment_add_delete(docs: DataFrame, augmentation_num: int = 3,
+                       add_ratio: float = 0.02, delete_ratio: float = 0.02,
+                       base_seed: int = 0, text_col: str = 'text',
+                       id_col: str = 'doc_id', sep: str = '|') -> DataFrame:
+    """→ (doc_id, text, augmented) with add/delete augmentations.  The
+    smoothed char distribution is built once per Python worker (module
+    singleton in the kernel layer, ~400 KB)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf('string')
+    def ad_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from jionlp_spark import lexicons
+        from jionlp_spark.kernels.textaug import RandomAddDelete
+        dist = lexicons.load_char_distribution()
+
+        def one(did, t):
+            aug = RandomAddDelete(
+                dist, add_ratio=add_ratio, delete_ratio=delete_ratio,
+                rng=np.random.RandomState(base_seed + int(did)))
+            return sep.join(aug(t, augmentation_num=augmentation_num))
+        return pd.Series([one(d, t) for d, t in zip(doc_id, text)])
+
+    return docs.select(F.col(id_col).alias('doc_id'),
+                       F.col(text_col).alias('text'),
+                       ad_udf(F.col(id_col), F.col(text_col))
+                       .alias('augmented'))

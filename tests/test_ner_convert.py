@@ -79,3 +79,32 @@ def test_entity_f1():
     pred = [{'offset': [0, 3], 'type': 'P'}, {'offset': [4, 7], 'type': 'X'}]
     m = entity_f1(gold, pred)
     assert m['tp'] == 1 and m['precision'] == 0.5 and m['recall'] == 0.5
+
+
+def test_cws_converters_parity(jio):
+    from jionlp_spark.kernels.ner_convert import cws_tag2word, cws_word2tag
+    word_lists = [
+        ['他', '指出', '：', '近', '几', '年', '来', '，', '足球场',
+         '风气', '差劲', '。'],
+        ['一个', '词'], ['单'], ['超长词汇测试', '。'],
+    ]
+    # the reference word2tag crashes on numpy>=1.24 (np.unicode removed,
+    # cws_data_converter.py:56); our port implements the documented
+    # semantics and must round-trip through the reference's tag2word
+    import pytest
+    with pytest.raises(Exception):
+        jio.cws.word2tag(word_lists[0])
+    for wl in word_lists:
+        chars, tags = cws_word2tag(wl)
+        assert chars == ''.join(wl)
+        assert cws_tag2word(chars, tags) == \
+            jio.cws.tag2word(chars, tags) == wl
+
+    # malformed BI sequences: replay the reference exactly
+    for tags in itertools.product('BI', repeat=6):
+        chars = '一二三四五六'
+        assert cws_tag2word(chars, list(tags)) == \
+            jio.cws.tag2word(chars, list(tags)), tags
+    # unknown tag → early return
+    assert cws_tag2word('一二三', ['B', 'X', 'B']) == \
+        jio.cws.tag2word('一二三', ['B', 'X', 'B'])
