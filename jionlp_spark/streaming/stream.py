@@ -53,3 +53,63 @@ def run_file_stream(spark: SparkSession, source_dir: str, out_dir: str,
             .outputMode('append')
             .trigger(availableNow=True)
             .start())
+
+
+def stateful_dedup_stream(docs_stream: DataFrame,
+                          watermark: str = '1 hour') -> DataFrame:
+    """Streaming exact dedup with custom state: first arrival of each
+    content hash passes through, repeats are dropped — the streaming analog
+    of operators/dedup.dedup_exact, replacing the reference simhash module's
+    redis store (algorithm/simhash/simhash_redis.py) with Spark-managed
+    per-key state (applyInPandasWithState).
+
+    State = one row per content_hash {n_seen}; an event-time timeout
+    expires hashes not seen for 1 hour past their last event time,
+    bounding state size on an unbounded crawl.
+
+    Input: (doc_id long, text string, warc_ts timestamp) stream.
+    Output: (content_hash, doc_id, warc_ts, dup_index) — dup_index 0 for
+    the first arrival (kept), >0 for dropped repeats (emitted for audit).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    hashed = docs_stream.select(
+        F.md5(F.col('text')).alias('content_hash'),
+        'doc_id', 'warc_ts').withWatermark('warc_ts', watermark)
+
+    out_schema = ('content_hash string, doc_id long, warc_ts timestamp, '
+                  'dup_index int')
+    state_schema = 'n_seen int'
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen = state.get[0] if state.exists else 0
+        out = []
+        max_ts = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(['warc_ts', 'doc_id'])
+            for row in pdf.itertuples():
+                out.append((key[0], row.doc_id, row.warc_ts, n_seen))
+                n_seen += 1
+                if max_ts is None or row.warc_ts > max_ts:
+                    max_ts = row.warc_ts
+        state.update((n_seen,))
+        # TTL anchored to the group's own event time: the current watermark
+        # is 0 during the first batch, so watermark-relative timeouts would
+        # land in 1970 and the restored watermark of the next run would
+        # purge every key immediately
+        state.setTimeoutTimestamp(
+            int(max_ts.timestamp() * 1000) + 3600_000)
+        yield pd.DataFrame(out, columns=['content_hash', 'doc_id',
+                                         'warc_ts', 'dup_index'])
+
+    return (hashed.groupBy('content_hash')
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    'append',
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -126,3 +126,43 @@ def test_streaming_mentions(spark, tmp_path):
         lexicon_trie_broadcast=build_location_trie(spark)).count()
     assert n == batch
     assert os.path.exists(ckpt)
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: state persists across restarts
+    of an availableNow stream — a repeat arriving in a later batch gets
+    dup_index > 0."""
+    import datetime
+
+    from jionlp_spark.streaming.stream import stateful_dedup_stream
+
+    src = str(tmp_path / 'src')
+    out = str(tmp_path / 'out')
+    ckpt = str(tmp_path / 'ckpt')
+    ts = datetime.datetime(2021, 9, 1)
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, 'doc_id long, text string, warc_ts timestamp') \
+            .write.mode('append').parquet(src)
+        stream = spark.readStream.schema(
+            'doc_id long, text string, warc_ts timestamp').parquet(src)
+        q = (stateful_dedup_stream(stream).writeStream
+             .format('parquet').option('path', out)
+             .option('checkpointLocation', ckpt)
+             .outputMode('append').trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_batch([(0, 'aaa bbb', ts), (1, 'ccc ddd', ts),
+               (2, 'aaa bbb', ts)])
+    run_batch([(3, 'aaa bbb', ts + datetime.timedelta(minutes=5)),
+               (4, 'eee fff', ts + datetime.timedelta(minutes=5))])
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 5
+    # first arrivals keep dup_index 0
+    assert rows[1].dup_index == 0 and rows[4].dup_index == 0
+    # 'aaa bbb' arrived three times across two micro-batch runs: indices
+    # 0,1 in run 1 (order by ts,doc_id) and 2 in run 2 (state survived)
+    assert sorted([rows[0].dup_index, rows[2].dup_index]) == [0, 1]
+    assert rows[3].dup_index == 2
