@@ -351,15 +351,10 @@ def q_word_freq_by_source(spark, sf_dir):
 
 
 def q_token_idf(spark, sf_dir):
-    """idf.txt analog: ln(N/df) per token over the corpus."""
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    return (
-        docs.select('doc_id', F.explode(
-            F.array_distinct(F.split('text', ' '))).alias('token'))
-        .groupBy('token').agg(F.count('*').cast('long').alias('df'))
-        .withColumn('idf', F.round(F.log(F.lit(float(n)) / F.col('df')), 6))
-    )
+    """idf.txt analog: ln(N/df) per token over the corpus (single plan —
+    N is a broadcast scalar, not a separate driver count)."""
+    from jionlp_spark.operators.textstats import token_idf
+    return token_idf(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -441,6 +436,17 @@ def q_sentence_split(spark, sf_dir):
     return _injected_docs(spark, sf_dir).select(
         'doc_id', n_coarse('text').alias('n_coarse'),
         n_fine('text').alias('n_fine'))
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (IVF-bucketed candidates, 2 probes,
+    exact verify ≥ 0.4)."""
+    from jionlp_spark.operators.dedup import embedding_near_dups
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return embedding_near_dups(emb, threshold=0.4).select(
+        F.col('vec_a').cast('long').alias('vec_a'),
+        F.col('vec_b').cast('long').alias('vec_b'), 'cos')
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -922,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_lsh_pairs': q_dedup_lsh_pairs,
         'dedup_simhash_pairs': q_dedup_simhash_pairs,
         'dedup_jaccard_pairs': q_dedup_jaccard_pairs,
+        'dedup_embedding_pairs': q_dedup_embedding_pairs,
         'lang_id_eval': q_lang_id_eval,
         'bigram_pmi': q_bigram_pmi,
         'quality_score': q_quality_score,
@@ -1186,6 +1193,35 @@ def oracle_sql() -> dict[str, str]:
         'sentence_split': """
             select doc_id, cast(3 as bigint) n_coarse,
                    cast(8 as bigint) n_fine from documents""",
+        # mirrors the bucketed algorithm: hash-seeded centroids, top-2
+        # probed buckets per vector, pair join on shared bucket, cosine
+        # verify
+        'dedup_embedding_pairs': """
+            with emb as (select vec_id, embedding::DOUBLE[] e
+                         from embeddings),
+            seeds as (select vec_id, e,
+                             md5(cast(vec_id as varchar)) h
+                      from emb order by h, vec_id limit 8),
+            init as (select row_number() over (order by h, vec_id) - 1 cid,
+                            e cen
+                     from seeds),
+            sims as (select emb.vec_id, emb.e, init.cid,
+                       round(list_dot_product(emb.e, init.cen)
+                         / (sqrt(list_dot_product(emb.e, emb.e))
+                          * sqrt(list_dot_product(init.cen, init.cen))), 6)
+                           sim
+                     from emb cross join init),
+            probed as (select vec_id, e, cid bucket from
+              (select *, row_number() over (partition by vec_id
+                         order by sim desc, cid) rn from sims) t
+              where rn <= 2),
+            pairs as (select distinct a.vec_id vec_a, b.vec_id vec_b,
+                round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) cos
+              from probed a join probed b using (bucket)
+              where a.vec_id < b.vec_id)
+            select vec_a, vec_b, cos from pairs where cos >= 0.4""",
         # 1 Lloyd iteration from hash-seeded init; decimal means keep the
         # centroids bit-identical to Spark; queries probe top-2 buckets
         'ann_ivf_topk': """

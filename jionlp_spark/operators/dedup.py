@@ -228,3 +228,32 @@ def simhash_near_dups_wide(sim_df: DataFrame,
         .distinct()
         .filter(F.col('hamming') <= max_hamming)
     )
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
+                        n_centroids: int = 8, probes: int = 2,
+                        vec_col: str = 'embedding',
+                        id_col: str = 'vec_id') -> DataFrame:
+    """Embedding-cosine near-dup pairs: IVF-bucketed candidate generation
+    (hash-seeded centroids, top-`probes` buckets per vector) + exact cosine
+    verify within buckets.  The all-pairs O(N²) scan becomes a
+    bucket-partitioned self-join — the scale path for embedding dedup of a
+    crawl corpus; recall is governed by probes (pair found iff the probed
+    bucket sets intersect).
+    """
+    from jionlp_spark.operators.ann import _cosine, ivf_assign
+
+    assigned, _ = ivf_assign(emb, n_centroids=n_centroids, probes=probes,
+                             vec_col=vec_col, id_col=id_col)
+    assigned = assigned.persist()  # caller-owned (see lsh note)
+    a, b = assigned.alias('a'), assigned.alias('b')
+    return (
+        a.join(b, 'bucket')
+        .filter(F.col(f'a.{id_col}') < F.col(f'b.{id_col}'))
+        .select(F.col(f'a.{id_col}').alias('vec_a'),
+                F.col(f'b.{id_col}').alias('vec_b'),
+                F.round(_cosine(f'a.{vec_col}', f'b.{vec_col}'), 6)
+                .alias('cos'))
+        .distinct()
+        .filter(F.col('cos') >= threshold)
+    )

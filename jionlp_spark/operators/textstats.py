@@ -83,13 +83,18 @@ def fingerprint(docs: DataFrame, text_col: str = 'text') -> DataFrame:
 
 def token_idf(docs: DataFrame, text_col: str = 'text',
               id_col: str = 'doc_id') -> DataFrame:
-    """Corpus idf per token: ln(N / df) (analog of the reference idf.txt)."""
-    n = docs.count()
+    """Corpus idf per token: ln(N / df) (analog of the reference idf.txt).
+    N rides along as a broadcast scalar crossJoin — one plan, no separate
+    driver-side count scan."""
+    n_docs = docs.select(F.count('*').alias('n_docs'))
     return (
         docs.select(id_col, F.explode(
             F.array_distinct(F.split(F.col(text_col), ' '))).alias('token'))
         .groupBy('token').agg(F.count('*').cast('long').alias('df'))
-        .withColumn('idf', F.round(F.log(F.lit(float(n)) / F.col('df')), 6))
+        .crossJoin(F.broadcast(n_docs))
+        .select('token', 'df',
+                F.round(F.log(F.col('n_docs').cast('double')
+                              / F.col('df')), 6).alias('idf'))
     )
 
 
@@ -126,8 +131,8 @@ def bigram_pmi(docs: DataFrame, text_col: str = 'text',
         F.count('*').cast('long').alias('c12'))
     unigrams = (docs.select(F.explode(toks).alias('w'))
                 .groupBy('w').agg(F.count('*').cast('long').alias('c')))
-    n_tokens = docs.select(
-        F.sum(F.size(toks)).alias('n')).collect()[0]['n']
+    # total-token scalar as a broadcast crossJoin (no driver collect/scan)
+    n_tokens = docs.select(F.sum(F.size(toks)).alias('n'))
     return (
         pair_counts
         .filter(F.col('c12') >= min_pair_freq)
@@ -135,8 +140,9 @@ def bigram_pmi(docs: DataFrame, text_col: str = 'text',
                           .withColumnRenamed('c', 'c1')), 'w1')
         .join(F.broadcast(unigrams.withColumnRenamed('w', 'w2')
                           .withColumnRenamed('c', 'c2')), 'w2')
+        .crossJoin(F.broadcast(n_tokens))
         .select('w1', 'w2', 'c12',
-                F.round(F.log(F.col('c12') * F.lit(float(n_tokens))
+                F.round(F.log(F.col('c12') * F.col('n').cast('double')
                               / (F.col('c1') * F.col('c2'))), 6).alias('pmi'))
     )
 
