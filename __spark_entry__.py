@@ -357,6 +357,21 @@ def q_token_idf(spark, sf_dir):
     return token_idf(_docs(spark, sf_dir))
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprints: md5 + polynomial rolling hash (xxhash64 also
+    computed but not emitted — DuckDB has no xxhash64 to oracle it)."""
+    from jionlp_spark.operators.textstats import fingerprint
+    return fingerprint(_docs(spark, sf_dir)).select(
+        'doc_id', 'fp_md5', 'fp_rolling')
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish subword token counts per doc."""
+    from jionlp_spark.operators.textstats import token_counts
+    return token_counts(_docs(spark, sf_dir)).select(
+        'doc_id', 'ws_tokens', 'subword_tokens')
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via content hash: clusters with >1 doc."""
     return (
@@ -923,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_distribution': q_lang_distribution,
         'word_freq_by_source': q_word_freq_by_source,
         'token_idf': q_token_idf,
+        'doc_fingerprint': q_doc_fingerprint,
+        'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
         'dedup_lsh_pairs': q_dedup_lsh_pairs,
@@ -1065,16 +1082,34 @@ def oracle_sql() -> dict[str, str]:
             from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
                   from documents)
             group by token""",
+        'doc_fingerprint': """
+            select doc_id, md5(text) as fp_md5,
+                   cast(list_reduce(
+                       list_prepend('7', string_split(text, '')),
+                       (acc, x) -> cast((cast(acc as bigint) * 31 + ord(x))
+                                        % 1000000007 as varchar))
+                        as bigint) as fp_rolling
+            from documents""",
+        'token_counts': """
+            select doc_id,
+                   cast(len(string_split(text, ' ')) as bigint) ws_tokens,
+                   cast((select sum(greatest((length(w) - 1) // 4, 0) + 1)
+                         from unnest(regexp_split_to_array(
+                             text, '[^a-zA-Z0-9一-龥]+')) as t(w))
+                        as bigint) subword_tokens
+            from documents""",
         'dedup_exact': """
             select md5(text) as content_hash, count(*) as cluster_size,
                    min(doc_id) as keep_doc_id
             from documents group by md5(text) having count(*) > 1""",
+        # one md5 per shingle sliced into four 32-bit hashes (mirrors the
+        # Spark kernel's md5-slice scheme)
         'dedup_minhash_sig': """
             select doc_id,
-                   min(md5(concat('0', t))) as mh0,
-                   min(md5(concat('1', t))) as mh1,
-                   min(md5(concat('2', t))) as mh2,
-                   min(md5(concat('3', t))) as mh3
+                   min(substr(md5(concat('0', t)), 1, 8)) as mh0,
+                   min(substr(md5(concat('0', t)), 9, 8)) as mh1,
+                   min(substr(md5(concat('0', t)), 17, 8)) as mh2,
+                   min(substr(md5(concat('0', t)), 25, 8)) as mh3
             from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
                   from documents)
             group by doc_id""",
@@ -1091,14 +1126,22 @@ def oracle_sql() -> dict[str, str]:
             with toks as (select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
                           from documents),
             sigs as (select doc_id,
-                       min(md5(concat('0', t))) mh0, min(md5(concat('1', t))) mh1,
-                       min(md5(concat('2', t))) mh2, min(md5(concat('3', t))) mh3,
-                       min(md5(concat('4', t))) mh4, min(md5(concat('5', t))) mh5,
-                       min(md5(concat('6', t))) mh6, min(md5(concat('7', t))) mh7,
-                       min(md5(concat('8', t))) mh8, min(md5(concat('9', t))) mh9,
-                       min(md5(concat('10', t))) mh10, min(md5(concat('11', t))) mh11,
-                       min(md5(concat('12', t))) mh12, min(md5(concat('13', t))) mh13,
-                       min(md5(concat('14', t))) mh14, min(md5(concat('15', t))) mh15
+                       min(substr(md5(concat('0', t)), 1, 8)) mh0,
+                       min(substr(md5(concat('0', t)), 9, 8)) mh1,
+                       min(substr(md5(concat('0', t)), 17, 8)) mh2,
+                       min(substr(md5(concat('0', t)), 25, 8)) mh3,
+                       min(substr(md5(concat('1', t)), 1, 8)) mh4,
+                       min(substr(md5(concat('1', t)), 9, 8)) mh5,
+                       min(substr(md5(concat('1', t)), 17, 8)) mh6,
+                       min(substr(md5(concat('1', t)), 25, 8)) mh7,
+                       min(substr(md5(concat('2', t)), 1, 8)) mh8,
+                       min(substr(md5(concat('2', t)), 9, 8)) mh9,
+                       min(substr(md5(concat('2', t)), 17, 8)) mh10,
+                       min(substr(md5(concat('2', t)), 25, 8)) mh11,
+                       min(substr(md5(concat('3', t)), 1, 8)) mh12,
+                       min(substr(md5(concat('3', t)), 9, 8)) mh13,
+                       min(substr(md5(concat('3', t)), 17, 8)) mh14,
+                       min(substr(md5(concat('3', t)), 25, 8)) mh15
                      from toks group by doc_id),
             bands as (
               select doc_id, 0 band_id, md5(concat(mh0, mh1, mh2, mh3)) band_hash from sigs

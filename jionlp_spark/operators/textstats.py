@@ -74,11 +74,17 @@ def token_counts(docs: DataFrame, text_col: str = 'text') -> DataFrame:
 
 
 def fingerprint(docs: DataFrame, text_col: str = 'text') -> DataFrame:
-    """64-bit content fingerprint (xxhash64) + 128-bit md5 — the exact-dedup
-    and lineage key."""
+    """Content fingerprints: 64-bit xxhash64 + 128-bit md5 (exact-dedup and
+    lineage keys) + a polynomial rolling hash (Rabin–Karp: fold
+    acc·31 + codepoint mod 1e9+7 — engine-portable, seedable, and
+    extensible to windowed winnowing)."""
+    roll = F.expr(
+        f"aggregate(split({text_col}, ''), cast(7 as bigint), "
+        "(acc, x) -> (acc * 31 + ascii(x)) % 1000000007)")
     return docs.select(
         '*', F.xxhash64(text_col).alias('fp64'),
-        F.md5(F.col(text_col)).alias('fp_md5'))
+        F.md5(F.col(text_col)).alias('fp_md5'),
+        roll.alias('fp_rolling'))
 
 
 def token_idf(docs: DataFrame, text_col: str = 'text',
