@@ -493,6 +493,18 @@ def q_multimodal_features(spark, sf_dir):
         'media_id', 'n_bytes', 'format', 'content_md5')
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: one row per 64-byte window of the opaque
+    payload (real decoders replace byte offsets with frame timestamps)."""
+    from jionlp_spark.operators.multimodal import frame_sample_stub
+    media = _docs(spark, sf_dir).select(
+        F.col('doc_id').alias('media_id'),
+        F.encode('text', 'utf-8').alias('payload'))
+    return frame_sample_stub(media, every_n_bytes=64).select(
+        'media_id', F.col('offset').cast('long').alias('offset'),
+        'frame_md5')
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """Token-set Jaccard near-dup pairs among the first 200 docs (bounded
     self-join; the scale path is the minhash/LSH variant)."""
@@ -953,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_ivf_topk': q_ann_ivf_topk,
         'multimodal_features': q_multimodal_features,
+        'multimodal_frames': q_multimodal_frames,
         'events_daily': q_events_daily,
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
@@ -1319,6 +1332,13 @@ def oracle_sql() -> dict[str, str]:
             select doc_id media_id, cast(length(text) as bigint) n_bytes,
                    'unknown' format, md5(text) content_md5
             from documents""",
+        # text is ascii [a-z ]+ so byte offsets == char offsets
+        'multimodal_frames': """
+            select doc_id media_id, off as offset,
+                   md5(substr(text, off + 1, 64)) frame_md5
+            from documents,
+                 lateral unnest(range(0, greatest(length(text), 1), 64))
+                     as t(off)""",
         'ann_cosine_topk': """
             with q as (select vec_id qid, embedding qe from embeddings where vec_id < 3),
             c as (select qid, vec_id, round(

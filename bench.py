@@ -38,7 +38,7 @@ HEADLINE = [
     'new_word_scores', 'bpe_byte_codec', 'kg_location_town',
     'kg_mentions_bioes', 'tpch_pricing_summary', 'tpch_top_orders',
     'textaug_swap', 'dedup_embedding_pairs', 'doc_fingerprint',
-    'token_counts',
+    'token_counts', 'multimodal_frames',
 ]
 
 

@@ -95,3 +95,38 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
         T.StructField('frame_md5', T.StringType()),
     ])
     return media.select('media_id', 'payload').mapInPandas(kernel, schema)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField('media_id', T.LongType()),
+    T.StructField('target_w', T.IntegerType()),
+    T.StructField('target_h', T.IntegerType()),
+    T.StructField('resized', T.BinaryType()),       # STUB bytes
+    T.StructField('resized_md5', T.StringType()),
+])
+
+
+def resize_image_stub(media: DataFrame, target_w: int = 224,
+                      target_h: int = 224) -> DataFrame:
+    """Resize plumbing: schema/batching/partitioning are real; the pixel
+    resample is a STUB (no PIL in this container) that emits a
+    deterministic byte payload derived from the content hash — swap the
+    marked block for a real resampler in production."""
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf['media_id'], pdf['payload']):
+                b = bytes(payload) if payload is not None else b''
+                # --- STUB resample: hash-derived deterministic bytes ------
+                seed = hashlib.md5(b).digest()
+                fake = (seed * ((target_w * target_h) // len(seed) + 1)
+                        )[: target_w * target_h // 64]
+                # ----------------------------------------------------------
+                rows.append((int(mid), target_w, target_h, fake,
+                             hashlib.md5(fake).hexdigest()))
+            yield pd.DataFrame(rows, columns=['media_id', 'target_w',
+                                              'target_h', 'resized',
+                                              'resized_md5'])
+
+    return media.select('media_id', 'payload').mapInPandas(
+        kernel, schema=RESIZED_SCHEMA)

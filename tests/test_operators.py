@@ -166,3 +166,42 @@ def test_stateful_dedup_stream(spark, tmp_path):
     # 0,1 in run 1 (order by ts,doc_id) and 2 in run 2 (state survived)
     assert sorted([rows[0].dup_index, rows[2].dup_index]) == [0, 1]
     assert rows[3].dup_index == 2
+
+
+def test_multimodal_resize_and_aug_add_delete(spark):
+    """Resize-stub plumbing shape + the distributed add/delete augmenter
+    matches the kernel under the same per-row seed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.textaug import RandomAddDelete
+    from jionlp_spark.operators.multimodal import resize_image_stub
+    from jionlp_spark.operators.textaug import augment_add_delete
+
+    media = spark.createDataFrame(
+        [(0, b'\x89PNGxxxx'), (1, b'\xff\xd8\xffyyy')],
+        'media_id long, payload binary')
+    res = {r.media_id: r for r in
+           resize_image_stub(media, 128, 96).collect()}
+    assert res[0].target_w == 128 and res[0].target_h == 96
+    assert len(res[0].resized) == 128 * 96 // 64
+    # deterministic: second run bit-identical
+    res2 = {r.media_id: r for r in
+            resize_image_stub(media, 128, 96).collect()}
+    assert res[0].resized_md5 == res2[0].resized_md5
+
+    docs = spark.createDataFrame(
+        [(7, '今天天气不错，适合出门散步。'),
+         (8, '数据清洗是大规模语料处理的关键步骤。')],
+        'doc_id long, text string')
+    got = {r.doc_id: r.augmented for r in
+           augment_add_delete(docs, augmentation_num=2, add_ratio=0.1,
+                              delete_ratio=0.1, base_seed=100).collect()}
+    dist = lexicons.load_char_distribution()
+    for doc_id, text in [(7, '今天天气不错，适合出门散步。'),
+                         (8, '数据清洗是大规模语料处理的关键步骤。')]:
+        kern = RandomAddDelete(
+            dist, add_ratio=0.1, delete_ratio=0.1,
+            rng=np.random.RandomState(100 + doc_id))
+        assert got[doc_id] == '|'.join(kern(text, augmentation_num=2))
