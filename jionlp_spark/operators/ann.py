@@ -22,16 +22,31 @@ def _cosine(a: str, b: str):
     return F.expr(f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})")
 
 
+def _norm_col(vec_col: str):
+    return F.expr(_NORM.format(a=vec_col))
+
+
+def _cosine_pre(a_vec: str, b_vec: str, a_nrm: str, b_nrm: str):
+    """Cosine with precomputed norms — the higher-order aggregate lambdas
+    run interpreted (no codegen), so folding each side's norm per PAIR
+    triples the work; computing it once per vector is numerically identical
+    (same fold, same doubles) and ~3× cheaper on pair joins."""
+    return F.expr(f"{_DOT.format(a=a_vec, b=b_vec)} / ({a_nrm} * {b_nrm})")
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      vec_col: str = 'embedding',
                      id_col: str = 'vec_id') -> DataFrame:
     """Exact cosine top-k: queries(qid, qe) × emb → (qid, vec_id, cos)."""
     from pyspark.sql.window import Window
+    emb = emb.withColumn('_nrm_e', _norm_col(vec_col))
+    queries = queries.withColumn('_nrm_q', _norm_col('qe'))
     joined = (
         queries.crossJoin(emb)
         .filter(F.col('qid') != F.col(id_col))
         .select('qid', id_col,
-                F.round(_cosine('qe', vec_col), 6).alias('cos'))
+                F.round(_cosine_pre('qe', vec_col, '_nrm_q', '_nrm_e'), 6)
+                .alias('cos'))
     )
     w = Window.partitionBy('qid').orderBy(F.desc('cos'), F.col(id_col))
     return (joined.withColumn('rn', F.row_number().over(w))
@@ -98,15 +113,20 @@ def _hash_seed_centroids(emb: DataFrame, k: int, vec_col: str,
 def _assign(emb: DataFrame, centroids: DataFrame, probes: int,
             vec_col: str, id_col: str) -> DataFrame:
     """Top-`probes` buckets per vector by cosine (round-6 before ranking —
-    deterministic across engines; ties by centroid_id)."""
+    deterministic across engines; ties by centroid_id).  Output keeps the
+    per-vector norm in ``_nrm`` so downstream pair joins reuse it."""
     from pyspark.sql.window import Window
-    sims = (emb.crossJoin(F.broadcast(centroids))
-            .select(id_col, vec_col, 'centroid_id',
-                    F.round(_cosine(vec_col, 'centroid'), 6).alias('sim')))
+    cents = centroids.withColumn('_nrm_c', _norm_col('centroid'))
+    sims = (emb.withColumn('_nrm', _norm_col(vec_col))
+            .crossJoin(F.broadcast(cents))
+            .select(id_col, vec_col, '_nrm', 'centroid_id',
+                    F.round(_cosine_pre(vec_col, 'centroid',
+                                        '_nrm', '_nrm_c'), 6).alias('sim')))
     w = Window.partitionBy(id_col).orderBy(F.desc('sim'), 'centroid_id')
     return (sims.withColumn('_rn', F.row_number().over(w))
             .filter(F.col('_rn') <= probes)
-            .select(id_col, vec_col, F.col('centroid_id').alias('bucket')))
+            .select(id_col, vec_col, '_nrm',
+                    F.col('centroid_id').alias('bucket')))
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = 16,
@@ -135,7 +155,8 @@ def ivf_topk(assigned: DataFrame, queries_assigned: DataFrame,
         .filter(F.col(f'q.{id_col}') != F.col(f'e.{id_col}'))
         .select(F.col(f'q.{id_col}').alias('qid'),
                 F.col(f'e.{id_col}').alias(id_col),
-                F.round(_cosine(f'q.{vec_col}', f'e.{vec_col}'), 6)
+                F.round(_cosine_pre(f'q.{vec_col}', f'e.{vec_col}',
+                                    'q._nrm', 'e._nrm'), 6)
                 .alias('cos'))
         .distinct()
     )
