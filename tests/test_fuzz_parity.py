@@ -84,3 +84,78 @@ def test_extractor_fuzz(jio):
                 ref_spans = [(m['text'], tuple(m['offset'])) for m in ref[1]]
                 got_spans = [(m['text'], tuple(m['offset'])) for m in got[1]]
                 assert ref_spans == got_spans, (s, ref_spans, got_spans)
+
+
+def test_location_parse_fuzz(jio):
+    """Shuffled real admin-name compositions + detail noise through the
+    full tie-breaking cascade, town/village mode randomly on (full dicts
+    both sides)."""
+    import os
+    import pytest
+    REF = '/root/reference/jionlp/dictionary'
+    if not os.path.isdir(REF):
+        pytest.skip('full dictionaries unavailable')
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.location import LocationParser
+    lp = LocationParser(lexicons.load_admin_divisions(REF),
+                        lexicons.load_location_changes(REF),
+                        lexicons.load_town_villages(REF))
+    rows = lexicons.load_admin_divisions(REF)
+    provs = sorted({r['province'] for r in rows if r['province']})
+    cities = sorted({r['city'] for r in rows if r['city']})[:400]
+    counties = sorted({r['county'] for r in rows if r['county']})[:800]
+    rng = random.Random(777)
+    noise = ['', '人民路88号', '附近', '某小区', '第二中学', '火车站',
+             '高新区软件园']
+    checked = 0
+    for _ in range(800):
+        parts = []
+        if rng.random() < 0.7:
+            parts.append(rng.choice(provs))
+        if rng.random() < 0.7:
+            parts.append(rng.choice(cities))
+        if rng.random() < 0.7:
+            parts.append(rng.choice(counties))
+        rng.shuffle(parts)
+        s = ''.join(parts) + rng.choice(noise)
+        if not s:
+            continue
+        checked += 1
+        tv = rng.random() < 0.3
+        assert jio.parse_location(s, town_village=tv) == \
+            lp.parse(s, town_village=tv), (s, tv)
+    assert checked > 700
+
+
+def test_grid_extractor_fuzz(jio):
+    """Random compositions of time/money phrases + adversarial filler
+    through BOTH grid-search extractors (with parsing); spans, types and
+    parse details must match."""
+    from jionlp_spark.kernels.money_extract import get_money_extractor
+    from jionlp_spark.kernels.time_extract import get_time_extractor
+    tex, mex = get_time_extractor(), get_money_extractor()
+    rng = random.Random(31337)
+    timey = ['2019年3月', '去年夏天', '下周三下午3点', '8点半', '三天后',
+             '1997年', '腊月初八', '中秋节', '第二季度', '30分钟', '每周五',
+             '01年3月']
+    moneyy = ['3000元', '五万块钱', '12.5万美元', '三到五千元', '100万',
+              '人民币两千元']
+    fill = ['该项目', '于', '举行，预计', '完成。', '情况良好', '无关内容',
+            '，', '。', '一点也不', '24点5度', '三块砖', 'ID110108', '87.53']
+
+    def spans(lst):
+        return [(m['text'], tuple(m['offset']), m.get('type'),
+                 str(m.get('detail'))) for m in lst]
+
+    for _ in range(500):
+        parts = []
+        for _ in range(rng.randint(2, 6)):
+            r = rng.random()
+            parts.append(rng.choice(timey) if r < 0.3 else
+                         rng.choice(moneyy) if r < 0.5 else rng.choice(fill))
+        s = ''.join(parts)
+        assert spans(jio.ner.extract_time(s, time_base=TB,
+                                          with_parsing=True)) == \
+            spans(tex.extract(s, TB, with_parsing=True)), s
+        assert spans(jio.ner.extract_money(s, with_parsing=True)) == \
+            spans(mex.extract(s, with_parsing=True)), s
