@@ -69,11 +69,14 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
     whole-stage codegen), one shuffle keyed (bucket, dim) with partial aggs.
     Returns (centroid_id, centroid array<double>).
     """
-    # localCheckpoint after every round: centroids are k tiny rows but
+    # localCheckpoint each ROUND RESULT: centroids are k tiny rows but
     # their lineage spans the whole corpus — every downstream use (index
-    # assign, query assign, next iteration) would otherwise recompute it
-    centroids = _hash_seed_centroids(emb, k, vec_col, id_col) \
-        .localCheckpoint()
+    # assign, query assign, next iteration) would otherwise recompute it.
+    # The seed stage is checkpointed only when it IS the result (iters=0);
+    # inside the loop its lineage runs once per iteration anyway.
+    centroids = _hash_seed_centroids(emb, k, vec_col, id_col)
+    if iters == 0:
+        return centroids.localCheckpoint()
     for _ in range(iters):
         assigned = _assign(emb, centroids, probes=1, vec_col=vec_col,
                            id_col=id_col)
