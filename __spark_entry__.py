@@ -754,6 +754,37 @@ def q_kg_location_town(spark, sf_dir):
                     F.col('r.village').alias('village')))
 
 
+_IDIOM_IN = ('胸有成竹', '画蛇添足', '见异思迁', '守株待兔')
+_IDIOM_OUT = ('逐字逐句', '足不出户', '千差万别', '兔死狐悲')
+
+
+def q_idiom_next(spark, sf_dir):
+    """Idiom-chain next step (成语接龙, frequency-weighted) with per-doc
+    seeded RNGs matching the anchored reference stream."""
+    from pyspark.sql.functions import pandas_udf
+    _ensure_shipped(spark)
+
+    @pandas_udf('string')
+    def idiom_udf(seed: pd.Series, idiom: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from jionlp_spark import lexicons
+        from jionlp_spark.kernels.idiom import IdiomSolitaire
+        entries = lexicons.load_idioms()
+
+        def one(s, cur):
+            game = IdiomSolitaire(entries,
+                                  rng_np=np.random.RandomState(int(s)))
+            return game(cur, with_prob=True)
+        return pd.Series([one(s, c) for s, c in zip(seed, idiom)])
+
+    d = _docs(spark, sf_dir).selectExpr(
+        'doc_id', 'doc_id % 4 as seed_id', f'{_case4(_IDIOM_IN)} as idiom')
+    return d.select('doc_id', 'idiom',
+                    idiom_udf(F.col('seed_id'), F.col('idiom'))
+                    .alias('next_idiom'))
+
+
 _AUG_IN = ('民盟发言人：昂山素季目前情况良好',
            '孙俪晒年对比照庆领证纪念日邓超被指沧桑',
            '中国驻英记者一向恪守新闻职业道德',
@@ -979,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_mentions_bioes': q_kg_mentions_bioes,
         'kg_location_town': q_kg_location_town,
         'textaug_swap': q_textaug_swap,
+        'idiom_next': q_idiom_next,
         'bpe_byte_codec': q_bpe_byte_codec,
         'new_word_scores': q_new_word_scores,
         'keyphrase_topk': q_keyphrase_topk,
@@ -1389,6 +1421,12 @@ def oracle_sql() -> dict[str, str]:
                 'B-money,',
                 repeat('I-money,', length({_duck(_MONEY_SQL)}) - 1),
                 'E-money') as tags
+            from documents""",
+        # literals anchored to the reference RNG stream by
+        # tests/test_idiom.py::test_idiom_query_literals
+        'idiom_next': f"""
+            select doc_id, {_case4(_IDIOM_IN)} as idiom,
+                   {_case4(_IDIOM_OUT)} as next_idiom
             from documents""",
         # literals anchored to the reference RNG stream by
         # tests/test_textaug.py::test_swap_query_literals

@@ -75,6 +75,10 @@ class Pinyin:
             all_pinyin.update(v)
         self.formater = {PY_UNK: [PY_UNK, PY_UNK_DETAIL]}
         for std in all_pinyin:
+            if std == PY_UNK:
+                continue  # phrase pinyin lists carry the unk marker too —
+                # it must keep its identity mapping (ref pinyin.py:148-151),
+                # not gain a default tone suffix
             simple = _standard2simple(std)
             self.formater[std] = [simple, _consonant_vowel_tone(simple)]
 

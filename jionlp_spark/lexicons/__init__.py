@@ -523,3 +523,33 @@ def load_char_distribution(dict_dir: str | None = None) -> dict:
     total = sum(c for _ch, c in items)
     return {ch: {'total_num': c, 'prob': c / total,
                  'log_prob': -math.log10(c / total)} for ch, c in items}
+
+
+def load_idioms(dict_dir: str | None = None) -> list:
+    """→ [{'idiom', 'freq', 'pinyin' (list of simple-form syllables)}] in
+    dictionary order (order is part of the RNG-parity contract).  The
+    vendored tsv carries precomputed pinyin; a full JioNLP dictionary tree
+    recomputes it via the chartext Pinyin kernel."""
+    d = _dict_dir(dict_dir)
+    if d and os.path.exists(os.path.join(d, 'chinese_idiom.txt')):
+        from jionlp_spark.kernels.chartext import Pinyin
+        phrase, pchar, _rad = load_char_info(d)
+        py = Pinyin(phrase, pchar)
+        out = []
+        with open(os.path.join(d, 'chinese_idiom.txt'),
+                  encoding='utf-8') as f:
+            for line in f:
+                idiom, freq = line.rstrip('\n').split('\t')
+                out.append({'idiom': idiom, 'freq': int(freq),
+                            'pinyin': py(idiom, formater='simple')})
+        return out
+    out = []
+    path = os.path.join(_DATA_DIR, 'idioms.tsv')
+    if not os.path.exists(path):
+        return out
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            idiom, freq, pinyin = line.rstrip('\n').split('\t')
+            out.append({'idiom': idiom, 'freq': int(freq),
+                        'pinyin': pinyin.split(' ')})
+    return out
