@@ -159,3 +159,46 @@ def test_grid_extractor_fuzz(jio):
             spans(tex.extract(s, TB, with_parsing=True)), s
         assert spans(jio.ner.extract_money(s, with_parsing=True)) == \
             spans(mex.extract(s, with_parsing=True)), s
+
+
+def test_time_flags_fuzz(jio):
+    """ret_future / period_results_num flag combinations across time
+    families must match the reference exactly."""
+    from jionlp_spark.kernels.timeparse import get_time_parser
+    tp = get_time_parser()
+    cases = ['明天上午8点', '周五', '下个月3号', '每天早上7点', '每周一下午',
+             '8月15日', '3月', '中秋节', '正月初一', '第三季度', '5点',
+             '清明', '今天', '后天下午', '每月1号', '十一月', '2022年春节']
+    for s in cases:
+        for rf in (False, True):
+            for prn in (None, 1, 2, 5):
+                ref = _outcome(jio.parse_time, s, time_base=TB,
+                               ret_future=rf, period_results_num=prn)
+                got = _outcome(tp.parse, s, time_base=TB,
+                               ret_future=rf, period_results_num=prn)
+                assert ref[0] == got[0], (s, rf, prn, ref, got)
+                if ref[0] == 'ok':
+                    assert ref[1] == got[1], (s, rf, prn, ref, got)
+
+
+def test_html_clean_fuzz(jio):
+    """Random tag-soup documents: cleaned body AND meta dict must match."""
+    from jionlp_spark.kernels.html_clean import clean_html
+    rng = random.Random(4242)
+    tags = ['<div id="nav">菜单</div>', '<p>正文段落', '</p>',
+            '<script>var x=1;</script>', '<b>加粗</b>', '<br>',
+            '<table><tr><td>表格</td></tr></table>', '<h1>标题</h1>',
+            '<style>.x{color:red}</style>', '<div class="sidebar">侧边',
+            '</div>', '<!-- comment -->', '&amp;&lt;&gt;',
+            '<meta name="a" content="b">', '文本文字',
+            '<a href="http://x.com">链接</a>', '<footer>页脚</footer>',
+            '<span>行内</span>']
+    for _ in range(300):
+        s = ('<html><body>'
+             + ''.join(rng.choice(tags) for _ in range(rng.randint(2, 12)))
+             + '</body></html>')
+        ref = _outcome(jio.clean_html, s)
+        got = _outcome(clean_html, s)
+        assert ref[0] == got[0], (s, ref, got)
+        if ref[0] == 'ok':
+            assert tuple(ref[1]) == tuple(got[1]), (s, ref, got)
