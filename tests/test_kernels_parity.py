@@ -160,3 +160,26 @@ def test_phone_loc_unknown_prefix(jio):
     except AttributeError:
         crashed = True
     assert crashed, 'reference no longer crashes; revisit the divergence'
+
+
+def test_env_full_dict_swap_in(monkeypatch):
+    """JIONLP_SPARK_DICT_DIR swaps every loader to the full JioNLP
+    dictionary tree (the production path): rare chars resolve, town/village
+    works, sentiment/idiom tables load at full size."""
+    monkeypatch.setenv('JIONLP_SPARK_DICT_DIR', REF_DICTS)
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.chartext import Pinyin
+    from jionlp_spark.kernels.location import LocationParser
+
+    phrase, pchar, _rad = lexicons.load_char_info()
+    py = Pinyin(phrase, pchar)
+    assert py('魑魅魍魉') == ['chī', 'mèi', 'wǎng', 'liǎng']  # not in subset
+
+    lp = LocationParser(lexicons.load_admin_divisions(),
+                        lexicons.load_location_changes(),
+                        lexicons.load_town_villages())
+    res = lp.parse('上海市嘉定区华亭镇华亭村88号', town_village=True)
+    assert (res['town'], res['village']) == ('华亭镇', '华亭村')
+
+    assert len(lexicons.load_sentiment_lexicons()[0]) > 30000
+    assert len(lexicons.load_idioms()) > 30000
