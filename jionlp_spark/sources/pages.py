@@ -165,3 +165,57 @@ def write_pages(spark: SparkSession, path: str, n_rows: int,
     generate_pages(spark, n_rows, seed, num_partitions) \
         .write.mode('overwrite').parquet(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# source-format adapters: a crawl feed arrives as JSONL or WARC-ish text as
+# often as parquet (reference reads line-oriented text/JSON via
+# util/file_io.py read_file_by_line); these map each to the canonical pages
+# schema so every downstream stage is format-agnostic.
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines crawl dump → pages DataFrame.  An explicit schema skips
+    Spark's sampling inference pass (one full read saved) and pins types;
+    html arrives base64 in JSON (binary has no JSON representation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField('url', T.StringType()),
+        T.StructField('warc_ts', T.StringType()),
+        T.StructField('html_b64', T.StringType()),
+        T.StructField('text', T.StringType()),
+        T.StructField('lang', T.StringType()),
+    ])
+    return (spark.read.schema(schema).json(path)
+            .select('url',
+                    F.to_timestamp('warc_ts').alias('warc_ts'),
+                    F.unbase64('html_b64').alias('html'),
+                    'text', 'lang'))
+
+
+def write_pages_jsonl(pages: DataFrame, path: str) -> None:
+    """pages DataFrame → JSONL (html base64-encoded)."""
+    from pyspark.sql import functions as F
+    (pages.select('url',
+                  F.date_format('warc_ts', "yyyy-MM-dd'T'HH:mm:ss")
+                  .alias('warc_ts'),
+                  F.base64('html').alias('html_b64'), 'text', 'lang')
+     .write.mode('overwrite').json(path))
+
+
+def read_pages_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Tab-separated crawl manifest (url, warc_ts, lang, text — no html
+    column; html-less feeds are common for pre-extracted corpora)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField('url', T.StringType()),
+        T.StructField('warc_ts', T.StringType()),
+        T.StructField('lang', T.StringType()),
+        T.StructField('text', T.StringType()),
+    ])
+    return (spark.read.schema(schema)
+            .option('sep', '\t').csv(path)
+            .select('url', F.to_timestamp('warc_ts').alias('warc_ts'),
+                    F.lit(None).cast('binary').alias('html'),
+                    'text', 'lang'))

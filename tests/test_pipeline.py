@@ -161,3 +161,70 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     fresh = run_pipeline(spark, pages, out_dir=part_dir,
                          input_fingerprint='fp2')
     assert _digest(fresh['triples']) == want
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """A self-join on the bucket key of a bucketed table must plan without
+    Exchange on either side (co-located sort-merge join)."""
+    from pyspark.sql import functions as F
+
+    from jionlp_spark.sources.catalog import write_bucketed
+    import shutil
+    spark.sql('drop table if exists bucketed_docs_test')
+    # the Derby metastore is per-session but the warehouse DIRECTORY
+    # persists across test runs — clear the stale location too
+    wh = spark.conf.get('spark.sql.warehouse.dir').replace('file:', '')
+    shutil.rmtree(f'{wh}/bucketed_docs_test', ignore_errors=True)
+    df = spark.range(0, 1000).select(
+        F.col('id').alias('doc_id'),
+        (F.col('id') % 7).alias('grp'))
+    write_bucketed(df, 'bucketed_docs_test', 'doc_id', n_buckets=8,
+                   sort_col='doc_id')
+    # force the sort-merge path (tiny test tables broadcast otherwise,
+    # which bypasses bucket pruning entirely)
+    prev = spark.conf.get('spark.sql.autoBroadcastJoinThreshold', '10485760')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    try:
+        t = spark.table('bucketed_docs_test')
+        joined = t.alias('a').join(t.alias('b'), 'doc_id')
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange hashpartitioning' not in plan, plan
+        assert 'SortMergeJoin' in plan, plan
+        assert 'Bucketed: true' in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', prev)
+        spark.sql('drop table bucketed_docs_test')
+
+
+def test_source_format_adapters(spark, tmp_path):
+    """JSONL round-trip (html preserved through base64) and TSV ingest both
+    land on the canonical pages schema and feed the pipeline unchanged."""
+    from pyspark.sql import functions as F
+
+    from jionlp_spark.operators.clean import clean_pages
+    from jionlp_spark.sources.pages import (generate_pages, read_pages_jsonl,
+                                            read_pages_tsv, write_pages_jsonl)
+
+    pages = generate_pages(spark, 40, num_partitions=2)
+    jl = str(tmp_path / 'pages_jsonl')
+    write_pages_jsonl(pages, jl)
+    back = read_pages_jsonl(spark, jl)
+    assert [f.name for f in back.schema.fields] == \
+        ['url', 'warc_ts', 'html', 'text', 'lang']
+    orig = {r.url: r for r in pages.collect()}
+    got = {r.url: r for r in back.collect()}
+    assert set(orig) == set(got)
+    for url, r in got.items():
+        assert bytes(r.html) == bytes(orig[url].html), url
+        assert r.text == orig[url].text
+
+    # html-less TSV feed → pipeline's plain-text path
+    tsv = str(tmp_path / 'pages_tsv')
+    (pages.select('url',
+                  F.date_format('warc_ts', "yyyy-MM-dd'T'HH:mm:ss")
+                  .alias('warc_ts'), 'lang', 'text')
+     .write.option('sep', '\t').mode('overwrite').csv(tsv))
+    tsv_pages = read_pages_tsv(spark, tsv)
+    cleaned = clean_pages(tsv_pages, lang='zh', use_html=False)
+    assert cleaned.filter(F.col('clean').isNotNull()).count() > 0
