@@ -453,6 +453,41 @@ def q_sentence_split(spark, sf_dir):
         n_fine('text').alias('n_fine'))
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Cosine LSH (6 deterministic md5-derived hyperplanes → 64 buckets):
+    top-3 within the query's bucket — the LSH-bucketed alternative to IVF."""
+    from jionlp_spark.operators.ann import lsh_topk
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return lsh_topk(emb, n_bits=6, k=3, n_queries=3).select(
+        F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
+def _lsh_oracle_sql(n_bits: int = 6, dim: int = 64) -> str:
+    from jionlp_spark.operators.ann import random_hyperplanes
+    planes = random_hyperplanes(n_bits, dim)
+    bits = []
+    for k, plane in enumerate(planes):
+        lit = '[' + ','.join(str(x) for x in plane) + ']::DOUBLE[]'
+        bits.append(f'(case when list_dot_product(e, {lit}) > 0 '
+                    f'then {1 << k} else 0 end)')
+    bucket = ' + '.join(bits)
+    return f"""
+        with emb as (select vec_id, embedding::DOUBLE[] e from embeddings),
+        assigned as (select vec_id, e, cast({bucket} as int) bucket
+                     from emb),
+        joined as (select q.vec_id qid, x.vec_id vec_id,
+            round(list_dot_product(q.e, x.e)
+              / (sqrt(list_dot_product(q.e, q.e))
+               * sqrt(list_dot_product(x.e, x.e))), 6) cos
+          from assigned q join assigned x using (bucket)
+          where q.vec_id < 3 and q.vec_id != x.vec_id)
+        select qid, vec_id, cos from
+          (select *, row_number() over (partition by qid
+                     order by cos desc, vec_id) rn from joined) t
+        where rn <= 3"""
+
+
 def q_dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (IVF-bucketed candidates, 2 probes,
     exact verify ≥ 0.4)."""
@@ -989,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_simhash_pairs': q_dedup_simhash_pairs,
         'dedup_jaccard_pairs': q_dedup_jaccard_pairs,
         'dedup_embedding_pairs': q_dedup_embedding_pairs,
+        'ann_lsh_topk': q_ann_lsh_topk,
         'lang_id_eval': q_lang_id_eval,
         'bigram_pmi': q_bigram_pmi,
         'quality_score': q_quality_score,
@@ -1281,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         'sentence_split': """
             select doc_id, cast(3 as bigint) n_coarse,
                    cast(8 as bigint) n_fine from documents""",
+        # same md5-derived ±1 hyperplane literals inlined on both sides
+        'ann_lsh_topk': _lsh_oracle_sql(),
         # mirrors the bucketed algorithm: hash-seeded centroids, top-2
         # probed buckets per vector, pair join on shared bucket, cosine
         # verify

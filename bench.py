@@ -37,7 +37,8 @@ HEADLINE = [
     'sentiment_score', 'keyphrase_topk', 'summary_top_sentence',
     'new_word_scores', 'bpe_byte_codec', 'kg_location_town',
     'kg_mentions_bioes', 'tpch_pricing_summary', 'tpch_top_orders',
-    'textaug_swap', 'idiom_next', 'dedup_embedding_pairs', 'doc_fingerprint',
+    'textaug_swap', 'idiom_next', 'dedup_embedding_pairs', 'ann_lsh_topk',
+    'doc_fingerprint',
     'token_counts', 'multimodal_frames',
 ]
 

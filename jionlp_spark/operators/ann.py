@@ -166,3 +166,64 @@ def ivf_topk(assigned: DataFrame, queries_assigned: DataFrame,
     w = Window.partitionBy('qid').orderBy(F.desc('cos'), F.col(id_col))
     return (joined.withColumn('rn', F.row_number().over(w))
             .filter(F.col('rn') <= k).drop('rn'))
+
+
+# ---------------------------------------------------------------------------
+# cosine LSH (random hyperplanes) — the bucket-join alternative to IVF
+
+def random_hyperplanes(n_bits: int, dim: int) -> list:
+    """Deterministic ±1 hyperplanes from md5(bit, dim) parity — engine-
+    portable: the same literal vectors are embedded in the DuckDB oracle,
+    so signatures are reproducible everywhere without RNG state."""
+    import hashlib
+    planes = []
+    for k in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f'{k}_{d}'.encode()).digest()[0]
+            row.append(1.0 if h >= 128 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_assign(emb: DataFrame, planes: list,
+               vec_col: str = 'embedding',
+               id_col: str = 'vec_id') -> DataFrame:
+    """Signature bucket per vector: bit k = (v · plane_k > 0); bucket =
+    Σ bit_k · 2^k.  Pure per-row JVM expressions (n_bits dot folds/row);
+    also carries the vector norm for downstream cosine verifies."""
+    bits = []
+    for k, plane in enumerate(planes):
+        arr = 'array(' + ','.join(f'cast({x} as double)'
+                                  for x in plane) + ')'
+        dot = (f"aggregate(zip_with({vec_col}, {arr}, "
+               "(x, y) -> cast(x as double) * y), "
+               "cast(0.0 as double), (acc, v) -> acc + v)")
+        bits.append(f'(case when {dot} > 0 then {1 << k} else 0 end)')
+    bucket = F.expr(' + '.join(bits))
+    return emb.select(id_col, vec_col, _norm_col(vec_col).alias('_nrm'),
+                      bucket.cast('int').alias('bucket'))
+
+
+def lsh_topk(emb: DataFrame, n_bits: int = 6, k: int = 3,
+             n_queries: int = 3, vec_col: str = 'embedding',
+             id_col: str = 'vec_id') -> DataFrame:
+    """Cosine top-k within the query's LSH bucket (single-table variant;
+    more tables / fewer bits trade recall vs candidate volume exactly like
+    minhash banding)."""
+    from pyspark.sql.window import Window
+    dim = len(emb.select(vec_col).first()[0])
+    assigned = lsh_assign(emb, random_hyperplanes(n_bits, dim),
+                          vec_col, id_col)
+    assigned = assigned.persist()  # caller-owned (see dedup note)
+    q = assigned.filter(F.col(id_col) < n_queries)
+    joined = (q.alias('q').join(assigned.alias('e'), 'bucket')
+              .filter(F.col(f'q.{id_col}') != F.col(f'e.{id_col}'))
+              .select(F.col(f'q.{id_col}').alias('qid'),
+                      F.col(f'e.{id_col}').alias(id_col),
+                      F.round(_cosine_pre(f'q.{vec_col}', f'e.{vec_col}',
+                                          'q._nrm', 'e._nrm'), 6)
+                      .alias('cos')))
+    w = Window.partitionBy('qid').orderBy(F.desc('cos'), F.col(id_col))
+    return (joined.withColumn('rn', F.row_number().over(w))
+            .filter(F.col('rn') <= k).drop('rn'))
