@@ -464,6 +464,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def _lsh_oracle_sql(n_bits: int = 6, dim: int = 64) -> str:
+    # oracle_sql() may be called from a process that imported this module by
+    # file path (no repo dir on sys.path) — unlike queries(), which always
+    # runs with a live SparkSession already set up
+    import os
+    import sys
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from jionlp_spark.operators.ann import random_hyperplanes
     planes = random_hyperplanes(n_bits, dim)
     bits = []
