@@ -948,25 +948,45 @@ def q_sentiment_score(spark, sf_dir):
                     F.round(udf(F.col('text_zh')), 6).alias('senti'))
 
 
+def _dec_as_double(col):
+    """Emit an exact decimal aggregate as a double through its string form.
+
+    The decimal's string rendering is identical in Spark and DuckDB (full
+    scale, same digits — the values themselves are engine-exact because the
+    sums run in decimal), and string→double is correctly-rounded strtod in
+    both engines, so the emitted doubles are bit-identical and the driver's
+    '.6f' hash path sees the same bytes.  Direct decimal→double casts are
+    NOT guaranteed correctly rounded in DuckDB (int128/10^scale in FP)."""
+    return col.cast('string').cast('double')
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem (relational breadth:
     multi-agg groupBy; double sums go through exact decimals so the
-    aggregation is order-independent and engine-exact)."""
+    aggregation is order-independent and engine-exact; emitted as doubles
+    so the driver hashes them via its float '.6f' path)."""
     li = spark.read.parquet(f'{sf_dir}/lineitem.parquet')
     dec = lambda c: F.col(c).cast('string').cast('decimal(38,12)')  # noqa
     disc = (F.col('l_extendedprice') * (1 - F.col('l_discount')))
     charge = disc * (1 + F.col('l_tax'))
-    return (li.filter(F.col('l_shipdate') <= '1998-09-02')
-            .groupBy('l_returnflag', 'l_linestatus')
-            .agg(F.sum(dec('l_quantity')).cast('decimal(38,12)')
-                 .alias('sum_qty'),
-                 F.sum(dec('l_extendedprice')).cast('decimal(38,12)')
-                 .alias('sum_base_price'),
-                 F.sum(disc.cast('string').cast('decimal(38,12)'))
-                 .cast('decimal(38,12)').alias('sum_disc_price'),
-                 F.sum(charge.cast('string').cast('decimal(38,12)'))
-                 .cast('decimal(38,12)').alias('sum_charge'),
-                 F.count('*').cast('long').alias('count_order')))
+    agg = (li.filter(F.col('l_shipdate') <= '1998-09-02')
+           .groupBy('l_returnflag', 'l_linestatus')
+           .agg(F.sum(dec('l_quantity')).cast('decimal(38,12)')
+                .alias('_sum_qty'),
+                F.sum(dec('l_extendedprice')).cast('decimal(38,12)')
+                .alias('_sum_base_price'),
+                F.sum(disc.cast('string').cast('decimal(38,12)'))
+                .cast('decimal(38,12)').alias('_sum_disc_price'),
+                F.sum(charge.cast('string').cast('decimal(38,12)'))
+                .cast('decimal(38,12)').alias('_sum_charge'),
+                F.count('*').cast('long').alias('count_order')))
+    return agg.select(
+        'l_returnflag', 'l_linestatus',
+        _dec_as_double(F.col('_sum_qty')).alias('sum_qty'),
+        _dec_as_double(F.col('_sum_base_price')).alias('sum_base_price'),
+        _dec_as_double(F.col('_sum_disc_price')).alias('sum_disc_price'),
+        _dec_as_double(F.col('_sum_charge')).alias('sum_charge'),
+        'count_order')
 
 
 def q_tpch_top_orders(spark, sf_dir):
@@ -985,9 +1005,11 @@ def q_tpch_top_orders(spark, sf_dir):
             .groupBy(F.col('l_orderkey').cast('long').alias('l_orderkey'),
                      F.to_date('o_orderdate').alias('o_orderdate'))
             .agg(F.sum(rev.cast('string').cast('decimal(38,12)'))
-                 .cast('decimal(38,12)').alias('revenue'))
-            .orderBy(F.desc('revenue'), 'l_orderkey')
-            .limit(10))
+                 .cast('decimal(38,12)').alias('_revenue'))
+            .orderBy(F.desc('_revenue'), 'l_orderkey')
+            .limit(10)
+            .select('l_orderkey', 'o_orderdate',
+                    _dec_as_double(F.col('_revenue')).alias('revenue')))
 
 
 def q_events_daily(spark, sf_dir):
@@ -1004,8 +1026,9 @@ def q_events_daily(spark, sf_dir):
                    F.to_date('ts').alias('day'),
                    'event_type')
         .agg(F.count('*').cast('long').alias('n_events'),
-             F.sum(F.col('value').cast('string').cast('decimal(18,6)'))
-             .cast('decimal(18,6)').alias('sum_value'))
+             _dec_as_double(
+                 F.sum(F.col('value').cast('string').cast('decimal(18,6)'))
+                 .cast('decimal(18,6)')).alias('sum_value'))
     )
 
 
@@ -1640,34 +1663,48 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, cast(sen_id as int) sen_id, sentence, weight
             from ranked where rn = 1""",
         'tpch_pricing_summary': """
+            with agg as (
+              select l_returnflag, l_linestatus,
+                cast(sum(cast(cast(l_quantity as varchar) as decimal(38,12)))
+                     as decimal(38,12)) as sum_qty,
+                cast(sum(cast(cast(l_extendedprice as varchar)
+                              as decimal(38,12))) as decimal(38,12))
+                    as sum_base_price,
+                cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
+                                   as varchar) as decimal(38,12)))
+                     as decimal(38,12)) as sum_disc_price,
+                cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) as varchar)
+                              as decimal(38,12))) as decimal(38,12))
+                    as sum_charge,
+                count(*) as count_order
+              from lineitem
+              where l_shipdate <= '1998-09-02'
+              group by l_returnflag, l_linestatus)
             select l_returnflag, l_linestatus,
-              cast(sum(cast(cast(l_quantity as varchar) as decimal(38,12)))
-                   as decimal(38,12)) as sum_qty,
-              cast(sum(cast(cast(l_extendedprice as varchar)
-                            as decimal(38,12))) as decimal(38,12))
+              cast(cast(sum_qty as varchar) as double) as sum_qty,
+              cast(cast(sum_base_price as varchar) as double)
                   as sum_base_price,
-              cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
-                                 as varchar) as decimal(38,12)))
-                   as decimal(38,12)) as sum_disc_price,
-              cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
-                                 * (1 + l_tax) as varchar)
-                            as decimal(38,12))) as decimal(38,12))
-                  as sum_charge,
-              count(*) as count_order
-            from lineitem
-            where l_shipdate <= '1998-09-02'
-            group by l_returnflag, l_linestatus""",
+              cast(cast(sum_disc_price as varchar) as double)
+                  as sum_disc_price,
+              cast(cast(sum_charge as varchar) as double) as sum_charge,
+              count_order
+            from agg""",
         'tpch_top_orders': """
-            select l_orderkey, cast(o_orderdate as date) o_orderdate,
-              cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
-                                 as varchar) as decimal(38,12)))
-                   as decimal(38,12)) as revenue
-            from lineitem
-            join orders on l_orderkey = o_orderkey
-            join customer on o_custkey = c_custkey
-            where o_orderdate < '1995-03-15' and c_mktsegment = 'BUILDING'
-            group by 1, 2
-            order by revenue desc, l_orderkey limit 10""",
+            with agg as (
+              select l_orderkey, cast(o_orderdate as date) o_orderdate,
+                cast(sum(cast(cast(l_extendedprice * (1 - l_discount)
+                                   as varchar) as decimal(38,12)))
+                     as decimal(38,12)) as revenue_d
+              from lineitem
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              where o_orderdate < '1995-03-15' and c_mktsegment = 'BUILDING'
+              group by 1, 2
+              order by revenue_d desc, l_orderkey limit 10)
+            select l_orderkey, o_orderdate,
+              cast(cast(revenue_d as varchar) as double) as revenue
+            from agg""",
         'sentiment_score': f"""
             select doc_id, {_case4(_SENTI_IN)} as text_zh,
                    case doc_id % 4 {' '.join(
@@ -1678,8 +1715,10 @@ def oracle_sql() -> dict[str, str]:
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,
-                   cast(sum(cast(cast(value as varchar) as decimal(18,6)))
-                        as decimal(18,6)) as sum_value
+                   cast(cast(cast(sum(cast(cast(value as varchar)
+                                            as decimal(18,6)))
+                                  as decimal(18,6)) as varchar) as double)
+                       as sum_value
             from events group by 1, 2, 3""",
     }
 
