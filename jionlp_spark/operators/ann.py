@@ -207,12 +207,17 @@ def lsh_assign(emb: DataFrame, planes: list,
 
 def lsh_topk(emb: DataFrame, n_bits: int = 6, k: int = 3,
              n_queries: int = 3, vec_col: str = 'embedding',
-             id_col: str = 'vec_id') -> DataFrame:
+             id_col: str = 'vec_id', dim: int | None = None) -> DataFrame:
     """Cosine top-k within the query's LSH bucket (single-table variant;
     more tables / fewer bits trade recall vs candidate volume exactly like
-    minhash banding)."""
+    minhash banding).
+
+    Pass ``dim`` (the embedding dimensionality) so building the query plan
+    launches no Spark job; the ``first()`` fallback exists only for ad-hoc
+    exploration."""
     from pyspark.sql.window import Window
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:  # convenience fallback — runs a job at build time
+        dim = len(emb.select(vec_col).first()[0])
     assigned = lsh_assign(emb, random_hyperplanes(n_bits, dim),
                           vec_col, id_col)
     assigned = assigned.persist()  # caller-owned (see dedup note)
