@@ -100,6 +100,24 @@ _BORN_SQL = (
     "lpad(cast(1 + doc_id % 28 as string), 2, '0'))"
 )
 
+# email/url/wechat appendix (after the plate, so every earlier offset is
+# untouched).  Uppercase in the email exercises the canonical lowercasing.
+_EMAIL_SQL = "concat('U', doc_id, '@M', doc_id % 10, '.com')"
+_URL_SQL = "concat('http://s', doc_id, '.example.com/p')"
+_WECHAT_SQL = "concat('wx_id_', doc_id)"
+
+# corpus 2 (qq + ip): QQ's cue is GLOBAL (any 'QQ/加Q/...' anywhere turns
+# every 6-11 digit run into a QQ candidate — reference extractor.py:295-303),
+# so qq lives in its own injected text where the qq number is the only
+# qualifying digit run; ip octets (≤3 digits) never qualify.
+_QQ_SQL = "cast(100000 + (doc_id * 9973) % 899999 as string)"
+_IP_SQL = (
+    "concat(cast(doc_id % 224 as string), '.', "
+    "cast((doc_id * 7) % 256 as string), '.', "
+    "cast((doc_id * 13) % 256 as string), '.', "
+    "cast(1 + (doc_id * 31) % 254 as string))"
+)
+
 # DuckDB spells string casts/strings differently in a few spots
 _DUCK = {'as string': 'as varchar'}
 
@@ -163,6 +181,8 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
             f"'。预算为', {_MONEY_SQL}, '元，家住', {_LOC_SQL}, "
             f"'幸福路。定于', {_TIME_TEXT_SQL}, '开会，车牌号', {_PLATE_SQL}, "
+            f"'，邮箱', {_EMAIL_SQL}, '，详见', {_URL_SQL}, "
+            f"'，微信号：', {_WECHAT_SQL}, "
             "'，', text) as text",
             # deterministic crawl timestamp = the time-parsing base
             "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id * 37) as warc_ts",
@@ -188,6 +208,26 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = clean_pages(pages, lang=None, use_html=False)
     m = extract_mentions(clean, keep_cols=('url',),
                          lexicon_trie_broadcast=build_location_trie(spark))
+    m = m.withColumnRenamed('url', 'doc_id').cache()
+    _EXTRACTED_CACHE[key] = m
+    return m
+
+
+def _extracted_qq_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention sweep over corpus 2 (qq + ip, see _QQ_SQL note): the real
+    clean→sweep pipeline over a text whose only 6-11 digit run is the qq."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'qq_ip')
+    if key in _EXTRACTED_CACHE:
+        return _EXTRACTED_CACHE[key]
+    from jionlp_spark.operators.clean import clean_pages
+    from jionlp_spark.operators.mentions import extract_mentions
+    pages = (_docs(spark, sf_dir)
+             .selectExpr('doc_id',
+                         f"concat('加QQ：', {_QQ_SQL}, '，服务器地址', "
+                         f"{_IP_SQL}, '，再见。') as text")
+             .withColumnRenamed('doc_id', 'url'))
+    clean = clean_pages(pages, lang=None, use_html=False)
+    m = extract_mentions(clean, keep_cols=('url',))
     m = m.withColumnRenamed('url', 'doc_id').cache()
     _EXTRACTED_CACHE[key] = m
     return m
@@ -221,6 +261,74 @@ def q_kg_extract_idcard(spark, sf_dir):
         .filter(F.col('mention_type') == 'id_card')
         .select(F.col('doc_id').cast('long').alias('doc_id'),
                 F.col('text').alias('id_card'))
+    )
+
+
+def q_kg_extract_email(spark, sf_dir):
+    """Email extraction + linking: text, canonical (lowercased) address and
+    the @-domain detail (ref rule/extractor.py:154-198)."""
+    from jionlp_spark.operators.link import build_bundle, link_mentions
+    bundle = build_bundle(spark)
+    m = _extracted(spark, sf_dir).filter(F.col('mention_type') == 'email')
+    linked = link_mentions(m, bundle)
+    return linked.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('text').alias('email'),
+        F.col('obj').alias('email_canon'),
+        F.get_json_object('norm', '$.domain_name').alias('domain'),
+        F.col('offset_start').cast('long').alias('offset_start'),
+        F.col('offset_end').cast('long').alias('offset_end'))
+
+
+def q_kg_extract_url(spark, sf_dir):
+    """URL extraction from the fused sweep (ref rule/extractor.py:340-367;
+    pattern rule_pattern.py:354-356 incl. the terminator lookahead)."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col('mention_type') == 'url')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('url'),
+                F.col('offset_start').cast('long').alias('offset_start'),
+                F.col('offset_end').cast('long').alias('offset_end'))
+    )
+
+
+def q_kg_extract_wechat(spark, sf_dir):
+    """WeChat-id extraction (strict 8-char cue lookback, reproducing the
+    reference's padded-index off-by-one — extractor.py:337-341)."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col('mention_type') == 'wechat_id')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('wechat_id'),
+                F.col('offset_start').cast('long').alias('offset_start'),
+                F.col('offset_end').cast('long').alias('offset_end'))
+    )
+
+
+def q_kg_extract_qq(spark, sf_dir):
+    """QQ extraction with the strict global-cue gate (extractor.py:295-303):
+    runs over corpus 2 where the qq number is the only 6-11 digit run."""
+    return (
+        _extracted_qq_ip(spark, sf_dir)
+        .filter(F.col('mention_type') == 'qq')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('qq'),
+                F.col('offset_start').cast('long').alias('offset_start'),
+                F.col('offset_end').cast('long').alias('offset_end'))
+    )
+
+
+def q_kg_extract_ip(spark, sf_dir):
+    """IPv4 extraction (strict octet alternation — rule_pattern.py:108-110)
+    over corpus 2."""
+    return (
+        _extracted_qq_ip(spark, sf_dir)
+        .filter(F.col('mention_type') == 'ip_address')
+        .select(F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('text').alias('ip'),
+                F.col('offset_start').cast('long').alias('offset_start'),
+                F.col('offset_end').cast('long').alias('offset_end'))
     )
 
 
@@ -323,6 +431,37 @@ def q_clean_text(spark, sf_dir):
         'doc_id', clean_text_udf(F.col('raw')).alias('clean'))
 
 
+_TITLE_SQL = ("case doc_id % 3 when 0 then '新闻甲' when 1 then '新闻乙' "
+              "else '新闻丙' end")
+# deterministic HTML skeleton exercising the full CleanHTML pipeline
+# (ref rule/html_cleansing.py:68-120): script/style/comment blocks dropped,
+# nested boilerplate divs (id=navbar, class=sidebar) stack-walked out,
+# <br>/<h1>/<p> newline handling, entity unescape.  Meta stays null by
+# reference quirk: the [NAME][name]= attribute regex can only capture
+# single-char names (html_rule_pattern.py:53), so standard meta tags never
+# extract — reproduced as-is.
+_HTML_SQL = (
+    "concat('<html><head><meta NaMe=\"description\" content=\"summary\">"
+    "</head><body><script>var x=1;</script><style>p red</style>"
+    "<div id=\"navbar\"><div>menu one</div>junk links</div><h1>', "
+    + _TITLE_SQL +
+    ", '</h1><p>', text, ' &amp; tail<br>完</p><!-- hidden -->"
+    "<div class=\"sidebar\">more junk</div></body></html>')"
+)
+
+
+def q_clean_html(spark, sf_dir):
+    """clean_pages(use_html=True) end-to-end: CleanHTML main-text extraction
+    + the clean_text chain over a deterministic HTML skeleton."""
+    from jionlp_spark.operators.clean import clean_pages
+    pages = (_docs(spark, sf_dir)
+             .selectExpr('doc_id', f'{_HTML_SQL} as html')
+             .withColumnRenamed('doc_id', 'url'))
+    out = clean_pages(pages, lang=None, use_html=True)
+    return out.select(F.col('url').cast('long').alias('doc_id'),
+                      'clean', 'meta')
+
+
 def q_doc_stats(spark, sf_dir):
     """Per-doc quality stats (token count, distinct ratio) — text-analysis op."""
     return _docs(spark, sf_dir).selectExpr(
@@ -413,6 +552,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         F.col('hamming').cast('int').alias('hamming'))
 
 
+def q_dedup_simhash_wide_pairs(spark, sf_dir):
+    """Billion-doc simhash path: Manku C(6,3)=20 block-combination tables
+    (31-33-bit keys → O(1) bucket occupancy at 10⁹ docs); output identical
+    to the 16-bit banding after the bit_count verify."""
+    from jionlp_spark.operators.dedup import simhash64, simhash_near_dups_wide
+    return simhash_near_dups_wide(simhash64(_docs(spark, sf_dir))).select(
+        F.col('doc_a').cast('long').alias('doc_a'),
+        F.col('doc_b').cast('long').alias('doc_b'),
+        F.col('hamming').cast('int').alias('hamming'))
+
+
 def q_lang_id_eval(spark, sf_dir):
     """Heuristic language-ID over docs; returns per-(true, pred) counts."""
     from jionlp_spark.operators.textstats import lang_id
@@ -461,6 +611,53 @@ def q_ann_lsh_topk(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     return lsh_topk(emb, n_bits=6, k=3, n_queries=3, dim=64).select(
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
+# shared simhash CTE (token md5 → per-bit majority → unsigned hugeint u)
+_SIMHASH_SIMS_CTE = """
+            with toks as (select doc_id, unnest(string_split(text, ' ')) t
+                          from documents),
+            hx as (select doc_id, substr(md5(t), 1, 16) h from toks),
+            bits as (
+              select doc_id, p,
+                ((strpos('0123456789abcdef', substr(h, (p//4) + 1, 1)) - 1)
+                 >> (3 - (p % 4))) & 1 as bit
+              from hx, (select unnest(range(64)) p) ps),
+            votes as (select doc_id, p, 2*sum(bit) > count(*) as maj
+                      from bits group by 1, 2),
+            sims as (select doc_id,
+              sum(case when maj then (1::hugeint << (63 - p))
+                       else 0::hugeint end) as u
+              from votes group by doc_id)"""
+
+_SIMHASH_VERIFY_SQL = """
+            select doc_a, doc_b, cast(bit_count(xor(
+                cast(case when ua >= 9223372036854775808::hugeint
+                     then ua - 18446744073709551616::hugeint else ua end as bigint),
+                cast(case when ub >= 9223372036854775808::hugeint
+                     then ub - 18446744073709551616::hugeint else ub end as bigint)))
+                as int) hamming
+            from cand where hamming <= 3"""
+
+
+def _simhash_wide_bands_sql() -> str:
+    """20 Manku block-triple band selects over sims (mirrors
+    operators/dedup.py:simhash_near_dups_wide exactly)."""
+    from itertools import combinations
+    widths = [11, 11, 11, 11, 10, 10]
+    offsets = [0]
+    for w in widths[:-1]:
+        offsets.append(offsets[-1] + w)
+    parts = []
+    for band_id, (i, j, k) in enumerate(combinations(range(6), 3)):
+        key = (f"cast(((((u >> {offsets[i]}) & {(1 << widths[i]) - 1})"
+               f" << {widths[j] + widths[k]}) | "
+               f"(((u >> {offsets[j]}) & {(1 << widths[j]) - 1})"
+               f" << {widths[k]}) | "
+               f"((u >> {offsets[k]}) & {(1 << widths[k]) - 1})) as bigint)")
+        parts.append(f"select doc_id, u, {band_id} band_id, {key} bkey "
+                     "from sims")
+    return '\n              union all\n              '.join(parts)
 
 
 def _lsh_oracle_sql(n_bits: int = 6, dim: int = 64) -> str:
@@ -1047,6 +1244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'kg_extract_phone': q_kg_extract_phone,
         'kg_extract_idcard': q_kg_extract_idcard,
+        'kg_extract_email': q_kg_extract_email,
+        'kg_extract_url': q_kg_extract_url,
+        'kg_extract_wechat': q_kg_extract_wechat,
+        'kg_extract_qq': q_kg_extract_qq,
+        'kg_extract_ip': q_kg_extract_ip,
         'kg_extract_money': q_kg_extract_money,
         'kg_link_location': q_kg_link_location,
         'kg_extract_time': q_kg_extract_time,
@@ -1054,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_link_idcard_region': q_kg_link_idcard_region,
         'kg_entity_counts': q_kg_entity_counts,
         'clean_text': q_clean_text,
+        'clean_html': q_clean_html,
         'doc_stats': q_doc_stats,
         'lang_distribution': q_lang_distribution,
         'word_freq_by_source': q_word_freq_by_source,
@@ -1064,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_minhash_sig': q_dedup_minhash_sig,
         'dedup_lsh_pairs': q_dedup_lsh_pairs,
         'dedup_simhash_pairs': q_dedup_simhash_pairs,
+        'dedup_simhash_wide_pairs': q_dedup_simhash_wide_pairs,
         'dedup_jaccard_pairs': q_dedup_jaccard_pairs,
         'dedup_embedding_pairs': q_dedup_embedding_pairs,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -1109,6 +1313,52 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         'kg_extract_idcard': f"""
             select doc_id, {idc} as id_card from documents""",
+        # appendix offsets: plate ends at 59 + len(money/loc/time/plate);
+        # then '，邮箱'(3) email '，详见'(3) url '，微信号：'(5) wechat
+        'kg_extract_email': f"""
+            with base as (select doc_id,
+                59 + length({_duck(_MONEY_SQL)}) + length({_LOC_SQL})
+                   + length({_duck(_TIME_TEXT_SQL)}) + length({_PLATE_SQL})
+                   as plate_end,
+                {_duck(_EMAIL_SQL)} as email from documents)
+            select doc_id, email, lower(email) as email_canon,
+                   concat('M', cast(doc_id % 10 as varchar)) as domain,
+                   cast(plate_end + 3 as bigint) as offset_start,
+                   cast(plate_end + 3 + length(email) as bigint) as offset_end
+            from base""",
+        'kg_extract_url': f"""
+            with base as (select doc_id,
+                59 + length({_duck(_MONEY_SQL)}) + length({_LOC_SQL})
+                   + length({_duck(_TIME_TEXT_SQL)}) + length({_PLATE_SQL})
+                   + 3 + length({_duck(_EMAIL_SQL)}) as email_end,
+                {_duck(_URL_SQL)} as url from documents)
+            select doc_id, url,
+                   cast(email_end + 3 as bigint) as offset_start,
+                   cast(email_end + 3 + length(url) as bigint) as offset_end
+            from base""",
+        'kg_extract_wechat': f"""
+            with base as (select doc_id,
+                59 + length({_duck(_MONEY_SQL)}) + length({_LOC_SQL})
+                   + length({_duck(_TIME_TEXT_SQL)}) + length({_PLATE_SQL})
+                   + 3 + length({_duck(_EMAIL_SQL)})
+                   + 3 + length({_duck(_URL_SQL)}) as url_end,
+                {_duck(_WECHAT_SQL)} as wechat_id from documents)
+            select doc_id, wechat_id,
+                   cast(url_end + 5 as bigint) as offset_start,
+                   cast(url_end + 5 + length(wechat_id) as bigint)
+                       as offset_end
+            from base""",
+        # corpus 2 layout: '加QQ：'(4) qq(6) '，服务器地址'(6) ip '，再见。'
+        'kg_extract_qq': f"""
+            select doc_id, {_duck(_QQ_SQL)} as qq,
+                   cast(4 as bigint) as offset_start,
+                   cast(10 as bigint) as offset_end
+            from documents""",
+        'kg_extract_ip': f"""
+            select doc_id, {_duck(_IP_SQL)} as ip,
+                   cast(16 as bigint) as offset_start,
+                   cast(16 + length({_duck(_IP_SQL)}) as bigint) as offset_end
+            from documents""",
         # money mention = '<amount>元' at offset 43 (after the 5+11+5+18+4
         # chars of the phone/id injection prefix)
         'kg_extract_money': f"""
@@ -1182,6 +1432,14 @@ def oracle_sql() -> dict[str, str]:
         # the double space before 尾 collapses via remove_redundant_char
         'clean_text': """
             select doc_id, concat('标题', text, 'ABC 尾') as clean
+            from documents""",
+        # skeleton reduces to: title \n text ' & tail' \n 完 \n ; meta null
+        # by the reference's single-char meta-name regex quirk
+        'clean_html': f"""
+            select doc_id,
+                   concat({_TITLE_SQL}, chr(10), text, ' & tail', chr(10),
+                          '完', chr(10)) as clean,
+                   cast(null as varchar) as meta
             from documents""",
         'doc_stats': """
             select doc_id,
@@ -1280,21 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash reproduced bit-exactly: md5 hex → per-nibble bit extract →
         # per-bit majority vote → hugeint assembly → signed 64-bit; banding
         # and Hamming verify mirror the Spark plan
-        'dedup_simhash_pairs': """
-            with toks as (select doc_id, unnest(string_split(text, ' ')) t
-                          from documents),
-            hx as (select doc_id, substr(md5(t), 1, 16) h from toks),
-            bits as (
-              select doc_id, p,
-                ((strpos('0123456789abcdef', substr(h, (p//4) + 1, 1)) - 1)
-                 >> (3 - (p % 4))) & 1 as bit
-              from hx, (select unnest(range(64)) p) ps),
-            votes as (select doc_id, p, 2*sum(bit) > count(*) as maj
-                      from bits group by 1, 2),
-            sims as (select doc_id,
-              sum(case when maj then (1::hugeint << (63 - p))
-                       else 0::hugeint end) as u
-              from votes group by doc_id),
+        'dedup_simhash_pairs': _SIMHASH_SIMS_CTE + """,
             banded as (
               select doc_id, u, b.band_id,
                      cast((u >> (16*b.band_id)) & 65535 as int) chunk
@@ -1303,13 +1547,16 @@ def oracle_sql() -> dict[str, str]:
               select distinct a.doc_id doc_a, b.doc_id doc_b, a.u ua, b.u ub
               from banded a join banded b using (band_id, chunk)
               where a.doc_id < b.doc_id)
-            select doc_a, doc_b, cast(bit_count(xor(
-                cast(case when ua >= 9223372036854775808::hugeint
-                     then ua - 18446744073709551616::hugeint else ua end as bigint),
-                cast(case when ub >= 9223372036854775808::hugeint
-                     then ub - 18446744073709551616::hugeint else ub end as bigint)))
-                as int) hamming
-            from cand where hamming <= 3""",
+            """ + _SIMHASH_VERIFY_SQL,
+        # same sims CTE, Manku C(6,3) block-combination banding: blocks of
+        # widths 11,11,11,11,10,10; one table per block triple
+        'dedup_simhash_wide_pairs': _SIMHASH_SIMS_CTE + """,
+            banded as (""" + _simhash_wide_bands_sql() + """),
+            cand as (
+              select distinct a.doc_id doc_a, b.doc_id doc_b, a.u ua, b.u ub
+              from banded a join banded b using (band_id, bkey)
+              where a.doc_id < b.doc_id)
+            """ + _SIMHASH_VERIFY_SQL,
         'lang_id_eval': """
             with scored as (
               select lang,
@@ -1355,10 +1602,10 @@ def oracle_sql() -> dict[str, str]:
                        / len(string_split(text, ' '))) * 0.5, 6) quality
             from documents""",
         # injection layout fixes sentence counts: coarse = 2×。+tail = 3,
-        # fine = ：+4×，+2×。+tail = 8 (the plate injection adds one ，)
+        # fine = 2×：+7×，+2×。+tail = 12 (plate + email/url/wechat appendix)
         'sentence_split': """
             select doc_id, cast(3 as bigint) n_coarse,
-                   cast(8 as bigint) n_fine from documents""",
+                   cast(12 as bigint) n_fine from documents""",
         # same md5-derived ±1 hyperplane literals inlined on both sides
         'ann_lsh_topk': _lsh_oracle_sql(),
         # mirrors the bucketed algorithm: hash-seeded centroids, top-2
