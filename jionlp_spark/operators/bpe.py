@@ -66,15 +66,142 @@ def _merge_expr(a: str, b: str):
     """)
 
 
+def _select_merge_batch(rows, k: int) -> list:
+    """Largest prefix of the ordered pair list that sequential BPE is
+    GUARANTEED to merge next, in order (byte-identical batching).
+
+    Sound because merging pair p only changes counts of pairs sharing one
+    of {p.a, p.b, p.a+p.b}: (1) take the maximal pairwise-compatible
+    (symbol-disjoint) PREFIX — every conflicting or unseen pair therefore
+    ranks below it; (2) new pairs created by a merge are bounded by the old
+    counts of pairs conflicting with it, i.e. by the first excluded
+    candidate's count c_excl — so truncate the batch to counts STRICTLY
+    above c_excl (kills boundary ties that lexical tie-breaking could
+    reorder); (3) if truncation empties the batch, the global top-1 alone
+    is always the exact next merge."""
+    sel: list = []
+    used: set = set()
+    c_excl = 0
+    for r in rows:
+        if len(sel) >= k or r['c'] < 2:
+            c_excl = r['c']
+            break
+        syms = {r['a'], r['b'], r['a'] + r['b']}
+        if used & syms:
+            c_excl = r['c']
+            break
+        sel.append(r)
+        used |= syms
+    batch = [(r['a'], r['b']) for r in sel if r['c'] > c_excl]
+    if not batch and sel:
+        batch = [(sel[0]['a'], sel[0]['b'])]
+    return batch
+
+
+def _greedy_merge(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right (a, b) → a+b — same semantics as _merge_expr
+    and bpe_encode's per-word scan."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_on_driver(rows, n_merges: int) -> list:
+    """Exact sequential BPE over the collected (symbols, freq) vocabulary
+    with incremental pair-count maintenance: O(affected words) per merge.
+    Tie-break identical to the distributed path: (count desc, a, b)."""
+    from collections import defaultdict
+    words = [(list(r['symbols']), r['freq']) for r in rows]
+    pair_counts: dict = defaultdict(int)
+    where: dict = defaultdict(set)          # pair -> word indices
+    for wi, (syms, fr) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += fr
+        for p in set(zip(syms, syms[1:])):
+            where[p].add(wi)
+    merges: list = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), c = min(pair_counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        merges.append((a, b))
+        for wi in list(where[(a, b)]):
+            syms, fr = words[wi]
+            old = list(zip(syms, syms[1:]))
+            for p in set(old):
+                where[p].discard(wi)
+            for p in old:
+                pair_counts[p] -= fr
+                if pair_counts[p] == 0:
+                    del pair_counts[p]
+            syms = _greedy_merge(syms, a, b)
+            words[wi] = (syms, fr)
+            new = list(zip(syms, syms[1:]))
+            for p in new:
+                pair_counts[p] += fr
+            for p in set(new):
+                where[p].add(wi)
+    return merges
+
+
+# vocab tables up to this many distinct words train on the driver (a 5M-word
+# vocab is ~200 MB of Python state — the corpus scan, not the merge loop, is
+# the distributed-scale part of BPE training)
+DRIVER_VOCAB_LIMIT = 5_000_000
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 50,
-              text_col: str = 'text') -> list:
-    """→ ordered [(left, right), ...] merge list."""
+              text_col: str = 'text', batch_size: int = 16,
+              stats: dict | None = None, mode: str = 'auto') -> list:
+    """→ ordered [(left, right), ...] merge list, byte-identical to
+    sequential BPE (Sennrich et al. 2016) in every mode.
+
+    ``mode='driver'`` (chosen by ``'auto'`` whenever the distinct-word
+    vocabulary fits ``DRIVER_VOCAB_LIMIT``): ONE Spark job builds the
+    (word, freq) table — the only part that scales with corpus size — and
+    the inherently sequential merge loop runs on the driver with
+    incremental pair counts.  A 30k-merge production vocab is therefore 1
+    corpus-scan job, not 30k driver round-trips.
+
+    ``mode='distributed'`` (vocabularies beyond driver memory): each round
+    is one pair-count job collecting the top batch_size+1 pairs and commits
+    every merge the count table already PROVES sequential BPE would perform
+    (see _select_merge_batch), then rewrites the vocab once.
+
+    ``stats['rounds']`` reports the Spark-job cadence when provided."""
+    if mode not in ('auto', 'driver', 'distributed'):
+        raise ValueError(f'unknown mode {mode!r}')
+    if mode != 'distributed':
+        vocab_df = _word_vocab(docs, text_col)
+        if mode == 'auto':
+            n_words = vocab_df.limit(DRIVER_VOCAB_LIMIT + 1).count()
+            mode = 'driver' if n_words <= DRIVER_VOCAB_LIMIT \
+                else 'distributed'
+        if mode == 'driver':
+            rows = vocab_df.collect()
+            if stats is not None:
+                stats['rounds'] = 1
+            return _train_on_driver(rows, n_merges)
+
     # localCheckpoint truncates lineage each round — without it the plan
     # nests one fold expression per merge and analysis time grows
     # quadratically with n_merges
     vocab = _word_vocab(docs, text_col).localCheckpoint()
     merges: list = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        k = min(batch_size, n_merges - len(merges))
         pairs = (vocab
                  .select('freq', F.explode(F.expr(
                      # guard: sequence(0, -1) would DESCEND for 1-symbol
@@ -86,13 +213,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
                      .alias('p'))
                  .groupBy('p.a', 'p.b').agg(F.sum('freq').alias('c'))
                  .orderBy(F.desc('c'), 'a', 'b')
-                 .limit(1).collect())
+                 .limit(k + 1).collect())
+        rounds += 1
         if not pairs or pairs[0]['c'] < 2:
             break
-        a, b = pairs[0]['a'], pairs[0]['b']
-        merges.append((a, b))
-        vocab = vocab.select(_merge_expr(a, b).alias('symbols'),
-                             'freq').localCheckpoint()
+        batch = _select_merge_batch(pairs, k)
+        merges.extend(batch)
+        for a, b in batch:  # compatible merges: one fused rewrite, then
+            vocab = vocab.select(_merge_expr(a, b).alias('symbols'), 'freq')
+        vocab = vocab.localCheckpoint()  # one checkpoint per ROUND
+    if stats is not None:
+        stats['rounds'] = rounds
     return merges
 
 

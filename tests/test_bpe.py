@@ -31,6 +31,22 @@ def test_bpe_train_hand_computed(spark):
     assert enc.n_tokens == 4
 
 
+def test_bpe_modes_identical_and_job_bounded(spark):
+    """Driver mode (1 corpus-scan job) and the batched distributed mode
+    must produce byte-identical merge sequences; driver mode bounds the
+    job cadence of a 50-merge train far under the 1-job-per-merge naive."""
+    from jionlp_spark.operators.bpe import bpe_train
+    docs = spark.read.parquet('/root/testdata/sf0.001/documents.parquet') \
+        .limit(60).cache()
+    st_drv, st_dist = {}, {}
+    drv = bpe_train(docs, n_merges=50, mode='driver', stats=st_drv)
+    dist = bpe_train(docs, n_merges=50, mode='distributed', stats=st_dist)
+    assert drv == dist
+    assert len(drv) == 50
+    assert st_drv['rounds'] == 1          # one Spark job per train
+    assert st_dist['rounds'] <= 50        # batching never exceeds naive
+
+
 def test_bpe_train_compresses_corpus(spark):
     from pyspark.sql import functions as F
 
