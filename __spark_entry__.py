@@ -404,6 +404,32 @@ def q_kg_link_idcard_region(spark, sf_dir):
         F.get_json_object('norm', '$.gender').alias('gender'))
 
 
+def q_kg_recognize_location(spark, sf_dir):
+    """Document home-location vote (recognize_location skeleton): corpus 3
+    mentions the doc's main location twice and a distractor (北京市海淀区)
+    once; the majority vote must return the main location's parsed region —
+    including the 襄樊市→襄阳市 rename path."""
+    from jionlp_spark.functions.udfs import build_location_trie
+    from jionlp_spark.operators.clean import clean_pages
+    from jionlp_spark.operators.link import (build_bundle, link_mentions,
+                                             recognize_location)
+    from jionlp_spark.operators.mentions import extract_mentions
+    pages = (_docs(spark, sf_dir)
+             .selectExpr('doc_id',
+                         f"concat('先到', {_LOC_SQL}, '。随后去', {_LOC_SQL}, "
+                         "'。离开北京市海淀区。') as text")
+             .withColumnRenamed('doc_id', 'url'))
+    clean = clean_pages(pages, lang=None, use_html=False)
+    m = extract_mentions(clean, keep_cols=('url',),
+                         lexicon_trie_broadcast=build_location_trie(spark))
+    linked = link_mentions(m.withColumnRenamed('url', 'doc_id'),
+                           build_bundle(spark))
+    return recognize_location(linked).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'province', 'city', 'county',
+        F.col('votes').cast('long').alias('votes'))
+
+
 def q_kg_entity_counts(spark, sf_dir):
     """Salted two-phase aggregation over canonical entities (skew-safe)."""
     from jionlp_spark.operators.link import (build_bundle, entity_counts,
@@ -1255,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_link_phone_geo': q_kg_link_phone_geo,
         'kg_link_idcard_region': q_kg_link_idcard_region,
         'kg_entity_counts': q_kg_entity_counts,
+        'kg_recognize_location': q_kg_recognize_location,
         'clean_text': q_clean_text,
         'clean_html': q_clean_html,
         'doc_stats': q_doc_stats,
@@ -1391,6 +1418,17 @@ def oracle_sql() -> dict[str, str]:
         'kg_link_idcard_region': f"""
             select doc_id, {_ID_REGION_SQL} as region, {born} as born_on,
                    case when doc_id % 2 = 1 then '男' else '女' end as gender
+            from documents""",
+        # corpus 3: main location twice, 北京市海淀区 once → majority wins
+        'kg_recognize_location': """
+            select doc_id,
+                   case doc_id % 3 when 0 then '贵州省' when 1 then '上海市'
+                        else '湖北省' end as province,
+                   case doc_id % 3 when 0 then '贵阳市' when 1 then '上海市'
+                        else '襄阳市' end as city,
+                   case doc_id % 3 when 0 then '云岩区' when 1 then '嘉定区'
+                        else null end as county,
+                   cast(2 as bigint) as votes
             from documents""",
         'kg_entity_counts': f"""
             with m as (

@@ -40,6 +40,10 @@ HEADLINE = [
     'textaug_swap', 'idiom_next', 'dedup_embedding_pairs', 'ann_lsh_topk',
     'doc_fingerprint',
     'token_counts', 'multimodal_frames',
+    # round 3 additions
+    'kg_extract_email', 'kg_extract_url', 'kg_extract_wechat',
+    'kg_extract_qq', 'kg_extract_ip', 'clean_html',
+    'dedup_simhash_wide_pairs', 'kg_recognize_location',
 ]
 
 

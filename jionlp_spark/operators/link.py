@@ -47,6 +47,42 @@ def link_mentions(mentions: DataFrame, bundle_broadcast) -> DataFrame:
     )
 
 
+def recognize_location(linked: DataFrame,
+                       id_col: str = 'doc_id') -> DataFrame:
+    """Per-document home location: the majority vote over its linked
+    location mentions.
+
+    Distributed skeleton of the reference LocationRecognizer's merge step
+    (gadget/location_recognizer.py:44-450): the reference counts the
+    candidate (province, city, county) expansions of every place word and
+    returns the top-frequency merged address; here the candidates come from
+    the lexicon-NER → LocationParser linking already in the mentions table
+    (the reference's jiojio POS tagging stage is model-bound and out of
+    scope — SURVEY §2.4), and the vote is a groupBy + per-doc top-1 window.
+    Ties break lexically on (province, city, county) for determinism.
+
+    Scale shape: one shuffle keyed (doc, region) with map-side combine,
+    then a per-doc window over a handful of rows — no driver state.
+    """
+    from pyspark.sql.window import Window
+    votes = (
+        linked.filter(F.col('obj_type') == 'location')
+        .select(id_col,
+                F.get_json_object('norm', '$.province').alias('province'),
+                F.get_json_object('norm', '$.city').alias('city'),
+                F.get_json_object('norm', '$.county').alias('county'))
+        .groupBy(id_col, 'province', 'city', 'county')
+        .agg(F.count('*').alias('votes'))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc('votes'),
+        F.coalesce('province', F.lit('')),
+        F.coalesce('city', F.lit('')),
+        F.coalesce('county', F.lit('')))
+    return (votes.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') == 1).drop('_rn'))
+
+
 def entity_counts(entities: DataFrame, salt_buckets: int = 32) -> DataFrame:
     """Count mentions per canonical entity with two-phase salted agg.
 
