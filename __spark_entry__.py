@@ -167,6 +167,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism))
 
 
+# the injected text as an ordered parts list, so redaction oracles can
+# reconstruct the text with any single part substituted (safer than SQL
+# replace(), which would also hit accidental substring collisions)
+_INJECT_PARTS = (
+    "'联系电话：'", _PHONE_SQL, "'，身份证号'", _ID_SQL, "'。预算为'",
+    _MONEY_SQL, "'元，家住'", _LOC_SQL, "'幸福路。定于'", _TIME_TEXT_SQL,
+    "'开会，车牌号'", _PLATE_SQL, "'，邮箱'", _EMAIL_SQL, "'，详见'",
+    _URL_SQL, "'，微信号：'", _WECHAT_SQL, "'，'", 'text',
+)
+
+
+def _injected_text_sql(subst: dict | None = None) -> str:
+    """concat(...) of _INJECT_PARTS with optional {part_expr: replacement}
+    substitutions (replacement None drops the part)."""
+    parts = []
+    for p in _INJECT_PARTS:
+        if subst and p in subst:
+            if subst[p] is None:
+                continue
+            parts.append(subst[p])
+        else:
+            parts.append(p)
+    return 'concat(' + ', '.join(parts) + ')'
+
+
 def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + injected phone/id sentence (deterministic in doc_id).
 
@@ -178,12 +203,7 @@ def _injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)  # _docs already spreads rows across cores
         .selectExpr(
             'doc_id',
-            f"concat('联系电话：', {_PHONE_SQL}, '，身份证号', {_ID_SQL}, "
-            f"'。预算为', {_MONEY_SQL}, '元，家住', {_LOC_SQL}, "
-            f"'幸福路。定于', {_TIME_TEXT_SQL}, '开会，车牌号', {_PLATE_SQL}, "
-            f"'，邮箱', {_EMAIL_SQL}, '，详见', {_URL_SQL}, "
-            f"'，微信号：', {_WECHAT_SQL}, "
-            "'，', text) as text",
+            f'{_injected_text_sql()} as text',
             # deterministic crawl timestamp = the time-parsing base
             "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id * 37) as warc_ts",
         )
@@ -330,6 +350,211 @@ def q_kg_extract_ip(spark, sf_dir):
                 F.col('offset_start').cast('long').alias('offset_start'),
                 F.col('offset_end').cast('long').alias('offset_end'))
     )
+
+
+def q_kg_redact(spark, sf_dir):
+    """remove_/replace_* redaction variants (ref rule/extractor.py:507-791)
+    end-to-end: each column applies one variant to the original injected
+    text inside ONE fused pandas UDF (single ArrowEvalPython node).
+    replace_qq is the negative control — strict mode with no QQ cue leaves
+    the text untouched (extractor.py:295-303)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    _ensure_shipped(spark)
+
+    schema = T.StructType([
+        T.StructField('redact_email', T.StringType()),
+        T.StructField('redact_url', T.StringType()),
+        T.StructField('redact_phone', T.StringType()),
+        T.StructField('redact_id', T.StringType()),
+        T.StructField('redact_qq', T.StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def redact(text: pd.Series) -> pd.DataFrame:
+        from jionlp_spark.kernels.extractors import get_extractor
+        ex = get_extractor()
+        return pd.DataFrame({
+            'redact_email': text.map(ex.replace_email),
+            'redact_url': text.map(ex.replace_url),
+            'redact_phone': text.map(ex.replace_phone_number),
+            'redact_id': text.map(ex.remove_id_card),
+            'redact_qq': text.map(ex.replace_qq),
+        })
+
+    return (_injected_docs(spark, sf_dir)
+            .select('doc_id', redact(F.col('text')).alias('r'))
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    'r.redact_email', 'r.redact_url', 'r.redact_phone',
+                    'r.redact_id', 'r.redact_qq'))
+
+
+def q_kg_parentheses(spark, sf_dir):
+    """extract_parentheses stack matcher (ref rule/extractor.py:369-432):
+    inner pairs complete first, so the nested block emits 嵌套 before its
+    parent; spans ride along pipe-joined with offsets."""
+    from pyspark.sql.functions import pandas_udf
+    _ensure_shipped(spark)
+
+    @pandas_udf('string')
+    def paren(text: pd.Series) -> pd.Series:
+        from jionlp_spark.kernels.extractors import get_extractor
+        ex = get_extractor()
+        return text.map(lambda t: '|'.join(
+            f"{d['content']}@{d['offset'][0]}:{d['offset'][1]}"
+            for d in ex.extract_parentheses(t, detail=True)))
+
+    d = _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        "concat('线索（', text, '）与（备用（嵌套）补充）完') as raw")
+    return d.select(F.col('doc_id').cast('long').alias('doc_id'),
+                    paren(F.col('raw')).alias('parens'))
+
+
+_CHARCHECK_IN = ('中文文本', 'hello123', '１２３', '混合mix7', '42107', '')
+# (any_cn, all_cn, any_num, all_num, chinese_runs, replaced) — anchored to
+# the live reference by tests/test_norm_query_anchors.py
+_CHARCHECK_OUT = (
+    (True, True, False, False, '中文文本', '    '),
+    (False, False, True, False, '', 'hello123'),
+    (False, False, True, True, '', '１２３'),
+    (True, False, True, False, '混合', '  mix7'),
+    (False, False, True, True, '', '42107'),
+    (False, False, False, False, '', None),  # '' → [] quirk → null
+)
+_CHARCHECK_SQL = (
+    'case doc_id % 6 '
+    + ' '.join(f"when {i} then '{c}'"
+               for i, c in enumerate(_CHARCHECK_IN[:-1]))
+    + " else '' end"
+)
+
+
+def q_kg_char_checks(spark, sf_dir):
+    """checker predicates + extract/replace_chinese
+    (ref rule/checker.py:26-146, extractor.py:258-291) over injected
+    candidates, one fused UDF.  replace_chinese('') returns [] in the
+    reference — surfaced as null here, quirk reproduced."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    _ensure_shipped(spark)
+
+    schema = T.StructType([
+        T.StructField('any_cn', T.BooleanType()),
+        T.StructField('all_cn', T.BooleanType()),
+        T.StructField('any_num', T.BooleanType()),
+        T.StructField('all_num', T.BooleanType()),
+        T.StructField('chinese_runs', T.StringType()),
+        T.StructField('replaced', T.StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def checks(cand: pd.Series) -> pd.DataFrame:
+        from jionlp_spark.kernels.extractors import (RuleExtractor,
+                                                     get_extractor)
+        ex = get_extractor()
+
+        def repl(c):
+            r = ex.replace_chinese(c)
+            return r if isinstance(r, str) else None
+        return pd.DataFrame({
+            'any_cn': cand.map(RuleExtractor.check_any_chinese_char),
+            'all_cn': cand.map(RuleExtractor.check_all_chinese_char),
+            'any_num': cand.map(RuleExtractor.check_any_arabic_num),
+            'all_num': cand.map(RuleExtractor.check_all_arabic_num),
+            'chinese_runs': cand.map(
+                lambda c: '|'.join(ex.extract_chinese(c))),
+            'replaced': cand.map(repl),
+        })
+
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_CHARCHECK_SQL} as candidate')
+    return d.select(F.col('doc_id').cast('long').alias('doc_id'),
+                    'candidate', checks(F.col('candidate')).alias('c')) \
+        .select('doc_id', 'candidate', 'c.any_cn', 'c.all_cn', 'c.any_num',
+                'c.all_num', 'c.chinese_runs', 'c.replaced')
+
+
+# solar inputs (12-cycle, two leap-month cases) and their lunar outputs —
+# anchored to the live reference by tests/test_norm_query_anchors.py
+_LUNAR_SOLAR_IN = (
+    (1990, 1, 1), (1993, 2, 8), (1996, 3, 15), (1999, 4, 22), (2002, 5, 1),
+    (2005, 6, 8), (2008, 7, 15), (2011, 8, 22), (2014, 9, 1), (2017, 10, 8),
+    (2020, 5, 30), (2023, 3, 25))
+_LUNAR_OUT = (
+    (1989, 12, 5, False), (1993, 1, 17, False), (1996, 1, 26, False),
+    (1999, 3, 7, False), (2002, 3, 19, False), (2005, 5, 2, False),
+    (2008, 6, 13, False), (2011, 7, 23, False), (2014, 8, 8, False),
+    (2017, 8, 19, False), (2020, 4, 8, True), (2023, 2, 4, True))
+_SOLAR_DATE_SQL = (
+    'case doc_id % 12 '
+    + ' '.join(f"when {i} then '{y:04d}-{m:02d}-{d:02d}'"
+               for i, (y, m, d) in enumerate(_LUNAR_SOLAR_IN[:-1]))
+    + " else '{:04d}-{:02d}-{:02d}' end".format(*_LUNAR_SOLAR_IN[-1])
+)
+
+
+def q_norm_lunar_solar(spark, sf_dir):
+    """solar2lunar + lunar2solar round-trip (ref gadget/lunar_solar_date.py)
+    over a 12-date cycle including leap lunar months."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    _ensure_shipped(spark)
+
+    schema = T.StructType([
+        T.StructField('lunar', T.StringType()),
+        T.StructField('roundtrip', T.StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def conv(solar: pd.Series) -> pd.DataFrame:
+        import datetime
+        from jionlp_spark.kernels.lunar import lunar2solar, solar2lunar
+        lunars, trips = [], []
+        for s in solar:
+            dt = datetime.datetime.strptime(s, '%Y-%m-%d')
+            ly, lm, ld, leap = solar2lunar(dt)
+            lunars.append(f'{ly}-{lm}-{ld}-{str(leap).lower()}')
+            trips.append(lunar2solar(ly, lm, ld, leap).strftime('%Y-%m-%d'))
+        return pd.DataFrame({'lunar': lunars, 'roundtrip': trips})
+
+    d = _docs(spark, sf_dir).selectExpr('doc_id',
+                                        f'{_SOLAR_DATE_SQL} as solar')
+    return d.select(F.col('doc_id').cast('long').alias('doc_id'), 'solar',
+                    conv(F.col('solar')).alias('c')) \
+        .select('doc_id', 'solar', 'c.lunar', 'c.roundtrip')
+
+
+def q_cws_tags(spark, sf_dir):
+    """CWS dataset converters (ref algorithm/cws/cws_data_converter.py):
+    word list → (chars, B/I tags) and the tag→word round-trip, one UDF."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    _ensure_shipped(spark)
+
+    schema = T.StructType([
+        T.StructField('chars', T.StringType()),
+        T.StructField('tags', T.StringType()),
+        T.StructField('roundtrip', T.StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def conv(text: pd.Series) -> pd.DataFrame:
+        from jionlp_spark.kernels.ner_convert import (cws_tag2word,
+                                                      cws_word2tag)
+        chars_l, tags_l, trips = [], [], []
+        for t in text:
+            ch, tags = cws_word2tag(t.split(' '))
+            chars_l.append(ch)
+            tags_l.append(','.join(tags))
+            trips.append(' '.join(cws_tag2word(ch, tags)))
+        return pd.DataFrame({'chars': chars_l, 'tags': tags_l,
+                             'roundtrip': trips})
+
+    return _docs(spark, sf_dir).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        conv(F.col('text')).alias('c')) \
+        .select('doc_id', 'c.chars', 'c.tags', 'c.roundtrip')
 
 
 def q_kg_extract_money(spark, sf_dir):
@@ -637,6 +862,21 @@ def q_ann_lsh_topk(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     return lsh_topk(emb, n_bits=6, k=3, n_queries=3, dim=64).select(
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
+def _charcheck_case(col_idx: int) -> str:
+    """6-way case over _CHARCHECK_OUT column col_idx (bool/str/null lits)."""
+    def lit(v):
+        if v is None:
+            return 'cast(null as varchar)'
+        if isinstance(v, bool):
+            return str(v).lower()
+        return f"'{v}'"
+    vals = [row[col_idx] for row in _CHARCHECK_OUT]
+    return ('case doc_id % 6 '
+            + ' '.join(f'when {i} then {lit(v)}'
+                       for i, v in enumerate(vals[:-1]))
+            + f' else {lit(vals[-1])} end')
 
 
 # shared simhash CTE (token md5 → per-bit majority → unsigned hugeint u)
@@ -1275,6 +1515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_extract_wechat': q_kg_extract_wechat,
         'kg_extract_qq': q_kg_extract_qq,
         'kg_extract_ip': q_kg_extract_ip,
+        'kg_redact': q_kg_redact,
+        'kg_parentheses': q_kg_parentheses,
+        'kg_char_checks': q_kg_char_checks,
+        'norm_lunar_solar': q_norm_lunar_solar,
+        'cws_tags': q_cws_tags,
         'kg_extract_money': q_kg_extract_money,
         'kg_link_location': q_kg_link_location,
         'kg_extract_time': q_kg_extract_time,
@@ -1340,6 +1585,59 @@ def oracle_sql() -> dict[str, str]:
             from documents""",
         'kg_extract_idcard': f"""
             select doc_id, {idc} as id_card from documents""",
+        # each redaction column = the injected concat with one part swapped
+        'kg_redact': f"""
+            select doc_id,
+              {_duck(_injected_text_sql({_EMAIL_SQL: "'<email>'"}))}
+                  as redact_email,
+              {_duck(_injected_text_sql({_URL_SQL: "'<url>'"}))}
+                  as redact_url,
+              {_duck(_injected_text_sql({_PHONE_SQL: "'<tel>'"}))}
+                  as redact_phone,
+              {_duck(_injected_text_sql({_ID_SQL: None}))} as redact_id,
+              {_duck(_injected_text_sql())} as redact_qq
+            from documents""",
+        # B at each word start, I per remaining char; round-trip = input
+        'cws_tags': """
+            select doc_id, replace(text, ' ', '') as chars,
+                   array_to_string(list_transform(string_split(text, ' '),
+                       w -> concat('B', repeat(',I', length(w) - 1))), ',')
+                       as tags,
+                   text as roundtrip
+            from documents""",
+        # lunar literals + the round-trip equals the input by construction
+        'norm_lunar_solar': f"""
+            select doc_id, {_SOLAR_DATE_SQL} as solar,
+                   case doc_id % 12 {' '.join(
+                       "when {} then '{}-{}-{}-{}'".format(
+                           i, y, m, d, str(leap).lower())
+                       for i, (y, m, d, leap)
+                       in enumerate(_LUNAR_OUT[:-1]))}
+                       else '{'{}-{}-{}-{}'.format(
+                           _LUNAR_OUT[-1][0], _LUNAR_OUT[-1][1],
+                           _LUNAR_OUT[-1][2],
+                           str(_LUNAR_OUT[-1][3]).lower())}' end as lunar,
+                   {_SOLAR_DATE_SQL} as roundtrip
+            from documents""",
+        'kg_char_checks': f"""
+            select doc_id, {_CHARCHECK_SQL} as candidate,
+                   {_charcheck_case(0)} as any_cn,
+                   {_charcheck_case(1)} as all_cn,
+                   {_charcheck_case(2)} as any_num,
+                   {_charcheck_case(3)} as all_num,
+                   {_charcheck_case(4)} as chinese_runs,
+                   {_charcheck_case(5)} as replaced
+            from documents""",
+        # raw = '线索（' text '）与（备用（嵌套）补充）完'; inner pair
+        # completes before its parent in the stack matcher
+        'kg_parentheses': """
+            select doc_id, concat(
+                '（', text, '）@2:', cast(length(text) + 4 as varchar),
+                '|（嵌套）@', cast(length(text) + 8 as varchar), ':',
+                cast(length(text) + 12 as varchar),
+                '|（备用（嵌套）补充）@', cast(length(text) + 5 as varchar),
+                ':', cast(length(text) + 15 as varchar)) as parens
+            from documents""",
         # appendix offsets: plate ends at 59 + len(money/loc/time/plate);
         # then '，邮箱'(3) email '，详见'(3) url '，微信号：'(5) wechat
         'kg_extract_email': f"""

@@ -67,3 +67,43 @@ def test_pinyin_radical_literals(jio):
         info = jio.char_radical(t)
         assert ' '.join(d['radical'] for d in info) == rad
         assert ' '.join(d['structure'] for d in info) == struct
+
+
+def test_charcheck_literals(jio):
+    for cand, (any_cn, all_cn, any_num, all_num, runs, repl) in zip(
+            entry._CHARCHECK_IN, entry._CHARCHECK_OUT):
+        assert jio.check_any_chinese_char(cand) == any_cn, cand
+        assert jio.check_all_chinese_char(cand) == all_cn, cand
+        assert jio.check_any_arabic_num(cand) == any_num, cand
+        assert jio.check_all_arabic_num(cand) == all_num, cand
+        assert '|'.join(jio.extract_chinese(cand)) == runs, cand
+        ref_repl = jio.replace_chinese(cand)
+        assert (ref_repl if isinstance(ref_repl, str) else None) == repl, cand
+
+
+def test_parentheses_layout_anchor(jio):
+    """kg_parentheses oracle hardcodes the stack-matcher span arithmetic;
+    anchor it to the live reference on a representative text."""
+    text = 'alpha beta'
+    raw = f'线索（{text}）与（备用（嵌套）补充）完'
+    ref = jio.extract_parentheses(raw, detail=True)
+    got = [f"{d['content']}@{d['offset'][0]}:{d['offset'][1]}" for d in ref]
+    n = len(text)
+    assert got == [f'（{text}）@2:{n + 4}', f'（嵌套）@{n + 8}:{n + 12}',
+                   f'（备用（嵌套）补充）@{n + 5}:{n + 15}']
+
+
+def test_redact_negative_qq_anchor(jio):
+    """replace_qq leaves text untouched without a QQ cue (the kg_redact
+    negative-control column)."""
+    t = '联系电话：13201234567，预算为123456元'
+    assert jio.replace_qq(t) == t
+
+
+def test_lunar_solar_literals(jio):
+    import datetime
+    for (y, m, d), (ly, lm, ld, leap) in zip(entry._LUNAR_SOLAR_IN,
+                                             entry._LUNAR_OUT):
+        sd = datetime.datetime(y, m, d)
+        assert jio.solar2lunar(sd) == (ly, lm, ld, leap), (y, m, d)
+        assert jio.lunar2solar(ly, lm, ld, leap) == sd, (ly, lm, ld, leap)
