@@ -225,7 +225,8 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jionlp_spark.operators.mentions import extract_mentions
 
     pages = _injected_docs(spark, sf_dir).withColumnRenamed('doc_id', 'url')
-    clean = clean_pages(pages, lang=None, use_html=False)
+    clean = clean_pages(pages, lang=None, use_html=False,
+                        extract_only=True)
     m = extract_mentions(clean, keep_cols=('url',),
                          lexicon_trie_broadcast=build_location_trie(spark))
     m = m.withColumnRenamed('url', 'doc_id').cache()
@@ -246,7 +247,8 @@ def _extracted_qq_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          f"concat('加QQ：', {_QQ_SQL}, '，服务器地址', "
                          f"{_IP_SQL}, '，再见。') as text")
              .withColumnRenamed('doc_id', 'url'))
-    clean = clean_pages(pages, lang=None, use_html=False)
+    clean = clean_pages(pages, lang=None, use_html=False,
+                        extract_only=True)
     m = extract_mentions(clean, keep_cols=('url',))
     m = m.withColumnRenamed('url', 'doc_id').cache()
     _EXTRACTED_CACHE[key] = m
@@ -633,22 +635,24 @@ def q_kg_recognize_location(spark, sf_dir):
     """Document home-location vote (recognize_location skeleton): corpus 3
     mentions the doc's main location twice and a distractor (北京市海淀区)
     once; the majority vote must return the main location's parsed region —
-    including the 襄樊市→襄阳市 rename path."""
-    from jionlp_spark.functions.udfs import build_location_trie
-    from jionlp_spark.operators.clean import clean_pages
-    from jionlp_spark.operators.link import (build_bundle, link_mentions,
-                                             recognize_location)
-    from jionlp_spark.operators.mentions import extract_mentions
-    pages = (_docs(spark, sf_dir)
-             .selectExpr('doc_id',
-                         f"concat('先到', {_LOC_SQL}, '。随后去', {_LOC_SQL}, "
-                         "'。离开北京市海淀区。') as text")
-             .withColumnRenamed('doc_id', 'url'))
-    clean = clean_pages(pages, lang=None, use_html=False)
-    m = extract_mentions(clean, keep_cols=('url',),
-                         lexicon_trie_broadcast=build_location_trie(spark))
-    linked = link_mentions(m.withColumnRenamed('url', 'doc_id'),
-                           build_bundle(spark))
+    including the 襄樊市→襄阳市 rename path.
+
+    Scale shape: ONE fused Python pass — lexicon NER + LocationParser with
+    a per-worker memo on distinct place strings (tiny next to mention
+    volume at crawl scale); no rule/money/time sweep (place words are all
+    the vote needs), no second UDF stage, no self-join."""
+    from jionlp_spark.functions.udfs import (build_location_trie,
+                                             make_lexicon_linked_udf)
+    from jionlp_spark.operators.link import build_bundle, recognize_location
+    pages = _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        f"concat('先到', {_LOC_SQL}, '。随后去', {_LOC_SQL}, "
+        "'。离开北京市海淀区。') as text")
+    lex_udf = make_lexicon_linked_udf(build_location_trie(spark),
+                                      build_bundle(spark), normalize=True)
+    linked = (pages.select('doc_id', F.explode(lex_udf(F.col('text')))
+                           .alias('m'))
+              .select('doc_id', 'm.obj_type', 'm.norm'))
     return recognize_location(linked).select(
         F.col('doc_id').cast('long').alias('doc_id'),
         'province', 'city', 'county',

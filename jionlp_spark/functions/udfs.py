@@ -93,6 +93,17 @@ def clean_html_text_udf(html: pd.Series) -> pd.DataFrame:
                          'meta': metas})
 
 
+@pandas_udf(T.StringType())
+def extract_text_udf(text: pd.Series) -> pd.Series:
+    """Normalization ONLY (no redaction chain): for stages that consume just
+    extract_text.  Catalyst cannot prune fields inside a struct-returning
+    UDF, so computing `clean` alongside would pay the full redaction regex
+    chain even when nothing reads it."""
+    cleaner = get_cleaner()
+    return text.map(lambda t: _normalize_only(cleaner, t, strip_tags=True)
+                    if t is not None else None)
+
+
 @pandas_udf(CLEAN_RESULT)
 def clean_plain_text_udf(text: pd.Series) -> pd.DataFrame:
     """text:string (pre-extracted body) → (clean, extract_text, meta=None)."""
@@ -311,6 +322,61 @@ LINKED_MENTION_TYPE = T.StructType(MENTION_FIELDS + [
     T.StructField('obj', T.StringType()),
     T.StructField('obj_type', T.StringType()),
 ])
+
+
+def make_lexicon_linked_udf(trie_broadcast, bundle_broadcast,
+                            normalize: bool = False):
+    """Fused lexicon NER + LocationParser linking in ONE Python pass
+    (no second ArrowEvalPython node, no self-join): the per-worker memo on
+    parse() exploits that distinct place strings (~10⁵ at crawl scale) are
+    tiny next to mention volume.  ``normalize=True`` folds the extract_text
+    normalization into the same pass — chained ArrowEvalPython stages each
+    pin their own Python workers, which dominates at small inputs."""
+    @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
+    def lexicon_linked_udf(text: pd.Series) -> pd.Series:
+        trie = trie_broadcast.value
+        location = bundle_broadcast.value.location
+        cleaner = get_cleaner() if normalize else None
+        memo: dict = {}
+
+        def link_loc(t):
+            hit = memo.get(t)
+            if hit is None:
+                res = location.parse(t)
+                key = '/'.join(x for x in (res['province'], res['city'],
+                                           res['county']) if x)
+                hit = (key or t, json.dumps(
+                    {'province': res['province'], 'city': res['city'],
+                     'county': res['county']}, ensure_ascii=False))
+                memo[t] = hit
+            return hit
+
+        def scan(t):
+            if t is None:
+                return []
+            if cleaner is not None:
+                t = _normalize_only(cleaner, t, strip_tags=True)
+            hits = trie.scan_fmm(t)
+            if len(hits) > 1:
+                merged = [hits[0]]
+                for h in hits[1:]:
+                    prev = merged[-1]
+                    if h['type'] == prev['type'] and \
+                            h['offset'][0] == prev['offset'][1]:
+                        prev['text'] += h['text']
+                        prev['offset'][1] = h['offset'][1]
+                    else:
+                        merged.append(h)
+                hits = merged
+            out = []
+            for m in hits:
+                obj, norm = link_loc(m['text'])
+                out.append((m['text'], m['offset'][0], m['offset'][1],
+                            'lexicon:' + m['type'], norm, obj, 'location'))
+            return out
+
+        return text.map(scan)
+    return lexicon_linked_udf
 
 
 def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None):
