@@ -379,13 +379,19 @@ def make_lexicon_linked_udf(trie_broadcast, bundle_broadcast,
     return lexicon_linked_udf
 
 
-def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None):
+def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None,
+                             source: str | None = None):
     """Fused stage-2+3: mention sweep AND canonicalization in ONE Python
     pass per batch → array<linked mention>.
 
     Physically halves the Python hops of the hot stage (each chained
     ArrowEvalPython node costs a dedicated worker per task); logically the
     output is identical to extract_mentions → link_mentions.
+
+    ``source``: None = input is already extract_text; 'plain'/'html' fold
+    the normalization (and CleanHTML main-text extraction) into the SAME
+    pass, so a triples-only plan runs ONE ArrowEvalPython node total and
+    never pays the redaction chain that only the `clean` deliverable needs.
     """
     from jionlp_spark.kernels.money_extract import get_money_extractor
     from jionlp_spark.kernels.time_extract import get_time_extractor
@@ -394,6 +400,7 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None):
     def linked_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
         bundle = bundle_broadcast.value
         trie = trie_broadcast.value if trie_broadcast is not None else None
+        cleaner = get_cleaner() if source is not None else None
         ex = get_extractor()
         mex = get_money_extractor()
         tex = get_time_extractor()
@@ -458,6 +465,13 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None):
             if t is None:
                 out_rows.append([])
                 continue
+            if source == 'html':
+                if isinstance(t, (bytes, bytearray)):
+                    t = t.decode('utf-8', errors='replace')
+                body, _meta = clean_html(t)
+                t = _normalize_only(cleaner, body, strip_tags=False)
+            elif source == 'plain':
+                t = _normalize_only(cleaner, t, strip_tags=True)
             raw = [(m['text'], m['offset'][0], m['offset'][1], m['type'],
                     None) for m in ex.sweep(t)]
             raw.extend(

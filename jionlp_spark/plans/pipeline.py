@@ -56,21 +56,33 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         else s1(repartition=False)
 
     if out_dir is None:
-        # lazy single-plan mode: fuse S2+S3 into one Python pass — chained
-        # ArrowEvalPython nodes each pin a worker per task, and at high
-        # parallelism that oversubscription dominates; the fused UDF emits
-        # linked mentions directly (same output, half the Python hops)
+        # lazy single-plan mode: normalization + mention sweep + linking in
+        # ONE Python pass straight off the source column — chained
+        # ArrowEvalPython nodes each pin a worker per task (2× Python
+        # oversubscription), and the redaction chain behind the `clean`
+        # deliverable would otherwise run inside a triples-only plan that
+        # never reads it (Catalyst can't prune struct-UDF fields).  clean_df
+        # stays available lazily for callers that consume it.
         from pyspark.sql import functions as F
 
         from jionlp_spark.functions.udfs import make_linked_mentions_udf
-        fused = make_linked_mentions_udf(bundle, loc_trie)
-        keep = [c for c in ('url', 'warc_ts') if c in clean_df.columns]
-        ts_col = F.col('warc_ts') if 'warc_ts' in clean_df.columns \
+        src = pages
+        if lang is not None and 'lang' in src.columns:
+            src = src.filter(F.col('lang') == lang)
+        if use_html and 'html' in src.columns:
+            fused = make_linked_mentions_udf(bundle, loc_trie,
+                                             source='html')
+            src_col = F.col('html')
+        else:
+            fused = make_linked_mentions_udf(bundle, loc_trie,
+                                             source='plain')
+            src_col = F.col('text')
+        keep = [c for c in ('url', 'warc_ts') if c in src.columns]
+        ts_col = F.col('warc_ts') if 'warc_ts' in src.columns \
             else F.lit(None).cast('timestamp')
         entities_df = (
-            clean_df
-            .select(*keep, F.explode(
-                fused(F.col('extract_text'), ts_col)).alias('m'))
+            src
+            .select(*keep, F.explode(fused(src_col, ts_col)).alias('m'))
             .select(*keep, 'm.text', 'm.offset_start', 'm.offset_end',
                     'm.mention_type', 'm.norm', 'm.obj', 'm.obj_type')
         )
