@@ -1438,6 +1438,67 @@ def _dec_as_double(col):
     return col.cast('string').cast('double')
 
 
+_STREAM_CACHE: dict = {}
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup (applyInPandasWithState + event-time TTL)
+    under the batch oracle gate: a deterministic 2-micro-batch file stream
+    (file mtimes force batch order; availableNow + maxFilesPerTrigger=1)
+    where every text repeats across batches, so dup_index counts arrivals
+    ACROSS micro-batch boundaries through Spark-managed state.
+
+    Construction makes the expected output closed-form: text is keyed by
+    doc_id % 100, warc_ts increases with doc_id, and the batch split is a
+    doc_id range — so each group's arrival order is doc_id order and
+    dup_index = doc_id // 100 exactly (the DuckDB oracle's formula)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+    import shutil
+
+    from jionlp_spark.streaming.stream import stateful_dedup_stream
+    _ensure_shipped(spark)
+
+    base = f'/tmp/jionlp_stream_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}'
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        "concat('stream doc ', cast(doc_id % 100 as string)) as text",
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, doc_id, 0)"
+        ' as warc_ts')
+    n = docs.count()
+    half = (n // 2 // 100) * 100 or n  # range split at a group boundary
+    for i, pred in enumerate((f'doc_id < {half}', f'doc_id >= {half}')):
+        part = f'{src_dir}/batch_{i}'
+        docs.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_600_000_000 + i * 3600,
+                                                  1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = stateful_dedup_stream(stream)
+    table = f'stream_dedup_{abs(hash(key)) % 10**8}'
+    q = (result.writeStream.format('memory').queryName(table)
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', ckpt).start())
+    q.awaitTermination()
+    out = spark.table(table).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'content_hash',
+        F.col('dup_index').cast('int').alias('dup_index'))
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem (relational breadth:
     multi-agg groupBy; double sums go through exact decimals so the
@@ -1556,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_features': q_multimodal_features,
         'multimodal_frames': q_multimodal_frames,
         'events_daily': q_events_daily,
+        'streaming_dedup': q_streaming_dedup,
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
         'kg_link_plate': q_kg_link_plate,
@@ -2309,6 +2371,14 @@ def oracle_sql() -> dict[str, str]:
                        f'when {i} then {v}'
                        for i, v in enumerate(_SENTI_OUT[:-1]))}
                        else {_SENTI_OUT[-1]} end as senti
+            from documents""",
+        # arrival order within each content group is doc_id order by
+        # construction → dup_index = doc_id // 100
+        'streaming_dedup': """
+            select doc_id,
+                   md5(concat('stream doc ', cast(doc_id % 100 as varchar)))
+                       as content_hash,
+                   cast(doc_id // 100 as int) as dup_index
             from documents""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
