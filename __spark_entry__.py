@@ -1499,6 +1499,75 @@ def q_streaming_dedup(spark, sf_dir):
     return out
 
 
+def q_streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window counts (streaming/stream.py
+    windowed_entity_counts) with REAL late-data drops under the batch gate.
+
+    Three mtime-ordered micro-batches over thirds of size t = 10·m rows
+    (1 row/min): A fresh, B fresh (advances the watermark to t-31 min and
+    EVICTS windows w ≤ m-5 from state), C replays A's timestamps +30 s.
+    Spark drops a late row only when its window was already evicted in a
+    prior batch — verified: C's rows for evicted windows are dropped
+    (numRowsDroppedByWatermark), C's rows for the 4 still-in-state windows
+    (m-4..m-1) merge to count 20.  Emission horizon = final watermark
+    2t-31 min → windows 0..2m-5.  The closed form the oracle checks:
+    count = 20 for w ∈ [m-4, m-1], else 10."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'win')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+    import shutil
+
+    from jionlp_spark.streaming.stream import windowed_entity_counts
+    _ensure_shipped(spark)
+
+    base = f'/tmp/jionlp_streamw_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}'
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    t = (n // 3 // 10) * 10
+    fresh_ts = ("timestamp'2021-09-01 00:00:00' "
+                '+ make_dt_interval(0, 0, doc_id, 0) as warc_ts')
+    late_ts = ("timestamp'2021-09-01 00:00:00' "
+               f'+ make_dt_interval(0, 0, doc_id - {2 * t}, 30) as warc_ts')
+    parts = (
+        docs.filter(F.col('doc_id') < t),
+        docs.filter((F.col('doc_id') >= t) & (F.col('doc_id') < 2 * t)),
+        docs.filter((F.col('doc_id') >= 2 * t) & (F.col('doc_id') < 3 * t)),
+    )
+    for i, part_df in enumerate(parts):
+        part = f'{src_dir}/batch_{i}'
+        ts = late_ts if i == 2 else fresh_ts
+        part_df.selectExpr("'m' as text", "'doc' as mention_type", ts) \
+            .coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema('text string, mention_type string, '
+                      'warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = windowed_entity_counts(stream)
+    table = f'stream_win_{abs(hash(key)) % 10**8}'
+    q = (result.writeStream.format('memory').queryName(table)
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', ckpt).start())
+    q.awaitTermination()
+    out = spark.table(table).select(
+        F.col('window.start').alias('win_start'),
+        F.col('window.end').alias('win_end'),
+        'mention_type', 'text',
+        F.col('mention_cnt').cast('long').alias('mention_cnt'))
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem (relational breadth:
     multi-agg groupBy; double sums go through exact decimals so the
@@ -1618,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_frames': q_multimodal_frames,
         'events_daily': q_events_daily,
         'streaming_dedup': q_streaming_dedup,
+        'streaming_window_counts': q_streaming_window_counts,
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
         'kg_link_plate': q_kg_link_plate,
@@ -2372,6 +2442,20 @@ def oracle_sql() -> dict[str, str]:
                        for i, v in enumerate(_SENTI_OUT[:-1]))}
                        else {_SENTI_OUT[-1]} end as senti
             from documents""",
+        # emitted windows 0..2m-5; replayed-late windows m-4..m-1 merged to
+        # 20 (still in state), all replays below them dropped by watermark
+        'streaming_window_counts': """
+            with c as (select (count(*) // 3 // 10) as m from documents),
+            w as (select unnest(range((select 2*m - 4 from c))) as wi)
+            select timestamp '2021-09-01 00:00:00'
+                       + to_minutes(wi * 10) as win_start,
+                   timestamp '2021-09-01 00:00:00'
+                       + to_minutes(wi * 10 + 10) as win_end,
+                   'doc' as mention_type, 'm' as text,
+                   cast(case when wi between (select m from c) - 4
+                                         and (select m from c) - 1
+                        then 20 else 10 end as bigint) as mention_cnt
+            from w""",
         # arrival order within each content group is doc_id order by
         # construction → dup_index = doc_id // 100
         'streaming_dedup': """
