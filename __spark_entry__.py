@@ -214,43 +214,58 @@ _EXTRACTED_CACHE: dict = {}
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the real S1→S2 operators over the injected corpus (cached per
-    session+sf so the kg_* queries share one extraction pass)."""
+    """Run the real S1→S2→S3 operators over the injected corpus (cached per
+    session+sf so the kg_* queries share one pass).
+
+    Uses the fused normalize+sweep+link UDF (make_linked_mentions_udf,
+    source='plain'): ONE ArrowEvalPython node instead of the
+    clean→(rule‖lexicon)→link chain, and the kg_link_* queries read the
+    canonical obj/obj_type/norm columns directly instead of paying a
+    second link pass each."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _EXTRACTED_CACHE:
         return _EXTRACTED_CACHE[key]
 
-    from jionlp_spark.functions.udfs import build_location_trie
-    from jionlp_spark.operators.clean import clean_pages
-    from jionlp_spark.operators.mentions import extract_mentions
+    from jionlp_spark.functions.udfs import (build_location_trie,
+                                             make_linked_mentions_udf)
+    from jionlp_spark.operators.link import build_bundle
 
-    pages = _injected_docs(spark, sf_dir).withColumnRenamed('doc_id', 'url')
-    clean = clean_pages(pages, lang=None, use_html=False,
-                        extract_only=True)
-    m = extract_mentions(clean, keep_cols=('url',),
-                         lexicon_trie_broadcast=build_location_trie(spark))
-    m = m.withColumnRenamed('url', 'doc_id').cache()
+    pages = _injected_docs(spark, sf_dir)
+    fused = make_linked_mentions_udf(build_bundle(spark),
+                                     build_location_trie(spark),
+                                     source='plain')
+    m = (pages
+         .select('doc_id',
+                 F.explode(fused(F.col('text'), F.col('warc_ts')))
+                 .alias('m'))
+         .select('doc_id', 'm.text', 'm.offset_start', 'm.offset_end',
+                 'm.mention_type', 'm.norm', 'm.obj', 'm.obj_type')
+         .cache())
     _EXTRACTED_CACHE[key] = m
     return m
 
 
 def _extracted_qq_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention sweep over corpus 2 (qq + ip, see _QQ_SQL note): the real
-    clean→sweep pipeline over a text whose only 6-11 digit run is the qq."""
+    normalize→sweep pipeline (one fused UDF pass) over a text whose only
+    6-11 digit run is the qq."""
     key = (spark.sparkContext.applicationId, sf_dir, 'qq_ip')
     if key in _EXTRACTED_CACHE:
         return _EXTRACTED_CACHE[key]
-    from jionlp_spark.operators.clean import clean_pages
-    from jionlp_spark.operators.mentions import extract_mentions
-    pages = (_docs(spark, sf_dir)
-             .selectExpr('doc_id',
-                         f"concat('加QQ：', {_QQ_SQL}, '，服务器地址', "
-                         f"{_IP_SQL}, '，再见。') as text")
-             .withColumnRenamed('doc_id', 'url'))
-    clean = clean_pages(pages, lang=None, use_html=False,
-                        extract_only=True)
-    m = extract_mentions(clean, keep_cols=('url',))
-    m = m.withColumnRenamed('url', 'doc_id').cache()
+    from jionlp_spark.functions.udfs import make_linked_mentions_udf
+    from jionlp_spark.operators.link import build_bundle
+    pages = _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        f"concat('加QQ：', {_QQ_SQL}, '，服务器地址', "
+        f"{_IP_SQL}, '，再见。') as text")
+    fused = make_linked_mentions_udf(build_bundle(spark), source='plain')
+    m = (pages
+         .select('doc_id',
+                 F.explode(fused(F.col('text'),
+                                 F.lit(None).cast('timestamp'))).alias('m'))
+         .select('doc_id', 'm.text', 'm.offset_start', 'm.offset_end',
+                 'm.mention_type', 'm.norm', 'm.obj', 'm.obj_type')
+         .cache())
     _EXTRACTED_CACHE[key] = m
     return m
 
@@ -289,10 +304,8 @@ def q_kg_extract_idcard(spark, sf_dir):
 def q_kg_extract_email(spark, sf_dir):
     """Email extraction + linking: text, canonical (lowercased) address and
     the @-domain detail (ref rule/extractor.py:154-198)."""
-    from jionlp_spark.operators.link import build_bundle, link_mentions
-    bundle = build_bundle(spark)
-    m = _extracted(spark, sf_dir).filter(F.col('mention_type') == 'email')
-    linked = link_mentions(m, bundle)
+    linked = _extracted(spark, sf_dir).filter(
+        F.col('mention_type') == 'email')
     return linked.select(
         F.col('doc_id').cast('long').alias('doc_id'),
         F.col('text').alias('email'),
@@ -589,11 +602,8 @@ def q_kg_extract_time(spark, sf_dir):
 def q_kg_link_location(spark, sf_dir):
     """Lexicon-NER (FMM) location mentions + LocationParser linking,
     including old→new renames (襄樊市 → 襄阳市)."""
-    from jionlp_spark.operators.link import build_bundle, link_mentions
-    bundle = build_bundle(spark)
-    m = _extracted(spark, sf_dir).filter(
+    linked = _extracted(spark, sf_dir).filter(
         F.col('mention_type') == 'lexicon:location')
-    linked = link_mentions(m, bundle)
     return linked.select(
         F.col('doc_id').cast('long').alias('doc_id'),
         F.col('text').alias('loc_text'),
@@ -603,10 +613,8 @@ def q_kg_link_location(spark, sf_dir):
 
 
 def q_kg_link_phone_geo(spark, sf_dir):
-    from jionlp_spark.operators.link import build_bundle, link_mentions
-    bundle = build_bundle(spark)
-    m = _extracted(spark, sf_dir).filter(F.col('mention_type') == 'cell_phone')
-    linked = link_mentions(m, bundle)
+    linked = _extracted(spark, sf_dir).filter(
+        F.col('mention_type') == 'cell_phone')
     return linked.select(
         F.col('doc_id').cast('long').alias('doc_id'),
         F.col('obj').alias('phone'),
@@ -614,10 +622,8 @@ def q_kg_link_phone_geo(spark, sf_dir):
 
 
 def q_kg_link_idcard_region(spark, sf_dir):
-    from jionlp_spark.operators.link import build_bundle, link_mentions
-    bundle = build_bundle(spark)
-    m = _extracted(spark, sf_dir).filter(F.col('mention_type') == 'id_card')
-    linked = link_mentions(m, bundle)
+    linked = _extracted(spark, sf_dir).filter(
+        F.col('mention_type') == 'id_card')
     return linked.select(
         F.col('doc_id').cast('long').alias('doc_id'),
         F.concat_ws('/',
@@ -661,12 +667,10 @@ def q_kg_recognize_location(spark, sf_dir):
 
 def q_kg_entity_counts(spark, sf_dir):
     """Salted two-phase aggregation over canonical entities (skew-safe)."""
-    from jionlp_spark.operators.link import (build_bundle, entity_counts,
-                                             link_mentions)
-    bundle = build_bundle(spark)
-    m = _extracted(spark, sf_dir).filter(
-        F.col('mention_type').isin('cell_phone', 'id_card'))
-    linked = link_mentions(m, bundle).withColumnRenamed('doc_id', 'url')
+    from jionlp_spark.operators.link import entity_counts
+    linked = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card')) \
+        .withColumnRenamed('doc_id', 'url')
     return (
         entity_counts(linked)
         .select(F.col('obj'), F.col('obj_type'),
@@ -1067,11 +1071,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_kg_link_plate(spark, sf_dir):
     """Licence-plate mentions from the fused sweep + plate canonicalization
     → (plate, registered_in, car_loc) with car_type/car_size detail."""
-    from jionlp_spark.operators.link import build_bundle, link_mentions
-    bundle = build_bundle(spark)
-    m = _extracted(spark, sf_dir).filter(
+    linked = _extracted(spark, sf_dir).filter(
         F.col('mention_type') == 'licence_plate')
-    linked = link_mentions(m, bundle)
     return linked.select(
         F.col('doc_id').cast('long').alias('doc_id'),
         F.col('obj').alias('plate'),
