@@ -800,6 +800,16 @@ def q_dedup_lsh_pairs(spark, sf_dir):
         F.col('doc_a').cast('long'), F.col('doc_b').cast('long'))
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (k=8-gram rolling hashes, w=4 window,
+    rightmost-min rule) — MOSS-style substring near-dup primitive."""
+    from jionlp_spark.operators.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir)).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('pos').cast('long').alias('pos'),
+        F.col('fp').cast('long').alias('fp'))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
     md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
@@ -870,6 +880,42 @@ def q_ann_lsh_topk(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     return lsh_topk(emb, n_bits=6, k=3, n_queries=3, dim=64).select(
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
+def _winnow_oracle_sql(k: int = 8, w: int = 4) -> str:
+    """Winnowing in DuckDB, mirroring operators/textstats.py
+    winnow_fingerprints: the per-step-mod fold equals the closed-form
+    polynomial mod once (mod is a ring homomorphism), so the k-gram hash is
+    a flat weighted sum of char codes; window selection = rightmost minimal
+    hash via list_min + list_max over tying positions."""
+    mod = 1_000_000_007
+    c0 = 7 * pow(31, k, mod) % mod
+    terms = ' + '.join(
+        f'codes[i + {j + 1}] * {pow(31, k - 1 - j, mod)}'
+        for j in range(k))
+    return f"""
+        with cs as (
+          select doc_id,
+                 list_transform(string_split(text, ''),
+                                c -> cast(ascii(c) as bigint)) as codes,
+                 length(text) as n
+          from documents where length(text) >= {k + w - 1}),
+        hs as (
+          select doc_id,
+                 [({c0} + {terms}) % {mod}
+                  for i in range(0, n - {k - 1})] as h
+          from cs),
+        wins as (
+          select doc_id,
+            [struct_pack(
+                 p := list_max([p for p in range(j, j + {w})
+                                if h[p + 1] = list_min(h[j + 1 : j + {w}])]),
+                 v := list_min(h[j + 1 : j + {w}]))
+             for j in range(0, len(h) - {w - 1})] as sels
+          from hs)
+        select distinct doc_id, cast(s.p as bigint) as pos,
+               cast(s.v as bigint) as fp
+        from (select doc_id, unnest(sels) as s from wins)"""
 
 
 def _charcheck_case(col_idx: int) -> str:
@@ -1687,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'word_freq_by_source': q_word_freq_by_source,
         'token_idf': q_token_idf,
         'doc_fingerprint': q_doc_fingerprint,
+        'doc_winnow': q_doc_winnow,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -1954,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
             from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
                   from documents)
             group by token""",
+        'doc_winnow': _winnow_oracle_sql(),
         'doc_fingerprint': """
             select doc_id, md5(text) as fp_md5,
                    cast(list_reduce(

@@ -45,7 +45,7 @@ HEADLINE = [
     'kg_extract_qq', 'kg_extract_ip', 'clean_html',
     'dedup_simhash_wide_pairs', 'kg_recognize_location',
     'kg_redact', 'kg_parentheses', 'kg_char_checks', 'norm_lunar_solar',
-    'cws_tags', 'streaming_dedup', 'streaming_window_counts',
+    'cws_tags', 'streaming_dedup', 'streaming_window_counts', 'doc_winnow',
 ]
 
 

@@ -87,6 +87,46 @@ def fingerprint(docs: DataFrame, text_col: str = 'text') -> DataFrame:
         roll.alias('fp_rolling'))
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        text_col: str = 'text',
+                        id_col: str = 'doc_id') -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS scheme): hash every k-gram with the polynomial rolling hash,
+    slide a w-window over the hash sequence and keep the RIGHTMOST minimum
+    per window; consecutive windows selecting the same position collapse.
+    Guarantees any match of length ≥ k+w-1 shares a fingerprint — the
+    standard substring-level near-dup primitive.
+
+    Pure JVM expressions (transform/aggregate; no UDF, no shuffle until
+    the caller groups by fingerprint).  → (doc_id, pos, fp) rows.
+    """
+    mod = 1_000_000_007
+    hashes = (
+        f"transform(sequence(0, length({text_col}) - {k}), i -> "
+        f"aggregate(split(substring({text_col}, i + 1, {k}), ''), "
+        f"cast(7 as bigint), (acc, x) -> (acc * 31 + ascii(x)) % {mod}))"
+    )
+    # fold left→right keeping (min, pos) with <= → rightmost minimal hash
+    sel = (
+        f"transform(sequence(0, size(h) - {w}), j -> "
+        f"aggregate(sequence(j, j + {w} - 1), "
+        "named_struct('v', cast(9223372036854775807 as bigint), "
+        "'p', cast(-1 as bigint)), "
+        "(acc, p) -> case when h[p] <= acc.v "
+        "then named_struct('v', h[p], 'p', cast(p as bigint)) "
+        "else acc end))"
+    )
+    return (docs
+            .filter(F.expr(f'length({text_col}) >= {k + w - 1}'))
+            .select(id_col, F.expr(hashes).alias('h'))
+            .select(id_col,
+                    F.explode(F.expr(f'array_distinct({sel})')).alias('s'))
+            .select(F.col(id_col),
+                    F.col('s.p').alias('pos'),
+                    F.col('s.v').alias('fp')))
+
+
 def token_idf(docs: DataFrame, text_col: str = 'text',
               id_col: str = 'doc_id') -> DataFrame:
     """Corpus idf per token: ln(N / df) (analog of the reference idf.txt).
