@@ -810,6 +810,16 @@ def q_doc_winnow(spark, sf_dir):
         F.col('fp').cast('long').alias('fp'))
 
 
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """MOSS matching step: doc pairs sharing ≥12 winnow fingerprints after
+    stop-shingle removal (fps in >10 docs dropped via broadcast anti-join)."""
+    from jionlp_spark.operators.dedup import winnow_near_dups
+    return winnow_near_dups(_docs(spark, sf_dir)).select(
+        F.col('doc_a').cast('long').alias('doc_a'),
+        F.col('doc_b').cast('long').alias('doc_b'),
+        F.col('shared_fps').cast('long').alias('shared_fps'))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
     md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
@@ -1734,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_idf': q_token_idf,
         'doc_fingerprint': q_doc_fingerprint,
         'doc_winnow': q_doc_winnow,
+        'dedup_winnow_pairs': q_dedup_winnow_pairs,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -2002,6 +2013,18 @@ def oracle_sql() -> dict[str, str]:
                   from documents)
             group by token""",
         'doc_winnow': _winnow_oracle_sql(),
+        'dedup_winnow_pairs': f"""
+            with winnow as ({_winnow_oracle_sql()}),
+            fp_docs as (select distinct fp, doc_id from winnow),
+            hot as (select fp from fp_docs group by fp
+                    having count(*) > 10),
+            cold as (select * from fp_docs
+                     where fp not in (select fp from hot))
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   count(*) as shared_fps
+            from cold a join cold b using (fp)
+            where a.doc_id < b.doc_id
+            group by 1, 2 having count(*) >= 12""",
         'doc_fingerprint': """
             select doc_id, md5(text) as fp_md5,
                    cast(list_reduce(

@@ -238,6 +238,43 @@ def simhash_near_dups_wide(sim_df: DataFrame,
     )
 
 
+def winnow_near_dups(docs: DataFrame, min_shared: int = 12,
+                     max_df: int = 10, k: int = 8, w: int = 4,
+                     text_col: str = 'text',
+                     id_col: str = 'doc_id') -> DataFrame:
+    """Substring-level near-dup pairs from shared winnowing fingerprints
+    (the MOSS matching step over operators/textstats.winnow_fingerprints):
+    docs sharing ≥ min_shared selected k-gram hashes are candidates for
+    containing common passages of length ≥ k+w-1.
+
+    Scale hygiene: fingerprints appearing in > max_df docs are dropped
+    before the self-join (stop-shingle removal) — exactly the hot-key cap
+    that keeps the equi-join's bucket occupancy bounded at crawl scale;
+    without it boilerplate n-grams produce quadratic bucket blowup.
+    """
+    from jionlp_spark.operators.textstats import winnow_fingerprints
+    fps = (winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
+                               id_col=id_col)
+           .select(id_col, 'fp').distinct())
+    fps = fps.persist()  # consumed by df-count AND both join sides
+    # drop HOT fingerprints via anti-join: the hot set (boilerplate
+    # shingles) is small and broadcastable even at crawl scale, unlike the
+    # keep set, which is ~every fingerprint
+    hot = (fps.groupBy('fp').agg(F.count('*').alias('df'))
+           .filter(F.col('df') > max_df)
+           .select('fp'))
+    cold = fps.join(F.broadcast(hot), 'fp', 'left_anti').persist()
+    a, b = cold.alias('a'), cold.alias('b')
+    return (
+        a.join(b, 'fp')
+        .filter(F.col(f'a.{id_col}') < F.col(f'b.{id_col}'))
+        .groupBy(F.col(f'a.{id_col}').alias('doc_a'),
+                 F.col(f'b.{id_col}').alias('doc_b'))
+        .agg(F.count('*').alias('shared_fps'))
+        .filter(F.col('shared_fps') >= min_shared)
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
                         n_centroids: int = 8, probes: int = 2,
                         vec_col: str = 'embedding',
