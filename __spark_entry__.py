@@ -820,6 +820,85 @@ def q_dedup_winnow_pairs(spark, sf_dir):
         F.col('shared_fps').cast('long').alias('shared_fps'))
 
 
+def q_kg_span_f1(spark, sf_dir):
+    """Span-level NER micro P/R/F1 (kernels/ner_convert.entity_f1, the
+    measure logic of the reference's NER evaluation) over real extracted
+    gold spans with a deterministic prediction perturbation: odd docs lose
+    the money span (recall hit), doc_id%3==0 adds a bogus span (precision
+    hit) — closed-form expected metrics per doc."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    _ensure_shipped(spark)
+
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card', 'money'))
+    per_doc = m.groupBy('doc_id').agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col('offset_start').alias('s'), F.col('offset_end').alias('e'),
+            F.col('mention_type').alias('t')))).alias('ents'))
+
+    schema = T.StructType([
+        T.StructField('precision', T.DoubleType()),
+        T.StructField('recall', T.DoubleType()),
+        T.StructField('f1', T.DoubleType()),
+        T.StructField('tp', T.LongType()),
+        T.StructField('n_gold', T.LongType()),
+        T.StructField('n_pred', T.LongType()),
+    ])
+
+    @pandas_udf(schema)
+    def span_f1(doc_id: pd.Series, ents: pd.Series) -> pd.DataFrame:
+        from jionlp_spark.kernels.ner_convert import entity_f1
+        rows = []
+        for did, lst in zip(doc_id, ents):
+            gold = [{'offset': [e['s'], e['e']], 'type': e['t']}
+                    for e in lst]
+            pred = [g for g in gold
+                    if not (did % 2 == 1 and g['type'] == 'money')]
+            if did % 3 == 0:
+                pred.append({'offset': [0, 1], 'type': 'fake'})
+            rows.append(entity_f1(gold, pred))
+        return pd.DataFrame(rows)
+
+    return per_doc.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        span_f1(F.col('doc_id'), F.col('ents')).alias('m')) \
+        .select('doc_id', 'm.precision', 'm.recall', 'm.f1', 'm.tp',
+                'm.n_gold', 'm.n_pred')
+
+
+def q_catalog_roundtrip(spark, sf_dir):
+    """Manifest catalog under the gate (sources/catalog.py): run_stage
+    publishes a stage table atomically with a lineage manifest, and the
+    second run_stage call RESUMES from the manifest — proven here by
+    passing a build callable that would raise if invoked.  Emits the data
+    alongside manifest facts."""
+    import os
+    from jionlp_spark.sources import catalog
+    _ensure_shipped(spark)
+    base = f'/tmp/jionlp_catalog_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}'
+    path = f'{base}/lang_counts'
+    fp = f'documents@{sf_dir}'
+
+    def build():
+        return (_docs(spark, sf_dir).groupBy('lang')
+                .agg(F.count('*').alias('n_docs')))
+
+    def must_not_run():
+        raise AssertionError('resume failed — stage recomputed')
+
+    catalog.run_stage(spark, path, 'lang_counts', build,
+                      input_fingerprint=fp)
+    df = catalog.run_stage(spark, path, 'lang_counts', must_not_run,
+                           input_fingerprint=fp)
+    manifest = catalog.read_manifest(path)
+    return df.select(
+        'lang', F.col('n_docs').cast('long').alias('n_docs'),
+        F.lit(manifest['rows']).cast('long').alias('manifest_rows'),
+        F.lit(manifest['stage']).alias('stage'),
+        F.lit(len(manifest['files'])> 0).alias('has_lineage'))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
     md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
@@ -1745,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_fingerprint': q_doc_fingerprint,
         'doc_winnow': q_doc_winnow,
         'dedup_winnow_pairs': q_dedup_winnow_pairs,
+        'kg_span_f1': q_kg_span_f1,
+        'catalog_roundtrip': q_catalog_roundtrip,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -2012,6 +2093,30 @@ def oracle_sql() -> dict[str, str]:
             from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
                   from documents)
             group by token""",
+        # tp = 3 - odd, n_pred = tp + (doc_id%3=0); per-row double division
+        # trees written identically on both sides are bit-identical
+        'kg_span_f1': """
+            with b as (select doc_id,
+                              3 - (doc_id % 2) as tp,
+                              3 - (doc_id % 2)
+                                + case when doc_id % 3 = 0 then 1 else 0 end
+                                  as n_pred
+                       from documents),
+            pr as (select doc_id, tp, n_pred,
+                          cast(tp as double) / n_pred as precision,
+                          cast(tp as double) / 3 as recall
+                   from b)
+            select doc_id, precision, recall,
+                   2 * precision * recall / (precision + recall) as f1,
+                   cast(tp as bigint) as tp, cast(3 as bigint) as n_gold,
+                   cast(n_pred as bigint) as n_pred
+            from pr""",
+        'catalog_roundtrip': """
+            select lang, count(*) as n_docs,
+                   (select count(distinct lang) from documents)
+                       as manifest_rows,
+                   'lang_counts' as stage, true as has_lineage
+            from documents group by lang""",
         'doc_winnow': _winnow_oracle_sql(),
         'dedup_winnow_pairs': f"""
             with winnow as ({_winnow_oracle_sql()}),
