@@ -899,6 +899,14 @@ def q_catalog_roundtrip(spark, sf_dir):
         F.lit(len(manifest['files'])> 0).alias('has_lineage'))
 
 
+def q_dataset_split_stats(spark, sf_dir):
+    """analyse_dataset analog: deterministic 80/5/15 hash split with
+    per-split per-lang counts, proportions, and split-vs-whole KL."""
+    from jionlp_spark.operators.textstats import dataset_split_stats
+    return dataset_split_stats(_docs(spark, sf_dir)).select(
+        'split', F.col('class').alias('lang'), 'n_docs', 'pct', 'kl')
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
     md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
@@ -1826,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_winnow_pairs': q_dedup_winnow_pairs,
         'kg_span_f1': q_kg_span_f1,
         'catalog_roundtrip': q_catalog_roundtrip,
+        'dataset_split_stats': q_dataset_split_stats,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -2117,6 +2126,32 @@ def oracle_sql() -> dict[str, str]:
                        as manifest_rows,
                    'lang_counts' as stage, true as has_lineage
             from documents group by lang""",
+        # KL terms are identical per-row double trees; the cross-row sum
+        # goes through exact decimals (order-independent) then string→double
+        'dataset_split_stats': """
+            with assigned as (
+              select case when (doc_id * 2654435761) % 100 < 80 then 'train'
+                          when (doc_id * 2654435761) % 100 < 85 then 'valid'
+                          else 'test' end as split,
+                     lang as class
+              from documents),
+            counts as (select split, class, count(*) n_docs
+                       from assigned group by 1, 2),
+            st as (select split, sum(n_docs) s_tot from counts group by 1),
+            wh as (select class, sum(n_docs) w_n from counts group by 1),
+            wt as (select sum(n_docs) w_tot from counts),
+            e as (select split, class, n_docs,
+                    n_docs::double / s_tot as pct,
+                    w_n::double / (select w_tot from wt) as p_w
+                  from counts join st using (split) join wh using (class)),
+            kl as (select split,
+                     cast(cast(cast(sum(cast(cast(pct * ln(pct / p_w)
+                                as varchar) as decimal(38,18)))
+                          as decimal(38,18)) as varchar) as double) as kl
+                   from e group by split)
+            select split, class as lang, cast(n_docs as bigint) as n_docs,
+                   pct, kl
+            from e join kl using (split)""",
         'doc_winnow': _winnow_oracle_sql(),
         'dedup_winnow_pairs': f"""
             with winnow as ({_winnow_oracle_sql()}),

@@ -87,6 +87,55 @@ def fingerprint(docs: DataFrame, text_col: str = 'text') -> DataFrame:
         roll.alias('fp_rolling'))
 
 
+def dataset_split_stats(docs: DataFrame, class_col: str = 'lang',
+                        id_col: str = 'doc_id',
+                        ratios=(80, 85)) -> DataFrame:
+    """Train/valid/test split quality analysis — the distributed analog of
+    the reference analyse_dataset (text_classification/analyse_dataset.py:
+    61-185): per-split per-class counts and proportions plus the KL
+    divergence of each split's class distribution against the whole.
+
+    The reference shuffles in memory and re-rolls up to 3× hunting a good
+    split; at scale the correct tool is a DETERMINISTIC hash split (Knuth
+    multiplicative on the id — reproducible, streaming-friendly, no
+    shuffle of the data itself), and the same KL statistic then grades it.
+    KL terms are per-class doubles summed through exact decimals so the
+    statistic is partitioning-independent.
+
+    → (split, class, n_docs, pct, kl) — kl repeated across the split's rows.
+    """
+    bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(100))
+    split = (F.when(bucket < ratios[0], 'train')
+             .when(bucket < ratios[1], 'valid')
+             .otherwise('test'))
+    assigned = docs.select(split.alias('split'),
+                           F.col(class_col).alias('class'))
+    counts = assigned.groupBy('split', 'class') \
+        .agg(F.count('*').alias('n_docs'))
+    split_tot = counts.groupBy('split').agg(F.sum('n_docs').alias('s_tot'))
+    whole = (counts.groupBy('class').agg(F.sum('n_docs').alias('w_n')))
+    whole_tot = F.broadcast(
+        whole.agg(F.sum('w_n').alias('w_tot')))
+    enriched = (counts
+                .join(F.broadcast(split_tot), 'split')
+                .join(F.broadcast(whole), 'class')
+                .crossJoin(whole_tot)
+                .withColumn('pct', F.col('n_docs').cast('double')
+                            / F.col('s_tot'))
+                .withColumn('p_w', F.col('w_n').cast('double')
+                            / F.col('w_tot')))
+    term = (F.col('pct') * F.log(F.col('pct') / F.col('p_w')))
+    kl = (enriched
+          .groupBy('split')
+          .agg(F.sum(term.cast('string').cast('decimal(38,18)'))
+               .cast('decimal(38,18)').cast('string').cast('double')
+               .alias('kl')))
+    return (enriched.join(F.broadcast(kl), 'split')
+            .select('split', 'class',
+                    F.col('n_docs').cast('long').alias('n_docs'),
+                    'pct', 'kl'))
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
                         text_col: str = 'text',
                         id_col: str = 'doc_id') -> DataFrame:
