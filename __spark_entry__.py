@@ -899,6 +899,23 @@ def q_catalog_roundtrip(spark, sf_dir):
         F.lit(len(manifest['files'])> 0).alias('has_lineage'))
 
 
+def q_quality_keyword_filter(spark, sf_dir):
+    """Sensitive-keyword screen: docs get deterministic injected terms
+    (doc_id%5==0 → both, ==1 → one), the filter reports matches + flag.
+    Mechanism = the pornography-dictionary screen (lexicons.load_wordset)
+    with placeholder terms; swap the real list via JIONLP_SPARK_DICT_DIR."""
+    from jionlp_spark.operators.textstats import keyword_flags
+    d = _docs(spark, sf_dir).selectExpr(
+        'doc_id',
+        "concat(case when doc_id % 5 = 0 then 'prohibitedalpha and "
+        "prohibitedbeta ' when doc_id % 5 = 1 then 'prohibitedbeta ' "
+        "else '' end, text) as text")
+    out = keyword_flags(
+        d, ['prohibitedalpha', 'prohibitedbeta', 'neverpresentterm'])
+    return out.select(F.col('doc_id').cast('long').alias('doc_id'),
+                      'kw_matched', 'kw_flagged')
+
+
 def q_dataset_split_stats(spark, sf_dir):
     """analyse_dataset analog: deterministic 80/5/15 hash split with
     per-split per-lang counts, proportions, and split-vs-whole KL."""
@@ -1835,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_span_f1': q_kg_span_f1,
         'catalog_roundtrip': q_catalog_roundtrip,
         'dataset_split_stats': q_dataset_split_stats,
+        'quality_keyword_filter': q_quality_keyword_filter,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -2126,6 +2144,14 @@ def oracle_sql() -> dict[str, str]:
                        as manifest_rows,
                    'lang_counts' as stage, true as has_lineage
             from documents group by lang""",
+        'quality_keyword_filter': """
+            select doc_id,
+                   case when doc_id % 5 = 0
+                        then 'prohibitedalpha,prohibitedbeta'
+                        when doc_id % 5 = 1 then 'prohibitedbeta'
+                        else '' end as kw_matched,
+                   doc_id % 5 in (0, 1) as kw_flagged
+            from documents""",
         # KL terms are identical per-row double trees; the cross-row sum
         # goes through exact decimals (order-independent) then string→double
         'dataset_split_stats': """

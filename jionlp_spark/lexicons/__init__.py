@@ -553,3 +553,23 @@ def load_idioms(dict_dir: str | None = None) -> list:
             out.append({'idiom': idiom, 'freq': int(freq),
                         'pinyin': pinyin.split(' ')})
     return out
+
+
+def load_wordset(filename: str, dict_dir: str | None = None,
+                 default: tuple = ()) -> set:
+    """Generic one-word-per-line dictionary (first tab-separated column) —
+    covers the reference's plain word lists (pornography.txt via
+    pornography_loader, dictionary_loader.py; sensitive/quality filtering
+    over a crawl corpus is lexicon matching with this set).  Returns
+    ``default`` when the file isn't present in the dict dir."""
+    d = _dict_dir(dict_dir)
+    path = os.path.join(d, filename) if d else None
+    if not (path and os.path.exists(path)):
+        return set(default)
+    out = set()
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            w = line.rstrip('\n').split('\t')[0].strip()
+            if w:
+                out.add(w)
+    return out

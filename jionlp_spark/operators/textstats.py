@@ -87,6 +87,24 @@ def fingerprint(docs: DataFrame, text_col: str = 'text') -> DataFrame:
         roll.alias('fp_rolling'))
 
 
+def keyword_flags(docs: DataFrame, keywords, text_col: str = 'text',
+                  out_prefix: str = 'kw') -> DataFrame:
+    """Keyword-set content filter (the pornography/sensitive-word screen a
+    crawl pipeline runs before training — reference ships the dictionary
+    via pornography_loader, dictionary_loader.py; lexicons.load_wordset
+    reads it).  Pure JVM path for list-sized sets: filter an array of
+    literals by `contains` — stays in whole-stage codegen, no UDF.  For
+    10⁴⁺-word dictionaries use the broadcast-trie lexicon UDF instead
+    (functions/udfs.make_lexicon_mentions_udf — same mechanism as
+    location NER with a different dictionary)."""
+    arr = 'array(' + ', '.join(
+        "'" + str(w).replace("'", "\\'") + "'" for w in keywords) + ')'
+    matched = F.expr(f'filter({arr}, w -> contains({text_col}, w))')
+    return (docs.withColumn(f'{out_prefix}_matched',
+                            F.array_join(matched, ','))
+            .withColumn(f'{out_prefix}_flagged', F.size(matched) > 0))
+
+
 def dataset_split_stats(docs: DataFrame, class_col: str = 'lang',
                         id_col: str = 'doc_id',
                         ratios=(80, 85)) -> DataFrame:
