@@ -924,6 +924,63 @@ def q_dataset_split_stats(spark, sf_dir):
         'split', F.col('class').alias('lang'), 'n_docs', 'pct', 'kl')
 
 
+def q_kg_entity_compare(spark, sf_dir):
+    """entity_compare (ner_entity_compare.py:22-206 port, quirks included)
+    over real extracted gold spans with a deterministic perturbation:
+    odd docs lose the id_card prediction (missing pair), doc_id%3==0 adds
+    a leading fake (paired with the FIRST labeled entity — reference
+    quirk), doc_id%5==0 adds a trailing spurious (labeled=None pair)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    _ensure_shipped(spark)
+
+    m = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card', 'money'))
+    per_doc = m.groupBy('doc_id').agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col('offset_start').alias('s'), F.col('offset_end').alias('e'),
+            F.col('mention_type').alias('t'),
+            F.col('text').alias('x')))).alias('ents'))
+
+    schema = T.StructType([
+        T.StructField('n_diffs', T.LongType()),
+        T.StructField('n_missing', T.LongType()),
+        T.StructField('n_spurious', T.LongType()),
+        T.StructField('n_other', T.LongType()),
+    ])
+
+    @pandas_udf(schema)
+    def compare(doc_id: pd.Series, ents: pd.Series) -> pd.DataFrame:
+        from jionlp_spark.kernels.ner_convert import entity_compare
+        text = ' ' * 4096  # counts only; context content irrelevant
+        rows = []
+        for did, lst in zip(doc_id, ents):
+            gold = [{'text': e['x'], 'offset': [e['s'], e['e']],
+                     'type': e['t']} for e in lst]
+            pred = [g for g in gold
+                    if not (did % 2 == 1 and g['type'] == 'id_card')]
+            if did % 3 == 0:
+                pred.append({'text': ' ', 'offset': [0, 1], 'type': 'fake'})
+            if did % 5 == 0:
+                pred.append({'text': ' ', 'offset': [600, 601],
+                             'type': 'trail'})
+            diffs = entity_compare(text, gold, pred)
+            missing = sum(1 for d in diffs
+                          if d['predicted_entity'] is None)
+            spurious = sum(1 for d in diffs
+                           if d['labeled_entity'] is None)
+            rows.append({'n_diffs': len(diffs), 'n_missing': missing,
+                         'n_spurious': spurious,
+                         'n_other': len(diffs) - missing - spurious})
+        return pd.DataFrame(rows)
+
+    return per_doc.select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        compare(F.col('doc_id'), F.col('ents')).alias('c')) \
+        .select('doc_id', 'c.n_diffs', 'c.n_missing', 'c.n_spurious',
+                'c.n_other')
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
     md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
@@ -1853,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'catalog_roundtrip': q_catalog_roundtrip,
         'dataset_split_stats': q_dataset_split_stats,
         'quality_keyword_filter': q_quality_keyword_filter,
+        'kg_entity_compare': q_kg_entity_compare,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -2144,6 +2202,20 @@ def oracle_sql() -> dict[str, str]:
                        as manifest_rows,
                    'lang_counts' as stage, true as has_lineage
             from documents group by lang""",
+        # missing = odd (dropped id); other = %3 (leading fake pairs with
+        # the first labeled entity — reference quirk); spurious = %5 trail
+        'kg_entity_compare': """
+            select doc_id,
+                   cast(doc_id % 2
+                        + case when doc_id % 3 = 0 then 1 else 0 end
+                        + case when doc_id % 5 = 0 then 1 else 0 end
+                        as bigint) as n_diffs,
+                   cast(doc_id % 2 as bigint) as n_missing,
+                   cast(case when doc_id % 5 = 0 then 1 else 0 end
+                        as bigint) as n_spurious,
+                   cast(case when doc_id % 3 = 0 then 1 else 0 end
+                        as bigint) as n_other
+            from documents""",
         'quality_keyword_filter': """
             select doc_id,
                    case when doc_id % 5 = 0

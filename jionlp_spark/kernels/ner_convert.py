@@ -161,3 +161,97 @@ def cws_tag2word(chars: str, tags) -> list:
             return word_list
         word_list.append(word)
     return word_list
+
+
+def _entity_ok(entity) -> bool:
+    """text/offset consistency guard (ner_entity_compare.py:14-19)."""
+    return len(entity['text']) == entity['offset'][1] - entity['offset'][0]
+
+
+def entity_compare(text, labeled_entities, predicted_entities,
+                   context_pad: int = 10) -> list:
+    """Gold-vs-predicted disagreement pairs with context — behavioral port
+    of the reference (algorithm/ner/ner_entity_compare.py:22-206),
+    including its quirks, reproduced deliberately:
+
+    - a labeled entity ranked after every predicted entity is NEVER
+      reported missing (the scan only emits via the 'predicted jumped
+      past' branch);
+    - a predicted entity that precedes all labeled entities is paired WITH
+      that first labeled entity (not None) in the second loop's
+      stop_flag==0 branch.
+    """
+    n = len(text)
+
+    def ctx(lo, hi):
+        return text[max(lo - context_pad, 0): min(hi + context_pad, n)]
+
+    gold = sorted((e for e in labeled_entities if _entity_ok(e)),
+                  key=lambda e: e['offset'][0])
+    pred = sorted((e for e in predicted_entities if _entity_ok(e)),
+                  key=lambda e: e['offset'][0])
+    diffs: list = []
+
+    if not gold:
+        for p in pred:
+            diffs.append({'context': ctx(p['offset'][0], p['offset'][1]),
+                          'labeled_entity': None, 'predicted_entity': p})
+        return diffs
+    if not pred:
+        for g in gold:
+            diffs.append({'context': ctx(g['offset'][0], g['offset'][1]),
+                          'labeled_entity': g, 'predicted_entity': None})
+        return diffs
+
+    for g in gold:
+        stop_flag = 0
+        for p in pred:
+            if p['offset'][1] <= g['offset'][0]:
+                continue
+            elif p['offset'][0] >= g['offset'][1]:
+                if stop_flag == 1:
+                    break
+                elif stop_flag == 0:
+                    diffs.append({'context': ctx(g['offset'][0],
+                                                 g['offset'][1]),
+                                  'labeled_entity': g,
+                                  'predicted_entity': None})
+                    break
+            elif p['offset'][0] == g['offset'][0] and \
+                    p['offset'][1] == g['offset'][1]:
+                if p['type'] == g['type']:
+                    break
+                diffs.append({'context': ctx(g['offset'][0],
+                                             g['offset'][1]),
+                              'labeled_entity': g, 'predicted_entity': p})
+                break
+            if stop_flag == 0:
+                stop_flag += 1
+            diffs.append({'context': ctx(min(g['offset'][0],
+                                             p['offset'][0]),
+                                         max(g['offset'][1],
+                                             p['offset'][1])),
+                          'labeled_entity': g, 'predicted_entity': p})
+
+    for p in pred:
+        stop_flag = 0
+        for gi, g in enumerate(gold):
+            if p['offset'][0] >= g['offset'][1]:
+                if gi == len(gold) - 1:
+                    diffs.append({'context': ctx(p['offset'][0],
+                                                 p['offset'][1]),
+                                  'labeled_entity': None,
+                                  'predicted_entity': p})
+                continue
+            elif p['offset'][1] <= g['offset'][0]:
+                if stop_flag == 0:
+                    diffs.append({'context': ctx(p['offset'][0],
+                                                 p['offset'][1]),
+                                  'labeled_entity': g,
+                                  'predicted_entity': p})
+                    break
+                elif stop_flag == 1:
+                    break
+            if stop_flag == 0:
+                stop_flag += 1
+    return diffs

@@ -108,3 +108,45 @@ def test_cws_converters_parity(jio):
     # unknown tag → early return
     assert cws_tag2word('一二三', ['B', 'X', 'B']) == \
         jio.cws.tag2word('一二三', ['B', 'X', 'B'])
+
+
+def test_entity_compare_reference_fixture(jio):
+    from jionlp_spark.kernels.ner_convert import entity_compare
+    text = '张三在西藏拉萨游玩！之后去新疆。'
+    labeled = [
+        {'text': '西藏拉萨', 'offset': [3, 7], 'type': 'Location'},
+        {'text': '张三', 'offset': [0, 4], 'type': 'Person'},
+        {'text': '新疆', 'offset': [13, 15], 'type': 'Location'}]
+    predicted = [
+        {'text': '张三在', 'offset': [2, 15], 'type': 'Person'},
+        {'text': '西藏拉萨', 'offset': [3, 7], 'type': 'Person'},
+        {'text': '。', 'offset': [15, 16], 'type': 'Location'}]
+    for pad in (1, 3, 10):
+        assert entity_compare(text, labeled, predicted, context_pad=pad) \
+            == jio.ner.entity_compare(text, labeled, predicted,
+                                      context_pad=pad)
+
+
+def test_entity_compare_fuzz_parity(jio):
+    """Seeded random span sets through both implementations — pins the
+    quirk branches (missing-after-all-preds never reported; leading
+    spurious pred paired with the first labeled entity)."""
+    import random
+    from jionlp_spark.kernels.ner_convert import entity_compare
+    rng = random.Random(20260816)
+    text = ''.join(rng.choice('甲乙丙丁戊') for _ in range(40))
+
+    def spans(k):
+        out = []
+        for _ in range(k):
+            s = rng.randrange(0, 38)
+            e = rng.randrange(s + 1, min(s + 6, 40))
+            out.append({'text': text[s:e], 'offset': [s, e],
+                        'type': rng.choice(('A', 'B'))})
+        return out
+
+    for _ in range(300):
+        gold, pred = spans(rng.randrange(0, 4)), spans(rng.randrange(0, 4))
+        assert entity_compare(text, gold, pred, context_pad=2) \
+            == jio.ner.entity_compare(text, gold, pred, context_pad=2), \
+            (gold, pred)
