@@ -253,8 +253,10 @@ def winnow_near_dups(docs: DataFrame, min_shared: int = 12,
     without it boilerplate n-grams produce quadratic bucket blowup.
     """
     from jionlp_spark.operators.textstats import winnow_fingerprints
+    # arrow impl: fingerprinting dominates this job; the vectorized kernel
+    # is integer-identical to the expression path (parity-tested)
     fps = (winnow_fingerprints(docs, k=k, w=w, text_col=text_col,
-                               id_col=id_col)
+                               id_col=id_col, impl='arrow')
            .select(id_col, 'fp').distinct())
     fps = fps.persist()  # consumed by df-count AND both join sides
     # drop HOT fingerprints via anti-join: the hot set (boilerplate

@@ -205,3 +205,14 @@ def test_multimodal_resize_and_aug_add_delete(spark):
             dist, add_ratio=0.1, delete_ratio=0.1,
             rng=np.random.RandomState(100 + doc_id))
         assert got[doc_id] == '|'.join(kern(text, augmentation_num=2))
+
+
+def test_winnow_impls_identical(spark):
+    """The vectorized arrow winnowing kernel must match the JVM expression
+    path row-for-row (same modular integer semantics)."""
+    from jionlp_spark.operators.textstats import winnow_fingerprints
+    docs = spark.read.parquet('/root/testdata/sf0.001/documents.parquet') \
+        .limit(80).cache()
+    a = sorted(map(tuple, winnow_fingerprints(docs, impl='expr').collect()))
+    b = sorted(map(tuple, winnow_fingerprints(docs, impl='arrow').collect()))
+    assert a == b and len(a) > 0
