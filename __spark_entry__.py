@@ -981,6 +981,20 @@ def q_kg_entity_compare(spark, sf_dir):
                 'c.n_other')
 
 
+def q_ner_dataset_stats(spark, sf_dir):
+    """NER-dataset split analysis (algorithm/ner/analyse_dataset.py
+    analog): documents hash-split 80/5/15, entity-type distribution per
+    split + split-vs-whole KL over the REAL extracted mention table.
+    The injected corpus gives every doc exactly one mention of each type,
+    so per-split type distributions are uniform and KL is exactly 0."""
+    from jionlp_spark.operators.textstats import dataset_split_stats
+    m = _extracted(spark, sf_dir).select('doc_id', 'mention_type')
+    return dataset_split_stats(m, class_col='mention_type') \
+        .select('split', F.col('class').alias('mention_type'),
+                'n_docs', 'pct', 'kl') \
+        .withColumnRenamed('n_docs', 'n_mentions')
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding).  The
     md5-per-token bit-majority is reproduced bit-exactly in the DuckDB
@@ -1911,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dataset_split_stats': q_dataset_split_stats,
         'quality_keyword_filter': q_quality_keyword_filter,
         'kg_entity_compare': q_kg_entity_compare,
+        'ner_dataset_stats': q_ner_dataset_stats,
         'token_counts': q_token_counts,
         'dedup_exact': q_dedup_exact,
         'dedup_minhash_sig': q_dedup_minhash_sig,
@@ -2202,6 +2217,23 @@ def oracle_sql() -> dict[str, str]:
                        as manifest_rows,
                    'lang_counts' as stage, true as has_lineage
             from documents group by lang""",
+        # one mention of each of 9 types per doc → uniform distribution in
+        # every split: pct == p_w exactly (correctly-rounded 1/9 both
+        # sides), so KL is exactly 0.0
+        'ner_dataset_stats': """
+            with assigned as (
+              select case when (doc_id * 2654435761) % 100 < 80 then 'train'
+                          when (doc_id * 2654435761) % 100 < 85 then 'valid'
+                          else 'test' end as split
+              from documents),
+            sc as (select split, count(*) n from assigned group by 1),
+            types as (select unnest(['cell_phone','email','id_card',
+                'lexicon:location','licence_plate','money','time_point',
+                'url','wechat_id']) as mention_type)
+            select split, mention_type, cast(n as bigint) as n_mentions,
+                   cast(n as double) / (9 * n) as pct,
+                   cast(0.0 as double) as kl
+            from sc cross join types""",
         # missing = odd (dropped id); other = %3 (leading fake pairs with
         # the first labeled entity — reference quirk); spurious = %5 trail
         'kg_entity_compare': """

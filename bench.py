@@ -47,7 +47,7 @@ HEADLINE = [
     'kg_redact', 'kg_parentheses', 'kg_char_checks', 'norm_lunar_solar',
     'cws_tags', 'streaming_dedup', 'streaming_window_counts', 'doc_winnow',
     'dedup_winnow_pairs', 'kg_span_f1', 'catalog_roundtrip',
-    'dataset_split_stats', 'quality_keyword_filter', 'kg_entity_compare',
+    'dataset_split_stats', 'quality_keyword_filter', 'kg_entity_compare', 'ner_dataset_stats',
 ]
 
 
