@@ -129,8 +129,11 @@ def dataset_split_stats(docs: DataFrame, class_col: str = 'lang',
              .otherwise('test'))
     assigned = docs.select(split.alias('split'),
                            F.col(class_col).alias('class'))
+    # localCheckpoint: counts is splits×classes rows but its lineage spans
+    # the whole corpus, and FIVE downstream branches consume it — without
+    # this the plan replicates the corpus aggregation per branch (8 scans)
     counts = assigned.groupBy('split', 'class') \
-        .agg(F.count('*').alias('n_docs'))
+        .agg(F.count('*').alias('n_docs')).localCheckpoint()
     split_tot = counts.groupBy('split').agg(F.sum('n_docs').alias('s_tot'))
     whole = (counts.groupBy('class').agg(F.sum('n_docs').alias('w_n')))
     whole_tot = F.broadcast(
