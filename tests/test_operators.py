@@ -216,3 +216,31 @@ def test_winnow_impls_identical(spark):
     a = sorted(map(tuple, winnow_fingerprints(docs, impl='expr').collect()))
     b = sorted(map(tuple, winnow_fingerprints(docs, impl='arrow').collect()))
     assert a == b and len(a) > 0
+
+
+def test_winnow_guarantee_property(spark):
+    """Winnowing's core guarantee (Schleimer et al. §2): two documents
+    sharing a substring of length >= k+w-1 share at least one selected
+    fingerprint.  Seeded random pairs with planted common passages."""
+    import random
+    from jionlp_spark.operators.textstats import winnow_fingerprints
+    rng = random.Random(99)
+    rows = []
+    for i in range(30):
+        common = ''.join(rng.choice('abcdefg ') for _ in range(11))  # k+w-1
+        a = (''.join(rng.choice('hijklmn ') for _ in range(rng.randrange(0, 30)))
+             + common
+             + ''.join(rng.choice('opqrstu ') for _ in range(rng.randrange(0, 30))))
+        b = (''.join(rng.choice('vwxyz ') for _ in range(rng.randrange(0, 30)))
+             + common
+             + ''.join(rng.choice('hijklmn ') for _ in range(rng.randrange(0, 30))))
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for i in range(30):
+        assert by_doc.get(2 * i, set()) & by_doc.get(2 * i + 1, set()), \
+            f'pair {i} shares no fingerprint'
