@@ -15,6 +15,15 @@ clean→extract→link pipeline end to end.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# harden for file-path module loading (driver may import this file without
+# the repo dir on sys.path; every query lazily imports jionlp_spark)
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
 from collections.abc import Callable
 
 import pandas as pd
