@@ -882,10 +882,16 @@ def q_catalog_roundtrip(spark, sf_dir):
     second run_stage call RESUMES from the manifest — proven here by
     passing a build callable that would raise if invoked.  Emits the data
     alongside manifest facts."""
-    import os
+    import hashlib
+    import shutil
     from jionlp_spark.sources import catalog
     _ensure_shipped(spark)
-    base = f'/tmp/jionlp_catalog_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}'
+    # deterministic digest (Python hash() is PYTHONHASHSEED-randomized →
+    # a fresh never-cleaned dir per process); rmtree so the publish+resume
+    # proof below exercises a cold catalog every run
+    base = ('/tmp/jionlp_catalog_'
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    shutil.rmtree(base, ignore_errors=True)
     path = f'{base}/lang_counts'
     fp = f'documents@{sf_dir}'
 
@@ -1722,7 +1728,9 @@ def q_streaming_dedup(spark, sf_dir):
     from jionlp_spark.streaming.stream import stateful_dedup_stream
     _ensure_shipped(spark)
 
-    base = f'/tmp/jionlp_stream_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}'
+    import hashlib
+    base = ('/tmp/jionlp_stream_'
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
@@ -1783,7 +1791,9 @@ def q_streaming_window_counts(spark, sf_dir):
     from jionlp_spark.streaming.stream import windowed_entity_counts
     _ensure_shipped(spark)
 
-    base = f'/tmp/jionlp_streamw_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}'
+    import hashlib
+    base = ('/tmp/jionlp_streamw_'
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
@@ -2231,8 +2241,8 @@ def oracle_sql() -> dict[str, str]:
         # sides), so KL is exactly 0.0
         'ner_dataset_stats': """
             with assigned as (
-              select case when (doc_id * 2654435761) % 100 < 80 then 'train'
-                          when (doc_id * 2654435761) % 100 < 85 then 'valid'
+              select case when ((doc_id % 2147483648) * 2654435761) % 100 < 80 then 'train'
+                          when ((doc_id % 2147483648) * 2654435761) % 100 < 85 then 'valid'
                           else 'test' end as split
               from documents),
             sc as (select split, count(*) n from assigned group by 1),
@@ -2269,8 +2279,8 @@ def oracle_sql() -> dict[str, str]:
         # goes through exact decimals (order-independent) then string→double
         'dataset_split_stats': """
             with assigned as (
-              select case when (doc_id * 2654435761) % 100 < 80 then 'train'
-                          when (doc_id * 2654435761) % 100 < 85 then 'valid'
+              select case when ((doc_id % 2147483648) * 2654435761) % 100 < 80 then 'train'
+                          when ((doc_id % 2147483648) * 2654435761) % 100 < 85 then 'valid'
                           else 'test' end as split,
                      lang as class
               from documents),

@@ -19,6 +19,7 @@ Everything loads on the DRIVER once and is shipped to executors via
 
 from __future__ import annotations
 
+import logging
 import os
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), 'data')
@@ -556,15 +557,25 @@ def load_idioms(dict_dir: str | None = None) -> list:
 
 
 def load_wordset(filename: str, dict_dir: str | None = None,
-                 default: tuple = ()) -> set:
+                 default: tuple = (), require: bool = False) -> set:
     """Generic one-word-per-line dictionary (first tab-separated column) —
     covers the reference's plain word lists (pornography.txt via
     pornography_loader, dictionary_loader.py; sensitive/quality filtering
     over a crawl corpus is lexicon matching with this set).  Returns
-    ``default`` when the file isn't present in the dict dir."""
+    ``default`` when the file isn't present in the dict dir — with a
+    logged warning, because a silently-empty set disables a content
+    screen; pass require=True to raise instead (the right setting when
+    the wordset gates a safety filter)."""
     d = _dict_dir(dict_dir)
     path = os.path.join(d, filename) if d else None
     if not (path and os.path.exists(path)):
+        if require:
+            raise FileNotFoundError(
+                f'wordset {filename!r} not found in dict dir {d!r}')
+        logging.getLogger(__name__).warning(
+            'wordset %r not found in dict dir %r — returning default '
+            '(%d words); a keyword screen backed by this set is disabled',
+            filename, d, len(default))
         return set(default)
     out = set()
     with open(path, encoding='utf-8') as f:

@@ -98,9 +98,10 @@ def keyword_flags(docs: DataFrame, keywords, text_col: str = 'text',
     10⁴⁺-word dictionaries use the broadcast-trie lexicon UDF instead
     (functions/udfs.make_lexicon_mentions_udf — same mechanism as
     location NER with a different dictionary)."""
-    arr = 'array(' + ', '.join(
-        "'" + str(w).replace("'", "\\'") + "'" for w in keywords) + ')'
-    matched = F.expr(f'filter({arr}, w -> contains({text_col}, w))')
+    # literal array via column APIs (never expr-text interpolation: a
+    # keyword containing a backslash or quote must not corrupt the plan)
+    arr = F.array(*[F.lit(str(w)) for w in keywords])
+    matched = F.filter(arr, lambda w: F.contains(F.col(text_col), w))
     return (docs.withColumn(f'{out_prefix}_matched',
                             F.array_join(matched, ','))
             .withColumn(f'{out_prefix}_flagged', F.size(matched) > 0))
@@ -123,7 +124,12 @@ def dataset_split_stats(docs: DataFrame, class_col: str = 'lang',
 
     → (split, class, n_docs, pct, kl) — kl repeated across the split's rows.
     """
-    bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(100))
+    # mask the id to 31 bits before the Knuth multiply: max product
+    # (2^31-1)*2654435761 < 2^63, so the bigint product can never wrap
+    # (Spark non-ANSI wraps silently, DuckDB raises — either way the two
+    # engines would diverge for ids >= ~3.47e9 without the mask)
+    bucket = F.pmod(F.pmod(F.col(id_col), F.lit(2147483648))
+                    * F.lit(2654435761), F.lit(100))
     split = (F.when(bucket < ratios[0], 'train')
              .when(bucket < ratios[1], 'valid')
              .otherwise('test'))
