@@ -280,29 +280,96 @@ def winnow_near_dups(docs: DataFrame, min_shared: int = 12,
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
                         n_centroids: int = 8, probes: int = 2,
                         vec_col: str = 'embedding',
-                        id_col: str = 'vec_id') -> DataFrame:
+                        id_col: str = 'vec_id',
+                        use_arrow: bool = True) -> DataFrame:
     """Embedding-cosine near-dup pairs: IVF-bucketed candidate generation
     (hash-seeded centroids, top-`probes` buckets per vector) + exact cosine
     verify within buckets.  The all-pairs O(N²) scan becomes a
     bucket-partitioned self-join — the scale path for embedding dedup of a
     crawl corpus; recall is governed by probes (pair found iff the probed
     bucket sets intersect).
+
+    The verify runs per BUCKET in an applyInPandas kernel by default
+    (use_arrow=True): each vector crosses the Arrow boundary once per
+    probe (not once per candidate pair — a pair-join kernel re-serializes
+    both vectors for every pair, ~0.5 GB at 10⁶ candidates), and the
+    pairwise dot is an outer-product accumulation that folds over dims in
+    the SAME left-to-right order as the Catalyst `aggregate`, so every
+    cosine is bit-identical to the expression path (use_arrow=False, kept
+    for plan-transparent parity).  One task owns one bucket — safe while
+    bucket occupancy is bounded (n_centroids ∝ N, the IVF design rule);
+    for genuinely hot buckets fall back to the pair join + AQE skew-split.
     """
     from jionlp_spark.operators.ann import _cosine_pre, ivf_assign
 
     assigned, _ = ivf_assign(emb, n_centroids=n_centroids, probes=probes,
                              vec_col=vec_col, id_col=id_col)
     assigned = assigned.persist()  # caller-owned (see lsh note)
+    if use_arrow:
+        pairs = _bucket_pairs_grouped(assigned, threshold, vec_col, id_col)
+        return (pairs
+                .select('vec_a', 'vec_b', F.round('cos', 6).alias('cos'))
+                .distinct()
+                .filter(F.col('cos') >= threshold))
     a, b = assigned.alias('a'), assigned.alias('b')
     return (
         a.join(b, 'bucket')
         .filter(F.col(f'a.{id_col}') < F.col(f'b.{id_col}'))
         .select(F.col(f'a.{id_col}').alias('vec_a'),
                 F.col(f'b.{id_col}').alias('vec_b'),
-                # norms precomputed per vector in _assign (interpreted
-                # lambda folds — 3× cheaper than re-folding per pair)
+                # norms precomputed per vector in _assign — computed once
+                # per vector, reused across every candidate pair
                 F.round(_cosine_pre(f'a.{vec_col}', f'b.{vec_col}',
                                     'a._nrm', 'b._nrm'), 6).alias('cos'))
         .distinct()
         .filter(F.col('cos') >= threshold)
     )
+
+
+def _bucket_pairs_grouped(assigned: DataFrame, threshold: float,
+                          vec_col: str, id_col: str) -> DataFrame:
+    """Per-bucket pairwise cosine with raw values (round JVM-side).
+
+    The accumulation `acc += V[:,k:k+1] * V[:,k]` runs k = 0..dim-1 in
+    order, so acc[i,j] sees exactly the IEEE op sequence of the Catalyst
+    fold `aggregate(zip_with(a, b, *), 0.0, +)` — np.dot/matmul must NOT
+    be used (blocked/pairwise summation drifts in the last ulp, breaking
+    round-6 oracle parity).  Rows are emitted with a conservative raw
+    pre-filter (threshold - 1e-6) so the exact round-6 filter stays on
+    the JVM side; row blocks bound the pair-matrix memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    guard = threshold - 1e-6
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({'vec_a': [], 'vec_b': [], 'cos': []})
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        nrm = pdf['_nrm'].to_numpy(dtype=np.float64)
+        dim = V.shape[1]
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            acc = np.zeros((i1 - i0, n))
+            for k in range(dim):
+                acc += V[i0:i1, k:k + 1] * V[:, k]
+            acc = (acc + 0.0) / (nrm[i0:i1, None] * nrm[None, :])
+            ii, jj = np.nonzero(acc >= guard)
+            keep = (ii + i0) < jj  # upper triangle: vec_a < vec_b by id
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + i0])
+            out_b.append(ids[jj])
+            out_c.append(acc[ii, jj])
+        return pd.DataFrame({'vec_a': np.concatenate(out_a),
+                             'vec_b': np.concatenate(out_b),
+                             'cos': np.concatenate(out_c)})
+
+    return assigned.groupBy('bucket').applyInPandas(
+        fn, schema='vec_a long, vec_b long, cos double')

@@ -85,6 +85,30 @@ def test_ann_brute_vs_ivf(spark):
     assert all(r['cos'] <= 1.0 for r in ivf)
 
 
+def test_arrow_cosine_bit_equal(spark):
+    """The vectorized Arrow pair-cosine must be BIT-identical to the
+    expression-fold path (same doubles pre-round): the DuckDB oracle
+    reproduces the sequential fold, so any last-ulp drift (e.g. np.dot's
+    pairwise summation) would surface as round-6 hash mismatches."""
+    from jionlp_spark.operators.ann import ivf_assign, ivf_topk
+    from jionlp_spark.operators.dedup import embedding_near_dups
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+
+    assigned, _ = ivf_assign(emb, n_centroids=4, probes=2)
+    q = assigned.filter('vec_id < 8')
+    expr_rows = sorted(map(tuple, ivf_topk(assigned, q, k=5,
+                                           use_arrow=False).collect()))
+    arrow_rows = sorted(map(tuple, ivf_topk(assigned, q, k=5,
+                                            use_arrow=True).collect()))
+    assert expr_rows == arrow_rows and len(arrow_rows) > 0
+
+    e = sorted(map(tuple, embedding_near_dups(
+        emb, threshold=-1.0, use_arrow=False).collect()))
+    a = sorted(map(tuple, embedding_near_dups(
+        emb, threshold=-1.0, use_arrow=True).collect()))
+    assert e == a and len(a) > 0
+
+
 def test_multimodal_plumbing(spark):
     from jionlp_spark.operators.multimodal import (decode_image_features,
                                                    frame_sample_stub)
