@@ -1621,6 +1621,20 @@ def q_keyphrase_topk(spark, sf_dir):
         F.col('rank').cast('int').alias('rank'), 'weight')
 
 
+def q_keyphrase_topk_topic(spark, sf_dir):
+    """Keyphrase extraction WITH the reference's additive topic term
+    (extract_keyphrase.py:310-317, topic_theta=0.5): prominence = min-max
+    normalized KL(p(topic|word) ‖ uniform) computed in-corpus with
+    source-as-topic (keytext.word_topic_prominence) instead of the
+    pretrained LDA matrix — closing the one user-visible scoring gap the
+    r3 verdict named.  Flag-off path (keyphrase_topk) is unchanged."""
+    from jionlp_spark.operators.keytext import keyphrases
+    return keyphrases(_docs(spark, sf_dir), top_k=3, ns=(1, 2, 3),
+                      mmr=False, topic_theta=0.5).select(
+        F.col('doc_id').cast('long').alias('doc_id'), 'phrase',
+        F.col('rank').cast('int').alias('rank'), 'weight')
+
+
 def _window_sentences(docs, width: int = 12):
     """Pseudo-sentences for the digit-free corpus: fixed `width`-token
     windows (the documents table has no sentence punctuation)."""
@@ -1981,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_byte_codec': q_bpe_byte_codec,
         'new_word_scores': q_new_word_scores,
         'keyphrase_topk': q_keyphrase_topk,
+        'keyphrase_topk_topic': q_keyphrase_topk_topic,
         'summary_top_sentence': q_summary_top_sentence,
     }
 
@@ -2710,6 +2725,89 @@ def oracle_sql() -> dict[str, str]:
               union all
               select doc_id, first_pos, concat(w1, ' ', word2, ' ', word3),
                      (w + w2 + w3) * 1.1
+              from grams where word3 is not null),
+            dedup as (
+              select doc_id, phrase, weight,
+                     row_number() over (partition by doc_id, phrase
+                                        order by first_pos) rn
+              from cand),
+            ranked as (
+              select doc_id, phrase, weight,
+                     row_number() over (partition by doc_id
+                                        order by weight desc, phrase) rank
+              from dedup where rn = 1)
+            select doc_id, phrase, cast(rank as int) rank, weight
+            from ranked where rank <= 3""",
+        # source-as-topic prominence: KL(p(source|word)‖uniform) per word,
+        # decimal-summed, min-max normalized; phrase weight adds
+        # theta·mean(prominence) exactly like the reference's LDA term
+        'keyphrase_topk_topic': """
+            with toks as (
+              select doc_id, source,
+                     unnest(string_split(text, ' ')) word,
+                     unnest(range(len(string_split(text, ' ')))) pos
+              from documents),
+            tf as (select doc_id, word, count(*) tf from toks group by 1, 2),
+            ntok as (select doc_id, count(*) n_tok from toks group by 1),
+            df as (select word, count(distinct doc_id) df from toks group by 1),
+            nd as (select count(*) n_docs from documents),
+            kt as (select count(distinct source) k_topics from documents),
+            wt as (select word, source, count(*) n_wt
+                   from toks group by 1, 2),
+            wtot as (select word, cast(sum(n_wt) as bigint) n_w,
+                            count(*) k_present
+                     from wt group by 1),
+            klw as (
+              select wt.word, wtot.k_present,
+                     cast(cast(cast(sum(cast(cast(
+                         (wt.n_wt / wtot.n_w)
+                         * ln((wt.n_wt / wtot.n_w)
+                              * (select k_topics from kt))
+                       as varchar) as decimal(38,18)))
+                       as decimal(38,18)) as varchar) as double)
+                     + ((select k_topics from kt) - wtot.k_present)
+                       * (1e-5 * ln(1e-5 * (select k_topics from kt)))
+                         as kl
+              from wt join wtot on wt.word = wtot.word
+              group by wt.word, wtot.k_present),
+            mm as (select min(kl) mn, max(kl) mx from klw),
+            prom as (
+              select word,
+                     case when mx > mn then (kl - mn) / (mx - mn)
+                          else 0.0 end prominence
+              from klw cross join mm),
+            tw as (
+              select t.doc_id, t.pos, t.word,
+                     tf.tf * ln((select n_docs from nd) / df.df) / ntok.n_tok
+                         as w,
+                     pr.prominence as t_pr
+              from toks t
+              join tf on t.doc_id = tf.doc_id and t.word = tf.word
+              join ntok on t.doc_id = ntok.doc_id
+              join df on t.word = df.word
+              join prom pr on t.word = pr.word),
+            grams as (
+              select doc_id, pos as first_pos, word w1,
+                     lead(word, 1) over win word2,
+                     lead(word, 2) over win word3,
+                     w,
+                     lead(w, 1) over win w2,
+                     lead(w, 2) over win w3,
+                     t_pr t1,
+                     lead(t_pr, 1) over win t2,
+                     lead(t_pr, 2) over win t3
+              from tw window win as (partition by doc_id order by pos)),
+            cand as (
+              select doc_id, first_pos, w1 as phrase,
+                     (w) * 1.0 + 0.5 * ((t1) / 1) as weight
+              from grams
+              union all
+              select doc_id, first_pos, concat(w1, ' ', word2),
+                     (w + w2) * 5.6 + 0.5 * ((t1 + t2) / 2)
+              from grams where word2 is not null
+              union all
+              select doc_id, first_pos, concat(w1, ' ', word2, ' ', word3),
+                     (w + w2 + w3) * 1.1 + 0.5 * ((t1 + t2 + t3) / 3)
               from grams where word3 is not null),
             dedup as (
               select doc_id, phrase, weight,

@@ -69,25 +69,97 @@ def doc_token_weights(docs: DataFrame, text_col: str = 'text',
                     .alias('weight')))
 
 
+def word_topic_prominence(docs: DataFrame, text_col: str = 'text',
+                          id_col: str = 'doc_id',
+                          topic_col: str = 'source',
+                          eps: float = 1e-5) -> DataFrame:
+    """LDA-free analog of the reference's per-word topic prominence
+    (extract_keyphrase.py:469-497): there the score is the KL divergence
+    of p(topic|word) from uniform (absent topics smoothed to 1e-5, probs
+    NOT renormalized), min-max normalized over the vocabulary.  Without
+    the pretrained LDA matrix the same statistic is computable in-corpus
+    by taking the ``topic_col`` partition (crawl source / site / section)
+    as the topic variable: p(source|word) sharpness separates topical
+    words from background words exactly the way the LDA term does, and
+    it's a pure corpus aggregation — no model asset.
+
+    Formula parity notes: ln replaces the reference's log2 (min-max
+    normalization is exactly invariant to the constant 1/ln2 factor);
+    the per-word KL sum routes through exact decimals (cross-row double
+    addition is shuffle-order-sensitive); min/max are order-insensitive
+    picks, and the final normalization is a per-row double tree — all
+    bit-reproducible in the DuckDB oracle.
+
+    → (word, prominence) with prominence ∈ [0, 1].
+    """
+    toks = docs.select(F.col(topic_col).alias('topic'),
+                       F.explode(F.split(F.col(text_col), ' '))
+                       .alias('word'))
+    cnt = toks.groupBy('word', 'topic').agg(F.count('*').alias('n_wt'))
+    tot = cnt.groupBy('word').agg(F.sum('n_wt').alias('n_w'),
+                                  F.count('*').alias('k_present'))
+    k = docs.agg(F.countDistinct(topic_col).alias('k_topics'))
+    p = F.col('n_wt') / F.col('n_w')
+    term = p * F.log(p * F.col('k_topics'))
+    dec = (F.sum(term.cast('string').cast('decimal(38,18)'))
+           .cast('decimal(38,18)').cast('string').cast('double'))
+    # absent topics contribute the constant eps·ln(eps·K) each (the
+    # reference substitutes 1e-5 for missing p(topic|word) entries)
+    absent = ((F.col('k_topics') - F.col('k_present'))
+              * (F.lit(eps) * F.log(F.lit(eps) * F.col('k_topics'))))
+    # localCheckpoint: klw is vocab-sized but its lineage spans the whole
+    # corpus, and THREE consumers read it (min, max, the projection) —
+    # without this the corpus aggregation replicates per consumer (9
+    # scans / 33 exchanges measured vs 4 / 13 with it)
+    klw = (cnt.join(tot, 'word').crossJoin(F.broadcast(k))
+           .groupBy('word', 'k_present', 'k_topics')
+           .agg(dec.alias('_dec'))
+           .select('word', (F.col('_dec') + absent).alias('kl'))
+           .localCheckpoint())
+    mm = klw.agg(F.min('kl').alias('mn'), F.max('kl').alias('mx'))
+    prom = (F.when(F.col('mx') > F.col('mn'),
+                   (F.col('kl') - F.col('mn'))
+                   / (F.col('mx') - F.col('mn')))
+            .otherwise(F.lit(0.0)))
+    return (klw.crossJoin(F.broadcast(mm))
+            .select('word', prom.alias('prominence')))
+
+
 def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
                          text_col: str = 'text',
-                         id_col: str = 'doc_id') -> DataFrame:
+                         id_col: str = 'doc_id',
+                         topic_theta: float = 0.0,
+                         topic_col: str = 'source') -> DataFrame:
     """n-gram candidates with summed word weights × length weight
-    (extract_keyphrase.py:247-320 minus POS/topic terms).
+    (extract_keyphrase.py:247-320 minus the POS term).
+
+    With topic_theta > 0 the reference's additive topic term is applied:
+    weight = Σ(word weights)·length_weight + θ·mean(word prominence)
+    (extract_keyphrase.py:310-317), prominence from
+    ``word_topic_prominence``.  θ = 0 skips the prominence subplan
+    entirely — the flag-off plan is byte-identical to the no-topic path.
 
     → (doc_id, phrase, n, first_pos, weight); duplicate phrase strings keep
     their first occurrence (reference dict-update-if-absent :324-328).
     """
     tw = doc_token_weights(docs, text_col, id_col)
+    with_topic = topic_theta != 0.0
+    if with_topic:
+        prom = word_topic_prominence(docs, text_col, id_col, topic_col)
+        tw = tw.join(prom, 'word')
     w = Window.partitionBy('doc_id').orderBy('pos')
     max_n = max(ns)
     # every n-gram width in ONE pass over one windowed subplan (a per-n
     # union would recompute the whole token-weight join per width); window
     # expressions must be projected before they can feed the struct array
     lead_cols = [F.col('word').alias('w0'), F.col('weight').alias('v0')]
+    if with_topic:
+        lead_cols.append(F.col('prominence').alias('t0'))
     for k in range(1, max_n):
         lead_cols.append(F.lead('word', k).over(w).alias(f'w{k}'))
         lead_cols.append(F.lead('weight', k).over(w).alias(f'v{k}'))
+        if with_topic:
+            lead_cols.append(F.lead('prominence', k).over(w).alias(f't{k}'))
     base = tw.select('doc_id', F.col('pos').alias('first_pos'), *lead_cols)
     structs = []
     for n in ns:
@@ -95,10 +167,16 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
         wsum = F.col('v0')
         for k in range(1, n):
             wsum = wsum + F.col(f'v{k}')
+        weight = wsum * F.lit(PHRASE_LENGTH_WEIGHT[n])
+        if with_topic:
+            tsum = F.col('t0')
+            for k in range(1, n):
+                tsum = tsum + F.col(f't{k}')
+            weight = weight + F.lit(topic_theta) * (tsum / F.lit(n))
         structs.append(F.struct(
             F.concat_ws(' ', *words).alias('phrase'),
             F.lit(n).alias('n'),
-            (wsum * F.lit(PHRASE_LENGTH_WEIGHT[n])).alias('weight'),
+            weight.alias('weight'),
             words[-1].isNotNull().alias('complete')))
     cand = (base.select('doc_id', 'first_pos',
                         F.explode(F.array(*structs)).alias('c'))
@@ -111,11 +189,16 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
 
 def keyphrases(docs: DataFrame, top_k: int = 5, ns=(1, 2, 3),
                mmr: bool = True, text_col: str = 'text',
-               id_col: str = 'doc_id') -> DataFrame:
+               id_col: str = 'doc_id', topic_theta: float = 0.0,
+               topic_col: str = 'source') -> DataFrame:
     """Top-k keyphrases per doc.  With mmr=True the reference's overlap
     re-weighting runs per doc in applyInPandas; with mmr=False the ranking
-    is a pure window top-k (fully SQL-expressible, used by the oracle)."""
-    cand = keyphrase_candidates(docs, ns, text_col, id_col)
+    is a pure window top-k (fully SQL-expressible, used by the oracle).
+    topic_theta > 0 adds the source-as-topic prominence term (the
+    reference's allow_topic_weight/topic_theta — default 0 keeps the
+    r3 plan unchanged)."""
+    cand = keyphrase_candidates(docs, ns, text_col, id_col,
+                                topic_theta, topic_col)
     if not mmr:
         rk = Window.partitionBy('doc_id').orderBy(
             F.col('weight').desc(), F.col('phrase'))

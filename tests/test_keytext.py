@@ -87,3 +87,35 @@ def test_summarize_budget_and_order(spark, docs):
                 joined.append(s)
                 i += len(toks)
         assert i == len(parts), (summary, sens)
+
+
+def test_topic_prominence_separates_source_bound_words(spark):
+    """A word exclusive to one source has maximal p(source|word) sharpness
+    (prominence 1 after min-max); a word spread evenly across sources has
+    minimal (prominence 0).  theta>0 boosts source-bound phrases; theta=0
+    must reproduce the no-topic ranking exactly (flag-off parity)."""
+    from jionlp_spark.operators.keytext import (keyphrases,
+                                                word_topic_prominence)
+    rows = []
+    for i in range(6):
+        src = f's{i % 3}'
+        # 'common' appears evenly everywhere; 'niche' only in source s0
+        text = 'common filler' + (' niche' if src == 's0' else ' other')
+        rows.append((i, text, src))
+    docs = spark.createDataFrame(rows,
+                                 'doc_id long, text string, source string')
+    prom = {r.word: r.prominence
+            for r in word_topic_prominence(docs).collect()}
+    assert prom['niche'] == 1.0
+    assert prom['common'] == 0.0 and prom['filler'] == 0.0
+    assert 0.0 <= min(prom.values()) and max(prom.values()) <= 1.0
+
+    off_a = sorted(map(tuple, keyphrases(
+        docs, top_k=3, ns=(1, 2), mmr=False).collect()))
+    off_b = sorted(map(tuple, keyphrases(
+        docs, top_k=3, ns=(1, 2), mmr=False, topic_theta=0.0).collect()))
+    assert off_a == off_b
+    on = keyphrases(docs, top_k=3, ns=(1, 2), mmr=False, topic_theta=5.0)
+    # with a large theta the source-bound word outranks the even spread
+    top1 = {r.doc_id: r.phrase for r in on.collect() if r.rank == 1}
+    assert 'niche' in top1[0]
