@@ -688,6 +688,31 @@ def q_kg_entity_counts(spark, sf_dir):
     )
 
 
+def q_kg_entity_counts_skew(spark, sf_dir):
+    """Salted two-phase aggregation under REAL key skew (north_rule:
+    salted-key dedup for hot entities): 10 mentions per doc, HALF of all
+    rows hit one hot entity, the rest spread over 97 cold keys.  The
+    salt = pmod(xxhash64(url), 32) spreads the hot key's distinct-url
+    work over 32 reducers (balance proven by
+    tests/test_pipeline.py::test_salted_agg_balances_skewed_reducers);
+    counts stay exact because salt is a function of url."""
+    from jionlp_spark.operators.link import entity_counts
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        F.concat(F.lit('u'), F.col('doc_id')).alias('url'),
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj'),
+        F.lit('location').alias('obj_type'))
+    return (entity_counts(ents)
+            .select('obj', 'obj_type',
+                    F.col('mention_cnt').cast('long').alias('mention_cnt'),
+                    F.col('url_cnt').cast('long').alias('url_cnt')))
+
+
 def q_clean_text(spark, sf_dir):
     """clean_text chain over decorated docs (html strip + fullwidth + bracket
     removal all exercised)."""
@@ -1851,6 +1876,76 @@ def q_streaming_window_counts(spark, sf_dir):
     return out
 
 
+def q_streaming_state_bounded(spark, sf_dir):
+    """TTL state-bound proof at sf scale (r3 verdict item 6): the dedup
+    stream's state must grow with the TTL horizon, NOT with input size.
+
+    Input = min(|documents|, 3000) unique texts (sf-scaled), 1 row/min, 3
+    mtime-ordered micro-batches, watermark 30 min, key TTL 60 min after
+    the key's last event.  A key is removed once the watermark passes
+    ts + 60 min, so the final state holds exactly the keys in the last
+    TTL + W minutes: min(n, 61 + 30) = min(n, 91) rows — measured from
+    the state-store metrics (numRowsTotal of the final batch, total
+    numRowsRemoved across batches) and hash-checked against the closed
+    form.  At sf0.01 n=500 → 91; at sf0.1 n=3000 → still 91: input grew
+    6×, state didn't."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'state')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import hashlib
+    import os
+    import shutil
+
+    from jionlp_spark.streaming.stream import stateful_dedup_stream
+    _ensure_shipped(spark)
+
+    base = ('/tmp/jionlp_streams_'
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src_dir)
+
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    docs = spark.range(n).selectExpr(
+        'id as doc_id',
+        "concat('unique doc ', cast(id as string)) as text",
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, id, 0)"
+        ' as warc_ts')
+    third = n // 3
+    preds = (f'doc_id < {third}',
+             f'doc_id >= {third} and doc_id < {2 * third}',
+             f'doc_id >= {2 * third}')
+    for i, pred in enumerate(preds):
+        part = f'{src_dir}/batch_{i}'
+        docs.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = stateful_dedup_stream(stream, watermark='30 minutes')
+    table = f'stream_state_{abs(hash(key)) % 10**8}'
+    q = _run_stream_lowstate(spark, result, table, ckpt)
+    removed = 0
+    final_state = 0
+    for p in q.recentProgress:
+        ops = p['stateOperators']
+        if ops:
+            removed += ops[0]['numRowsRemoved']
+            final_state = ops[0]['numRowsTotal']
+    out_rows = spark.table(table).count()
+    out = spark.createDataFrame(
+        [(n, out_rows, final_state, removed)],
+        'n_input long, out_rows long, final_state_rows long, '
+        'removed_total long')
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_tpch_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem (relational breadth:
     multi-agg groupBy; double sums go through exact decimals so the
@@ -1943,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_link_phone_geo': q_kg_link_phone_geo,
         'kg_link_idcard_region': q_kg_link_idcard_region,
         'kg_entity_counts': q_kg_entity_counts,
+        'kg_entity_counts_skew': q_kg_entity_counts_skew,
         'kg_recognize_location': q_kg_recognize_location,
         'clean_text': q_clean_text,
         'clean_html': q_clean_html,
@@ -1979,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_daily': q_events_daily,
         'streaming_dedup': q_streaming_dedup,
         'streaming_window_counts': q_streaming_window_counts,
+        'streaming_state_bounded': q_streaming_state_bounded,
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
         'kg_link_plate': q_kg_link_plate,
@@ -2164,6 +2261,19 @@ def oracle_sql() -> dict[str, str]:
             select obj, obj_type, count(*) as mention_cnt,
                    count(distinct doc_id) as url_cnt
             from m group by obj, obj_type""",
+        'kg_entity_counts_skew': """
+            with m as (
+              select doc_id, unnest(range(10)) as k from documents),
+            ents as (
+              select 'u' || doc_id as url,
+                     case when (doc_id + k) % 2 = 0 then '北京市'
+                          else 'city_' || ((doc_id * 10 + k) % 97) end
+                         as obj,
+                     'location' as obj_type
+              from m)
+            select obj, obj_type, count(*) as mention_cnt,
+                   count(distinct url) as url_cnt
+            from ents group by obj, obj_type""",
         # plate sits after the 59-char fixed prefix + money + loc + time text
         'kg_link_plate': f"""
             select doc_id, {_PLATE_SQL} as plate,
@@ -2942,6 +3052,16 @@ def oracle_sql() -> dict[str, str]:
                        as content_hash,
                    cast(doc_id // 100 as int) as dup_index
             from documents where doc_id < 3000""",
+        # closed form of the TTL bound: final state = keys in the last
+        # TTL(60) + watermark(30) + 1 minutes; everything older was
+        # removed by the event-time timeout (input-size independent)
+        'streaming_state_bounded': """
+            with c as (select least(count(*), 3000) as n from documents)
+            select cast(n as bigint) as n_input,
+                   cast(n as bigint) as out_rows,
+                   cast(least(n, 91) as bigint) as final_state_rows,
+                   cast(greatest(n - 91, 0) as bigint) as removed_total
+            from c""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,

@@ -48,6 +48,9 @@ HEADLINE = [
     'cws_tags', 'streaming_dedup', 'streaming_window_counts', 'doc_winnow',
     'dedup_winnow_pairs', 'kg_span_f1', 'catalog_roundtrip',
     'dataset_split_stats', 'quality_keyword_filter', 'kg_entity_compare', 'ner_dataset_stats',
+    # round 4 additions
+    'kg_entity_counts_skew', 'keyphrase_topk_topic',
+    'streaming_state_bounded',
 ]
 
 

@@ -37,6 +37,31 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 _MAGIC = [(b'\x89PNG', 'png'), (b'\xff\xd8\xff', 'jpeg'),
           (b'GIF8', 'gif'), (b'RIFF', 'riff'), (b'\x00\x00\x00', 'mp4?')]
 
+# ---------------------------------------------------------------------------
+# Stub-boundary contract (pinned interface for a production swap-in).
+#
+# REAL fields are genuine byte-level features of the payload and keep their
+# values when a real decoder replaces the stub kernels.  STUB fields are
+# deterministic functions of md5(payload) ONLY — they stand in for decoded
+# pixel/sample values and WILL change under a real decoder.  SEMANTIC_STUB
+# marks operators whose fields are real byte features but whose meaning
+# shifts (frame_sample_stub emits byte offsets where a decoder emits frame
+# timestamps).  tests/test_operators.py::test_multimodal_stub_contract
+# asserts this table against the kernels, so any drift in the boundary is
+# caught before a swap-in relies on it.
+REAL_FIELDS = {
+    'decode_image_features': ('media_id', 'n_bytes', 'format',
+                              'content_md5'),
+    'frame_sample_stub': ('media_id', 'offset', 'frame_md5'),
+    'resize_image_stub': ('media_id', 'target_w', 'target_h'),
+}
+STUB_FIELDS = {
+    'decode_image_features': ('width', 'height', 'embedding'),
+    'frame_sample_stub': (),
+    'resize_image_stub': ('resized', 'resized_md5'),
+}
+SEMANTIC_STUB = ('frame_sample_stub',)
+
 
 def _sniff(payload: bytes) -> str:
     for magic, name in _MAGIC:

@@ -268,3 +268,59 @@ def test_winnow_guarantee_property(spark):
     for i in range(30):
         assert by_doc.get(2 * i, set()) & by_doc.get(2 * i + 1, set()), \
             f'pair {i} shares no fingerprint'
+
+
+def test_multimodal_stub_contract(spark):
+    """Pin the stub boundary (r3 verdict item 7): REAL fields are genuine
+    byte-level features (independently recomputed here from the raw
+    payload); STUB fields follow the documented md5-derivation exactly.
+    A production decoder swap-in keeps every REAL field's value and
+    replaces only the STUB formulas."""
+    import hashlib
+
+    from jionlp_spark.operators import multimodal as mm
+
+    payloads = {1: b'\x89PNG1234' * 100, 2: b'\xff\xd8\xffrest' * 7,
+                3: b'plainbytes'}
+    media = spark.createDataFrame(
+        [(k, 'image', v, None) for k, v in payloads.items()],
+        'media_id long, media_type string, payload binary, meta string')
+
+    # schema column sets = REAL ∪ STUB, disjoint (the contract covers
+    # every output field exactly once)
+    feats_df = mm.decode_image_features(media)
+    for op, df_cols in (('decode_image_features', feats_df.columns),
+                        ('frame_sample_stub',
+                         mm.frame_sample_stub(media).columns),
+                        ('resize_image_stub',
+                         mm.resize_image_stub(media).columns)):
+        real, stub = set(mm.REAL_FIELDS[op]), set(mm.STUB_FIELDS[op])
+        assert real | stub == set(df_cols) and not real & stub
+
+    feats = {r['media_id']: r for r in feats_df.collect()}
+    for mid, b in payloads.items():
+        digest = hashlib.md5(b).digest()
+        r = feats[mid]
+        # REAL: byte-level features, recomputed independently
+        assert r['n_bytes'] == len(b)
+        assert r['content_md5'] == digest.hex()
+        assert r['format'] == mm._sniff(b)
+        # STUB: the pinned md5-derivation (what a real decoder replaces)
+        assert r['width'] == 64 + digest[0]
+        assert r['height'] == 64 + digest[1]
+        assert r['embedding'] == pytest.approx(
+            [(digest[i % 16] - 128) / 128.0 for i in range(8)])
+
+    resized = {r['media_id']: r
+               for r in mm.resize_image_stub(media, 224, 224).collect()}
+    for mid, b in payloads.items():
+        seed = hashlib.md5(b).digest()
+        fake = (seed * ((224 * 224) // len(seed) + 1))[: 224 * 224 // 64]
+        assert bytes(resized[mid]['resized']) == fake
+        assert resized[mid]['resized_md5'] == hashlib.md5(fake).hexdigest()
+
+    frames = mm.frame_sample_stub(media, every_n_bytes=256).collect()
+    for r in frames:
+        b = payloads[r['media_id']]
+        chunk = b[r['offset']: r['offset'] + 256]
+        assert r['frame_md5'] == hashlib.md5(chunk).hexdigest()

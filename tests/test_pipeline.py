@@ -228,3 +228,55 @@ def test_source_format_adapters(spark, tmp_path):
     tsv_pages = read_pages_tsv(spark, tsv)
     cleaned = clean_pages(tsv_pages, lang='zh', use_html=False)
     assert cleaned.filter(F.col('clean').isNotNull()).count() > 0
+
+
+def test_salted_agg_balances_skewed_reducers(spark):
+    """North-rule skew proof: with one entity owning 50% of all mention
+    rows, the unsalted aggregation key sends half the shuffle to ONE
+    reducer; the salted phase-1 key (obj, obj_type, salt) caps every
+    reducer near the uniform share.  Measured as rows-per-partition under
+    each key's hash partitioning (= the exchange feeding the agg), and
+    the salted two-phase counts stay exact."""
+    from pyspark.sql import functions as F
+
+    from jionlp_spark.operators.link import entity_counts
+
+    n_docs, per_doc, buckets = 2000, 10, 32
+    m = (spark.range(n_docs).withColumnRenamed('id', 'doc_id')
+         .select('doc_id', F.explode(F.sequence(F.lit(0), F.lit(per_doc - 1)))
+                 .alias('k')))
+    # (doc_id + k) % 2 == 0 → half of ALL rows go to the hot entity
+    ents = m.select(
+        F.concat(F.lit('u'), F.col('doc_id')).alias('url'),
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * per_doc + F.col('k'),
+                                   F.lit(97)))).alias('obj'),
+        F.lit('location').alias('obj_type'))
+
+    def max_partition_share(df, *keys):
+        parts = (df.repartition(buckets, *[F.col(c) for c in keys])
+                 .select(F.spark_partition_id().alias('pid'))
+                 .groupBy('pid').count().collect())
+        total = sum(r['count'] for r in parts)
+        return max(r['count'] for r in parts) / total
+
+    unsalted = max_partition_share(ents, 'obj', 'obj_type')
+    salted = max_partition_share(
+        ents.withColumn('salt', F.pmod(F.xxhash64('url'), F.lit(buckets))),
+        'obj', 'obj_type', 'salt')
+    assert unsalted >= 0.5  # hot key + whatever else hashes with it
+    assert salted <= 3.0 / buckets  # near-uniform (≤3× ideal share)
+
+    # two-phase counts are exact under the skew
+    got = {r['obj']: (r['mention_cnt'], r['url_cnt'])
+           for r in entity_counts(ents, salt_buckets=buckets).collect()}
+    assert got['北京市'] == (n_docs * per_doc // 2, n_docs)
+    assert sum(c for c, _u in got.values()) == n_docs * per_doc
+    # every cold key's url count is exact too (spot the first few)
+    cold = ents.filter(F.col('obj') != '北京市') \
+        .groupBy('obj').agg(F.countDistinct('url').alias('u')).collect()
+    want_cold = {r['obj']: r['u'] for r in cold}
+    for obj, (_c, u) in got.items():
+        if obj != '北京市':
+            assert u == want_cold[obj]
