@@ -49,7 +49,7 @@ HEADLINE = [
     'dedup_winnow_pairs', 'kg_span_f1', 'catalog_roundtrip',
     'dataset_split_stats', 'quality_keyword_filter', 'kg_entity_compare', 'ner_dataset_stats',
     # round 4 additions
-    'kg_entity_counts_skew', 'keyphrase_topk_topic',
+    'kg_entity_counts_skew', 'keyphrase_topk_topic', 'summary_top_topic',
     'streaming_state_bounded',
 ]
 

@@ -248,10 +248,18 @@ def keyphrases(docs: DataFrame, top_k: int = 5, ns=(1, 2, 3),
 def sentence_weights(sentences: DataFrame, docs: DataFrame,
                      lead_3_weight: float = 1.2,
                      text_col: str = 'text',
-                     id_col: str = 'doc_id') -> DataFrame:
+                     id_col: str = 'doc_id',
+                     topic_theta: float = 0.0,
+                     topic_col: str = 'source') -> DataFrame:
     """Score sentences: mean word tfidf weight (extract_summary.py:148-150)
     × length damp (chars <15 or >70 → ×0.7, :164-166) × lead-3 boost
     (sen_id < 3 → ×lead_3_weight, :168-170).
+
+    With topic_theta > 0 the reference's additive topic term applies
+    BEFORE the multipliers (extract_summary.py:158-168: sen_weight =
+    topic_weight·θ + tfidf_weight, topic_weight = mean word prominence),
+    prominence from ``word_topic_prominence`` (source-as-topic, no LDA
+    asset).  θ = 0 leaves the plan unchanged.
 
     `sentences` = (doc_id, sen_id, sentence); word weights come from the
     whole-doc statistics (reference freq over the full text)."""
@@ -273,7 +281,20 @@ def sentence_weights(sentences: DataFrame, docs: DataFrame,
               .groupBy('doc_id', 'sen_id')
               .agg((F.sum(wdec).cast('double') / F.count('*'))
                    .alias('tfidf_weight')))
-    return (sentences.join(mean_w, ['doc_id', 'sen_id'])
+    out = sentences.join(mean_w, ['doc_id', 'sen_id'])
+    base = F.col('tfidf_weight')
+    if topic_theta != 0.0:
+        prom = word_topic_prominence(docs, text_col, id_col, topic_col)
+        pdec = F.col('prominence').cast('string').cast('decimal(38,18)')
+        sen_topic = (sen_tok.join(prom, 'word', 'left')
+                     .na.fill({'prominence': 0.0})
+                     .groupBy('doc_id', 'sen_id')
+                     .agg((F.sum(pdec).cast('double') / F.count('*'))
+                          .alias('topic_weight')))
+        out = out.join(sen_topic, ['doc_id', 'sen_id'])
+        base = (F.lit(topic_theta) * F.col('topic_weight')
+                + F.col('tfidf_weight'))
+    return (out
             .withColumn('damp', F.when(
                 (F.length('sentence') < 15) | (F.length('sentence') > 70),
                 F.lit(0.7)).otherwise(F.lit(1.0)))
@@ -281,17 +302,20 @@ def sentence_weights(sentences: DataFrame, docs: DataFrame,
                                        F.lit(lead_3_weight))
                         .otherwise(F.lit(1.0)))
             .select('doc_id', 'sen_id', 'sentence',
-                    (F.col('tfidf_weight') * F.col('damp') * F.col('lead'))
+                    (base * F.col('damp') * F.col('lead'))
                     .alias('weight')))
 
 
 def summarize(sentences: DataFrame, docs: DataFrame,
               summary_length: int = 120, lead_3_weight: float = 1.2,
-              text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+              text_col: str = 'text', id_col: str = 'doc_id',
+              topic_theta: float = 0.0,
+              topic_col: str = 'source') -> DataFrame:
     """Greedy MMR summary per doc (extract_summary.py:175-215): sentences
     sorted by weight, each penalized by max token-overlap vs already-picked,
     greedily added until the char budget, output in original order."""
-    sw = sentence_weights(sentences, docs, lead_3_weight, text_col, id_col)
+    sw = sentence_weights(sentences, docs, lead_3_weight, text_col, id_col,
+                          topic_theta, topic_col)
     schema = 'doc_id long, summary string'
 
     def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
