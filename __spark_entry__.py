@@ -1602,6 +1602,35 @@ def q_textaug_swap(spark, sf_dir):
             .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
 
 
+_HOMO_IN = (
+    '中国驻英记者一向恪守新闻职业道德，为增进两国人民之间的了解和沟通发挥了积极作用。',
+    '人口危机如果无法得到及时解决，大家将受到巨大的冲击。',
+    '今天天气很好，我们一起去公园散步，顺便讨论最新的工作安排。',
+    '数据增强可以提高模型的泛化能力，同音词替换是一种常见的方法。')
+_HOMO_OUT = (
+    '中国驻英记者一向可售新闻职业道德，为增进两国人民之间的了解合沟通发挥了积极作用。|中国驻英记者一向恪守新闻职业道德，为增进两国人民自建的了解和沟通发挥了积极作用。',
+    '人口危机如果无法得到基石解决，大家将受到巨大的冲击。|人口危机如果无法得到缉私解决，大家将受到巨大的冲击。',
+    '今天天气恒好，我们一起去公园散步，顺便讨论最新的工作安排。|今天天气很好，我们仪器去公园散步，顺便讨论最新的工作安排。',
+    '数据增强可以提高模型的泛化能力，同音此替换是一种常见的方法。|数据增强可以提高模型的泛化能力，同音次替换时一种常见的方法。')
+
+
+def q_textaug_homophone(spark, sf_dir):
+    """homophone_substitution augmentation (kernels/homophone.py —
+    reference algorithm with FMM segmentation over the vendored jiojio
+    word-frequency vocabulary; byte-identical to the reference when
+    segmentation is shared, tests/test_homophone.py) with per-doc seeded
+    RNGs.  Literals anchored by tests/test_homophone.py."""
+    from jionlp_spark.operators.textaug import augment_homophone
+    _ensure_shipped(spark)
+    d = (_docs(spark, sf_dir)
+         .selectExpr('doc_id', 'doc_id % 4 as seed_id',
+                     f'{_case4(_HOMO_IN)} as text_zh'))
+    return (augment_homophone(d, augmentation_num=2, homo_ratio=0.1,
+                              base_seed=0, text_col='text_zh',
+                              seed_col='seed_id')
+            .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
+
+
 _BPE_IN = ('メトロ', '中文字符', 'hello world', '¡Ωmega™')
 _BPE_OUT = ('ãĥ¡ãĥĪãĥŃ', 'ä¸ŃæĸĩåŃĹç¬¦', 'helloĠworld', 'Â¡Î©megaâĦ¢')
 
@@ -2050,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'keyphrase_topk_topic': q_keyphrase_topk_topic,
         'summary_top_topic': q_summary_top_topic,
         'streaming_state_bounded': q_streaming_state_bounded,
+        'textaug_homophone': q_textaug_homophone,
         # --- (b) no r3 driver row ------------------------------------------
         'events_daily': q_events_daily,
         'tpch_pricing_summary': q_tpch_pricing_summary,
@@ -2766,6 +2796,11 @@ def oracle_sql() -> dict[str, str]:
         'textaug_swap': f"""
             select doc_id, {_case4(_AUG_IN)} as text_zh,
                    {_case4(_AUG_OUT)} as augmented
+            from documents""",
+        # literals anchored by tests/test_homophone.py::test_query_literals
+        'textaug_homophone': f"""
+            select doc_id, {_case4(_HOMO_IN)} as text_zh,
+                   {_case4(_HOMO_OUT)} as augmented
             from documents""",
         'kg_location_town': f"""
             select doc_id, {_case3(_TOWN_IN)} as loc_text,

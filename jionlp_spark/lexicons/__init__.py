@@ -556,6 +556,45 @@ def load_idioms(dict_dir: str | None = None) -> list:
     return out
 
 
+def load_word_distribution(dict_dir: str | None = None) -> list:
+    """→ ordered [(word, count, [(consonant, vowel), ...])] — the jiojio
+    word-frequency distribution (reference word_distribution_loader,
+    dictionary_loader.py:546-581) with per-char no-tone detail pinyin.
+
+    Order is load-bearing: the homophone augmenter's weighted
+    ``choice(p=...)`` iterates retained words in file order (reference
+    homophone_substitution.py:84-110).  The vendored tsv carries pinyin
+    precomputed over the FULL dictionaries (scripts/
+    vendor_word_distribution.py); a full JioNLP dict dir recomputes it
+    live with the chartext Pinyin kernel."""
+    d = _dict_dir(dict_dir)
+    if d and os.path.exists(os.path.join(d, 'word_distribution.json')):
+        import json
+        from jionlp_spark.kernels.chartext import Pinyin
+        phrase, pchar, _rad = load_char_info(d)
+        py = Pinyin(phrase, pchar)
+        out = []
+        with open(os.path.join(d, 'word_distribution.json'),
+                  encoding='utf-8') as f:
+            for line in f:
+                word, cnt = json.loads(line)
+                if not any('一' <= ch <= '鿿' for ch in word):
+                    continue
+                detail = py(word, formater='detail')
+                out.append((word, int(cnt),
+                            [(x['consonant'], x['vowel']) for x in detail]))
+        return out
+    out = []
+    with open(os.path.join(_DATA_DIR, 'word_distribution.tsv'),
+              encoding='utf-8') as f:
+        for line in f:
+            word, cnt, pairs = line.rstrip('\n').split('\t')
+            out.append((word, int(cnt),
+                        [tuple(p.split(',', 1))
+                         for p in pairs.split('|')]))
+    return out
+
+
 def load_wordset(filename: str, dict_dir: str | None = None,
                  default: tuple = (), require: bool = False) -> set:
     """Generic one-word-per-line dictionary (first tab-separated column) —

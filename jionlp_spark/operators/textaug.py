@@ -72,3 +72,53 @@ def augment_add_delete(docs: DataFrame, augmentation_num: int = 3,
                        F.col(text_col).alias('text'),
                        ad_udf(F.col(id_col), F.col(text_col))
                        .alias('augmented'))
+
+
+_HOMOPHONE_SINGLETON: list = []
+
+
+def _get_homophone():
+    """Per-Python-worker singleton: the augmenter's static state (FMM trie
+    over the 193k-word vocabulary, pinyin map, homophone replacement dict,
+    ~100 MB) builds once per worker; per-document RNGs are swapped in per
+    row.  At cluster scale prefer shipping the vendored tsv via --py-files
+    (it already lives inside the package) so workers build locally instead
+    of broadcasting the built trie."""
+    if not _HOMOPHONE_SINGLETON:
+        import numpy as np
+
+        from jionlp_spark import lexicons
+        from jionlp_spark.kernels.homophone import HomophoneSubstitution
+        wd = lexicons.load_word_distribution()
+        _HOMOPHONE_SINGLETON.append(
+            HomophoneSubstitution(wd, rng=np.random.RandomState(0)))
+    return _HOMOPHONE_SINGLETON[0]
+
+
+def augment_homophone(docs: DataFrame, augmentation_num: int = 3,
+                      homo_ratio: float = 0.02,
+                      allow_mispronounce: bool = True,
+                      base_seed: int = 0, text_col: str = 'text',
+                      id_col: str = 'doc_id', seed_col: str | None = None,
+                      sep: str = '|') -> DataFrame:
+    """→ (doc_id, text, augmented) with homophone-substitution
+    augmentations (kernels/homophone.py — reference algorithm with FMM
+    segmentation).  RNG per row = RandomState(base_seed + seed_col)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf('string')
+    def homo_udf(seed: pd.Series, text: pd.Series) -> pd.Series:
+        import numpy as np
+        aug = _get_homophone()
+
+        def one(s, t):
+            aug.rng = np.random.RandomState(base_seed + int(s))
+            aug.homo_ratio = homo_ratio
+            return sep.join(aug(t, augmentation_num=augmentation_num,
+                                allow_mispronounce=allow_mispronounce))
+        return pd.Series([one(s, t) for s, t in zip(seed, text)])
+
+    return docs.select(F.col(id_col).alias('doc_id'),
+                       F.col(text_col).alias('text'),
+                       homo_udf(F.col(seed_col or id_col), F.col(text_col))
+                       .alias('augmented'))
