@@ -1631,6 +1631,58 @@ def q_textaug_homophone(spark, sf_dir):
             .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
 
 
+_MELLM_ZH = {1: '一', 2: '二', 3: '三', 4: '四', 5: '五'}
+# the EM result for the deterministic grade table below, anchored to the
+# kernel (reference-parity-proven) by tests/test_mellm.py::test_query_literals
+_MELLM_EXPECTED = (
+    ('llm0', 61.0, 0.312292, 355.0, 21),
+    ('llm1', 44.25, 0.178696, 188.25, 21),
+    ('llm2', 58.0, 0.287174, 309.75, 21),
+    ('llm3', 52.25, 0.221838, 285.221053, 21))
+
+
+def _mellm_grade_rows():
+    """Deterministic N=4 × M=24 grading-response table: scores on the
+    half-point grid rendered through four textual forms (arabic, Chinese
+    numeral, prose, 点-fraction), plus one invalid response to exercise
+    grading_error_count."""
+    out = []
+    for i in range(4):
+        for j in range(4):
+            if i == j:
+                continue
+            for q in range(24):
+                v = 1 + ((i * 7 + j * 3 + q) % 9) * 0.5
+                form = (i + j + q) % 4
+                if i == 3 and j == 0 and q == 0:
+                    t = 'invalid response'
+                elif v == int(v):
+                    vi = int(v)
+                    t = [f'{vi} 分', f'{_MELLM_ZH[vi]}分。',
+                         f'这个答案可以得{vi}分', f'{vi}。'][form]
+                else:
+                    vi = int(v)
+                    t = [f'{v} 分', f'{_MELLM_ZH[vi]}点五 分',
+                         f'{v}分。', f'{v}'][form]
+                out.append((f'llm{i}', f'llm{j}', q, t))
+    return out
+
+
+def q_mellm_scores(spark, sf_dir):
+    """MELLM mutual-evaluation scores (algorithm/mellm/mellm.py port):
+    free-text grading responses ('四点五 分', '这个答案可以得2分', ...)
+    normalized DISTRIBUTED through the MoneyParser kernel, then the
+    reference's EM mutual-weighting (run_whole, parity-proven) on the
+    aggregated (N,N,M) matrix.  The llm-API call stage is the stub
+    boundary — this query starts from the response table."""
+    from jionlp_spark.operators.mellm import mutual_evaluation
+    _ensure_shipped(spark)
+    grades = spark.createDataFrame(
+        _mellm_grade_rows(),
+        'grader string, graded string, question_idx int, grade_text string')
+    return mutual_evaluation(spark, grades, mode='whole')
+
+
 _BPE_IN = ('メトロ', '中文字符', 'hello world', '¡Ωmega™')
 _BPE_OUT = ('ãĥ¡ãĥĪãĥŃ', 'ä¸ŃæĸĩåŃĹç¬¦', 'helloĠworld', 'Â¡Î©megaâĦ¢')
 
@@ -2080,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'summary_top_topic': q_summary_top_topic,
         'streaming_state_bounded': q_streaming_state_bounded,
         'textaug_homophone': q_textaug_homophone,
+        'mellm_scores': q_mellm_scores,
         # --- (b) no r3 driver row ------------------------------------------
         'events_daily': q_events_daily,
         'tpch_pricing_summary': q_tpch_pricing_summary,
@@ -2797,6 +2850,21 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {_case4(_AUG_IN)} as text_zh,
                    {_case4(_AUG_OUT)} as augmented
             from documents""",
+        # 4 literal rows anchored kernel-side by
+        # tests/test_mellm.py::test_query_literals (the EM is iterative —
+        # not SQL-expressible — so the oracle pins its deterministic
+        # output; normalization + EM parity live in the same test file)
+        'mellm_scores': """
+            select llm, cast(total_score as double) as total_score,
+                   cast(weight as double) as weight,
+                   cast(variance as double) as variance,
+                   cast(epochs as int) as epochs
+            from (values
+              ('llm0', 61.0,  0.312292, 355.0,      21),
+              ('llm1', 44.25, 0.178696, 188.25,     21),
+              ('llm2', 58.0,  0.287174, 309.75,     21),
+              ('llm3', 52.25, 0.221838, 285.221053, 21))
+            t(llm, total_score, weight, variance, epochs)""",
         # literals anchored by tests/test_homophone.py::test_query_literals
         'textaug_homophone': f"""
             select doc_id, {_case4(_HOMO_IN)} as text_zh,

@@ -50,7 +50,7 @@ HEADLINE = [
     'dataset_split_stats', 'quality_keyword_filter', 'kg_entity_compare', 'ner_dataset_stats',
     # round 4 additions
     'kg_entity_counts_skew', 'keyphrase_topk_topic', 'summary_top_topic',
-    'streaming_state_bounded', 'textaug_homophone',
+    'streaming_state_bounded', 'textaug_homophone', 'mellm_scores',
 ]
 
 
