@@ -1631,6 +1631,32 @@ def q_textaug_homophone(spark, sf_dir):
             .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
 
 
+_BT_IN = (
+    '用户可选择是否愿意多等外卖员五分钟，你愿意多等这五分钟吗？',
+    '中国驻英记者一向恪守新闻职业道德，为增进两国人民的了解发挥了积极作用。',
+    '数据增强可以提高模型的泛化能力，回译是一种常见的方法。',
+    '人口危机如果无法得到及时解决，大家将受到巨大的冲击。')
+_BT_OUT = (
+    '用户可选择是否愿意多等外卖员五分钟。你愿意多等这五分钟吗？|用户可选择是否愿意多等外卖员五分钟，你愿意多等这五分钟吗？|用户可选择是否愿意多等外卖员五分钟，你愿意多等这五分钟吗？。',
+    '中国驻英记者一向恪守新闻职业道德。为增进两国人民的了解发挥了积极作用。|中国驻英记者一向恪守新闻职业道德，为增进两国人民之了解发挥了积极作用。|中国驻英记者一向恪守新闻职业道德，为增进两国人民的了解发挥了积极作用。。',
+    '数据增强可以提高模型之泛化能力，回译是一种常见的方法。|数据增强可以提高模型的泛化能力。回译是一种常见的方法。|数据增强可以提高模型的泛化能力，回译是一种常见的方法。。',
+    '人口危机如果无法得到及时解决。大家将受到巨大的冲击。|人口危机如果无法得到及时解决，大家将受到巨大之冲击。|人口危机如果无法得到及时解决，大家将受到巨大的冲击。。')
+
+
+def q_textaug_backtrans(spark, sf_dir):
+    """Back-translation augmentation (kernels/backtrans.py — the
+    reference's multi-provider round-trip orchestration + dedup/length
+    filters, exact-parity-tested; translation clients are the documented
+    deterministic STUBS, swap real providers in production).  Literals
+    anchored by tests/test_backtrans.py::test_query_literals."""
+    from jionlp_spark.operators.textaug import augment_back_translation
+    _ensure_shipped(spark)
+    d = _docs(spark, sf_dir).selectExpr(
+        'doc_id', f'{_case4(_BT_IN)} as text_zh')
+    return (augment_back_translation(d, text_col='text_zh')
+            .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
+
+
 _MELLM_ZH = {1: '一', 2: '二', 3: '三', 4: '四', 5: '五'}
 # the EM result for the deterministic grade table below, anchored to the
 # kernel (reference-parity-proven) by tests/test_mellm.py::test_query_literals
@@ -2132,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'summary_top_topic': q_summary_top_topic,
         'streaming_state_bounded': q_streaming_state_bounded,
         'textaug_homophone': q_textaug_homophone,
+        'textaug_backtrans': q_textaug_backtrans,
         'mellm_scores': q_mellm_scores,
         # --- (b) no r3 driver row ------------------------------------------
         'events_daily': q_events_daily,
@@ -2869,6 +2896,11 @@ def oracle_sql() -> dict[str, str]:
         'textaug_homophone': f"""
             select doc_id, {_case4(_HOMO_IN)} as text_zh,
                    {_case4(_HOMO_OUT)} as augmented
+            from documents""",
+        # literals anchored by tests/test_backtrans.py::test_query_literals
+        'textaug_backtrans': f"""
+            select doc_id, {_case4(_BT_IN)} as text_zh,
+                   {_case4(_BT_OUT)} as augmented
             from documents""",
         'kg_location_town': f"""
             select doc_id, {_case3(_TOWN_IN)} as loc_text,

@@ -122,3 +122,32 @@ def augment_homophone(docs: DataFrame, augmentation_num: int = 3,
                        F.col(text_col).alias('text'),
                        homo_udf(F.col(seed_col or id_col), F.col(text_col))
                        .alias('augmented'))
+
+
+def augment_back_translation(docs: DataFrame, apis=None,
+                             text_col: str = 'text',
+                             id_col: str = 'doc_id',
+                             sep: str = '|') -> DataFrame:
+    """→ (doc_id, text, augmented) via the back-translation orchestrator
+    (kernels/backtrans.py).  Default clients are the in-repo
+    DeterministicFakeApi STUBS (no network in this sandbox); pass real
+    translation_api-style clients for production — then each Arrow batch
+    issues its rows' API calls from the executor, so size batches to the
+    provider rate limit (spark.sql.execution.arrow.maxRecordsPerBatch)
+    and keep per-doc language fan-out sequential (the reference's
+    process-pool parallelism is replaced by row/partition parallelism).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf('string')
+    def bt_udf(text: pd.Series) -> pd.Series:
+        from jionlp_spark.kernels.backtrans import (BackTranslation,
+                                                    DeterministicFakeApi)
+        clients = apis if apis is not None else \
+            [DeterministicFakeApi('a'), DeterministicFakeApi('b')]
+        bt = BackTranslation(clients)
+        return pd.Series([sep.join(bt(t)) for t in text])
+
+    return docs.select(F.col(id_col).alias('doc_id'),
+                       F.col(text_col).alias('text'),
+                       bt_udf(F.col(text_col)).alias('augmented'))
