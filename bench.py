@@ -51,7 +51,7 @@ HEADLINE = [
     # round 4 additions
     'kg_entity_counts_skew', 'keyphrase_topk_topic', 'summary_top_topic',
     'streaming_state_bounded', 'textaug_homophone', 'mellm_scores',
-    'textaug_backtrans',
+    'textaug_backtrans', 'kg_recognize_location_full',
 ]
 
 

@@ -556,6 +556,36 @@ def load_idioms(dict_dir: str | None = None) -> list:
     return out
 
 
+def load_world_locations(dict_dir: str | None = None) -> dict:
+    """→ {continent: {country: {'full_name', 'capital'[, 'main_city']}}}
+    — the reference world_location_loader (dictionary_loader.py:217-247)
+    over world_location.txt / the vendored world_loc.tsv (same format).
+    Lines that aren't 3 or 4 tab-fields are skipped, like the
+    reference."""
+    d = _dict_dir(dict_dir)
+    path = os.path.join(d, 'world_location.txt') if d and os.path.exists(
+        os.path.join(d, 'world_location.txt')) else \
+        os.path.join(_DATA_DIR, 'world_loc.tsv')
+    result: dict = {}
+    cur = None
+    with open(path, encoding='utf-8') as f:
+        for line in f:
+            line = line.rstrip('\n')
+            if '洲:' in line:
+                cur = line.replace(':', '')
+                result[cur] = {}
+                continue
+            parts = line.split('\t')
+            if len(parts) == 3:
+                result[cur][parts[0]] = {'full_name': parts[1],
+                                         'capital': parts[2]}
+            elif len(parts) == 4:
+                result[cur][parts[0]] = {'full_name': parts[1],
+                                         'capital': parts[2],
+                                         'main_city': parts[3].split('/')}
+    return result
+
+
 def load_word_distribution(dict_dir: str | None = None) -> list:
     """→ ordered [(word, count, [(consonant, vowel), ...])] — the jiojio
     word-frequency distribution (reference word_distribution_loader,
