@@ -87,3 +87,31 @@ def test_query_literals(mine):
         aug = HomophoneSubstitution(wd, rng=np.random.RandomState(i),
                                     homo_ratio=0.1)
         assert '|'.join(aug(t, augmentation_num=2)) == want, i
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DICTS),
+                    reason='full dictionaries unavailable')
+def test_homophone_fuzz_parity(jio, mine):
+    """100 random Chinese texts × random seeds — byte-identical outputs
+    vs the reference with segmentation shared (cut stubbed to FMM)."""
+    import random
+
+    from jionlp.textaug.homophone_substitution import HomophoneSubstitution \
+        as RefHomophone
+    sys.modules['jiojio'].cut = mine.cut
+
+    frag = ['人口', '危机', '新闻', '记者', '一向', '恪守', '道德',
+            '增进', '人民', '了解', '沟通', '发挥', '积极', '作用',
+            '数据', '增强', '模型', '泛化', '能力', '方法', '工作',
+            '安排', '今天', '天气', '很好', '公园', '散步', '，', '。']
+    rng = random.Random(7)
+    ref = RefHomophone()
+    for i in range(100):
+        text = ''.join(rng.choice(frag)
+                       for _ in range(rng.randrange(3, 20)))
+        seed = rng.randrange(1, 1000)
+        np.random.seed(seed)
+        got_ref = ref(text, augmentation_num=2, homo_ratio=0.1, seed=0)
+        np.random.seed(seed)
+        got_mine = mine(text, augmentation_num=2, homo_ratio=0.1, seed=0)
+        assert got_ref == got_mine, (i, seed, text)

@@ -89,3 +89,30 @@ def test_query_literals():
                dom[0].get('county'), dom[1], fr[0].get('country'),
                fr[0].get('city'), fr[1], others)
         assert got == want, ws
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DICTS),
+                    reason='full dictionaries unavailable')
+def test_recognizer_fuzz_parity(jio, mine_full):
+    """300 random word lists from a mixed pool (ambiguous aliases,
+    直辖市, world cities that shadow china names, unknowns) — structure
+    equality against the reference on every one."""
+    import random
+
+    from jionlp.gadget.location_recognizer import LocationRecognizer \
+        as RefRec
+
+    pool = ['北京', '北京市', '朝阳', '朝阳区', '朝阳市', '海淀区',
+            '上海', '上海市', '嘉定区', '广州', '广州市', '深圳',
+            '武汉', '武汉市', '湖北省', '襄阳市', '襄樊市', '襄城区',
+            '中国', '日本', '东京', '韩国', '首尔', '美国', '华盛顿',
+            '纽约', '法国', '巴黎', '斯里兰卡', '科伦坡', '西藏',
+            '拉萨', '尚家村', '红旗渠', '某某地', '成都市', '四川省']
+    rng = random.Random(42)
+    ref = RefRec()
+    for _ in range(300):
+        words = [rng.choice(pool)
+                 for _ in range(rng.randrange(0, 12))]
+        sys.modules['jiojio'].cut = \
+            lambda _t, _w=words: [(w, 'ns') for w in _w]
+        assert ref('x') == mine_full(words), words
