@@ -2059,15 +2059,15 @@ def q_streaming_state_bounded(spark, sf_dir):
     """TTL state-bound proof at sf scale (r3 verdict item 6): the dedup
     stream's state must grow with the TTL horizon, NOT with input size.
 
-    Input = min(|documents|, 3000) unique texts (sf-scaled), 1 row/min, 3
+    Input = min(|documents|, 1500) unique texts (sf-scaled), 1 row/min, 3
     mtime-ordered micro-batches, watermark 30 min, key TTL 60 min after
     the key's last event.  A key is removed once the watermark passes
     ts + 60 min, so the final state holds exactly the keys in the last
     TTL + W minutes: min(n, 61 + 30) = min(n, 91) rows — measured from
     the state-store metrics (numRowsTotal of the final batch, total
     numRowsRemoved across batches) and hash-checked against the closed
-    form.  At sf0.01 n=500 → 91; at sf0.1 n=3000 → still 91: input grew
-    6×, state didn't."""
+    form.  At sf0.01 n=500 → 91; at sf0.1 n=1500 → still 91: input grew
+    3×, state didn't."""
     key = (spark.sparkContext.applicationId, sf_dir, 'state')
     if key in _STREAM_CACHE:
         return _STREAM_CACHE[key]
@@ -2084,7 +2084,11 @@ def q_streaming_state_bounded(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    # cap 1500: unique-key volume only needs to exceed the 91-row bound
+    # by enough to show growth (500 at sf0.01 → 1500 at sf0.1+); every
+    # key is its own applyInPandasWithState group (~4ms of state-store +
+    # pandas overhead each), so the cap directly bounds wall time
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 1500)
     docs = spark.range(n).selectExpr(
         'id as doc_id',
         "concat('unique doc ', cast(id as string)) as text",
@@ -3369,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         # TTL(60) + watermark(30) + 1 minutes; everything older was
         # removed by the event-time timeout (input-size independent)
         'streaming_state_bounded': """
-            with c as (select least(count(*), 3000) as n from documents)
+            with c as (select least(count(*), 1500) as n from documents)
             select cast(n as bigint) as n_input,
                    cast(n as bigint) as out_rows,
                    cast(least(n, 91) as bigint) as final_state_rows,
