@@ -78,12 +78,13 @@ def main() -> None:
     # the first measured run paid their startup.
     run_pipeline(spark, generate_pages(spark, 2048))['triples'].count()
 
-    # best of 2 measured runs: this box is shared/noisy (protocol in
-    # BENCH/PLANS.md — every r2→r3 per-query "regression" re-timed
-    # isolated dissolved as neighbor load); the min of two warm runs is
-    # the throughput the plan actually delivers.  Both runs are reported.
+    # best of 3 measured runs: this box is shared and neighbor load
+    # arrives in multi-minute waves (protocol in BENCH/PLANS.md — every
+    # r2→r3 per-query "regression" re-timed isolated dissolved as load);
+    # the min of three warm runs is the throughput the plan actually
+    # delivers.  All runs are reported in e2e_runs.
     e2e_runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         pages = generate_pages(spark, N_PAGES)
         res = run_pipeline(spark, pages)
