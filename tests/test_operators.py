@@ -324,3 +324,32 @@ def test_multimodal_stub_contract(spark):
         b = payloads[r['media_id']]
         chunk = b[r['offset']: r['offset'] + 256]
         assert r['frame_md5'] == hashlib.md5(chunk).hexdigest()
+
+
+def test_cosine_fold_bit_equality_property():
+    """Property behind the Arrow cosine kernels (no Spark needed): for
+    ANY float32 vectors, np.cumsum over the products is bit-identical to
+    the sequential left-to-right fold Catalyst's `aggregate` performs —
+    while np.dot (pairwise/SIMD summation) is allowed to drift in the
+    last ulp.  This is the invariant that keeps round-6 oracle parity."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(
+        st.floats(-1e4, 1e4, width=32), st.floats(-1e4, 1e4, width=32)),
+        min_size=1, max_size=300))
+    def check(pairs):
+        a = np.array([p[0] for p in pairs], dtype=np.float32)
+        b = np.array([p[1] for p in pairs], dtype=np.float32)
+        prod = a.astype(np.float64) * b.astype(np.float64)
+        acc = 0.0
+        for v in prod.tolist():
+            acc = acc + v
+        kernel = float(np.cumsum(prod)[-1] + 0.0)
+        assert struct.pack('<d', acc + 0.0) == struct.pack('<d', kernel)
+
+    check()
