@@ -154,7 +154,20 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'jionlp_spark')
-    # pid-scoped path: never reuse a stale zip from an older process
+    # pid-scoped path: never reuse a stale zip from an older process —
+    # and sweep zips left by DEAD pids so /tmp doesn't accumulate one
+    # orphan per past session (hundreds observed before this sweep)
+    import glob
+    for old in glob.glob('/tmp/jionlp_spark_pkg_*.zip'):
+        try:
+            pid = int(old.rsplit('_', 1)[-1].split('.')[0])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f'/proc/{pid}'):
+            try:
+                os.remove(old)
+            except OSError:
+                pass
     zip_path = f'/tmp/jionlp_spark_pkg_{os.getpid()}.zip'
     with zipfile.ZipFile(zip_path, 'w') as zf:
         for root, _dirs, files in os.walk(pkg_dir):
@@ -901,22 +914,41 @@ def q_kg_span_f1(spark, sf_dir):
                 'm.n_gold', 'm.n_pred')
 
 
+def _work_dir(prefix: str, sf_dir: str) -> str:
+    """Fresh per-(process, sf) /tmp work dir for the catalog/streaming
+    proofs: the md5 digest keys it deterministically on the sf dir
+    (Python hash() is PYTHONHASHSEED-randomized), the pid keeps
+    CONCURRENT processes from clobbering each other's in-flight
+    checkpoints, and a sweep removes siblings left by dead pids so
+    orphans never accumulate.  The caller gets an empty dir."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f'/tmp/{prefix}_{os.getpid()}_{digest}'
+    for old in glob.glob(f'/tmp/{prefix}_*_{digest}'):
+        pid_part = old.rsplit('_', 2)[-2]
+        try:
+            alive = os.path.exists(f'/proc/{int(pid_part)}')
+        except ValueError:
+            alive = False
+        if not alive or old == base:
+            shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(base)
+    return base
+
+
 def q_catalog_roundtrip(spark, sf_dir):
     """Manifest catalog under the gate (sources/catalog.py): run_stage
     publishes a stage table atomically with a lineage manifest, and the
     second run_stage call RESUMES from the manifest — proven here by
     passing a build callable that would raise if invoked.  Emits the data
     alongside manifest facts."""
-    import hashlib
-    import shutil
     from jionlp_spark.sources import catalog
     _ensure_shipped(spark)
-    # deterministic digest (Python hash() is PYTHONHASHSEED-randomized →
-    # a fresh never-cleaned dir per process); rmtree so the publish+resume
-    # proof below exercises a cold catalog every run
-    base = ('/tmp/jionlp_catalog_'
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    shutil.rmtree(base, ignore_errors=True)
+    base = _work_dir('jionlp_catalog', sf_dir)
     path = f'{base}/lang_counts'
     fp = f'documents@{sf_dir}'
 
@@ -1946,11 +1978,8 @@ def q_streaming_dedup(spark, sf_dir):
     from jionlp_spark.streaming.stream import stateful_dedup_stream
     _ensure_shipped(spark)
 
-    import hashlib
-    base = ('/tmp/jionlp_stream_'
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    base = _work_dir('jionlp_stream', sf_dir)
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
     # cap the stream at 3000 rows: state/watermark semantics are what the
@@ -2009,11 +2038,8 @@ def q_streaming_window_counts(spark, sf_dir):
     from jionlp_spark.streaming.stream import windowed_entity_counts
     _ensure_shipped(spark)
 
-    import hashlib
-    base = ('/tmp/jionlp_streamw_'
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    base = _work_dir('jionlp_streamw', sf_dir)
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
     n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
@@ -2071,17 +2097,13 @@ def q_streaming_state_bounded(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, 'state')
     if key in _STREAM_CACHE:
         return _STREAM_CACHE[key]
-    import hashlib
     import os
-    import shutil
 
     from jionlp_spark.streaming.stream import stateful_dedup_stream
     _ensure_shipped(spark)
 
-    base = ('/tmp/jionlp_streams_'
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    base = _work_dir('jionlp_streams', sf_dir)
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src_dir)
 
     # cap 1500: unique-key volume only needs to exceed the 91-row bound
@@ -2294,6 +2316,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sentence_split': q_sentence_split,
         'multimodal_features': q_multimodal_features,
     }
+
+
+# shared source-as-topic prominence CTEs (keyphrase_topk_topic and
+# summary_top_topic interpolate the SAME text — one edit point for the
+# KL decimal routing / eps term)
+_PROMINENCE_CTES = """kt as (select count(distinct source) k_topics from documents),
+            wt as (select word, source, count(*) n_wt
+                   from toks group by 1, 2),
+            wtot as (select word, cast(sum(n_wt) as bigint) n_w,
+                            count(*) k_present
+                     from wt group by 1),
+            klw as (
+              select wt.word, wtot.k_present,
+                     cast(cast(cast(sum(cast(cast(
+                         (wt.n_wt / wtot.n_w)
+                         * ln((wt.n_wt / wtot.n_w)
+                              * (select k_topics from kt))
+                       as varchar) as decimal(38,18)))
+                       as decimal(38,18)) as varchar) as double)
+                     + ((select k_topics from kt) - wtot.k_present)
+                       * (1e-5 * ln(1e-5 * (select k_topics from kt)))
+                         as kl
+              from wt join wtot on wt.word = wtot.word
+              group by wt.word, wtot.k_present),
+            mm as (select min(kl) mn, max(kl) mx from klw),
+            prom as (
+              select word,
+                     case when mx > mn then (kl - mn) / (mx - mn)
+                          else 0.0 end prominence
+              from klw cross join mm),"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3087,7 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         # source-as-topic prominence: KL(p(source|word)‖uniform) per word,
         # decimal-summed, min-max normalized; phrase weight adds
         # theta·mean(prominence) exactly like the reference's LDA term
-        'keyphrase_topk_topic': """
+        'keyphrase_topk_topic': f"""
             with toks as (
               select doc_id, source,
                      unnest(string_split(text, ' ')) word,
@@ -3097,31 +3149,7 @@ def oracle_sql() -> dict[str, str]:
             ntok as (select doc_id, count(*) n_tok from toks group by 1),
             df as (select word, count(distinct doc_id) df from toks group by 1),
             nd as (select count(*) n_docs from documents),
-            kt as (select count(distinct source) k_topics from documents),
-            wt as (select word, source, count(*) n_wt
-                   from toks group by 1, 2),
-            wtot as (select word, cast(sum(n_wt) as bigint) n_w,
-                            count(*) k_present
-                     from wt group by 1),
-            klw as (
-              select wt.word, wtot.k_present,
-                     cast(cast(cast(sum(cast(cast(
-                         (wt.n_wt / wtot.n_w)
-                         * ln((wt.n_wt / wtot.n_w)
-                              * (select k_topics from kt))
-                       as varchar) as decimal(38,18)))
-                       as decimal(38,18)) as varchar) as double)
-                     + ((select k_topics from kt) - wtot.k_present)
-                       * (1e-5 * ln(1e-5 * (select k_topics from kt)))
-                         as kl
-              from wt join wtot on wt.word = wtot.word
-              group by wt.word, wtot.k_present),
-            mm as (select min(kl) mn, max(kl) mx from klw),
-            prom as (
-              select word,
-                     case when mx > mn then (kl - mn) / (mx - mn)
-                          else 0.0 end prominence
-              from klw cross join mm),
+            {_PROMINENCE_CTES}
             tw as (
               select t.doc_id, t.pos, t.word,
                      tf.tf * ln((select n_docs from nd) / df.df) / ntok.n_tok
@@ -3217,7 +3245,7 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rn = 1""",
         # adds θ·mean(source-as-topic prominence) before damp/lead — same
         # prominence CTEs as keyphrase_topk_topic
-        'summary_top_topic': """
+        'summary_top_topic': f"""
             with toks as (
               select doc_id, source,
                      unnest(string_split(text, ' ')) word,
@@ -3227,31 +3255,7 @@ def oracle_sql() -> dict[str, str]:
             ntok as (select doc_id, count(*) n_tok from toks group by 1),
             df as (select word, count(distinct doc_id) df from toks group by 1),
             nd as (select count(*) n_docs from documents),
-            kt as (select count(distinct source) k_topics from documents),
-            wt as (select word, source, count(*) n_wt
-                   from toks group by 1, 2),
-            wtot as (select word, cast(sum(n_wt) as bigint) n_w,
-                            count(*) k_present
-                     from wt group by 1),
-            klw as (
-              select wt.word, wtot.k_present,
-                     cast(cast(cast(sum(cast(cast(
-                         (wt.n_wt / wtot.n_w)
-                         * ln((wt.n_wt / wtot.n_w)
-                              * (select k_topics from kt))
-                       as varchar) as decimal(38,18)))
-                       as decimal(38,18)) as varchar) as double)
-                     + ((select k_topics from kt) - wtot.k_present)
-                       * (1e-5 * ln(1e-5 * (select k_topics from kt)))
-                         as kl
-              from wt join wtot on wt.word = wtot.word
-              group by wt.word, wtot.k_present),
-            mm as (select min(kl) mn, max(kl) mx from klw),
-            prom as (
-              select word,
-                     case when mx > mn then (kl - mn) / (mx - mn)
-                          else 0.0 end prominence
-              from klw cross join mm),
+            {_PROMINENCE_CTES}
             word_w as (
               select distinct tf.doc_id, tf.word,
                      tf.tf * ln((select n_docs from nd) / df.df) / ntok.n_tok

@@ -575,6 +575,8 @@ def load_world_locations(dict_dir: str | None = None) -> dict:
                 cur = line.replace(':', '')
                 result[cur] = {}
                 continue
+            if cur is None:  # data line before the first continent header
+                continue
             parts = line.split('\t')
             if len(parts) == 3:
                 result[cur][parts[0]] = {'full_name': parts[1],

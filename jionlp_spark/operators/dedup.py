@@ -341,6 +341,9 @@ def _bucket_pairs_grouped(assigned: DataFrame, threshold: float,
     import numpy as np
     import pandas as pd
 
+    # pair ids keep the input id column's type (string keys etc. work
+    # the same as in the expression path)
+    id_type = assigned.schema[id_col].dataType.simpleString()
     guard = threshold - 1e-6
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -372,4 +375,4 @@ def _bucket_pairs_grouped(assigned: DataFrame, threshold: float,
                              'cos': np.concatenate(out_c)})
 
     return assigned.groupBy('bucket').applyInPandas(
-        fn, schema='vec_a long, vec_b long, cos double')
+        fn, schema=f'vec_a {id_type}, vec_b {id_type}, cos double')

@@ -70,7 +70,6 @@ def doc_token_weights(docs: DataFrame, text_col: str = 'text',
 
 
 def word_topic_prominence(docs: DataFrame, text_col: str = 'text',
-                          id_col: str = 'doc_id',
                           topic_col: str = 'source',
                           eps: float = 1e-5) -> DataFrame:
     """LDA-free analog of the reference's per-word topic prominence
@@ -145,7 +144,7 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
     tw = doc_token_weights(docs, text_col, id_col)
     with_topic = topic_theta != 0.0
     if with_topic:
-        prom = word_topic_prominence(docs, text_col, id_col, topic_col)
+        prom = word_topic_prominence(docs, text_col, topic_col)
         tw = tw.join(prom, 'word')
     w = Window.partitionBy('doc_id').orderBy('pos')
     max_n = max(ns)
@@ -284,7 +283,7 @@ def sentence_weights(sentences: DataFrame, docs: DataFrame,
     out = sentences.join(mean_w, ['doc_id', 'sen_id'])
     base = F.col('tfidf_weight')
     if topic_theta != 0.0:
-        prom = word_topic_prominence(docs, text_col, id_col, topic_col)
+        prom = word_topic_prominence(docs, text_col, topic_col)
         pdec = F.col('prominence').cast('string').cast('decimal(38,18)')
         sen_topic = (sen_tok.join(prom, 'word', 'left')
                      .na.fill({'prominence': 0.0})

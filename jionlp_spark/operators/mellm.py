@@ -69,20 +69,23 @@ def mutual_evaluation(spark: SparkSession, grades: DataFrame,
         F.col(graded_col).alias('graded'),
         F.col(question_col).cast('int').alias('q'),
         'score', 'valid')
-    rows = normed.collect()  # N·N·M aggregated scores — KB-sized
+    # Arrow transfer, not Row objects: the matrix is KB-sized but the raw
+    # row set can be millions of entries for a big exam — toPandas keeps
+    # the driver copy near the columnar payload size
+    pdf = normed.toPandas()
 
-    names = sorted({r['grader'] for r in rows}
-                   | {r['graded'] for r in rows})
+    names = sorted(set(pdf['grader']) | set(pdf['graded']))
     idx = {n: i for i, n in enumerate(names)}
     n = len(names)
-    m = max(r['q'] for r in rows) + 1
+    m = int(pdf['q'].max()) + 1
     g = np.zeros((n, n, m))
     errs = np.zeros(n)
-    for r in rows:
-        if r['valid']:
-            g[idx[r['grader']], idx[r['graded']], r['q']] = r['score']
-        else:
-            errs[idx[r['grader']]] += 1
+    gi = pdf['grader'].map(idx).to_numpy()
+    gj = pdf['graded'].map(idx).to_numpy()
+    gq = pdf['q'].to_numpy()
+    valid = pdf['valid'].to_numpy()
+    g[gi[valid], gj[valid], gq[valid]] = pdf['score'].to_numpy()[valid]
+    np.add.at(errs, gi[~valid], 1)
 
     fn = run_whole if mode == 'whole' else run_singular
     res = fn(g, errs, max_epoch=max_epoch)

@@ -47,7 +47,9 @@ def test_full_orchestration(fake_api):
     bt = BackTranslation([fake_api, DeterministicFakeApi('b')])
     out = bt(TEXT)
     assert len(out) > 0
-    assert all(o != TEXT for o in out) or True  # fr-leg may no-op on 的-free text
+    # at least one leg must actually mutate (the fr leg may no-op on
+    # 的-free text, but en/de legs always edit)
+    assert any(o != TEXT for o in out)
     # en leg: first ，→ 。; de leg: trailing 。 appended
     assert TEXT.replace('，', '。', 1) in out
     assert TEXT + '。' in out
