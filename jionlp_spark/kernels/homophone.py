@@ -74,10 +74,16 @@ class HomophoneSubstitution:
     reference's module-global RNG seeded once."""
 
     def __init__(self, word_distribution, homo_ratio: float = 0.02,
-                 seed: int = 1, rng=None) -> None:
+                 seed: int = 1, rng=None, pinyin=None) -> None:
         self.homo_ratio = homo_ratio
         self.rng = rng if rng is not None else np.random
         self.seed = seed
+        # optional full Pinyin kernel (chartext.Pinyin) — the reference
+        # pinyins every segment through its full dicts (:133), so chars
+        # absent from the word distribution still get real pinyin there;
+        # without this fallback such chars read ('','') and veto
+        # substitution (consuming fewer RNG draws than the reference)
+        self._pinyin_kernel = pinyin
         if rng is None and seed != 0:
             np.random.seed(seed)  # reference :62-64
         # segmentation vocabulary: FMM over the distribution's multi-char
@@ -104,12 +110,19 @@ class HomophoneSubstitution:
         return segs
 
     def _seg_pinyin(self, seg: str) -> list:
-        """Per-char (consonant, vowel) detail for a segment; unknown
-        chars (absent from the vocabulary) read as ('', '') — the
-        reference's PY_UNK detail, which vetoes substitution."""
+        """Per-char (consonant, vowel) detail for a segment — precomputed
+        distribution pinyin for in-vocab words, else the full Pinyin
+        kernel when provided (matching the reference, which pinyins every
+        segment through its full dicts).  Without a kernel, chars absent
+        from the vocabulary read ('', '') — the PY_UNK detail, which
+        vetoes substitution (a narrower injected boundary than the
+        reference; see tests/test_homophone.py::test_oov_char_fallback)."""
         pairs = self._pinyin.get(seg)
         if pairs is not None:
             return pairs
+        if self._pinyin_kernel is not None:
+            return [(d['consonant'], d['vowel'])
+                    for d in self._pinyin_kernel(seg, formater='detail')]
         return [p for ch in seg
                 for p in [self._pinyin.get(ch, [('', '')])[0]]]
 

@@ -62,7 +62,14 @@ def _cosine_pairs_arrow():
             return pd.Series([], dtype='float64')
         av = np.stack([np.asarray(v, dtype=np.float64) for v in a])
         bv = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        dot = np.cumsum(av * bv, axis=1)[:, -1] + 0.0
+        # zeros-seeded accumulator (like the dedup bucket kernel) so
+        # zero-length vectors fold to 0.0 instead of IndexError-ing on
+        # cumsum[:, -1] of an (n, 0) array
+        dot = np.zeros(len(a))
+        if av.shape[1] > 0:
+            # += is the fold's +0.0 seed: canonicalizes -0.0 like the
+            # expression path's trailing `+ 0.0`
+            dot += np.cumsum(av * bv, axis=1)[:, -1]
         den = na.to_numpy(dtype=np.float64) * nb.to_numpy(dtype=np.float64)
         return pd.Series(dot / den)
 

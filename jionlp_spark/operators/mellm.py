@@ -74,6 +74,21 @@ def mutual_evaluation(spark: SparkSession, grades: DataFrame,
     # the driver copy near the columnar payload size
     pdf = normed.toPandas()
 
+    schema = ('llm string, total_score double, weight double, '
+              'variance double, epochs int')
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    # duplicate (grader, graded, question) keys would resolve
+    # last-write-wins in whatever row order toPandas produced —
+    # silently nondeterministic scores.  Reject malformed input instead.
+    dup = pdf.duplicated(subset=['grader', 'graded', 'q'])
+    if dup.any():
+        first = pdf[dup].iloc[0]
+        raise ValueError(
+            'duplicate grading rows for (grader=%r, graded=%r, '
+            'question_idx=%r) — one grade per (grader, graded, question) '
+            'required' % (first['grader'], first['graded'], int(first['q'])))
+
     names = sorted(set(pdf['grader']) | set(pdf['graded']))
     idx = {n: i for i, n in enumerate(names)}
     n = len(names)
@@ -95,6 +110,4 @@ def mutual_evaluation(spark: SparkSession, grades: DataFrame,
             float(round(res['variance'][i], 6)),
             int(res['epochs']))
            for i, name in enumerate(names)]
-    return spark.createDataFrame(
-        out, 'llm string, total_score double, weight double, '
-             'variance double, epochs int')
+    return spark.createDataFrame(out, schema)

@@ -91,10 +91,13 @@ def _get_homophone():
         import numpy as np
 
         from jionlp_spark import lexicons
+        from jionlp_spark.kernels.chartext import Pinyin
         from jionlp_spark.kernels.homophone import HomophoneSubstitution
         wd = lexicons.load_word_distribution()
+        phrase, pchar, _rad = lexicons.load_char_info()
         _HOMOPHONE_SINGLETON.append(
-            HomophoneSubstitution(wd, rng=np.random.RandomState(0)))
+            HomophoneSubstitution(wd, rng=np.random.RandomState(0),
+                                  pinyin=Pinyin(phrase, pchar)))
     return _HOMOPHONE_SINGLETON[0]
 
 

@@ -53,3 +53,19 @@ def test_simhash_wide_banding_equivalent(spark):
             for r in simhash_near_dups_wide(sims).collect()}
     assert classic == wide
     assert classic  # fixture has at least one true near-dup pair
+
+
+def test_arrow_cosine_zero_dim_guard(spark):
+    """ADVICE r4: zero-length vectors fold to dot=0.0 (zeros-seeded
+    accumulator, like the dedup bucket kernel) instead of IndexError-ing
+    inside the Arrow kernel."""
+    import pyspark.sql.functions as F
+
+    from jionlp_spark.operators.ann import _cosine_pairs_arrow
+    cos = _cosine_pairs_arrow()
+    df = spark.createDataFrame(
+        [([], [], 1.0, 1.0)],
+        'a array<double>, b array<double>, na double, nb double')
+    row = df.select(cos(F.col('a'), F.col('b'), F.col('na'),
+                        F.col('nb')).alias('c')).collect()[0]
+    assert row['c'] == 0.0

@@ -27,9 +27,12 @@ TEXTS = [
 @pytest.fixture(scope='module')
 def mine():
     from jionlp_spark import lexicons
+    from jionlp_spark.kernels.chartext import Pinyin
     from jionlp_spark.kernels.homophone import HomophoneSubstitution
     wd = lexicons.load_word_distribution()
-    return HomophoneSubstitution(wd, rng=np.random)
+    phrase, pchar, _rad = lexicons.load_char_info()
+    return HomophoneSubstitution(wd, rng=np.random,
+                                 pinyin=Pinyin(phrase, pchar))
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_DICTS),
@@ -89,6 +92,21 @@ def test_query_literals(mine):
         assert '|'.join(aug(t, augmentation_num=2)) == want, i
 
 
+def test_oov_char_fallback(mine):
+    """Chars absent from the word distribution but present in the full
+    char dict (277 of them) get real pinyin via the kernel fallback —
+    matching the reference, which pinyins every segment through its full
+    dicts — instead of the ('','') veto (ADVICE r4)."""
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.homophone import HomophoneSubstitution
+    assert mine._seg_pinyin('匆') == [('c', 'ong')]
+    assert mine._seg_pinyin('叛') == [('p', 'an')]
+    # without a kernel the veto remains (documented narrow boundary)
+    wd = lexicons.load_word_distribution()
+    bare = HomophoneSubstitution(wd, rng=np.random.RandomState(0))
+    assert bare._seg_pinyin('匆') == [('', '')]
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_DICTS),
                     reason='full dictionaries unavailable')
 def test_homophone_fuzz_parity(jio, mine):
@@ -103,7 +121,12 @@ def test_homophone_fuzz_parity(jio, mine):
     frag = ['人口', '危机', '新闻', '记者', '一向', '恪守', '道德',
             '增进', '人民', '了解', '沟通', '发挥', '积极', '作用',
             '数据', '增强', '模型', '泛化', '能力', '方法', '工作',
-            '安排', '今天', '天气', '很好', '公园', '散步', '，', '。']
+            '安排', '今天', '天气', '很好', '公园', '散步', '，', '。',
+            # out-of-distribution single chars with real pinyin — these
+            # veto substitution without the Pinyin-kernel fallback but
+            # consume RNG draws in the reference (see
+            # test_oov_char_fallback); parity must hold across them
+            '匆', '叛', '凄']
     rng = random.Random(7)
     ref = RefHomophone()
     for i in range(100):

@@ -101,3 +101,23 @@ def test_query_literals():
          res['epochs'])
         for i in range(4))
     assert got == entry._MELLM_EXPECTED
+
+
+def test_mutual_evaluation_empty_and_duplicate_guards(spark):
+    """ADVICE r4: empty grade tables return an empty result (not a NaN
+    IndexError), and duplicate (grader, graded, question) keys raise
+    instead of resolving last-write-wins in nondeterministic row order."""
+    from jionlp_spark.operators.mellm import mutual_evaluation
+    schema = ('grader string, graded string, question_idx int, '
+              'grade_text string')
+    empty = spark.createDataFrame([], schema)
+    out = mutual_evaluation(spark, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        'llm', 'total_score', 'weight', 'variance', 'epochs']
+
+    dup = spark.createDataFrame(
+        [('a', 'b', 0, '4分'), ('a', 'b', 0, '5分'), ('b', 'a', 0, '3分')],
+        schema)
+    with pytest.raises(ValueError, match='duplicate grading rows'):
+        mutual_evaluation(spark, dup)
