@@ -1320,17 +1320,38 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
 
 
+# (b64, format, width, height, n_bytes, md5) injected image headers —
+# real PNG IHDR / GIF logical-screen / JPEG SOF0 bytes whose dimensions
+# the kernel parses header-level (operators/multimodal.py
+# parse_image_dimensions).  Literals anchored by tests/test_operators.py
+# ::test_multimodal_header_literals (recomputes every field from the b64).
+_MM_HEADERS = (
+    ('iVBORw0KGgoAAAANSUhEUgAAAUAAAADwCAIAAAA=',
+     'png', 320, 240, 29, 'e4a673affe3371f42bde3ce08b33f14d'),
+    ('R0lGODlhyABkAPcAAA==',
+     'gif', 200, 100, 13, 'ef982c9707ae64d5c8581202a782bfb5'),
+    ('/9j/4AAQSkZJRgAAAAAAAAAAAAD/wAARCAHgAoADAAAAAAAAAAAA',
+     'jpeg', 640, 480, 39, '590eb0850137f5a5680733dac7ae870e'),
+    ('iVBORw0KGgoAAAANSUhEUgAABAAAAAMACAIAAAA=',
+     'png', 1024, 768, 29, '8a295de19556e0cb1a3900c5dad026c8'),
+)
+
+
 def q_multimodal_features(spark, sf_dir):
-    """Binary media plumbing: documents.text bytes as opaque payloads →
-    byte-level features via mapInPandas (decode step stubbed)."""
+    """Binary media plumbing: documents.text bytes as opaque payloads —
+    with real PNG/GIF/JPEG headers injected on doc_id % 13 == 0 — →
+    byte-level features via mapInPandas.  width/height are REAL
+    (header-parsed); the pixel embedding stays the documented stub."""
     from jionlp_spark.operators.multimodal import decode_image_features
+    b64 = _case4([h[0] for h in _MM_HEADERS])
     media = _docs(spark, sf_dir).select(
         F.col('doc_id').alias('media_id'),
         F.lit('image').alias('media_type'),
-        F.encode('text', 'utf-8').alias('payload'),
+        F.expr(f"case when doc_id % 13 = 0 then unbase64({b64}) "
+               f"else encode(text, 'utf-8') end").alias('payload'),
         F.lit(None).cast('string').alias('meta'))
     return decode_image_features(media).select(
-        'media_id', 'n_bytes', 'format', 'content_md5')
+        'media_id', 'n_bytes', 'format', 'content_md5', 'width', 'height')
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -2926,9 +2947,27 @@ def oracle_sql() -> dict[str, str]:
               (select *, row_number() over (partition by qid
                          order by cos desc, vec_id) rn from joined) t
             where rn <= 3""",
-        'multimodal_features': """
-            select doc_id media_id, cast(length(text) as bigint) n_bytes,
-                   'unknown' format, md5(text) content_md5
+        # injected-header fields are literals per doc_id % 4 (DuckDB 1.0
+        # md5 is VARCHAR-only, so blob hashes can't be recomputed there);
+        # anchored to the real bytes by test_multimodal_header_literals
+        'multimodal_features': f"""
+            select doc_id media_id,
+                   case when doc_id % 13 = 0
+                        then cast({_case4([h[4] for h in _MM_HEADERS])}
+                                  as bigint)
+                        else cast(length(text) as bigint) end n_bytes,
+                   case when doc_id % 13 = 0
+                        then {_case4([h[1] for h in _MM_HEADERS])}
+                        else 'unknown' end format,
+                   case when doc_id % 13 = 0
+                        then {_case4([h[5] for h in _MM_HEADERS])}
+                        else md5(text) end content_md5,
+                   cast(case when doc_id % 13 = 0
+                        then {_case4([h[2] for h in _MM_HEADERS])}
+                        end as int) width,
+                   cast(case when doc_id % 13 = 0
+                        then {_case4([h[3] for h in _MM_HEADERS])}
+                        end as int) height
             from documents""",
         # text is ascii [a-z ]+ so byte offsets == char offsets
         'multimodal_frames': """

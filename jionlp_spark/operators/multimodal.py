@@ -12,6 +12,7 @@ a production cluster only changes the kernel body.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,8 +30,8 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField('n_bytes', T.LongType()),
     T.StructField('format', T.StringType()),
     T.StructField('content_md5', T.StringType()),
-    T.StructField('width', T.IntegerType()),       # STUB: deterministic fake
-    T.StructField('height', T.IntegerType()),      # STUB: deterministic fake
+    T.StructField('width', T.IntegerType()),       # REAL: header-parsed
+    T.StructField('height', T.IntegerType()),      # REAL: header-parsed
     T.StructField('embedding', T.ArrayType(T.FloatType())),  # STUB
 ])
 
@@ -51,12 +52,12 @@ _MAGIC = [(b'\x89PNG', 'png'), (b'\xff\xd8\xff', 'jpeg'),
 # caught before a swap-in relies on it.
 REAL_FIELDS = {
     'decode_image_features': ('media_id', 'n_bytes', 'format',
-                              'content_md5'),
+                              'content_md5', 'width', 'height'),
     'frame_sample_stub': ('media_id', 'offset', 'frame_md5'),
     'resize_image_stub': ('media_id', 'target_w', 'target_h'),
 }
 STUB_FIELDS = {
-    'decode_image_features': ('width', 'height', 'embedding'),
+    'decode_image_features': ('embedding',),
     'frame_sample_stub': (),
     'resize_image_stub': ('resized', 'resized_md5'),
 }
@@ -70,12 +71,53 @@ def _sniff(payload: bytes) -> str:
     return 'unknown'
 
 
+# JPEG start-of-frame markers (C0–CF minus DHT C4 / JPG C8 / DAC CC) —
+# the segment that carries the sample dimensions
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_dimensions(b: bytes) -> tuple | None:
+    """REAL pixel dimensions from header bytes, no external libraries
+    (r4 verdict item 5): PNG IHDR (bytes 16–24, big-endian), GIF
+    logical-screen descriptor (bytes 6–10, little-endian), JPEG SOF0/2
+    segment scan.  → (width, height), or None when the payload is not a
+    parseable image header (a real decoder would reject it too)."""
+    if (b[:8] == b'\x89PNG\r\n\x1a\n' and len(b) >= 24
+            and b[12:16] == b'IHDR'):
+        w, h = struct.unpack('>II', b[16:24])
+        return (w, h)
+    if b[:6] in (b'GIF87a', b'GIF89a') and len(b) >= 10:
+        return struct.unpack('<HH', b[6:10])
+    if b[:3] == b'\xff\xd8\xff':
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None  # marker desync — not a well-formed stream
+            marker = b[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = struct.unpack('>H', b[i + 2: i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 <= n:
+                    h, w = struct.unpack('>HH', b[i + 5: i + 9])
+                    return (w, h)
+                return None
+            if marker == 0xDA:  # start of scan — no SOF seen before it
+                return None
+            i += 2 + seglen
+    return None
+
+
 def decode_image_features(media: DataFrame,
                           embedding_dim: int = 8) -> DataFrame:
     """binary payload → per-image features via mapInPandas (one Arrow batch
-    per call).  Pixel decode is a STUB: width/height/embedding are
-    deterministic functions of the content hash, NOT decoded pixels —
-    replace the marked block with a real decoder (PIL etc.) in production.
+    per call).  width/height are REAL — parsed from PNG/GIF/JPEG header
+    bytes (parse_image_dimensions), null for unparseable payloads.  The
+    pixel-content embedding remains a STUB: a deterministic function of
+    the content hash — replace the marked block with a real encoder in
+    production.
     """
     def kernel(batches):
         for pdf in batches:
@@ -83,9 +125,9 @@ def decode_image_features(media: DataFrame,
             for mid, payload in zip(pdf['media_id'], pdf['payload']):
                 b = bytes(payload) if payload is not None else b''
                 digest = hashlib.md5(b).digest()
+                dims = parse_image_dimensions(b)
+                width, height = dims if dims is not None else (None, None)
                 # --- STUB decode: derived from the hash, deterministic ----
-                width = 64 + digest[0]
-                height = 64 + digest[1]
                 emb = [(digest[i % 16] - 128) / 128.0
                        for i in range(embedding_dim)]
                 # ----------------------------------------------------------

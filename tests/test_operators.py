@@ -280,8 +280,19 @@ def test_multimodal_stub_contract(spark):
 
     from jionlp_spark.operators import multimodal as mm
 
+    import struct
+
+    png = (b'\x89PNG\r\n\x1a\n' + struct.pack('>I', 13) + b'IHDR'
+           + struct.pack('>II', 320, 240) + b'\x08\x02\x00\x00\x00')
+    gif = b'GIF89a' + struct.pack('<HH', 200, 100) + b'\xf7\x00\x00'
+    jpeg = (b'\xff\xd8\xff\xe0' + struct.pack('>H', 16) + b'JFIF\x00'
+            + b'\x00' * 9  # APP0 payload pads to the declared length 16
+            + b'\xff\xc0' + struct.pack('>H', 17) + b'\x08'
+            + struct.pack('>HH', 480, 640) + b'\x03' + b'\x00' * 9)
     payloads = {1: b'\x89PNG1234' * 100, 2: b'\xff\xd8\xffrest' * 7,
-                3: b'plainbytes'}
+                3: b'plainbytes', 4: png, 5: gif, 6: jpeg}
+    dims = {1: (None, None), 2: (None, None), 3: (None, None),
+            4: (320, 240), 5: (200, 100), 6: (640, 480)}
     media = spark.createDataFrame(
         [(k, 'image', v, None) for k, v in payloads.items()],
         'media_id long, media_type string, payload binary, meta string')
@@ -301,13 +312,14 @@ def test_multimodal_stub_contract(spark):
     for mid, b in payloads.items():
         digest = hashlib.md5(b).digest()
         r = feats[mid]
-        # REAL: byte-level features, recomputed independently
+        # REAL: byte-level features, recomputed independently — width/
+        # height are header-parsed since r5 (verdict item 5), null for
+        # unparseable payloads (incl. a 'png'-sniffed but truncated magic)
         assert r['n_bytes'] == len(b)
         assert r['content_md5'] == digest.hex()
         assert r['format'] == mm._sniff(b)
+        assert (r['width'], r['height']) == dims[mid]
         # STUB: the pinned md5-derivation (what a real decoder replaces)
-        assert r['width'] == 64 + digest[0]
-        assert r['height'] == 64 + digest[1]
         assert r['embedding'] == pytest.approx(
             [(digest[i % 16] - 128) / 128.0 for i in range(8)])
 
@@ -353,3 +365,23 @@ def test_cosine_fold_bit_equality_property():
         assert struct.pack('<d', acc + 0.0) == struct.pack('<d', kernel)
 
     check()
+
+
+def test_multimodal_header_literals():
+    """Anchor the multimodal_features oracle literals to the real header
+    bytes: every (format, width, height, n_bytes, md5) tuple in
+    _MM_HEADERS recomputes from its base64 payload via the parser and
+    hashlib (the DuckDB side can't md5 blobs, so it emits these
+    literals)."""
+    import base64
+    import hashlib
+
+    import __spark_entry__ as entry
+    from jionlp_spark.operators import multimodal as mm
+
+    for b64, fmt, w, h, n_bytes, md5 in entry._MM_HEADERS:
+        b = base64.b64decode(b64)
+        assert mm._sniff(b) == fmt
+        assert mm.parse_image_dimensions(b) == (w, h)
+        assert len(b) == n_bytes
+        assert hashlib.md5(b).hexdigest() == md5
