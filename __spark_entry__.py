@@ -1872,6 +1872,25 @@ def q_keyphrase_topk(spark, sf_dir):
         F.col('rank').cast('int').alias('rank'), 'weight')
 
 
+_TOPIC_PROM_CACHE: dict = {}
+
+
+def _topic_prominence(spark, sf_dir):
+    """The source-as-topic word-prominence table, computed ONCE per
+    (applicationId, sf) and localCheckpoint'ed: keyphrase_topk_topic and
+    summary_top_topic consume the SAME vocab-sized statistic, and without
+    sharing, each query re-runs the corpus aggregation behind it (the two
+    widest plans in the r4 audit — verdict item 6).  bench.py reports the
+    build as its own row, like the extraction cache."""
+    from jionlp_spark.operators.keytext import word_topic_prominence
+    key = (spark.sparkContext.applicationId, sf_dir)
+    prom = _TOPIC_PROM_CACHE.get(key)
+    if prom is None:
+        prom = word_topic_prominence(_docs(spark, sf_dir)).localCheckpoint()
+        _TOPIC_PROM_CACHE[key] = prom
+    return prom
+
+
 def q_keyphrase_topk_topic(spark, sf_dir):
     """Keyphrase extraction WITH the reference's additive topic term
     (extract_keyphrase.py:310-317, topic_theta=0.5): prominence = min-max
@@ -1881,23 +1900,31 @@ def q_keyphrase_topk_topic(spark, sf_dir):
     r3 verdict named.  Flag-off path (keyphrase_topk) is unchanged."""
     from jionlp_spark.operators.keytext import keyphrases
     return keyphrases(_docs(spark, sf_dir), top_k=3, ns=(1, 2, 3),
-                      mmr=False, topic_theta=0.5).select(
+                      mmr=False, topic_theta=0.5,
+                      prominence=_topic_prominence(spark, sf_dir)).select(
         F.col('doc_id').cast('long').alias('doc_id'), 'phrase',
         F.col('rank').cast('int').alias('rank'), 'weight')
 
 
-def _window_sentences(docs, width: int = 12):
+def _window_sentences(docs, width: int = 12, with_tokens: bool = False):
     """Pseudo-sentences for the digit-free corpus: fixed `width`-token
-    windows (the documents table has no sentence punctuation)."""
+    windows (the documents table has no sentence punctuation).  With
+    ``with_tokens`` also returns the (doc_id, sen_id, word) token table
+    the sentences were built FROM, so sentence_weights skips re-splitting
+    every sentence string — one corpus tokenization, not two."""
     toks = docs.select(
         F.col('doc_id'),
-        F.posexplode(F.split('text', ' ')).alias('pos', 'word'))
-    return (toks.withColumn('sen_id', (F.col('pos') / width).cast('int'))
-            .groupBy('doc_id', 'sen_id')
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct('pos', 'word'))),
-                    lambda x: x['word']), ' ').alias('sentence')))
+        F.posexplode(F.split('text', ' ')).alias('pos', 'word')) \
+        .withColumn('sen_id', (F.col('pos') / width).cast('int'))
+    sentences = (toks
+                 .groupBy('doc_id', 'sen_id')
+                 .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct('pos', 'word'))),
+                         lambda x: x['word']), ' ').alias('sentence')))
+    if with_tokens:
+        return sentences, toks.select('doc_id', 'sen_id', 'word')
+    return sentences
 
 
 def q_summary_top_sentence(spark, sf_dir):
@@ -1906,7 +1933,8 @@ def q_summary_top_sentence(spark, sf_dir):
     is what the full summarize() operator starts from."""
     from jionlp_spark.operators.keytext import sentence_weights
     docs = _docs(spark, sf_dir)
-    sw = sentence_weights(_window_sentences(docs), docs)
+    sentences, sen_tok = _window_sentences(docs, with_tokens=True)
+    sw = sentence_weights(sentences, docs, sen_tok=sen_tok)
     from pyspark.sql import Window
     rk = Window.partitionBy('doc_id').orderBy(
         F.col('weight').desc(), F.col('sen_id'))
@@ -1924,7 +1952,10 @@ def q_summary_top_topic(spark, sf_dir):
     from the same source-as-topic statistic as keyphrase_topk_topic."""
     from jionlp_spark.operators.keytext import sentence_weights
     docs = _docs(spark, sf_dir)
-    sw = sentence_weights(_window_sentences(docs), docs, topic_theta=0.2)
+    sentences, sen_tok = _window_sentences(docs, with_tokens=True)
+    sw = sentence_weights(sentences, docs, topic_theta=0.2,
+                          prominence=_topic_prominence(spark, sf_dir),
+                          sen_tok=sen_tok)
     from pyspark.sql import Window
     rk = Window.partitionBy('doc_id').orderBy(
         F.col('weight').desc(), F.col('sen_id'))

@@ -117,7 +117,9 @@ def main() -> None:
              lambda: [getattr(entry_mod, f)(spark, SF_DIR).count()
                       for f in ('_extracted', '_extracted_qq_ip')]),
             ('ann_ivf_centroid_train',
-             lambda: entry_mod._ivf_centroids(spark, SF_DIR).count())):
+             lambda: entry_mod._ivf_centroids(spark, SF_DIR).count()),
+            ('topic_prominence_build',
+             lambda: entry_mod._topic_prominence(spark, SF_DIR).count())):
         query_load[row_name] = [round(os.getloadavg()[0], 2)]
         t0 = time.time()
         warm()

@@ -128,7 +128,8 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
                          text_col: str = 'text',
                          id_col: str = 'doc_id',
                          topic_theta: float = 0.0,
-                         topic_col: str = 'source') -> DataFrame:
+                         topic_col: str = 'source',
+                         prominence: DataFrame | None = None) -> DataFrame:
     """n-gram candidates with summed word weights × length weight
     (extract_keyphrase.py:247-320 minus the POS term).
 
@@ -144,7 +145,11 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
     tw = doc_token_weights(docs, text_col, id_col)
     with_topic = topic_theta != 0.0
     if with_topic:
-        prom = word_topic_prominence(docs, text_col, topic_col)
+        # `prominence` lets callers share ONE materialized prominence
+        # table across jobs (keyphrases + summaries recompute the same
+        # vocab statistic otherwise — r4 verdict item 6)
+        prom = (prominence if prominence is not None
+                else word_topic_prominence(docs, text_col, topic_col))
         tw = tw.join(prom, 'word')
     w = Window.partitionBy('doc_id').orderBy('pos')
     max_n = max(ns)
@@ -189,7 +194,8 @@ def keyphrase_candidates(docs: DataFrame, ns=(1, 2, 3),
 def keyphrases(docs: DataFrame, top_k: int = 5, ns=(1, 2, 3),
                mmr: bool = True, text_col: str = 'text',
                id_col: str = 'doc_id', topic_theta: float = 0.0,
-               topic_col: str = 'source') -> DataFrame:
+               topic_col: str = 'source',
+               prominence: DataFrame | None = None) -> DataFrame:
     """Top-k keyphrases per doc.  With mmr=True the reference's overlap
     re-weighting runs per doc in applyInPandas; with mmr=False the ranking
     is a pure window top-k (fully SQL-expressible, used by the oracle).
@@ -197,7 +203,7 @@ def keyphrases(docs: DataFrame, top_k: int = 5, ns=(1, 2, 3),
     reference's allow_topic_weight/topic_theta — default 0 keeps the
     r3 plan unchanged)."""
     cand = keyphrase_candidates(docs, ns, text_col, id_col,
-                                topic_theta, topic_col)
+                                topic_theta, topic_col, prominence)
     if not mmr:
         rk = Window.partitionBy('doc_id').orderBy(
             F.col('weight').desc(), F.col('phrase'))
@@ -249,10 +255,18 @@ def sentence_weights(sentences: DataFrame, docs: DataFrame,
                      text_col: str = 'text',
                      id_col: str = 'doc_id',
                      topic_theta: float = 0.0,
-                     topic_col: str = 'source') -> DataFrame:
+                     topic_col: str = 'source',
+                     prominence: DataFrame | None = None,
+                     sen_tok: DataFrame | None = None) -> DataFrame:
     """Score sentences: mean word tfidf weight (extract_summary.py:148-150)
     × length damp (chars <15 or >70 → ×0.7, :164-166) × lead-3 boost
     (sen_id < 3 → ×lead_3_weight, :168-170).
+
+    ``sen_tok`` (doc_id, sen_id, word) lets callers who built sentences
+    from an exploded token table hand that table back instead of having
+    this function re-split every sentence string — one corpus
+    tokenization instead of two (the scan behind it is corpus-sized at
+    scale).
 
     With topic_theta > 0 the reference's additive topic term applies
     BEFORE the multipliers (extract_summary.py:158-168: sen_weight =
@@ -263,9 +277,10 @@ def sentence_weights(sentences: DataFrame, docs: DataFrame,
     `sentences` = (doc_id, sen_id, sentence); word weights come from the
     whole-doc statistics (reference freq over the full text)."""
     tw = doc_token_weights(docs, text_col, id_col)
-    sen_tok = sentences.select(
-        'doc_id', 'sen_id',
-        F.posexplode(F.split('sentence', ' ')).alias('spos', 'word'))
+    if sen_tok is None:
+        sen_tok = sentences.select(
+            'doc_id', 'sen_id',
+            F.posexplode(F.split('sentence', ' ')).alias('spos', 'word'))
     # reference weights are per word-position with whole-doc tf·idf/n_tok —
     # dedupe tw to (doc_id, word, weight) first
     word_w = tw.select('doc_id', 'word', 'weight').distinct()
@@ -283,7 +298,8 @@ def sentence_weights(sentences: DataFrame, docs: DataFrame,
     out = sentences.join(mean_w, ['doc_id', 'sen_id'])
     base = F.col('tfidf_weight')
     if topic_theta != 0.0:
-        prom = word_topic_prominence(docs, text_col, topic_col)
+        prom = (prominence if prominence is not None
+                else word_topic_prominence(docs, text_col, topic_col))
         pdec = F.col('prominence').cast('string').cast('decimal(38,18)')
         sen_topic = (sen_tok.join(prom, 'word', 'left')
                      .na.fill({'prominence': 0.0})
@@ -309,12 +325,13 @@ def summarize(sentences: DataFrame, docs: DataFrame,
               summary_length: int = 120, lead_3_weight: float = 1.2,
               text_col: str = 'text', id_col: str = 'doc_id',
               topic_theta: float = 0.0,
-              topic_col: str = 'source') -> DataFrame:
+              topic_col: str = 'source',
+              prominence: DataFrame | None = None) -> DataFrame:
     """Greedy MMR summary per doc (extract_summary.py:175-215): sentences
     sorted by weight, each penalized by max token-overlap vs already-picked,
     greedily added until the char budget, output in original order."""
     sw = sentence_weights(sentences, docs, lead_3_weight, text_col, id_col,
-                          topic_theta, topic_col)
+                          topic_theta, topic_col, prominence)
     schema = 'doc_id long, summary string'
 
     def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
