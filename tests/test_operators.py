@@ -385,3 +385,35 @@ def test_multimodal_header_literals():
         assert mm.parse_image_dimensions(b) == (w, h)
         assert len(b) == n_bytes
         assert hashlib.md5(b).hexdigest() == md5
+
+
+def test_winnow_hot_guard_paths_identical(spark):
+    """Adversarial boilerplate corpus (r4 verdict item 7): every doc
+    shares a boilerplate passage whose fingerprints are all hot.  The
+    broadcast anti-join and the shuffle fallback (forced via
+    hot_broadcast_limit=0) must produce identical pair sets, the capped
+    boilerplate must NOT pair up the unrelated docs, and a genuinely
+    rare shared passage must still be found."""
+    from jionlp_spark.operators.dedup import winnow_near_dups
+
+    boiler = ('subscribe to our newsletter terms of service '
+              'privacy policy all rights reserved ') * 3
+    rows = [(i, boiler + f'unique tail number {i} ' * 4)
+            for i in range(12)]
+    rare = ('a very specific shared passage that appears in exactly '
+            'two documents of this corpus')
+    rows += [(100, rare + ' alpha ending'), (101, rare + ' beta ending')]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    kw = dict(min_shared=3, max_df=5, k=8, w=4)
+    bc = {(r['doc_a'], r['doc_b'], r['shared_fps'])
+          for r in winnow_near_dups(docs, hot_broadcast_limit=None,
+                                    **kw).collect()}
+    sh = {(r['doc_a'], r['doc_b'], r['shared_fps'])
+          for r in winnow_near_dups(docs, hot_broadcast_limit=0,
+                                    **kw).collect()}
+    assert bc == sh
+    pairs = {(a, b) for a, b, _ in bc}
+    assert (100, 101) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs), \
+        'boilerplate-only overlap should be capped out'
