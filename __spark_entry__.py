@@ -941,34 +941,50 @@ def _work_dir(prefix: str, sf_dir: str) -> str:
 
 
 def q_catalog_roundtrip(spark, sf_dir):
-    """Manifest catalog under the gate (sources/catalog.py): run_stage
-    publishes a stage table atomically with a lineage manifest, and the
-    second run_stage call RESUMES from the manifest — proven here by
-    passing a build callable that would raise if invoked.  Emits the data
-    alongside manifest facts."""
+    """Manifest catalog under the gate (sources/catalog.py): TWO
+    run_stage publishes (the second with a changed input fingerprint, so
+    it rebuilds and retires snapshot 1 into the snapshot store), a
+    resume proof (third call passes a build callable that would raise if
+    invoked — resume also validates the 2-deep lineage chain), and a
+    TIME-TRAVEL read of snapshot 1 joined against the current snapshot.
+    Emits data from both snapshots alongside manifest facts."""
     from jionlp_spark.sources import catalog
     _ensure_shipped(spark)
     base = _work_dir('jionlp_catalog', sf_dir)
     path = f'{base}/lang_counts'
-    fp = f'documents@{sf_dir}'
 
-    def build():
+    def build_full():
         return (_docs(spark, sf_dir).groupBy('lang')
                 .agg(F.count('*').alias('n_docs')))
+
+    def build_even():
+        return (_docs(spark, sf_dir).filter(F.col('doc_id') % 2 == 0)
+                .groupBy('lang').agg(F.count('*').alias('n_docs')))
 
     def must_not_run():
         raise AssertionError('resume failed — stage recomputed')
 
-    catalog.run_stage(spark, path, 'lang_counts', build,
-                      input_fingerprint=fp)
+    catalog.run_stage(spark, path, 'lang_counts', build_full,
+                      input_fingerprint=f'documents@{sf_dir}')
+    catalog.run_stage(spark, path, 'lang_counts', build_even,
+                      input_fingerprint=f'documents-even@{sf_dir}')
     df = catalog.run_stage(spark, path, 'lang_counts', must_not_run,
-                           input_fingerprint=fp)
+                           input_fingerprint=f'documents-even@{sf_dir}')
     manifest = catalog.read_manifest(path)
-    return df.select(
-        'lang', F.col('n_docs').cast('long').alias('n_docs'),
-        F.lit(manifest['rows']).cast('long').alias('manifest_rows'),
-        F.lit(manifest['stage']).alias('stage'),
-        F.lit(len(manifest['files'])> 0).alias('has_lineage'))
+    snaps = catalog.validate_lineage(path)
+    snap1 = catalog.read_snapshot(spark, path, 1).select(
+        'lang', F.col('n_docs').alias('snap1_n_docs'))
+    return (df.join(snap1, 'lang')
+            .select('lang',
+                    F.col('n_docs').cast('long').alias('n_docs'),
+                    F.col('snap1_n_docs').cast('long').alias('snap1_n_docs'),
+                    F.lit(manifest['current_snapshot_id']).cast('int')
+                    .alias('snapshot_id'),
+                    F.lit(manifest['parent_snapshot_id']).cast('int')
+                    .alias('parent_id'),
+                    F.lit(len(snaps)).cast('int').alias('n_snapshots'),
+                    F.lit(manifest['stage']).alias('stage'),
+                    F.lit(len(manifest['files']) > 0).alias('has_lineage')))
 
 
 def q_quality_keyword_filter(spark, sf_dir):
@@ -2670,12 +2686,19 @@ def oracle_sql() -> dict[str, str]:
                    cast(tp as bigint) as tp, cast(3 as bigint) as n_gold,
                    cast(n_pred as bigint) as n_pred
             from pr""",
+        # current snapshot = even-doc_id counts; snapshot 1 (time-travel)
+        # = full counts; inner join drops langs with no even docs
         'catalog_roundtrip': """
-            select lang, count(*) as n_docs,
-                   (select count(distinct lang) from documents)
-                       as manifest_rows,
+            select lang,
+                   cast(count(*) filter (where doc_id % 2 = 0) as bigint)
+                       as n_docs,
+                   cast(count(*) as bigint) as snap1_n_docs,
+                   cast(2 as int) as snapshot_id,
+                   cast(1 as int) as parent_id,
+                   cast(2 as int) as n_snapshots,
                    'lang_counts' as stage, true as has_lineage
-            from documents group by lang""",
+            from documents group by lang
+            having count(*) filter (where doc_id % 2 = 0) > 0""",
         # one mention of each of 9 types per doc → uniform distribution in
         # every split: pct == p_w exactly (correctly-rounded 1/9 both
         # sides), so KL is exactly 0.0

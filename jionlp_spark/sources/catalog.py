@@ -1,16 +1,25 @@
-"""Iceberg-style table layer over Parquet with lineage manifests and
-checkpoint-resumable stage boundaries (north_rule requirement).
+"""Iceberg-style table layer over Parquet with lineage manifests,
+snapshot history, and checkpoint-resumable stage boundaries (north_rule
+requirement).
 
 No Iceberg runtime jar ships in this sandbox, so the catalog degrades to
-partitioned Parquet + a ``_manifest.json`` snapshot per table: row count,
-schema, per-file lineage (name, bytes), input fingerprint, and the stage
-name.  The layout (table dir + manifest + partition spec) is Iceberg-shaped
-so a real cluster can swap in a real catalog without touching the stages.
+partitioned Parquet + a ``_manifest.json`` per table: row count, schema,
+per-file lineage (name, bytes), input fingerprint, stage name, and a
+``snapshots`` list recording every publish (id, parent, rows,
+fingerprint) — the Iceberg metadata shape, so a real cluster can swap in
+a real catalog without touching the stages.
 
-``run_stage`` is the resume point: if a stage's manifest is present and its
-input fingerprint matches, the stage is skipped and its output read back;
-otherwise it is (re)computed and atomically published (write to tmp dir →
-rename).
+Layout: the CURRENT snapshot's data files sit at the table root (so
+``spark.read.parquet(path)`` keeps working); retired snapshots keep
+their full file sets under ``path/_snapshots/snap-<id>/`` — the leading
+underscore makes Spark's parquet reader skip them when scanning the
+root.  ``read_snapshot`` time-travels to any retained id.
+
+``run_stage`` is the resume point: if a stage's manifest is present, its
+input fingerprint matches, and the snapshot lineage validates, the stage
+is skipped and its output read back; otherwise it is (re)computed and
+atomically published (write to tmp dir → rename — the manifest inside
+the renamed dir is the commit point, like Iceberg's metadata swap).
 """
 
 from __future__ import annotations
@@ -22,11 +31,15 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = '_manifest.json'
+SNAPSHOT_DIR = '_snapshots'
 
 
 def _file_lineage(path: str) -> list:
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune metadata dirs (the snapshot store lives under '_snapshots';
+        # lineage lists the CURRENT snapshot's data files only)
+        dirs[:] = [d for d in dirs if not d.startswith(('_', '.'))]
         for fn in sorted(files):
             if fn.endswith('.parquet'):
                 fp = os.path.join(root, fn)
@@ -35,9 +48,28 @@ def _file_lineage(path: str) -> list:
     return out
 
 
+def _snapshot_entry(manifest: dict) -> dict:
+    """History entry for a manifest (synthesizes one for format_version 1
+    manifests written before snapshot history existed)."""
+    return {
+        'id': manifest.get('current_snapshot_id', 1),
+        'parent': manifest.get('parent_snapshot_id'),
+        'rows': manifest['rows'],
+        'stage': manifest['stage'],
+        'input_fingerprint': manifest.get('input_fingerprint'),
+    }
+
+
 def write_manifest(path: str, stage: str, rows: int, schema_json: str,
                    input_fingerprint: str | None = None,
-                   metrics: dict | None = None) -> dict:
+                   metrics: dict | None = None,
+                   snapshot_id: int = 1,
+                   history: list | None = None) -> dict:
+    """``history`` is the prior snapshots list (oldest first, NOT
+    including this publish); this publish is appended with
+    parent = last retained id."""
+    history = list(history or [])
+    parent = history[-1]['id'] if history else None
     manifest = {
         'stage': stage,
         'rows': rows,
@@ -45,7 +77,13 @@ def write_manifest(path: str, stage: str, rows: int, schema_json: str,
         'input_fingerprint': input_fingerprint,
         'files': _file_lineage(path),
         'metrics': metrics or {},
-        'format_version': 1,
+        'current_snapshot_id': snapshot_id,
+        'parent_snapshot_id': parent,
+        'snapshots': history + [{
+            'id': snapshot_id, 'parent': parent, 'rows': rows,
+            'stage': stage, 'input_fingerprint': input_fingerprint,
+        }],
+        'format_version': 2,
     }
     with open(os.path.join(path, MANIFEST), 'w', encoding='utf-8') as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
@@ -60,6 +98,76 @@ def read_manifest(path: str) -> dict | None:
         return json.load(f)
 
 
+def validate_lineage(path: str) -> list:
+    """Check the snapshot chain: ids strictly increasing, each parent is
+    the previous id, the current snapshot is the last entry, and every
+    retained (non-expired, non-current) snapshot's directory exists.
+    → the snapshots list; raises ValueError on inconsistency."""
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(f'no manifest at {path}')
+    snaps = m.get('snapshots')
+    if not snaps:  # format_version 1 — single implicit snapshot
+        return [_snapshot_entry(m)]
+    prev_id = None
+    for s in snaps:
+        if s['parent'] != prev_id:
+            raise ValueError(
+                f"snapshot {s['id']} parent {s['parent']!r} != {prev_id!r}")
+        if prev_id is not None and s['id'] <= prev_id:
+            raise ValueError(f"snapshot ids not increasing at {s['id']}")
+        prev_id = s['id']
+    cur = m.get('current_snapshot_id')
+    if cur != snaps[-1]['id']:
+        raise ValueError(f'current id {cur} is not the last snapshot')
+    for s in snaps[:-1]:
+        if s.get('expired'):
+            continue
+        d = os.path.join(path, SNAPSHOT_DIR, f"snap-{s['id']}")
+        if not os.path.isdir(d):
+            raise ValueError(f"retained snapshot {s['id']} missing at {d}")
+    return snaps
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  snapshot_id: int) -> DataFrame:
+    """Time-travel read: the current snapshot reads from the table root,
+    retained prior snapshots from the snapshot store."""
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(f'no manifest at {path}')
+    snaps = {s['id']: s for s in m.get('snapshots', [_snapshot_entry(m)])}
+    if snapshot_id not in snaps:
+        raise ValueError(f'unknown snapshot {snapshot_id} '
+                         f'(have {sorted(snaps)})')
+    if snaps[snapshot_id].get('expired'):
+        raise ValueError(f'snapshot {snapshot_id} is expired')
+    if snapshot_id == m.get('current_snapshot_id', 1):
+        return spark.read.parquet(path)
+    return spark.read.parquet(
+        os.path.join(path, SNAPSHOT_DIR, f'snap-{snapshot_id}'))
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> list:
+    """Drop the file sets of all but the last ``keep_last`` retired
+    snapshots (the current one always stays).  History entries remain in
+    the manifest, flagged ``expired`` — the lineage record survives, the
+    storage does not (Iceberg expire_snapshots semantics).  → expired ids."""
+    m = read_manifest(path)
+    if m is None or 'snapshots' not in m:
+        return []
+    retired = m['snapshots'][:-1]
+    to_expire = [s for s in retired if not s.get('expired')]
+    to_expire = to_expire[:max(len(to_expire) - keep_last, 0)]
+    for s in to_expire:
+        shutil.rmtree(os.path.join(path, SNAPSHOT_DIR, f"snap-{s['id']}"),
+                      ignore_errors=True)
+        s['expired'] = True
+    with open(os.path.join(path, MANIFEST), 'w', encoding='utf-8') as f:
+        json.dump(m, f, ensure_ascii=False, indent=1)
+    return [s['id'] for s in to_expire]
+
+
 def is_complete(path: str, input_fingerprint: str | None = None) -> bool:
     m = read_manifest(path)
     if m is None:
@@ -67,6 +175,10 @@ def is_complete(path: str, input_fingerprint: str | None = None) -> bool:
     if input_fingerprint is not None and \
             m.get('input_fingerprint') != input_fingerprint:
         return False
+    try:
+        validate_lineage(path)
+    except ValueError:
+        return False  # broken lineage → recompute rather than trust it
     return True
 
 
@@ -76,9 +188,11 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
               resume: bool = True) -> DataFrame:
     """Execute (or resume) one checkpointed stage.
 
-    ``build`` is a zero-arg callable returning the stage's output DataFrame.
-    Publication is atomic: compute into ``path + '.tmp'``, then rename.
-    """
+    ``build`` is a zero-arg callable returning the stage's output
+    DataFrame.  Publication is atomic: compute into ``path + '.tmp'``,
+    move the prior snapshot store + the prior current files into the tmp
+    dir's ``_snapshots/``, then rename — a crash at any point leaves
+    either the old table or the new one, never a mix."""
     if resume and is_complete(path, input_fingerprint):
         return spark.read.parquet(path)
 
@@ -93,7 +207,29 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
 
     out = spark.read.parquet(tmp)
     rows = out.count()
-    write_manifest(tmp, stage, rows, out.schema.json(), input_fingerprint)
+
+    prev = read_manifest(path)
+    history: list = []
+    snapshot_id = 1
+    if prev is not None:
+        history = prev.get('snapshots', [_snapshot_entry(prev)])
+        prev_id = prev.get('current_snapshot_id', 1)
+        snapshot_id = prev_id + 1
+        # carry the snapshot store forward, then retire the outgoing
+        # current files into it (renames, no data copies)
+        store = os.path.join(tmp, SNAPSHOT_DIR)
+        old_store = os.path.join(path, SNAPSHOT_DIR)
+        if os.path.exists(old_store):
+            os.rename(old_store, store)
+        retire = os.path.join(store, f'snap-{prev_id}')
+        os.makedirs(retire, exist_ok=True)
+        for entry in os.listdir(path):
+            if entry != MANIFEST:
+                os.rename(os.path.join(path, entry),
+                          os.path.join(retire, entry))
+
+    write_manifest(tmp, stage, rows, out.schema.json(), input_fingerprint,
+                   snapshot_id=snapshot_id, history=history)
 
     if os.path.exists(path):
         shutil.rmtree(path)
