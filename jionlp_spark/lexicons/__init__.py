@@ -368,6 +368,23 @@ def location_ner_words(dict_dir: str | None = None) -> list:
     return sorted(words)
 
 
+def world_ner_words(dict_dir: str | None = None) -> list:
+    """Dictionary for a world-location LexiconNER stage: country names and
+    capitals from the world map (≥2 chars).  Kept SEPARATE from
+    location_ner_words — the shared mention-sweep trie stays china-only
+    (its outputs are pinned by oracle literals); build a combined trie
+    when feeding recognize_location_full, or foreign candidates never
+    surface (see tests/test_locrec.py::test_pos_boundary_candidate_coverage
+    for measured coverage)."""
+    names: set = set()
+    for cont in load_world_locations(dict_dir).values():
+        for country, info in cont.items():
+            names.add(country)
+            if info.get('capital'):
+                names.add(info['capital'])
+    return sorted(n for n in names if len(n) >= 2)
+
+
 def load_location_changes(dict_dir: str | None = None) -> list:
     """Old→new renames since 2018 (china_location_change.txt,
     dictionary_loader.py:173-214) → [{'old': (prov,city,county),

@@ -116,3 +116,62 @@ def test_recognizer_fuzz_parity(jio, mine_full):
         sys.modules['jiojio'].cut = \
             lambda _t, _w=words: [(w, 'ns') for w in _w]
         assert ref('x') == mine_full(words), words
+
+
+def test_pos_boundary_candidate_coverage():
+    """Quantify the jiojio-POS injected boundary (r4 verdict item 4).
+
+    The reference generates recognizer candidates from jiojio's ns POS
+    tags (gadget/location_recognizer.py:386-387); this repo feeds
+    lexicon-NER mention surfaces.  The jiojio model cannot run here, so
+    the honest measurable is CANDIDATE COVERAGE over the recognizer's own
+    admin maps — the only words whose candidacy affects the
+    domestic/foreign outputs (non-admin ns words land in the `others`
+    bucket in the reference and nowhere else):
+
+    - china admin names + aliases via the production china trie:
+      1138/1140 = 0.998 recall (both misses are FMM leftmost-longest
+      shadowing by the carrier text — '从'+'化隆' matches '从化' first —
+      the same greediness the reference's own LexiconNER has);
+    - world countries/capitals via the china-only trie: ~0 — feeding the
+      full recognizer requires the combined china+world trie
+      (lexicons.world_ner_words), which scores 385/385 = 1.0;
+    - out-of-dictionary place words (长江, 中关村, ...): 0 recall —
+      documented `others`-bucket-only divergence;
+    - homograph probes (朝阳产业, 中山装, 吉林大学): spurious candidates
+      the POS tagger would filter — counted here as the precision cost.
+    """
+    from jionlp_spark import lexicons
+    from jionlp_spark.kernels.trie import build_trie
+
+    china = lexicons.location_ner_words()
+    world = lexicons.world_ner_words()
+    trie_cn = build_trie({'location': china})
+    trie_all = build_trie({'location': sorted(set(china) | set(world))})
+
+    def recall(names, trie):
+        hit = [nm for nm in names
+               if any(m['text'] == nm for m in trie.scan_fmm(
+                   f'记者昨日从{nm}返回并撰写了报道'))]
+        return hit
+
+    hit_cn = recall(china, trie_cn)
+    assert len(hit_cn) / len(china) >= 0.99
+    assert sorted(set(china) - set(hit_cn)) == ['化隆', '化隆回族自治县']
+
+    hit_world_cn = recall(world, trie_cn)
+    assert len(hit_world_cn) <= 5  # china-only trie can't drive foreign
+    hit_world = recall(world, trie_all)
+    assert len(hit_world) == len(world)
+
+    oov = ['长江', '黄河', '泰山', '珠穆朗玛峰', '太平洋', '中关村',
+           '解放碑', '外滩', '天安门', '陆家嘴', '黄浦江', '华山']
+    oov = [w for w in oov if w not in set(china) | set(world)]
+    assert len(oov) >= 10
+    assert recall(oov, trie_all) == []  # others-bucket-only divergence
+
+    probes = ['这是一个朝阳产业发展的好时机', '他穿着一身中山装出席了会议',
+              '吉林大学的学者发表了论文', '这家公司的前景如日中天',
+              '会议讨论了经济发展问题', '他们在讨论新的技术方案']
+    fp = sum(len(trie_all.scan_fmm(s)) for s in probes)
+    assert fp <= len(probes)  # bounded homograph noise, vote-dampened
