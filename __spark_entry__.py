@@ -829,19 +829,25 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
-    """MinHash signatures (4 md5-salted permutations over the token set) —
-    the LSH pre-stage; md5 keeps Spark and DuckDB bit-identical."""
+    """MinHash signatures (4 md5-salted permutations over the 3-gram
+    shingle set) — the LSH pre-stage; md5 keeps Spark and DuckDB
+    bit-identical.  3-gram shingles (the operator default), NOT unigrams:
+    on a bounded vocabulary unigram minima are dominated by globally
+    common tokens, signatures collide corpus-wide, and LSH candidate
+    volume goes quadratic (measured: 6M pairs from 5k docs at n=1 vs a
+    bounded candidate set at n=3 — scripts/dedup_scale_bench.py)."""
     from jionlp_spark.operators.dedup import minhash_signatures, shingles
-    sh = shingles(_docs(spark, sf_dir), n=1)
+    sh = shingles(_docs(spark, sf_dir), n=3)
     return minhash_signatures(sh, num_hashes=4)
 
 
 def q_dedup_lsh_pairs(spark, sf_dir):
     """Full MinHash+LSH candidate generation: 16 hashes, 4 bands, bucket
-    join — the scale path for near-dup dedup."""
+    join over 3-gram shingles — the scale path for near-dup dedup (see
+    q_dedup_minhash_sig for why not unigrams)."""
     from jionlp_spark.operators.dedup import (lsh_candidate_pairs,
                                               minhash_signatures, shingles)
-    sh = shingles(_docs(spark, sf_dir), n=1)
+    sh = shingles(_docs(spark, sf_dir), n=3)
     sigs = minhash_signatures(sh, num_hashes=16)
     return lsh_candidate_pairs(sigs, bands=4).select(
         F.col('doc_a').cast('long'), F.col('doc_b').cast('long'))
@@ -2304,68 +2310,15 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (r3 sampled the first 50
-    # of 71).  Front-load the entries that most need a green DRIVER row
-    # (r3 verdict item 1): (a) new this round, (b) never driver-sampled
-    # in r3 (their last driver row is r2 or none), (c) changed this round
-    # (arrow cosine verify, split-hash mask, keyword column-API, catalog
-    # tmp dirs).  The tail entries were all green in the r3 driver run
-    # and are unchanged.
+    # Dict order is the driver's sampling order (first 50 of 79).  r4
+    # verdict item 1: rotate evidence so no query's driver row goes
+    # stale — (a) the 29 queries whose last driver row is r3 (two rounds
+    # old) come first, (b) then everything changed in r5 (catalog
+    # snapshots, topic-plan fusion, 3-gram LSH shingles, multimodal real
+    # dims, advisor guards), (c) then the freshest r4 proofs fill the
+    # sample; the tail is r4-green and unchanged.
     return {
-        # --- (a) new in r4 -------------------------------------------------
-        'kg_entity_counts_skew': q_kg_entity_counts_skew,
-        'keyphrase_topk_topic': q_keyphrase_topk_topic,
-        'summary_top_topic': q_summary_top_topic,
-        'streaming_state_bounded': q_streaming_state_bounded,
-        'textaug_homophone': q_textaug_homophone,
-        'textaug_backtrans': q_textaug_backtrans,
-        'mellm_scores': q_mellm_scores,
-        'kg_recognize_location_full': q_kg_recognize_location_full,
-        # --- (b) no r3 driver row ------------------------------------------
-        'events_daily': q_events_daily,
-        'tpch_pricing_summary': q_tpch_pricing_summary,
-        'tpch_top_orders': q_tpch_top_orders,
-        'streaming_dedup': q_streaming_dedup,
-        'streaming_window_counts': q_streaming_window_counts,
-        'multimodal_frames': q_multimodal_frames,
-        'kg_link_plate': q_kg_link_plate,
-        'kg_check_person': q_kg_check_person,
-        'norm_tra2sim': q_norm_tra2sim,
-        'norm_stopwords': q_norm_stopwords,
-        'norm_money_num2char': q_norm_money_num2char,
-        'norm_pinyin_radical': q_norm_pinyin_radical,
-        'sentiment_score': q_sentiment_score,
-        'kg_mentions_bioes': q_kg_mentions_bioes,
-        'kg_location_town': q_kg_location_town,
-        'textaug_swap': q_textaug_swap,
-        'idiom_next': q_idiom_next,
-        'bpe_byte_codec': q_bpe_byte_codec,
-        'new_word_scores': q_new_word_scores,
-        'keyphrase_topk': q_keyphrase_topk,
-        'summary_top_sentence': q_summary_top_sentence,
-        # --- (c) changed in r4 ---------------------------------------------
-        'dedup_embedding_pairs': q_dedup_embedding_pairs,
-        'ann_cosine_topk': q_ann_cosine_topk,
-        'ann_ivf_topk': q_ann_ivf_topk,
-        'ann_lsh_topk': q_ann_lsh_topk,
-        'dataset_split_stats': q_dataset_split_stats,
-        'ner_dataset_stats': q_ner_dataset_stats,
-        'quality_keyword_filter': q_quality_keyword_filter,
-        'catalog_roundtrip': q_catalog_roundtrip,
-        # --- r3-green, unchanged -------------------------------------------
-        'kg_extract_phone': q_kg_extract_phone,
-        'kg_extract_idcard': q_kg_extract_idcard,
-        'kg_extract_email': q_kg_extract_email,
-        'kg_extract_url': q_kg_extract_url,
-        'kg_extract_wechat': q_kg_extract_wechat,
-        'kg_extract_qq': q_kg_extract_qq,
-        'kg_extract_ip': q_kg_extract_ip,
-        'kg_redact': q_kg_redact,
-        'kg_parentheses': q_kg_parentheses,
-        'kg_char_checks': q_kg_char_checks,
-        'norm_lunar_solar': q_norm_lunar_solar,
-        'cws_tags': q_cws_tags,
-        'kg_extract_money': q_kg_extract_money,
+        # --- (a) last driver row is r3 — refresh first ---------------------
         'kg_link_location': q_kg_link_location,
         'kg_extract_time': q_kg_extract_time,
         'kg_link_phone_geo': q_kg_link_phone_geo,
@@ -2395,7 +2348,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_score': q_quality_score,
         'sentence_split': q_sentence_split,
         'multimodal_features': q_multimodal_features,
+        # --- (b) changed in r5 ---------------------------------------------
+        'catalog_roundtrip': q_catalog_roundtrip,
+        'summary_top_sentence': q_summary_top_sentence,
+        'summary_top_topic': q_summary_top_topic,
+        'keyphrase_topk': q_keyphrase_topk,
+        'keyphrase_topk_topic': q_keyphrase_topk_topic,
+        'textaug_homophone': q_textaug_homophone,
+        'mellm_scores': q_mellm_scores,
+        'ann_cosine_topk': q_ann_cosine_topk,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_lsh_topk': q_ann_lsh_topk,
+        'dedup_embedding_pairs': q_dedup_embedding_pairs,
+        # --- (c) r4-green fillers (streaming + newest proofs) --------------
+        'streaming_dedup': q_streaming_dedup,
+        'streaming_window_counts': q_streaming_window_counts,
+        'streaming_state_bounded': q_streaming_state_bounded,
+        'kg_entity_counts_skew': q_kg_entity_counts_skew,
+        'kg_recognize_location_full': q_kg_recognize_location_full,
+        'textaug_backtrans': q_textaug_backtrans,
+        'events_daily': q_events_daily,
+        'tpch_pricing_summary': q_tpch_pricing_summary,
+        'tpch_top_orders': q_tpch_top_orders,
+        'multimodal_frames': q_multimodal_frames,
+        # --- r4-green, unchanged -------------------------------------------
+        'kg_link_plate': q_kg_link_plate,
+        'kg_check_person': q_kg_check_person,
+        'norm_tra2sim': q_norm_tra2sim,
+        'norm_stopwords': q_norm_stopwords,
+        'norm_money_num2char': q_norm_money_num2char,
+        'norm_pinyin_radical': q_norm_pinyin_radical,
+        'sentiment_score': q_sentiment_score,
+        'kg_mentions_bioes': q_kg_mentions_bioes,
+        'kg_location_town': q_kg_location_town,
+        'textaug_swap': q_textaug_swap,
+        'idiom_next': q_idiom_next,
+        'bpe_byte_codec': q_bpe_byte_codec,
+        'new_word_scores': q_new_word_scores,
+        'dataset_split_stats': q_dataset_split_stats,
+        'ner_dataset_stats': q_ner_dataset_stats,
+        'quality_keyword_filter': q_quality_keyword_filter,
+        'kg_extract_phone': q_kg_extract_phone,
+        'kg_extract_idcard': q_kg_extract_idcard,
+        'kg_extract_email': q_kg_extract_email,
+        'kg_extract_url': q_kg_extract_url,
+        'kg_extract_wechat': q_kg_extract_wechat,
+        'kg_extract_qq': q_kg_extract_qq,
+        'kg_extract_ip': q_kg_extract_ip,
+        'kg_redact': q_kg_redact,
+        'kg_parentheses': q_kg_parentheses,
+        'kg_char_checks': q_kg_char_checks,
+        'norm_lunar_solar': q_norm_lunar_solar,
+        'cws_tags': q_cws_tags,
+        'kg_extract_money': q_kg_extract_money,
     }
+
+
+# word 3-gram shingle set per doc (mirrors operators/dedup.shingles n=3):
+# DuckDB list slice w[i:i+2] is 1-based inclusive (3 elements) and clamps
+# at the tail, exactly like Spark's slice(toks, i, 3)
+_SHINGLE3_SQL = """select doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' ')))) as t
+            from (select doc_id, string_split(text, ' ') w
+                  from documents)"""
 
 
 # shared source-as-topic prominence CTEs (keyphrase_topk_topic and
@@ -2798,15 +2814,16 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as keep_doc_id
             from documents group by md5(text) having count(*) > 1""",
         # one md5 per shingle sliced into four 32-bit hashes (mirrors the
-        # Spark kernel's md5-slice scheme)
-        'dedup_minhash_sig': """
+        # Spark kernel's md5-slice scheme); 3-gram shingles — w[i:i+2] is
+        # DuckDB's 1-based inclusive slice = 3 elements, clamped at the
+        # tail exactly like Spark's slice(toks, i, 3)
+        'dedup_minhash_sig': f"""
             select doc_id,
                    min(substr(md5(concat('0', t)), 1, 8)) as mh0,
                    min(substr(md5(concat('0', t)), 9, 8)) as mh1,
                    min(substr(md5(concat('0', t)), 17, 8)) as mh2,
                    min(substr(md5(concat('0', t)), 25, 8)) as mh3
-            from (select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
-                  from documents)
+            from ({_SHINGLE3_SQL})
             group by doc_id""",
         'dedup_jaccard_pairs': """
             with d as (select doc_id, list_distinct(string_split(text, ' ')) toks
@@ -2817,9 +2834,8 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.doc_id < b.doc_id
             where round(len(list_intersect(a.toks, b.toks))::double
                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.6""",
-        'dedup_lsh_pairs': """
-            with toks as (select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
-                          from documents),
+        'dedup_lsh_pairs': f"""
+            with toks as ({_SHINGLE3_SQL}),
             sigs as (select doc_id,
                        min(substr(md5(concat('0', t)), 1, 8)) mh0,
                        min(substr(md5(concat('0', t)), 9, 8)) mh1,

@@ -295,7 +295,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
                         n_centroids: int = 8, probes: int = 2,
                         vec_col: str = 'embedding',
                         id_col: str = 'vec_id',
-                        use_arrow: bool = True) -> DataFrame:
+                        use_arrow: bool = True,
+                        assign_impl: str = 'expr') -> DataFrame:
     """Embedding-cosine near-dup pairs: IVF-bucketed candidate generation
     (hash-seeded centroids, top-`probes` buckets per vector) + exact cosine
     verify within buckets.  The all-pairs O(N²) scan becomes a
@@ -317,7 +318,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
     from jionlp_spark.operators.ann import _cosine_pre, ivf_assign
 
     assigned, _ = ivf_assign(emb, n_centroids=n_centroids, probes=probes,
-                             vec_col=vec_col, id_col=id_col)
+                             vec_col=vec_col, id_col=id_col,
+                             impl=assign_impl)
     assigned = assigned.persist()  # caller-owned (see lsh note)
     if use_arrow:
         pairs = _bucket_pairs_grouped(assigned, threshold, vec_col, id_col)

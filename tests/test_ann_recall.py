@@ -69,3 +69,21 @@ def test_arrow_cosine_zero_dim_guard(spark):
     row = df.select(cos(F.col('a'), F.col('b'), F.col('na'),
                         F.col('nb')).alias('c')).collect()[0]
     assert row['c'] == 0.0
+
+
+def test_arrow_assign_identical_to_expression(spark):
+    """The vectorized coarse-assignment kernel (impl='arrow') must emit
+    the same (vec_id, bucket, _nrm) rows as the expression crossJoin —
+    same sequential-dim fold, HALF_UP rounding, (sim desc, centroid_id)
+    tie-break."""
+    from jionlp_spark.operators.ann import ivf_assign, kmeans_centroids
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    for probes in (1, 2):
+        a, _ = ivf_assign(emb, centroids=cents, probes=probes, impl='expr')
+        b, _ = ivf_assign(emb, centroids=cents, probes=probes, impl='arrow')
+        ra = sorted((r['vec_id'], r['bucket'], r['_nrm'])
+                    for r in a.collect())
+        rb = sorted((r['vec_id'], r['bucket'], r['_nrm'])
+                    for r in b.collect())
+        assert ra == rb and len(ra) > 0
