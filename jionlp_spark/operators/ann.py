@@ -115,7 +115,9 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
                      vec_col: str = 'embedding',
-                     id_col: str = 'vec_id') -> DataFrame:
+                     id_col: str = 'vec_id',
+                     train_cap: int | None = None,
+                     impl: str = 'expr') -> DataFrame:
     """Deterministic Lloyd k-means over cosine assignment.
 
     Init = the k vectors with the smallest md5(vec_id) (a deterministic
@@ -128,18 +130,38 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
     Scale shape per iteration: one broadcast crossJoin (N·k row expressions,
     whole-stage codegen), one shuffle keyed (bucket, dim) with partial aggs.
     Returns (centroid_id, centroid array<double>).
+
+    ``train_cap``: train on a deterministic md5 subsample of ~train_cap
+    vectors when N exceeds it — the standard IVF practice (FAISS trains
+    coarse quantizers on bounded samples); with k ∝ N, full-corpus
+    training is O(N²) wall while a bounded sample loses almost nothing
+    (centroid quality needs ~10²-10³ points per centroid, not N/k).
+    Opt-in (None = train on everything): the cap adds one count() job
+    and changes centroid VALUES, so oracle-gated paths leave it unset.
+    ``impl='arrow'`` vectorizes the training assign pass (see _assign).
     """
+    train = emb
+    if train_cap is not None:
+        n = emb.count()
+        if n > train_cap:
+            # engine-portable deterministic sample: keep ids whose md5
+            # prefix falls under the keep-fraction threshold
+            thresh = int(train_cap / n * 16 ** 8)
+            train = emb.filter(
+                F.conv(F.substring(F.md5(F.col(id_col).cast('string')),
+                                   1, 8), 16, 10)
+                .cast('long') < F.lit(thresh))
     # localCheckpoint each ROUND RESULT: centroids are k tiny rows but
     # their lineage spans the whole corpus — every downstream use (index
     # assign, query assign, next iteration) would otherwise recompute it.
     # The seed stage is checkpointed only when it IS the result (iters=0);
     # inside the loop its lineage runs once per iteration anyway.
-    centroids = _hash_seed_centroids(emb, k, vec_col, id_col)
+    centroids = _hash_seed_centroids(train, k, vec_col, id_col)
     if iters == 0:
         return centroids.localCheckpoint()
     for _ in range(iters):
-        assigned = _assign(emb, centroids, probes=1, vec_col=vec_col,
-                           id_col=id_col)
+        assigned = _assign(train, centroids, probes=1, vec_col=vec_col,
+                           id_col=id_col, impl=impl)
         dim = (assigned
                .select('bucket', F.posexplode(
                    F.expr(f'transform({vec_col}, x -> cast(x as double))'))

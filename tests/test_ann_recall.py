@@ -87,3 +87,23 @@ def test_arrow_assign_identical_to_expression(spark):
         rb = sorted((r['vec_id'], r['bucket'], r['_nrm'])
                     for r in b.collect())
         assert ra == rb and len(ra) > 0
+
+
+def test_kmeans_train_cap(spark):
+    """train_cap=None and train_cap>N produce identical centroids; a
+    binding cap trains on the md5 subsample and still yields k usable
+    centroids that assign every vector."""
+    from jionlp_spark.operators.ann import ivf_assign, kmeans_centroids
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    full = sorted(map(tuple, kmeans_centroids(emb, k=4, iters=1).collect()))
+    uncapped = sorted(map(tuple, kmeans_centroids(
+        emb, k=4, iters=1, train_cap=10 ** 9).collect()))
+    assert full == uncapped
+    capped = kmeans_centroids(emb, k=4, iters=1, train_cap=100)
+    assert capped.count() == 4
+    assigned, _ = ivf_assign(emb, centroids=capped)
+    assert assigned.count() == emb.count()
+    # deterministic: same cap → same centroids
+    capped2 = kmeans_centroids(emb, k=4, iters=1, train_cap=100)
+    assert sorted(map(tuple, capped.collect())) == \
+        sorted(map(tuple, capped2.collect()))
