@@ -853,6 +853,25 @@ def q_dedup_lsh_pairs(spark, sf_dir):
         F.col('doc_a').cast('long'), F.col('doc_b').cast('long'))
 
 
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Near-dup CLUSTERS from the LSH candidate pairs: min-label
+    propagation connected components (operators/dedup.dedup_components —
+    transitively-linked docs collapse into one cluster even when never
+    directly paired), summarized as one row per cluster with the kept
+    doc (min id) and dropped count — the keep-list a training-data
+    pipeline applies after pair generation.  Oracle: the same LSH pairs
+    + a recursive-CTE min-label reachability in DuckDB."""
+    from jionlp_spark.operators.dedup import (dedup_keep_list,
+                                              lsh_candidate_pairs,
+                                              minhash_signatures, shingles)
+    sh = shingles(_docs(spark, sf_dir), n=3)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, num_hashes=16),
+                                bands=4)
+    return dedup_keep_list(pairs).select(
+        F.col('cluster').cast('long').alias('cluster'),
+        'cluster_size', 'keep_doc_id', 'dropped')
+
+
 def q_doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (k=8-gram rolling hashes, w=4 window,
     rightmost-min rule) — MOSS-style substring near-dup primitive."""
@@ -2348,7 +2367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_score': q_quality_score,
         'sentence_split': q_sentence_split,
         'multimodal_features': q_multimodal_features,
-        # --- (b) changed in r5 ---------------------------------------------
+        # --- (b) new / changed in r5 ---------------------------------------
+        'dedup_cluster_keep': q_dedup_cluster_keep,
         'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
         'summary_top_topic': q_summary_top_topic,
@@ -2412,6 +2432,42 @@ _SHINGLE3_SQL = """select doc_id, unnest(list_distinct(
                                i -> array_to_string(w[i:i+2], ' ')))) as t
             from (select doc_id, string_split(text, ' ') w
                   from documents)"""
+
+# full MinHash+LSH candidate-pair statement (16 md5-slice hashes, 4
+# bands) over the 3-gram shingles — used verbatim by the dedup_lsh_pairs
+# oracle and embedded as a CTE body by dedup_cluster_keep's
+# connected-components oracle
+_LSH_PAIRS_SQL = f"""
+            with toks as ({_SHINGLE3_SQL}),
+            sigs as (select doc_id,
+                       min(substr(md5(concat('0', t)), 1, 8)) mh0,
+                       min(substr(md5(concat('0', t)), 9, 8)) mh1,
+                       min(substr(md5(concat('0', t)), 17, 8)) mh2,
+                       min(substr(md5(concat('0', t)), 25, 8)) mh3,
+                       min(substr(md5(concat('1', t)), 1, 8)) mh4,
+                       min(substr(md5(concat('1', t)), 9, 8)) mh5,
+                       min(substr(md5(concat('1', t)), 17, 8)) mh6,
+                       min(substr(md5(concat('1', t)), 25, 8)) mh7,
+                       min(substr(md5(concat('2', t)), 1, 8)) mh8,
+                       min(substr(md5(concat('2', t)), 9, 8)) mh9,
+                       min(substr(md5(concat('2', t)), 17, 8)) mh10,
+                       min(substr(md5(concat('2', t)), 25, 8)) mh11,
+                       min(substr(md5(concat('3', t)), 1, 8)) mh12,
+                       min(substr(md5(concat('3', t)), 9, 8)) mh13,
+                       min(substr(md5(concat('3', t)), 17, 8)) mh14,
+                       min(substr(md5(concat('3', t)), 25, 8)) mh15
+                     from toks group by doc_id),
+            bands as (
+              select doc_id, 0 band_id, md5(concat(mh0, mh1, mh2, mh3)) band_hash from sigs
+              union all
+              select doc_id, 1, md5(concat(mh4, mh5, mh6, mh7)) from sigs
+              union all
+              select doc_id, 2, md5(concat(mh8, mh9, mh10, mh11)) from sigs
+              union all
+              select doc_id, 3, md5(concat(mh12, mh13, mh14, mh15)) from sigs)
+            select distinct a.doc_id doc_a, b.doc_id doc_b
+            from bands a join bands b using (band_id, band_hash)
+            where a.doc_id < b.doc_id"""
 
 
 # shared source-as-topic prominence CTEs (keyphrase_topk_topic and
@@ -2834,37 +2890,25 @@ def oracle_sql() -> dict[str, str]:
             from d a join d b on a.doc_id < b.doc_id
             where round(len(list_intersect(a.toks, b.toks))::double
                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.6""",
-        'dedup_lsh_pairs': f"""
-            with toks as ({_SHINGLE3_SQL}),
-            sigs as (select doc_id,
-                       min(substr(md5(concat('0', t)), 1, 8)) mh0,
-                       min(substr(md5(concat('0', t)), 9, 8)) mh1,
-                       min(substr(md5(concat('0', t)), 17, 8)) mh2,
-                       min(substr(md5(concat('0', t)), 25, 8)) mh3,
-                       min(substr(md5(concat('1', t)), 1, 8)) mh4,
-                       min(substr(md5(concat('1', t)), 9, 8)) mh5,
-                       min(substr(md5(concat('1', t)), 17, 8)) mh6,
-                       min(substr(md5(concat('1', t)), 25, 8)) mh7,
-                       min(substr(md5(concat('2', t)), 1, 8)) mh8,
-                       min(substr(md5(concat('2', t)), 9, 8)) mh9,
-                       min(substr(md5(concat('2', t)), 17, 8)) mh10,
-                       min(substr(md5(concat('2', t)), 25, 8)) mh11,
-                       min(substr(md5(concat('3', t)), 1, 8)) mh12,
-                       min(substr(md5(concat('3', t)), 9, 8)) mh13,
-                       min(substr(md5(concat('3', t)), 17, 8)) mh14,
-                       min(substr(md5(concat('3', t)), 25, 8)) mh15
-                     from toks group by doc_id),
-            bands as (
-              select doc_id, 0 band_id, md5(concat(mh0, mh1, mh2, mh3)) band_hash from sigs
-              union all
-              select doc_id, 1, md5(concat(mh4, mh5, mh6, mh7)) from sigs
-              union all
-              select doc_id, 2, md5(concat(mh8, mh9, mh10, mh11)) from sigs
-              union all
-              select doc_id, 3, md5(concat(mh12, mh13, mh14, mh15)) from sigs)
-            select distinct a.doc_id doc_a, b.doc_id doc_b
-            from bands a join bands b using (band_id, band_hash)
-            where a.doc_id < b.doc_id""",
+        'dedup_lsh_pairs': _LSH_PAIRS_SQL,
+        # connected components by recursive min-label reachability: walk
+        # enumerates every (vertex, reachable-smaller-origin) pair over
+        # the undirected pair edges; min per vertex = the component label
+        # (UNION semantics deduplicate rows, so the recursion terminates)
+        'dedup_cluster_keep': f"""
+            with recursive pairs as ({_LSH_PAIRS_SQL}),
+            e as (select doc_a a, doc_b b from pairs
+                  union select doc_b, doc_a from pairs),
+            walk(v, lab) as (
+                select a, a from e
+                union
+                select e.b, w.lab from walk w join e on e.a = w.v),
+            comp as (select v, min(lab) lab from walk group by v)
+            select cast(lab as bigint) as "cluster",
+                   cast(count(*) as bigint) cluster_size,
+                   cast(min(v) as bigint) keep_doc_id,
+                   cast(count(*) - 1 as bigint) dropped
+            from comp group by lab""",
         # simhash reproduced bit-exactly: md5 hex → per-nibble bit extract →
         # per-bit majority vote → hugeint assembly → signed 64-bit; banding
         # and Hamming verify mirror the Spark plan

@@ -52,6 +52,8 @@ HEADLINE = [
     'kg_entity_counts_skew', 'keyphrase_topk_topic', 'summary_top_topic',
     'streaming_state_bounded', 'textaug_homophone', 'mellm_scores',
     'textaug_backtrans', 'kg_recognize_location_full',
+    # round 5 additions
+    'dedup_cluster_keep',
 ]
 
 
@@ -78,16 +80,12 @@ def main() -> None:
     # the first measured run paid their startup.
     run_pipeline(spark, generate_pages(spark, 2048))['triples'].count()
 
-    # best of 3 measured runs: this box is shared and neighbor load
-    # arrives in multi-minute waves (protocol in BENCH/PLANS.md — every
-    # r2→r3 per-query "regression" re-timed isolated dissolved as load);
-    # the min of three warm runs is the throughput the plan actually
-    # delivers.  All runs are reported in e2e_runs.
-    # Per-row load context (r4 verdict item 2): this box is shared and
-    # neighbor load arrives in multi-minute waves; recording the 1-min
-    # load average alongside every row lets a reader reject load>2 rows
-    # without re-running anything — the noise adjudication lives in the
-    # artifact itself.
+    # best-of-3 e2e / best-of-2 per query: this box is shared and
+    # neighbor load arrives in multi-minute waves (protocol in
+    # BENCH/PLANS.md); the min of the warm runs is the throughput the
+    # plan actually delivers.  Per-row load context (r4 verdict item 2):
+    # every row records its runs AND the 1-min load before each, so a
+    # reader rejects load-contaminated rows from the artifact alone.
     query_runs: dict = {}
     query_load: dict = {}
 

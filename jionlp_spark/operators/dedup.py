@@ -291,6 +291,66 @@ def winnow_near_dups(docs: DataFrame, min_shared: int = 12,
     )
 
 
+def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
+                     b_col: str = 'doc_b',
+                     max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs → per-doc
+    cluster labels — the step a training-data pipeline needs between
+    pair generation (LSH/simhash/winnow/embedding) and "keep one doc per
+    cluster": transitively-linked docs form ONE cluster even when not
+    directly paired.
+
+    Algorithm: min-label propagation — label(v) starts as v; each round
+    every vertex takes the min of its own and its neighbors' labels;
+    converges to the component-min id in O(component diameter) rounds
+    (near-dup clusters are dense, so diameter is small — typically 2-4
+    rounds).  Each round is one shuffle (union + groupBy-min) over the
+    label table, localCheckpoint'ed so lineage stays flat; termination
+    is the round's changed-count hitting zero, a cheap join on the
+    vertex-sized table.  At crawl scale with adversarial long chains,
+    swap in the large-star/small-star contraction (Kiveris et al. 2014,
+    O(log n) rounds) — same interface.
+
+    → (doc_id, cluster) where cluster = min doc_id of the component.
+    """
+    edges = pairs.select(F.col(a_col).alias('a'), F.col(b_col).alias('b'))
+    edges = (edges.union(edges.select(F.col('b').alias('a'),
+                                      F.col('a').alias('b')))
+             .distinct().persist())
+    labels = (edges.select(F.col('a').alias('v')).distinct()
+              .withColumn('label', F.col('v')).localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges['a'] == labels['v'])
+                 .select(F.col('b').alias('v'), 'label'))
+        new = (labels.select('v', 'label').union(neigh)
+               .groupBy('v').agg(F.min('label').alias('label'))
+               .localCheckpoint())
+        changed = (new.alias('n')
+                   .join(labels.alias('o'), 'v')
+                   .filter(F.col('n.label') != F.col('o.label')).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col('v').alias('doc_id'),
+                         F.col('label').alias('cluster'))
+
+
+def dedup_keep_list(pairs: DataFrame, a_col: str = 'doc_a',
+                    b_col: str = 'doc_b',
+                    max_iter: int = 20) -> DataFrame:
+    """Cluster summary over dedup_components: one row per near-dup
+    cluster with its size, the kept doc (min id — deterministic), and
+    the dropped count.  Docs in no pair are implicitly kept and don't
+    appear (joining this against the corpus as an anti-join on
+    non-keep members IS the dedup filter)."""
+    comp = dedup_components(pairs, a_col, b_col, max_iter)
+    return (comp.groupBy('cluster')
+            .agg(F.count('*').cast('long').alias('cluster_size'),
+                 F.min('doc_id').cast('long').alias('keep_doc_id'))
+            .withColumn('dropped',
+                        (F.col('cluster_size') - 1).cast('long')))
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
                         n_centroids: int = 8, probes: int = 2,
                         vec_col: str = 'embedding',

@@ -417,3 +417,24 @@ def test_winnow_hot_guard_paths_identical(spark):
     assert (100, 101) in pairs
     assert not any(a < 100 and b < 100 for a, b in pairs), \
         'boilerplate-only overlap should be capped out'
+
+
+def test_dedup_components_and_keep_list(spark):
+    """Min-label propagation: a chain merges transitively (a-b, b-c, c-d
+    → one cluster labeled by the min id) even though a/d never pair;
+    disjoint components stay separate; keep list picks the min doc."""
+    from jionlp_spark.operators.dedup import (dedup_components,
+                                              dedup_keep_list)
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 5), (5, 9),        # chain {3,5,7,9} → label 3
+         (20, 21),                      # pair {20,21} → label 20
+         (30, 31), (31, 30)],           # duplicate/reversed edges ok
+        'doc_a long, doc_b long')
+    comp = {r['doc_id']: r['cluster']
+            for r in dedup_components(pairs).collect()}
+    assert comp == {3: 3, 5: 3, 7: 3, 9: 3,
+                    20: 20, 21: 20, 30: 30, 31: 30}
+    keep = {r['cluster']: (r['cluster_size'], r['keep_doc_id'],
+                           r['dropped'])
+            for r in dedup_keep_list(pairs).collect()}
+    assert keep == {3: (4, 3, 3), 20: (2, 20, 1), 30: (2, 30, 1)}
