@@ -872,6 +872,38 @@ def q_dedup_cluster_keep(spark, sf_dir):
         'cluster_size', 'keep_doc_id', 'dropped')
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental batch dedup against a persistent snapshot index
+    (operators/dedup.incremental_lsh_dedup — the daily-crawl shape:
+    history is banded once, each new batch joins against it).  Batch 1 =
+    even docs, seeded as the index; batch 2 = odd docs with doc_id%10==1
+    taking its even predecessor's text (guaranteed cross-history dups)
+    plus the corpus's natural near-dups.  Emits (new_doc, dup_of) for
+    both dup classes; the within-batch class routes through
+    connected-components keep-min."""
+    from jionlp_spark.operators.dedup import (incremental_lsh_dedup,
+                                              lsh_bands,
+                                              minhash_signatures, shingles)
+    from jionlp_spark.sources import catalog
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter('doc_id % 2 = 0').select('doc_id', 'text')
+    dup_src = docs.select(F.col('doc_id').alias('src_id'),
+                          F.col('text').alias('src_text'))
+    b2 = (docs.filter('doc_id % 2 = 1')
+          .join(dup_src, F.col('doc_id') - 1 == F.col('src_id'), 'left')
+          .select('doc_id',
+                  F.when(F.col('doc_id') % 10 == 1, F.col('src_text'))
+                  .otherwise(F.col('text')).alias('text')))
+    base = _work_dir('jionlp_lshidx', sf_dir)
+    path = f'{base}/index'
+    bands1 = lsh_bands(minhash_signatures(shingles(b1, n=3), 16), 4)
+    catalog.run_stage(spark, path, 'lsh_index', lambda: bands1,
+                      input_fingerprint=f'b1@{sf_dir}')
+    res = incremental_lsh_dedup(spark, path, b2, batch_id=f'b2@{sf_dir}')
+    return res['dups'].select(F.col('new_doc').cast('long').alias('new_doc'),
+                              F.col('dup_of').cast('long').alias('dup_of'))
+
+
 def q_doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (k=8-gram rolling hashes, w=4 window,
     rightmost-min rule) — MOSS-style substring near-dup primitive."""
@@ -2369,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_features': q_multimodal_features,
         # --- (b) new / changed in r5 ---------------------------------------
         'dedup_cluster_keep': q_dedup_cluster_keep,
+        'dedup_incremental': q_dedup_incremental,
         'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
         'summary_top_topic': q_summary_top_topic,
@@ -2432,6 +2465,25 @@ _SHINGLE3_SQL = """select doc_id, unnest(list_distinct(
                                i -> array_to_string(w[i:i+2], ' ')))) as t
             from (select doc_id, string_split(text, ' ') w
                   from documents)"""
+
+def _lsh_bands_cte(src: str, suffix: str) -> str:
+    """CTE block computing (doc_id, band_id, band_hash) for source CTE
+    ``src`` (must expose doc_id, text) — the DuckDB mirror of
+    operators/dedup.lsh_bands over 3-gram-shingle minhash signatures.
+    Emits CTEs named toks{suffix}/sigs{suffix}/bands{suffix}."""
+    sh3 = _SHINGLE3_SQL.replace('from documents', f'from {src}')
+    mins = ',\n'.join(
+        f"min(substr(md5(concat('{k // 4}', t)), {(k % 4) * 8 + 1}, 8)) "
+        f"mh{k}" for k in range(16))
+    band_rows = '\nunion all\n'.join(
+        f"select doc_id, {b} band_id, md5(concat(mh{4 * b}, mh{4 * b + 1},"
+        f" mh{4 * b + 2}, mh{4 * b + 3})) band_hash from sigs{suffix}"
+        for b in range(4))
+    return f"""toks{suffix} as ({sh3}),
+            sigs{suffix} as (select doc_id, {mins}
+                     from toks{suffix} group by doc_id),
+            bands{suffix} as ({band_rows})"""
+
 
 # full MinHash+LSH candidate-pair statement (16 md5-slice hashes, 4
 # bands) over the 3-gram shingles — used verbatim by the dedup_lsh_pairs
@@ -2895,6 +2947,42 @@ def oracle_sql() -> dict[str, str]:
         # enumerates every (vertex, reachable-smaller-origin) pair over
         # the undirected pair edges; min per vertex = the component label
         # (UNION semantics deduplicate rows, so the recursion terminates)
+        # incremental dedup: batch-2 bands vs the seeded batch-1 index
+        # (cross) + batch-2 self-pairs resolved by the same recursive
+        # min-label components (within, keep-min)
+        'dedup_incremental': f"""
+            with recursive
+            b1 as (select doc_id, text from documents where doc_id % 2 = 0),
+            b2 as (select d.doc_id,
+                          case when d.doc_id % 10 = 1 then s.text
+                               else d.text end as text
+                   from documents d
+                   left join documents s on s.doc_id = d.doc_id - 1
+                   where d.doc_id % 2 = 1),
+            {_lsh_bands_cte('b1', '1')},
+            {_lsh_bands_cte('b2', '2')},
+            within as (select distinct a.doc_id a, b.doc_id b
+                       from bands2 a join bands2 b
+                       using (band_id, band_hash)
+                       where a.doc_id < b.doc_id),
+            e as (select a, b from within
+                  union select b, a from within),
+            walk(v, lab) as (
+                select a, a from e
+                union
+                select e.b, w.lab from walk w join e on e.a = w.v),
+            comp as (select v, min(lab) lab from walk group by v),
+            dups_within as (select v new_doc, lab dup_of
+                            from comp where v != lab),
+            dups_cross as (select distinct n.doc_id new_doc,
+                                  i.doc_id dup_of
+                           from bands2 n join bands1 i
+                           using (band_id, band_hash))
+            select cast(new_doc as bigint) new_doc,
+                   cast(dup_of as bigint) dup_of from dups_within
+            union
+            select cast(new_doc as bigint), cast(dup_of as bigint)
+            from dups_cross""",
         'dedup_cluster_keep': f"""
             with recursive pairs as ({_LSH_PAIRS_SQL}),
             e as (select doc_a a, doc_b b from pairs

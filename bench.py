@@ -55,8 +55,9 @@ HEADLINE = [
     'kg_entity_counts_skew', 'keyphrase_topk_topic', 'summary_top_topic',
     'streaming_state_bounded', 'textaug_homophone', 'mellm_scores',
     'textaug_backtrans', 'kg_recognize_location_full',
-    # round 5 additions
-    'dedup_cluster_keep',
+    # round 5 additions (+ two queries that had never been benched)
+    'dedup_cluster_keep', 'dedup_incremental',
+    'lang_distribution', 'kg_extract_idcard',
 ]
 
 
@@ -101,8 +102,15 @@ def main() -> None:
     pages_path = f'/tmp/bench_pages_{N_PAGES}_p256'
     t0 = time.time()
     if not os.path.exists(pages_path):
-        write_pages(spark, pages_path + '.tmp', N_PAGES, num_partitions=256)
-        os.rename(pages_path + '.tmp', pages_path)
+        # pid-suffixed staging: concurrent bench processes must not race
+        # on one .tmp dir; the rename publish is atomic, losers ignore
+        tmp = f'{pages_path}.tmp{os.getpid()}'
+        write_pages(spark, tmp, N_PAGES, num_partitions=256)
+        try:
+            os.rename(tmp, pages_path)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     timings['e2e_corpus_materialize'] = round(time.time() - t0, 3)
     query_runs['e2e_corpus_materialize'] = [timings['e2e_corpus_materialize']]
     query_load['e2e_corpus_materialize'] = [round(os.getloadavg()[0], 2)]

@@ -65,9 +65,10 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16) -> DataFrame
     return exploded.groupBy('doc_id').agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
-    """Band the signature, bucket-join on (band_id, band_hash) → candidate
-    near-dup pairs (doc_a < doc_b, deduplicated across bands)."""
+def lsh_bands(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """→ (doc_id, band_id, band_hash): the banded signature table — the
+    joinable representation behind candidate generation AND the
+    persistent index of incremental_lsh_dedup."""
     sig_cols = [c for c in signatures.columns if c.startswith('mh')]
     rows_per_band = len(sig_cols) // bands
     band_exprs = []
@@ -77,9 +78,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
             F.struct(F.lit(b).alias('band_id'),
                      F.md5(F.concat(*[F.col(c) for c in cols]))
                      .alias('band_hash')))
-    banded = signatures.select(
+    return signatures.select(
         'doc_id', F.explode(F.array(*band_exprs)).alias('band')
     ).select('doc_id', 'band.band_id', 'band.band_hash')
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_hash) → candidate
+    near-dup pairs (doc_a < doc_b, deduplicated across bands)."""
+    banded = lsh_bands(signatures, bands)
 
     # the self-join would recompute the whole minhash subplan for each side
     # (Spark has no subplan reuse across aliases) — persist the small banded
@@ -289,6 +296,80 @@ def winnow_near_dups(docs: DataFrame, min_shared: int = 12,
         .agg(F.count('*').alias('shared_fps'))
         .filter(F.col('shared_fps') >= min_shared)
     )
+
+
+def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
+                          batch_id: str, n: int = 3,
+                          num_hashes: int = 16, bands: int = 4,
+                          text_col: str = 'text',
+                          id_col: str = 'doc_id') -> dict:
+    """Dedup a NEW batch against a persistent banded-signature index and
+    publish the updated index as a new catalog snapshot — the daily-crawl
+    production shape (each day's batch dedups against all history without
+    re-signing the history).
+
+    1. Band the new batch's minhash signatures (one pass over new docs).
+    2. Dups vs HISTORY: equi-join new bands against the stored index.
+    3. Dups WITHIN the batch: candidate pairs → connected components
+       (dedup_components), keep the min doc per cluster.
+    4. Survivors' bands are appended to the index via catalog.run_stage —
+       snapshot history gives audit/rollback of every batch publish, and
+       the batch_id fingerprint makes re-publishing the same batch a
+       no-op resume.
+
+    → {'dups': (new_doc, dup_of) DataFrame, 'survivor_bands': DataFrame,
+       'index': published index DataFrame}.
+
+    Scale shape: the index is read-only history (band-partitioned
+    equi-join, no shuffle of history when bucketed on band_hash);
+    per-batch cost is O(batch) signatures + O(candidates) verification —
+    history is never re-hashed.
+    """
+    from jionlp_spark.sources import catalog
+
+    new_banded = lsh_bands(
+        minhash_signatures(
+            shingles(new_docs, text_col=text_col, id_col=id_col, n=n),
+            num_hashes=num_hashes),
+        bands=bands).persist()
+
+    within = (new_banded.alias('a')
+              .join(new_banded.alias('b'), ['band_id', 'band_hash'])
+              .filter(F.col('a.doc_id') < F.col('b.doc_id'))
+              .select(F.col('a.doc_id').alias('doc_a'),
+                      F.col('b.doc_id').alias('doc_b'))
+              .distinct())
+    comp = dedup_components(within)
+    dups_within = (comp.filter(F.col('doc_id') != F.col('cluster'))
+                   .select(F.col('doc_id').alias('new_doc'),
+                           F.col('cluster').alias('dup_of')))
+
+    if catalog.read_manifest(index_path) is not None:
+        idx = spark.read.parquet(index_path)
+        dups_cross = (new_banded.alias('n')
+                      .join(idx.alias('i'), ['band_id', 'band_hash'])
+                      .select(F.col('n.doc_id').alias('new_doc'),
+                              F.col('i.doc_id').alias('dup_of'))
+                      .distinct())
+        dups = dups_within.union(dups_cross)
+    else:
+        idx = None
+        dups = dups_within
+
+    # materialize BEFORE publishing: the publish retires the current
+    # index files into the snapshot store, and a lazy plan over the old
+    # paths would FILE_NOT_EXIST afterwards
+    dups = dups.localCheckpoint()
+    dup_ids = dups.select(F.col('new_doc').alias('doc_id')).distinct()
+    survivor_bands = new_banded.join(dup_ids, 'doc_id', 'left_anti') \
+        .localCheckpoint()
+    updated = survivor_bands if idx is None else idx.union(survivor_bands)
+
+    index = catalog.run_stage(spark, index_path, 'lsh_index',
+                              lambda: updated,
+                              input_fingerprint=batch_id)
+    return {'dups': dups, 'survivor_bands': survivor_bands,
+            'index': index}
 
 
 def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',

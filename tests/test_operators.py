@@ -438,3 +438,48 @@ def test_dedup_components_and_keep_list(spark):
                            r['dropped'])
             for r in dedup_keep_list(pairs).collect()}
     assert keep == {3: (4, 3, 3), 20: (2, 20, 1), 30: (2, 30, 1)}
+
+
+def test_incremental_lsh_dedup(spark, tmp_path):
+    """Daily-batch dedup against a persistent snapshot index: batch 2's
+    repeats of batch-1 texts are flagged against HISTORY (no re-signing),
+    its internal dup is flagged within-batch, survivors extend the index
+    as snapshot 2, and snapshot 1 remains time-travelable."""
+    from jionlp_spark.operators.dedup import incremental_lsh_dedup
+    from jionlp_spark.sources import catalog
+
+    idx_path = str(tmp_path / 'lsh_index')
+    texts = ['the quick brown fox jumps over the lazy dog tonight again',
+             'completely different words about spark execution engines here',
+             'a third unique document mentioning streams and watermarks now']
+    b1 = spark.createDataFrame(
+        list(enumerate(texts)), 'doc_id long, text string')
+    r1 = incremental_lsh_dedup(spark, idx_path, b1, batch_id='b1')
+    assert r1['dups'].count() == 0
+    n_idx1 = r1['index'].count()
+    assert n_idx1 > 0
+
+    # batch 2: doc 10 repeats text 0 (dup vs history), docs 11+12 repeat
+    # each other (within-batch dup, keep 11), doc 13 is new
+    b2 = spark.createDataFrame(
+        [(10, texts[0]), (11, 'some fresh sentence that nobody wrote yet'),
+         (12, 'some fresh sentence that nobody wrote yet'),
+         (13, 'another genuinely novel document for the second batch')],
+        'doc_id long, text string')
+    r2 = incremental_lsh_dedup(spark, idx_path, b2, batch_id='b2')
+    dups = {(r['new_doc'], r['dup_of']) for r in r2['dups'].collect()}
+    assert (10, 0) in dups and (12, 11) in dups
+    assert not any(d in (11, 13) for d, _of in dups)
+    # survivors 11 and 13 joined the index
+    surv = {r['doc_id'] for r in
+            r2['survivor_bands'].select('doc_id').distinct().collect()}
+    assert surv == {11, 13}
+
+    m = catalog.read_manifest(idx_path)
+    assert m['current_snapshot_id'] == 2
+    assert catalog.read_snapshot(spark, idx_path, 1).count() == n_idx1
+    assert r2['index'].count() > n_idx1
+
+    # re-publishing the same batch resumes (snapshot count unchanged)
+    incremental_lsh_dedup(spark, idx_path, b2, batch_id='b2')
+    assert catalog.read_manifest(idx_path)['current_snapshot_id'] == 2
