@@ -264,11 +264,27 @@ def _assign_arrow(emb: DataFrame, centroids: DataFrame, probes: int,
                 vacc += V[:, d] * V[:, d]
                 S += np.outer(V[:, d], C[:, d])
             nrm = np.sqrt(vacc)
+            if (nrm == 0.0).any():
+                # crash-for-crash with the expression path: ANSI-mode
+                # Spark raises DIVIDE_BY_ZERO on a zero-norm vector's
+                # cosine, so the vectorized path must not silently
+                # bucket what the expression plan rejects
+                bad = pdf[id_col].to_numpy()[nrm == 0.0][0]
+                raise ArithmeticError(
+                    f'zero-norm vector (id {bad}) — the expression '
+                    f'path raises DIVIDE_BY_ZERO here; filter or '
+                    f'normalize degenerate vectors upstream')
             sims = half_up6(S / np.outer(nrm, cnrm))
             # per row: top-`probes` by (sim desc, centroid_id asc) —
-            # lexsort's last key is primary
+            # lexsort's last key is primary.  Spark orders NaN as
+            # GREATEST under desc (NaN vector COMPONENTS propagate NaN
+            # sims through the fold without a zero division), while
+            # lexsort puts NaN last — map NaN to -inf in the negated
+            # key so NaN rows rank first, ties falling to centroid_id,
+            # exactly like the expression path's row_number window
+            key = np.where(np.isnan(sims), -np.inf, -sims)
             order = np.lexsort(
-                (np.broadcast_to(cids, sims.shape), -sims), axis=1)
+                (np.broadcast_to(cids, sims.shape), key), axis=1)
             top = order[:, :probes]
             n, p = top.shape
             yield pd.DataFrame({

@@ -346,12 +346,20 @@ def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
 
     if catalog.read_manifest(index_path) is not None:
         idx = spark.read.parquet(index_path)
+        # identity filter: a retried batch's own published bands are in
+        # the index — without it every survivor reads as a dup of itself
+        # on re-publish (the fingerprint makes the PUBLISH a no-op, but
+        # the returned dup report must be right too)
         dups_cross = (new_banded.alias('n')
                       .join(idx.alias('i'), ['band_id', 'band_hash'])
+                      .filter(F.col('n.doc_id') != F.col('i.doc_id'))
                       .select(F.col('n.doc_id').alias('new_doc'),
                               F.col('i.doc_id').alias('dup_of'))
                       .distinct())
-        dups = dups_within.union(dups_cross)
+        # distinct: on a re-published batch the within-batch partner is
+        # also in the index, so the same (new_doc, dup_of) row can arrive
+        # from both branches
+        dups = dups_within.union(dups_cross).distinct()
     else:
         idx = None
         dups = dups_within
@@ -400,6 +408,7 @@ def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
              .distinct().persist())
     labels = (edges.select(F.col('a').alias('v')).distinct()
               .withColumn('label', F.col('v')).localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges['a'] == labels['v'])
                  .select(F.col('b').alias('v'), 'label'))
@@ -411,7 +420,16 @@ def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
                    .filter(F.col('n.label') != F.col('o.label')).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning fragmented components would let dups
+        # survive dedup; a >max_iter-hop chain needs more rounds (or the
+        # O(log n) large-star/small-star contraction)
+        raise RuntimeError(
+            f'dedup_components did not converge in {max_iter} rounds — '
+            f'a component chain is longer than max_iter; raise max_iter '
+            f'or switch to star-contraction for adversarial graphs')
     return labels.select(F.col('v').alias('doc_id'),
                          F.col('label').alias('cluster'))
 

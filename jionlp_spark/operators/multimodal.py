@@ -94,17 +94,23 @@ def parse_image_dimensions(b: bytes) -> tuple | None:
         while i + 4 <= n:
             if b[i] != 0xFF:
                 return None  # marker desync — not a well-formed stream
+            # the spec allows any number of 0xFF fill bytes before the
+            # marker byte — real decoders skip them, so must we
+            while i + 1 < n and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                return None
             marker = b[i + 1]
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
+            if marker == 0xD9 or marker == 0xDA:
+                return None  # EOI / start-of-scan with no SOF seen
             seglen = struct.unpack('>H', b[i + 2: i + 4])[0]
             if marker in _JPEG_SOF:
                 if i + 9 <= n:
                     h, w = struct.unpack('>HH', b[i + 5: i + 9])
                     return (w, h)
-                return None
-            if marker == 0xDA:  # start of scan — no SOF seen before it
                 return None
             i += 2 + seglen
     return None

@@ -182,6 +182,23 @@ def is_complete(path: str, input_fingerprint: str | None = None) -> bool:
     return True
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` under ``dst`` with hardlinks (same filesystem —
+    zero data copied; falls back to a real copy across filesystems).
+    Used to stage retired snapshots into the publish dir WITHOUT
+    mutating the live table."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == '.' else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for fn in files:
+            s, d = os.path.join(root, fn), os.path.join(tgt, fn)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def run_stage(spark: SparkSession, path: str, stage: str, build,
               input_fingerprint: str | None = None,
               partition_by: tuple = (),
@@ -189,15 +206,26 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
     """Execute (or resume) one checkpointed stage.
 
     ``build`` is a zero-arg callable returning the stage's output
-    DataFrame.  Publication is atomic: compute into ``path + '.tmp'``,
-    move the prior snapshot store + the prior current files into the tmp
-    dir's ``_snapshots/``, then rename — a crash at any point leaves
-    either the old table or the new one, never a mix."""
+    DataFrame.  Publication is atomic and non-destructive until the
+    commit: the new data, the carried-forward snapshot store, and the
+    retiring current files are all staged into ``path + '.tmp'``
+    (retired files as HARDLINKS — ``path`` itself is never mutated), the
+    manifest write completes the staging, and the commit is
+    rmtree(path) + rename(tmp, path).  A crash before the rmtree leaves
+    the old table fully intact; a crash between rmtree and rename leaves
+    a committed tmp that the next call detects (manifest present, path
+    absent) and renames into place instead of discarding."""
+    tmp = path + '.tmp'
+    # crash recovery: a fully-staged tmp with the table gone means the
+    # previous publish died between its rmtree and rename — finish it
+    if not os.path.exists(path) and \
+            os.path.exists(os.path.join(tmp, MANIFEST)):
+        os.rename(tmp, path)
+
     if resume and is_complete(path, input_fingerprint):
         return spark.read.parquet(path)
 
     df = build()
-    tmp = path + '.tmp'
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     writer = df.write.mode('overwrite')
@@ -215,18 +243,26 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
         history = prev.get('snapshots', [_snapshot_entry(prev)])
         prev_id = prev.get('current_snapshot_id', 1)
         snapshot_id = prev_id + 1
-        # carry the snapshot store forward, then retire the outgoing
-        # current files into it (renames, no data copies)
+        # stage the snapshot store + the retiring current files into tmp
+        # as hardlinks: no data copied, and `path` stays valid until the
+        # commit below
         store = os.path.join(tmp, SNAPSHOT_DIR)
         old_store = os.path.join(path, SNAPSHOT_DIR)
         if os.path.exists(old_store):
-            os.rename(old_store, store)
+            _link_tree(old_store, store)
         retire = os.path.join(store, f'snap-{prev_id}')
         os.makedirs(retire, exist_ok=True)
         for entry in os.listdir(path):
-            if entry != MANIFEST:
-                os.rename(os.path.join(path, entry),
-                          os.path.join(retire, entry))
+            if entry not in (MANIFEST, SNAPSHOT_DIR):
+                src = os.path.join(path, entry)
+                dst = os.path.join(retire, entry)
+                if os.path.isdir(src):
+                    _link_tree(src, dst)
+                else:
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
 
     write_manifest(tmp, stage, rows, out.schema.json(), input_fingerprint,
                    snapshot_id=snapshot_id, history=history)

@@ -61,7 +61,7 @@ for run in range(4):  # run 0 = warmup, discarded
     n_triples = res['triples'].count()
     times.append(time.time() - t0)
     loads.append([round(l0, 2), round(os.getloadavg()[0], 2)])
-print(json.dumps({{'cpus': cpus, 'times': times[1:],
+print(json.dumps({{'cpus': cpus, 'n_pages': n_pages, 'times': times[1:],
                    'loads': loads[1:], 'triples': n_triples}}))
 spark.stop()
 '''
@@ -138,7 +138,12 @@ def main() -> None:
     if args and args[0] == '--combine':
         lo = json.load(open(args[1]))
         hi = json.load(open(args[2]))
-        n_pages = int(args[3]) if len(args) > 3 else 0
+        # page count travels in the phase JSONs — never fabricate it
+        n_pages = int(args[3]) if len(args) > 3 else \
+            lo.get('n_pages') or hi.get('n_pages')
+        if not n_pages:
+            raise SystemExit('--combine: page count not in phase JSONs; '
+                             'pass it as the third argument')
         combine(lo, hi, n_pages)
         return
     n_pages = int(args[0]) if args else 60000

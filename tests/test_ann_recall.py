@@ -107,3 +107,41 @@ def test_kmeans_train_cap(spark):
     capped2 = kmeans_centroids(emb, k=4, iters=1, train_cap=100)
     assert sorted(map(tuple, capped.collect())) == \
         sorted(map(tuple, capped2.collect()))
+
+
+def test_arrow_assign_degenerate_vectors_match_expression(spark):
+    """Crash-for-crash + NaN-order parity (review finding r5): a
+    zero-norm vector makes ANSI Spark raise DIVIDE_BY_ZERO in the
+    expression path — the Arrow assigner must raise too, not silently
+    bucket; a NaN COMPONENT propagates NaN sims through both folds, and
+    Spark's desc sort ranks NaN greatest — the Arrow top-probes
+    selection must bucket those vectors identically."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from jionlp_spark.operators.ann import ivf_assign, kmeans_centroids
+    base = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    dim = len(base.select('embedding').first()[0])
+    cents = kmeans_centroids(base, k=4, iters=1)
+
+    zero = spark.createDataFrame([(100000,)], 'vec_id long').select(
+        'vec_id', F.array_repeat(F.lit(0.0), dim).cast('array<float>')
+        .alias('embedding'))
+    for impl, exc in (('expr', Exception), ('arrow', Exception)):
+        a, _ = ivf_assign(base.select('vec_id', 'embedding').union(zero),
+                          centroids=cents, probes=1, impl=impl)
+        with pytest.raises(exc):
+            a.collect()
+
+    nan = spark.createDataFrame([(100001,)], 'vec_id long').select(
+        'vec_id',
+        F.concat(F.array_repeat(F.lit(float('nan')), 1),
+                 F.array_repeat(F.lit(1.0), dim - 1))
+        .cast('array<float>').alias('embedding'))
+    emb = base.select('vec_id', 'embedding').union(nan)
+    a, _ = ivf_assign(emb, centroids=cents, probes=2, impl='expr')
+    b, _ = ivf_assign(emb, centroids=cents, probes=2, impl='arrow')
+    ra = sorted((r['vec_id'], r['bucket']) for r in a.collect())
+    rb = sorted((r['vec_id'], r['bucket']) for r in b.collect())
+    assert ra == rb
+    assert sum(1 for v, _b in ra if v == 100001) == 2

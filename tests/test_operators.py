@@ -481,5 +481,37 @@ def test_incremental_lsh_dedup(spark, tmp_path):
     assert r2['index'].count() > n_idx1
 
     # re-publishing the same batch resumes (snapshot count unchanged)
-    incremental_lsh_dedup(spark, idx_path, b2, batch_id='b2')
+    # AND the dup report stays correct: survivors must not read as dups
+    # of their own published bands (identity-filtered cross join)
+    r3 = incremental_lsh_dedup(spark, idx_path, b2, batch_id='b2')
     assert catalog.read_manifest(idx_path)['current_snapshot_id'] == 2
+    dups3 = {(r['new_doc'], r['dup_of']) for r in r3['dups'].collect()}
+    assert (11, 11) not in dups3 and (13, 13) not in dups3
+    assert (10, 0) in dups3 and (12, 11) in dups3
+    surv3 = {r['doc_id'] for r in
+             r3['survivor_bands'].select('doc_id').distinct().collect()}
+    assert surv3 == {11, 13}
+
+
+def test_jpeg_fill_bytes_and_eoi():
+    """JPEG spec allows 0xFF fill bytes before any marker — the header
+    scanner must skip them like a real decoder (review finding r5); EOI
+    before SOF terminates as unparseable rather than reading a bogus
+    segment length."""
+    import struct
+
+    from jionlp_spark.operators.multimodal import parse_image_dimensions
+
+    sof = (b'\xff\xc0' + struct.pack('>H', 17) + b'\x08'
+           + struct.pack('>HH', 480, 640) + b'\x03' + b'\x00' * 9)
+    # fill bytes directly before SOF0
+    assert parse_image_dimensions(b'\xff\xd8' + b'\xff\xff\xff' + sof) \
+        == (640, 480)
+    app0 = (b'\xff\xe0' + struct.pack('>H', 16) + b'JFIF\x00'
+            + b'\x00' * 9)
+    # fill bytes between APP0 and SOF0
+    assert parse_image_dimensions(
+        b'\xff\xd8' + app0 + b'\xff\xff' + sof) == (640, 480)
+    # EOI with no SOF → None (not a bogus seglen walk)
+    assert parse_image_dimensions(b'\xff\xd8\xff\xd9\x12\x34\x56\x78') \
+        is None

@@ -363,3 +363,46 @@ def test_catalog_v1_manifest_compat(spark, tmp_path):
     snaps = catalog.validate_lineage(path)
     assert [s['id'] for s in snaps] == [1, 2]
     assert catalog.read_snapshot(spark, path, 1).count() == 4
+
+
+def test_catalog_publish_crash_windows(spark, tmp_path):
+    """The publish must be non-destructive until its commit (review
+    finding r5): a partially-staged tmp never costs retired snapshots,
+    and a crash between rmtree(path) and rename(tmp) leaves a committed
+    tmp that the next call finishes instead of discarding."""
+    import json
+
+    from jionlp_spark.sources import catalog
+
+    path = str(tmp_path / 'tbl')
+
+    def pub(n, fp):
+        return catalog.run_stage(
+            spark, path, 'stage', lambda: spark.range(n),
+            input_fingerprint=fp)
+
+    pub(3, 'fp1')
+    pub(5, 'fp2')
+    snap1_rows = catalog.read_snapshot(spark, path, 1).count()
+
+    # crash window A: a stale partial tmp (no manifest) exists; the next
+    # publish discards it and the retired snapshot survives intact
+    os.makedirs(path + '.tmp/junk')
+    pub(7, 'fp3')
+    assert catalog.read_snapshot(spark, path, 1).count() == snap1_rows
+    assert catalog.read_snapshot(spark, path, 2).count() == 5
+
+    # crash window B: simulate dying between rmtree(path) and
+    # rename(tmp, path) — stage a fully-committed state into tmp, then
+    # remove the table
+    shutil.move(path, path + '.tmp')
+    assert not os.path.exists(path)
+
+    def must_not_run():
+        raise AssertionError('recovery failed — stage recomputed')
+
+    out = catalog.run_stage(spark, path, 'stage', must_not_run,
+                            input_fingerprint='fp3')
+    assert out.count() == 7
+    assert catalog.read_manifest(path)['current_snapshot_id'] == 3
+    assert catalog.read_snapshot(spark, path, 1).count() == snap1_rows
