@@ -515,3 +515,40 @@ def test_jpeg_fill_bytes_and_eoi():
     # EOI with no SOF → None (not a bogus seglen walk)
     assert parse_image_dimensions(b'\xff\xd8\xff\xd9\x12\x34\x56\x78') \
         is None
+
+
+def test_dedup_components_property_vs_union_find(spark):
+    """Property check: on random graphs the distributed min-label
+    propagation equals a plain Python union-find relabeled to component
+    minima."""
+    import random
+
+    from jionlp_spark.operators.dedup import dedup_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(rng.randrange(10, 45))})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        minima = {}
+        for v in touched:
+            r = find(v)
+            minima[r] = min(minima.get(r, v), v)
+        want = {v: minima[find(v)] for v in touched}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], 'doc_a long, doc_b long')
+        got = {r['doc_id']: r['cluster']
+               for r in dedup_components(pairs, max_iter=50).collect()}
+        assert got == want, (trial, edges)
