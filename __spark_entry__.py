@@ -701,6 +701,28 @@ def q_kg_entity_counts(spark, sf_dir):
     )
 
 
+def q_kg_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence edges — relation-candidate generation, the KG
+    step after linking: canonical entities appearing in the SAME document
+    become candidate relation pairs (subj, obj, support).  Pairs are
+    generated per doc (self-join co-partitioned on doc_id; per-doc entity
+    count is small so the join is k² per doc, never corpus-quadratic) and
+    aggregated into a weighted edge table."""
+    ents = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card')) \
+        .select('doc_id', 'obj', 'obj_type')
+    a, b = ents.alias('a'), ents.alias('b')
+    pairs = (a.join(b, 'doc_id')
+             .filter(F.col('a.obj') < F.col('b.obj'))
+             .select('doc_id',
+                     F.col('a.obj').alias('ent_a'),
+                     F.col('a.obj_type').alias('type_a'),
+                     F.col('b.obj').alias('ent_b'),
+                     F.col('b.obj_type').alias('type_b')))
+    return (pairs.groupBy('ent_a', 'type_a', 'ent_b', 'type_b')
+            .agg(F.countDistinct('doc_id').cast('long').alias('n_docs')))
+
+
 def q_kg_entity_counts_skew(spark, sf_dir):
     """Salted two-phase aggregation under REAL key skew (north_rule:
     salted-key dedup for hot entities): 10 mentions per doc, HALF of all
@@ -2402,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) new / changed in r5 ---------------------------------------
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'dedup_incremental': q_dedup_incremental,
+        'kg_cooccurrence': q_kg_cooccurrence,
         'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
         'summary_top_topic': q_summary_top_topic,
@@ -2716,6 +2739,18 @@ def oracle_sql() -> dict[str, str]:
             select obj, obj_type, count(*) as mention_cnt,
                    count(distinct doc_id) as url_cnt
             from m group by obj, obj_type""",
+        'kg_cooccurrence': f"""
+            with m as (
+              select doc_id, {phone} as obj, 'phone' as obj_type
+              from documents
+              union all
+              select doc_id, {idc} as obj, 'id_card' as obj_type
+              from documents)
+            select a.obj ent_a, a.obj_type type_a,
+                   b.obj ent_b, b.obj_type type_b,
+                   cast(count(distinct a.doc_id) as bigint) n_docs
+            from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
+            group by 1, 2, 3, 4""",
         'kg_entity_counts_skew': """
             with m as (
               select doc_id, unnest(range(10)) as k from documents),

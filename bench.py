@@ -56,7 +56,7 @@ HEADLINE = [
     'streaming_state_bounded', 'textaug_homophone', 'mellm_scores',
     'textaug_backtrans', 'kg_recognize_location_full',
     # round 5 additions (+ two queries that had never been benched)
-    'dedup_cluster_keep', 'dedup_incremental',
+    'dedup_cluster_keep', 'dedup_incremental', 'kg_cooccurrence',
     'lang_distribution', 'kg_extract_idcard',
 ]
 
