@@ -708,9 +708,12 @@ def q_kg_cooccurrence(spark, sf_dir):
     generated per doc (self-join co-partitioned on doc_id; per-doc entity
     count is small so the join is k² per doc, never corpus-quadratic) and
     aggregated into a weighted edge table."""
+    # persist before the self-join: without it each alias re-runs the
+    # extraction subtree when the shared cache is cold (same pattern as
+    # lsh_candidate_pairs' banded table)
     ents = _extracted(spark, sf_dir).filter(
         F.col('mention_type').isin('cell_phone', 'id_card')) \
-        .select('doc_id', 'obj', 'obj_type')
+        .select('doc_id', 'obj', 'obj_type').persist()
     a, b = ents.alias('a'), ents.alias('b')
     pairs = (a.join(b, 'doc_id')
              .filter(F.col('a.obj') < F.col('b.obj'))
