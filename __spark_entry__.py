@@ -2120,6 +2120,57 @@ def _run_stream_lowstate(spark, result, table: str, ckpt: str):
 
 
 
+def q_streaming_lsh_pairs(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup detection
+    (streaming/stream.streaming_lsh_pairs): per-bucket doc-id state pairs
+    each arriving doc with every doc that ever shared a band bucket —
+    across micro-batch boundaries.  The oracle is the BATCH LSH pair
+    computation over the same 400 docs: the distinct streamed pair set
+    must equal the batch candidate set exactly (stream ≡ batch
+    equivalence, the strongest gate a streaming operator can carry)."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'lsh')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_lsh_pairs
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_stream_lsh', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    # real corpus texts (natural near-dups included), capped at 400 docs:
+    # each doc fans out to `bands` state groups and per-group state-store
+    # overhead dominates beyond ~2k groups (see streaming_state_bounded)
+    docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+            .filter('doc_id < 400')
+            .selectExpr('doc_id', 'text',
+                        "timestamp'2021-09-01 00:00:00' "
+                        '+ make_dt_interval(0, 0, doc_id, 0) as warc_ts'))
+    for i, pred in enumerate(('doc_id < 200', 'doc_id >= 200')):
+        part = f'{src_dir}/batch_{i}'
+        docs.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_lsh_pairs(stream)
+    table = f'stream_lsh_{abs(hash(key)) % 10**8}'
+    _run_stream_lowstate(spark, result, table, ckpt)
+    out = (spark.table(table)
+           .select(F.col('doc_a').cast('long').alias('doc_a'),
+                   F.col('doc_b').cast('long').alias('doc_b'))
+           .distinct())
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming dedup (applyInPandasWithState + event-time TTL)
     under the batch oracle gate: a deterministic 2-micro-batch file stream
@@ -2428,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'dedup_incremental': q_dedup_incremental,
         'kg_cooccurrence': q_kg_cooccurrence,
+        'streaming_lsh_pairs': q_streaming_lsh_pairs,
         'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
         'summary_top_topic': q_summary_top_topic,
@@ -2985,6 +3037,15 @@ def oracle_sql() -> dict[str, str]:
         # enumerates every (vertex, reachable-smaller-origin) pair over
         # the undirected pair edges; min per vertex = the component label
         # (UNION semantics deduplicate rows, so the recursion terminates)
+        # stream ≡ batch: the streamed distinct pair set must equal the
+        # batch LSH candidate computation over the same 400 docs
+        'streaming_lsh_pairs': f"""
+            with d400 as (select doc_id, text from documents
+                          where doc_id < 400),
+            {_lsh_bands_cte('d400', 's')}
+            select distinct a.doc_id doc_a, b.doc_id doc_b
+            from bandss a join bandss b using (band_id, band_hash)
+            where a.doc_id < b.doc_id""",
         # incremental dedup: batch-2 bands vs the seeded batch-1 index
         # (cross) + batch-2 self-pairs resolved by the same recursive
         # min-label components (within, keep-min)

@@ -113,3 +113,92 @@ def stateful_dedup_stream(docs_stream: DataFrame,
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
                                     'append',
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
+                        num_hashes: int = 16, bands: int = 4,
+                        watermark: str = '1 hour',
+                        max_bucket: int = 64) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate pairs: each arriving doc's
+    banded signature is matched against per-bucket doc-id STATE, so a doc
+    pairs with every doc that ever shared a bucket — within a micro-batch
+    and across them (the streaming analog of lsh_candidate_pairs + the
+    incremental index; Spark-managed state replaces the reference's
+    simhash redis store).
+
+    Signatures are computed PER ROW (array transforms + array_min) — the
+    batch path's explode→groupBy minhash is a streaming aggregation and
+    can't precede stateful processing in append mode; per-row expressions
+    keep the stream single-stage up to the bucket shuffle.
+
+    Pairs may be emitted once per shared band — at-least-once emission,
+    exactly like the batch join pre-distinct; dedupe downstream.  State
+    per bucket holds ≤ max_bucket doc ids: overflow docs in a hot bucket
+    (boilerplate shingles — capped in batch by the max_df/stop-shingle
+    logic) emit nothing and are not stored, and the bucket's event-time
+    TTL expires it 1 h past its last arrival.
+
+    Input: (doc_id long, text string, warc_ts timestamp).
+    Output: (doc_a, doc_b, band_id) with doc_a < doc_b.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    sh = (f"array_distinct(transform(sequence(1, greatest("
+          f"size(split(text, ' ')) - {n - 1}, 1)), "
+          f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))")
+    salts = num_hashes // 4
+    md5_cols = [
+        F.expr(f"transform({sh}, s -> md5(concat('{g}', s)))").alias(f'h{g}')
+        for g in range(salts)]
+    rows_per_band = num_hashes // bands
+    hashed = docs_stream.select('doc_id', 'warc_ts', *md5_cols)
+    mh = [F.expr(f"array_min(transform(h{k // 4}, "
+                 f"x -> substring(x, {(k % 4) * 8 + 1}, 8)))")
+          for k in range(num_hashes)]
+    band_exprs = [
+        F.struct(F.lit(b).alias('band_id'),
+                 F.md5(F.concat(*mh[b * rows_per_band:
+                                    (b + 1) * rows_per_band]))
+                 .alias('band_hash'))
+        for b in range(bands)]
+    banded = (hashed
+              .select('doc_id', 'warc_ts',
+                      F.explode(F.array(*band_exprs)).alias('band'))
+              .select('doc_id', 'warc_ts',
+                      'band.band_id', 'band.band_hash')
+              .withWatermark('warc_ts', watermark))
+
+    out_schema = 'doc_a long, doc_b long, band_id int'
+    state_schema = 'ids array<long>'
+
+    def pair_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids = list(state.get[0]) if state.exists else []
+        out = []
+        max_ts = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(['warc_ts', 'doc_id'])
+            for row in pdf.itertuples():
+                if len(ids) >= max_bucket:
+                    break
+                d = int(row.doc_id)
+                for prior in ids:
+                    a, b = (prior, d) if prior < d else (d, prior)
+                    out.append((a, b, int(key[0])))
+                ids.append(d)
+                if max_ts is None or row.warc_ts > max_ts:
+                    max_ts = row.warc_ts
+        state.update((ids,))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(
+                int(max_ts.timestamp() * 1000) + 3600_000)
+        yield pd.DataFrame(out, columns=['doc_a', 'doc_b', 'band_id'])
+
+    return (banded.groupBy('band_id', 'band_hash')
+            .applyInPandasWithState(pair_fn, out_schema, state_schema,
+                                    'append',
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -552,3 +552,51 @@ def test_dedup_components_property_vs_union_find(spark):
         got = {r['doc_id']: r['cluster']
                for r in dedup_components(pairs, max_iter=50).collect()}
         assert got == want, (trial, edges)
+
+
+def test_streaming_lsh_pairs_cross_batch_and_cap(spark, tmp_path):
+    """A near-dup pair split ACROSS micro-batches is found through state
+    (the whole point vs per-batch joins), and a hot bucket stops pairing
+    at max_bucket."""
+    import datetime
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_lsh_pairs
+
+    t0 = datetime.datetime(2021, 9, 1)
+    text_a = 'the quick brown fox jumps over the lazy dog tonight again ok'
+    text_b = 'completely different words about spark execution engines now'
+    boiler = 'subscribe newsletter terms of service privacy policy today'
+    rows1 = [(0, text_a, t0), (1, text_b, t0)]
+    rows1 += [(100 + i, boiler, t0) for i in range(4)]
+    # batch 2: doc 2 repeats text_a (cross-batch pair through state)
+    rows2 = [(2, text_a, t0), (3, 'yet another unrelated document', t0)]
+    rows2 += [(200 + i, boiler, t0) for i in range(4)]
+
+    src = str(tmp_path / 'src')
+    for i, rows in enumerate((rows1, rows2)):
+        part = f'{src}/batch_{i}'
+        spark.createDataFrame(
+            rows, 'doc_id long, text string, warc_ts timestamp') \
+            .coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1').parquet(f'{src}/batch_*'))
+    result = streaming_lsh_pairs(stream, max_bucket=5)
+    q = (result.writeStream.format('memory').queryName('slsh_test')
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', str(tmp_path / 'ckpt')).start())
+    q.awaitTermination(180)
+    pairs = {(r['doc_a'], r['doc_b'])
+             for r in spark.table('slsh_test').collect()}
+    assert (0, 2) in pairs            # across micro-batches, via state
+    assert (0, 1) not in pairs        # unrelated texts don't pair
+    # 8 boilerplate docs, cap 5: the capped bucket pairs at most
+    # C(5,2) = 10 of the C(8,2) = 28 — overflow emits nothing
+    boiler_pairs = {(a, b) for a, b in pairs if a >= 100 and b >= 100}
+    assert len(boiler_pairs) == 10
