@@ -187,6 +187,39 @@ def main() -> None:
                                         n_centroids=k,
                                         assign_impl='arrow'))
 
+        # incremental dedup vs a factor-sized HISTORY index: the claim
+        # under test is that per-batch cost does not re-hash history —
+        # the new batch (always the 5k base docs, id-offset) is banded
+        # and joined against the stored index; only the index SCAN grows
+        # with history (columnar I/O), never the signature work or the
+        # shuffle of history (equi-join build side is the batch)
+        from pyspark.sql import functions as SF
+
+        from jionlp_spark.operators.dedup import (incremental_lsh_dedup,
+                                                  lsh_bands,
+                                                  minhash_signatures,
+                                                  shingles)
+        from jionlp_spark.sources import catalog as cat
+        idx_path = f'{WORK}/lsh_index_x{factor}'
+        hist = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+            .select('doc_id', 'text')
+        t0 = time.time()
+        if cat.read_manifest(idx_path) is None:
+            bands_hist = lsh_bands(minhash_signatures(
+                shingles(hist, n=3), 16), 4)
+            cat.run_stage(spark, idx_path, 'lsh_index',
+                          lambda: bands_hist,
+                          input_fingerprint=f'hist-x{factor}')
+        print(json.dumps({'op': f'index_seed@x{factor}',
+                          'sec': round(time.time() - t0, 2)}))
+        batch = (spark.read.parquet(f'{BASE_SF}/documents.parquet')
+                 .select((SF.col('doc_id') + 900_000_000).alias('doc_id'),
+                         'text'))
+        run(f'incremental_batch_vs_x{factor}_index',
+            lambda: incremental_lsh_dedup(
+                spark, idx_path, batch,
+                batch_id=f'probe-x{factor}')['dups'])
+
     spark.stop()
 
 
