@@ -600,3 +600,19 @@ def test_streaming_lsh_pairs_cross_batch_and_cap(spark, tmp_path):
     # C(5,2) = 10 of the C(8,2) = 28 — overflow emits nothing
     boiler_pairs = {(a, b) for a, b in pairs if a >= 100 and b >= 100}
     assert len(boiler_pairs) == 10
+
+
+def test_minhash_xxhash64_mode(docs):
+    """The production xxhash64 signature path: exact dups always collide
+    in every band (identical shingle sets → identical signatures), and
+    unrelated docs don't all collide; 16 long-typed signature columns."""
+    from jionlp_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures, shingles)
+    sigs = minhash_signatures(shingles(docs, n=1), num_hashes=16,
+                              hash='xxhash64')
+    assert len([c for c in sigs.columns if c.startswith('mh')]) == 16
+    assert dict(sigs.dtypes)['mh0'] == 'bigint'
+    pairs = {(r['doc_a'], r['doc_b'])
+             for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (0, 1) in pairs          # exact dups collide
+    assert (0, 5) not in pairs      # unrelated languages don't
