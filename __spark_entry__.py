@@ -2010,17 +2010,22 @@ def _window_sentences(docs, width: int = 12, with_tokens: bool = False):
     ``with_tokens`` also returns the (doc_id, sen_id, word) token table
     the sentences were built FROM, so sentence_weights skips re-splitting
     every sentence string — one corpus tokenization, not two."""
-    toks = docs.select(
-        F.col('doc_id'),
-        F.posexplode(F.split('text', ' ')).alias('pos', 'word')) \
-        .withColumn('sen_id', (F.col('pos') / width).cast('int'))
-    sentences = (toks
-                 .groupBy('doc_id', 'sen_id')
-                 .agg(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(F.struct('pos', 'word'))),
-                         lambda x: x['word']), ' ').alias('sentence')))
+    # per-row slice transform, not explode+collect_list groupBy: the
+    # sentence strings are contiguous slices of the token array, so one
+    # array expression per doc builds them all — no shuffle, no
+    # order-restoring sort (same r5 lesson as the minhash reformulation)
+    sentences = docs.select(
+        'doc_id',
+        F.posexplode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+            f"/ {width}) as int) - 1), "
+            f"i -> array_join(slice(split(text, ' '), i * {width} + 1, "
+            f"{width}), ' '))")).alias('sen_id', 'sentence'))
     if with_tokens:
+        toks = docs.select(
+            F.col('doc_id'),
+            F.posexplode(F.split('text', ' ')).alias('pos', 'word')) \
+            .withColumn('sen_id', (F.col('pos') / width).cast('int'))
         return sentences, toks.select('doc_id', 'sen_id', 'word')
     return sentences
 
