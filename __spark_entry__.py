@@ -2176,6 +2176,41 @@ def q_streaming_lsh_pairs(spark, sf_dir):
     return out
 
 
+def q_source_roundtrip(spark, sf_dir):
+    """Source-format breadth under the gate (sources/pages.py JSONL/TSV
+    adapters — the reference reads line-oriented text/JSON via
+    util/file_io.py read_file_by_line): a documents-derived page table is
+    written and read back through BOTH codecs; per-lang counts and
+    content hashes from each format must match the parquet source
+    exactly (lossless round-trip, not just row counts)."""
+    import os
+
+    from jionlp_spark.sources.pages import (read_pages_jsonl,
+                                            read_pages_tsv,
+                                            write_pages_jsonl)
+    _ensure_shipped(spark)
+    base = _work_dir('jionlp_sources', sf_dir)
+    pages = _docs(spark, sf_dir).selectExpr(
+        "concat('doc://', doc_id) as url",
+        "timestamp'2021-09-01 00:00:00' as warc_ts",
+        'cast(null as binary) as html', 'text', 'lang')
+    write_pages_jsonl(pages, f'{base}/jsonl')
+    pages.selectExpr(
+        'url', "date_format(warc_ts, 'yyyy-MM-dd HH:mm:ss') as warc_ts",
+        'lang', 'text') \
+        .write.option('sep', '\t').mode('overwrite').csv(f'{base}/tsv')
+
+    def agg(df, fmt):
+        return df.groupBy('lang').agg(
+            F.count('*').cast('long').alias('n_docs'),
+            F.min(F.md5('text')).alias('min_md5')) \
+            .withColumn('fmt', F.lit(fmt))
+
+    return (agg(read_pages_jsonl(spark, f'{base}/jsonl'), 'jsonl')
+            .union(agg(read_pages_tsv(spark, f'{base}/tsv'), 'tsv'))
+            .select('fmt', 'lang', 'n_docs', 'min_md5'))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming dedup (applyInPandasWithState + event-time TTL)
     under the batch oracle gate: a deterministic 2-micro-batch file stream
@@ -2485,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'kg_cooccurrence': q_kg_cooccurrence,
         'streaming_lsh_pairs': q_streaming_lsh_pairs,
+        'source_roundtrip': q_source_roundtrip,
         'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
         'summary_top_topic': q_summary_top_topic,
@@ -3042,6 +3078,12 @@ def oracle_sql() -> dict[str, str]:
         # enumerates every (vertex, reachable-smaller-origin) pair over
         # the undirected pair edges; min per vertex = the component label
         # (UNION semantics deduplicate rows, so the recursion terminates)
+        'source_roundtrip': """
+            select f.fmt, lang, cast(count(*) as bigint) n_docs,
+                   min(md5(text)) min_md5
+            from documents
+            cross join (select unnest(['jsonl', 'tsv']) fmt) f
+            group by f.fmt, lang""",
         # stream ≡ batch: the streamed distinct pair set must equal the
         # batch LSH candidate computation over the same 400 docs
         'streaming_lsh_pairs': f"""

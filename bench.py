@@ -57,7 +57,7 @@ HEADLINE = [
     'textaug_backtrans', 'kg_recognize_location_full',
     # round 5 additions (+ two queries that had never been benched)
     'dedup_cluster_keep', 'dedup_incremental', 'kg_cooccurrence',
-    'streaming_lsh_pairs',
+    'streaming_lsh_pairs', 'source_roundtrip',
     'lang_distribution', 'kg_extract_idcard',
 ]
 
