@@ -2006,10 +2006,12 @@ def q_keyphrase_topk_topic(spark, sf_dir):
 
 def _window_sentences(docs, width: int = 12, with_tokens: bool = False):
     """Pseudo-sentences for the digit-free corpus: fixed `width`-token
-    windows (the documents table has no sentence punctuation).  With
-    ``with_tokens`` also returns the (doc_id, sen_id, word) token table
-    the sentences were built FROM, so sentence_weights skips re-splitting
-    every sentence string — one corpus tokenization, not two."""
+    windows (the documents table has no sentence punctuation), built as
+    per-row slice transforms (no shuffle).  ``with_tokens`` also returns
+    a (doc_id, sen_id, word) token table so sentence_weights skips
+    re-splitting every SENTENCE string; the token branch is its own
+    cheap per-row split — what it saves downstream is the corpus-wide
+    sentence re-split plus its window shuffle, not the split itself."""
     # per-row slice transform, not explode+collect_list groupBy: the
     # sentence strings are contiguous slices of the token array, so one
     # array expression per doc builds them all — no shuffle, no
@@ -2132,7 +2134,13 @@ def q_streaming_lsh_pairs(spark, sf_dir):
     across micro-batch boundaries.  The oracle is the BATCH LSH pair
     computation over the same 400 docs: the distinct streamed pair set
     must equal the batch candidate set exactly (stream ≡ batch
-    equivalence, the strongest gate a streaming operator can carry)."""
+    equivalence, the strongest gate a streaming operator can carry).
+
+    Equality requires NO bucket expiry mid-run, so the watermark (= the
+    state TTL) is set far above the corpus's 400-minute event span;
+    with a tight watermark, pairs spanning a longer event-time gap are
+    dropped BY DESIGN (the streaming retention/recall trade) and the
+    batch oracle would legitimately differ."""
     key = (spark.sparkContext.applicationId, sf_dir, 'lsh')
     if key in _STREAM_CACHE:
         return _STREAM_CACHE[key]
@@ -2165,7 +2173,7 @@ def q_streaming_lsh_pairs(spark, sf_dir):
               .schema('doc_id long, text string, warc_ts timestamp')
               .option('maxFilesPerTrigger', '1')
               .parquet(f'{src_dir}/batch_*'))
-    result = streaming_lsh_pairs(stream)
+    result = streaming_lsh_pairs(stream, watermark='30 days')
     table = f'stream_lsh_{abs(hash(key)) % 10**8}'
     _run_stream_lowstate(spark, result, table, ckpt)
     out = (spark.table(table)
@@ -2187,7 +2195,8 @@ def q_source_roundtrip(spark, sf_dir):
 
     from jionlp_spark.sources.pages import (read_pages_jsonl,
                                             read_pages_tsv,
-                                            write_pages_jsonl)
+                                            write_pages_jsonl,
+                                            write_pages_tsv)
     _ensure_shipped(spark)
     base = _work_dir('jionlp_sources', sf_dir)
     pages = _docs(spark, sf_dir).selectExpr(
@@ -2195,10 +2204,7 @@ def q_source_roundtrip(spark, sf_dir):
         "timestamp'2021-09-01 00:00:00' as warc_ts",
         'cast(null as binary) as html', 'text', 'lang')
     write_pages_jsonl(pages, f'{base}/jsonl')
-    pages.selectExpr(
-        'url', "date_format(warc_ts, 'yyyy-MM-dd HH:mm:ss') as warc_ts",
-        'lang', 'text') \
-        .write.option('sep', '\t').mode('overwrite').csv(f'{base}/tsv')
+    write_pages_tsv(pages, f'{base}/tsv')
 
     def agg(df, fmt):
         return df.groupBy('lang').agg(
@@ -2385,7 +2391,8 @@ def q_streaming_state_bounded(spark, sf_dir):
               .schema('doc_id long, text string, warc_ts timestamp')
               .option('maxFilesPerTrigger', '1')
               .parquet(f'{src_dir}/batch_*'))
-    result = stateful_dedup_stream(stream, watermark='30 minutes')
+    result = stateful_dedup_stream(stream, watermark='30 minutes',
+                                   ttl='1 hour')
     table = f'stream_state_{abs(hash(key)) % 10**8}'
     q = _run_stream_lowstate(spark, result, table, ckpt)
     removed = 0

@@ -44,14 +44,14 @@ def shingles(docs: DataFrame, text_col: str = 'text',
 
 
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16,
-                       hash: str = 'md5') -> DataFrame:
+                       hash_fn: str = 'md5') -> DataFrame:
     """k minhashes per doc from salted md5 SLICES: one md5 yields four
     independent 32-bit (8-hex-char) hashes, so 16 signatures cost 4 md5
     evaluations per shingle instead of 16 — md5 dominates the minhash
     stage's CPU.  md5 keeps signatures engine-portable (the DuckDB oracle
     reproduces them bit-for-bit).
 
-    hash='xxhash64' is the native alternative: each salted xxhash64
+    hash_fn='xxhash64' is the native alternative: each salted xxhash64
     (whole-stage codegen, no hex-string materialization) yields two
     independent 32-bit halves, and signatures come back as longs (8
     bytes/hash vs 8-char strings).  Not oracle-gated (DuckDB has no
@@ -64,8 +64,10 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16,
     mins — 2.4G updates at 150M shingle rows × 16 — while outputs are
     identical, min over the same hash set).  Docs with empty shingle
     arrays are dropped, matching the explode formulation's semantics."""
+    if hash_fn not in ('md5', 'xxhash64'):
+        raise ValueError(f'hash_fn must be md5 or xxhash64, got {hash_fn!r}')
     base = shingle_df.filter(F.size('shingles') > 0)
-    if hash == 'xxhash64':
+    if hash_fn == 'xxhash64':
         salt_cols = [
             F.expr(f"transform(shingles, s -> xxhash64('{g}', s))")
             .alias(f'_h{g}') for g in range((num_hashes + 1) // 2)]

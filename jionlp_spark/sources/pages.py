@@ -203,6 +203,18 @@ def write_pages_jsonl(pages: DataFrame, path: str) -> None:
      .write.mode('overwrite').json(path))
 
 
+def write_pages_tsv(pages: DataFrame, path: str) -> None:
+    """pages DataFrame → TSV manifest — the paired writer for
+    read_pages_tsv (column order and timestamp format are ONE contract,
+    kept side by side so they cannot drift).  html is dropped (the TSV
+    form is for pre-extracted corpora)."""
+    from pyspark.sql import functions as F
+    (pages.select('url',
+                  F.date_format('warc_ts', 'yyyy-MM-dd HH:mm:ss')
+                  .alias('warc_ts'), 'lang', 'text')
+     .write.option('sep', '\t').mode('overwrite').csv(path))
+
+
 def read_pages_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Tab-separated crawl manifest (url, warc_ts, lang, text — no html
     column; html-less feeds are common for pre-extracted corpora)."""

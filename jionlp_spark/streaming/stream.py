@@ -15,6 +15,26 @@ from pyspark.sql import functions as F
 from jionlp_spark.operators.clean import clean_pages
 from jionlp_spark.operators.mentions import extract_mentions
 
+_INTERVAL_MS = {'second': 1000, 'minute': 60_000, 'hour': 3600_000,
+                'day': 86_400_000, 'week': 604_800_000}
+
+
+def _interval_ms(spec: str) -> int:
+    """'30 minutes' / '1 hour' → milliseconds (the subset of Spark's
+    interval syntax the streaming operators accept for watermarks)."""
+    num, unit = spec.strip().split()
+    return int(float(num) * _INTERVAL_MS[unit.rstrip('s')])
+
+
+def _epoch_ms(ts, tz: str) -> int:
+    """Epoch millis of a pandas Timestamp that Arrow delivered NAIVE in
+    the session timezone — .timestamp() on a naive value assumes UTC and
+    would shift every event-time TTL by the tz offset (silently purging
+    state early for tz-ahead sessions)."""
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(tz)
+    return int(ts.timestamp() * 1000)
+
 
 def streaming_mentions(pages_stream: DataFrame,
                        lexicon_trie_broadcast=None) -> DataFrame:
@@ -56,7 +76,8 @@ def run_file_stream(spark: SparkSession, source_dir: str, out_dir: str,
 
 
 def stateful_dedup_stream(docs_stream: DataFrame,
-                          watermark: str = '1 hour') -> DataFrame:
+                          watermark: str = '1 hour',
+                          ttl: str | None = None) -> DataFrame:
     """Streaming exact dedup with custom state: first arrival of each
     content hash passes through, repeats are dropped — the streaming analog
     of operators/dedup.dedup_exact, replacing the reference simhash module's
@@ -64,8 +85,11 @@ def stateful_dedup_stream(docs_stream: DataFrame,
     per-key state (applyInPandasWithState).
 
     State = one row per content_hash {n_seen}; an event-time timeout
-    expires hashes not seen for 1 hour past their last event time,
-    bounding state size on an unbounded crawl.
+    expires hashes not seen for ``ttl`` (default: one ``watermark``
+    interval) past their last event time, bounding state size on an
+    unbounded crawl.  ttl and watermark are separate knobs: the
+    watermark bounds LATE data acceptance, the ttl bounds how long a
+    quiet key's dedup memory lives.
 
     Input: (doc_id long, text string, warc_ts timestamp) stream.
     Output: (content_hash, doc_id, warc_ts, dup_index) — dup_index 0 for
@@ -80,6 +104,9 @@ def stateful_dedup_stream(docs_stream: DataFrame,
     hashed = docs_stream.select(
         F.md5(F.col('text')).alias('content_hash'),
         'doc_id', 'warc_ts').withWatermark('warc_ts', watermark)
+    ttl_ms = _interval_ms(ttl if ttl is not None else watermark)
+    session_tz = docs_stream.sparkSession.conf.get(
+        'spark.sql.session.timeZone')
 
     out_schema = ('content_hash string, doc_id long, warc_ts timestamp, '
                   'dup_index int')
@@ -103,9 +130,10 @@ def stateful_dedup_stream(docs_stream: DataFrame,
         # TTL anchored to the group's own event time: the current watermark
         # is 0 during the first batch, so watermark-relative timeouts would
         # land in 1970 and the restored watermark of the next run would
-        # purge every key immediately
-        state.setTimeoutTimestamp(
-            int(max_ts.timestamp() * 1000) + 3600_000)
+        # purge every key immediately.  _epoch_ms localizes the naive
+        # Arrow timestamp to the session tz first (naive .timestamp()
+        # assumes UTC and shifts the TTL by the tz offset).
+        state.setTimeoutTimestamp(_epoch_ms(max_ts, session_tz) + ttl_ms)
         yield pd.DataFrame(out, columns=['content_hash', 'doc_id',
                                          'warc_ts', 'dup_index'])
 
@@ -136,19 +164,28 @@ def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
     per bucket holds ≤ max_bucket doc ids: overflow docs in a hot bucket
     (boilerplate shingles — capped in batch by the max_df/stop-shingle
     logic) emit nothing and are not stored, and the bucket's event-time
-    TTL expires it 1 h past its last arrival.
+    TTL expires it one ``watermark`` interval past its last arrival —
+    pairs spanning a longer event-time gap than the watermark are BY
+    DESIGN not found (the retention/recall trade every streaming dedup
+    makes); size the watermark above the pairing horizon you need.
+    Replayed doc_ids (at-least-once sources) neither self-pair nor burn
+    a second state slot.
 
     Input: (doc_id long, text string, warc_ts timestamp).
-    Output: (doc_a, doc_b, band_id) with doc_a < doc_b.
+    Output: (doc_a, doc_b, band_id) with doc_a < doc_b strictly.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
+    if num_hashes % bands:
+        raise ValueError(f'num_hashes={num_hashes} must divide into '
+                         f'bands={bands} (trailing hashes would be '
+                         f'silently dropped)')
     sh = (f"array_distinct(transform(sequence(1, greatest("
           f"size(split(text, ' ')) - {n - 1}, 1)), "
           f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')))")
-    salts = num_hashes // 4
+    salts = (num_hashes + 3) // 4
     md5_cols = [
         F.expr(f"transform({sh}, s -> md5(concat('{g}', s)))").alias(f'h{g}')
         for g in range(salts)]
@@ -172,6 +209,9 @@ def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
 
     out_schema = 'doc_a long, doc_b long, band_id int'
     state_schema = 'ids array<long>'
+    ttl_ms = _interval_ms(watermark)
+    session_tz = docs_stream.sparkSession.conf.get(
+        'spark.sql.session.timeZone')
 
     def pair_fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
@@ -183,9 +223,11 @@ def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
         for pdf in pdf_iter:
             pdf = pdf.sort_values(['warc_ts', 'doc_id'])
             for row in pdf.itertuples():
+                d = int(row.doc_id)
+                if d in ids:
+                    continue  # at-least-once replay: no self-pair, no slot
                 if len(ids) >= max_bucket:
                     break
-                d = int(row.doc_id)
                 for prior in ids:
                     a, b = (prior, d) if prior < d else (d, prior)
                     out.append((a, b, int(key[0])))
@@ -194,8 +236,9 @@ def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
                     max_ts = row.warc_ts
         state.update((ids,))
         if max_ts is not None:
-            state.setTimeoutTimestamp(
-                int(max_ts.timestamp() * 1000) + 3600_000)
+            # tz-correct epoch (see _epoch_ms) + watermark-derived TTL
+            state.setTimeoutTimestamp(_epoch_ms(max_ts, session_tz)
+                                      + ttl_ms)
         yield pd.DataFrame(out, columns=['doc_a', 'doc_b', 'band_id'])
 
     return (banded.groupBy('band_id', 'band_hash')

@@ -215,10 +215,21 @@ def main() -> None:
         batch = (spark.read.parquet(f'{BASE_SF}/documents.parquet')
                  .select((SF.col('doc_id') + 900_000_000).alias('doc_id'),
                          'text'))
-        run(f'incremental_batch_vs_x{factor}_index',
-            lambda: incremental_lsh_dedup(
-                spark, idx_path, batch,
-                batch_id=f'probe-x{factor}')['dups'])
+        # COLD ONLY: a warm repeat would measure a different workload —
+        # the first call publishes the probe's survivor bands, so repeats
+        # fingerprint-resume the publish and scan a probe-polluted index
+        s0 = shuffle_records(spark)
+        t0 = time.time()
+        rows = incremental_lsh_dedup(
+            spark, idx_path, batch,
+            batch_id=f'probe-x{factor}')['dups'].count()
+        dt = time.time() - t0
+        s1 = shuffle_records(spark)
+        print(json.dumps({'op': f'incremental_batch_vs_x{factor}_index',
+                          'cold_sec': round(dt, 2), 'rows': rows,
+                          'shuffle_records': (s1 - s0)
+                          if (s0 >= 0 and s1 >= 0) else -1,
+                          'load1': round(os.getloadavg()[0], 2)}))
 
     spark.stop()
 

@@ -609,7 +609,7 @@ def test_minhash_xxhash64_mode(docs):
     from jionlp_spark.operators.dedup import (lsh_candidate_pairs,
                                               minhash_signatures, shingles)
     sigs = minhash_signatures(shingles(docs, n=1), num_hashes=16,
-                              hash='xxhash64')
+                              hash_fn='xxhash64')
     assert len([c for c in sigs.columns if c.startswith('mh')]) == 16
     assert dict(sigs.dtypes)['mh0'] == 'bigint'
     pairs = {(r['doc_a'], r['doc_b'])
