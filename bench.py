@@ -187,6 +187,52 @@ def main() -> None:
         'cpus': CPUS,
     }
     print(json.dumps(out))
+    # Persist the full record in-repo too — stdout is not the system of
+    # record for the per-run detail.
+    try:
+        os.makedirs('BENCH', exist_ok=True)
+        with open('BENCH/bench_last.json', 'w') as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+
+    # Compact summary printed LAST: the driver keeps only the final 2000
+    # chars of stdout and can parse the last line only when it is complete
+    # inside that window (rounds 3-5 lost their headline numbers because
+    # the single detail line outgrew it).  Keep this line under 1900
+    # chars: every scalar, then per-query times sorted descending; if the
+    # full dict doesn't fit, fold the cheapest rows into
+    # queries_omitted {n, total_sec, max_sec} — every omitted query is
+    # bounded above by the smallest listed time, so nothing slow can hide.
+    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept = {k: round(v, 2) for k, v in ordered}
+    while True:
+        compact = {
+            'metric': 'kg_e2e_plus_headline_queries',
+            'value': round(total, 3),
+            'unit': 'sec',
+            'sf': out['sf'],
+            'pages': N_PAGES,
+            'triples': n_triples,
+            'triples_per_sec': out['triples_per_sec'],
+            'pages_per_sec': out['pages_per_sec'],
+            'e2e_sec': round(e2e, 3),
+            'cpus': CPUS,
+            'n_queries': len(timings),
+            'queries': kept,
+        }
+        if len(kept) < len(timings):
+            omitted = [v for k, v in ordered if k not in kept]
+            compact['queries_omitted'] = {
+                'n': len(omitted),
+                'total_sec': round(sum(omitted), 2),
+                'max_sec': round(max(omitted), 2),
+            }
+        line = json.dumps(compact, separators=(',', ':'))
+        if len(line) <= 1900 or len(kept) <= 1:
+            break
+        kept.pop(next(reversed(kept)))
+    print(line)
     spark.stop()
 
 

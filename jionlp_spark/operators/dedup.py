@@ -412,27 +412,38 @@ def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
 
 def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
                      b_col: str = 'doc_b',
-                     max_iter: int = 20) -> DataFrame:
+                     max_iter: int = 20,
+                     impl: str = 'star') -> DataFrame:
     """Connected components over near-dup candidate pairs → per-doc
     cluster labels — the step a training-data pipeline needs between
     pair generation (LSH/simhash/winnow/embedding) and "keep one doc per
     cluster": transitively-linked docs form ONE cluster even when not
     directly paired.
 
-    Algorithm: min-label propagation — label(v) starts as v; each round
-    every vertex takes the min of its own and its neighbors' labels;
-    converges to the component-min id in O(component diameter) rounds
-    (near-dup clusters are dense, so diameter is small — typically 2-4
-    rounds).  Each round is one shuffle (union + groupBy-min) over the
-    label table, localCheckpoint'ed so lineage stays flat; termination
-    is the round's changed-count hitting zero, a cheap join on the
-    vertex-sized table.  At crawl scale with adversarial long chains,
-    swap in the large-star/small-star contraction (Kiveris et al. 2014,
-    O(log n) rounds) — same interface.
+    impl='star' (default): alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — converges in O(log n)-ish rounds INDEPENDENT
+    of component diameter, so adversarial boilerplate chains (page
+    series that near-dup pairwise into a path graph) cost ~log2(chain)
+    rounds instead of one round per hop.  Each round is four shuffles
+    over the (monotonically star-collapsing) edge table.
 
+    impl='propagate': min-label propagation — label(v) starts as v;
+    each round every vertex takes the min of its own and its neighbors'
+    labels; converges in O(component diameter) rounds (fine for the
+    dense clusters real near-dup graphs produce, kept for A/B parity).
+
+    Both raise on non-convergence instead of returning fragmented
+    clusters (which would let dups survive), localCheckpoint every
+    round so lineage stays flat, and produce identical output:
     → (doc_id, cluster) where cluster = min doc_id of the component.
     """
-    edges = pairs.select(F.col(a_col).alias('a'), F.col(b_col).alias('b'))
+    if impl not in ('star', 'propagate'):
+        raise ValueError(f"impl must be 'star' or 'propagate', got {impl!r}")
+    edges = (pairs.select(F.col(a_col).alias('a'), F.col(b_col).alias('b'))
+             .filter(F.col('a') != F.col('b')))
+    if impl == 'star':
+        return _components_star(edges, max_iter)
     edges = (edges.union(edges.select(F.col('b').alias('a'),
                                       F.col('a').alias('b')))
              .distinct().persist())
@@ -453,26 +464,81 @@ def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
             converged = True
             break
     if not converged:
-        # silently returning fragmented components would let dups
-        # survive dedup; a >max_iter-hop chain needs more rounds (or the
-        # O(log n) large-star/small-star contraction)
         raise RuntimeError(
             f'dedup_components did not converge in {max_iter} rounds — '
             f'a component chain is longer than max_iter; raise max_iter '
-            f'or switch to star-contraction for adversarial graphs')
+            f"or use impl='star' (diameter-independent)")
     return labels.select(F.col('v').alias('doc_id'),
                          F.col('label').alias('cluster'))
 
 
+def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is a
+    fixed point (disjoint min-centered stars).  Per round:
+
+    - large-star: every node u sees its full neighborhood Γ(u) (edges
+      mirrored both ways); each LARGER neighbor v > u is re-pointed at
+      m = min(Γ(u) ∪ {u}) — doubles the reach of small labels.
+    - small-star: edges oriented larger→smaller; node u re-points its
+      smaller neighbors (and itself) at m = min(N(u)) — flattens local
+      chains into stars.
+
+    Edges stay strictly larger→smaller throughout (large-star emits
+    (v, m) with m ≤ u < v; small-star emits (v, m) with m = min ≤ v and
+    (u, m) with m < u; v == m rows are self-loops and dropped), so the
+    fixed-point test is set equality on the oriented edge table.
+    Labels at the fixed point: child → its star center, centers (never
+    on the child side) → themselves via the left join on the original
+    vertex set.
+    """
+    verts = (edges.select('a').union(edges.select(F.col('b').alias('a')))
+             .distinct().select(F.col('a').alias('v')).localCheckpoint())
+    e = (edges.select(F.greatest('a', 'b').alias('u'),
+                      F.least('a', 'b').alias('v'))
+         .distinct().localCheckpoint())
+    converged = False
+    for _ in range(max_iter):
+        both = e.union(e.select(F.col('v').alias('u'),
+                                F.col('u').alias('v')))
+        lmin = (both.groupBy('u').agg(F.min('v').alias('mn'))
+                .select('u', F.least('u', 'mn').alias('m')))
+        e1 = (both.join(lmin, 'u')
+              .filter(F.col('v') > F.col('u'))
+              .select(F.col('v').alias('u'), F.col('m').alias('v'))
+              .distinct())
+        smin = e1.groupBy('u').agg(F.min('v').alias('m'))
+        joined = e1.join(smin, 'u')
+        e2 = (joined.filter(F.col('v') != F.col('m'))
+              .select(F.greatest('v', 'm').alias('u'),
+                      F.least('v', 'm').alias('v'))
+              .union(smin.select('u', F.col('m').alias('v')))
+              .filter(F.col('u') != F.col('v'))
+              .distinct().localCheckpoint())
+        same = (e2.count() == e.count()
+                and e2.exceptAll(e).limit(1).count() == 0)
+        e = e2
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f'star contraction did not converge in {max_iter} rounds — '
+            f'pathological input; raise max_iter')
+    root_of = e.groupBy('u').agg(F.min('v').alias('label'))
+    return (verts.join(root_of, verts['v'] == root_of['u'], 'left')
+            .select(verts['v'].alias('doc_id'),
+                    F.coalesce('label', verts['v']).alias('cluster')))
+
+
 def dedup_keep_list(pairs: DataFrame, a_col: str = 'doc_a',
                     b_col: str = 'doc_b',
-                    max_iter: int = 20) -> DataFrame:
+                    max_iter: int = 20, impl: str = 'star') -> DataFrame:
     """Cluster summary over dedup_components: one row per near-dup
     cluster with its size, the kept doc (min id — deterministic), and
     the dropped count.  Docs in no pair are implicitly kept and don't
     appear (joining this against the corpus as an anti-join on
     non-keep members IS the dedup filter)."""
-    comp = dedup_components(pairs, a_col, b_col, max_iter)
+    comp = dedup_components(pairs, a_col, b_col, max_iter, impl)
     return (comp.groupBy('cluster')
             .agg(F.count('*').cast('long').alias('cluster_size'),
                  F.min('doc_id').cast('long').alias('keep_doc_id'))

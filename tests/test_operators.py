@@ -549,9 +549,30 @@ def test_dedup_components_property_vs_union_find(spark):
 
         pairs = spark.createDataFrame(
             [(a, b) for a, b in edges], 'doc_a long, doc_b long')
-        got = {r['doc_id']: r['cluster']
-               for r in dedup_components(pairs, max_iter=50).collect()}
-        assert got == want, (trial, edges)
+        for impl in ('star', 'propagate'):
+            got = {r['doc_id']: r['cluster']
+                   for r in dedup_components(pairs, max_iter=50,
+                                             impl=impl).collect()}
+            assert got == want, (impl, trial, edges)
+
+
+def test_dedup_components_adversarial_chain(spark):
+    """A 1000-node path graph (boilerplate page series that near-dup
+    pairwise): star contraction converges in O(log n) rounds and labels
+    everything 0; diameter-bound propagation provably can NOT finish in
+    few rounds (raises instead of returning fragmented clusters)."""
+    import pytest
+
+    from jionlp_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)],
+        'doc_a long, doc_b long').coalesce(4)
+    comp = dedup_components(pairs, max_iter=16, impl='star').collect()
+    assert len(comp) == 1000
+    assert all(r['cluster'] == 0 for r in comp)
+    with pytest.raises(RuntimeError, match='did not converge'):
+        dedup_components(pairs, max_iter=3, impl='propagate').collect()
 
 
 def test_streaming_lsh_pairs_cross_batch_and_cap(spark, tmp_path):
