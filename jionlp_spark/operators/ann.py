@@ -117,7 +117,7 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
                      vec_col: str = 'embedding',
                      id_col: str = 'vec_id',
                      train_cap: int | None = None,
-                     impl: str = 'expr') -> DataFrame:
+                     impl: str = 'arrow') -> DataFrame:
     """Deterministic Lloyd k-means over cosine assignment.
 
     Init = the k vectors with the smallest md5(vec_id) (a deterministic
@@ -196,7 +196,7 @@ def _hash_seed_centroids(emb: DataFrame, k: int, vec_col: str,
 
 
 def _assign(emb: DataFrame, centroids: DataFrame, probes: int,
-            vec_col: str, id_col: str, impl: str = 'expr') -> DataFrame:
+            vec_col: str, id_col: str, impl: str = 'arrow') -> DataFrame:
     """Top-`probes` buckets per vector by cosine (round-6 before ranking —
     deterministic across engines; ties by centroid_id).  Output keeps the
     per-vector norm in ``_nrm`` so downstream pair joins reuse it.
@@ -207,9 +207,12 @@ def _assign(emb: DataFrame, centroids: DataFrame, probes: int,
     ~8 s at 200k vectors × k=800, scripts/dedup_scale_bench.py).  The
     kernel folds dims left-to-right exactly like the Catalyst aggregate
     (bit-identical sims; see _cosine_pairs_arrow) and applies HALF_UP
-    rounding; kept opt-in because numpy-vs-BigDecimal rounding can differ
-    on the rare exact .5e-6 representation edge, and every oracle-gated
-    path stays on the expression plan."""
+    rounding.  Default since r6 — it is the only assignment that survives
+    the k ∝ N rule at corpus scale, and it now runs under the driver's
+    DuckDB gate (ann_ivf_topk / dedup_embedding_pairs) plus the
+    row-identity parity test; ``impl='expr'`` keeps the plan-transparent
+    expression path for A/B audits (the two can differ only on an exact
+    .5e-6 representation tie, never observed on real doubles)."""
     if impl == 'arrow':
         return _assign_arrow(emb, centroids, probes, vec_col, id_col)
     from pyspark.sql.window import Window
@@ -244,6 +247,14 @@ def _assign_arrow(emb: DataFrame, centroids: DataFrame, probes: int,
     for d in range(C.shape[1]):
         acc += C[:, d] * C[:, d]
     cnrm = np.sqrt(acc)
+    if (cnrm == 0.0).any():
+        # crash-for-crash with the expression path (see the vector-norm
+        # guard below): a caller-supplied all-zero centroid must raise
+        # like ANSI DIVIDE_BY_ZERO, not silently yield inf/nan sims
+        bad = cids[cnrm == 0.0][0]
+        raise ArithmeticError(
+            f'zero-norm centroid (centroid_id {bad}) — the expression '
+            f'path raises DIVIDE_BY_ZERO here; fix the centroid input')
 
     def half_up6(x):
         scaled = x * 1e6
@@ -307,7 +318,7 @@ def _assign_arrow(emb: DataFrame, centroids: DataFrame, probes: int,
 def ivf_assign(emb: DataFrame, n_centroids: int = 16,
                vec_col: str = 'embedding', id_col: str = 'vec_id',
                centroids: DataFrame | None = None,
-               probes: int = 1, impl: str = 'expr') -> tuple:
+               probes: int = 1, impl: str = 'arrow') -> tuple:
     """IVF bucketing against `centroids` (default: deterministic
     hash-sampled vectors; pass kmeans_centroids(...) output for trained
     buckets).  probes > 1 emits one row per (vector, probed bucket) — used

@@ -551,7 +551,7 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.9,
                         vec_col: str = 'embedding',
                         id_col: str = 'vec_id',
                         use_arrow: bool = True,
-                        assign_impl: str = 'expr') -> DataFrame:
+                        assign_impl: str = 'arrow') -> DataFrame:
     """Embedding-cosine near-dup pairs: IVF-bucketed candidate generation
     (hash-seeded centroids, top-`probes` buckets per vector) + exact cosine
     verify within buckets.  The all-pairs O(N²) scan becomes a

@@ -145,3 +145,24 @@ def test_arrow_assign_degenerate_vectors_match_expression(spark):
     rb = sorted((r['vec_id'], r['bucket']) for r in b.collect())
     assert ra == rb
     assert sum(1 for v, _b in ra if v == 100001) == 2
+
+
+def test_arrow_assign_zero_norm_centroid_raises(spark):
+    """Advisor finding r5: a caller-supplied all-zero CENTROID must fail
+    crash-for-crash with the expression path (which raises ANSI
+    DIVIDE_BY_ZERO), not silently emit inf/nan sims."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from jionlp_spark.operators.ann import ivf_assign
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    dim = len(emb.select('embedding').first()[0])
+    cents = spark.createDataFrame([(0,), (1,)], 'centroid_id int').select(
+        'centroid_id',
+        F.when(F.col('centroid_id') == 0,
+               F.array_repeat(F.lit(0.0), dim))
+        .otherwise(F.array_repeat(F.lit(1.0), dim)).alias('centroid'))
+    # the arrow kernel collects the k centroid rows at plan-build time,
+    # so the guard fails fast in the driver (before any executor work)
+    with pytest.raises(ArithmeticError, match='zero-norm centroid'):
+        ivf_assign(emb, centroids=cents, probes=1, impl='arrow')
