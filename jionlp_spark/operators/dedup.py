@@ -350,10 +350,14 @@ def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
     → {'dups': (new_doc, dup_of) DataFrame, 'survivor_bands': DataFrame,
        'index': published index DataFrame}.
 
-    Scale shape: the index is read-only history (band-partitioned
-    equi-join, no shuffle of history when bucketed on band_hash);
-    per-batch cost is O(batch) signatures + O(candidates) verification —
-    history is never re-hashed.
+    Scale shape: the index is published BUCKETED on the join key
+    (band_id, band_hash) through the catalog, so the history side of
+    the per-batch equi-join is exchange-free — the scan reads co-located
+    buckets (plan shows ``Bucketed: true`` and no Exchange above the
+    history FileScan; only the new batch shuffles, into the bucket
+    distribution).  Per-batch cost is O(batch) signatures +
+    O(candidates) verification — history is never re-hashed OR
+    re-shuffled.
     """
     from jionlp_spark.sources import catalog
 
@@ -375,7 +379,7 @@ def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
                            F.col('cluster').alias('dup_of')))
 
     if catalog.read_manifest(index_path) is not None:
-        idx = spark.read.parquet(index_path)
+        idx = catalog.read_table(spark, index_path)
         # identity filter: a retried batch's own published bands are in
         # the index — without it every survivor reads as a dup of itself
         # on re-publish (the fingerprint makes the PUBLISH a no-op, but
@@ -405,7 +409,8 @@ def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
 
     index = catalog.run_stage(spark, index_path, 'lsh_index',
                               lambda: updated,
-                              input_fingerprint=batch_id)
+                              input_fingerprint=batch_id,
+                              bucket_by=('band_id', 'band_hash'))
     return {'dups': dups, 'survivor_bands': survivor_bands,
             'index': index}
 

@@ -64,10 +64,13 @@ def write_manifest(path: str, stage: str, rows: int, schema_json: str,
                    input_fingerprint: str | None = None,
                    metrics: dict | None = None,
                    snapshot_id: int = 1,
-                   history: list | None = None) -> dict:
+                   history: list | None = None,
+                   bucket_spec: dict | None = None) -> dict:
     """``history`` is the prior snapshots list (oldest first, NOT
     including this publish); this publish is appended with
-    parent = last retained id."""
+    parent = last retained id.  ``bucket_spec`` records hash-bucketed
+    layout ({'columns': [...], 'n_buckets': N}) so ``read_table`` can
+    re-declare the bucketed table in any later session."""
     history = list(history or [])
     parent = history[-1]['id'] if history else None
     manifest = {
@@ -85,6 +88,8 @@ def write_manifest(path: str, stage: str, rows: int, schema_json: str,
         }],
         'format_version': 2,
     }
+    if bucket_spec:
+        manifest['bucket_spec'] = bucket_spec
     with open(os.path.join(path, MANIFEST), 'w', encoding='utf-8') as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
     return manifest
@@ -199,10 +204,39 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-aware read of a catalog table.  Plain tables come back
+    as a parquet scan; tables published with ``bucket_by`` come back as
+    a bucketed catalog table (re-declared per session — the in-memory
+    session catalog forgets DDL across processes, but the bucket ids
+    live in the FILE NAMES, so an external-table declaration over the
+    same path restores exchange-free joins in any session)."""
+    m = read_manifest(path)
+    spec = (m or {}).get('bucket_spec')
+    if not spec:
+        return spark.read.parquet(path)
+    import hashlib
+    tbl = '_cat_' + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    fields = spark.read.parquet(path).schema.fields
+    ddl = ', '.join(f'`{f.name}` {f.dataType.simpleString()}'
+                    for f in fields)
+    cols = ', '.join(f'`{c}`' for c in spec['columns'])
+    # DROP + CREATE every read: metadata-only (external table), and it
+    # invalidates any cached file listing from a pre-republish read
+    spark.sql(f'DROP TABLE IF EXISTS {tbl}')
+    spark.sql(
+        f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {spec['n_buckets']} BUCKETS LOCATION '{os.path.abspath(path)}'")
+    return spark.table(tbl)
+
+
 def run_stage(spark: SparkSession, path: str, stage: str, build,
               input_fingerprint: str | None = None,
               partition_by: tuple = (),
-              resume: bool = True) -> DataFrame:
+              resume: bool = True,
+              bucket_by: tuple = (),
+              n_buckets: int = 32) -> DataFrame:
     """Execute (or resume) one checkpointed stage.
 
     ``build`` is a zero-arg callable returning the stage's output
@@ -223,15 +257,31 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
         os.rename(tmp, path)
 
     if resume and is_complete(path, input_fingerprint):
-        return spark.read.parquet(path)
+        return read_table(spark, path)
 
     df = build()
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    writer = df.write.mode('overwrite')
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    if bucket_by:
+        if partition_by:
+            raise ValueError('bucket_by and partition_by are exclusive')
+        # bucketed parquet needs a catalog writer (plain .parquet(path)
+        # can't emit bucket ids); an external temp table writes the
+        # bucket-id-named files into tmp, then the metadata-only entry
+        # is dropped — the files carry the layout from there on
+        import hashlib
+        wtbl = ('_cat_stage_'
+                + hashlib.md5(tmp.encode()).hexdigest()[:12])
+        spark.sql(f'DROP TABLE IF EXISTS {wtbl}')
+        (df.write.format('parquet').mode('overwrite')
+         .bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by)
+         .option('path', os.path.abspath(tmp)).saveAsTable(wtbl))
+        spark.sql(f'DROP TABLE IF EXISTS {wtbl}')
+    else:
+        writer = df.write.mode('overwrite')
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
 
     out = spark.read.parquet(tmp)
     rows = out.count()
@@ -265,12 +315,15 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
                         shutil.copy2(src, dst)
 
     write_manifest(tmp, stage, rows, out.schema.json(), input_fingerprint,
-                   snapshot_id=snapshot_id, history=history)
+                   snapshot_id=snapshot_id, history=history,
+                   bucket_spec=({'columns': list(bucket_by),
+                                 'n_buckets': n_buckets}
+                                if bucket_by else None))
 
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
-    return spark.read.parquet(path)
+    return read_table(spark, path)
 
 
 def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,

@@ -51,3 +51,47 @@ def test_bench_and_oracle_registries_complete():
     assert qs <= set(bench.HEADLINE), qs - set(bench.HEADLINE)
     assert qs == set(entry.oracle_sql()), \
         qs ^ set(entry.oracle_sql())
+
+
+def test_incremental_index_join_history_side_exchange_free(spark, tmp_path):
+    """The incremental-dedup snapshot index is published BUCKETED on the
+    join key (band_id, band_hash): the history side of the per-batch
+    equi-join must scan `Bucketed: true` with NO Exchange — only the new
+    batch shuffles (into the bucket distribution).  Guards the r5
+    PLANS.md note ('would be exchange-free with the index bucketed')
+    now that it is."""
+    import pyspark.sql.functions as F
+
+    from jionlp_spark.operators.dedup import (incremental_lsh_dedup,
+                                              lsh_bands,
+                                              minhash_signatures, shingles)
+    from jionlp_spark.sources import catalog
+
+    idx_path = str(tmp_path / 'lsh_index')
+    docs1 = spark.createDataFrame(
+        [(i, f'alpha beta gamma delta epsilon zeta doc{i}')
+         for i in range(30)], 'doc_id long, text string')
+    incremental_lsh_dedup(spark, idx_path, docs1, batch_id='b1')
+
+    docs2 = spark.createDataFrame(
+        [(100 + i, f'eta theta iota kappa lambda mu doc{i}')
+         for i in range(10)], 'doc_id long, text string')
+    new_banded = lsh_bands(minhash_signatures(shingles(docs2)))
+    idx = catalog.read_table(spark, idx_path)
+
+    old_aqe = spark.conf.get('spark.sql.adaptive.enabled')
+    old_bc = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    try:
+        # pin SMJ so the guard checks the at-scale plan (AQE would
+        # broadcast the tiny test index and hide the exchange question)
+        spark.conf.set('spark.sql.adaptive.enabled', 'false')
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+        j = (new_banded.alias('n')
+             .join(idx.alias('i'), ['band_id', 'band_hash'])
+             .filter(F.col('n.doc_id') != F.col('i.doc_id')))
+        plan = _plan(j)
+    finally:
+        spark.conf.set('spark.sql.adaptive.enabled', old_aqe)
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old_bc)
+    assert 'Bucketed: true' in plan, plan
+    assert len(re.findall(r'\bExchange\b', plan)) == 1, plan
