@@ -2184,6 +2184,50 @@ def q_streaming_lsh_pairs(spark, sf_dir):
     return out
 
 
+def q_streaming_to_incremental(spark, sf_dir):
+    """Streaming→incremental handoff (operators/dedup.
+    publish_stream_survivors): the drained streaming LSH run's pairs
+    (q_streaming_lsh_pairs, cached — the REAL stream over docs < 400 in
+    two micro-batches) reduce via keep-min connected components to the
+    batch path's survivors, whose bands seed the bucketed snapshot
+    index; the next day's batch (docs 400-499, every %5==0 doc copying
+    its -400 predecessor → guaranteed cross-history dups) then dedups
+    against that stream-fed index.  Returns the published index rows
+    (kind='index') plus the next batch's dup report (kind='dup'); the
+    oracle rebuilds both purely in SQL as the batch path would have —
+    value equality proves stream-fed index ≡ batch-fed index."""
+    from jionlp_spark.operators.dedup import (incremental_lsh_dedup,
+                                              publish_stream_survivors)
+    pairs = q_streaming_lsh_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter('doc_id < 400').select('doc_id', 'text')
+    base = _work_dir('jionlp_stream2inc', sf_dir)
+    path = f'{base}/index'
+    res1 = publish_stream_survivors(spark, path, b1, pairs,
+                                    batch_id=f's1@{sf_dir}')
+    # snapshot the phase-1 index rows BEFORE phase 2 publishes (the
+    # publish retires the current files into _snapshots — a lazy plan
+    # over them would FILE_NOT_EXIST)
+    idx_rows = res1['index'].localCheckpoint()
+    dup_src = docs.select(F.col('doc_id').alias('src_id'),
+                          F.col('text').alias('src_text'))
+    b2 = (docs.filter('doc_id >= 400 and doc_id < 500')
+          .join(dup_src, F.col('doc_id') - 400 == F.col('src_id'), 'left')
+          .select('doc_id',
+                  F.when(F.col('doc_id') % 5 == 0, F.col('src_text'))
+                  .otherwise(F.col('text')).alias('text')))
+    res2 = incremental_lsh_dedup(spark, path, b2, batch_id=f's2@{sf_dir}')
+    return (idx_rows.select(F.lit('index').alias('kind'),
+                            F.col('doc_id').cast('long').alias('a'),
+                            F.col('band_id').cast('long').alias('b'),
+                            F.col('band_hash').alias('h'))
+            .unionByName(res2['dups'].select(
+                F.lit('dup').alias('kind'),
+                F.col('new_doc').cast('long').alias('a'),
+                F.col('dup_of').cast('long').alias('b'),
+                F.lit(None).cast('string').alias('h'))))
+
+
 def q_source_roundtrip(spark, sf_dir):
     """Source-format breadth under the gate (sources/pages.py JSONL/TSV
     adapters — the reference reads line-oriented text/JSON via
@@ -2527,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'kg_cooccurrence': q_kg_cooccurrence,
         'streaming_lsh_pairs': q_streaming_lsh_pairs,
+        'streaming_to_incremental': q_streaming_to_incremental,
         'source_roundtrip': q_source_roundtrip,
         'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
@@ -3136,6 +3181,59 @@ def oracle_sql() -> dict[str, str]:
             union
             select cast(new_doc as bigint), cast(dup_of as bigint)
             from dups_cross""",
+        # stream-fed index ≡ batch-fed index: rebuild phase-1 survivors
+        # (keep-min components over batch-1's LSH pairs — the same pair
+        # set the stream emitted, per the streaming_lsh_pairs gate),
+        # their band table (= the published index), and phase-2's dup
+        # report against it, all in pure SQL
+        'streaming_to_incremental': f"""
+            with recursive
+            sb1 as (select doc_id, text from documents
+                    where doc_id < 400),
+            sb2 as (select d.doc_id,
+                           case when d.doc_id % 5 = 0 then s.text
+                                else d.text end as text
+                    from documents d
+                    left join documents s on s.doc_id = d.doc_id - 400
+                    where d.doc_id >= 400 and d.doc_id < 500),
+            {_lsh_bands_cte('sb1', 's1')},
+            {_lsh_bands_cte('sb2', 's2')},
+            w1 as (select distinct a.doc_id a, b.doc_id b
+                   from bandss1 a join bandss1 b
+                   using (band_id, band_hash)
+                   where a.doc_id < b.doc_id),
+            e1 as (select a, b from w1 union select b, a from w1),
+            walk1(v, lab) as (
+                select a, a from e1
+                union
+                select e1.b, w.lab from walk1 w join e1 on e1.a = w.v),
+            comp1 as (select v, min(lab) lab from walk1 group by v),
+            idx as (select doc_id, band_id, band_hash from bandss1
+                    where doc_id not in
+                      (select v from comp1 where v != lab)),
+            w2 as (select distinct a.doc_id a, b.doc_id b
+                   from bandss2 a join bandss2 b
+                   using (band_id, band_hash)
+                   where a.doc_id < b.doc_id),
+            e2 as (select a, b from w2 union select b, a from w2),
+            walk2(v, lab) as (
+                select a, a from e2
+                union
+                select e2.b, w.lab from walk2 w join e2 on e2.a = w.v),
+            comp2 as (select v, min(lab) lab from walk2 group by v),
+            dups as (select v new_doc, lab dup_of from comp2
+                     where v != lab
+                     union
+                     select distinct n.doc_id, i.doc_id
+                     from bandss2 n join idx i
+                     using (band_id, band_hash)
+                     where n.doc_id != i.doc_id)
+            select 'index' kind, cast(doc_id as bigint) a,
+                   cast(band_id as bigint) b, band_hash h from idx
+            union all
+            select 'dup' kind, cast(new_doc as bigint),
+                   cast(dup_of as bigint), cast(null as varchar)
+            from dups""",
         'dedup_cluster_keep': f"""
             with recursive pairs as ({_LSH_PAIRS_SQL}),
             e as (select doc_a a, doc_b b from pairs

@@ -59,6 +59,8 @@ HEADLINE = [
     'dedup_cluster_keep', 'dedup_incremental', 'kg_cooccurrence',
     'streaming_lsh_pairs', 'source_roundtrip',
     'lang_distribution', 'kg_extract_idcard',
+    # round 6 additions
+    'streaming_to_incremental',
 ]
 
 

@@ -415,6 +415,49 @@ def incremental_lsh_dedup(spark, index_path: str, new_docs: DataFrame,
             'index': index}
 
 
+def publish_stream_survivors(spark, index_path: str, docs: DataFrame,
+                             pairs: DataFrame, batch_id: str, n: int = 3,
+                             num_hashes: int = 16, bands: int = 4,
+                             text_col: str = 'text',
+                             id_col: str = 'doc_id') -> dict:
+    """Handoff seam from streaming LSH to the incremental batch index —
+    the one join a production crawl pipeline needs between its two dedup
+    modes: the day's pages stream through streaming_lsh_pairs (state
+    pairs them live), and at day close the drained stream's PAIRS are
+    reduced with the SAME keep-min connected-components rule the batch
+    path applies, survivors re-banded (one pass over survivors only) and
+    published through the SAME bucketed catalog stage
+    incremental_lsh_dedup publishes — so the next day's batch dedups
+    against an index indistinguishable from a batch-fed one.
+
+    Stream ≡ batch pair equivalence (the streaming_lsh_pairs oracle)
+    + identical component reduction + identical banding ⇒ identical
+    index rows; the streaming_to_incremental driver query proves the
+    published rows value-equal against a pure-SQL batch reconstruction.
+
+    → {'dups': (new_doc, dup_of), 'index': published index DataFrame}.
+    """
+    from jionlp_spark.sources import catalog
+
+    comp = dedup_components(pairs, a_col='doc_a', b_col='doc_b')
+    dups = (comp.filter(F.col('doc_id') != F.col('cluster'))
+            .select(F.col('doc_id').alias('new_doc'),
+                    F.col('cluster').alias('dup_of'))
+            .localCheckpoint())
+    dup_ids = dups.select(F.col('new_doc').alias(id_col)).distinct()
+    survivors = docs.join(dup_ids, id_col, 'left_anti')
+    survivor_bands = lsh_bands(
+        minhash_signatures(
+            shingles(survivors, text_col=text_col, id_col=id_col, n=n),
+            num_hashes=num_hashes),
+        bands=bands)
+    index = catalog.run_stage(spark, index_path, 'lsh_index',
+                              lambda: survivor_bands,
+                              input_fingerprint=batch_id,
+                              bucket_by=('band_id', 'band_hash'))
+    return {'dups': dups, 'index': index}
+
+
 def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
                      b_col: str = 'doc_b',
                      max_iter: int = 20,
