@@ -21,9 +21,24 @@ _INTERVAL_MS = {'second': 1000, 'minute': 60_000, 'hour': 3600_000,
 
 def _interval_ms(spec: str) -> int:
     """'30 minutes' / '1 hour' → milliseconds (the subset of Spark's
-    interval syntax the streaming operators accept for watermarks)."""
-    num, unit = spec.strip().split()
-    return int(float(num) * _INTERVAL_MS[unit.rstrip('s')])
+    interval syntax the streaming operators accept for watermarks /
+    TTLs).  Rejects anything else UP FRONT with the accepted grammar —
+    Spark's own withWatermark accepts more forms ('30 min', '500
+    milliseconds'), so a bad spec must not surface later as an opaque
+    KeyError from deep inside a micro-batch."""
+    parts = spec.strip().split()
+    unit = parts[1].lower().rstrip('s') if len(parts) == 2 else None
+    if unit not in _INTERVAL_MS:
+        raise ValueError(
+            f'unsupported interval {spec!r}: expected "<number> <unit>" '
+            f'with unit one of {sorted(_INTERVAL_MS)} (plural ok)')
+    try:
+        num = float(parts[0])
+    except ValueError:
+        raise ValueError(
+            f'unsupported interval {spec!r}: {parts[0]!r} is not a '
+            f'number') from None
+    return int(num * _INTERVAL_MS[unit])
 
 
 def _epoch_ms(ts, tz: str) -> int:
@@ -223,17 +238,22 @@ def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
         for pdf in pdf_iter:
             pdf = pdf.sort_values(['warc_ts', 'doc_id'])
             for row in pdf.itertuples():
+                # EVERY arriving row refreshes the TTL clock (advisor
+                # finding r5): a hot bucket at max_bucket, or one seeing
+                # only replays, is still ACTIVE — aging it off
+                # one-watermark-after-its-last-STORED doc would silently
+                # drop its pairing history mid-traffic
+                if max_ts is None or row.warc_ts > max_ts:
+                    max_ts = row.warc_ts
                 d = int(row.doc_id)
                 if d in ids:
                     continue  # at-least-once replay: no self-pair, no slot
                 if len(ids) >= max_bucket:
-                    break
+                    continue
                 for prior in ids:
                     a, b = (prior, d) if prior < d else (d, prior)
                     out.append((a, b, int(key[0])))
                 ids.append(d)
-                if max_ts is None or row.warc_ts > max_ts:
-                    max_ts = row.warc_ts
         state.update((ids,))
         if max_ts is not None:
             # tz-correct epoch (see _epoch_ms) + watermark-derived TTL

@@ -637,3 +637,18 @@ def test_minhash_xxhash64_mode(docs):
              for r in lsh_candidate_pairs(sigs, bands=4).collect()}
     assert (0, 1) in pairs          # exact dups collide
     assert (0, 5) not in pairs      # unrelated languages don't
+
+
+def test_interval_ms_validation():
+    """Advisor finding r5: bad watermark/ttl specs fail fast with the
+    accepted grammar, not an opaque KeyError mid-stream."""
+    import pytest
+
+    from jionlp_spark.streaming.stream import _interval_ms
+
+    assert _interval_ms('30 minutes') == 1_800_000
+    assert _interval_ms('1 Hour') == 3_600_000  # case-normalized
+    assert _interval_ms('2 day') == 172_800_000
+    for bad in ('30 min', '500 milliseconds', '1hour', 'x hours', ''):
+        with pytest.raises(ValueError, match='interval'):
+            _interval_ms(bad)
