@@ -194,30 +194,58 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_pages_jsonl(pages: DataFrame, path: str) -> None:
-    """pages DataFrame → JSONL (html base64-encoded)."""
+    """pages DataFrame → JSONL (html base64-encoded; timestamps carry
+    microseconds — parquet's own precision — so the round-trip through
+    read_pages_jsonl is exact)."""
     from pyspark.sql import functions as F
     (pages.select('url',
-                  F.date_format('warc_ts', "yyyy-MM-dd'T'HH:mm:ss")
+                  F.date_format('warc_ts', "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
                   .alias('warc_ts'),
                   F.base64('html').alias('html_b64'), 'text', 'lang')
      .write.mode('overwrite').json(path))
 
 
+# TSV contract shared by the paired writer/reader below (advisor r5: the
+# CSV defaults were only safe for the digit-free test corpus — real crawl
+# text embeds tabs/newlines/quotes and empty-vs-null matters):
+#   - RFC-style quoting (quote='"', escape='"'): fields containing the
+#     separator, quotes, or NEWLINES are quoted by the writer; the reader
+#     needs multiLine to reassemble quoted newlines.
+#   - nulls are written as the distinct token \\N (the classic
+#     mysqldump/Hive convention) so an EMPTY string ('' on disk) reads
+#     back as '' and a null reads back as null, not both as null.
+#   - timestamps carry microseconds (parquet's precision) — no silent
+#     truncation.
+# emptyValue is ASYMMETRIC by design (univocity parses an unquoted empty
+# field as null): the writer emits '' as the QUOTED empty string `""`,
+# and the reader maps `""` back to '' — while \\N → null on both sides.
+_TSV_OPTS = {'sep': '\t', 'quote': '"', 'escape': '"',
+             'nullValue': '\\N'}
+_TSV_WRITE_OPTS = {**_TSV_OPTS, 'emptyValue': '""'}
+_TSV_READ_OPTS = {**_TSV_OPTS, 'emptyValue': '', 'multiLine': 'true'}
+
+
 def write_pages_tsv(pages: DataFrame, path: str) -> None:
     """pages DataFrame → TSV manifest — the paired writer for
-    read_pages_tsv (column order and timestamp format are ONE contract,
-    kept side by side so they cannot drift).  html is dropped (the TSV
-    form is for pre-extracted corpora)."""
+    read_pages_tsv (column order, timestamp format, and the quoting/null
+    contract in _TSV_OPTS are ONE contract, kept side by side so they
+    cannot drift).  html is dropped (the TSV form is for pre-extracted
+    corpora)."""
     from pyspark.sql import functions as F
     (pages.select('url',
-                  F.date_format('warc_ts', 'yyyy-MM-dd HH:mm:ss')
+                  F.date_format('warc_ts', 'yyyy-MM-dd HH:mm:ss.SSSSSS')
                   .alias('warc_ts'), 'lang', 'text')
-     .write.option('sep', '\t').mode('overwrite').csv(path))
+     .write.options(**_TSV_WRITE_OPTS).mode('overwrite').csv(path))
 
 
 def read_pages_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Tab-separated crawl manifest (url, warc_ts, lang, text — no html
-    column; html-less feeds are common for pre-extracted corpora)."""
+    column; html-less feeds are common for pre-extracted corpora).
+    multiLine reassembles quoted embedded newlines; the cost is that a
+    multiLine CSV file is NOT splittable within one file (Spark must see
+    whole quoted records) — parallelism comes from the many part files a
+    distributed writer emits, which is how this pairs with
+    write_pages_tsv."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     schema = T.StructType([
@@ -227,7 +255,7 @@ def read_pages_tsv(spark: SparkSession, path: str) -> DataFrame:
         T.StructField('text', T.StringType()),
     ])
     return (spark.read.schema(schema)
-            .option('sep', '\t').csv(path)
+            .options(**_TSV_READ_OPTS).csv(path)
             .select('url', F.to_timestamp('warc_ts').alias('warc_ts'),
                     F.lit(None).cast('binary').alias('html'),
                     'text', 'lang'))

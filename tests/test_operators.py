@@ -652,3 +652,28 @@ def test_interval_ms_validation():
     for bad in ('30 min', '500 milliseconds', '1hour', 'x hours', ''):
         with pytest.raises(ValueError, match='interval'):
             _interval_ms(bad)
+
+
+def test_tsv_roundtrip_adversarial(spark, tmp_path):
+    """Advisor finding r5: the TSV pair must survive REAL crawl text —
+    embedded tabs, newlines, quotes, empty strings, nulls, and
+    sub-second timestamps — not just the digit-free test corpus."""
+    import datetime
+
+    from jionlp_spark.sources.pages import read_pages_tsv, write_pages_tsv
+
+    rows = [
+        ('u1', datetime.datetime(2021, 9, 1, 0, 0, 0, 123456),
+         'en', 'tab\there and\nnewline and "quote"'),
+        ('u2', datetime.datetime(2021, 9, 1, 0, 0, 1), 'en', ''),
+        ('u3', datetime.datetime(2021, 9, 1, 0, 0, 2), 'en', None),
+        ('u4', None, None, 'plain'),
+    ]
+    df = spark.createDataFrame(
+        rows, 'url string, warc_ts timestamp, lang string, text string')
+    path = str(tmp_path / 'tsv')
+    write_pages_tsv(df, path)
+    got = {r['url']: (r['warc_ts'], r['lang'], r['text'])
+           for r in read_pages_tsv(spark, path).collect()}
+    want = {u: (ts, lg, tx) for u, ts, lg, tx in rows}
+    assert got == want
