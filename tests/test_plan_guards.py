@@ -95,3 +95,20 @@ def test_incremental_index_join_history_side_exchange_free(spark, tmp_path):
         spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old_bc)
     assert 'Bucketed: true' in plan, plan
     assert len(re.findall(r'\bExchange\b', plan)) == 1, plan
+
+
+def test_topic_plan_widths_hold(spark):
+    """r5 audit pinned the fused topic plans to baseline width
+    (summary_top_topic 15 exchanges, keyphrase_topk_topic 8 — the
+    pre-fusion regression was 23).  Assert the audited widths with one
+    exchange of slack so a refactor can't silently reintroduce the wide
+    plan the way r4's did."""
+    import __spark_entry__ as entry_mod
+
+    budgets = {'summary_top_topic': 15, 'summary_top_sentence': 13,
+               'keyphrase_topk_topic': 8, 'keyphrase_topk': 8}
+    qs = entry_mod.queries()
+    for name, budget in budgets.items():
+        plan = _plan(qs[name](spark, '/root/testdata/sf0.001'))
+        got = len(re.findall(r'\bExchange\b', plan))
+        assert got <= budget + 1, (name, got, budget)
