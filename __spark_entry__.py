@@ -2528,22 +2528,68 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 79).  r4
-    # verdict item 1: rotate evidence so no query's driver row goes
-    # stale — (a) the 29 queries whose last driver row is r3 (two rounds
-    # old) come first, (b) then everything changed in r5 (catalog
-    # snapshots, topic-plan fusion, 3-gram LSH shingles, multimodal real
-    # dims, advisor guards), (c) then the freshest r4 proofs fill the
-    # sample; the tail is r4-green and unchanged.
+    # Dict order is the driver's sampling order (first 50 of 85).  r6
+    # rotation (r5 verdict item 2): (a) the 34 queries whose last driver
+    # row is r4 come FIRST, (b) then everything new or changed in r6
+    # (handoff query, star components, bucketed index, arrow-default
+    # assigner, TSV contract, streaming TTL refresh, catalog bucket
+    # spec), (c) then 8 r5-green refreshers; the 35-query tail is
+    # r5-green and unchanged — union r5+r6 stays 85/85 with no row older
+    # than one round.
     return {
-        # --- (a) last driver row is r3 — refresh first ---------------------
+        'bpe_byte_codec': q_bpe_byte_codec,
+        'cws_tags': q_cws_tags,
+        'dataset_split_stats': q_dataset_split_stats,
+        'events_daily': q_events_daily,
+        'idiom_next': q_idiom_next,
+        'kg_char_checks': q_kg_char_checks,
+        'kg_check_person': q_kg_check_person,
+        'kg_extract_email': q_kg_extract_email,
+        'kg_extract_idcard': q_kg_extract_idcard,
+        'kg_extract_ip': q_kg_extract_ip,
+        'kg_extract_money': q_kg_extract_money,
+        'kg_extract_phone': q_kg_extract_phone,
+        'kg_extract_qq': q_kg_extract_qq,
+        'kg_extract_url': q_kg_extract_url,
+        'kg_extract_wechat': q_kg_extract_wechat,
+        'kg_link_plate': q_kg_link_plate,
+        'kg_location_town': q_kg_location_town,
+        'kg_mentions_bioes': q_kg_mentions_bioes,
+        'kg_parentheses': q_kg_parentheses,
+        'kg_redact': q_kg_redact,
+        'multimodal_frames': q_multimodal_frames,
+        'ner_dataset_stats': q_ner_dataset_stats,
+        'new_word_scores': q_new_word_scores,
+        'norm_lunar_solar': q_norm_lunar_solar,
+        'norm_money_num2char': q_norm_money_num2char,
+        'norm_pinyin_radical': q_norm_pinyin_radical,
+        'norm_stopwords': q_norm_stopwords,
+        'norm_tra2sim': q_norm_tra2sim,
+        'quality_keyword_filter': q_quality_keyword_filter,
+        'sentiment_score': q_sentiment_score,
+        'textaug_backtrans': q_textaug_backtrans,
+        'textaug_swap': q_textaug_swap,
+        'tpch_pricing_summary': q_tpch_pricing_summary,
+        'tpch_top_orders': q_tpch_top_orders,
+        'streaming_to_incremental': q_streaming_to_incremental,
+        'dedup_cluster_keep': q_dedup_cluster_keep,
+        'dedup_incremental': q_dedup_incremental,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'dedup_embedding_pairs': q_dedup_embedding_pairs,
+        'source_roundtrip': q_source_roundtrip,
+        'streaming_lsh_pairs': q_streaming_lsh_pairs,
+        'catalog_roundtrip': q_catalog_roundtrip,
         'kg_link_location': q_kg_link_location,
         'kg_extract_time': q_kg_extract_time,
+        'kg_entity_counts': q_kg_entity_counts,
+        'clean_text': q_clean_text,
+        'sentence_split': q_sentence_split,
+        'summary_top_topic': q_summary_top_topic,
+        'keyphrase_topk_topic': q_keyphrase_topk_topic,
+        'multimodal_features': q_multimodal_features,
         'kg_link_phone_geo': q_kg_link_phone_geo,
         'kg_link_idcard_region': q_kg_link_idcard_region,
-        'kg_entity_counts': q_kg_entity_counts,
         'kg_recognize_location': q_kg_recognize_location,
-        'clean_text': q_clean_text,
         'clean_html': q_clean_html,
         'doc_stats': q_doc_stats,
         'lang_distribution': q_lang_distribution,
@@ -2564,67 +2610,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id_eval': q_lang_id_eval,
         'bigram_pmi': q_bigram_pmi,
         'quality_score': q_quality_score,
-        'sentence_split': q_sentence_split,
-        'multimodal_features': q_multimodal_features,
-        # --- (b) new / changed in r5 ---------------------------------------
-        'dedup_cluster_keep': q_dedup_cluster_keep,
-        'dedup_incremental': q_dedup_incremental,
         'kg_cooccurrence': q_kg_cooccurrence,
-        'streaming_lsh_pairs': q_streaming_lsh_pairs,
-        'streaming_to_incremental': q_streaming_to_incremental,
-        'source_roundtrip': q_source_roundtrip,
-        'catalog_roundtrip': q_catalog_roundtrip,
         'summary_top_sentence': q_summary_top_sentence,
-        'summary_top_topic': q_summary_top_topic,
         'keyphrase_topk': q_keyphrase_topk,
-        'keyphrase_topk_topic': q_keyphrase_topk_topic,
         'textaug_homophone': q_textaug_homophone,
         'mellm_scores': q_mellm_scores,
         'ann_cosine_topk': q_ann_cosine_topk,
-        'ann_ivf_topk': q_ann_ivf_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
-        'dedup_embedding_pairs': q_dedup_embedding_pairs,
-        # --- (c) r4-green fillers (streaming + newest proofs) --------------
         'streaming_dedup': q_streaming_dedup,
         'streaming_window_counts': q_streaming_window_counts,
         'streaming_state_bounded': q_streaming_state_bounded,
         'kg_entity_counts_skew': q_kg_entity_counts_skew,
         'kg_recognize_location_full': q_kg_recognize_location_full,
-        'textaug_backtrans': q_textaug_backtrans,
-        'events_daily': q_events_daily,
-        'tpch_pricing_summary': q_tpch_pricing_summary,
-        'tpch_top_orders': q_tpch_top_orders,
-        'multimodal_frames': q_multimodal_frames,
-        # --- r4-green, unchanged -------------------------------------------
-        'kg_link_plate': q_kg_link_plate,
-        'kg_check_person': q_kg_check_person,
-        'norm_tra2sim': q_norm_tra2sim,
-        'norm_stopwords': q_norm_stopwords,
-        'norm_money_num2char': q_norm_money_num2char,
-        'norm_pinyin_radical': q_norm_pinyin_radical,
-        'sentiment_score': q_sentiment_score,
-        'kg_mentions_bioes': q_kg_mentions_bioes,
-        'kg_location_town': q_kg_location_town,
-        'textaug_swap': q_textaug_swap,
-        'idiom_next': q_idiom_next,
-        'bpe_byte_codec': q_bpe_byte_codec,
-        'new_word_scores': q_new_word_scores,
-        'dataset_split_stats': q_dataset_split_stats,
-        'ner_dataset_stats': q_ner_dataset_stats,
-        'quality_keyword_filter': q_quality_keyword_filter,
-        'kg_extract_phone': q_kg_extract_phone,
-        'kg_extract_idcard': q_kg_extract_idcard,
-        'kg_extract_email': q_kg_extract_email,
-        'kg_extract_url': q_kg_extract_url,
-        'kg_extract_wechat': q_kg_extract_wechat,
-        'kg_extract_qq': q_kg_extract_qq,
-        'kg_extract_ip': q_kg_extract_ip,
-        'kg_redact': q_kg_redact,
-        'kg_parentheses': q_kg_parentheses,
-        'kg_char_checks': q_kg_char_checks,
-        'norm_lunar_solar': q_norm_lunar_solar,
-        'cws_tags': q_cws_tags,
-        'kg_extract_money': q_kg_extract_money,
     }
 
 

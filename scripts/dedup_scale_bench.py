@@ -209,7 +209,8 @@ def main() -> None:
                 shingles(hist, n=3), 16), 4)
             cat.run_stage(spark, idx_path, 'lsh_index',
                           lambda: bands_hist,
-                          input_fingerprint=f'hist-x{factor}')
+                          input_fingerprint=f'hist-x{factor}',
+                          bucket_by=('band_id', 'band_hash'))
         print(json.dumps({'op': f'index_seed@x{factor}',
                           'sec': round(time.time() - t0, 2)}))
         batch = (spark.read.parquet(f'{BASE_SF}/documents.parquet')
