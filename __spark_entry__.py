@@ -897,6 +897,20 @@ def q_dedup_cluster_keep(spark, sf_dir):
         'cluster_size', 'keep_doc_id', 'dropped')
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed training-data admission pipeline
+    (operators/curate.curate_corpus): language allow-list → quality floor
+    → exact dedup → LSH near-dup keep-min, emitting a per-doc audit
+    verdict (kept / dropped_lang / dropped_quality / dropped_exact /
+    dropped_neardup).  Each stage sees only the previous stage's
+    survivors, so the expensive LSH stage runs over the smallest set and
+    a doc failing two stages reports the earlier, cheaper reason.
+    Oracle: same staged CTEs in DuckDB, with the near-dup stage the
+    recursive-CTE components walk over _lsh_bands_cte pairs."""
+    from jionlp_spark.operators.curate import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental batch dedup against a persistent snapshot index
     (operators/dedup.incremental_lsh_dedup — the daily-crawl shape:
@@ -2572,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
         'streaming_to_incremental': q_streaming_to_incremental,
+        'curate_corpus': q_curate_corpus,
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'dedup_incremental': q_dedup_incremental,
         'ann_ivf_topk': q_ann_ivf_topk,
@@ -2628,6 +2643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # word 3-gram shingle set per doc (mirrors operators/dedup.shingles n=3):
 # DuckDB list slice w[i:i+2] is 1-based inclusive (3 elements) and clamps
 # at the tail, exactly like Spark's slice(toks, i, 3)
+# quality_score composite as one DuckDB expression — the EXACT tree of
+# operators/curate.quality_expr (least(n/256)*0.5 + distinct_ratio*0.5);
+# per-row float parity rule: identical trees are bit-identical, so the
+# curation threshold compare splits identically in both engines
+_CURATE_QUALITY_DUCK = (
+    "(least(len(string_split(text, ' ')) / 256.0, 1.0) * 0.5"
+    " + (len(list_distinct(string_split(text, ' ')))"
+    " / greatest(len(string_split(text, ' ')), 1)) * 0.5)")
+
 _SHINGLE3_SQL = """select doc_id, unnest(list_distinct(
                 list_transform(range(1, greatest(len(w) - 2, 1) + 1),
                                i -> array_to_string(w[i:i+2], ' ')))) as t
@@ -3245,6 +3269,55 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(v) as bigint) keep_doc_id,
                    cast(count(*) - 1 as bigint) dropped
             from comp group by lab""",
+        # staged curation audit: lang allow-list → quality floor → exact
+        # dedup (keep min doc_id per md5) → LSH near-dup components
+        # keep-min over exact survivors.  Quality is the SAME per-row
+        # expression tree as the Spark side (identical trees are
+        # bit-identical across engines — repo float-parity rule), so the
+        # >= 0.35 threshold splits identically.
+        'curate_corpus': f"""
+            with recursive
+            surv as (
+              select doc_id, text from documents
+              where lang in ('en', 'es', 'fr', 'de')
+                and {_CURATE_QUALITY_DUCK} >= 0.35),
+            ek as (select md5(text) h, min(doc_id) keep_id
+                   from surv group by 1),
+            exact_drop as (
+              select s.doc_id from surv s
+              join ek on md5(s.text) = ek.h
+              where s.doc_id <> ek.keep_id),
+            surv2 as (
+              select s.doc_id, s.text from surv s
+              join ek on md5(s.text) = ek.h and s.doc_id = ek.keep_id),
+            {_lsh_bands_cte('surv2', 'cu')},
+            prs as (select distinct a.doc_id doc_a, b.doc_id doc_b
+                    from bandscu a join bandscu b using (band_id, band_hash)
+                    where a.doc_id < b.doc_id),
+            e as (select doc_a a, doc_b b from prs
+                  union select doc_b, doc_a from prs),
+            walk(v, lab) as (
+                select a, a from e
+                union
+                select e.b, w.lab from walk w join e on e.a = w.v),
+            comp as (select v, min(lab) lab from walk group by v),
+            keeps as (select lab, min(v) keep from comp group by lab),
+            near_drop as (select v doc_id from comp
+                          join keeps using (lab) where v <> keep)
+            select cast(d.doc_id as bigint) doc_id,
+                   case
+                     when d.lang not in ('en', 'es', 'fr', 'de')
+                       then 'dropped_lang'
+                     when {_CURATE_QUALITY_DUCK.replace('text',
+                                                        'd.text')} < 0.35
+                       then 'dropped_quality'
+                     when ed.doc_id is not null then 'dropped_exact'
+                     when nd.doc_id is not null then 'dropped_neardup'
+                     else 'kept'
+                   end status
+            from documents d
+            left join exact_drop ed on d.doc_id = ed.doc_id
+            left join near_drop nd on d.doc_id = nd.doc_id""",
         # simhash reproduced bit-exactly: md5 hex → per-nibble bit extract →
         # per-bit majority vote → hugeint assembly → signed 64-bit; banding
         # and Hamming verify mirror the Spark plan

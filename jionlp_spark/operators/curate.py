@@ -1,0 +1,119 @@
+"""Corpus curation: the composed training-data admission pipeline.
+
+A production crawl corpus is curated in stages — language allow-list,
+quality floor, exact dedup, near-dup dedup — and every dropped document
+needs an auditable reason (data governance wants "why did doc X not make
+the training set?" answerable without re-running the pipeline).  This
+operator composes the repo's existing primitives (quality_score features,
+MinHash+LSH candidate pairs, large-star/small-star connected components)
+into ONE DataFrame job emitting a per-doc verdict:
+
+    (doc_id, status)   status ∈ {kept, dropped_lang, dropped_quality,
+                                 dropped_exact, dropped_neardup}
+
+Stage order (each stage sees only the previous stage's survivors, so a
+low-quality doc that is ALSO a near-dup reports the earlier, cheaper
+reason — and the expensive LSH stage runs over the smallest set):
+
+1. lang      — allow-list on the lang column (no text scan).
+2. quality   — the quality_score composite (length + distinct-token
+               ratio), per-row expression, threshold compare.
+3. exact     — md5(text) groupBy, keep min doc_id per hash.
+4. near-dup  — 3-gram shingle MinHash (16 hashes, 4 bands) LSH candidate
+               pairs over exact survivors → connected components
+               (keep-min) → non-keep members drop.
+
+Scale shape: one scan of the corpus; lang/quality are per-row expressions
+(no shuffle); exact dedup is one hash-partitioned groupBy with map-side
+combine; the LSH stage shuffles only survivors' band rows (bounded
+candidates — 3-gram shingles, see operators/dedup.py); components run
+O(log n) star rounds over the pair table (pairs-sized, not corpus-sized);
+the final status assembly is doc_id-keyed left joins that AQE broadcasts
+when the drop sets are small.  Nothing here is quadratic in corpus size.
+
+Reference: JioNLP has no single curation entry point — this is the
+composition a user of clean_text + dedup primitives builds by hand; the
+stage semantics reuse the repo's oracle-proven parts verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LANGS = ('en', 'es', 'fr', 'de')
+
+
+def quality_expr(text_col: str = 'text'):
+    """The quality_score composite as a reusable Column (same expression
+    tree as operators/textstats.quality_score — per-row, engine-portable
+    float parity per the repo's oracle rules)."""
+    toks = F.split(F.col(text_col), ' ')
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(
+        n_tokens, F.lit(1))
+    return (F.least(n_tokens / F.lit(256.0), F.lit(1.0)) * 0.5
+            + distinct_ratio * 0.5)
+
+
+def curate_corpus(docs: DataFrame, langs=DEFAULT_LANGS,
+                  min_quality: float = 0.35,
+                  text_col: str = 'text', id_col: str = 'doc_id',
+                  lang_col: str = 'lang',
+                  num_hashes: int = 16, bands: int = 4,
+                  shingle_n: int = 3) -> DataFrame:
+    """→ (doc_id, status) for EVERY input doc — the curation audit table.
+
+    Filtering the corpus is `result.filter("status = 'kept'")` joined back
+    on doc_id; the audit rows for dropped docs are the governance record.
+    """
+    from jionlp_spark.operators.dedup import (dedup_keep_list,
+                                              lsh_candidate_pairs,
+                                              minhash_signatures, shingles)
+
+    base = docs.select(F.col(id_col).alias('doc_id'),
+                       F.col(text_col).alias('text'),
+                       F.col(lang_col).alias('lang'))
+
+    lang_ok = F.col('lang').isin(*langs)
+    qual_ok = quality_expr('text') >= F.lit(float(min_quality))
+    staged = base.select(
+        'doc_id', 'text',
+        F.when(~lang_ok, F.lit('dropped_lang'))
+        .when(~qual_ok, F.lit('dropped_quality'))
+        .otherwise(F.lit(None).cast('string')).alias('early'))
+
+    # exact dedup over lang+quality survivors: keep = min doc_id per hash
+    surv1 = staged.filter(F.col('early').isNull()) \
+        .withColumn('h', F.md5(F.col('text')))
+    exact_keep = surv1.groupBy('h').agg(F.min('doc_id').alias('keep_id'))
+    surv1 = surv1.join(exact_keep, 'h') \
+        .withColumn('exact_dup', F.col('doc_id') != F.col('keep_id'))
+
+    # near-dup over exact survivors only (LSH sees the smallest set)
+    surv2 = surv1.filter(~F.col('exact_dup')).select('doc_id', 'text')
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles(surv2, n=shingle_n), num_hashes),
+        bands=bands)
+    clusters = dedup_keep_list(pairs)
+    # a pair member is dropped iff it is not ANY cluster's keep
+    # (components assign each member exactly one cluster)
+    members = (pairs.select(F.col('doc_a').alias('doc_id'))
+               .union(pairs.select(F.col('doc_b').alias('doc_id')))
+               .distinct())
+    near_drop = members.join(
+        clusters.select(F.col('keep_doc_id').alias('doc_id')),
+        'doc_id', 'left_anti')
+
+    verdict = (staged.select('doc_id', 'early')
+               .join(surv1.select('doc_id', 'exact_dup'), 'doc_id', 'left')
+               .join(near_drop.withColumn('near_dup', F.lit(True)),
+                     'doc_id', 'left')
+               .select(
+                   F.col('doc_id').cast('long').alias('doc_id'),
+                   F.coalesce(
+                       F.col('early'),
+                       F.when(F.col('exact_dup'), 'dropped_exact'),
+                       F.when(F.col('near_dup'), 'dropped_neardup'),
+                       F.lit('kept')).alias('status')))
+    return verdict

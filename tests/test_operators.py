@@ -677,3 +677,29 @@ def test_tsv_roundtrip_adversarial(spark, tmp_path):
            for r in read_pages_tsv(spark, path).collect()}
     want = {u: (ts, lg, tx) for u, ts, lg, tx in rows}
     assert got == want
+
+
+def test_curate_corpus_stage_priority(spark):
+    """Curation audit: every doc gets exactly one status; stage order
+    means a doc failing two gates reports the earlier one (zh + low
+    quality → dropped_lang; low quality + exact dup → dropped_quality),
+    and the near-dup stage only ever sees exact-dedup survivors."""
+    from jionlp_spark.operators.curate import curate_corpus
+    long_a = ' '.join(f'w{i}' for i in range(30))
+    long_b = long_a + ' tail'            # near-dup of long_a (J≈0.93)
+    rows = [
+        (0, long_a, 'en'),               # kept (cluster keep, min id)
+        (1, long_b, 'en'),               # dropped_neardup
+        (2, long_a, 'en'),               # dropped_exact (dup of 0)
+        (3, long_a, 'zh'),               # dropped_lang (before exact)
+        (4, 'a a a a a a', 'en'),        # dropped_quality (dr=1/6)
+        (5, 'b b b b b b', 'zh'),        # dropped_lang (before quality)
+        (6, ' '.join(f'x{i}' for i in range(40)), 'fr'),  # kept, unpaired
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string, '
+                                       'lang string')
+    got = {r['doc_id']: r['status']
+           for r in curate_corpus(docs).collect()}
+    assert got == {0: 'kept', 1: 'dropped_neardup', 2: 'dropped_exact',
+                   3: 'dropped_lang', 4: 'dropped_quality',
+                   5: 'dropped_lang', 6: 'kept'}
