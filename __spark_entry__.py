@@ -1432,6 +1432,28 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
 
 
+def q_ann_index_topk(spark, sf_dir):
+    """Top-3 search of a PUBLISHED IVF index (operators/ann
+    publish_ann_index / query_ann_index): same trained centroids and
+    probe protocol as q_ann_ivf_topk, but the corpus assignments live in
+    a catalog table BUCKETED on the IVF bucket id — the serving shape
+    where query batches join a stored index instead of re-assigning the
+    corpus per query.  Oracle: identical SQL to ann_ivf_topk (the
+    catalog publish changes storage, not semantics)."""
+    from jionlp_spark.operators.ann import (publish_ann_index,
+                                            query_ann_index)
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    cents = _ivf_centroids(spark, sf_dir)
+    base = _work_dir('jionlp_annidx', sf_dir)
+    publish_ann_index(spark, f'{base}/ivf', emb, centroids=cents,
+                      input_fingerprint=f'emb@{sf_dir}')
+    return query_ann_index(
+        spark, f'{base}/ivf', emb.filter(F.col('vec_id') < 3),
+        k=3, probes=2).select(
+        F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
 # (b64, format, width, height, n_bytes, md5) injected image headers —
 # real PNG IHDR / GIF logical-screen / JPEG SOF0 bytes whose dimensions
 # the kernel parses header-level (operators/multimodal.py
@@ -2542,13 +2564,13 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 85).  r6
+    # Dict order is the driver's sampling order (first 50 of 87).  r6
     # rotation (r5 verdict item 2): (a) the 34 queries whose last driver
-    # row is r4 come FIRST, (b) then everything new or changed in r6
-    # (handoff query, star components, bucketed index, arrow-default
-    # assigner, TSV contract, streaming TTL refresh, catalog bucket
-    # spec), (c) then 8 r5-green refreshers; the 35-query tail is
-    # r5-green and unchanged — union r5+r6 stays 85/85 with no row older
+    # row is r4 come FIRST, (b) then everything NEW (curate_corpus,
+    # ann_index_topk, streaming_to_incremental) or changed in r6 (star
+    # components, bucketed index, arrow-default assigner, TSV contract,
+    # streaming TTL refresh), (c) then r5-green refreshers; the tail is
+    # r5-green and unchanged — union r5+r6 = 87/87 with no row older
     # than one round.
     return {
         'bpe_byte_codec': q_bpe_byte_codec,
@@ -2590,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'dedup_incremental': q_dedup_incremental,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_index_topk': q_ann_index_topk,
         'dedup_embedding_pairs': q_dedup_embedding_pairs,
         'source_roundtrip': q_source_roundtrip,
         'streaming_lsh_pairs': q_streaming_lsh_pairs,
@@ -2748,6 +2771,14 @@ def oracle_sql() -> dict[str, str]:
     phone = _duck(_PHONE_SQL)
     idc = _duck(_ID_SQL)
     born = _duck(_BORN_SQL)
+    d = _oracle_sql_dict(phone, idc, born)
+    # ann_index_topk = ann_ivf_topk semantics through a published catalog
+    # index (storage changes, values don't) — one SQL, two gated paths
+    d['ann_index_topk'] = d['ann_ivf_topk']
+    return d
+
+
+def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
     return {
         # offsets: '联系电话：' is 5 chars; phone is 11; '，身份证号' is 5
         'kg_extract_phone': f"""

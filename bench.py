@@ -60,7 +60,7 @@ HEADLINE = [
     'streaming_lsh_pairs', 'source_roundtrip',
     'lang_distribution', 'kg_extract_idcard',
     # round 6 additions
-    'streaming_to_incremental', 'curate_corpus',
+    'streaming_to_incremental', 'curate_corpus', 'ann_index_topk',
 ]
 
 

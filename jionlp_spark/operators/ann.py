@@ -416,3 +416,64 @@ def lsh_topk(emb: DataFrame, n_bits: int = 6, k: int = 3,
     w = Window.partitionBy('qid').orderBy(F.desc('cos'), F.col(id_col))
     return (joined.withColumn('rn', F.row_number().over(w))
             .filter(F.col('rn') <= k).drop('rn'))
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index through the catalog — the serving-side counterpart
+# of operators/dedup.incremental_lsh_dedup: train/assign once, publish,
+# then every query batch joins the stored index without re-embedding or
+# re-assigning the corpus
+
+def publish_ann_index(spark, base_path: str, emb: DataFrame,
+                      n_centroids: int = 8, iters: int = 1,
+                      vec_col: str = 'embedding', id_col: str = 'vec_id',
+                      centroids: DataFrame | None = None,
+                      input_fingerprint: str | None = None) -> dict:
+    """Publish a persistent IVF index: a `centroids` table (k rows) and
+    an `assignments` table BUCKETED on the IVF bucket id, both through
+    the catalog (atomic publish, lineage manifest, snapshot history).
+
+    The bucketed layout is the 100-TB lever: a large query batch
+    assigned to the same bucket ids equi-joins the index with NO
+    exchange on the index side (file-name bucket ids restore
+    co-location in any later session via catalog.read_table), and a
+    small batch broadcast-joins as usual.  Re-publishing with a new
+    fingerprint snapshots the old index (time travel / rollback come
+    from the catalog for free).
+    """
+    from jionlp_spark.sources import catalog
+
+    if centroids is None:
+        centroids = kmeans_centroids(emb, k=n_centroids, iters=iters,
+                                     vec_col=vec_col, id_col=id_col)
+    cents = catalog.run_stage(
+        spark, f'{base_path}/centroids', 'ann_centroids',
+        lambda: centroids, input_fingerprint=input_fingerprint)
+
+    def build() -> DataFrame:
+        assigned = _assign(emb, cents, probes=1, vec_col=vec_col,
+                           id_col=id_col)
+        return assigned.select(id_col, vec_col, '_nrm', 'bucket')
+
+    idx = catalog.run_stage(
+        spark, f'{base_path}/assignments', 'ann_assignments', build,
+        input_fingerprint=input_fingerprint, bucket_by=('bucket',))
+    return {'centroids': cents, 'index': idx}
+
+
+def query_ann_index(spark, base_path: str, queries: DataFrame,
+                    k: int = 5, probes: int = 2,
+                    vec_col: str = 'embedding',
+                    id_col: str = 'vec_id') -> DataFrame:
+    """Top-k search of a published IVF index: assign the query batch to
+    its top-`probes` buckets against the STORED centroids, equi-join the
+    bucketed assignments table, exact cosine verify + per-query window
+    top-k.  Nothing corpus-sized is recomputed — the index side is a
+    bucketed columnar scan."""
+    from jionlp_spark.sources import catalog
+
+    cents = catalog.read_table(spark, f'{base_path}/centroids')
+    idx = catalog.read_table(spark, f'{base_path}/assignments')
+    q_assigned = _assign(queries, cents, probes=probes, vec_col=vec_col,
+                         id_col=id_col)
+    return ivf_topk(idx, q_assigned, k=k, vec_col=vec_col, id_col=id_col)

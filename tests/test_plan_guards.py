@@ -112,3 +112,39 @@ def test_topic_plan_widths_hold(spark):
         plan = _plan(qs[name](spark, '/root/testdata/sf0.001'))
         got = len(re.findall(r'\bExchange\b', plan))
         assert got <= budget + 1, (name, got, budget)
+
+
+def test_ann_index_query_scan_is_bucketed(spark, tmp_path):
+    """The published ANN index's assignments table is bucketed on the IVF
+    bucket id: a query batch joining it at scale (SMJ pinned — AQE would
+    broadcast the tiny test batch) must scan `Bucketed: true` with the
+    single Exchange on the QUERY side, never the index side."""
+    import pyspark.sql.functions as F
+
+    from jionlp_spark.operators.ann import _assign, publish_ann_index
+    from jionlp_spark.sources import catalog
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1), 1.0]) for i in range(40)],
+        'vec_id long, embedding array<float>')
+    base = str(tmp_path / 'annidx')
+    publish_ann_index(spark, base, emb, n_centroids=4, iters=0,
+                      input_fingerprint='t')
+    idx = catalog.read_table(spark, f'{base}/assignments')
+    cents = catalog.read_table(spark, f'{base}/centroids')
+    q = _assign(emb.filter('vec_id < 3'), cents, probes=2,
+                vec_col='embedding', id_col='vec_id')
+
+    old_aqe = spark.conf.get('spark.sql.adaptive.enabled')
+    old_bc = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    try:
+        spark.conf.set('spark.sql.adaptive.enabled', 'false')
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+        j = (q.alias('q').join(idx.alias('e'), 'bucket')
+             .filter(F.col('q.vec_id') != F.col('e.vec_id')))
+        plan = _plan(j)
+    finally:
+        spark.conf.set('spark.sql.adaptive.enabled', old_aqe)
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old_bc)
+    assert 'Bucketed: true' in plan, plan
+    assert len(re.findall(r'\bExchange\b', plan)) == 1, plan
