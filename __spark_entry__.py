@@ -1384,11 +1384,17 @@ def _lsh_oracle_sql(n_bits: int = 6, dim: int = 64) -> str:
 
 def q_dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (IVF-bucketed candidates, 2 probes,
-    exact verify ≥ 0.4)."""
+    exact verify ≥ 0.4).  n_centroids follows the operator's k ∝ N rule
+    (max(8, N/250) — bucket occupancy stays ~constant as the corpus
+    grows; a pinned k=8 went quadratic-in-bucket at the sf1 bench:
+    54 s for 20k vectors vs 1.0 s at 2k).  The oracle mirrors the rule
+    with a computed LIMIT, so both engines train the same k at every sf
+    (at the driver's sf0.01 gate k stays 8 — values unchanged)."""
     from jionlp_spark.operators.dedup import embedding_near_dups
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
         .repartition(spark.sparkContext.defaultParallelism)
-    return embedding_near_dups(emb, threshold=0.4).select(
+    k = max(8, emb.count() // 250)
+    return embedding_near_dups(emb, threshold=0.4, n_centroids=k).select(
         F.col('vec_a').cast('long').alias('vec_a'),
         F.col('vec_b').cast('long').alias('vec_b'), 'cos')
 
@@ -3430,7 +3436,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                          from embeddings),
             seeds as (select vec_id, e,
                              md5(cast(vec_id as varchar)) h
-                      from emb order by h, vec_id limit 8),
+                      from emb order by h, vec_id
+                      limit greatest(8, (select count(*) from emb) // 250)),
             init as (select row_number() over (order by h, vec_id) - 1 cid,
                             e cen
                      from seeds),

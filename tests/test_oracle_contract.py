@@ -81,3 +81,35 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) >= {'subj', 'pred', 'obj', 'url'}
+
+
+def test_embedding_pairs_adaptive_k_parity(spark, tmp_path):
+    """dedup_embedding_pairs follows k ∝ N on BOTH sides (Spark computes
+    max(8, N/250) driver-side; the oracle computes it in a LIMIT
+    subquery).  The driver's sf0.01 gate only ever exercises k=8 — this
+    pins the k>8 path: 3000 deterministic vectors → k=12, full
+    value-level compare."""
+    import numpy as np
+
+    mod = _entry()
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((3000, 8)).astype('float32')
+    vecs[1] = vecs[0] + 0.01 * vecs[2]          # planted near-dup
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3000)],
+        'vec_id long, embedding array<float>') \
+        .write.parquet(f'{sf}/embeddings.parquet')
+
+    df = mod.queries()['dedup_embedding_pairs'](spark, sf)
+    got_cols, got = df.columns, df.collect()
+
+    con = duckdb.connect()
+    con.execute(f"create view embeddings as select * from "
+                f"read_parquet('{sf}/embeddings.parquet/*.parquet')")
+    res = con.execute(mod.oracle_sql()['dedup_embedding_pairs'])
+    want_cols = [d[0] for d in res.description]
+    want = res.fetchall()
+    assert sorted(got_cols) == sorted(want_cols)
+    assert _rows_to_set(got, got_cols) == _rows_to_set(want, want_cols)
+    assert len(got) > 0          # the planted near-dup must surface
