@@ -544,6 +544,7 @@ def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
     e = (edges.select(F.greatest('a', 'b').alias('u'),
                       F.least('a', 'b').alias('v'))
          .distinct().localCheckpoint())
+    n_prev = e.count()
     converged = False
     for _ in range(max_iter):
         both = e.union(e.select(F.col('v').alias('u'),
@@ -562,9 +563,15 @@ def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
               .union(smin.select('u', F.col('m').alias('v')))
               .filter(F.col('u') != F.col('v'))
               .distinct().localCheckpoint())
-        same = (e2.count() == e.count()
-                and e2.exceptAll(e).limit(1).count() == 0)
-        e = e2
+        # fixed-point test = multiset equality (count match + one-sided
+        # exceptAll empty, both tables distinct).  The exceptAll probe is
+        # a full extra shuffle job — run it only when the counts agree
+        # (early rounds shrink the edge table every time, so this skips
+        # one job per non-final round; the overhead matters at the TINY
+        # end, where per-job latency dominates a 3-round convergence)
+        n2 = e2.count()
+        same = n2 == n_prev and e2.exceptAll(e).limit(1).count() == 0
+        e, n_prev = e2, n2
         if same:
             converged = True
             break
