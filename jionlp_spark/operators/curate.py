@@ -77,24 +77,35 @@ def curate_corpus(docs: DataFrame, langs=DEFAULT_LANGS,
 
     lang_ok = F.col('lang').isin(*langs)
     qual_ok = quality_expr('text') >= F.lit(float(min_quality))
+    # each stage table is REUSED downstream (the audit column + the next
+    # stage's input) — Spark plans are trees, not DAGs, so without a
+    # materialization every reuse re-derives the whole upstream subtree
+    # (first cut of this operator: 21 scans / 36 exchanges).  persist()
+    # on the staged table + localCheckpoint on the (eagerly-consumed
+    # anyway — dedup_keep_list's components loop runs at build time)
+    # exact-dedup survivors collapse that to a handful; both are tables
+    # a production admission pipeline would materialize regardless.
     staged = base.select(
         'doc_id', 'text',
         F.when(~lang_ok, F.lit('dropped_lang'))
         .when(~qual_ok, F.lit('dropped_quality'))
-        .otherwise(F.lit(None).cast('string')).alias('early'))
+        .otherwise(F.lit(None).cast('string')).alias('early')).persist()
 
     # exact dedup over lang+quality survivors: keep = min doc_id per hash
     surv1 = staged.filter(F.col('early').isNull()) \
         .withColumn('h', F.md5(F.col('text')))
     exact_keep = surv1.groupBy('h').agg(F.min('doc_id').alias('keep_id'))
-    surv1 = surv1.join(exact_keep, 'h') \
-        .withColumn('exact_dup', F.col('doc_id') != F.col('keep_id'))
+    surv1 = (surv1.join(exact_keep, 'h')
+             .select('doc_id', 'text',
+                     (F.col('doc_id') != F.col('keep_id'))
+                     .alias('exact_dup'))
+             .localCheckpoint())
 
     # near-dup over exact survivors only (LSH sees the smallest set)
     surv2 = surv1.filter(~F.col('exact_dup')).select('doc_id', 'text')
     pairs = lsh_candidate_pairs(
         minhash_signatures(shingles(surv2, n=shingle_n), num_hashes),
-        bands=bands)
+        bands=bands).localCheckpoint()
     clusters = dedup_keep_list(pairs)
     # a pair member is dropped iff it is not ANY cluster's keep
     # (components assign each member exactly one cluster)
