@@ -911,6 +911,36 @@ def q_curate_corpus(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir))
 
 
+def q_incremental_curate(spark, sf_dir):
+    """Daily-crawl curation (operators/curate.incremental_curate): batch 1
+    = even docs, curated against empty state — its kept docs' md5 hashes
+    and LSH bands become the published admission state (two bucketed
+    catalog tables).  Batch 2 = odd docs, with doc_id%10==1 taking its
+    even predecessor's text (guaranteed cross-history exact dups when
+    the predecessor was admitted), verdicted against that state.
+    Returns batch 2's (doc_id, status) audit table.  Oracle rebuilds
+    both batches in pure SQL: batch-1 curation (quality/lang filters,
+    exact keep-min, LSH components walk #1) → kept set → its
+    hashes/bands as history → batch-2 staged verdicts with
+    within-batch AND history exact/near-dup checks (components walk
+    #2)."""
+    from jionlp_spark.operators.curate import incremental_curate
+    docs = _docs(spark, sf_dir)
+    b1 = docs.filter('doc_id % 2 = 0').select('doc_id', 'text', 'lang')
+    dup_src = docs.select(F.col('doc_id').alias('src_id'),
+                          F.col('text').alias('src_text'))
+    b2 = (docs.filter('doc_id % 2 = 1')
+          .join(dup_src, F.col('doc_id') - 1 == F.col('src_id'), 'left')
+          .select('doc_id',
+                  F.when(F.col('doc_id') % 10 == 1, F.col('src_text'))
+                  .otherwise(F.col('text')).alias('text'),
+                  'lang'))
+    state = _work_dir('jionlp_curstate', sf_dir)
+    incremental_curate(spark, state, b1, batch_id=f'b1@{sf_dir}')
+    res = incremental_curate(spark, state, b2, batch_id=f'b2@{sf_dir}')
+    return res['verdict']
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental batch dedup against a persistent snapshot index
     (operators/dedup.incremental_lsh_dedup — the daily-crawl shape:
@@ -2615,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_top_orders': q_tpch_top_orders,
         'streaming_to_incremental': q_streaming_to_incremental,
         'curate_corpus': q_curate_corpus,
+        'incremental_curate': q_incremental_curate,
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'dedup_incremental': q_dedup_incremental,
         'ann_ivf_topk': q_ann_ivf_topk,
@@ -2706,6 +2737,96 @@ def _lsh_bands_cte(src: str, suffix: str) -> str:
             bands{suffix} as ({band_rows})"""
 
 
+def _incremental_curate_oracle() -> str:
+    """Two-batch daily-crawl curation in pure SQL (q_incremental_curate):
+    batch-1 curation → kept set → history hashes/bands → batch-2 verdicts
+    with within-batch AND history checks.  Two recursive components
+    walks (one per batch's within-batch near-dup stage)."""
+    lang_list = "('en', 'es', 'fr', 'de')"
+    q = _CURATE_QUALITY_DUCK
+    return f"""
+        with recursive
+        b1 as (select doc_id, text from documents
+               where doc_id % 2 = 0 and lang in {lang_list}
+                 and {q} >= 0.35),
+        ek1 as (select md5(text) h, min(doc_id) keep_id
+                from b1 group by 1),
+        s2 as materialized (select b1.doc_id, b1.text from b1
+               join ek1 on md5(b1.text) = ek1.h
+                       and b1.doc_id = ek1.keep_id),
+        {_lsh_bands_cte('s2', 'h1')},
+        p1 as materialized (select distinct a.doc_id doc_a, b.doc_id doc_b
+               from bandsh1 a join bandsh1 b using (band_id, band_hash)
+               where a.doc_id < b.doc_id),
+        e1 as materialized (select doc_a a, doc_b b from p1
+               union select doc_b, doc_a from p1),
+        walk1(v, lab) as (
+            select a, a from e1
+            union
+            select e1.b, w.lab from walk1 w join e1 on e1.a = w.v),
+        comp1 as (select v, min(lab) lab from walk1 group by v),
+        keeps1 as (select lab, min(v) keep from comp1 group by lab),
+        nd1 as materialized (select v doc_id from comp1
+                join keeps1 using (lab) where v <> keep),
+        kept1 as materialized (select s2.doc_id, s2.text from s2
+                  left join nd1 on s2.doc_id = nd1.doc_id
+                  where nd1.doc_id is null),
+        hh as materialized (select doc_id, md5(text) h from kept1),
+        hb as materialized (select b.* from bandsh1 b
+               join kept1 k on b.doc_id = k.doc_id),
+        b2 as (select d.doc_id,
+                 case when d.doc_id % 10 = 1 then p.text
+                      else d.text end as text,
+                 d.lang
+               from documents d
+               left join documents p on p.doc_id = d.doc_id - 1
+               where d.doc_id % 2 = 1),
+        st2 as (select doc_id, text,
+                  case when lang not in {lang_list} then 'dropped_lang'
+                       when {q} < 0.35 then 'dropped_quality'
+                  end as early
+                from b2),
+        sv1 as (select doc_id, text, md5(text) h
+                from st2 where early is null),
+        ekw as (select h, min(doc_id) keep_id from sv1 group by 1),
+        xall as materialized (
+          select sv1.doc_id from sv1
+          join ekw on sv1.h = ekw.h where sv1.doc_id <> ekw.keep_id
+          union
+          select sv1.doc_id from sv1
+          join hh on sv1.h = hh.h where sv1.doc_id <> hh.doc_id),
+        sv2 as materialized (select sv1.doc_id, sv1.text from sv1
+                left join xall on sv1.doc_id = xall.doc_id
+                where xall.doc_id is null),
+        {_lsh_bands_cte('sv2', 'h2')},
+        pw as materialized (select distinct a.doc_id doc_a, b.doc_id doc_b
+               from bandsh2 a join bandsh2 b using (band_id, band_hash)
+               where a.doc_id < b.doc_id),
+        e2 as materialized (select doc_a a, doc_b b from pw
+               union select doc_b, doc_a from pw),
+        walk2(v, lab) as (
+            select a, a from e2
+            union
+            select e2.b, w.lab from walk2 w join e2 on e2.a = w.v),
+        comp2 as (select v, min(lab) lab from walk2 group by v),
+        keeps2 as (select lab, min(v) keep from comp2 group by lab),
+        ndall as (
+          select v doc_id from comp2
+          join keeps2 using (lab) where v <> keep
+          union
+          select distinct n.doc_id from bandsh2 n
+          join hb i using (band_id, band_hash)
+          where n.doc_id <> i.doc_id)
+        select cast(s.doc_id as bigint) doc_id,
+          case when s.early is not null then s.early
+               when x.doc_id is not null then 'dropped_exact'
+               when nd.doc_id is not null then 'dropped_neardup'
+               else 'kept' end status
+        from st2 s
+        left join xall x on s.doc_id = x.doc_id
+        left join ndall nd on s.doc_id = nd.doc_id"""
+
+
 # full MinHash+LSH candidate-pair statement (16 md5-slice hashes, 4
 # bands) over the 3-gram shingles — used verbatim by the dedup_lsh_pairs
 # oracle and embedded as a CTE body by dedup_cluster_keep's
@@ -2781,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
     # ann_index_topk = ann_ivf_topk semantics through a published catalog
     # index (storage changes, values don't) — one SQL, two gated paths
     d['ann_index_topk'] = d['ann_ivf_topk']
+    d['incremental_curate'] = _incremental_curate_oracle()
     return d
 
 

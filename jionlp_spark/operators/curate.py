@@ -128,3 +128,128 @@ def curate_corpus(docs: DataFrame, langs=DEFAULT_LANGS,
                        F.when(F.col('near_dup'), 'dropped_neardup'),
                        F.lit('kept')).alias('status')))
     return verdict
+
+
+def incremental_curate(spark, state_path: str, new_docs, batch_id: str,
+                       langs=DEFAULT_LANGS, min_quality: float = 0.35,
+                       text_col: str = 'text', id_col: str = 'doc_id',
+                       lang_col: str = 'lang',
+                       num_hashes: int = 16, bands: int = 4,
+                       shingle_n: int = 3) -> dict:
+    """The daily-crawl shape of curate_corpus: verdict a NEW batch against
+    persistent admission state, then publish the updated state.
+
+    State (two catalog tables under ``state_path``, snapshot-versioned):
+    - ``hashes``      (doc_id, h): md5 of every ADMITTED doc, bucketed on
+      h — the exact-dedup history join is exchange-free on the history
+      side, exactly like the LSH index below.
+    - ``lsh_index``   (doc_id, band_id, band_hash): admitted docs' bands,
+      bucketed on the join key (same layout incremental_lsh_dedup
+      publishes — the two operators' indexes are interchangeable).
+
+    Verdict stages (same priority as curate_corpus): lang → quality →
+    exact (within-batch keep-min OR any history hash hit) → near-dup
+    (within-batch components non-keep OR any history band hit) → kept.
+    Only KEPT docs' hashes/bands are appended to the state, so the state
+    is exactly "everything admitted so far"; the identity filters
+    (n.doc_id != i.doc_id) keep a re-published batch's verdict correct
+    while the batch_id fingerprint makes the publish itself a no-op.
+
+    Scale shape: history is never re-hashed, re-banded, or re-shuffled —
+    both history joins scan co-located buckets; per-batch cost is
+    O(batch) expressions + signatures + O(candidates) verification, flat
+    in history size (measured for the shared layout in BENCH/PLANS.md).
+
+    → {'verdict': (doc_id, status), 'hashes': ..., 'index': ...}
+    """
+    from jionlp_spark.operators.dedup import (dedup_components, lsh_bands,
+                                              minhash_signatures, shingles)
+    from jionlp_spark.sources import catalog
+
+    hashes_path = f'{state_path}/hashes'
+    index_path = f'{state_path}/lsh_index'
+    have_state = catalog.read_manifest(hashes_path) is not None
+
+    base = new_docs.select(F.col(id_col).alias('doc_id'),
+                           F.col(text_col).alias('text'),
+                           F.col(lang_col).alias('lang'))
+    lang_ok = F.col('lang').isin(*langs)
+    qual_ok = quality_expr('text') >= F.lit(float(min_quality))
+    staged = base.select(
+        'doc_id', 'text',
+        F.when(~lang_ok, F.lit('dropped_lang'))
+        .when(~qual_ok, F.lit('dropped_quality'))
+        .otherwise(F.lit(None).cast('string')).alias('early')).persist()
+
+    surv1 = staged.filter(F.col('early').isNull()) \
+        .withColumn('h', F.md5(F.col('text')))
+    keep_h = surv1.groupBy('h').agg(F.min('doc_id').alias('keep_id'))
+    surv1 = (surv1.join(keep_h, 'h')
+             .select('doc_id', 'text', 'h',
+                     (F.col('doc_id') != F.col('keep_id'))
+                     .alias('exact_within'))
+             .localCheckpoint())
+
+    exact_drop = surv1.filter('exact_within').select('doc_id')
+    if have_state:
+        hist_h = catalog.read_table(spark, hashes_path)
+        exact_hist = (surv1.alias('n')
+                      .join(hist_h.alias('i'), 'h')
+                      .filter(F.col('n.doc_id') != F.col('i.doc_id'))
+                      .select(F.col('n.doc_id').alias('doc_id')))
+        exact_drop = exact_drop.union(exact_hist)
+    exact_drop = exact_drop.distinct().localCheckpoint()
+
+    surv2 = surv1.join(exact_drop, 'doc_id', 'left_anti') \
+        .select('doc_id', 'text')
+    bands_new = lsh_bands(
+        minhash_signatures(shingles(surv2, n=shingle_n), num_hashes),
+        bands=bands).localCheckpoint()
+
+    within = (bands_new.alias('a')
+              .join(bands_new.alias('b'), ['band_id', 'band_hash'])
+              .filter(F.col('a.doc_id') < F.col('b.doc_id'))
+              .select(F.col('a.doc_id').alias('doc_a'),
+                      F.col('b.doc_id').alias('doc_b'))
+              .distinct())
+    comp = dedup_components(within)
+    near_drop = (comp.filter(F.col('doc_id') != F.col('cluster'))
+                 .select('doc_id'))
+    if have_state:
+        idx = catalog.read_table(spark, index_path)
+        near_hist = (bands_new.alias('n')
+                     .join(idx.alias('i'), ['band_id', 'band_hash'])
+                     .filter(F.col('n.doc_id') != F.col('i.doc_id'))
+                     .select(F.col('n.doc_id').alias('doc_id')))
+        near_drop = near_drop.union(near_hist)
+    near_drop = near_drop.distinct().localCheckpoint()
+
+    verdict = (staged.select('doc_id', 'early')
+               .join(exact_drop.withColumn('_ex', F.lit(True)),
+                     'doc_id', 'left')
+               .join(near_drop.withColumn('_nd', F.lit(True)),
+                     'doc_id', 'left')
+               .select(
+                   F.col('doc_id').cast('long').alias('doc_id'),
+                   F.coalesce(
+                       F.col('early'),
+                       F.when(F.col('_ex'), 'dropped_exact'),
+                       F.when(F.col('_nd'), 'dropped_neardup'),
+                       F.lit('kept')).alias('status'))
+               .localCheckpoint())   # before the publishes retire files
+
+    kept = verdict.filter("status = 'kept'").select('doc_id')
+    new_h = surv1.join(kept, 'doc_id').select('doc_id', 'h')
+    new_b = bands_new.join(kept, 'doc_id')
+    upd_h = hist_h.union(new_h) if have_state else new_h
+    upd_b = idx.union(new_b) if have_state else new_b
+    hashes = catalog.run_stage(spark, hashes_path, 'curate_hashes',
+                               lambda: upd_h,
+                               input_fingerprint=batch_id,
+                               bucket_by=('h',))
+    index = catalog.run_stage(spark, index_path, 'lsh_index',
+                              lambda: upd_b,
+                              input_fingerprint=batch_id,
+                              bucket_by=('band_id', 'band_hash'))
+    staged.unpersist()
+    return {'verdict': verdict, 'hashes': hashes, 'index': index}

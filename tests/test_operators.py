@@ -703,3 +703,40 @@ def test_curate_corpus_stage_priority(spark):
     assert got == {0: 'kept', 1: 'dropped_neardup', 2: 'dropped_exact',
                    3: 'dropped_lang', 4: 'dropped_quality',
                    5: 'dropped_lang', 6: 'kept'}
+
+
+def test_incremental_curate_state_and_idempotence(spark, tmp_path):
+    """Daily-crawl curation: batch 2's exact/near dups vs ADMITTED history
+    are caught through the published hash + band state; docs dropped in
+    batch 1 do NOT pollute the state (a dup of a dropped doc is judged
+    only against admitted docs); re-running a batch (fingerprint resume)
+    returns the SAME verdicts — the identity filters keep a batch's own
+    published rows from flagging it."""
+    from jionlp_spark.operators.curate import incremental_curate
+    long = lambda tag: ' '.join(f'{tag}{i}' for i in range(30))
+    state = str(tmp_path / 'state')
+    b1 = spark.createDataFrame([
+        (0, long('w'), 'en'),            # admitted
+        (1, long('w'), 'en'),            # dropped_exact within b1
+        (2, long('q'), 'zh'),            # dropped_lang → NOT in state
+    ], 'doc_id long, text string, lang string')
+    v1 = {r['doc_id']: r['status'] for r in
+          incremental_curate(spark, state, b1, 'b1')['verdict'].collect()}
+    assert v1 == {0: 'kept', 1: 'dropped_exact', 2: 'dropped_lang'}
+
+    b2 = spark.createDataFrame([
+        (10, long('w'), 'en'),           # exact dup of ADMITTED 0
+        (11, long('q'), 'en'),           # same text as DROPPED 2 → kept
+        (12, long('w') + ' tail', 'en'),  # near-dup of admitted 0
+        (13, long('z'), 'fr'),           # fresh → kept
+    ], 'doc_id long, text string, lang string')
+    v2 = {r['doc_id']: r['status'] for r in
+          incremental_curate(spark, state, b2, 'b2')['verdict'].collect()}
+    assert v2 == {10: 'dropped_exact', 11: 'kept',
+                  12: 'dropped_neardup', 13: 'kept'}
+
+    # re-run batch 2: publish is a fingerprint no-op, verdict identical
+    # even though b2's own kept rows are now IN the state
+    v2b = {r['doc_id']: r['status'] for r in
+           incremental_curate(spark, state, b2, 'b2')['verdict'].collect()}
+    assert v2b == v2
