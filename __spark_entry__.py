@@ -1490,6 +1490,34 @@ def q_ann_index_topk(spark, sf_dir):
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
 
 
+def q_ann_index_extend(spark, sf_dir):
+    """Incremental ANN index growth (operators/ann.extend_ann_index):
+    centroids train on batch 1 (even vec_ids) ONLY; batch 1 publishes
+    the index, batch 2 (odd vec_ids) appends via assignment against the
+    STORED centroids — no retraining, no history recompute.  The top-3
+    query over the extended index must equal a from-scratch index over
+    ALL vectors with the same half-trained centroids, which is exactly
+    what the oracle computes (train CTEs restricted to even vec_ids,
+    assignment over everything)."""
+    from jionlp_spark.operators.ann import (extend_ann_index,
+                                            kmeans_centroids,
+                                            publish_ann_index,
+                                            query_ann_index)
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    b1 = emb.filter('vec_id % 2 = 0')
+    b2 = emb.filter('vec_id % 2 = 1')
+    cents = kmeans_centroids(b1, k=8, iters=1)
+    base = _work_dir('jionlp_annext', sf_dir)
+    publish_ann_index(spark, f'{base}/ivf', b1, centroids=cents,
+                      input_fingerprint=f'b1@{sf_dir}')
+    extend_ann_index(spark, f'{base}/ivf', b2, batch_id=f'b2@{sf_dir}')
+    return query_ann_index(
+        spark, f'{base}/ivf', emb.filter(F.col('vec_id') < 3),
+        k=3, probes=2).select(
+        F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
 # (b64, format, width, height, n_bytes, md5) injected image headers —
 # real PNG IHDR / GIF logical-screen / JPEG SOF0 bytes whose dimensions
 # the kernel parses header-level (operators/multimodal.py
@@ -2600,13 +2628,14 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 87).  r6
+    # Dict order is the driver's sampling order (first 50 of 89).  r6
     # rotation (r5 verdict item 2): (a) the 34 queries whose last driver
     # row is r4 come FIRST, (b) then everything NEW (curate_corpus,
-    # ann_index_topk, streaming_to_incremental) or changed in r6 (star
+    # incremental_curate, ann_index_topk, ann_index_extend,
+    # streaming_to_incremental) or changed in r6 (star
     # components, bucketed index, arrow-default assigner, TSV contract,
     # streaming TTL refresh), (c) then r5-green refreshers; the tail is
-    # r5-green and unchanged — union r5+r6 = 87/87 with no row older
+    # r5-green and unchanged — union r5+r6 = 89/89 with no row older
     # than one round.
     return {
         'bpe_byte_codec': q_bpe_byte_codec,
@@ -2650,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'ann_ivf_topk': q_ann_ivf_topk,
         'ann_index_topk': q_ann_index_topk,
+        'ann_index_extend': q_ann_index_extend,
         'dedup_embedding_pairs': q_dedup_embedding_pairs,
         'source_roundtrip': q_source_roundtrip,
         'streaming_lsh_pairs': q_streaming_lsh_pairs,
@@ -2735,6 +2765,65 @@ def _lsh_bands_cte(src: str, suffix: str) -> str:
             sigs{suffix} as (select doc_id, {mins}
                      from toks{suffix} group by doc_id),
             bands{suffix} as ({band_rows})"""
+
+
+def _ivf_topk_oracle(train_where: str = '') -> str:
+    """IVF top-3 oracle: 1 Lloyd iteration from hash-seeded init (decimal
+    means keep the centroids bit-identical to Spark), index probes=1,
+    queries (vec_id<3) probe top-2 buckets.  ``train_where`` restricts
+    the TRAINING set (seeds + Lloyd assignment/means) while the indexed
+    corpus stays all vectors — the extend-index oracle trains on the
+    first batch only, exactly like the Spark side\'s stored centroids."""
+    return """
+            with emb as (select vec_id, embedding::DOUBLE[] e
+                         from embeddings),
+            seeds as (select vec_id, e,
+                             md5(cast(vec_id as varchar)) h
+                      from emb TRAINWHERE order by h, vec_id limit 8),
+            init as (select row_number() over (order by h, vec_id) - 1 cid,
+                            e cen
+                     from seeds),
+            train as (select * from emb TRAINWHERE),
+            sim0 as (select train.vec_id, train.e, init.cid,
+                       round(list_dot_product(train.e, init.cen)
+                         / (sqrt(list_dot_product(train.e, train.e))
+                          * sqrt(list_dot_product(init.cen, init.cen))), 6)
+                           sim
+                     from train cross join init),
+            a0 as (select vec_id, e, cid bucket from
+              (select *, row_number() over (partition by vec_id
+                         order by sim desc, cid) rn from sim0) t
+              where rn = 1),
+            dims as (select bucket, unnest(e) v,
+                            unnest(range(len(e))) pos from a0),
+            cmean as (select bucket, pos,
+                        cast(sum(cast(cast(v as varchar) as decimal(38,18)))
+                             as double) / count(*) mv
+                      from dims group by 1, 2),
+            cent1 as (select bucket cid, list(mv order by pos) cen
+                      from cmean group by bucket),
+            sim1 as (select emb.vec_id, emb.e, c.cid,
+                       round(list_dot_product(emb.e, c.cen)
+                         / (sqrt(list_dot_product(emb.e, emb.e))
+                          * sqrt(list_dot_product(c.cen, c.cen))), 6) sim
+                     from emb cross join cent1 c),
+            ranked1 as (select *, row_number() over (partition by vec_id
+                               order by sim desc, cid) rn from sim1),
+            assigned as (select vec_id, e, cid bucket
+                         from ranked1 where rn = 1),
+            probes as (select vec_id, e, cid bucket
+                       from ranked1 where rn <= 2 and vec_id < 3),
+            joined as (select distinct q.vec_id qid, x.vec_id vec_id,
+                round(list_dot_product(q.e, x.e)
+                  / (sqrt(list_dot_product(q.e, q.e))
+                   * sqrt(list_dot_product(x.e, x.e))), 6) cos
+              from probes q join assigned x using (bucket)
+              where q.vec_id != x.vec_id)
+            select qid, vec_id, cos from
+              (select *, row_number() over (partition by qid
+                         order by cos desc, vec_id) rn from joined) t
+            where rn <= 3""".replace(
+        'TRAINWHERE', train_where)
 
 
 def _incremental_curate_oracle() -> str:
@@ -2903,6 +2992,9 @@ def oracle_sql() -> dict[str, str]:
     # index (storage changes, values don't) — one SQL, two gated paths
     d['ann_index_topk'] = d['ann_ivf_topk']
     d['incremental_curate'] = _incremental_curate_oracle()
+    # extend-index: centroids train on the even half only (the stored
+    # centroids the Spark side extends against); index covers everything
+    d['ann_index_extend'] = _ivf_topk_oracle('where vec_id % 2 = 0')
     return d
 
 
@@ -3582,54 +3674,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             select vec_a, vec_b, cos from pairs where cos >= 0.4""",
         # 1 Lloyd iteration from hash-seeded init; decimal means keep the
         # centroids bit-identical to Spark; queries probe top-2 buckets
-        'ann_ivf_topk': """
-            with emb as (select vec_id, embedding::DOUBLE[] e
-                         from embeddings),
-            seeds as (select vec_id, e,
-                             md5(cast(vec_id as varchar)) h
-                      from emb order by h, vec_id limit 8),
-            init as (select row_number() over (order by h, vec_id) - 1 cid,
-                            e cen
-                     from seeds),
-            sim0 as (select emb.vec_id, emb.e, init.cid,
-                       round(list_dot_product(emb.e, init.cen)
-                         / (sqrt(list_dot_product(emb.e, emb.e))
-                          * sqrt(list_dot_product(init.cen, init.cen))), 6)
-                           sim
-                     from emb cross join init),
-            a0 as (select vec_id, e, cid bucket from
-              (select *, row_number() over (partition by vec_id
-                         order by sim desc, cid) rn from sim0) t
-              where rn = 1),
-            dims as (select bucket, unnest(e) v,
-                            unnest(range(len(e))) pos from a0),
-            cmean as (select bucket, pos,
-                        cast(sum(cast(cast(v as varchar) as decimal(38,18)))
-                             as double) / count(*) mv
-                      from dims group by 1, 2),
-            cent1 as (select bucket cid, list(mv order by pos) cen
-                      from cmean group by bucket),
-            sim1 as (select emb.vec_id, emb.e, c.cid,
-                       round(list_dot_product(emb.e, c.cen)
-                         / (sqrt(list_dot_product(emb.e, emb.e))
-                          * sqrt(list_dot_product(c.cen, c.cen))), 6) sim
-                     from emb cross join cent1 c),
-            ranked1 as (select *, row_number() over (partition by vec_id
-                               order by sim desc, cid) rn from sim1),
-            assigned as (select vec_id, e, cid bucket
-                         from ranked1 where rn = 1),
-            probes as (select vec_id, e, cid bucket
-                       from ranked1 where rn <= 2 and vec_id < 3),
-            joined as (select distinct q.vec_id qid, x.vec_id vec_id,
-                round(list_dot_product(q.e, x.e)
-                  / (sqrt(list_dot_product(q.e, q.e))
-                   * sqrt(list_dot_product(x.e, x.e))), 6) cos
-              from probes q join assigned x using (bucket)
-              where q.vec_id != x.vec_id)
-            select qid, vec_id, cos from
-              (select *, row_number() over (partition by qid
-                         order by cos desc, vec_id) rn from joined) t
-            where rn <= 3""",
+        'ann_ivf_topk': _ivf_topk_oracle(),
         # injected-header fields are literals per doc_id % 4 (DuckDB 1.0
         # md5 is VARCHAR-only, so blob hashes can't be recomputed there);
         # anchored to the real bytes by test_multimodal_header_literals

@@ -477,3 +477,34 @@ def query_ann_index(spark, base_path: str, queries: DataFrame,
     q_assigned = _assign(queries, cents, probes=probes, vec_col=vec_col,
                          id_col=id_col)
     return ivf_topk(idx, q_assigned, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def extend_ann_index(spark, base_path: str, new_emb: DataFrame,
+                     batch_id: str, vec_col: str = 'embedding',
+                     id_col: str = 'vec_id') -> dict:
+    """Append a NEW vector batch to a published IVF index without
+    retraining: assign the batch against the STORED centroids (one Arrow
+    pass over the batch — history is never re-read for compute), union
+    into the assignments table, republish bucketed (snapshot-versioned;
+    the batch_id fingerprint makes a re-publish a no-op).
+
+    This is the daily-embeddings shape: centroids train once on an early
+    corpus sample (the standard IVF practice — coarse quantizers need
+    ~10²–10³ points per centroid, not the full corpus), each day's
+    vectors append in O(batch).  Queries against the extended index are
+    value-identical to a from-scratch publish over the union with the
+    same centroids (oracle: ann_index_extend trains on batch 1 only in
+    SQL, indexes everything).
+    """
+    from jionlp_spark.sources import catalog
+
+    cents = catalog.read_table(spark, f'{base_path}/centroids')
+    new_assigned = _assign(new_emb, cents, probes=1, vec_col=vec_col,
+                           id_col=id_col)
+    idx = catalog.read_table(spark, f'{base_path}/assignments')
+    updated = idx.union(new_assigned.select(*idx.columns))
+    index = catalog.run_stage(
+        spark, f'{base_path}/assignments', 'ann_assignments',
+        lambda: updated, input_fingerprint=batch_id,
+        bucket_by=('bucket',))
+    return {'centroids': cents, 'index': index}
