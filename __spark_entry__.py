@@ -897,6 +897,24 @@ def q_dedup_cluster_keep(spark, sf_dir):
         'cluster_size', 'keep_doc_id', 'dropped')
 
 
+def q_decontam_report(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.decontaminate):
+    word-8-gram exact overlap between the corpus and a synthesized
+    "benchmark" (tokens 11-30 of every doc_id%41==0 doc — a held-out
+    eval set whose items are verbatim corpus extracts, the exact leak
+    decontamination exists to catch).  The benchmark n-gram set is
+    broadcast; the corpus side is a per-row shingle expression + a
+    broadcast-hash join, so corpus rows never shuffle.  Returns the
+    per-doc audit row (doc_id, n_ngrams, n_hit, contaminated)."""
+    from jionlp_spark.operators.decontam import decontaminate
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col('doc_id') % 41 == 0)
+             .select(F.concat_ws(
+                 ' ', F.slice(F.split(F.col('text'), ' '), 11, 20))
+                 .alias('text')))
+    return decontaminate(docs, bench, n=8)
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed training-data admission pipeline
     (operators/curate.curate_corpus): language allow-list → quality floor
@@ -2673,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
         'streaming_to_incremental': q_streaming_to_incremental,
+        'decontam_report': q_decontam_report,
         'curate_corpus': q_curate_corpus,
         'incremental_curate': q_incremental_curate,
         'dedup_cluster_keep': q_dedup_cluster_keep,
@@ -3520,6 +3539,36 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(min(v) as bigint) keep_doc_id,
                    cast(count(*) - 1 as bigint) dropped
             from comp group by lab""",
+        # benchmark decontamination: word-8-gram exact overlap vs the
+        # synthesized benchmark (tokens 11-30 of doc_id%41==0 docs).
+        # DuckDB slice w[a:b] is 1-based INCLUSIVE and clamps, exactly
+        # like Spark slice(toks, a, len); only full-length 8-grams are
+        # emitted on both sides (len(w) >= 8 filter).
+        'decontam_report': """
+            with w8 as (select doc_id, string_split(text, ' ') w
+                        from documents),
+            bw as (select string_split(array_to_string(w[11:30], ' '),
+                                       ' ') w
+                   from w8 where doc_id % 41 = 0),
+            bg as (select distinct
+                     unnest([array_to_string(w[i+1:i+8], ' ')
+                             for i in range(0, len(w) - 7)]) gram
+                   from bw where len(w) >= 8),
+            cg as (select doc_id,
+                     list_distinct([array_to_string(w[i+1:i+8], ' ')
+                                    for i in range(0, len(w) - 7)]) grams
+                   from w8 where len(w) >= 8),
+            hits as (select doc_id, count(*) n_hit
+                     from (select doc_id, unnest(grams) gram from cg)
+                     join bg using (gram) group by doc_id),
+            counts as (select w8.doc_id,
+                              coalesce(len(cg.grams), 0) n_ngrams
+                       from w8 left join cg using (doc_id))
+            select cast(c.doc_id as bigint) doc_id,
+                   cast(n_ngrams as bigint) n_ngrams,
+                   cast(coalesce(n_hit, 0) as bigint) n_hit,
+                   coalesce(n_hit, 0) > 0 contaminated
+            from counts c left join hits using (doc_id)""",
         # staged curation audit: lang allow-list → quality floor → exact
         # dedup (keep min doc_id per md5) → LSH near-dup components
         # keep-min over exact survivors.  Quality is the SAME per-row

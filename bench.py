@@ -61,7 +61,7 @@ HEADLINE = [
     'lang_distribution', 'kg_extract_idcard',
     # round 6 additions
     'streaming_to_incremental', 'curate_corpus', 'ann_index_topk',
-    'incremental_curate', 'ann_index_extend',
+    'incremental_curate', 'ann_index_extend', 'decontam_report',
 ]
 
 

@@ -740,3 +740,38 @@ def test_incremental_curate_state_and_idempotence(spark, tmp_path):
     v2b = {r['doc_id']: r['status'] for r in
            incremental_curate(spark, state, b2, 'b2')['verdict'].collect()}
     assert v2b == v2
+
+
+def test_decontaminate_paths_and_edges(spark):
+    """Decontamination: benchmark 8-gram overlap flags exactly the docs
+    containing a verbatim benchmark run; docs shorter than n yield
+    n_ngrams=0 and are never flagged; the broadcast and shuffle-join
+    paths return identical rows; the corpus-side plan broadcasts the
+    benchmark (corpus rows never shuffle before the hit aggregation)."""
+    from jionlp_spark.operators.decontam import decontaminate
+    run = ' '.join(f'b{i}' for i in range(10))       # 10-token bench item
+    docs = spark.createDataFrame([
+        (0, 'x0 x1 x2 ' + run + ' y0 y1', 'en'),     # contains the run
+        (1, ' '.join(f'c{i}' for i in range(20)), 'en'),   # clean
+        (2, 'short doc', 'en'),                      # < n tokens
+        (3, run, 'en'),                              # the run verbatim
+    ], 'doc_id long, text string, lang string')
+    bench = spark.createDataFrame([(run,)], 'text string')
+
+    got = {r['doc_id']: (r['n_ngrams'], r['n_hit'], r['contaminated'])
+           for r in decontaminate(docs, bench, n=8).collect()}
+    # 10-token run → 3 distinct 8-grams; doc 0 (15 tokens) embeds all 3
+    assert got[0] == (8, 3, True)
+    assert got[1] == (13, 0, False)
+    assert got[2] == (0, 0, False)
+    assert got[3] == (3, 3, True)
+
+    shuffle = {tuple(r) for r in
+               decontaminate(docs, bench, n=8,
+                             broadcast_bench=False).collect()}
+    assert shuffle == {tuple(r) for r in
+                       decontaminate(docs, bench, n=8).collect()}
+
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan
