@@ -1263,6 +1263,17 @@ def q_bigram_pmi(spark, sf_dir):
     return bigram_pmi(_docs(spark, sf_dir), min_pair_freq=5)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """In-corpus add-one bigram-LM perplexity per doc
+    (operators/textstats.lm_perplexity) — the KenLM-style quality
+    ranking signal.  ln terms are per-row trees over exact integer
+    counts (bit-identical across engines); the per-doc log-sum rides
+    the exact-decimal route, and the final avg/exp are per-row doubles
+    on identical inputs."""
+    from jionlp_spark.operators.textstats import lm_perplexity
+    return lm_perplexity(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark, sf_dir):
     from jionlp_spark.operators.textstats import quality_score
     return quality_score(_docs(spark, sf_dir)).select(
@@ -2692,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tpch_top_orders': q_tpch_top_orders,
         'streaming_to_incremental': q_streaming_to_incremental,
         'decontam_report': q_decontam_report,
+        'lm_perplexity': q_lm_perplexity,
         'curate_corpus': q_curate_corpus,
         'incremental_curate': q_incremental_curate,
         'dedup_cluster_keep': q_dedup_cluster_keep,
@@ -3569,6 +3581,37 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(coalesce(n_hit, 0) as bigint) n_hit,
                    coalesce(n_hit, 0) > 0 contaminated
             from counts c left join hits using (doc_id)""",
+        # add-one bigram-LM perplexity: model counts are exact integers,
+        # ln((c12+1.0)/(c1+v)) is the same per-row tree in both engines,
+        # the per-doc log-sum goes through decimal(38,18) (exact,
+        # order-independent) and back to double via varchar (the
+        # shortest-round-trip form both engines parse identically);
+        # parallel unnest of the two shifted slices zips them like
+        # Spark arrays_zip
+        'lm_perplexity': """
+            with toks as (select doc_id, string_split(text, ' ') w
+                          from documents),
+            bg as (select doc_id, unnest(w[1:len(w)-1]) w1,
+                          unnest(w[2:len(w)]) w2
+                   from toks where len(w) >= 2),
+            pc as (select w1, w2, count(*) c12 from bg group by 1, 2),
+            cc as (select w1, count(*) c1 from bg group by 1),
+            vv as (select count(distinct t) v
+                   from (select unnest(w) t from toks)),
+            model as (select pc.w1, pc.w2,
+                             ln((c12 + 1.0) / (c1 + v)) lnp
+                      from pc join cc using (w1) cross join vv),
+            sc as (select doc_id, count(*) n_bigrams,
+                          sum(cast(cast(lnp as varchar)
+                                   as decimal(38,18))) s
+                   from bg join model using (w1, w2) group by doc_id)
+            select cast(t.doc_id as bigint) doc_id,
+                   cast(coalesce(n_bigrams, 0) as bigint) n_bigrams,
+                   cast(cast(s as varchar) as double) / n_bigrams
+                     avg_logprob,
+                   exp(-(cast(cast(s as varchar) as double) / n_bigrams))
+                     ppl
+            from toks t left join sc using (doc_id)""",
         # staged curation audit: lang allow-list → quality floor → exact
         # dedup (keep min doc_id per md5) → LSH near-dup components
         # keep-min over exact survivors.  Quality is the SAME per-row

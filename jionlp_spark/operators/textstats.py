@@ -408,3 +408,68 @@ def new_word_scores(docs: DataFrame, text_col: str = 'text',
                     'h_left', 'h_right')
             .withColumn('score',
                         F.col('pmi') + F.least('h_left', 'h_right')))
+
+
+def lm_perplexity(docs: DataFrame, text_col: str = 'text',
+                  id_col: str = 'doc_id') -> DataFrame:
+    """In-corpus bigram-LM perplexity per document — the KenLM-style
+    quality signal training-data pipelines rank documents by (gibberish
+    and boilerplate score high-perplexity even against a model trained
+    on the corpus itself).
+
+    Model: add-one-smoothed bigram LM estimated from the SAME corpus,
+    p(w2|w1) = (c12 + 1) / (c1 + V) with c1 = occurrences of w1 as a
+    bigram context and V = corpus vocabulary size.  Per doc:
+    avg_logprob = Σ ln p over its adjacent-token bigrams / n_bigrams,
+    ppl = exp(-avg_logprob).  Docs with < 2 tokens get n_bigrams = 0 and
+    null scores.
+
+    Scale shape: the model is ONE map-side-combined groupBy over corpus
+    bigrams (bigram-type-sized, far smaller than the corpus); V rides a
+    broadcast-scalar crossJoin; scoring joins occurrence rows to the
+    model on the bigram key (hot function words skew that key — AQE
+    skew-join splits them) and reduces per doc with an exact decimal
+    log-sum (order-independent → engine-identical; cross-row double
+    sums are not).  ln terms are per-row trees on exact integer counts,
+    so both engines compute bit-identical doubles.
+
+    Reference: JioNLP has no LM scorer; the counting machinery mirrors
+    bigram_pmi above (new_word_discovery.py:86-103 lineage).
+    """
+    toks = F.split(F.col(text_col), ' ')
+    bigrams = (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.explode(F.arrays_zip(
+                        F.slice(toks, 1, F.size(toks) - 1).alias('w1'),
+                        F.slice(toks, 2, F.size(toks) - 1).alias('w2')))
+                    .alias('p'))
+        .select('doc_id', F.col('p.w1').alias('w1'),
+                F.col('p.w2').alias('w2')))
+
+    pair_counts = bigrams.groupBy('w1', 'w2').agg(
+        F.count('*').cast('long').alias('c12'))
+    ctx_counts = bigrams.groupBy('w1').agg(
+        F.count('*').cast('long').alias('c1'))
+    vocab = docs.select(F.explode(toks).alias('w')) \
+        .agg(F.countDistinct('w').cast('long').alias('v'))
+
+    model = (pair_counts
+             .join(F.broadcast(ctx_counts), 'w1')
+             .crossJoin(F.broadcast(vocab))
+             .select('w1', 'w2',
+                     F.log((F.col('c12') + F.lit(1.0))
+                           / (F.col('c1') + F.col('v'))).alias('lnp')))
+
+    scored = (bigrams.join(model, ['w1', 'w2'])
+              .groupBy('doc_id')
+              .agg(F.count('*').cast('long').alias('n_bigrams'),
+                   F.sum(F.col('lnp').cast('string')
+                         .cast('decimal(38,18)')).alias('s')))
+    return (docs.select(F.col(id_col).alias('doc_id'))
+            .join(scored, 'doc_id', 'left')
+            .select('doc_id',
+                    F.coalesce('n_bigrams', F.lit(0)).cast('long')
+                    .alias('n_bigrams'),
+                    (F.col('s').cast('string').cast('double')
+                     / F.col('n_bigrams')).alias('avg_logprob'))
+            .withColumn('ppl', F.exp(-F.col('avg_logprob'))))

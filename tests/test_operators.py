@@ -775,3 +775,30 @@ def test_decontaminate_paths_and_edges(spark):
     plan = decontaminate(docs, bench, n=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'BroadcastHashJoin' in plan
+
+
+def test_lm_perplexity_ordering_and_edges(spark):
+    """Bigram-LM perplexity: a doc repeating the corpus' dominant bigram
+    scores lower perplexity than a doc of one-off bigrams; docs with
+    < 2 tokens get n_bigrams=0 and null scores; ppl = exp(-avg_logprob)
+    exactly."""
+    import math
+    from jionlp_spark.operators.textstats import lm_perplexity
+    common = ' '.join(['a b'] * 10)          # "a b" bigram dominates
+    docs = spark.createDataFrame([
+        (0, common, 'en'),
+        (1, common, 'en'),
+        (2, 'c d e f g h', 'en'),            # all singleton bigrams
+        (3, 'solo', 'en'),                   # no bigrams
+    ], 'doc_id long, text string, lang string')
+    got = {r['doc_id']: r for r in lm_perplexity(docs).collect()}
+    assert got[3]['n_bigrams'] == 0 and got[3]['ppl'] is None
+    assert got[0]['ppl'] < got[2]['ppl']
+    assert got[0]['ppl'] == got[1]['ppl']    # identical docs, same score
+    for i in (0, 1, 2):
+        # rel_tol: JVM Math.exp and libm exp may differ in the last ulp
+        # (engine parity is what the DuckDB gate certifies, not
+        # JVM-vs-CPython identity)
+        assert math.isclose(got[i]['ppl'],
+                            math.exp(-got[i]['avg_logprob']),
+                            rel_tol=1e-12)
