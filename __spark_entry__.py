@@ -726,6 +726,30 @@ def q_kg_cooccurrence(spark, sf_dir):
             .agg(F.countDistinct('doc_id').cast('long').alias('n_docs')))
 
 
+def q_kg_entity_pagerank(spark, sf_dir):
+    """Weighted PageRank over the entity co-occurrence graph
+    (operators/graph.pagerank, 3 rounds, d=0.85) — the KG-side entity
+    salience ranking after kg_cooccurrence's edge extraction.  The
+    symmetrized edge list makes every node out-degree-complete (no
+    dangling mass); each round's reduction is an exact decimal sum so
+    both engines walk bit-identical pr vectors."""
+    from jionlp_spark.operators.graph import pagerank
+    ents = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card')) \
+        .select('doc_id', 'obj').persist()
+    a, b = ents.alias('a'), ents.alias('b')
+    prs = (a.join(b, 'doc_id')
+           .filter(F.col('a.obj') < F.col('b.obj'))
+           .groupBy(F.col('a.obj').alias('ea'), F.col('b.obj').alias('eb'))
+           .agg(F.countDistinct('doc_id').cast('long').alias('w')))
+    edges = (prs.select(F.col('ea').alias('src'),
+                        F.col('eb').alias('dst'), 'w')
+             .union(prs.select(F.col('eb').alias('src'),
+                               F.col('ea').alias('dst'), 'w')))
+    return pagerank(edges, iters=3, weight_col='w') \
+        .select(F.col('v').alias('entity'), 'pr')
+
+
 def q_kg_entity_counts_skew(spark, sf_dir):
     """Salted two-phase aggregation under REAL key skew (north_rule:
     salted-key dedup for hot entities): 10 mentions per doc, HALF of all
@@ -2704,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_to_incremental': q_streaming_to_incremental,
         'decontam_report': q_decontam_report,
         'lm_perplexity': q_lm_perplexity,
+        'kg_entity_pagerank': q_kg_entity_pagerank,
         'curate_corpus': q_curate_corpus,
         'incremental_curate': q_incremental_curate,
         'dedup_cluster_keep': q_dedup_cluster_keep,
@@ -2796,6 +2821,53 @@ def _lsh_bands_cte(src: str, suffix: str) -> str:
             sigs{suffix} as (select doc_id, {mins}
                      from toks{suffix} group by doc_id),
             bands{suffix} as ({band_rows})"""
+
+
+def _pagerank_oracle(phone: str, idc: str, iters: int = 3,
+                     damping: float = 0.85) -> str:
+    """Weighted PageRank in DuckDB, mirroring operators/graph.pagerank
+    round for round: per-edge contributions are per-row double trees,
+    per-target sums ride decimal(38,18) via varchar, and the teleport/
+    damping constants enter as cast('<repr>' as double) — DuckDB parses
+    bare 0.85 as DECIMAL, and 1.0 - 0.85 in decimal is exactly 0.15
+    where IEEE doubles give 0.15000000000000002."""
+    tele = 1.0 - damping
+    sql = f"""
+            with m as (
+              select doc_id, {phone} as obj from documents
+              union all
+              select doc_id, {idc} as obj from documents),
+            prs as (select a.obj ea, b.obj eb,
+                           cast(count(distinct a.doc_id) as bigint) w
+                    from m a
+                    join m b on a.doc_id = b.doc_id and a.obj < b.obj
+                    group by 1, 2),
+            e as (select ea src, eb dst, w from prs
+                  union all select eb, ea, w from prs),
+            wd as (select src, sum(w) wdeg from e group by 1),
+            ew as (select e.src, e.dst, e.w, wd.wdeg
+                   from e join wd using (src)),
+            nodes as (select distinct src v from e),
+            nn as (select cast(count(*) as bigint) n from nodes),
+            pr0 as (select v, cast('1.0' as double) / n pr
+                    from nodes cross join nn)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+            c{k} as (select ew.dst,
+                       sum(cast(cast(p.pr * ew.w / ew.wdeg as varchar)
+                                as decimal(38,18))) s
+                     from ew join pr{k - 1} p on ew.src = p.v
+                     group by ew.dst),
+            pr{k} as (select nodes.v,
+                        cast('{tele!r}' as double) / nn.n
+                        + cast('{damping!r}' as double)
+                          * coalesce(cast(cast(c{k}.s as varchar)
+                                          as double),
+                                     cast('0.0' as double)) pr
+                      from nodes
+                      left join c{k} on nodes.v = c{k}.dst
+                      cross join nn)"""
+    return sql + f"\n            select v as entity, pr from pr{iters}"
 
 
 def _ivf_topk_oracle(train_where: str = '') -> str:
@@ -3202,6 +3274,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(count(distinct a.doc_id) as bigint) n_docs
             from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
             group by 1, 2, 3, 4""",
+        'kg_entity_pagerank': _pagerank_oracle(phone, idc),
         'kg_entity_counts_skew': """
             with m as (
               select doc_id, unnest(range(10)) as k from documents),

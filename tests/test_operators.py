@@ -802,3 +802,21 @@ def test_lm_perplexity_ordering_and_edges(spark):
         assert math.isclose(got[i]['ppl'],
                             math.exp(-got[i]['avg_logprob']),
                             rel_tol=1e-12)
+
+
+def test_pagerank_hub_and_mass(spark):
+    """PageRank on a symmetric star+path graph: total mass stays 1 (the
+    symmetric graph is out-degree-complete, so no mass leaks), the hub
+    outranks every leaf, and a node outside the star ranks lowest."""
+    import math
+    from jionlp_spark.operators.graph import pagerank
+    und = [('hub', 'l1', 3), ('hub', 'l2', 3), ('hub', 'l3', 3),
+           ('l3', 'tail', 1)]
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und],
+        'src string, dst string, weight long')
+    got = {r['v']: r['pr'] for r in pagerank(edges, iters=5).collect()}
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+    assert got['hub'] == max(got.values())
+    assert got['tail'] < got['l3']
+    assert got['l1'] == got['l2']        # symmetric leaves tie exactly
