@@ -939,6 +939,18 @@ def q_decontam_report(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def q_training_mix(spark, sf_dir):
+    """Deterministic per-language training-mix sampling
+    (operators/curate.training_mix_sample): exact hash-ordered top-K per
+    language via two-phase local→global top-K (no single-reducer
+    language funnel).  The oracle's single global row_number per lang is
+    the semantic spec the two-phase plan must equal exactly."""
+    from jionlp_spark.operators.curate import training_mix_sample
+    return training_mix_sample(
+        _docs(spark, sf_dir),
+        {'en': 120, 'zh': 40, 'de': 30, 'fr': 25, 'es': 25})
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed training-data admission pipeline
     (operators/curate.curate_corpus): language allow-list → quality floor
@@ -2729,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'decontam_report': q_decontam_report,
         'lm_perplexity': q_lm_perplexity,
         'kg_entity_pagerank': q_kg_entity_pagerank,
+        'training_mix': q_training_mix,
         'curate_corpus': q_curate_corpus,
         'incremental_curate': q_incremental_curate,
         'dedup_cluster_keep': q_dedup_cluster_keep,
@@ -3275,6 +3288,21 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
             group by 1, 2, 3, 4""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
+        # exact hash-ordered top-K per language: the single global
+        # row_number here is the spec; Spark's two-phase local→global
+        # top-K must produce the identical row set and ranks
+        'training_mix': """
+            with q(lang, quota) as (values
+              ('en', 120), ('zh', 40), ('de', 30), ('fr', 25), ('es', 25)),
+            r as (select doc_id, lang,
+                         row_number() over (
+                           partition by lang
+                           order by md5(cast(doc_id as varchar)), doc_id)
+                           rk
+                  from documents)
+            select cast(doc_id as bigint) doc_id, lang,
+                   cast(rk as bigint) rk
+            from r join q using (lang) where rk <= quota""",
         'kg_entity_counts_skew': """
             with m as (
               select doc_id, unnest(range(10)) as k from documents),

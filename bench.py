@@ -62,7 +62,7 @@ HEADLINE = [
     # round 6 additions
     'streaming_to_incremental', 'curate_corpus', 'ann_index_topk',
     'incremental_curate', 'ann_index_extend', 'decontam_report',
-    'lm_perplexity', 'kg_entity_pagerank',
+    'lm_perplexity', 'kg_entity_pagerank', 'training_mix',
 ]
 
 

@@ -253,3 +253,48 @@ def incremental_curate(spark, state_path: str, new_docs, batch_id: str,
                               bucket_by=('band_id', 'band_hash'))
     staged.unpersist()
     return {'verdict': verdict, 'hashes': hashes, 'index': index}
+
+
+def training_mix_sample(docs: DataFrame, quotas: dict,
+                        id_col: str = 'doc_id',
+                        lang_col: str = 'lang') -> DataFrame:
+    """Deterministic per-language training-mix sampling: exactly
+    ``min(quota, available)`` docs per language, chosen by md5(doc_id)
+    order → (doc_id, lang, rk).
+
+    Training mixes are specified as per-domain/per-language doc budgets;
+    the sample must be reproducible run-to-run and machine-to-machine
+    (hash order, not RNG), and adding docs to the corpus must not evict
+    already-chosen docs unless they hash earlier — both properties of
+    hash-ordered top-K.
+
+    Scale shape: a naive `row_number over (partition by lang)` funnels
+    EVERY row of a language through one reducer — at 100 TB a single
+    'en' reducer sees most of the corpus.  Instead: exact two-phase
+    top-K.  Phase 1 takes the per-(lang, input-partition) local top-K
+    (any partitioning works — a local top-K always contains the global
+    top-K members in that partition), bounding phase 2's global
+    per-lang window to ≤ quota × n_partitions candidate rows.  The
+    quota table is broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    qdf = F.broadcast(spark.createDataFrame(
+        [(str(k), int(v)) for k, v in quotas.items()],
+        'lang string, quota long'))
+
+    d = (docs.select(F.col(id_col).alias('doc_id'),
+                     F.col(lang_col).alias('lang'),
+                     F.md5(F.col(id_col).cast('string')).alias('hk'))
+         .join(qdf, 'lang')
+         .withColumn('pid', F.spark_partition_id()))
+
+    local = Window.partitionBy('lang', 'pid').orderBy('hk', 'doc_id')
+    cand = (d.withColumn('lrk', F.row_number().over(local))
+            .filter(F.col('lrk') <= F.col('quota')))
+
+    final = Window.partitionBy('lang').orderBy('hk', 'doc_id')
+    return (cand.withColumn('rk', F.row_number().over(final))
+            .filter(F.col('rk') <= F.col('quota'))
+            .select('doc_id', 'lang', F.col('rk').cast('long').alias('rk')))

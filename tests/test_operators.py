@@ -820,3 +820,34 @@ def test_pagerank_hub_and_mass(spark):
     assert got['hub'] == max(got.values())
     assert got['tail'] < got['l3']
     assert got['l1'] == got['l2']        # symmetric leaves tie exactly
+
+
+def test_training_mix_two_phase_equals_spec(spark):
+    """Two-phase top-K sampling equals the single-window spec under
+    adversarial partitioning, clamps to availability, is insensitive to
+    input layout, and drops unquota'd languages."""
+    from pyspark.sql.window import Window
+    from jionlp_spark.operators.curate import training_mix_sample
+    rows = [(i, 'en' if i % 3 else 'de') for i in range(200)] \
+        + [(1000 + i, 'xx') for i in range(5)]
+    docs = spark.createDataFrame(rows, 'doc_id long, lang string')
+    quotas = {'en': 20, 'de': 100}       # de has only 67 docs → clamps
+
+    got = {tuple(r) for r in
+           training_mix_sample(docs.repartition(16), quotas).collect()}
+    got2 = {tuple(r) for r in
+            training_mix_sample(docs.coalesce(1), quotas).collect()}
+    assert got == got2                   # layout-independent
+
+    w = Window.partitionBy('lang').orderBy(
+        F.md5(F.col('doc_id').cast('string')), 'doc_id')
+    spec = {tuple(r) for r in
+            docs.withColumn('rk', F.row_number().over(w).cast('long'))
+            .filter((F.col('lang') == 'en') & (F.col('rk') <= 20)
+                    | (F.col('lang') == 'de') & (F.col('rk') <= 100))
+            .select('doc_id', 'lang', 'rk').collect()}
+    assert got == spec
+    by_lang = {}
+    for _d, lang, _r in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang == {'en': 20, 'de': 67}
