@@ -939,6 +939,15 @@ def q_decontam_report(spark, sf_dir):
     return decontaminate(docs, bench, n=8)
 
 
+def q_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters
+    (operators/textstats.repetition_filters): top-unigram fraction and
+    duplicate bi/tri-gram occurrence fractions as ONE per-row expression
+    tree (no shuffle, no Python), with the published cutoffs as flags."""
+    from jionlp_spark.operators.textstats import repetition_filters
+    return repetition_filters(_docs(spark, sf_dir))
+
+
 def q_training_mix(spark, sf_dir):
     """Deterministic per-language training-mix sampling
     (operators/curate.training_mix_sample): exact hash-ordered top-K per
@@ -2742,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_perplexity': q_lm_perplexity,
         'kg_entity_pagerank': q_kg_entity_pagerank,
         'training_mix': q_training_mix,
+        'repetition_filters': q_repetition_filters,
         'curate_corpus': q_curate_corpus,
         'incremental_curate': q_incremental_curate,
         'dedup_cluster_keep': q_dedup_cluster_keep,
@@ -3288,6 +3298,33 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
             group by 1, 2, 3, 4""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
+        # Gopher repetition filters: per-row trees only — int/int
+        # division and the list comprehensions mirror the Spark
+        # higher-order expressions exactly; DuckDB lateral alias reuse
+        # feeds the flag disjunction the same doubles
+        'repetition_filters': """
+            with t as (select doc_id, string_split(text, ' ') w
+                       from documents),
+            g as (select doc_id, w,
+                    [array_to_string(w[i+1:i+2], ' ')
+                     for i in range(0, greatest(len(w)-2, 0) + 1)] g2,
+                    [array_to_string(w[i+1:i+3], ' ')
+                     for i in range(0, greatest(len(w)-3, 0) + 1)] g3
+                  from t)
+            select cast(doc_id as bigint) doc_id,
+                   cast(len(w) as bigint) n_tokens,
+                   list_max(list_transform(list_distinct(w),
+                            x -> len(list_filter(w, t -> t = x))))
+                     / greatest(len(w), 1) top_unigram_frac,
+                   case when len(w) >= 2
+                        then (len(g2) - len(list_distinct(g2))) / len(g2)
+                        else cast(0.0 as double) end dup_bigram_frac,
+                   case when len(w) >= 3
+                        then (len(g3) - len(list_distinct(g3))) / len(g3)
+                        else cast(0.0 as double) end dup_trigram_frac,
+                   (top_unigram_frac > 0.2 or dup_bigram_frac > 0.3
+                    or dup_trigram_frac > 0.25) repetition_flagged
+            from g""",
         # exact hash-ordered top-K per language: the single global
         # row_number here is the spec; Spark's two-phase local→global
         # top-K must produce the identical row set and ranks

@@ -63,6 +63,7 @@ HEADLINE = [
     'streaming_to_incremental', 'curate_corpus', 'ann_index_topk',
     'incremental_curate', 'ann_index_extend', 'decontam_report',
     'lm_perplexity', 'kg_entity_pagerank', 'training_mix',
+    'repetition_filters',
 ]
 
 

@@ -473,3 +473,59 @@ def lm_perplexity(docs: DataFrame, text_col: str = 'text',
                     (F.col('s').cast('string').cast('double')
                      / F.col('n_bigrams')).alias('avg_logprob'))
             .withColumn('ppl', F.exp(-F.col('avg_logprob'))))
+
+
+def repetition_filters(docs: DataFrame, text_col: str = 'text',
+                       id_col: str = 'doc_id',
+                       top_unigram_max: float = 0.20,
+                       dup_bigram_max: float = 0.30,
+                       dup_trigram_max: float = 0.25) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality filters, per document:
+
+    - top_unigram_frac: occurrences of the most frequent token / tokens;
+    - dup_bigram_frac / dup_trigram_frac: fraction of n-gram OCCURRENCES
+      beyond the first of their kind (1 - distinct/total);
+    - repetition_flagged: any fraction above its threshold (defaults are
+      the published Gopher cutoffs for the comparable line-less
+      signals).
+
+    Everything is ONE per-row higher-order-expression tree — no explode,
+    no shuffle, no Python; the whole operator is a projection that scales
+    embarrassingly.  The top-unigram count is O(distinct·n) per row —
+    bounded by document length, never corpus size.  Int/int division
+    yields identical doubles in both engines, so the threshold compares
+    split identically (repo float-parity rule).
+
+    Reference: JioNLP's quality screens are keyword lists
+    (pornography/sensitive dicts — keyword_flags above); repetition
+    signals are the training-data-pipeline extension the brief adds.
+    """
+    toks = F.split(F.col(text_col), ' ')
+    n = F.size(toks)
+
+    def ngrams(k):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(' ', F.slice(toks, i + 1, k)))
+
+    top_uni = (F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w))))
+        / F.greatest(n, F.lit(1)))
+
+    def dup_frac(k):
+        g = ngrams(k)
+        return (F.when(n >= k,
+                       (F.size(g) - F.size(F.array_distinct(g)))
+                       / F.size(g))
+                .otherwise(F.lit(0.0)))
+
+    d2, d3 = dup_frac(2), dup_frac(3)
+    return docs.select(
+        F.col(id_col).alias('doc_id'),
+        n.cast('long').alias('n_tokens'),
+        top_uni.alias('top_unigram_frac'),
+        d2.alias('dup_bigram_frac'),
+        d3.alias('dup_trigram_frac'),
+        ((top_uni > top_unigram_max) | (d2 > dup_bigram_max)
+         | (d3 > dup_trigram_max)).alias('repetition_flagged'))

@@ -851,3 +851,31 @@ def test_training_mix_two_phase_equals_spec(spark):
     for _d, lang, _r in got:
         by_lang[lang] = by_lang.get(lang, 0) + 1
     assert by_lang == {'en': 20, 'de': 67}
+
+
+def test_repetition_filters_values_and_plan(spark):
+    """Repetition filters: hand-computed fractions on crafted docs, the
+    short-doc guards, and the plan contract — a pure projection (zero
+    exchanges; the whole operator must scale as a map)."""
+    from jionlp_spark.operators.textstats import repetition_filters
+    docs = spark.createDataFrame([
+        (0, 'a a a a b', 'en'),         # top uni 4/5; bigrams: aa aa aa ab → dup 2/4
+        (1, 'a b c d e', 'en'),         # no repetition
+        (2, 'x', 'en'),                 # 1 token → n-gram fracs 0.0
+        (3, 'a b a b a b', 'en'),       # bigram dup 3/5, trigram dup 2/4
+    ], 'doc_id long, text string, lang string')
+    got = {r['doc_id']: r for r in repetition_filters(docs).collect()}
+    assert got[0]['top_unigram_frac'] == 0.8
+    assert got[0]['dup_bigram_frac'] == 0.5
+    assert got[0]['repetition_flagged']
+    assert got[1]['dup_bigram_frac'] == 0.0
+    assert not got[1]['repetition_flagged']
+    assert got[2]['dup_bigram_frac'] == 0.0
+    assert got[2]['dup_trigram_frac'] == 0.0
+    assert got[3]['dup_bigram_frac'] == 0.6
+    assert got[3]['dup_trigram_frac'] == 0.5
+    assert got[3]['repetition_flagged']
+
+    plan = repetition_filters(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'Exchange' not in plan
