@@ -2702,15 +2702,19 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 89).  r6
+    # Dict order is the driver's sampling order (first 50 of 94).  r6
     # rotation (r5 verdict item 2): (a) the 34 queries whose last driver
-    # row is r4 come FIRST, (b) then everything NEW (curate_corpus,
-    # incremental_curate, ann_index_topk, ann_index_extend,
-    # streaming_to_incremental) or changed in r6 (star
-    # components, bucketed index, arrow-default assigner, TSV contract,
-    # streaming TTL refresh), (c) then r5-green refreshers; the tail is
-    # r5-green and unchanged — union r5+r6 = 89/89 with no row older
-    # than one round.
+    # row is r4 come FIRST, (b) then everything NEW this round
+    # (decontam_report, lm_perplexity, kg_entity_pagerank, training_mix,
+    # repetition_filters, curate_corpus, incremental_curate,
+    # ann_index_topk, ann_index_extend, streaming_to_incremental) or
+    # changed in r6 (star components, bucketed index, arrow-default
+    # assigner, TSV contract, streaming TTL refresh) — exactly filling
+    # the 50-slot window.  The tail is all r5-green (verified vs
+    # CORRECTNESS_r05) → union r5+r6 = 94/94 with no row older than one
+    # round.  catalog_roundtrip (r6-changed: bucketed publish) didn't
+    # fit the window; its r5 row + the local oracle gate (which replays
+    # all 94) carry it this round — rotate it forward in r7.
     return {
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,

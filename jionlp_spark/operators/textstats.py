@@ -446,10 +446,16 @@ def lm_perplexity(docs: DataFrame, text_col: str = 'text',
         .select('doc_id', F.col('p.w1').alias('w1'),
                 F.col('p.w2').alias('w2')))
 
+    # the pair table is the LM being trained — materialize it
+    # (localCheckpoint = one corpus scan), because BOTH the context
+    # rollup and the scoring join consume it and Spark plans are trees:
+    # without this the corpus bigram aggregation runs once per consumer
     pair_counts = bigrams.groupBy('w1', 'w2').agg(
-        F.count('*').cast('long').alias('c12'))
-    ctx_counts = bigrams.groupBy('w1').agg(
-        F.count('*').cast('long').alias('c1'))
+        F.count('*').cast('long').alias('c12')).localCheckpoint()
+    # context counts roll up from the pair table (c1 = Σ_w2 c12) — same
+    # values as re-counting the corpus, one fewer corpus scan + shuffle
+    ctx_counts = pair_counts.groupBy('w1').agg(
+        F.sum('c12').cast('long').alias('c1'))
     vocab = docs.select(F.explode(toks).alias('w')) \
         .agg(F.countDistinct('w').cast('long').alias('v'))
 
