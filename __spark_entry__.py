@@ -750,6 +750,28 @@ def q_kg_entity_pagerank(spark, sf_dir):
         .select(F.col('v').alias('entity'), 'pr')
 
 
+def q_kg_edge_pmi(spark, sf_dir):
+    """Edge-significance scoring over the entity co-occurrence graph
+    (operators/graph.edge_association): raw support over-ranks pairs of
+    individually-frequent entities, so edges carry pmi/npmi association
+    scores — the KG pruning step between kg_cooccurrence and pagerank.
+    Runs over the skew-shaped synthetic mention table (one hot entity,
+    97 cold keys, ~6 distinct entities/doc) so the graph has real
+    frequency contrast; counts are exact bigints and the pmi/npmi trees
+    are written identically in the oracle (per-row float-parity rule)."""
+    from jionlp_spark.operators.graph import edge_association
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj'))
+    return edge_association(ents)
+
+
 def q_kg_entity_counts_skew(spark, sf_dir):
     """Salted two-phase aggregation under REAL key skew (north_rule:
     salted-key dedup for hot entities): 10 mentions per doc, HALF of all
@@ -2810,6 +2832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_state_bounded': q_streaming_state_bounded,
         'kg_entity_counts_skew': q_kg_entity_counts_skew,
         'kg_recognize_location_full': q_kg_recognize_location_full,
+        # --- new in late r6 (after the 50-slot driver window): local
+        # oracle gate covers them this round; front-load in r7
+        'kg_edge_pmi': q_kg_edge_pmi,
     }
 
 
@@ -3302,6 +3327,41 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
             group by 1, 2, 3, 4""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
+        # edge pmi/npmi: counts exact bigints; score trees written as the
+        # EXACT Spark trees (one int·int product cast to double per side
+        # of the division; ln = natural log in both engines); npmi null
+        # when the pair spans every document (denominator ln 1 = 0)
+        'kg_edge_pmi': """
+            with m as (
+              select distinct doc_id,
+                     case when (doc_id + k) % 2 = 0 then '北京市'
+                          else 'city_' ||
+                               cast((doc_id * 10 + k) % 97 as varchar)
+                     end ent
+              from documents,
+                   lateral unnest(range(0, 10)) as t(k)),
+            nt as (select cast(count(distinct doc_id) as bigint) n from m),
+            df as (select ent,
+                          cast(count(distinct doc_id) as bigint) n_ent
+                   from m group by ent),
+            e as (select a.ent ent_a, b.ent ent_b,
+                         cast(count(distinct a.doc_id) as bigint) n_ab
+                  from m a join m b
+                    on a.doc_id = b.doc_id and a.ent < b.ent
+                  group by 1, 2)
+            select ent_a, ent_b, n_ab,
+                   da.n_ent n_a, db.n_ent n_b,
+                   ln(cast(n_ab * n as double)
+                      / cast(da.n_ent * db.n_ent as double)) pmi,
+                   case when n_ab = n then cast(null as double)
+                        else ln(cast(n_ab * n as double)
+                                / cast(da.n_ent * db.n_ent as double))
+                             / ln(cast(n as double)
+                                  / cast(n_ab as double)) end npmi
+            from e
+            join df da on e.ent_a = da.ent
+            join df db on e.ent_b = db.ent
+            cross join nt""",
         # Gopher repetition filters: per-row trees only — int/int
         # division and the list comprehensions mirror the Spark
         # higher-order expressions exactly; DuckDB lateral alias reuse

@@ -81,3 +81,63 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
               .localCheckpoint())
     ew.unpersist()
     return pr
+
+
+def edge_association(mentions: DataFrame, doc_col: str = 'doc_id',
+                     ent_col: str = 'obj') -> DataFrame:
+    """→ (ent_a, ent_b, n_ab, n_a, n_b, pmi, npmi) — co-occurrence edges
+    scored by pointwise mutual information.
+
+    The KG edge-significance step between co-occurrence extraction
+    (``kg_cooccurrence``) and centrality ranking (``pagerank``): raw
+    support ``n_ab`` over-ranks pairs of individually-frequent entities,
+    so edges are scored ``pmi = ln(n_ab·N / (n_a·n_b))`` and its
+    normalized form ``npmi = pmi / ln(N / n_ab)`` (Bouma 2009; +1 = only
+    ever together, 0 = independent).  ``npmi`` is null when ``n_ab = N``
+    (a pair present in every document — its denominator is ln 1 = 0).
+
+    Engine parity: counts are exact bigints; pmi/npmi are per-row double
+    trees over those counts written identically in the DuckDB oracle
+    (per-row float-parity rule) — ratios are formed as
+    ``cast(int·int as double) / cast(int·int as double)`` so both
+    engines round the same products once.
+
+    Scale shape: ONE distinct shuffle on (doc, entity), a per-doc
+    self-join co-partitioned on ``doc_col`` (k² per doc, never
+    corpus-quadratic), a map-side-combined edge aggregation, and the
+    per-entity document-frequency table joined back by BROADCAST (the
+    entity vocabulary is orders of magnitude smaller than the corpus).
+    The scalar N rides a broadcast crossJoin.  Hot entities skew the
+    edge groupBy — AQE skew-join applies, and extreme hubs can ride the
+    salted two-phase pattern of operators/link.entity_counts.
+
+    Reference: JioNLP has no graph runtime — this is KG-side
+    functionality added on top of the reference's extraction operators.
+    """
+    m = (mentions.select(F.col(doc_col).alias('doc_id'),
+                         F.col(ent_col).alias('ent'))
+         .distinct().persist())
+    n_total = m.select(F.countDistinct('doc_id').cast('long').alias('n'))
+    df = m.groupBy('ent').agg(F.countDistinct('doc_id').cast('long')
+                              .alias('n_ent'))
+    a, b = m.alias('a'), m.alias('b')
+    edges = (a.join(b, 'doc_id')
+             .filter(F.col('a.ent') < F.col('b.ent'))
+             .groupBy(F.col('a.ent').alias('ent_a'),
+                      F.col('b.ent').alias('ent_b'))
+             .agg(F.countDistinct('doc_id').cast('long').alias('n_ab')))
+    scored = (edges
+              .join(F.broadcast(df.select(F.col('ent').alias('ent_a'),
+                                          F.col('n_ent').alias('n_a'))),
+                    'ent_a')
+              .join(F.broadcast(df.select(F.col('ent').alias('ent_b'),
+                                          F.col('n_ent').alias('n_b'))),
+                    'ent_b')
+              .crossJoin(F.broadcast(n_total)))
+    pmi = F.log((F.col('n_ab') * F.col('n')).cast('double')
+                / (F.col('n_a') * F.col('n_b')).cast('double'))
+    npmi = F.when(F.col('n_ab') == F.col('n'), F.lit(None).cast('double')) \
+        .otherwise(pmi / F.log(F.col('n').cast('double')
+                               / F.col('n_ab').cast('double')))
+    return scored.select('ent_a', 'ent_b', 'n_ab', 'n_a', 'n_b',
+                         pmi.alias('pmi'), npmi.alias('npmi'))

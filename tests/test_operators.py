@@ -879,3 +879,31 @@ def test_repetition_filters_values_and_plan(spark):
     plan = repetition_filters(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'Exchange' not in plan
+
+
+def test_edge_association_hand_computed(spark):
+    """edge_association: exact counts and the pmi/npmi closed forms on a
+    4-doc graph, npmi null when the pair spans every document."""
+    import math
+    from jionlp_spark.operators.graph import edge_association
+    m = spark.createDataFrame(
+        [(1, 'A'), (1, 'B'), (2, 'A'), (2, 'B'), (3, 'A'), (3, 'C'),
+         (4, 'B'), (3, 'A')],                      # dup mention collapses
+        'doc_id long, obj string')
+    got = {(r['ent_a'], r['ent_b']): r
+           for r in edge_association(m).collect()}
+    assert set(got) == {('A', 'B'), ('A', 'C')}
+    ab = got[('A', 'B')]
+    assert (ab['n_ab'], ab['n_a'], ab['n_b']) == (2, 3, 3)
+    assert ab['pmi'] == math.log((2 * 4) / (3 * 3))
+    assert ab['npmi'] == math.log((2 * 4) / (3 * 3)) / math.log(4 / 2)
+    ac = got[('A', 'C')]
+    assert (ac['n_ab'], ac['n_a'], ac['n_b']) == (1, 3, 1)
+    assert ac['pmi'] == math.log((1 * 4) / (3 * 1))
+
+    # a pair present in EVERY doc: pmi defined, npmi null (ln 1 = 0)
+    m2 = spark.createDataFrame([(1, 'X'), (1, 'Y'), (2, 'X'), (2, 'Y')],
+                               'doc_id long, obj string')
+    rows = edge_association(m2).collect()
+    assert len(rows) == 1 and rows[0]['npmi'] is None
+    assert rows[0]['pmi'] == math.log((2 * 2) / (2 * 2))
