@@ -772,6 +772,18 @@ def q_kg_edge_pmi(spark, sf_dir):
     return edge_association(ents)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR log-importance weights (operators/curate.dsir_logweights —
+    Xie et al. 2023): hashed unigram+bigram bucket models with add-one
+    smoothing, target = the doc_id%7==0 slice standing in for a curated
+    target corpus, raw = the whole pool.  Bucket key = first two md5 hex
+    chars (string — engine-identical); per-doc log-ratio sums ride
+    decimal(38,18) via string."""
+    from jionlp_spark.operators.curate import dsir_logweights
+    d = _docs(spark, sf_dir).select('doc_id', 'text')
+    return dsir_logweights(d, d.filter(F.col('doc_id') % 7 == 0))
+
+
 def q_kg_entity_counts_skew(spark, sf_dir):
     """Salted two-phase aggregation under REAL key skew (north_rule:
     salted-key dedup for hot entities): 10 mentions per doc, HALF of all
@@ -2835,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in late r6 (after the 50-slot driver window): local
         # oracle gate covers them this round; front-load in r7
         'kg_edge_pmi': q_kg_edge_pmi,
+        'dsir_weights': q_dsir_weights,
     }
 
 
@@ -3362,6 +3375,40 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             join df da on e.ent_a = da.ent
             join df db on e.ent_b = db.ent
             cross join nt""",
+        # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
+        # exclusive → matches the Spark sequence(1, size-1) guard);
+        # bucket = first two md5 hex chars; each bucket log-ratio is the
+        # EXACT Spark double tree; per-doc sums ride decimal via varchar
+        'dsir_weights': """
+            with d as (select doc_id, string_split(text, ' ') w
+                       from documents),
+            g as (select doc_id, unnest(list_concat(w,
+                     case when len(w) > 1
+                          then list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+                          else [] end)) g
+                  from d),
+            gb as (select doc_id, substr(md5(g), 1, 2) b from g),
+            tgb as (select b from gb where doc_id % 7 = 0),
+            tm as (select b, cast(count(*) as bigint) ct
+                   from tgb group by b),
+            tt as (select cast(count(*) as bigint) tt from tgb),
+            rm as (select b, cast(count(*) as bigint) cr
+                   from gb group by b),
+            rt as (select cast(count(*) as bigint) rt from gb),
+            model as (select rm.b,
+                        ln(cast(coalesce(ct, 0) + 1 as double)
+                           / cast(tt + 256 as double))
+                      - ln(cast(cr + 1 as double)
+                           / cast(rt + 256 as double)) lnr
+                      from rm left join tm using (b)
+                      cross join tt cross join rt)
+            select doc_id, cast(count(*) as bigint) n_grams,
+                   cast(cast(sum(cast(cast(lnr as varchar)
+                                      as decimal(38,18))) as varchar)
+                        as double) dsir_logweight
+            from gb join model using (b)
+            group by doc_id""",
         # Gopher repetition filters: per-row trees only — int/int
         # division and the list comprehensions mirror the Spark
         # higher-order expressions exactly; DuckDB lateral alias reuse

@@ -298,3 +298,72 @@ def training_mix_sample(docs: DataFrame, quotas: dict,
     return (cand.withColumn('rk', F.row_number().over(final))
             .filter(F.col('rk') <= F.col('quota'))
             .select('doc_id', 'lang', F.col('rk').cast('long').alias('rk')))
+
+
+def dsir_logweights(raw: DataFrame, target: DataFrame,
+                    text_col: str = 'text') -> DataFrame:
+    """→ (doc_id, n_grams, dsir_logweight) — Data Selection with
+    Importance Resampling (Xie et al., NeurIPS 2023) log-importance
+    weights for every raw-pool document.
+
+    DSIR scores a crawl document by how target-like its hashed-n-gram
+    distribution is: unigrams + bigrams hash into 256 buckets (first two
+    hex chars of md5 — a string bucket key both engines derive
+    identically), bucket unigram models with add-one smoothing are
+    fitted on the TARGET set and the RAW pool, and
+
+        logweight(doc) = Σ_grams  ln p_target(b(g)) − ln p_raw(b(g))
+
+    Resampling docs ∝ exp(logweight) shifts the pool toward the target
+    distribution; deterministic top-K by weight is the greedy variant
+    (compose with training_mix_sample for quota-constrained selection).
+
+    Engine parity: bucket counts are exact bigints; each bucket's
+    log-ratio is ONE per-row double tree (int sums cast to double once
+    per division); the per-doc reduction routes through
+    ``decimal(38,18)`` via string (cross-row double sums are
+    order-sensitive) and re-emerges as double via string.
+
+    Scale shape: the two models are 256-row tables built by
+    map-side-combined gram counts (one scan each over raw/target); the
+    scoring pass explodes grams and BROADCAST-joins the 256-row model,
+    and its ``groupBy(doc_id)`` partial-aggregates within the generating
+    partition — every gram of a doc lives where the doc row was, so the
+    exchange carries ~one partial row per document, not per gram.
+    Nothing is collected to the driver.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        d = df.select('doc_id', F.split(F.col(text_col), ' ').alias('w'))
+        # sequence(1, 0) is DESCENDING in Spark — guard 1-token docs
+        bi = F.when(F.size('w') > 1, F.expr(
+            "transform(sequence(1, size(w)-1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))")) \
+            .otherwise(F.expr("array()"))
+        return d.select(
+            'doc_id',
+            F.explode(F.concat(F.col('w'), bi)).alias('g'))
+
+    raw_b = grams(raw).select(
+        'doc_id', F.substring(F.md5('g'), 1, 2).alias('b'))
+    tgt_b = grams(target).select(F.substring(F.md5('g'), 1, 2).alias('b'))
+
+    tm = tgt_b.groupBy('b').agg(F.count('*').cast('long').alias('ct'))
+    tt = tgt_b.agg(F.count('*').cast('long').alias('tt'))
+    rm = raw_b.groupBy('b').agg(F.count('*').cast('long').alias('cr'))
+    rt = raw_b.agg(F.count('*').cast('long').alias('rt'))
+
+    model = (rm.join(tm, 'b', 'left')
+             .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+             .select('b', (
+                 F.log((F.coalesce(F.col('ct'), F.lit(0)) + F.lit(1))
+                       .cast('double')
+                       / (F.col('tt') + F.lit(256)).cast('double'))
+                 - F.log((F.col('cr') + F.lit(1)).cast('double')
+                         / (F.col('rt') + F.lit(256)).cast('double'))
+             ).alias('lnr')))
+
+    return (raw_b.join(F.broadcast(model), 'b')
+            .groupBy('doc_id')
+            .agg(F.count('*').cast('long').alias('n_grams'),
+                 F.sum(F.col('lnr').cast('string').cast('decimal(38,18)'))
+                 .cast('string').cast('double').alias('dsir_logweight')))

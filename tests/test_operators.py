@@ -907,3 +907,22 @@ def test_edge_association_hand_computed(spark):
     rows = edge_association(m2).collect()
     assert len(rows) == 1 and rows[0]['npmi'] is None
     assert rows[0]['pmi'] == math.log((2 * 2) / (2 * 2))
+
+
+def test_dsir_logweights(spark):
+    """DSIR weights: target == pool gives exactly-zero log-ratios for
+    every bucket (ct=cr, tt=rt), so every doc scores 0.0; a skewed
+    target ranks target-vocab docs above off-target docs; n_grams =
+    unigrams + bigrams with the 1-token guard."""
+    from jionlp_spark.operators.curate import dsir_logweights
+    docs = spark.createDataFrame(
+        [(0, 'cat dog bird'), (1, 'qq zz'), (2, 'x')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in dsir_logweights(docs, docs).collect()}
+    assert {d: r['n_grams'] for d, r in got.items()} == {0: 5, 1: 3, 2: 1}
+    assert all(r['dsir_logweight'] == 0.0 for r in got.values())
+
+    target = docs.filter(F.col('doc_id') == 0)
+    w = {r['doc_id']: r['dsir_logweight']
+         for r in dsir_logweights(docs, target).collect()}
+    assert w[0] > w[1]
