@@ -772,6 +772,22 @@ def q_kg_edge_pmi(spark, sf_dir):
     return edge_association(ents)
 
 
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup keep-list (operators/dedup.semantic_dedup): embedding
+    near-dup pairs (IVF-bucketed, k ∝ N, exact verify ≥ 0.4) resolved
+    through star connected components into a per-vector verdict — the
+    semantic tier of the dedup ladder.  Oracle shares the pair CTEs
+    with dedup_embedding_pairs and walks them with the recursive
+    min-label components CTE."""
+    from jionlp_spark.operators.dedup import semantic_dedup
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    k = max(8, emb.count() // 250)
+    return semantic_dedup(emb, threshold=0.4, n_centroids=k).select(
+        F.col('vec_id').cast('long').alias('vec_id'),
+        F.col('keep_id').cast('long').alias('keep_id'), 'kept')
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR log-importance weights (operators/curate.dsir_logweights —
     Xie et al. 2023): hashed unigram+bigram bucket models with add-one
@@ -2848,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle gate covers them this round; front-load in r7
         'kg_edge_pmi': q_kg_edge_pmi,
         'dsir_weights': q_dsir_weights,
+        'semdedup_keep': q_semdedup_keep,
     }
 
 
@@ -2862,6 +2879,35 @@ _CURATE_QUALITY_DUCK = (
     "(least(len(string_split(text, ' ')) / 256.0, 1.0) * 0.5"
     " + (len(list_distinct(string_split(text, ' ')))"
     " / greatest(len(string_split(text, ' ')), 1)) * 0.5)")
+
+# IVF-bucketed embedding near-dup candidate pairs (k ∝ N rule), shared
+# by the dedup_embedding_pairs and semdedup_keep oracles; ends at CTE
+# ``epairs`` (exact cosine per candidate, pre-threshold)
+_EMB_PAIRS_BODY = """emb as (select vec_id, embedding::DOUBLE[] e
+                         from embeddings),
+            seeds as (select vec_id, e,
+                             md5(cast(vec_id as varchar)) h
+                      from emb order by h, vec_id
+                      limit greatest(8, (select count(*) from emb) // 250)),
+            init as (select row_number() over (order by h, vec_id) - 1 cid,
+                            e cen
+                     from seeds),
+            sims as (select emb.vec_id, emb.e, init.cid,
+                       round(list_dot_product(emb.e, init.cen)
+                         / (sqrt(list_dot_product(emb.e, emb.e))
+                          * sqrt(list_dot_product(init.cen, init.cen))), 6)
+                           sim
+                     from emb cross join init),
+            probed as (select vec_id, e, cid bucket from
+              (select *, row_number() over (partition by vec_id
+                         order by sim desc, cid) rn from sims) t
+              where rn <= 2),
+            epairs as (select distinct a.vec_id vec_a, b.vec_id vec_b,
+                round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) cos
+              from probed a join probed b using (bucket)
+              where a.vec_id < b.vec_id)"""
 
 _SHINGLE3_SQL = """select doc_id, unnest(list_distinct(
                 list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -3986,33 +4032,26 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # mirrors the bucketed algorithm: hash-seeded centroids, top-2
         # probed buckets per vector, pair join on shared bucket, cosine
         # verify
-        'dedup_embedding_pairs': """
-            with emb as (select vec_id, embedding::DOUBLE[] e
-                         from embeddings),
-            seeds as (select vec_id, e,
-                             md5(cast(vec_id as varchar)) h
-                      from emb order by h, vec_id
-                      limit greatest(8, (select count(*) from emb) // 250)),
-            init as (select row_number() over (order by h, vec_id) - 1 cid,
-                            e cen
-                     from seeds),
-            sims as (select emb.vec_id, emb.e, init.cid,
-                       round(list_dot_product(emb.e, init.cen)
-                         / (sqrt(list_dot_product(emb.e, emb.e))
-                          * sqrt(list_dot_product(init.cen, init.cen))), 6)
-                           sim
-                     from emb cross join init),
-            probed as (select vec_id, e, cid bucket from
-              (select *, row_number() over (partition by vec_id
-                         order by sim desc, cid) rn from sims) t
-              where rn <= 2),
-            pairs as (select distinct a.vec_id vec_a, b.vec_id vec_b,
-                round(list_dot_product(a.e, b.e)
-                  / (sqrt(list_dot_product(a.e, a.e))
-                   * sqrt(list_dot_product(b.e, b.e))), 6) cos
-              from probed a join probed b using (bucket)
-              where a.vec_id < b.vec_id)
-            select vec_a, vec_b, cos from pairs where cos >= 0.4""",
+        'dedup_embedding_pairs': f"""
+            with {_EMB_PAIRS_BODY}
+            select vec_a, vec_b, cos from epairs where cos >= 0.4""",
+        # SemDeDup: the SAME pair construction resolved through the
+        # recursive min-label components walk; every corpus vector gets
+        # a verdict (left join — singletons keep themselves)
+        'semdedup_keep': f"""
+            with recursive {_EMB_PAIRS_BODY},
+            p as (select vec_a, vec_b from epairs where cos >= 0.4),
+            e2 as (select vec_a a, vec_b b from p
+                   union select vec_b, vec_a from p),
+            walk(v, lab) as (
+                select a, a from e2
+                union
+                select e2.b, w.lab from walk w join e2 on e2.a = w.v),
+            comp as (select v, min(lab) lab from walk group by v)
+            select emb.vec_id,
+                   coalesce(comp.lab, emb.vec_id) keep_id,
+                   coalesce(comp.lab, emb.vec_id) = emb.vec_id kept
+            from emb left join comp on emb.vec_id = comp.v""",
         # 1 Lloyd iteration from hash-seeded init; decimal means keep the
         # centroids bit-identical to Spark; queries probe top-2 buckets
         'ann_ivf_topk': _ivf_topk_oracle(),

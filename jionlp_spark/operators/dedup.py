@@ -702,3 +702,35 @@ def _bucket_pairs_grouped(assigned: DataFrame, threshold: float,
 
     return assigned.groupBy('bucket').applyInPandas(
         fn, schema=f'vec_a {id_type}, vec_b {id_type}, cos double')
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 8, probes: int = 2,
+                   vec_col: str = 'embedding', id_col: str = 'vec_id',
+                   max_iter: int = 20) -> DataFrame:
+    """→ (vec_id, keep_id, kept) — SemDeDup (Abbas et al. 2023) verdict
+    for EVERY vector: embedding-cosine near-dup pairs (IVF-bucketed
+    candidates + exact verify, ``embedding_near_dups``) resolve through
+    connected components (``dedup_components``, keep-min) into a
+    semantic keep-list; vectors in no pair keep themselves.
+
+    This is the semantic tier of the dedup ladder (exact → MinHash →
+    SimHash → winnowing → embedding): paraphrased or re-rendered
+    documents that share no shingles still collapse when their
+    embeddings agree.  Scale shape inherits from the parts — the
+    all-pairs scan is IVF-bucketed (n_centroids ∝ N keeps bucket
+    occupancy flat), components run O(log n) star rounds over the
+    pair-sized edge table, and the final verdict is one doc-keyed left
+    join of the corpus ids against the (dup-sized) label table.
+    """
+    pairs = embedding_near_dups(emb, threshold=threshold,
+                                n_centroids=n_centroids, probes=probes,
+                                vec_col=vec_col, id_col=id_col)
+    comp = dedup_components(pairs, a_col='vec_a', b_col='vec_b',
+                            max_iter=max_iter) \
+        .select(F.col('doc_id').alias(id_col),
+                F.col('cluster').alias('_lab'))
+    keep = F.coalesce(F.col('_lab'), F.col(id_col))
+    return (emb.select(id_col).join(comp, id_col, 'left')
+            .select(id_col, keep.alias('keep_id'),
+                    (keep == F.col(id_col)).alias('kept')))

@@ -926,3 +926,21 @@ def test_dsir_logweights(spark):
     w = {r['doc_id']: r['dsir_logweight']
          for r in dsir_logweights(docs, target).collect()}
     assert w[0] > w[1]
+
+
+def test_semantic_dedup_verdicts(spark):
+    """semantic_dedup: transitive embedding near-dups collapse to the
+    min id; singletons keep themselves; exactly one kept per cluster."""
+    from jionlp_spark.operators.dedup import semantic_dedup
+    # v0≈v1≈v2 (same direction), v3 orthogonal
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.998, 0.02]),
+         (3, [0.0, 1.0])],
+        'vec_id long, embedding array<double>')
+    got = {r['vec_id']: r for r in
+           semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()}
+    assert len(got) == 4
+    assert got[3]['kept'] and got[3]['keep_id'] == 3
+    dup_group = {v: r['keep_id'] for v, r in got.items() if v != 3}
+    assert set(dup_group.values()) == {0}
+    assert got[0]['kept'] and not got[1]['kept'] and not got[2]['kept']
