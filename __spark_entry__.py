@@ -2543,6 +2543,59 @@ def q_streaming_dedup(spark, sf_dir):
     return out
 
 
+def q_streaming_curate(spark, sf_dir):
+    """Streaming admission verdicts (streaming/stream.streaming_curate)
+    under the batch gate: the same 2-micro-batch mtime-ordered file
+    stream as q_streaming_dedup, with deterministic lang (id%5 cycles
+    en/es/fr/de/zz) and quality (id%7==0 → a 4×-repeated-token text
+    scoring 0.133 < 0.35) columns.  Closed form: dropped_lang for
+    id%5==4, else dropped_quality for id%7==0, else kept iff id is the
+    first surviving arrival of its id%100 content key — exact-dedup
+    state crossing the micro-batch boundary."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'curate')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_curate
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_streamc', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    docs = spark.range(n).selectExpr(
+        'id as doc_id',
+        "case when id % 7 = 0 then 'rep rep rep rep'"
+        " else concat('stream doc ', cast(id % 100 as string)) end as text",
+        "element_at(array('en','es','fr','de','zz'),"
+        " cast(id % 5 as int) + 1) as lang",
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, id, 0)"
+        ' as warc_ts')
+    half = (n // 2 // 100) * 100 or n
+    for i, pred in enumerate((f'doc_id < {half}', f'doc_id >= {half}')):
+        part = f'{src_dir}/batch_{i}'
+        docs.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_600_000_000 + i * 3600,
+                                                  1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, lang string, '
+                      'warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_curate(stream)
+    table = f'stream_curate_{abs(hash(key)) % 10**8}'
+    _run_stream_lowstate(spark, result, table, ckpt)
+    out = spark.table(table).select(
+        F.col('doc_id').cast('long').alias('doc_id'), 'status')
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window counts (streaming/stream.py
     windowed_entity_counts) with REAL late-data drops under the batch gate.
@@ -2865,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_edge_pmi': q_kg_edge_pmi,
         'dsir_weights': q_dsir_weights,
         'semdedup_keep': q_semdedup_keep,
+        'streaming_curate': q_streaming_curate,
     }
 
 
@@ -4532,6 +4586,24 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                        as content_hash,
                    cast(doc_id // 100 as int) as dup_index
             from documents where doc_id < 3000""",
+        # streaming admission closed form (stage priority = the batch
+        # curate rule): lang gate, then the quality gate (the repeated
+        # 4-token text scores 0.133 < 0.35; the normal 3-token text
+        # 0.506), then first-surviving-arrival-per-content-key exact
+        # dedup across the micro-batch boundary
+        'streaming_curate': """
+            with base as (select doc_id id,
+                     case when doc_id % 5 = 4 then 'dropped_lang'
+                          when doc_id % 7 = 0 then 'dropped_quality'
+                     end st
+                   from documents where doc_id < 3000),
+            surv as (select id, row_number() over
+                       (partition by id % 100 order by id) rn
+                     from base where st is null)
+            select cast(b.id as bigint) doc_id,
+                   coalesce(b.st, case when s.rn = 1 then 'kept'
+                                       else 'dropped_exact' end) status
+            from base b left join surv s on b.id = s.id""",
         # closed form of the TTL bound: final state = keys in the last
         # TTL(60) + watermark(30) + 1 minutes; everything older was
         # removed by the event-time timeout (input-size independent)

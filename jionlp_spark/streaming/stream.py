@@ -265,3 +265,56 @@ def streaming_lsh_pairs(docs_stream: DataFrame, n: int = 3,
             .applyInPandasWithState(pair_fn, out_schema, state_schema,
                                     'append',
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_curate(docs_stream: DataFrame, langs=None,
+                     min_quality: float = 0.35,
+                     watermark: str = '1 hour',
+                     ttl: str | None = None) -> DataFrame:
+    """Streaming admission verdicts — the streaming analog of
+    operators/curate.curate_corpus over an unbounded crawl:
+
+        (doc_id, warc_ts, status)  status ∈ {kept, dropped_lang,
+                                   dropped_quality, dropped_exact}
+
+    Stage semantics and priority match the batch operator exactly: the
+    lang allow-list and quality floor are per-row expressions (the SAME
+    quality_expr column — stateless, no shuffle), and only their
+    survivors enter the stateful exact-dedup stage
+    (``stateful_dedup_stream``: first arrival of a content hash is
+    kept, repeats report dropped_exact, event-time TTL bounds state).
+    A doc failing two gates reports the earlier, cheaper reason, and a
+    low-quality copy of a kept doc never poisons the dedup state —
+    identical to the batch pipeline's staged-survivor rule.
+
+    The near-dup stage is deliberately NOT in-line: streaming LSH pairs
+    need per-band-bucket state (``streaming_lsh_pairs``) and resolve to
+    keep-lists at publish time (``publish_stream_survivors``) — the
+    stream→snapshot-index handoff is the production shape for that
+    tier, not a per-row verdict.
+
+    Plan shape: one stateless projection branch unioned with the
+    stateful branch; the only shuffle is the dedup groupBy on
+    content_hash, state is hash-keyed and TTL-bounded.
+    """
+    from jionlp_spark.operators.curate import DEFAULT_LANGS, quality_expr
+    if langs is None:
+        langs = DEFAULT_LANGS
+
+    status = (F.when(~F.col('lang').isin(*langs),
+                     F.lit('dropped_lang'))
+              .when(quality_expr('text') < F.lit(min_quality),
+                    F.lit('dropped_quality')))
+    gated = docs_stream.withColumn('_status', status)
+    rejected = (gated.filter(F.col('_status').isNotNull())
+                .select('doc_id', 'warc_ts',
+                        F.col('_status').alias('status')))
+    survivors = gated.filter(F.col('_status').isNull()) \
+        .select('doc_id', 'text', 'warc_ts')
+    deduped = stateful_dedup_stream(survivors, watermark=watermark,
+                                    ttl=ttl)
+    verdicts = deduped.select(
+        'doc_id', 'warc_ts',
+        F.when(F.col('dup_index') == 0, F.lit('kept'))
+        .otherwise(F.lit('dropped_exact')).alias('status'))
+    return verdicts.unionByName(rejected)
