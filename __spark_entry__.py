@@ -788,6 +788,26 @@ def q_semdedup_keep(spark, sf_dir):
         F.col('keep_id').cast('long').alias('keep_id'), 'kept')
 
 
+def q_kg_edge_confidence(spark, sf_dir):
+    """Composed KG edge confidence (operators/graph.edge_confidence):
+    (pr_a + pr_b) · max(npmi, 0) over the skew-shaped mention graph —
+    support, association, and centrality fused into the ordering a
+    triple-extraction stage consumes.  The oracle rebuilds PageRank
+    via the shared _pagerank_ctes chain and the npmi tree verbatim,
+    so the confidence product multiplies engine-identical doubles."""
+    from jionlp_spark.operators.graph import edge_confidence
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj'))
+    return edge_confidence(ents)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR log-importance weights (operators/curate.dsir_logweights —
     Xie et al. 2023): hashed unigram+bigram bucket models with add-one
@@ -2919,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsir_weights': q_dsir_weights,
         'semdedup_keep': q_semdedup_keep,
         'streaming_curate': q_streaming_curate,
+        'kg_edge_confidence': q_kg_edge_confidence,
     }
 
 
@@ -2988,21 +3009,19 @@ def _lsh_bands_cte(src: str, suffix: str) -> str:
             bands{suffix} as ({band_rows})"""
 
 
-def _pagerank_oracle(phone: str, idc: str, iters: int = 3,
-                     damping: float = 0.85) -> str:
-    """Weighted PageRank in DuckDB, mirroring operators/graph.pagerank
-    round for round: per-edge contributions are per-row double trees,
-    per-target sums ride decimal(38,18) via varchar, and the teleport/
-    damping constants enter as cast('<repr>' as double) — DuckDB parses
-    bare 0.85 as DECIMAL, and 1.0 - 0.85 in decimal is exactly 0.15
-    where IEEE doubles give 0.15000000000000002."""
+def _pagerank_ctes(iters: int = 3, damping: float = 0.85) -> str:
+    """CTE chain computing weighted PageRank over a mention CTE
+    ``m(doc_id, obj)`` that the caller must have defined: co-occurrence
+    edges ``prs(ea, eb, w)`` → symmetrized graph → pr0..pr{iters},
+    mirroring operators/graph.pagerank round for round (per-edge
+    contributions are per-row double trees, per-target sums ride
+    decimal(38,18) via varchar, teleport/damping enter as
+    cast('<repr>' as double) — DuckDB parses bare 0.85 as DECIMAL, and
+    1.0 - 0.85 in decimal is exactly 0.15 where IEEE doubles give
+    0.15000000000000002).  Shared by the kg_entity_pagerank and
+    kg_edge_confidence oracles."""
     tele = 1.0 - damping
-    sql = f"""
-            with m as (
-              select doc_id, {phone} as obj from documents
-              union all
-              select doc_id, {idc} as obj from documents),
-            prs as (select a.obj ea, b.obj eb,
+    sql = f"""prs as (select a.obj ea, b.obj eb,
                            cast(count(distinct a.doc_id) as bigint) w
                     from m a
                     join m b on a.doc_id = b.doc_id and a.obj < b.obj
@@ -3032,7 +3051,64 @@ def _pagerank_oracle(phone: str, idc: str, iters: int = 3,
                       from nodes
                       left join c{k} on nodes.v = c{k}.dst
                       cross join nn)"""
-    return sql + f"\n            select v as entity, pr from pr{iters}"
+    return sql
+
+
+def _pagerank_oracle(phone: str, idc: str, iters: int = 3,
+                     damping: float = 0.85) -> str:
+    """Weighted PageRank in DuckDB over the phone+idcard mention table
+    (see _pagerank_ctes for the engine-parity rules)."""
+    return f"""
+            with m as (
+              select doc_id, {phone} as obj from documents
+              union all
+              select doc_id, {idc} as obj from documents),
+            {_pagerank_ctes(iters, damping)}
+            select v as entity, pr from pr{iters}"""
+
+
+# the skew-shaped synthetic mention table shared by the kg_edge_pmi and
+# kg_edge_confidence oracles (one hot entity, 97 cold keys)
+_SKEW_MENTIONS_SQL = """select distinct doc_id,
+                     case when (doc_id + k) % 2 = 0 then '北京市'
+                          else 'city_' ||
+                               cast((doc_id * 10 + k) % 97 as varchar)
+                     end obj
+              from documents,
+                   lateral unnest(range(0, 10)) as t(k)"""
+
+
+def _edge_confidence_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """kg_edge_confidence: the composed KG edge-scoring artifact —
+    support + npmi + endpoint PageRank over the SAME skew-shaped mention
+    graph.  prs doubles as the association edge table (w = n_ab); the
+    npmi tree is the EXACT edge_association tree; confidence =
+    (pr_a + pr_b) · max(npmi, 0) written as a case (null npmi → 0)."""
+    npmi = """case when w = nt.n then cast(null as double)
+                        else ln(cast(w * nt.n as double)
+                                / cast(da.n_ent * db.n_ent as double))
+                             / ln(cast(nt.n as double)
+                                  / cast(w as double)) end"""
+    return f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            {_pagerank_ctes(iters, damping)},
+            nt as (select cast(count(distinct doc_id) as bigint) n from m),
+            df as (select obj ent,
+                          cast(count(distinct doc_id) as bigint) n_ent
+                   from m group by obj),
+            scored as (select prs.ea ent_a, prs.eb ent_b, prs.w n_ab,
+                              {npmi} npmi
+                       from prs
+                       join df da on prs.ea = da.ent
+                       join df db on prs.eb = db.ent
+                       cross join nt)
+            select s.ent_a, s.ent_b, s.n_ab,
+                   (pa.pr + pb.pr)
+                   * (case when s.npmi > 0 then s.npmi
+                           else cast('0.0' as double) end) confidence
+            from scored s
+            join pr{iters} pa on s.ent_a = pa.v
+            join pr{iters} pb on s.ent_b = pb.v"""
 
 
 def _ivf_topk_oracle(train_where: str = '') -> str:
@@ -3440,6 +3516,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
             group by 1, 2, 3, 4""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
+        'kg_edge_confidence': _edge_confidence_oracle(),
         # edge pmi/npmi: counts exact bigints; score trees written as the
         # EXACT Spark trees (one int·int product cast to double per side
         # of the division; ln = natural log in both engines); npmi null

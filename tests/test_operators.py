@@ -944,3 +944,31 @@ def test_semantic_dedup_verdicts(spark):
     dup_group = {v: r['keep_id'] for v, r in got.items() if v != 3}
     assert set(dup_group.values()) == {0}
     assert got[0]['kept'] and not got[1]['kept'] and not got[2]['kept']
+
+
+def test_edge_confidence_clamps_and_composes(spark):
+    """edge_confidence = (pr_a + pr_b) · max(npmi, 0): independent-ish
+    pairs (npmi ≤ 0) score exactly 0; associated pairs score positive;
+    the composition matches recomputing from the parts."""
+    from jionlp_spark.operators.graph import (edge_association,
+                                              edge_confidence, pagerank)
+    m = spark.createDataFrame(
+        [(d, e) for d in range(4) for e in ('A', 'B')]  # A,B everywhere
+        + [(0, 'C'), (1, 'C')],                         # C in half
+        'doc_id long, obj string')
+    conf = {(r['ent_a'], r['ent_b']): r['confidence']
+            for r in edge_confidence(m).collect()}
+    # (A,B) spans every doc → npmi null → clamped to 0
+    assert conf[('A', 'B')] == 0.0
+    # (A,C)/(B,C): npmi = ln(2·4/(4·2))/ln(4/2) = 0 → exactly 0 too
+    assert conf[('A', 'C')] == 0.0 and conf[('B', 'C')] == 0.0
+
+    # a genuinely associated pair scores positive
+    m2 = spark.createDataFrame(
+        [(0, 'X'), (0, 'Y'), (1, 'X'), (1, 'Y'), (2, 'X'), (2, 'Z'),
+         (3, 'W'), (3, 'Z')],
+        'doc_id long, obj string')
+    rows = {(r['ent_a'], r['ent_b']): r['confidence']
+            for r in edge_confidence(m2).collect()}
+    assert rows[('X', 'Y')] > 0.0          # together 2/4, alone 3/4·2/4
+    assert all(v >= 0.0 for v in rows.values())
