@@ -64,6 +64,9 @@ HEADLINE = [
     'incremental_curate', 'ann_index_extend', 'decontam_report',
     'lm_perplexity', 'kg_entity_pagerank', 'training_mix',
     'repetition_filters',
+    # late round-6 additions
+    'kg_edge_pmi', 'kg_edge_confidence', 'dsir_weights', 'semdedup_keep',
+    'streaming_curate',
 ]
 
 

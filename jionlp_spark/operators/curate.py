@@ -347,10 +347,17 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
         'doc_id', F.substring(F.md5('g'), 1, 2).alias('b'))
     tgt_b = grams(target).select(F.substring(F.md5('g'), 1, 2).alias('b'))
 
-    tm = tgt_b.groupBy('b').agg(F.count('*').cast('long').alias('ct'))
-    tt = tgt_b.agg(F.count('*').cast('long').alias('tt'))
-    rm = raw_b.groupBy('b').agg(F.count('*').cast('long').alias('cr'))
-    rt = raw_b.agg(F.count('*').cast('long').alias('rt'))
+    # the ≤256-row model tables are checkpointed (one eager corpus pass
+    # each) and totals roll up from them as exact bigint sums: a lazy
+    # model would re-derive the corpus explode per consumer — model join
+    # + each scalar total is its own subtree (first cut: 5 scans / 10
+    # exchanges → 1 live scan / 2 model-build passes)
+    tm = tgt_b.groupBy('b').agg(F.count('*').cast('long').alias('ct')) \
+        .localCheckpoint()
+    tt = tm.agg(F.sum('ct').cast('long').alias('tt'))
+    rm = raw_b.groupBy('b').agg(F.count('*').cast('long').alias('cr')) \
+        .localCheckpoint()
+    rt = rm.agg(F.sum('cr').cast('long').alias('rt'))
 
     model = (rm.join(tm, 'b', 'left')
              .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))

@@ -114,9 +114,13 @@ def edge_association(mentions: DataFrame, doc_col: str = 'doc_id',
     Reference: JioNLP has no graph runtime — this is KG-side
     functionality added on top of the reference's extraction operators.
     """
+    # localCheckpoint, not persist: m feeds FOUR consumers (N, df, both
+    # self-join sides) — a cached-but-lazy plan re-derives the distinct
+    # subtree per consumer (plans are trees; first cut: 5 scans / 18
+    # exchanges → 2 / 8 checkpointed)
     m = (mentions.select(F.col(doc_col).alias('doc_id'),
                          F.col(ent_col).alias('ent'))
-         .distinct().persist())
+         .distinct().localCheckpoint())
     n_total = m.select(F.countDistinct('doc_id').cast('long').alias('n'))
     df = m.groupBy('ent').agg(F.countDistinct('doc_id').cast('long')
                               .alias('n_ent'))
@@ -165,7 +169,11 @@ def edge_confidence(mentions: DataFrame, iters: int = 3,
     is node-table-sized; the final joins are entity-keyed (AQE
     broadcasts them when the vocabulary is small).
     """
-    assoc = edge_association(mentions, doc_col, ent_col).persist()
+    # checkpoint: assoc feeds the two union sides of the PageRank edge
+    # input AND the final join — lazy reuse re-derives the whole
+    # association subtree per consumer (first cut: 20 scans / 52
+    # exchanges → flat after checkpointing here and in edge_association)
+    assoc = edge_association(mentions, doc_col, ent_col).localCheckpoint()
     edges = (assoc.select(F.col('ent_a').alias('src'),
                           F.col('ent_b').alias('dst'),
                           F.col('n_ab').alias('w'))
