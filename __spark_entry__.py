@@ -788,6 +788,17 @@ def q_semdedup_keep(spark, sf_dir):
         F.col('keep_id').cast('long').alias('keep_id'), 'kept')
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language token-count quantiles
+    (operators/textstats.length_quantiles): the corpus reduces to a
+    (lang, n_tokens) count table first, so the cumulative window runs
+    over the distinct-length domain, never a per-language corpus sort;
+    the lower-rank discrete rule is pure integer math — no float
+    surface."""
+    from jionlp_spark.operators.textstats import length_quantiles
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def q_kg_edge_confidence(spark, sf_dir):
     """Composed KG edge confidence (operators/graph.edge_confidence):
     (pr_a + pr_b) · max(npmi, 0) over the skew-shaped mention graph —
@@ -2940,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'semdedup_keep': q_semdedup_keep,
         'streaming_curate': q_streaming_curate,
         'kg_edge_confidence': q_kg_edge_confidence,
+        'length_quantiles': q_length_quantiles,
     }
 
 
@@ -3517,6 +3529,29 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             group by 1, 2, 3, 4""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
         'kg_edge_confidence': _edge_confidence_oracle(),
+        # exact discrete quantiles over the (lang, len) count table —
+        # all-integer (ceil via (n·p+99)//100), no float surface
+        'length_quantiles': """
+            with counts as (select lang,
+                     cast(len(string_split(text, ' ')) as bigint) len,
+                     cast(count(*) as bigint) cnt
+                   from documents group by 1, 2),
+            cum as (select lang, len, cnt,
+                      cast(sum(cnt) over (partition by lang
+                           order by len) as bigint) cum,
+                      cast(sum(cnt) over (partition by lang)
+                           as bigint) n
+                    from counts)
+            select lang, cast(max(n) as bigint) n_docs,
+                   cast(min(case when cum >= (n * 25 + 99) // 100
+                                 then len end) as bigint) q_25,
+                   cast(min(case when cum >= (n * 50 + 99) // 100
+                                 then len end) as bigint) q_50,
+                   cast(min(case when cum >= (n * 90 + 99) // 100
+                                 then len end) as bigint) q_90,
+                   cast(min(case when cum >= (n * 99 + 99) // 100
+                                 then len end) as bigint) q_99
+            from cum group by lang""",
         # edge pmi/npmi: counts exact bigints; score trees written as the
         # EXACT Spark trees (one int·int product cast to double per side
         # of the division; ln = natural log in both engines); npmi null

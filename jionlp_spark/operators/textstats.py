@@ -535,3 +535,46 @@ def repetition_filters(docs: DataFrame, text_col: str = 'text',
         d3.alias('dup_trigram_frac'),
         ((top_uni > top_unigram_max) | (d2 > dup_bigram_max)
          | (d3 > dup_trigram_max)).alias('repetition_flagged'))
+
+
+def length_quantiles(docs: DataFrame, probs=(0.25, 0.5, 0.9, 0.99),
+                     text_col: str = 'text',
+                     lang_col: str = 'lang') -> DataFrame:
+    """→ (lang, n_docs, q_25, q_50, q_90, q_99) — EXACT per-language
+    token-count quantiles (lower-rank discrete rule: the smallest length
+    whose cumulative doc count reaches ⌈p·n⌉), the corpus length
+    distribution a curation run reports before picking truncation /
+    packing parameters (Gopher & MassiveText report exactly these).
+
+    Exactness without a global sort: token counts concentrate on a
+    SMALL distinct-value domain, so the corpus reduces to a
+    (lang, n_tokens) count table first (map-side combine; one shuffle
+    whose width is the distinct-length domain, not the corpus), and the
+    cumulative window + quantile pick run over that tiny table.  A
+    window over raw docs would sort each language's entire corpus on
+    one reducer — the thing this formulation avoids; all arithmetic is
+    integer, so there is no float-parity surface at all.
+    """
+    counts = (docs.select(F.col(lang_col).alias('lang'),
+                          F.size(F.split(F.col(text_col), ' '))
+                          .cast('long').alias('len'))
+              .groupBy('lang', 'len')
+              .agg(F.count('*').cast('long').alias('cnt')))
+    from pyspark.sql import Window
+    w = Window.partitionBy('lang').orderBy('len') \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (counts
+           .withColumn('cum', F.sum('cnt').over(w).cast('long'))
+           .withColumn('n', F.sum('cnt').over(
+               Window.partitionBy('lang')).cast('long')))
+    agg_cols = []
+    for p in probs:
+        # smallest len with cum ≥ ceil(p·n) — pure integer ceil:
+        # (n·p₁₀₀ + 99) div 100, never touching doubles
+        num = int(round(p * 100))
+        thresh = F.expr(f'(n * {num} + 99) div 100')
+        agg_cols.append(
+            F.min(F.when(F.col('cum') >= thresh, F.col('len')))
+            .cast('long').alias(f'q_{num}'))
+    return cum.groupBy('lang').agg(
+        F.max('n').cast('long').alias('n_docs'), *agg_cols)

@@ -972,3 +972,22 @@ def test_edge_confidence_clamps_and_composes(spark):
             for r in edge_confidence(m2).collect()}
     assert rows[('X', 'Y')] > 0.0          # together 2/4, alone 3/4·2/4
     assert all(v >= 0.0 for v in rows.values())
+
+
+def test_length_quantiles_exact(spark):
+    """length_quantiles: lower-rank discrete rule on a hand-computed
+    distribution; single-doc language hits the boundary everywhere."""
+    from jionlp_spark.operators.textstats import length_quantiles
+    rows = []
+    # en: 10 docs with lengths 1..10 → q25=3, q50=5, q90=9, q99=10
+    for i in range(1, 11):
+        rows.append((i, ' '.join(['w'] * i), 'en'))
+    rows.append((100, 'a b', 'fr'))       # 1 doc → every quantile = 2
+    docs = spark.createDataFrame(rows, 'doc_id long, text string, lang string')
+    got = {r['lang']: r for r in length_quantiles(docs).collect()}
+    en = got['en']
+    assert (en['n_docs'], en['q_25'], en['q_50'], en['q_90'], en['q_99']) \
+        == (10, 3, 5, 9, 10)
+    fr = got['fr']
+    assert (fr['n_docs'], fr['q_25'], fr['q_50'], fr['q_90'], fr['q_99']) \
+        == (1, 2, 2, 2, 2)
