@@ -788,6 +788,17 @@ def q_semdedup_keep(spark, sf_dir):
         F.col('keep_id').cast('long').alias('keep_id'), 'kept')
 
 
+def q_pack_plan(spark, sf_dir):
+    """Concat-and-chunk sequence-packing plan
+    (operators/curate.pack_plan): per-shard deterministic hash order,
+    cumulative bigint offsets, 1024-token windows — the LM training
+    data layout step after curation.  All-integer; the per-shard
+    window is the packing contract's inherent sequentiality (shards
+    are the parallelism unit)."""
+    from jionlp_spark.operators.curate import pack_plan
+    return pack_plan(_docs(spark, sf_dir), max_len=1024)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language token-count quantiles
     (operators/textstats.length_quantiles): the corpus reduces to a
@@ -2952,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_curate': q_streaming_curate,
         'kg_edge_confidence': q_kg_edge_confidence,
         'length_quantiles': q_length_quantiles,
+        'pack_plan': q_pack_plan,
     }
 
 
@@ -3552,6 +3564,25 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(min(case when cum >= (n * 99 + 99) // 100
                                  then len end) as bigint) q_99
             from cum group by lang""",
+        # packing plan: identical (md5, doc_id) shard order and integer
+        # cumulative offsets — ties impossible (doc_id unique), frames
+        # pinned to ROWS on both sides
+        'pack_plan': """
+            with d as (select doc_id,
+                     cast(len(string_split(text, ' ')) as bigint) len,
+                     md5(cast(doc_id as varchar)) h
+                   from documents),
+            cum as (select doc_id, substr(h, 1, 1) shard, len,
+                      cast(sum(len) over (partition by substr(h, 1, 1)
+                           order by h, doc_id
+                           rows between unbounded preceding
+                           and current row) as bigint) cum
+                    from d)
+            select doc_id, shard,
+                   cast(cum - len as bigint) start_off,
+                   cast((cum - len) // 1024 as bigint) pack_first,
+                   cast((cum - 1) // 1024 as bigint) pack_last
+            from cum""",
         # edge pmi/npmi: counts exact bigints; score trees written as the
         # EXACT Spark trees (one int·int product cast to double per side
         # of the division; ln = natural log in both engines); npmi null

@@ -66,7 +66,7 @@ HEADLINE = [
     'repetition_filters',
     # late round-6 additions
     'kg_edge_pmi', 'kg_edge_confidence', 'dsir_weights', 'semdedup_keep',
-    'streaming_curate', 'length_quantiles',
+    'streaming_curate', 'length_quantiles', 'pack_plan',
 ]
 
 

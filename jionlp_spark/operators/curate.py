@@ -374,3 +374,42 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
             .agg(F.count('*').cast('long').alias('n_grams'),
                  F.sum(F.col('lnr').cast('string').cast('decimal(38,18)'))
                  .cast('string').cast('double').alias('dsir_logweight')))
+
+
+def pack_plan(docs: DataFrame, max_len: int = 1024, n_shards: int = 16,
+              text_col: str = 'text') -> DataFrame:
+    """→ (doc_id, shard, start_off, pack_first, pack_last) — the
+    concat-and-chunk sequence-packing plan (GPT-style LM training data
+    layout): within each shard, docs are concatenated in a
+    deterministic hash order and cut into ``max_len``-token windows; a
+    doc starting at token offset ``start_off`` occupies packs
+    ``start_off div max_len`` through ``(start_off+len-1) div max_len``
+    (docs straddle pack boundaries — the standard causal-LM packing).
+
+    Determinism and engine parity: shard = first md5 hex char of the
+    doc id (16-way), order within a shard = (md5 hex, doc_id) — string
+    ordering both engines share; offsets are cumulative bigint sums in
+    that order.  Everything is integer — zero float surface.
+
+    Scale shape: ONE shuffle into shards, then a per-shard window (the
+    cumulative offset is inherently sequential WITHIN a shard — that is
+    the packing contract; shards are the parallelism unit, so size
+    n_shards to the cluster, e.g. one shard per output file).  No
+    global sort ever happens.
+    """
+    d = docs.select(
+        'doc_id',
+        F.size(F.split(F.col(text_col), ' ')).cast('long').alias('len'),
+        F.md5(F.col('doc_id').cast('string')).alias('h'))
+    d = d.withColumn('shard', F.substring('h', 1, 1))
+    from pyspark.sql import Window
+    w = (Window.partitionBy('shard').orderBy('h', 'doc_id')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = d.withColumn('cum', F.sum('len').over(w).cast('long'))
+    return cum.select(
+        'doc_id', 'shard',
+        (F.col('cum') - F.col('len')).cast('long').alias('start_off'),
+        F.expr(f'(cum - len) div {max_len}').cast('long')
+        .alias('pack_first'),
+        F.expr(f'(cum - 1) div {max_len}').cast('long')
+        .alias('pack_last'))

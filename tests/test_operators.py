@@ -991,3 +991,31 @@ def test_length_quantiles_exact(spark):
     fr = got['fr']
     assert (fr['n_docs'], fr['q_25'], fr['q_50'], fr['q_90'], fr['q_99']) \
         == (1, 2, 2, 2, 2)
+
+
+def test_pack_plan_contract(spark):
+    """pack_plan: within every shard, offsets tile the concatenation with
+    no gaps/overlaps in hash order; pack ids follow the div rule; a doc
+    crossing a window boundary spans multiple packs."""
+    from jionlp_spark.operators.curate import pack_plan
+    docs = spark.createDataFrame(
+        [(i, ' '.join(['w'] * (7 + i % 11))) for i in range(200)],
+        'doc_id long, text string')
+    rows = pack_plan(docs, max_len=16).collect()
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r['shard'], []).append(r)
+    lens = {r['doc_id']: 7 + r['doc_id'] % 11 for r in rows}
+    straddlers = 0
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r['start_off'])
+        off = 0
+        for r in rs:
+            assert r['start_off'] == off          # gapless tiling
+            ln = lens[r['doc_id']]
+            assert r['pack_first'] == off // 16
+            assert r['pack_last'] == (off + ln - 1) // 16
+            straddlers += r['pack_last'] > r['pack_first']
+            off += ln
+    assert straddlers > 0
