@@ -788,6 +788,25 @@ def q_semdedup_keep(spark, sf_dir):
         F.col('keep_id').cast('long').alias('keep_id'), 'kept')
 
 
+def q_kg_entity_similarity(spark, sf_dir):
+    """Entity alias-candidate detection
+    (operators/graph.entity_neighbor_similarity): cosine of weighted
+    co-occurrence neighbor vectors over the skew mention graph — dot
+    and norms are exact bigint sums, the cosine one per-row double
+    tree, so no decimal routing is needed anywhere."""
+    from jionlp_spark.operators.graph import entity_neighbor_similarity
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj'))
+    return entity_neighbor_similarity(ents)
+
+
 def q_pack_plan(spark, sf_dir):
     """Concat-and-chunk sequence-packing plan
     (operators/curate.pack_plan): per-shard deterministic hash order,
@@ -2964,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_edge_confidence': q_kg_edge_confidence,
         'length_quantiles': q_length_quantiles,
         'pack_plan': q_pack_plan,
+        'kg_entity_similarity': q_kg_entity_similarity,
     }
 
 
@@ -3541,6 +3561,32 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             group by 1, 2, 3, 4""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
         'kg_edge_confidence': _edge_confidence_oracle(),
+        # shared-neighbor cosine: dot/norms are exact bigint sums of
+        # edge-weight products; the cosine is ONE per-row double tree
+        'kg_entity_similarity': f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            prs as (select a.obj ea, b.obj eb,
+                           cast(count(distinct a.doc_id) as bigint) w
+                    from m a
+                    join m b on a.doc_id = b.doc_id and a.obj < b.obj
+                    group by 1, 2),
+            e as (select ea z, eb x, w from prs
+                  union all select eb, ea, w from prs),
+            norms as (select x, cast(sum(w * w) as bigint) sq
+                      from e group by x),
+            dots as (select e1.x ent_a, e2.x ent_b,
+                            cast(count(*) as bigint) n_shared,
+                            cast(sum(e1.w * e2.w) as bigint) dot
+                     from e e1
+                     join e e2 on e1.z = e2.z and e1.x < e2.x
+                     group by 1, 2)
+            select d.ent_a, d.ent_b, d.n_shared, d.dot,
+                   cast(d.dot as double)
+                   / (sqrt(cast(na.sq as double))
+                      * sqrt(cast(nb.sq as double))) cos
+            from dots d
+            join norms na on d.ent_a = na.x
+            join norms nb on d.ent_b = nb.x""",
         # exact discrete quantiles over the (lang, len) count table —
         # all-integer (ceil via (n·p+99)//100), no float surface
         'length_quantiles': """

@@ -192,3 +192,68 @@ def edge_confidence(mentions: DataFrame, iters: int = 3,
                    ((F.col('pr_a') + F.col('pr_b')) * npmi_pos)
                    .alias('confidence')))
     return out
+
+
+def entity_neighbor_similarity(mentions: DataFrame,
+                               doc_col: str = 'doc_id',
+                               ent_col: str = 'obj',
+                               max_hub_degree: int | None = None,
+                               min_cos: float = 0.0) -> DataFrame:
+    """→ (ent_a, ent_b, n_shared, dot, cos) — entity pairs scored by the
+    cosine of their weighted co-occurrence neighbor vectors: the KG
+    alias/duplicate-candidate detector (two surface forms of one entity
+    co-occur with the SAME neighbors even though they rarely co-occur
+    with each other — distributional similarity over the graph).
+
+    dot and the squared norms are exact bigint sums of edge-weight
+    products, so the cosine is ONE per-row double tree over exact
+    integers — engine-identical with no decimal routing needed.
+
+    Scale shape: pairs are generated per shared NEIGHBOR (join the
+    symmetric edge table with itself on the neighbor key) — cost is
+    Σ_z deg(z)², quadratic only in per-neighbor degree, never corpus
+    size.  Hub neighbors dominate that sum, and a hub shared by
+    everything carries no alias signal (it is the graph analog of a
+    stopword): ``max_hub_degree`` drops intermediaries above the cap
+    from BOTH the pair generation and the norms, keeping the cosine
+    consistent within the capped neighbor space.  The norms table is
+    entity-vocabulary-sized and joins back broadcast-or-AQE.
+    """
+    m = (mentions.select(F.col(doc_col).alias('doc_id'),
+                         F.col(ent_col).alias('ent'))
+         .distinct().localCheckpoint())
+    a, b = m.alias('a'), m.alias('b')
+    prs = (a.join(b, 'doc_id')
+           .filter(F.col('a.ent') < F.col('b.ent'))
+           .groupBy(F.col('a.ent').alias('ea'), F.col('b.ent').alias('eb'))
+           .agg(F.countDistinct('doc_id').cast('long').alias('w')))
+    edges = (prs.select(F.col('ea').alias('z'), F.col('eb').alias('x'), 'w')
+             .union(prs.select(F.col('eb').alias('z'),
+                               F.col('ea').alias('x'), 'w')))
+    if max_hub_degree is not None:
+        deg = edges.groupBy('z').agg(F.count('*').alias('_deg'))
+        edges = (edges.join(deg.filter(F.col('_deg') <= max_hub_degree)
+                            .select('z'), 'z'))
+    edges = edges.localCheckpoint()
+
+    norms = edges.groupBy('x').agg(
+        F.sum(F.col('w') * F.col('w')).cast('long').alias('sq'))
+    e1, e2 = edges.alias('e1'), edges.alias('e2')
+    dots = (e1.join(e2, 'z')
+            .filter(F.col('e1.x') < F.col('e2.x'))
+            .groupBy(F.col('e1.x').alias('ent_a'),
+                     F.col('e2.x').alias('ent_b'))
+            .agg(F.count('*').cast('long').alias('n_shared'),
+                 F.sum(F.col('e1.w') * F.col('e2.w')).cast('long')
+                 .alias('dot')))
+    cos = (F.col('dot').cast('double')
+           / (F.sqrt(F.col('sa').cast('double'))
+              * F.sqrt(F.col('sb').cast('double'))))
+    return (dots
+            .join(norms.select(F.col('x').alias('ent_a'),
+                               F.col('sq').alias('sa')), 'ent_a')
+            .join(norms.select(F.col('x').alias('ent_b'),
+                               F.col('sq').alias('sb')), 'ent_b')
+            .select('ent_a', 'ent_b', 'n_shared', 'dot',
+                    cos.alias('cos'))
+            .filter(F.col('cos') >= F.lit(float(min_cos))))

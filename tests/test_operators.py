@@ -1019,3 +1019,38 @@ def test_pack_plan_contract(spark):
             straddlers += r['pack_last'] > r['pack_first']
             off += ln
     assert straddlers > 0
+
+
+def test_entity_neighbor_similarity_alias_and_hub_cap(spark):
+    """Neighbor-vector cosine: two alias surface forms that never
+    co-occur with EACH OTHER but share all neighbors score cos=1 with
+    exact integer dot/norms; a hub neighbor above max_hub_degree is
+    dropped from every neighbor vector (pairs it alone supported
+    vanish, norms stay consistent)."""
+    from jionlp_spark.operators.graph import entity_neighbor_similarity
+    rows = []
+    for d, ents in enumerate([('A1', 'N1'), ('A1', 'N2'),
+                              ('A2', 'N1'), ('A2', 'N2')]):
+        rows += [(d, e) for e in ents] + [(d, 'H')]   # hub in docs 0-3
+    rows += [(4, 'P'), (4, 'H'), (5, 'Q'), (5, 'H')]  # P,Q only via hub
+    m = spark.createDataFrame(rows, 'doc_id long, obj string')
+
+    free = {(r['ent_a'], r['ent_b']): r
+            for r in entity_neighbor_similarity(m).collect()}
+    # hand-check: A1/A2 share neighbors {N1:1, N2:1, H:2} exactly
+    a = free[('A1', 'A2')]
+    assert (a['n_shared'], a['dot']) == (3, 1 + 1 + 4)
+    assert abs(a['cos'] - 1.0) < 1e-12          # identical vectors
+    assert free[('P', 'Q')]['n_shared'] == 1    # joined only by the hub
+
+    capped = {(r['ent_a'], r['ent_b']): r
+              for r in entity_neighbor_similarity(
+                  m, max_hub_degree=5).collect()}
+    assert ('P', 'Q') not in capped             # hub-only pair gone
+    c = capped[('A1', 'A2')]                    # H out of BOTH vectors
+    assert (c['n_shared'], c['dot']) == (2, 2)
+    assert abs(c['cos'] - 1.0) < 1e-12
+
+    high = entity_neighbor_similarity(m, min_cos=0.999).collect()
+    assert all(r['cos'] >= 0.999 for r in high)
+    assert ('A1', 'A2') in {(r['ent_a'], r['ent_b']) for r in high}
