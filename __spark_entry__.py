@@ -807,6 +807,25 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_kg_entity_canon(spark, sf_dir):
+    """Alias resolution (operators/graph.canonicalize_entities):
+    neighbor-cosine candidate pairs minus directly-co-occurring pairs,
+    star components, canonical = max-df member (ties lex-min) — over a
+    deterministic community corpus where a third of the underlying
+    entities split into an even-doc and an odd-doc surface form that
+    never co-occur directly but share their community's neighbors."""
+    from jionlp_spark.operators.graph import canonicalize_entities
+    d = _docs(spark, sf_dir).select('doc_id')
+    mm = d.select('doc_id',
+                  F.explode(F.sequence(F.lit(0), F.lit(4))).alias('k'))
+    g = (F.expr('doc_id div 2') % 20) * 5 + F.col('k')
+    surf = (F.when((g % 3 == 0) & (F.col('doc_id') % 2 == 1),
+                   F.concat(F.lit('alt_'), g.cast('string')))
+            .otherwise(F.concat(F.lit('e'), g.cast('string'))))
+    ments = mm.select('doc_id', surf.alias('obj'))
+    return canonicalize_entities(ments, min_cos=0.6, min_shared=2)
+
+
 def q_pack_plan(spark, sf_dir):
     """Concat-and-chunk sequence-packing plan
     (operators/curate.pack_plan): per-shard deterministic hash order,
@@ -2984,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'length_quantiles': q_length_quantiles,
         'pack_plan': q_pack_plan,
         'kg_entity_similarity': q_kg_entity_similarity,
+        'kg_entity_canon': q_kg_entity_canon,
     }
 
 
@@ -3120,6 +3140,51 @@ _SKEW_MENTIONS_SQL = """select distinct doc_id,
                      end obj
               from documents,
                    lateral unnest(range(0, 10)) as t(k)"""
+
+# deterministic community corpus for alias resolution: each doc mentions
+# its community's 5 underlying entities (g = ((doc_id//2)%20)*5 + k over
+# a 100-entity vocabulary; doc pairs 2m/2m+1 share a community so every
+# community spans both parities); entities with g%3==0 split into an
+# even-doc surface e<g> and an odd-doc surface alt_<g> — never
+# co-occurring directly, sharing their community's neighbors
+_COMMUNITY_MENTIONS_SQL = """select distinct doc_id,
+                     case when (((doc_id // 2) % 20) * 5 + k) % 3 = 0
+                               and doc_id % 2 = 1
+                          then 'alt_' ||
+                               cast(((doc_id // 2) % 20) * 5 + k
+                                    as varchar)
+                          else 'e' ||
+                               cast(((doc_id // 2) % 20) * 5 + k
+                                    as varchar)
+                     end obj
+              from documents,
+                   lateral unnest(range(0, 5)) as t(k)"""
+
+# weighted neighbor-vector cosine over a mention CTE named `m` →
+# exposes `sims(ent_a, ent_b, n_shared, dot, cos)`; dot/norms are exact
+# bigint sums, the cosine ONE per-row double tree (engine-identical)
+_NEIGHBOR_SIM_CTES = """prs as (select a.obj ea, b.obj eb,
+                           cast(count(distinct a.doc_id) as bigint) w
+                    from m a
+                    join m b on a.doc_id = b.doc_id and a.obj < b.obj
+                    group by 1, 2),
+            e as (select ea z, eb x, w from prs
+                  union all select eb, ea, w from prs),
+            norms as (select x, cast(sum(w * w) as bigint) sq
+                      from e group by x),
+            dots as (select e1.x ent_a, e2.x ent_b,
+                            cast(count(*) as bigint) n_shared,
+                            cast(sum(e1.w * e2.w) as bigint) dot
+                     from e e1
+                     join e e2 on e1.z = e2.z and e1.x < e2.x
+                     group by 1, 2),
+            sims as (select d.ent_a, d.ent_b, d.n_shared, d.dot,
+                   cast(d.dot as double)
+                   / (sqrt(cast(na.sq as double))
+                      * sqrt(cast(nb.sq as double))) cos
+            from dots d
+            join norms na on d.ent_a = na.x
+            join norms nb on d.ent_b = nb.x)"""
 
 
 def _edge_confidence_oracle(iters: int = 3, damping: float = 0.85) -> str:
@@ -3565,28 +3630,41 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # edge-weight products; the cosine is ONE per-row double tree
         'kg_entity_similarity': f"""
             with m as ({_SKEW_MENTIONS_SQL}),
-            prs as (select a.obj ea, b.obj eb,
-                           cast(count(distinct a.doc_id) as bigint) w
-                    from m a
-                    join m b on a.doc_id = b.doc_id and a.obj < b.obj
-                    group by 1, 2),
-            e as (select ea z, eb x, w from prs
-                  union all select eb, ea, w from prs),
-            norms as (select x, cast(sum(w * w) as bigint) sq
-                      from e group by x),
-            dots as (select e1.x ent_a, e2.x ent_b,
-                            cast(count(*) as bigint) n_shared,
-                            cast(sum(e1.w * e2.w) as bigint) dot
-                     from e e1
-                     join e e2 on e1.z = e2.z and e1.x < e2.x
-                     group by 1, 2)
-            select d.ent_a, d.ent_b, d.n_shared, d.dot,
-                   cast(d.dot as double)
-                   / (sqrt(cast(na.sq as double))
-                      * sqrt(cast(nb.sq as double))) cos
-            from dots d
-            join norms na on d.ent_a = na.x
-            join norms nb on d.ent_b = nb.x""",
+            {_NEIGHBOR_SIM_CTES}
+            select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # alias resolution: sim pairs (cos ≥ 0.6, ≥2 shared) minus
+        # directly-co-occurring pairs → recursive min-label components
+        # → canonical = max-df member (ties lex-min) via first_value
+        'kg_entity_canon': f"""
+            with recursive m as ({_COMMUNITY_MENTIONS_SQL}),
+            {_NEIGHBOR_SIM_CTES},
+            cand as (select ent_a a, ent_b b from sims
+                     where cos >= cast('0.6' as double)
+                       and n_shared >= 2),
+            direct as (select distinct a.obj a, b.obj b from m a
+                       join m b on a.doc_id = b.doc_id
+                                and a.obj < b.obj),
+            p as (select a, b from cand
+                  anti join direct using (a, b)),
+            pe as (select a, b from p union select b, a from p),
+            walk(v, lab) as (
+                select a, a from pe
+                union
+                select pe.b, w.lab from walk w join pe on pe.a = w.v),
+            comp as (select v, min(lab) lab from walk group by v),
+            dfreq as (select obj ent,
+                             cast(count(distinct doc_id) as bigint) df
+                      from m group by 1),
+            mem as (select c.v ent, c.lab clus, d.df
+                    from comp c join dfreq d on d.ent = c.v)
+            select ent,
+                   first_value(ent) over (partition by clus
+                                          order by df desc, ent asc)
+                       canon,
+                   cast(count(*) over (partition by clus) as bigint)
+                       cluster_size,
+                   df
+            from mem""",
         # exact discrete quantiles over the (lang, len) count table —
         # all-integer (ceil via (n·p+99)//100), no float surface
         'length_quantiles': """

@@ -257,3 +257,66 @@ def entity_neighbor_similarity(mentions: DataFrame,
             .select('ent_a', 'ent_b', 'n_shared', 'dot',
                     cos.alias('cos'))
             .filter(F.col('cos') >= F.lit(float(min_cos))))
+
+
+def canonicalize_entities(mentions: DataFrame,
+                          doc_col: str = 'doc_id',
+                          ent_col: str = 'obj',
+                          min_cos: float = 0.6,
+                          min_shared: int = 2,
+                          max_direct: int = 0,
+                          max_hub_degree: int | None = None,
+                          max_iter: int = 20) -> DataFrame:
+    """→ (ent, canon, cluster_size, df) — the alias-resolution step of
+    KG construction: surface forms whose co-occurrence NEIGHBOR vectors
+    are near-parallel (cos ≥ ``min_cos`` over ≥ ``min_shared`` shared
+    neighbors) but that (almost) never co-occur DIRECTLY (≤
+    ``max_direct`` shared docs — two spellings of one entity appear in
+    different documents, unlike genuinely related entities) are
+    clustered with star connected components, and every member maps to
+    the cluster's canonical surface = the member with the highest
+    document frequency (ties → lexicographically smallest).  Joining
+    this table against the mention table ON the surface rewrites the
+    corpus to canonical entity ids; surfaces in no cluster are absent
+    (identity mapping).
+
+    Scale shape: candidate pairs come from entity_neighbor_similarity
+    (Σ_z deg(z)², hub-cappable); the direct-co-occurrence exclusion is
+    a pair-keyed anti-join against the doc-co-occurrence edge table;
+    components run over the (tiny) alias-pair graph; df is one
+    map-side-combined distinct-count over mentions; the canonical pick
+    is a window over CLUSTER-sized partitions.  Nothing here is
+    corpus-quadratic.
+    """
+    from pyspark.sql import Window
+    from jionlp_spark.operators.dedup import dedup_components
+    sim = entity_neighbor_similarity(
+        mentions, doc_col=doc_col, ent_col=ent_col,
+        max_hub_degree=max_hub_degree, min_cos=min_cos)
+    pairs = (sim.filter(F.col('n_shared') >= int(min_shared))
+             .select('ent_a', 'ent_b'))
+    m = (mentions.select(F.col(doc_col).alias('doc_id'),
+                         F.col(ent_col).alias('ent'))
+         .distinct().localCheckpoint())
+    a, b = m.alias('a'), m.alias('b')
+    direct = (a.join(b, 'doc_id')
+              .filter(F.col('a.ent') < F.col('b.ent'))
+              .groupBy(F.col('a.ent').alias('ent_a'),
+                       F.col('b.ent').alias('ent_b'))
+              .agg(F.countDistinct('doc_id').alias('n_direct'))
+              .filter(F.col('n_direct') > int(max_direct))
+              .select('ent_a', 'ent_b'))
+    pairs = pairs.join(direct, ['ent_a', 'ent_b'], 'left_anti')
+    comp = dedup_components(pairs, 'ent_a', 'ent_b', max_iter=max_iter)
+    dfreq = (m.groupBy('ent')
+             .agg(F.countDistinct('doc_id').cast('long').alias('df')))
+    members = (comp.select(F.col('doc_id').alias('ent'), 'cluster')
+               .join(dfreq, 'ent'))
+    w = Window.partitionBy('cluster').orderBy(F.col('df').desc(),
+                                              F.col('ent').asc())
+    return (members
+            .select('ent',
+                    F.first('ent').over(w).alias('canon'),
+                    F.count('*').over(Window.partitionBy('cluster'))
+                    .cast('long').alias('cluster_size'),
+                    'df'))

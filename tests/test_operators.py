@@ -1054,3 +1054,32 @@ def test_entity_neighbor_similarity_alias_and_hub_cap(spark):
     high = entity_neighbor_similarity(m, min_cos=0.999).collect()
     assert all(r['cos'] >= 0.999 for r in high)
     assert ('A1', 'A2') in {(r['ent_a'], r['ent_b']) for r in high}
+
+
+def test_canonicalize_entities_alias_cluster(spark):
+    """canonicalize_entities: an alias pair (same neighbors, zero direct
+    co-occurrence) clusters and maps to the max-df member; directly
+    co-occurring neighbor pairs are excluded even at cos≈1; unclustered
+    surfaces are absent (identity mapping)."""
+    from jionlp_spark.operators.graph import canonicalize_entities
+    rows = []
+    for d in (0, 1):
+        rows += [(d, 'X1'), (d, 'N1'), (d, 'N2')]
+    for d in (2, 3):
+        rows += [(d, 'X2'), (d, 'N1'), (d, 'N2')]
+    rows += [(4, 'X2')]                       # lone mention: df tiebreak
+    m = spark.createDataFrame(rows, 'doc_id long, obj string')
+    got = {r['ent']: r for r in canonicalize_entities(
+        m, min_cos=0.9, min_shared=2).collect()}
+    # only the alias pair clusters: N1/N2 co-occur directly (cos 1 but
+    # excluded), X*/N* co-occur directly too
+    assert set(got) == {'X1', 'X2'}
+    assert got['X1']['canon'] == 'X2' and got['X2']['canon'] == 'X2'
+    assert got['X1']['cluster_size'] == 2
+    assert (got['X1']['df'], got['X2']['df']) == (2, 3)
+
+    # with the doc-4 mention removed, df ties 2-2 → lex-min wins
+    got2 = {r['ent']: r['canon'] for r in canonicalize_entities(
+        m.filter(F.col('doc_id') < 4), min_cos=0.9,
+        min_shared=2).collect()}
+    assert got2 == {'X1': 'X1', 'X2': 'X1'}
