@@ -807,6 +807,24 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split
+    (operators/curate.leakage_safe_split): near-dup LSH clusters are
+    the assignment unit, the Knuth hash runs on the GROUP id — no
+    candidate pair can straddle train/test.  Oracle: the recursive
+    components walk over the shared LSH pair CTE + the same split
+    rule on coalesce(cluster, doc_id)."""
+    from jionlp_spark.operators.curate import leakage_safe_split
+    from jionlp_spark.operators.dedup import (lsh_candidate_pairs,
+                                              minhash_signatures, shingles)
+    d = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles(d, n=3), num_hashes=16), bands=4)
+    return leakage_safe_split(d, pairs).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'group_id', 'split')
+
+
 def q_kg_entity_canon(spark, sf_dir):
     """Alias resolution (operators/graph.canonicalize_entities):
     neighbor-cosine candidate pairs minus directly-co-occurring pairs,
@@ -3004,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pack_plan': q_pack_plan,
         'kg_entity_similarity': q_kg_entity_similarity,
         'kg_entity_canon': q_kg_entity_canon,
+        'leakage_safe_split': q_leakage_safe_split,
     }
 
 
@@ -3632,6 +3651,31 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # leakage-safe split: the components walk over the shared LSH
+        # pair CTE gives the group label; the Knuth split rule runs on
+        # coalesce(group, doc_id) — identical mask/multiplier to
+        # dataset_split_stats
+        'leakage_safe_split': f"""
+            with recursive pairs as ({_LSH_PAIRS_SQL}),
+            e as (select doc_a a, doc_b b from pairs
+                  union select doc_b, doc_a from pairs),
+            walk(v, lab) as (
+                select a, a from e
+                union
+                select e.b, w.lab from walk w join e on e.a = w.v),
+            comp as (select v, min(lab) lab from walk group by v),
+            g as (select d.doc_id,
+                         cast(coalesce(c.lab, d.doc_id) as bigint)
+                             group_id
+                  from documents d
+                  left join comp c on c.v = d.doc_id)
+            select cast(doc_id as bigint) doc_id, group_id,
+                   case when ((group_id % 2147483648) * 2654435761)
+                             % 100 < 80 then 'train'
+                        when ((group_id % 2147483648) * 2654435761)
+                             % 100 < 85 then 'valid'
+                        else 'test' end split
+            from g""",
         # alias resolution: sim pairs (cos ≥ 0.6, ≥2 shared) minus
         # directly-co-occurring pairs → recursive min-label components
         # → canonical = max-df member (ties lex-min) via first_value

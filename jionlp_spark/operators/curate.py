@@ -413,3 +413,39 @@ def pack_plan(docs: DataFrame, max_len: int = 1024, n_shards: int = 16,
         .alias('pack_first'),
         F.expr(f'(cum - 1) div {max_len}').cast('long')
         .alias('pack_last'))
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = 'doc_id',
+                       a_col: str = 'doc_a', b_col: str = 'doc_b',
+                       ratios=(80, 85), max_iter: int = 20) -> DataFrame:
+    """→ (doc_id, group_id, split) — deterministic train/valid/test
+    assignment with the LEAKAGE guarantee: near-dup candidate pairs
+    (LSH/simhash/winnow/embedding — any pair table) are collapsed into
+    connected components, the component (min member id) is the
+    assignment UNIT, and the split is the Knuth-multiplicative hash of
+    the GROUP id — so two docs a benchmark-style eval would treat as
+    the same content can never land one in train and one in test (the
+    dominant contamination path a doc-id hash split leaves open).
+    Unpaired docs are their own group (group_id = doc_id), which makes
+    the rule a strict refinement of dataset_split_stats' doc-id split.
+
+    Scale shape: components run over the pair graph only; the corpus
+    cost is ONE left join of ids against the (dup-sized) label table
+    plus a per-row hash projection — no corpus shuffle beyond the join,
+    and the same 31-bit mask keeps both engines' bigint products from
+    wrapping (see dataset_split_stats).
+    """
+    from jionlp_spark.operators.dedup import dedup_components
+    comp = dedup_components(pairs, a_col, b_col, max_iter=max_iter)
+    ids = docs.select(F.col(id_col).alias('doc_id'))
+    labeled = (ids.join(comp, 'doc_id', 'left')
+               .select('doc_id',
+                       F.coalesce('cluster', F.col('doc_id'))
+                       .cast('long').alias('group_id')))
+    bucket = F.pmod(F.pmod(F.col('group_id'), F.lit(2147483648))
+                    * F.lit(2654435761), F.lit(100))
+    split = (F.when(bucket < int(ratios[0]), 'train')
+             .when(bucket < int(ratios[1]), 'valid')
+             .otherwise('test'))
+    return labeled.select('doc_id', 'group_id', split.alias('split'))

@@ -1083,3 +1083,28 @@ def test_canonicalize_entities_alias_cluster(spark):
         m.filter(F.col('doc_id') < 4), min_cos=0.9,
         min_shared=2).collect()}
     assert got2 == {'X1': 'X1', 'X2': 'X1'}
+
+
+def test_leakage_safe_split_guarantee(spark):
+    """leakage_safe_split: every paired doc shares its whole component's
+    split (chain closure included); unpaired docs follow the doc-id
+    hash rule exactly (strict refinement of dataset_split_stats)."""
+    from jionlp_spark.operators.curate import leakage_safe_split
+    docs = spark.createDataFrame([(i,) for i in range(100)],
+                                 'doc_id long')
+    # a chain 5-17-93 plus an isolated pair 40-41: components must pull
+    # 5/17/93 into ONE group even though (5, 93) was never paired
+    pairs = spark.createDataFrame(
+        [(5, 17), (17, 93), (40, 41)], 'doc_a long, doc_b long')
+    got = {r['doc_id']: r for r in
+           leakage_safe_split(docs, pairs).collect()}
+    assert len(got) == 100
+    assert (got[5]['group_id'] == got[17]['group_id']
+            == got[93]['group_id'] == 5)
+    assert got[5]['split'] == got[17]['split'] == got[93]['split']
+    assert got[40]['group_id'] == got[41]['group_id'] == 40
+    assert got[40]['split'] == got[41]['split']
+    for i in (0, 1, 2, 3, 99):                # unpaired → doc-id rule
+        b = (i * 2654435761) % 100
+        want = 'train' if b < 80 else ('valid' if b < 85 else 'test')
+        assert got[i]['group_id'] == i and got[i]['split'] == want
