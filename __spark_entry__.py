@@ -807,6 +807,34 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Substring-level exact dedup (operators/dedup.
+    duplicate_substring_spans — ExactSubstr, Lee et al. 2022): merged
+    token spans covered by a corpus-duplicated word 20-gram, over a
+    corpus where every doc_id%7==3 doc is prefixed with the first 25
+    tokens of its predecessor (a deterministic boilerplate injection —
+    the natural corpus is digit-free random prose with no verbatim
+    20-gram repeats)."""
+    from jionlp_spark.operators.dedup import duplicate_substring_spans
+    d = _docs(spark, sf_dir)
+    prev = d.select((F.col('doc_id') + 1).alias('doc_id'),
+                    F.col('text').alias('prev_text'))
+    inj = (d.join(prev, 'doc_id', 'left')
+           .select('doc_id',
+                   F.when((F.col('doc_id') % 7 == 3)
+                          & F.col('prev_text').isNotNull(),
+                          F.concat_ws(
+                              ' ',
+                              F.array_join(
+                                  F.slice(F.split('prev_text', ' '),
+                                          1, 25), ' '),
+                              F.col('text')))
+                   .otherwise(F.col('text')).alias('text')))
+    return duplicate_substring_spans(inj, n=20).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'start_tok', 'end_tok')
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/valid/test split
     (operators/curate.leakage_safe_split): near-dup LSH clusters are
@@ -3023,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_entity_similarity': q_kg_entity_similarity,
         'kg_entity_canon': q_kg_entity_canon,
         'leakage_safe_split': q_leakage_safe_split,
+        'dedup_substring_spans': q_dedup_substring_spans,
     }
 
 
@@ -3651,6 +3680,48 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # substring-exact dedup: md5 gram keys (hex — engine-identical),
+        # DuckDB slice w[a:b] 1-based INCLUSIVE (w[i+1:i+20] = 20
+        # tokens, matching slice(toks, i+1, 20)); gaps-and-islands
+        # interval merge with the identical window frames
+        'dedup_substring_spans': """
+            with base as (select doc_id, text from documents),
+            inj as (select d.doc_id,
+                           case when d.doc_id % 7 = 3
+                                     and p.text is not null
+                                then array_to_string(
+                                       string_split(p.text, ' ')[1:25],
+                                       ' ') || ' ' || d.text
+                                else d.text end as text
+                    from base d
+                    left join base p on p.doc_id = d.doc_id - 1),
+            wt as (select doc_id, string_split(text, ' ') w from inj),
+            grams as (select doc_id, i pos,
+                             md5(array_to_string(w[i+1:i+20], ' ')) k
+                      from wt,
+                           lateral unnest(range(0, len(w) - 19)) as t(i)
+                      where len(w) >= 20),
+            dup as (select k from grams group by k
+                    having count(*) >= 2),
+            hits as (select g.doc_id, g.pos, g.pos + 19 as e
+                     from grams g join dup using (k)),
+            pre as (select doc_id, pos, e,
+                           max(e) over (partition by doc_id
+                                        order by pos
+                                        rows between unbounded preceding
+                                        and 1 preceding) prev_end
+                    from hits),
+            isl as (select doc_id, pos, e,
+                           sum(case when prev_end is null
+                                         or pos > prev_end + 1
+                                    then 1 else 0 end)
+                             over (partition by doc_id order by pos
+                                   rows unbounded preceding) island
+                    from pre)
+            select cast(doc_id as bigint) doc_id,
+                   cast(min(pos) as bigint) start_tok,
+                   cast(max(e) as bigint) end_tok
+            from isl group by doc_id, island""",
         # leakage-safe split: the components walk over the shared LSH
         # pair CTE gives the group label; the Knuth split rule runs on
         # coalesce(group, doc_id) — identical mask/multiplier to

@@ -734,3 +734,67 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
     return (emb.select(id_col).join(comp, id_col, 'left')
             .select(id_col, keep.alias('keep_id'),
                     (keep == F.col(id_col)).alias('kept')))
+
+
+def duplicate_substring_spans(docs: DataFrame, n: int = 20,
+                              min_count: int = 2,
+                              id_col: str = 'doc_id',
+                              text_col: str = 'text') -> DataFrame:
+    """→ (doc_id, start_tok, end_tok) — merged token spans covered by a
+    word n-gram that occurs ≥ ``min_count`` times in the corpus:
+    substring-level EXACT dedup (the ExactSubstr scheme of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    the complement of document-level near-dup — boilerplate headers,
+    license blocks, and quoted passages duplicate VERBATIM inside
+    otherwise-unique documents.  Every occurrence is reported (audit
+    artifact; a keep-one policy is a caller-side filter on the min
+    (doc_id, start_tok) row per gram group), and overlapping/adjacent
+    hit windows merge into maximal spans per doc.
+
+    Engine parity: the gram key is md5 of the space-joined gram (hex
+    string — identical bytes in Spark and DuckDB; xxhash64 has no
+    DuckDB counterpart), so the gated query certifies the same keyed
+    path that runs at scale.  Interval merge is the gaps-and-islands
+    window rule — islands break where a hit starts more than one token
+    past the running max end.
+
+    Scale shape: grams are per-row higher-order expressions (no
+    explode until the (doc, pos, key) triple, which is corpus×length —
+    the inherent cost of substring-exactness; Lee et al. pay the same
+    via suffix arrays); the duplicate-key table is aggregated with
+    map-side combine BEFORE the join back, so only hit positions
+    reach the window stage, and the per-doc windows partition on
+    doc_id.  Hot grams (site boilerplate) skew the key — AQE skew
+    join applies; min_count filtering drops the singleton long tail
+    (the overwhelming majority) at the aggregation.
+    """
+    from pyspark.sql import Window
+    toks = F.split(F.col(text_col), ' ')
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.expr(f"transform(sequence(0, size(split({text_col}, ' ')) - {n}),"
+               f" i -> md5(cast(concat_ws(' ',"
+               f" slice(split({text_col}, ' '), i + 1, {n})) as binary)))")
+    ).otherwise(F.array().cast('array<string>'))
+    grams = (docs.select(F.col(id_col).alias('doc_id'),
+                         F.posexplode(grams_arr).alias('pos', 'k')))
+    grams = grams.localCheckpoint()
+    dup = (grams.groupBy('k')
+           .agg(F.count('*').alias('cnt'))
+           .filter(F.col('cnt') >= int(min_count))
+           .select('k'))
+    hits = grams.join(dup, 'k').select('doc_id', 'pos',
+                                       (F.col('pos') + n - 1).alias('end'))
+    w = Window.partitionBy('doc_id').orderBy('pos')
+    prev_end = F.max('end').over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    island_flag = F.when(prev_end.isNull()
+                         | (F.col('pos') > prev_end + 1), 1).otherwise(0)
+    islands = (hits
+               .withColumn('island',
+                           F.sum(island_flag).over(
+                               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy('doc_id', 'island')
+            .agg(F.min('pos').cast('long').alias('start_tok'),
+                 F.max('end').cast('long').alias('end_tok'))
+            .select('doc_id', 'start_tok', 'end_tok'))

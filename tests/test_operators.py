@@ -1108,3 +1108,27 @@ def test_leakage_safe_split_guarantee(spark):
         b = (i * 2654435761) % 100
         want = 'train' if b < 80 else ('valid' if b < 85 else 'test')
         assert got[i]['group_id'] == i and got[i]['split'] == want
+
+
+def test_duplicate_substring_spans_merge(spark):
+    """duplicate_substring_spans at n=5: identical docs collapse to one
+    full-width span; two hits with a gap stay separate islands;
+    within-doc verbatim repetition merges via the adjacency rule;
+    unique and too-short docs are absent."""
+    from jionlp_spark.operators.dedup import duplicate_substring_spans
+    w = lambda *xs: ' '.join(xs)
+    docs = spark.createDataFrame([
+        (0, w(*[f'w{i}' for i in range(10)])),
+        (1, w(*[f'w{i}' for i in range(10)])),      # verbatim copy
+        (2, w('w0', 'w1', 'w2', 'w3', 'w4', 'x1', 'x2', 'x3',
+              'w0', 'w1', 'w2', 'w3', 'w4')),       # two hits, gap at 5-7
+        (3, w('y0', 'y1', 'y2', 'y3', 'y4',
+              'y0', 'y1', 'y2', 'y3', 'y4')),       # self-repeat: merge
+        (4, w(*[f'z{i}' for i in range(10)])),      # unique
+        (5, 'a b c'),                               # too short
+    ], 'doc_id long, text string')
+    got = sorted((r['doc_id'], r['start_tok'], r['end_tok']) for r in
+                 duplicate_substring_spans(docs, n=5).collect())
+    assert got == [(0, 0, 9), (1, 0, 9),
+                   (2, 0, 4), (2, 8, 12),
+                   (3, 0, 9)]
