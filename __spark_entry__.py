@@ -807,6 +807,22 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_entity_bursts(spark, sf_dir):
+    """Temporal burst detection (operators/trends.burst_scores): per-key
+    daily counts vs the zero-filled trailing-7-day baseline over the
+    events table, keyed on (event_type, user_id%5) for a ~15-key
+    stream; the ratio is one per-row double tree over exact bigint
+    window sums."""
+    from jionlp_spark.operators.trends import burst_scores
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet').select(
+        F.concat(F.col('event_type'), F.lit('_'),
+                 (F.col('user_id') % 5).cast('string')).alias('k'),
+        'ts')
+    return burst_scores(ev, key_col='k', ts_col='ts').select(
+        F.col('key').alias('ent'), F.col('day').alias('d'), 'n',
+        'trail_n', 'days_present', 'burst')
+
+
 def q_dedup_substring_spans(spark, sf_dir):
     """Substring-level exact dedup (operators/dedup.
     duplicate_substring_spans — ExactSubstr, Lee et al. 2022): merged
@@ -3052,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_entity_canon': q_kg_entity_canon,
         'leakage_safe_split': q_leakage_safe_split,
         'dedup_substring_spans': q_dedup_substring_spans,
+        'entity_bursts': q_entity_bursts,
     }
 
 
@@ -3680,6 +3697,32 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # burst detection: integer epoch-day RANGE frames keep calendar
+        # gaps out of the trailing window; the ratio is one per-row
+        # double tree over exact bigint sums
+        'entity_bursts': """
+            with daily as (
+              select event_type || '_' ||
+                     cast(user_id % 5 as varchar) k,
+                     cast(ts as date) dd,
+                     cast(count(*) as bigint) n
+              from events group by 1, 2),
+            s as (select k, dd, n,
+                         cast(sum(n) over (partition by k
+                              order by date_diff('day',
+                                                 date '1970-01-01', dd)
+                              range between 7 preceding
+                                    and 1 preceding) as bigint) trail_n,
+                         cast(count(n) over (partition by k
+                              order by date_diff('day',
+                                                 date '1970-01-01', dd)
+                              range between 7 preceding
+                                    and 1 preceding) as bigint)
+                             days_present
+                  from daily)
+            select k ent, dd as d, n, trail_n, days_present,
+                   cast(n as double) * 7 / trail_n burst
+            from s where trail_n is not null""",
         # substring-exact dedup: md5 gram keys (hex — engine-identical),
         # DuckDB slice w[a:b] 1-based INCLUSIVE (w[i+1:i+20] = 20
         # tokens, matching slice(toks, i+1, 20)); gaps-and-islands

@@ -1132,3 +1132,34 @@ def test_duplicate_substring_spans_merge(spark):
     assert got == [(0, 0, 9), (1, 0, 9),
                    (2, 0, 4), (2, 8, 12),
                    (3, 0, 9)]
+
+
+def test_burst_scores_trailing_baseline(spark):
+    """burst_scores: steady traffic scores exactly 1.0; a 5× spike over
+    a 2/day baseline scores 5.0; calendar gaps contribute ZERO to the
+    baseline (ratio doubles when half the trailing week is silent);
+    days with an empty trailing window are omitted."""
+    from datetime import datetime
+    from jionlp_spark.operators.trends import burst_scores
+    rows = []
+    # key A: 2 events/day on days 1..10, then 10 events on day 11
+    for d in range(1, 11):
+        rows += [('A', datetime(2024, 1, d, 12, 0, 0))] * 2
+    rows += [('A', datetime(2024, 1, 11, 12, 0, 0))] * 10
+    # key B: 2/day on days 1-3, silent 4-7, then 2 on day 8: the
+    # trailing week (days 1-7) still holds 6 events → burst 7/3
+    for d in (1, 2, 3, 8):
+        rows += [('B', datetime(2024, 1, d, 12, 0, 0))] * 2
+    ev = spark.createDataFrame(rows, 'k string, ts timestamp')
+    got = {(r['key'], r['day'].day): r for r in
+           burst_scores(ev, key_col='k').collect()}
+    assert ('A', 1) not in got                 # empty trailing window
+    # series warm-up: at day 5 the zero-filled week holds only days
+    # 1-4 (8 events) → 2*7/8; a caller wanting full baselines filters
+    # days_present == window_days
+    assert got[('A', 5)]['burst'] == 1.75
+    assert got[('A', 5)]['days_present'] == 4
+    assert got[('A', 8)]['burst'] == 1.0       # full week: 2*7/14
+    assert got[('A', 11)]['burst'] == 5.0      # 10*7 / 14
+    assert got[('B', 8)]['burst'] == 2.0 * 7 / 6
+    assert got[('B', 8)]['days_present'] == 3
