@@ -807,6 +807,15 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (operators/trends.sessionize): 30-min
+    inter-event gap splits each user's stream; all boundary/duration
+    arithmetic on epoch-microsecond bigints (unix_micros ≡ epoch_us)."""
+    from jionlp_spark.operators.trends import sessionize
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    return sessionize(ev, gap_minutes=30)
+
+
 def q_entity_bursts(spark, sf_dir):
     """Temporal burst detection (operators/trends.burst_scores): per-key
     daily counts vs the zero-filled trailing-7-day baseline over the
@@ -3069,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'leakage_safe_split': q_leakage_safe_split,
         'dedup_substring_spans': q_dedup_substring_spans,
         'entity_bursts': q_entity_bursts,
+        'event_sessions': q_event_sessions,
     }
 
 
@@ -3697,6 +3707,29 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # sessionization: epoch_us bigints ≡ Spark unix_micros; the
+        # boundary flag depends only on (tied) values so tie order
+        # cannot change sessions
+        'event_sessions': """
+            with ev as (select user_id, epoch_us(ts) ts_us from events),
+            f as (select user_id, ts_us,
+                         case when ts_us - lag(ts_us) over
+                                   (partition by user_id order by ts_us)
+                                   > 1800000000
+                              then 1 else 0 end new_sess
+                  from ev),
+            s as (select user_id, ts_us,
+                         cast(sum(new_sess) over
+                              (partition by user_id order by ts_us
+                               rows unbounded preceding) as bigint)
+                             sess_idx
+                  from f)
+            select user_id, sess_idx,
+                   cast(min(ts_us) as bigint) start_us,
+                   cast(max(ts_us) as bigint) end_us,
+                   cast(count(*) as bigint) n_events,
+                   cast(max(ts_us) - min(ts_us) as bigint) duration_us
+            from s group by user_id, sess_idx""",
         # burst detection: integer epoch-day RANGE frames keep calendar
         # gaps out of the trailing window; the ratio is one per-row
         # double tree over exact bigint sums

@@ -68,7 +68,7 @@ HEADLINE = [
     'kg_edge_pmi', 'kg_edge_confidence', 'dsir_weights', 'semdedup_keep',
     'streaming_curate', 'length_quantiles', 'pack_plan',
     'kg_entity_similarity', 'kg_entity_canon', 'leakage_safe_split',
-    'dedup_substring_spans', 'entity_bursts',
+    'dedup_substring_spans', 'entity_bursts', 'event_sessions',
 ]
 
 

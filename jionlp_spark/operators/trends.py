@@ -56,3 +56,58 @@ def burst_scores(events: DataFrame, key_col: str = 'event_type',
             .select('key', 'day', 'n', 'trail_n', 'days_present',
                     burst.alias('burst'))
             .filter(F.col('burst') >= F.lit(float(min_ratio))))
+
+
+def sessionize(events: DataFrame, user_col: str = 'user_id',
+               ts_col: str = 'ts',
+               gap_minutes: int = 30) -> DataFrame:
+    """→ (user_id, sess_idx, start_us, end_us, n_events, duration_us) —
+    gap-based sessionization of a keyed event stream: a user's events
+    sorted by time split into sessions wherever the inter-event gap
+    exceeds ``gap_minutes``.  All arithmetic runs on epoch-MICROSECOND
+    bigints derived tz-independently from the naive timestamp's own
+    calendar fields (≡ DuckDB epoch_us on the same naive value), so
+    session boundaries, counts, and durations are integer-exact and
+    sub-second gaps are never truncated.  Equal-timestamp ties are
+    safe: the boundary flag depends only on the (tied) values, so any
+    tie order yields the same sessions.
+
+    Scale shape: ONE shuffle on the user key; each user's partition is
+    their event history (the classic sessionization skew is a bot user
+    — cap upstream or salt by day if one key dominates); the rollup
+    reuses the same partitioning (no second exchange).
+    """
+    from pyspark.sql import Window
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    # tz-independent epoch micros for NAIVE (timestamp_ntz) columns:
+    # unix_micros() rejects NTZ, and casting NTZ→timestamp re-interprets
+    # the wall clock in the session tz — field arithmetic instead
+    # (datediff/hour/minute are calendar-exact; extract(SECOND) is a
+    # decimal(8,6) carrying the microsecond fraction, so the ×1e6 is
+    # exact decimal math, never a float)
+    c = F.col(ts_col)
+    ts_us = (F.datediff(F.to_date(c),
+                        F.lit('1970-01-01').cast('date')).cast('long')
+             * F.lit(86_400_000_000)
+             + F.hour(c).cast('long') * F.lit(3_600_000_000)
+             + F.minute(c).cast('long') * F.lit(60_000_000)
+             + (F.expr(f'extract(SECOND FROM `{ts_col}`)')
+                * F.lit(1_000_000)).cast('long'))
+    ev = events.select(F.col(user_col).alias('user_id'),
+                       ts_us.alias('ts_us'))
+    w = Window.partitionBy('user_id').orderBy('ts_us')
+    flagged = ev.withColumn(
+        'new_sess',
+        F.when(F.col('ts_us') - F.lag('ts_us').over(w) > F.lit(gap_us),
+               1).otherwise(0))
+    sess = flagged.withColumn(
+        'sess_idx',
+        F.sum('new_sess')
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast('long'))
+    return (sess.groupBy('user_id', 'sess_idx')
+            .agg(F.min('ts_us').cast('long').alias('start_us'),
+                 F.max('ts_us').cast('long').alias('end_us'),
+                 F.count('*').cast('long').alias('n_events'),
+                 (F.max('ts_us') - F.min('ts_us')).cast('long')
+                 .alias('duration_us')))

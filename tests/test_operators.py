@@ -1163,3 +1163,25 @@ def test_burst_scores_trailing_baseline(spark):
     assert got[('A', 11)]['burst'] == 5.0      # 10*7 / 14
     assert got[('B', 8)]['burst'] == 2.0 * 7 / 6
     assert got[('B', 8)]['days_present'] == 3
+
+
+def test_sessionize_gap_rule_exact(spark):
+    """sessionize: a gap of exactly gap_minutes does NOT split (strict
+    >); one microsecond more does; microsecond durations are exact."""
+    from datetime import datetime
+    from jionlp_spark.operators.trends import sessionize
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, datetime(2024, 3, 1, 10, 0, 0)),
+        (1, datetime(2024, 3, 1, 10, 30, 0)),          # exactly 30 min
+        (1, datetime(2024, 3, 1, 11, 0, 0, 1)),        # 30 min + 1 µs
+        (2, datetime(2024, 3, 1, 9, 0, 0, 250000)),
+        (2, datetime(2024, 3, 1, 9, 0, 0, 750000)),    # 0.5 s gap
+    ]
+    ev = spark.createDataFrame(rows, 'user_id long, ts timestamp')
+    got = sorted(((r['user_id'], r['sess_idx'], r['n_events'],
+                   r['duration_us']) for r in
+                  sessionize(ev, gap_minutes=30).collect()))
+    assert got == [(1, 0, 2, 1800000000), (1, 1, 1, 0),
+                   (2, 0, 2, 500000)]
+    _ = t0
