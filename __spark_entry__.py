@@ -807,6 +807,15 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_window_perplexity(spark, sf_dir):
+    """CCNet-style window-level perplexity
+    (operators/textstats.window_perplexity): the corpus bigram LM
+    scores fixed 20-token windows; bigram i belongs to window i div
+    20, windows tile the bigram stream exactly once."""
+    from jionlp_spark.operators.textstats import window_perplexity
+    return window_perplexity(_docs(spark, sf_dir), window=20)
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (operators/trends.sessionize): 30-min
     inter-event gap splits each user's stream; all boundary/duration
@@ -3079,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_substring_spans': q_dedup_substring_spans,
         'entity_bursts': q_entity_bursts,
         'event_sessions': q_event_sessions,
+        'window_perplexity': q_window_perplexity,
     }
 
 
@@ -3707,6 +3717,35 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # window perplexity: shares the lm_perplexity model shape; the
+        # posful bigram table assigns bigram i to window i // 20
+        'window_perplexity': """
+            with toks as (select doc_id, string_split(text, ' ') w
+                          from documents),
+            bg as (select doc_id, i // 20 win_idx,
+                          w[i+1] w1, w[i+2] w2
+                   from toks,
+                        lateral unnest(range(0, len(w) - 1)) as t(i)
+                   where len(w) >= 2),
+            pc as (select w1, w2, count(*) c12 from bg group by 1, 2),
+            cc as (select w1, count(*) c1 from bg group by 1),
+            vv as (select count(distinct t) v
+                   from (select unnest(w) t from toks)),
+            model as (select pc.w1, pc.w2,
+                             ln((c12 + 1.0) / (c1 + v)) lnp
+                      from pc join cc using (w1) cross join vv),
+            sc as (select doc_id, win_idx,
+                          cast(count(*) as bigint) n_bigrams,
+                          sum(cast(cast(lnp as varchar)
+                                   as decimal(38,18))) s
+                   from bg join model using (w1, w2) group by 1, 2)
+            select cast(doc_id as bigint) doc_id,
+                   cast(win_idx as bigint) win_idx, n_bigrams,
+                   cast(cast(s as varchar) as double) / n_bigrams
+                     avg_logprob,
+                   exp(-(cast(cast(s as varchar) as double)
+                         / n_bigrams)) ppl
+            from sc""",
         # sessionization: epoch_us bigints ≡ Spark unix_micros; the
         # boundary flag depends only on (tied) values so tie order
         # cannot change sessions

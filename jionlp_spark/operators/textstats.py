@@ -410,6 +410,29 @@ def new_word_scores(docs: DataFrame, text_col: str = 'text',
                         F.col('pmi') + F.least('h_left', 'h_right')))
 
 
+def _bigram_lm(bigrams: DataFrame, docs: DataFrame, toks) -> DataFrame:
+    """Add-one-smoothed bigram model from a (w1, w2) occurrence table →
+    (w1, w2, lnp).  The pair table is the LM being trained —
+    materialized once (localCheckpoint = one corpus scan) because both
+    the context rollup and every scoring join consume it and Spark
+    plans are trees; c1 rolls up from the pair table (Σ_w2 c12 — same
+    values as re-counting the corpus, one fewer scan + shuffle); V
+    rides a broadcast-scalar crossJoin.  ln terms are per-row trees on
+    exact integer counts → bit-identical across engines."""
+    pair_counts = bigrams.groupBy('w1', 'w2').agg(
+        F.count('*').cast('long').alias('c12')).localCheckpoint()
+    ctx_counts = pair_counts.groupBy('w1').agg(
+        F.sum('c12').cast('long').alias('c1'))
+    vocab = docs.select(F.explode(toks).alias('w')) \
+        .agg(F.countDistinct('w').cast('long').alias('v'))
+    return (pair_counts
+            .join(F.broadcast(ctx_counts), 'w1')
+            .crossJoin(F.broadcast(vocab))
+            .select('w1', 'w2',
+                    F.log((F.col('c12') + F.lit(1.0))
+                          / (F.col('c1') + F.col('v'))).alias('lnp')))
+
+
 def lm_perplexity(docs: DataFrame, text_col: str = 'text',
                   id_col: str = 'doc_id') -> DataFrame:
     """In-corpus bigram-LM perplexity per document — the KenLM-style
@@ -446,25 +469,7 @@ def lm_perplexity(docs: DataFrame, text_col: str = 'text',
         .select('doc_id', F.col('p.w1').alias('w1'),
                 F.col('p.w2').alias('w2')))
 
-    # the pair table is the LM being trained — materialize it
-    # (localCheckpoint = one corpus scan), because BOTH the context
-    # rollup and the scoring join consume it and Spark plans are trees:
-    # without this the corpus bigram aggregation runs once per consumer
-    pair_counts = bigrams.groupBy('w1', 'w2').agg(
-        F.count('*').cast('long').alias('c12')).localCheckpoint()
-    # context counts roll up from the pair table (c1 = Σ_w2 c12) — same
-    # values as re-counting the corpus, one fewer corpus scan + shuffle
-    ctx_counts = pair_counts.groupBy('w1').agg(
-        F.sum('c12').cast('long').alias('c1'))
-    vocab = docs.select(F.explode(toks).alias('w')) \
-        .agg(F.countDistinct('w').cast('long').alias('v'))
-
-    model = (pair_counts
-             .join(F.broadcast(ctx_counts), 'w1')
-             .crossJoin(F.broadcast(vocab))
-             .select('w1', 'w2',
-                     F.log((F.col('c12') + F.lit(1.0))
-                           / (F.col('c1') + F.col('v'))).alias('lnp')))
+    model = _bigram_lm(bigrams, docs, toks)
 
     scored = (bigrams.join(model, ['w1', 'w2'])
               .groupBy('doc_id')
@@ -479,6 +484,53 @@ def lm_perplexity(docs: DataFrame, text_col: str = 'text',
                     (F.col('s').cast('string').cast('double')
                      / F.col('n_bigrams')).alias('avg_logprob'))
             .withColumn('ppl', F.exp(-F.col('avg_logprob'))))
+
+
+def window_perplexity(docs: DataFrame, window: int = 50,
+                      text_col: str = 'text',
+                      id_col: str = 'doc_id') -> DataFrame:
+    """→ (doc_id, win_idx, n_bigrams, avg_logprob, ppl) — CCNet-style
+    WINDOW-level perplexity: the corpus-trained add-one bigram LM of
+    lm_perplexity scores fixed ``window``-token segments of every
+    document, so quality filtering can drop the boilerplate TAIL of an
+    otherwise-good page instead of the whole document (CCNet, Wenzek et
+    al. 2020, scores paragraphs; fixed token windows are the
+    segmentation that exists for single-line corpora).  Bigram i
+    (tokens i, i+1) belongs to window i // window — windows tile the
+    bigram stream exactly once, the last bigram of a window reaching
+    one token into the next.  Windows with no in-model bigram are
+    absent; a per-doc verdict is a caller-side rollup (max ppl,
+    flagged-window fraction).
+
+    Scale shape: identical to lm_perplexity — the model is bigram-type-
+    sized, scoring joins occurrence rows on the bigram key (AQE skew on
+    hot function words), and the per-(doc, window) reduction is an
+    exact decimal log-sum, map-side combined.  The window key adds no
+    shuffle: it partitions WITH doc_id.
+    """
+    toks = F.split(F.col(text_col), ' ')
+    bigrams = (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.posexplode(F.arrays_zip(
+                        F.slice(toks, 1, F.size(toks) - 1).alias('w1'),
+                        F.slice(toks, 2, F.size(toks) - 1).alias('w2')))
+                    .alias('i', 'p'))
+        .select('doc_id',
+                F.expr(f'i div {int(window)}').cast('long')
+                .alias('win_idx'),
+                F.col('p.w1').alias('w1'), F.col('p.w2').alias('w2')))
+    bigrams = bigrams.localCheckpoint()
+    model = _bigram_lm(bigrams, docs, toks)
+    scored = (bigrams.join(model, ['w1', 'w2'])
+              .groupBy('doc_id', 'win_idx')
+              .agg(F.count('*').cast('long').alias('n_bigrams'),
+                   F.sum(F.col('lnp').cast('string')
+                         .cast('decimal(38,18)')).alias('s')))
+    avg = (F.col('s').cast('string').cast('double')
+           / F.col('n_bigrams'))
+    return scored.select('doc_id', 'win_idx', 'n_bigrams',
+                         avg.alias('avg_logprob'),
+                         F.exp(-avg).alias('ppl'))
 
 
 def repetition_filters(docs: DataFrame, text_col: str = 'text',

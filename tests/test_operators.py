@@ -1185,3 +1185,32 @@ def test_sessionize_gap_rule_exact(spark):
     assert got == [(1, 0, 2, 1800000000), (1, 1, 1, 0),
                    (2, 0, 2, 500000)]
     _ = t0
+
+
+def test_window_perplexity_tiles_and_matches_doc_lm(spark):
+    """window_perplexity: window bigram counts tile the doc's bigram
+    stream exactly once; a single-window doc's score equals
+    lm_perplexity's doc score under the same corpus model; a repeated
+    high-frequency window scores lower ppl than a one-off window."""
+    from jionlp_spark.operators.textstats import (lm_perplexity,
+                                                  window_perplexity)
+    common = ' '.join(['a b'] * 10)               # 20 toks of a/b
+    docs = spark.createDataFrame(
+        [(0, common), (1, common),
+         (2, common + ' ' + ' '.join(f'u{i}' for i in range(20)))],
+        'doc_id long, text string')
+    wins = window_perplexity(docs, window=20).collect()
+    by_doc = {}
+    for r in wins:
+        by_doc.setdefault(r['doc_id'], {})[r['win_idx']] = r
+    # tiling: doc2 has 39 bigrams → windows 0 (20) and 1 (19)
+    assert by_doc[2][0]['n_bigrams'] == 20
+    assert by_doc[2][1]['n_bigrams'] == 19
+    assert sum(r['n_bigrams'] for r in by_doc[2].values()) == 39
+    # single-window docs reduce to the doc-level LM score
+    doc_ppl = {r['doc_id']: r['ppl']
+               for r in lm_perplexity(docs).collect()}
+    assert abs(by_doc[0][0]['ppl'] - doc_ppl[0]) < 1e-12
+    # the boilerplate window (corpus-frequent bigrams) beats the
+    # unique-token tail window
+    assert by_doc[2][0]['ppl'] < by_doc[2][1]['ppl']
