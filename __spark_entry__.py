@@ -807,6 +807,28 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-entity triangle counts + local clustering coefficient
+    (operators/graph.triangle_stats, degree-ordered orientation) over
+    the skew mention co-occurrence graph."""
+    from jionlp_spark.operators.graph import triangle_stats
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj')).distinct()
+    a, b = ents.alias('a'), ents.alias('b')
+    pairs = (a.join(b, 'doc_id')
+             .filter(F.col('a.obj') < F.col('b.obj'))
+             .select(F.col('a.obj').alias('ent_a'),
+                     F.col('b.obj').alias('ent_b')).distinct())
+    return triangle_stats(pairs)
+
+
 def q_window_perplexity(spark, sf_dir):
     """CCNet-style window-level perplexity
     (operators/textstats.window_perplexity): the corpus bigram LM
@@ -3089,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'entity_bursts': q_entity_bursts,
         'event_sessions': q_event_sessions,
         'window_perplexity': q_window_perplexity,
+        'kg_triangles': q_kg_triangles,
     }
 
 
@@ -3717,6 +3740,49 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # triangles: degree-ordered orientation (each triangle counted
+        # once at its (deg, id)-smallest vertex) reproduced verbatim;
+        # clustering = one double tree over exact bigints
+        'kg_triangles': f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            canon as (select distinct a.obj x, b.obj y from m a
+                      join m b on a.doc_id = b.doc_id
+                               and a.obj < b.obj),
+            deg as (select v, cast(count(*) as bigint) d from
+                    (select x v from canon
+                     union all select y from canon) group by v),
+            ed as (select c.x, c.y, dx.d ddx, dy.d ddy
+                   from canon c
+                   join deg dx on dx.v = c.x
+                   join deg dy on dy.v = c.y),
+            oriented as (select
+                case when ddx < ddy or (ddx = ddy and x < y)
+                     then x else y end src,
+                case when ddx < ddy or (ddx = ddy and x < y)
+                     then y else x end dst,
+                case when ddx < ddy or (ddx = ddy and x < y)
+                     then ddy else ddx end dd
+                from ed),
+            wedges as (select o1.src a, o1.dst b, o2.dst c
+                       from oriented o1
+                       join oriented o2 on o1.src = o2.src
+                       where o1.dst != o2.dst
+                         and (o1.dd < o2.dd
+                              or (o1.dd = o2.dd
+                                  and o1.dst < o2.dst))),
+            tris as (select a, b, c from wedges w
+                     join oriented o on o.src = w.b
+                                     and o.dst = w.c),
+            pv as (select v, cast(count(*) as bigint) t from
+                   (select unnest([a, b, c]) v from tris) group by v)
+            select deg.v ent, deg.d degree,
+                   cast(coalesce(pv.t, 0) as bigint) triangles,
+                   case when deg.d >= 2
+                        then cast('2.0' as double)
+                             * cast(coalesce(pv.t, 0) as bigint)
+                             / (deg.d * (deg.d - 1))
+                        else null end clustering
+            from deg left join pv using (v)""",
         # window perplexity: shares the lm_perplexity model shape; the
         # posful bigram table assigns bigram i to window i // 20
         'window_perplexity': """

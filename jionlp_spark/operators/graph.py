@@ -320,3 +320,70 @@ def canonicalize_entities(mentions: DataFrame,
                     F.count('*').over(Window.partitionBy('cluster'))
                     .cast('long').alias('cluster_size'),
                     'df'))
+
+
+def triangle_stats(edges: DataFrame, a_col: str = 'ent_a',
+                   b_col: str = 'ent_b') -> DataFrame:
+    """→ (ent, degree, triangles, clustering) — per-vertex triangle
+    count and local clustering coefficient 2·T/(d·(d-1)) over an
+    undirected edge table: the KG graph-quality signal (a high-cc
+    entity sits in a tight community; cc≈0 hubs are connectors —
+    routing for alias detection and relation confidence).
+
+    Scale shape: the classic degree-ordered orientation (Cohen 2009
+    MapReduce triangles; Suri & Vassilvitskii WWW'11) — every edge
+    points from the (degree, id)-smaller endpoint to the larger, each
+    triangle is enumerated exactly ONCE at its smallest vertex, and
+    the wedge join's cost drops from Σ deg² (quadratic in hub degree)
+    to O(m^1.5), because a hub's out-degree under the orientation is
+    bounded by the number of HIGHER-degree vertices.  Three shuffles:
+    wedge self-join on the apex, the closing equi-join on the oriented
+    (b, c) edge, and the per-vertex rollup.  The clustering division
+    is one per-row double tree over exact bigints.
+    """
+    canon = (edges.select(F.least(a_col, b_col).alias('x'),
+                          F.greatest(a_col, b_col).alias('y'))
+             .filter(F.col('x') != F.col('y'))
+             .distinct().localCheckpoint())
+    deg = (canon.select(F.col('x').alias('v'))
+           .union(canon.select(F.col('y').alias('v')))
+           .groupBy('v').agg(F.count('*').cast('long').alias('d'))
+           .localCheckpoint())
+    ed = (canon
+          .join(deg.select(F.col('v').alias('x'),
+                           F.col('d').alias('dx')), 'x')
+          .join(deg.select(F.col('v').alias('y'),
+                           F.col('d').alias('dy')), 'y'))
+    x_first = (F.col('dx') < F.col('dy')) | \
+              ((F.col('dx') == F.col('dy')) & (F.col('x') < F.col('y')))
+    oriented = (ed.select(
+        F.when(x_first, F.col('x')).otherwise(F.col('y')).alias('src'),
+        F.when(x_first, F.col('y')).otherwise(F.col('x')).alias('dst'),
+        F.when(x_first, F.col('dy')).otherwise(F.col('dx')).alias('dd'))
+        .localCheckpoint())
+    o1, o2 = oriented.alias('o1'), oriented.alias('o2')
+    b_first = (F.col('o1.dd') < F.col('o2.dd')) | \
+              ((F.col('o1.dd') == F.col('o2.dd'))
+               & (F.col('o1.dst') < F.col('o2.dst')))
+    wedges = (o1.join(o2, 'src')
+              .filter(F.col('o1.dst') != F.col('o2.dst'))
+              .filter(b_first)
+              .select(F.col('src').alias('a'),
+                      F.col('o1.dst').alias('b'),
+                      F.col('o2.dst').alias('c')))
+    closing = oriented.select(F.col('src').alias('b'),
+                              F.col('dst').alias('c'))
+    tris = wedges.join(closing, ['b', 'c'])
+    per_vertex = (tris.select(F.explode(F.array('a', 'b', 'c'))
+                              .alias('v'))
+                  .groupBy('v').agg(F.count('*').cast('long')
+                                    .alias('t')))
+    cc = (F.lit(2.0) * F.col('triangles')
+          / (F.col('degree') * (F.col('degree') - F.lit(1))))
+    return (deg.join(per_vertex, 'v', 'left')
+            .select(F.col('v').alias('ent'),
+                    F.col('d').alias('degree'),
+                    F.coalesce('t', F.lit(0)).cast('long')
+                    .alias('triangles'))
+            .withColumn('clustering',
+                        F.when(F.col('degree') >= 2, cc)))

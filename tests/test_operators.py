@@ -1214,3 +1214,29 @@ def test_window_perplexity_tiles_and_matches_doc_lm(spark):
     # the boilerplate window (corpus-frequent bigrams) beats the
     # unique-token tail window
     assert by_doc[2][0]['ppl'] < by_doc[2][1]['ppl']
+
+
+def test_triangle_stats_known_graph(spark):
+    """triangle_stats on a hand graph: K4 plus a pendant — K4 members
+    have 3 triangles each at cc=1 except the pendant-attached vertex
+    (degree 4 → cc 0.5); the pendant has degree 1, cc null; a square
+    (4-cycle) has zero triangles at cc=0."""
+    from jionlp_spark.operators.graph import triangle_stats
+    k4 = [('a', 'b'), ('a', 'c'), ('a', 'd'),
+          ('b', 'c'), ('b', 'd'), ('c', 'd')]
+    pend = [('d', 'p')]
+    square = [('s1', 's2'), ('s2', 's3'), ('s3', 's4'), ('s4', 's1')]
+    edges = spark.createDataFrame(k4 + pend + square,
+                                  'ent_a string, ent_b string')
+    got = {r['ent']: r for r in triangle_stats(edges).collect()}
+    assert len(got) == 9
+    for v in ('a', 'b', 'c'):
+        assert (got[v]['degree'], got[v]['triangles']) == (3, 3)
+        assert got[v]['clustering'] == 1.0
+    assert (got['d']['degree'], got['d']['triangles']) == (4, 3)
+    assert got['d']['clustering'] == 0.5
+    assert (got['p']['degree'], got['p']['triangles']) == (1, 0)
+    assert got['p']['clustering'] is None
+    for v in ('s1', 's2', 's3', 's4'):
+        assert (got[v]['degree'], got[v]['triangles'],
+                got[v]['clustering']) == (2, 0, 0.0)
