@@ -807,6 +807,29 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.link_predictions):
+    non-adjacent entity pairs of the skew mention graph scored by
+    Σ 1/ln(deg) over shared neighbors — exact decimal cross-row sums
+    of per-row double terms."""
+    from jionlp_spark.operators.graph import link_predictions
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj')).distinct()
+    a, b = ents.alias('a'), ents.alias('b')
+    pairs = (a.join(b, 'doc_id')
+             .filter(F.col('a.obj') < F.col('b.obj'))
+             .select(F.col('a.obj').alias('ent_a'),
+                     F.col('b.obj').alias('ent_b')).distinct())
+    return link_predictions(pairs)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-entity triangle counts + local clustering coefficient
     (operators/graph.triangle_stats, degree-ordered orientation) over
@@ -3112,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'event_sessions': q_event_sessions,
         'window_perplexity': q_window_perplexity,
         'kg_triangles': q_kg_triangles,
+        'kg_link_predict': q_kg_link_predict,
     }
 
 
@@ -3740,6 +3764,34 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # Adamic-Adar: shared-neighbor wedge join, 1/ln(deg) per-row
+        # double terms summed through decimal-via-string (exact,
+        # order-independent), adjacency excluded by anti join
+        'kg_link_predict': f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            canon as (select distinct a.obj x, b.obj y from m a
+                      join m b on a.doc_id = b.doc_id
+                               and a.obj < b.obj),
+            sym as (select x z, y n from canon
+                    union all select y, x from canon),
+            deg as (select z, cast(count(*) as bigint) d
+                    from sym group by z),
+            nbr as (select s.n z, s.z x, d.d
+                    from sym s join deg d on d.z = s.n),
+            p as (select e1.x ent_a, e2.x ent_b,
+                         cast(count(*) as bigint) n_shared,
+                         sum(cast(cast(cast('1.0' as double)
+                                       / ln(cast(e1.d as double))
+                                  as varchar) as decimal(38,18))) s
+                  from nbr e1
+                  join nbr e2 on e1.z = e2.z and e1.x < e2.x
+                  group by 1, 2),
+            np as (select p.* from p
+                   anti join canon on p.ent_a = canon.x
+                                   and p.ent_b = canon.y)
+            select ent_a, ent_b, n_shared,
+                   cast(cast(s as varchar) as double) aa_score
+            from np""",
         # triangles: degree-ordered orientation (each triangle counted
         # once at its (deg, id)-smallest vertex) reproduced verbatim;
         # clustering = one double tree over exact bigints

@@ -69,7 +69,7 @@ HEADLINE = [
     'streaming_curate', 'length_quantiles', 'pack_plan',
     'kg_entity_similarity', 'kg_entity_canon', 'leakage_safe_split',
     'dedup_substring_spans', 'entity_bursts', 'event_sessions',
-    'window_perplexity', 'kg_triangles',
+    'window_perplexity', 'kg_triangles', 'kg_link_predict',
 ]
 
 

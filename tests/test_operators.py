@@ -1240,3 +1240,34 @@ def test_triangle_stats_known_graph(spark):
     for v in ('s1', 's2', 's3', 's4'):
         assert (got[v]['degree'], got[v]['triangles'],
                 got[v]['clustering']) == (2, 0, 0.0)
+
+
+import math
+
+
+def test_link_predictions_adamic_adar(spark):
+    """Adamic-Adar on a hand graph: x and y share neighbors {h, r}
+    (deg 4 hub and deg 2 rare) and are non-adjacent → score
+    1/ln(4) + 1/ln(2); adjacent pairs are excluded; the rare shared
+    neighbor contributes MORE than the hub; hub cap drops hub-only
+    evidence."""
+    from jionlp_spark.operators.graph import link_predictions
+    edges = [('x', 'h'), ('y', 'h'), ('u', 'h'), ('v', 'h'),
+             ('x', 'r'), ('y', 'r'),
+             ('u', 'v')]                      # u-v adjacent AND share h
+    e = spark.createDataFrame(edges, 'ent_a string, ent_b string')
+    got = {(r['ent_a'], r['ent_b']): r
+           for r in link_predictions(e).collect()}
+    xy = got[('x', 'y')]
+    assert xy['n_shared'] == 2
+    assert abs(xy['aa_score']
+               - (1 / math.log(4) + 1 / math.log(2))) < 1e-12
+    assert ('u', 'v') not in got              # adjacent → excluded
+    assert ('x', 'h') not in got
+    # (x, u) share only the hub h → weaker than (x, y)
+    assert got[('u', 'x')]['aa_score'] < xy['aa_score']
+
+    capped = {(r['ent_a'], r['ent_b']): r for r in
+              link_predictions(e, max_hub_degree=3).collect()}
+    assert ('u', 'x') not in capped           # hub-only evidence gone
+    assert abs(capped[('x', 'y')]['aa_score'] - 1 / math.log(2)) < 1e-12
