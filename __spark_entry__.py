@@ -807,6 +807,14 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Per-doc OOV rate vs the corpus's deterministic top-50 vocabulary
+    (operators/textstats.vocab_coverage — freq desc, token asc total
+    order so both engines cut the same set)."""
+    from jionlp_spark.operators.textstats import vocab_coverage
+    return vocab_coverage(_docs(spark, sf_dir), top_k=50)
+
+
 def q_kg_link_predict(spark, sf_dir):
     """Adamic-Adar link prediction (operators/graph.link_predictions):
     non-adjacent entity pairs of the skew mention graph scored by
@@ -3136,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'window_perplexity': q_window_perplexity,
         'kg_triangles': q_kg_triangles,
         'kg_link_predict': q_kg_link_predict,
+        'vocab_coverage': q_vocab_coverage,
     }
 
 
@@ -3764,6 +3773,23 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # vocab coverage: top-K cut on the (freq desc, token asc)
+        # total order — both engines select the same K rows
+        'vocab_coverage': """
+            with tok as (select doc_id,
+                                unnest(string_split(text, ' ')) w
+                         from documents),
+            freq as (select w, count(*) cnt from tok group by w),
+            vocab as (select w from freq
+                      order by cnt desc, w asc limit 50),
+            hit as (select t.doc_id,
+                           case when v.w is null then 1 else 0 end miss
+                    from tok t left join vocab v on v.w = t.w)
+            select cast(doc_id as bigint) doc_id,
+                   cast(count(*) as bigint) n_tokens,
+                   cast(sum(miss) as bigint) oov,
+                   cast(sum(miss) as double) / count(*) oov_rate
+            from hit group by doc_id""",
         # Adamic-Adar: shared-neighbor wedge join, 1/ln(deg) per-row
         # double terms summed through decimal-via-string (exact,
         # order-independent), adjacency excluded by anti join

@@ -630,3 +630,42 @@ def length_quantiles(docs: DataFrame, probs=(0.25, 0.5, 0.9, 0.99),
             .cast('long').alias(f'q_{num}'))
     return cum.groupBy('lang').agg(
         F.max('n').cast('long').alias('n_docs'), *agg_cols)
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 50,
+                   vocab: DataFrame | None = None,
+                   text_col: str = 'text',
+                   id_col: str = 'doc_id') -> DataFrame:
+    """→ (doc_id, n_tokens, oov, oov_rate) — per-document out-of-
+    vocabulary rate against a reference vocabulary: the tokenizer-
+    health / domain-shift signal (a doc whose tokens mostly miss the
+    vocab will shatter into subwords or <unk>s at training time).
+    ``vocab`` defaults to the corpus's own deterministic top-``top_k``
+    tokens (frequency desc, token asc tie-break — a total order, so
+    both engines cut the same set); pass a trained tokenizer's vocab
+    table (single column ``w``) to audit against it instead.
+
+    Scale shape: the frequency table is one map-side-combined corpus
+    groupBy; the top-K cut is a vocabulary-table sort (token-type-
+    sized, never corpus-sized); scoring is a BROADCAST left join of
+    exploded tokens against the K-row vocab followed by a per-doc
+    rollup that partitions with the generating doc (map-side combine,
+    ~1 partial row per doc per partition).  oov_rate is one per-row
+    double tree over exact bigints.
+    """
+    tok = docs.select(F.col(id_col).alias('doc_id'),
+                      F.explode(F.split(F.col(text_col), ' '))
+                      .alias('w'))
+    if vocab is None:
+        freq = tok.groupBy('w').agg(F.count('*').alias('cnt'))
+        vocab = (freq.orderBy(F.col('cnt').desc(), F.col('w').asc())
+                 .limit(int(top_k)).select('w'))
+    hit = tok.join(F.broadcast(vocab.withColumn('_in', F.lit(1))),
+                   'w', 'left')
+    return (hit.groupBy('doc_id')
+            .agg(F.count('*').cast('long').alias('n_tokens'),
+                 F.sum(F.when(F.col('_in').isNull(), 1).otherwise(0))
+                 .cast('long').alias('oov'))
+            .select('doc_id', 'n_tokens', 'oov',
+                    (F.col('oov').cast('double') / F.col('n_tokens'))
+                    .alias('oov_rate')))

@@ -1271,3 +1271,25 @@ def test_link_predictions_adamic_adar(spark):
               link_predictions(e, max_hub_degree=3).collect()}
     assert ('u', 'x') not in capped           # hub-only evidence gone
     assert abs(capped[('x', 'y')]['aa_score'] - 1 / math.log(2)) < 1e-12
+
+
+def test_vocab_coverage_topk_and_external(spark):
+    """vocab_coverage: top-K cut follows the (freq desc, token asc)
+    total order including the tie boundary; an external vocab table
+    overrides the corpus top-K."""
+    from jionlp_spark.operators.textstats import vocab_coverage
+    docs = spark.createDataFrame([
+        (0, 'a a a b b c'),        # freqs: a3 b2(+1 below) c1 d1
+        (1, 'b d'),
+    ], 'doc_id long, text string')
+    # top-2 = {a(3), b(3)} — b ties nothing; top-3 adds c over d (tie
+    # broken lexicographically)
+    got = {r['doc_id']: r for r in
+           vocab_coverage(docs, top_k=3).collect()}
+    assert (got[0]['n_tokens'], got[0]['oov']) == (6, 0)   # a,b,c all in
+    assert (got[1]['n_tokens'], got[1]['oov']) == (2, 1)   # d out
+    assert got[1]['oov_rate'] == 0.5
+    ext = spark.createDataFrame([('d',)], 'w string')
+    got2 = {r['doc_id']: r for r in
+            vocab_coverage(docs, vocab=ext).collect()}
+    assert got2[0]['oov'] == 6 and got2[1]['oov'] == 1
