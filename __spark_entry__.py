@@ -807,6 +807,17 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail (operators/textstats.ccnet_buckets):
+    per-language perplexity terciles on an integer-quantized
+    -avg_logprob grid (floor — engine-identical; round ties are not),
+    exact lower-rank cuts over the (lang, cell) count table."""
+    from jionlp_spark.operators.textstats import ccnet_buckets
+    return ccnet_buckets(_docs(spark, sf_dir)).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'lang', 'nlp_grid', 'bucket')
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Per-doc OOV rate vs the corpus's deterministic top-50 vocabulary
     (operators/textstats.vocab_coverage — freq desc, token asc total
@@ -3145,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_triangles': q_kg_triangles,
         'kg_link_predict': q_kg_link_predict,
         'vocab_coverage': q_vocab_coverage,
+        'ccnet_buckets': q_ccnet_buckets,
     }
 
 
@@ -3773,6 +3785,54 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # CCNet terciles: lm CTE chain → floor(-avg·1000) integer grid
+        # → count-table lower-rank cuts → broadcast-style join back
+        'ccnet_buckets': """
+            with toks as (select doc_id, string_split(text, ' ') w
+                          from documents),
+            bg as (select doc_id, unnest(w[1:len(w)-1]) w1,
+                          unnest(w[2:len(w)]) w2
+                   from toks where len(w) >= 2),
+            pc as (select w1, w2, count(*) c12 from bg group by 1, 2),
+            cc as (select w1, count(*) c1 from bg group by 1),
+            vv as (select count(distinct t) v
+                   from (select unnest(w) t from toks)),
+            model as (select pc.w1, pc.w2,
+                             ln((c12 + 1.0) / (c1 + v)) lnp
+                      from pc join cc using (w1) cross join vv),
+            sc as (select doc_id, count(*) n_bigrams,
+                          sum(cast(cast(lnp as varchar)
+                                   as decimal(38,18))) s
+                   from bg join model using (w1, w2) group by doc_id),
+            g as (select s.doc_id, d.lang,
+                         cast(floor(-(cast(cast(s.s as varchar)
+                                           as double) / s.n_bigrams)
+                                    * 1000) as bigint) nlp_grid
+                  from sc s join documents d using (doc_id)),
+            counts as (select lang, nlp_grid,
+                              cast(count(*) as bigint) cnt
+                       from g group by 1, 2),
+            cum as (select lang, nlp_grid, cnt,
+                           cast(sum(cnt) over (partition by lang
+                                order by nlp_grid
+                                rows unbounded preceding) as bigint)
+                               cum,
+                           cast(sum(cnt) over (partition by lang)
+                                as bigint) n
+                    from counts),
+            cuts as (select lang,
+                            cast(min(case when cum >= (n + 2) // 3
+                                          then nlp_grid end)
+                                 as bigint) c1,
+                            cast(min(case when cum >= (2 * n + 2) // 3
+                                          then nlp_grid end)
+                                 as bigint) c2
+                     from cum group by lang)
+            select cast(g.doc_id as bigint) doc_id, g.lang, g.nlp_grid,
+                   case when g.nlp_grid <= c.c1 then 'head'
+                        when g.nlp_grid <= c.c2 then 'middle'
+                        else 'tail' end bucket
+            from g join cuts c using (lang)""",
         # vocab coverage: top-K cut on the (freq desc, token asc)
         # total order — both engines select the same K rows
         'vocab_coverage': """

@@ -669,3 +669,54 @@ def vocab_coverage(docs: DataFrame, top_k: int = 50,
             .select('doc_id', 'n_tokens', 'oov',
                     (F.col('oov').cast('double') / F.col('n_tokens'))
                     .alias('oov_rate')))
+
+
+def ccnet_buckets(docs: DataFrame, grid: int = 1000,
+                  text_col: str = 'text', id_col: str = 'doc_id',
+                  lang_col: str = 'lang') -> DataFrame:
+    """→ (doc_id, lang, nlp_grid, bucket) — CCNet's head/middle/tail
+    split (Wenzek et al. 2020): every scoreable document lands in the
+    per-LANGUAGE perplexity tercile it belongs to (head = lowest
+    perplexity third — the cleanest text; tail = the candidate chaff).
+
+    Exactness at scale: terciles of raw doubles would sort each
+    language's whole corpus on one reducer.  Instead -avg_logprob is
+    quantized to an integer grid (``floor(x·grid)`` — floor of
+    engine-identical doubles is engine-identical; round() ties are
+    not), the per-language distribution reduces to a (lang, grid-cell)
+    count table (map-side combine, distinct-domain-sized shuffle), and
+    the tercile cuts are exact lower-rank order statistics of the
+    QUANTIZED distribution (integer ceil, no float surface) — the
+    histogram method for distributed quantiles, at 1/``grid`` logprob
+    resolution.  Cut tables are language-count-sized and broadcast
+    back.  Documents with no scoreable bigram are absent.
+    """
+    from pyspark.sql import Window
+    scored = (lm_perplexity(docs, text_col=text_col, id_col=id_col)
+              .filter(F.col('avg_logprob').isNotNull())
+              .join(docs.select(F.col(id_col).alias('doc_id'),
+                                F.col(lang_col).alias('lang')),
+                    'doc_id')
+              .select('doc_id', 'lang',
+                      F.floor(-F.col('avg_logprob') * F.lit(int(grid)))
+                      .cast('long').alias('nlp_grid'))
+              .localCheckpoint())
+    counts = (scored.groupBy('lang', 'nlp_grid')
+              .agg(F.count('*').cast('long').alias('cnt')))
+    w = Window.partitionBy('lang').orderBy('nlp_grid') \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (counts
+           .withColumn('cum', F.sum('cnt').over(w).cast('long'))
+           .withColumn('n', F.sum('cnt').over(
+               Window.partitionBy('lang')).cast('long')))
+    cuts = cum.groupBy('lang').agg(
+        F.min(F.when(F.col('cum') >= F.expr('(n + 2) div 3'),
+                     F.col('nlp_grid'))).cast('long').alias('c1'),
+        F.min(F.when(F.col('cum') >= F.expr('(2 * n + 2) div 3'),
+                     F.col('nlp_grid'))).cast('long').alias('c2'))
+    bucket = (F.when(F.col('nlp_grid') <= F.col('c1'), 'head')
+              .when(F.col('nlp_grid') <= F.col('c2'), 'middle')
+              .otherwise('tail'))
+    return (scored.join(F.broadcast(cuts), 'lang')
+            .select('doc_id', 'lang', 'nlp_grid',
+                    bucket.alias('bucket')))

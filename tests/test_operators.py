@@ -1293,3 +1293,36 @@ def test_vocab_coverage_topk_and_external(spark):
     got2 = {r['doc_id']: r for r in
             vocab_coverage(docs, vocab=ext).collect()}
     assert got2[0]['oov'] == 6 and got2[1]['oov'] == 1
+
+
+def test_ccnet_buckets_terciles(spark):
+    """ccnet_buckets: within one language, docs made of corpus-frequent
+    bigrams land in head and unique-token docs in tail; tercile sizes
+    follow the lower-rank rule; unscoreable docs are absent; languages
+    are bucketed independently."""
+    from jionlp_spark.operators.textstats import ccnet_buckets
+    rows = []
+    for i in range(4):                         # clean: 'a b' * 8
+        rows.append((i, ' '.join(['a b'] * 8), 'en'))
+    for i in range(4, 8):                      # medium: half clean
+        rows.append((i, ' '.join(['a b'] * 4)
+                     + ' ' + ' '.join(f'm{i}_{j}' for j in range(8)),
+                     'en'))
+    for i in range(8, 12):                     # noisy: all unique toks
+        rows.append((i, ' '.join(f'u{i}_{j}' for j in range(16)), 'en'))
+    rows.append((100, 'x', 'fr'))              # 1 token → unscoreable
+    rows.append((101, 'p q p q', 'fr'))
+    docs = spark.createDataFrame(rows,
+                                 'doc_id long, text string, lang string')
+    got = {r['doc_id']: r for r in ccnet_buckets(docs).collect()}
+    assert 100 not in got
+    assert got[101]['lang'] == 'fr' and got[101]['bucket'] == 'head'
+    # en: 12 docs in 3 grid cells of 4 → cuts at cum ≥ 4 and cum ≥ 8:
+    # each score group is exactly one tercile
+    for i in range(4):
+        assert got[i]['bucket'] == 'head', (i, got[i])
+    for i in range(4, 8):
+        assert got[i]['bucket'] == 'middle', (i, got[i])
+    for i in range(8, 12):
+        assert got[i]['bucket'] == 'tail', (i, got[i])
+    assert got[0]['nlp_grid'] < got[4]['nlp_grid'] < got[8]['nlp_grid']
