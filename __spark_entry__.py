@@ -807,6 +807,24 @@ def q_kg_entity_similarity(spark, sf_dir):
     return entity_neighbor_similarity(ents)
 
 
+def q_kg_entity_profiles(spark, sf_dir):
+    """Entity context profiles (operators/graph.entity_profiles):
+    top-3 NPMI-ranked co-occurring entities per entity over the skew
+    mention graph; the ranking order is total so row_number is
+    engine-identical."""
+    from jionlp_spark.operators.graph import entity_profiles
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj'))
+    return entity_profiles(ents, k=3)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail (operators/textstats.ccnet_buckets):
     per-language perplexity terciles on an integer-quantized
@@ -3157,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_link_predict': q_kg_link_predict,
         'vocab_coverage': q_vocab_coverage,
         'ccnet_buckets': q_ccnet_buckets,
+        'kg_entity_profiles': q_kg_entity_profiles,
     }
 
 
@@ -3785,6 +3804,44 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             with m as ({_SKEW_MENTIONS_SQL}),
             {_NEIGHBOR_SIM_CTES}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
+        # entity profiles: the kg_edge_pmi score trees verbatim, made
+        # symmetric, ranked by the total order (npmi desc nulls last,
+        # n_ab desc, other asc) — explicit null placement because the
+        # engines' defaults differ
+        'kg_entity_profiles': f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            nt as (select cast(count(distinct doc_id) as bigint) n
+                   from m),
+            df as (select obj ent,
+                          cast(count(distinct doc_id) as bigint) n_ent
+                   from m group by obj),
+            e as (select a.obj ent_a, b.obj ent_b,
+                         cast(count(distinct a.doc_id) as bigint) n_ab
+                  from m a join m b
+                    on a.doc_id = b.doc_id and a.obj < b.obj
+                  group by 1, 2),
+            sc as (select ent_a, ent_b, n_ab,
+                          case when n_ab = n then cast(null as double)
+                               else ln(cast(n_ab * n as double)
+                                       / cast(da.n_ent * db.n_ent
+                                              as double))
+                                    / ln(cast(n as double)
+                                         / cast(n_ab as double))
+                          end npmi
+                   from e
+                   join df da on e.ent_a = da.ent
+                   join df db on e.ent_b = db.ent
+                   cross join nt),
+            sym as (select ent_a ent, ent_b other, n_ab, npmi from sc
+                    union all
+                    select ent_b, ent_a, n_ab, npmi from sc),
+            r as (select ent, other, n_ab, npmi,
+                         row_number() over (partition by ent
+                              order by npmi desc nulls last,
+                                       n_ab desc, other asc) rn
+                  from sym)
+            select ent, cast(rn as bigint) rnk, other, n_ab, npmi
+            from r where rn <= 3""",
         # CCNet terciles: lm CTE chain → floor(-avg·1000) integer grid
         # → count-table lower-rank cuts → broadcast-style join back
         'ccnet_buckets': """

@@ -70,7 +70,7 @@ HEADLINE = [
     'kg_entity_similarity', 'kg_entity_canon', 'leakage_safe_split',
     'dedup_substring_spans', 'entity_bursts', 'event_sessions',
     'window_perplexity', 'kg_triangles', 'kg_link_predict',
-    'vocab_coverage', 'ccnet_buckets',
+    'vocab_coverage', 'ccnet_buckets', 'kg_entity_profiles',
 ]
 
 

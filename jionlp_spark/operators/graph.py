@@ -442,3 +442,37 @@ def link_predictions(edges: DataFrame, a_col: str = 'ent_a',
             .select('ent_a', 'ent_b', 'n_shared',
                     F.col('s').cast('string').cast('double')
                     .alias('aa_score')))
+
+
+def entity_profiles(mentions: DataFrame, k: int = 3,
+                    doc_col: str = 'doc_id',
+                    ent_col: str = 'obj') -> DataFrame:
+    """→ (ent, rnk, other, n_ab, npmi) — each entity's top-``k`` most
+    ASSOCIATED co-occurring entities by NPMI: the KG entity-context
+    profile (what an entity "is about" — the association-ranked
+    neighborhood a disambiguation or summarization stage consumes;
+    raw-support ranking would hand every profile to the corpus hubs).
+
+    Ranking order is total — (npmi desc NULLS LAST, n_ab desc, other
+    asc) — so row_number is deterministic and engine-identical; npmi
+    nulls (pairs spanning every document) rank last explicitly
+    because the engines' default null placement differs.
+
+    Scale shape: inherits edge_association's budget (per-doc self-join
+    co-partitioned on the doc key, broadcast df joins); the top-k
+    window partitions per ENTITY — partition size is the entity's
+    graph degree, bounded by the entity vocabulary, never the corpus.
+    """
+    from pyspark.sql import Window
+    assoc = edge_association(mentions, doc_col, ent_col)
+    sym = (assoc.select(F.col('ent_a').alias('ent'),
+                        F.col('ent_b').alias('other'), 'n_ab', 'npmi')
+           .union(assoc.select(F.col('ent_b').alias('ent'),
+                               F.col('ent_a').alias('other'),
+                               'n_ab', 'npmi')))
+    w = Window.partitionBy('ent').orderBy(
+        F.col('npmi').desc_nulls_last(), F.col('n_ab').desc(),
+        F.col('other').asc())
+    return (sym.withColumn('rnk', F.row_number().over(w).cast('long'))
+            .filter(F.col('rnk') <= int(k))
+            .select('ent', 'rnk', 'other', 'n_ab', 'npmi'))

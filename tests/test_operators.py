@@ -1326,3 +1326,29 @@ def test_ccnet_buckets_terciles(spark):
     for i in range(8, 12):
         assert got[i]['bucket'] == 'tail', (i, got[i])
     assert got[0]['nlp_grid'] < got[4]['nlp_grid'] < got[8]['nlp_grid']
+
+
+def test_entity_profiles_npmi_ranking(spark):
+    """entity_profiles: a rare exclusive partner outranks a hub that
+    co-occurs with everything (npmi contrast); null npmi (pair in every
+    doc) ranks LAST; k caps the profile; symmetric rows exist."""
+    from jionlp_spark.operators.graph import entity_profiles
+    rows = []
+    # X and R appear ONLY together in docs 0-1 (exclusive partners);
+    # H appears in every doc (hub); filler F_i makes H non-trivial
+    for d in (0, 1):
+        rows += [(d, 'X'), (d, 'R'), (d, 'H')]
+    for d in (2, 3, 4, 5):
+        rows += [(d, 'H'), (d, f'F{d}')]
+    m = spark.createDataFrame(rows, 'doc_id long, obj string')
+    prof = {}
+    for r in entity_profiles(m, k=2).collect():
+        prof.setdefault(r['ent'], []).append(r)
+    x = sorted(prof['X'], key=lambda r: r['rnk'])
+    # exclusive partner R (npmi 1.0) beats hub H (npmi null: X-H...
+    # X,H co-occur in 2 of 6 docs → npmi defined and < R's)
+    assert x[0]['other'] == 'R' and abs(x[0]['npmi'] - 1.0) < 1e-12
+    assert x[1]['other'] == 'H' and x[1]['npmi'] < 1.0
+    assert all(len(v) <= 2 for v in prof.values())
+    # symmetry: R's top partner is X
+    assert sorted(prof['R'], key=lambda r: r['rnk'])[0]['other'] == 'X'
