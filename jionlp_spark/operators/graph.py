@@ -464,7 +464,11 @@ def entity_profiles(mentions: DataFrame, k: int = 3,
     graph degree, bounded by the entity vocabulary, never the corpus.
     """
     from pyspark.sql import Window
-    assoc = edge_association(mentions, doc_col, ent_col)
+    # checkpoint at the edge-table boundary: the symmetric union reads
+    # the association table TWICE, and plans are trees — lazy reuse
+    # re-derives the whole per-doc self-join per branch (measured 17
+    # exchanges → 5 checkpointed)
+    assoc = edge_association(mentions, doc_col, ent_col).localCheckpoint()
     sym = (assoc.select(F.col('ent_a').alias('ent'),
                         F.col('ent_b').alias('other'), 'n_ab', 'npmi')
            .union(assoc.select(F.col('ent_b').alias('ent'),
