@@ -951,6 +951,32 @@ def q_dedup_substring_spans(spark, sf_dir):
         'start_tok', 'end_tok')
 
 
+def q_substring_dup_rate(spark, sf_dir):
+    """Doc-level ExactSubstr verdict (operators/dedup.
+    substring_dup_rate): fraction of tokens covered by corpus-
+    duplicated 20-gram spans over the same injected-boilerplate corpus
+    as dedup_substring_spans; flag at 20% coverage so the injected
+    25-token prefixes trip it on short docs."""
+    from jionlp_spark.operators.dedup import substring_dup_rate
+    d = _docs(spark, sf_dir)
+    prev = d.select((F.col('doc_id') + 1).alias('doc_id'),
+                    F.col('text').alias('prev_text'))
+    inj = (d.join(prev, 'doc_id', 'left')
+           .select('doc_id',
+                   F.when((F.col('doc_id') % 7 == 3)
+                          & F.col('prev_text').isNotNull(),
+                          F.concat_ws(
+                              ' ',
+                              F.array_join(
+                                  F.slice(F.split('prev_text', ' '),
+                                          1, 25), ' '),
+                              F.col('text')))
+                   .otherwise(F.col('text')).alias('text')))
+    return substring_dup_rate(inj, n=20, flag_at=0.2).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'n_tokens', 'dup_tokens', 'dup_rate', 'flagged')
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/valid/test split
     (operators/curate.leakage_safe_split): near-dup LSH clusters are
@@ -3176,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vocab_coverage': q_vocab_coverage,
         'ccnet_buckets': q_ccnet_buckets,
         'kg_entity_profiles': q_kg_entity_profiles,
+        'substring_dup_rate': q_substring_dup_rate,
     }
 
 
@@ -3331,6 +3358,42 @@ _COMMUNITY_MENTIONS_SQL = """select distinct doc_id,
                      end obj
               from documents,
                    lateral unnest(range(0, 5)) as t(k)"""
+
+# ExactSubstr span chain over the injected-boilerplate corpus —
+# shared by the dedup_substring_spans and substring_dup_rate oracles
+_SUBSTR_SPAN_CTES = """base as (select doc_id, text from documents),
+            inj as (select d.doc_id,
+                           case when d.doc_id % 7 = 3
+                                     and p.text is not null
+                                then array_to_string(
+                                       string_split(p.text, ' ')[1:25],
+                                       ' ') || ' ' || d.text
+                                else d.text end as text
+                    from base d
+                    left join base p on p.doc_id = d.doc_id - 1),
+            wt as (select doc_id, string_split(text, ' ') w from inj),
+            grams as (select doc_id, i pos,
+                             md5(array_to_string(w[i+1:i+20], ' ')) k
+                      from wt,
+                           lateral unnest(range(0, len(w) - 19)) as t(i)
+                      where len(w) >= 20),
+            dup as (select k from grams group by k
+                    having count(*) >= 2),
+            hits as (select g.doc_id, g.pos, g.pos + 19 as e
+                     from grams g join dup using (k)),
+            pre as (select doc_id, pos, e,
+                           max(e) over (partition by doc_id
+                                        order by pos
+                                        rows between unbounded preceding
+                                        and 1 preceding) prev_end
+                    from hits),
+            isl as (select doc_id, pos, e,
+                           sum(case when prev_end is null
+                                         or pos > prev_end + 1
+                                    then 1 else 0 end)
+                             over (partition by doc_id order by pos
+                                   rows unbounded preceding) island
+                    from pre)"""
 
 # weighted neighbor-vector cosine over a mention CTE named `m` →
 # exposes `sims(ent_a, ent_b, n_shared, dot, cos)`; dot/norms are exact
@@ -4060,44 +4123,34 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # DuckDB slice w[a:b] 1-based INCLUSIVE (w[i+1:i+20] = 20
         # tokens, matching slice(toks, i+1, 20)); gaps-and-islands
         # interval merge with the identical window frames
-        'dedup_substring_spans': """
-            with base as (select doc_id, text from documents),
-            inj as (select d.doc_id,
-                           case when d.doc_id % 7 = 3
-                                     and p.text is not null
-                                then array_to_string(
-                                       string_split(p.text, ' ')[1:25],
-                                       ' ') || ' ' || d.text
-                                else d.text end as text
-                    from base d
-                    left join base p on p.doc_id = d.doc_id - 1),
-            wt as (select doc_id, string_split(text, ' ') w from inj),
-            grams as (select doc_id, i pos,
-                             md5(array_to_string(w[i+1:i+20], ' ')) k
-                      from wt,
-                           lateral unnest(range(0, len(w) - 19)) as t(i)
-                      where len(w) >= 20),
-            dup as (select k from grams group by k
-                    having count(*) >= 2),
-            hits as (select g.doc_id, g.pos, g.pos + 19 as e
-                     from grams g join dup using (k)),
-            pre as (select doc_id, pos, e,
-                           max(e) over (partition by doc_id
-                                        order by pos
-                                        rows between unbounded preceding
-                                        and 1 preceding) prev_end
-                    from hits),
-            isl as (select doc_id, pos, e,
-                           sum(case when prev_end is null
-                                         or pos > prev_end + 1
-                                    then 1 else 0 end)
-                             over (partition by doc_id order by pos
-                                   rows unbounded preceding) island
-                    from pre)
+        'dedup_substring_spans': f"""
+            with {_SUBSTR_SPAN_CTES}
             select cast(doc_id as bigint) doc_id,
                    cast(min(pos) as bigint) start_tok,
                    cast(max(e) as bigint) end_tok
             from isl group by doc_id, island""",
+        # doc-level ExactSubstr verdict: shared span chain + per-doc
+        # span-width rollup; spans are merged/disjoint so the width sum
+        # is the exact covered-token count
+        'substring_dup_rate': f"""
+            with {_SUBSTR_SPAN_CTES},
+            spans as (select doc_id, min(pos) s, max(e) en
+                      from isl group by doc_id, island),
+            pd as (select doc_id,
+                          cast(sum(en - s + 1) as bigint) dup_tokens
+                   from spans group by doc_id),
+            nt as (select doc_id,
+                          cast(len(string_split(text, ' ')) as bigint)
+                              n_tokens
+                   from inj)
+            select cast(nt.doc_id as bigint) doc_id, nt.n_tokens,
+                   cast(coalesce(pd.dup_tokens, 0) as bigint)
+                       dup_tokens,
+                   cast(coalesce(pd.dup_tokens, 0) as double)
+                       / nt.n_tokens dup_rate,
+                   cast(coalesce(pd.dup_tokens, 0) as double)
+                       / nt.n_tokens >= cast('0.2' as double) flagged
+            from nt left join pd using (doc_id)""",
         # leakage-safe split: the components walk over the shared LSH
         # pair CTE gives the group label; the Knuth split rule runs on
         # coalesce(group, doc_id) — identical mask/multiplier to

@@ -798,3 +798,38 @@ def duplicate_substring_spans(docs: DataFrame, n: int = 20,
             .agg(F.min('pos').cast('long').alias('start_tok'),
                  F.max('end').cast('long').alias('end_tok'))
             .select('doc_id', 'start_tok', 'end_tok'))
+
+
+def substring_dup_rate(docs: DataFrame, n: int = 20,
+                       min_count: int = 2, flag_at: float = 0.5,
+                       id_col: str = 'doc_id',
+                       text_col: str = 'text') -> DataFrame:
+    """→ (doc_id, n_tokens, dup_tokens, dup_rate, flagged) — the
+    document-level verdict over duplicate_substring_spans: the fraction
+    of each doc's tokens covered by corpus-duplicated ``n``-gram spans
+    (spans are merged and disjoint, so the sum of span widths is the
+    exact covered-token count), with ``flagged`` = rate ≥ ``flag_at`` —
+    the drop policy ExactSubstr pipelines apply when a page is mostly
+    boilerplate.  Docs with no duplicated span report rate 0.
+
+    Scale shape: the span table is tiny (hit regions only); the verdict
+    is ONE id-keyed left join of per-doc token counts against its
+    doc-keyed rollup.  dup_rate is one per-row double tree over exact
+    bigints, so the flag threshold splits identically in both engines.
+    """
+    spans = duplicate_substring_spans(docs, n=n, min_count=min_count,
+                                      id_col=id_col, text_col=text_col)
+    per_doc = (spans.groupBy('doc_id')
+               .agg(F.sum(F.col('end_tok') - F.col('start_tok') + 1)
+                    .cast('long').alias('dup_tokens')))
+    base = docs.select(F.col(id_col).alias('doc_id'),
+                       F.size(F.split(F.col(text_col), ' '))
+                       .cast('long').alias('n_tokens'))
+    rate = F.col('dup_tokens').cast('double') / F.col('n_tokens')
+    return (base.join(per_doc, 'doc_id', 'left')
+            .select('doc_id', 'n_tokens',
+                    F.coalesce('dup_tokens', F.lit(0)).cast('long')
+                    .alias('dup_tokens'))
+            .withColumn('dup_rate', rate)
+            .withColumn('flagged',
+                        F.col('dup_rate') >= F.lit(float(flag_at))))

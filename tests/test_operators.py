@@ -1352,3 +1352,24 @@ def test_entity_profiles_npmi_ranking(spark):
     assert all(len(v) <= 2 for v in prof.values())
     # symmetry: R's top partner is X
     assert sorted(prof['R'], key=lambda r: r['rnk'])[0]['other'] == 'X'
+
+
+def test_substring_dup_rate_verdict(spark):
+    """substring_dup_rate: exact covered-token fractions from merged
+    spans — a full verbatim copy rates 1.0 and flags; a half-duplicated
+    doc rates 10/20 (flag_at=0.5 inclusive); clean docs rate 0.0."""
+    from jionlp_spark.operators.dedup import substring_dup_rate
+    half = ' '.join(f'c{i}' for i in range(10))     # shared 10 tokens
+    docs = spark.createDataFrame([
+        (0, half + ' ' + ' '.join(f'a{i}' for i in range(10))),
+        (1, half + ' ' + ' '.join(f'b{i}' for i in range(10))),
+        (2, ' '.join(f'z{i}' for i in range(20))),
+    ], 'doc_id long, text string')
+    got = {r['doc_id']: r for r in
+           substring_dup_rate(docs, n=5, flag_at=0.5).collect()}
+    # shared prefix: matching 5-grams at pos 0..5 → span [0, 9]
+    assert (got[0]['n_tokens'], got[0]['dup_tokens']) == (20, 10)
+    assert got[0]['dup_rate'] == 0.5 and got[0]['flagged']
+    assert got[1]['dup_tokens'] == 10 and got[1]['flagged']
+    assert (got[2]['dup_tokens'], got[2]['dup_rate'],
+            got[2]['flagged']) == (0, 0.0, False)
