@@ -907,6 +907,18 @@ def q_event_sessions(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_event_winsorized(spark, sf_dir):
+    """Winsorized per-type event-value stats
+    (operators/trends.winsorized_stats): exact p99 cap via the
+    count-table lower-rank rule over the small fixed-precision value
+    domain; winsorized sums ride decimal-via-string."""
+    from jionlp_spark.operators.trends import winsorized_stats
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    return winsorized_stats(ev, p=99).select(
+        F.col('key').alias('event_type'), 'n', 'cut', 'n_capped',
+        'win_sum', 'win_mean')
+
+
 def q_entity_bursts(spark, sf_dir):
     """Temporal burst detection (operators/trends.burst_scores): per-key
     daily counts vs the zero-filled trailing-7-day baseline over the
@@ -3203,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ccnet_buckets': q_ccnet_buckets,
         'kg_entity_profiles': q_kg_entity_profiles,
         'substring_dup_rate': q_substring_dup_rate,
+        'event_winsorized': q_event_winsorized,
     }
 
 
@@ -4070,6 +4083,38 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    exp(-(cast(cast(s as varchar) as double)
                          / n_bigrams)) ppl
             from sc""",
+        # winsorized stats: count-table lower-rank p99 over the stored
+        # double domain (values group/order identically), capped values
+        # are stored doubles → decimal-via-string sums are exact
+        'event_winsorized': """
+            with ev as (select event_type k, value v from events),
+            counts as (select k, v, cast(count(*) as bigint) cnt
+                       from ev group by 1, 2),
+            cum as (select k, v, cnt,
+                           cast(sum(cnt) over (partition by k
+                                order by v rows unbounded preceding)
+                                as bigint) cum,
+                           cast(sum(cnt) over (partition by k)
+                                as bigint) n
+                    from counts),
+            cuts as (select k, max(n) n,
+                            min(case when cum >= (n * 99 + 99) // 100
+                                     then v end) cut
+                     from cum group by k),
+            capped as (select ev.k, c.n, c.cut,
+                              least(ev.v, c.cut) cv,
+                              case when ev.v > c.cut then 1 else 0 end
+                                  ov
+                       from ev join cuts c on c.k = ev.k),
+            agg as (select k, n, cut,
+                           cast(sum(ov) as bigint) n_capped,
+                           sum(cast(cast(cv as varchar)
+                                    as decimal(38,18))) s
+                    from capped group by 1, 2, 3)
+            select k event_type, n, cut, n_capped,
+                   cast(cast(s as varchar) as double) win_sum,
+                   cast(cast(s as varchar) as double) / n win_mean
+            from agg""",
         # sessionization: epoch_us bigints ≡ Spark unix_micros; the
         # boundary flag depends only on (tied) values so tie order
         # cannot change sessions

@@ -111,3 +111,52 @@ def sessionize(events: DataFrame, user_col: str = 'user_id',
                  F.count('*').cast('long').alias('n_events'),
                  (F.max('ts_us') - F.min('ts_us')).cast('long')
                  .alias('duration_us')))
+
+
+def winsorized_stats(events: DataFrame, key_col: str = 'event_type',
+                     val_col: str = 'value', p: int = 99) -> DataFrame:
+    """→ (key, n, cut, n_capped, win_sum, win_mean) — per-key
+    winsorized value statistics: the EXACT per-key p-th percentile
+    (lower-rank discrete rule) caps outliers before the sum/mean — the
+    robust rollup a metrics pipeline runs on heavy-tailed event values
+    (one pathological measurement must not move the mean).
+
+    Exactness at scale: measured values live on a SMALL distinct
+    domain (fixed-precision readings), so the percentile reduces over
+    a (key, value) count table — map-side combine, distinct-domain-
+    sized shuffle, never a per-key corpus sort (same formulation as
+    textstats.length_quantiles).  The cut table is key-count-sized and
+    broadcast back; capped values are stored doubles (either the
+    original or the cut), so the winsorized sum routes through
+    decimal(38,18)-via-string (exact, order-independent) and the mean
+    is one per-row double tree.
+    """
+    from pyspark.sql import Window
+    ev = events.select(F.col(key_col).alias('key'),
+                       F.col(val_col).alias('v'))
+    counts = (ev.groupBy('key', 'v')
+              .agg(F.count('*').cast('long').alias('cnt')))
+    w = Window.partitionBy('key').orderBy('v') \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (counts
+           .withColumn('cum', F.sum('cnt').over(w).cast('long'))
+           .withColumn('n', F.sum('cnt').over(
+               Window.partitionBy('key')).cast('long')))
+    num = int(p)
+    cuts = cum.groupBy('key').agg(
+        F.max('n').cast('long').alias('n'),
+        F.min(F.when(F.col('cum') >= F.expr(f'(n * {num} + 99) div 100'),
+                     F.col('v'))).alias('cut'))
+    capped = (ev.join(F.broadcast(cuts), 'key')
+              .select('key', 'n', 'cut',
+                      F.least(F.col('v'), F.col('cut')).alias('cv'),
+                      (F.col('v') > F.col('cut')).cast('int')
+                      .alias('over')))
+    agg = (capped.groupBy('key', 'n', 'cut')
+           .agg(F.sum('over').cast('long').alias('n_capped'),
+                F.sum(F.col('cv').cast('string').cast('decimal(38,18)'))
+                .alias('s')))
+    win_sum = F.col('s').cast('string').cast('double')
+    return agg.select('key', 'n', 'cut',
+                      'n_capped', win_sum.alias('win_sum'),
+                      (win_sum / F.col('n')).alias('win_mean'))

@@ -1373,3 +1373,23 @@ def test_substring_dup_rate_verdict(spark):
     assert got[1]['dup_tokens'] == 10 and got[1]['flagged']
     assert (got[2]['dup_tokens'], got[2]['dup_rate'],
             got[2]['flagged']) == (0, 0.0, False)
+
+
+def test_winsorized_stats_exact_cut(spark):
+    """winsorized_stats: p90 lower-rank cut on a hand distribution —
+    the outlier caps to the cut, the capped count and winsorized
+    mean are exact; a key with no outlier is untouched."""
+    from jionlp_spark.operators.trends import winsorized_stats
+    rows = ([('a', float(i)) for i in range(1, 10)]  # 1..9
+            + [('a', 1000.0)]                        # the outlier
+            + [('b', 5.0)] * 4)
+    ev = spark.createDataFrame(rows, 'event_type string, value double')
+    got = {r['key']: r for r in winsorized_stats(ev, p=90).collect()}
+    a = got['a']
+    # n=10 → rank ceil(900/100)=9 → cut = 9.0; 1000 caps to 9
+    assert (a['n'], a['cut'], a['n_capped']) == (10, 9.0, 1)
+    assert a['win_sum'] == sum(range(1, 10)) + 9.0
+    assert a['win_mean'] == a['win_sum'] / 10
+    b = got['b']
+    assert (b['n'], b['cut'], b['n_capped'], b['win_mean']) \
+        == (4, 5.0, 0, 5.0)
