@@ -793,7 +793,11 @@ def q_kg_entity_similarity(spark, sf_dir):
     (operators/graph.entity_neighbor_similarity): cosine of weighted
     co-occurrence neighbor vectors over the skew mention graph — dot
     and norms are exact bigint sums, the cosine one per-row double
-    tree, so no decimal routing is needed anywhere."""
+    tree, so no decimal routing is needed anywhere.  Runs with
+    max_hub_degree=50 — the cap BITES (the hub's z-degree is 97), so
+    the gate certifies the capped path production needs
+    (graph_scale_bench: uncapped goes hub-quadratic once the
+    vocabulary grows with the corpus)."""
     from jionlp_spark.operators.graph import entity_neighbor_similarity
     d = _docs(spark, sf_dir).select('doc_id')
     m = d.select('doc_id',
@@ -804,7 +808,7 @@ def q_kg_entity_similarity(spark, sf_dir):
         .otherwise(F.concat(F.lit('city_'),
                             F.pmod(F.col('doc_id') * 10 + F.col('k'),
                                    F.lit(97)))).alias('obj'))
-    return entity_neighbor_similarity(ents)
+    return entity_neighbor_similarity(ents, max_hub_degree=50)
 
 
 def q_kg_entity_profiles(spark, sf_dir):
@@ -3411,13 +3415,29 @@ _SUBSTR_SPAN_CTES = """base as (select doc_id, text from documents),
 # weighted neighbor-vector cosine over a mention CTE named `m` →
 # exposes `sims(ent_a, ent_b, n_shared, dot, cos)`; dot/norms are exact
 # bigint sums, the cosine ONE per-row double tree (engine-identical)
-_NEIGHBOR_SIM_CTES = """prs as (select a.obj ea, b.obj eb,
+def _neighbor_sim_ctes(cap: int | None = None) -> str:
+    """Weighted neighbor-vector cosine CTE chain over a mention CTE
+    named `m` -> exposes sims(ent_a, ent_b, n_shared, dot, cos); when
+    ``cap`` is set, hub neighbors above it are dropped from EVERY
+    neighbor vector (pairs AND norms), mirroring the operator's
+    max_hub_degree -- the scale path the gate certifies."""
+    e_all = ("e0 as (select ea z, eb x, w from prs\n"
+             "                  union all select eb, ea, w from prs)")
+    if cap is None:
+        e_cte = e_all + ',\n            e as (select * from e0)'
+    else:
+        e_cte = e_all + (
+            ',\n            zdeg as (select z, cast(count(*) as bigint) dz\n'
+            '                     from e0 group by z),\n'
+            '            e as (select e0.z, e0.x, e0.w from e0\n'
+            '                  join zdeg on zdeg.z = e0.z\n'
+            f'                  where zdeg.dz <= {cap})')
+    return ("""prs as (select a.obj ea, b.obj eb,
                            cast(count(distinct a.doc_id) as bigint) w
                     from m a
                     join m b on a.doc_id = b.doc_id and a.obj < b.obj
                     group by 1, 2),
-            e as (select ea z, eb x, w from prs
-                  union all select eb, ea, w from prs),
+            """ + e_cte + """,
             norms as (select x, cast(sum(w * w) as bigint) sq
                       from e group by x),
             dots as (select e1.x ent_a, e2.x ent_b,
@@ -3432,7 +3452,7 @@ _NEIGHBOR_SIM_CTES = """prs as (select a.obj ea, b.obj eb,
                       * sqrt(cast(nb.sq as double))) cos
             from dots d
             join norms na on d.ent_a = na.x
-            join norms nb on d.ent_b = nb.x)"""
+            join norms nb on d.ent_b = nb.x)""")
 
 
 def _edge_confidence_oracle(iters: int = 3, damping: float = 0.85) -> str:
@@ -3878,7 +3898,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # edge-weight products; the cosine is ONE per-row double tree
         'kg_entity_similarity': f"""
             with m as ({_SKEW_MENTIONS_SQL}),
-            {_NEIGHBOR_SIM_CTES}
+            {_neighbor_sim_ctes(cap=50)}
             select ent_a, ent_b, n_shared, dot, cos from sims""",
         # entity profiles: the kg_edge_pmi score trees verbatim, made
         # symmetric, ranked by the total order (npmi desc nulls last,
@@ -4226,7 +4246,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # → canonical = max-df member (ties lex-min) via first_value
         'kg_entity_canon': f"""
             with recursive m as ({_COMMUNITY_MENTIONS_SQL}),
-            {_NEIGHBOR_SIM_CTES},
+            {_neighbor_sim_ctes()},
             cand as (select ent_a a, ent_b b from sims
                      where cos >= cast('0.6' as double)
                        and n_shared >= 2),
