@@ -852,7 +852,9 @@ def q_kg_link_predict(spark, sf_dir):
     """Adamic-Adar link prediction (operators/graph.link_predictions):
     non-adjacent entity pairs of the skew mention graph scored by
     Σ 1/ln(deg) over shared neighbors — exact decimal cross-row sums
-    of per-row double terms."""
+    of per-row double terms.  Runs with max_hub_degree=50 (the cap
+    bites: the hub's degree is 97), certifying the capped wedge path
+    production needs."""
     from jionlp_spark.operators.graph import link_predictions
     d = _docs(spark, sf_dir).select('doc_id')
     m = d.select('doc_id',
@@ -868,7 +870,7 @@ def q_kg_link_predict(spark, sf_dir):
              .filter(F.col('a.obj') < F.col('b.obj'))
              .select(F.col('a.obj').alias('ent_a'),
                      F.col('b.obj').alias('ent_b')).distinct())
-    return link_predictions(pairs)
+    return link_predictions(pairs, max_hub_degree=50)
 
 
 def q_kg_triangles(spark, sf_dir):
@@ -4015,8 +4017,9 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                     union all select y, x from canon),
             deg as (select z, cast(count(*) as bigint) d
                     from sym group by z),
+            capdeg as (select z, d from deg where d <= 50),
             nbr as (select s.n z, s.z x, d.d
-                    from sym s join deg d on d.z = s.n),
+                    from sym s join capdeg d on d.z = s.n),
             p as (select e1.x ent_a, e2.x ent_b,
                          cast(count(*) as bigint) n_shared,
                          sum(cast(cast(cast('1.0' as double)
