@@ -660,7 +660,8 @@ def vocab_coverage(docs: DataFrame, top_k: int = 50,
         freq = tok.groupBy('w').agg(F.count('*').alias('cnt'))
         vocab = (freq.orderBy(F.col('cnt').desc(), F.col('w').asc())
                  .limit(int(top_k)).select('w'))
-    hit = tok.join(F.broadcast(vocab.withColumn('_in', F.lit(1))),
+    hit = tok.join(F.broadcast(vocab.select('w').distinct()
+                               .withColumn('_in', F.lit(1))),
                    'w', 'left')
     return (hit.groupBy('doc_id')
             .agg(F.count('*').cast('long').alias('n_tokens'),
