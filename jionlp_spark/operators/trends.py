@@ -129,11 +129,15 @@ def winsorized_stats(events: DataFrame, key_col: str = 'event_type',
     broadcast back; capped values are stored doubles (either the
     original or the cut), so the winsorized sum routes through
     decimal(38,18)-via-string (exact, order-independent) and the mean
-    is one per-row double tree.
+    is one per-row double tree.  Null measurements are EXCLUDED
+    before counting (a null would otherwise join the cumulative order
+    at an engine-dependent position and shift the percentile rank);
+    n counts actual measurements only.
     """
     from pyspark.sql import Window
-    ev = events.select(F.col(key_col).alias('key'),
-                       F.col(val_col).alias('v'))
+    ev = (events.select(F.col(key_col).alias('key'),
+                        F.col(val_col).alias('v'))
+          .filter(F.col('v').isNotNull()))
     counts = (ev.groupBy('key', 'v')
               .agg(F.count('*').cast('long').alias('cnt')))
     w = Window.partitionBy('key').orderBy('v') \
