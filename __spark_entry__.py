@@ -2882,6 +2882,56 @@ def q_streaming_curate(spark, sf_dir):
     return out
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Streaming sessionization (streaming/stream.streaming_sessions)
+    under the batch gate: 20 users × 12 events at minutes
+    k·10 + (k div 3)·35 — every third event jumps 45 min (> the 30-min
+    gap), so each user closes sessions (k 0-2)(3-5)(6-8) and leaves
+    (9-11) open.  Two mtime-ordered micro-batches split at k=6; the
+    1-hour watermark never reaches any session deadline, so no timeout
+    fires and the drained stream emits EXACTLY the batch operator's
+    sessions minus each user's final open one (60 rows) — the
+    stream ≡ batch closed form the oracle rebuilds."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'sess')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_sessions
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_streams', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    for i, pred in enumerate(('id < 120', 'id >= 120')):
+        part = f'{src_dir}/batch_{i}'
+        ev_part = (spark.range(240).filter(pred).selectExpr(
+            'id % 20 as user_id',
+            "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0,"
+            ' (id div 20) * 10 + ((id div 20) div 3) * 35, 0) as ts'))
+        ev_part.coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,
+                          1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('user_id long, ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_sessions(stream, gap_minutes=30,
+                                watermark='1 hour')
+    table = f'stream_sess_{abs(hash(key)) % 10**8}'
+    _run_stream_lowstate(spark, result, table, ckpt)
+    out = spark.table(table).select(
+        F.col('user_id').cast('long').alias('user_id'), 'sess_idx',
+        'start_us', 'end_us', 'n_events', 'duration_us')
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window counts (streaming/stream.py
     windowed_entity_counts) with REAL late-data drops under the batch gate.
@@ -3205,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsir_weights': q_dsir_weights,
         'semdedup_keep': q_semdedup_keep,
         'streaming_curate': q_streaming_curate,
+        'streaming_sessions': q_streaming_sessions,
         'kg_edge_confidence': q_kg_edge_confidence,
         'length_quantiles': q_length_quantiles,
         'pack_plan': q_pack_plan,
@@ -4106,6 +4157,43 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    exp(-(cast(cast(s as varchar) as double)
                          / n_bigrams)) ppl
             from sc""",
+        # streaming sessionization: stream ≡ batch-minus-open-session
+        # closed form — the same lag/cumsum session construction as
+        # event_sessions over the synthesized 20×12 grid, excluding
+        # each user's max (still-open) session
+        'streaming_sessions': """
+            with ev as (
+              select id % 20 user_id,
+                     cast(epoch_us(timestamp '2021-09-01 00:00:00')
+                          + ((id // 20) * 10
+                             + ((id // 20) // 3) * 35) * 60000000
+                          as bigint) ts_us
+              from range(0, 240) t(id)),
+            f as (select user_id, ts_us,
+                         case when ts_us - lag(ts_us) over
+                                   (partition by user_id
+                                    order by ts_us) > 1800000000
+                              then 1 else 0 end new_sess
+                  from ev),
+            s as (select user_id, ts_us,
+                         cast(sum(new_sess) over
+                              (partition by user_id order by ts_us
+                               rows unbounded preceding) as bigint)
+                             sess_idx
+                  from f),
+            agg as (select user_id, sess_idx,
+                           cast(min(ts_us) as bigint) start_us,
+                           cast(max(ts_us) as bigint) end_us,
+                           cast(count(*) as bigint) n_events,
+                           cast(max(ts_us) - min(ts_us) as bigint)
+                               duration_us
+                    from s group by user_id, sess_idx),
+            mx as (select user_id, max(sess_idx) mi
+                   from agg group by user_id)
+            select a.user_id, a.sess_idx, a.start_us, a.end_us,
+                   a.n_events, a.duration_us
+            from agg a join mx using (user_id)
+            where a.sess_idx != mx.mi""",
         # winsorized stats: count-table lower-rank p99 over the stored
         # double domain (values group/order identically), capped values
         # are stored doubles → decimal-via-string sums are exact

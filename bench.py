@@ -71,7 +71,7 @@ HEADLINE = [
     'dedup_substring_spans', 'entity_bursts', 'event_sessions',
     'window_perplexity', 'kg_triangles', 'kg_link_predict',
     'vocab_coverage', 'ccnet_buckets', 'kg_entity_profiles',
-    'substring_dup_rate', 'event_winsorized',
+    'substring_dup_rate', 'event_winsorized', 'streaming_sessions',
 ]
 
 

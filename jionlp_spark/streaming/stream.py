@@ -318,3 +318,84 @@ def streaming_curate(docs_stream: DataFrame, langs=None,
         F.when(F.col('dup_index') == 0, F.lit('kept'))
         .otherwise(F.lit('dropped_exact')).alias('status'))
     return verdicts.unionByName(rejected)
+
+
+def streaming_sessions(events_stream: DataFrame,
+                       gap_minutes: int = 30,
+                       watermark: str = '1 hour') -> DataFrame:
+    """Streaming gap-based sessionization — the stateful-streaming
+    analog of operators/trends.sessionize over an unbounded event
+    stream:
+
+        (user_id, sess_idx, start_us, end_us, n_events, duration_us)
+
+    one row per CLOSED session, emitted when a subsequent event of the
+    same user arrives more than ``gap_minutes`` after the session's
+    last event, or when the session's event-time timeout fires (last
+    event + gap passing the watermark) — so a user who stops arriving
+    still closes.  Sessions still open when a finite stream drains are
+    NOT emitted (they are not closed); for a drained stream whose
+    timeouts never fire, the output is exactly the batch operator's
+    sessions minus each user's final (open) session — the oracle
+    claim.
+
+    State = one row per user {sess_start_us, last_us, n_events,
+    sess_idx}; per-user session indices continue across micro-batches
+    (batch-identical numbering when each user's events arrive in
+    event-time order across batches).  Epoch micros come from the
+    naive timestamp's raw value (pandas .value — tz-free), matching
+    the batch operator's calendar-field arithmetic on naive data.
+
+    Plan shape: the only shuffle is the user-key state exchange; state
+    size is bounded by ACTIVE users (timeout removes quiet ones one
+    gap past the watermark).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    wm = events_stream.select(
+        F.col('user_id'), F.col('ts')).withWatermark('ts', watermark)
+
+    out_schema = ('user_id long, sess_idx long, start_us long, '
+                  'end_us long, n_events long, duration_us long')
+    state_schema = ('sess_start_us long, last_us long, n_events long, '
+                    'sess_idx long')
+    cols = ['user_id', 'sess_idx', 'start_us', 'end_us', 'n_events',
+            'duration_us']
+
+    def sess_fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n, idx = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, idx, start, last, n,
+                                 last - start)], columns=cols)
+            return
+        start = last = n = None
+        idx = 0
+        if state.exists:
+            start, last, n, idx = state.get
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values('ts')
+            for row in pdf.itertuples():
+                ts_us = row.ts.value // 1_000
+                if last is None:
+                    start, last, n = ts_us, ts_us, 1
+                elif ts_us - last > gap_us:
+                    out.append((uid, idx, start, last, n, last - start))
+                    idx += 1
+                    start, last, n = ts_us, ts_us, 1
+                else:
+                    last = max(last, ts_us)
+                    n += 1
+        state.update((start, last, n, idx))
+        state.setTimeoutTimestamp(last // 1_000 + gap_us // 1_000)
+        yield pd.DataFrame(out, columns=cols)
+
+    return (wm.groupBy('user_id')
+            .applyInPandasWithState(sess_fn, out_schema, state_schema,
+                                    'append',
+                                    GroupStateTimeout.EventTimeTimeout))

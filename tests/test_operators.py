@@ -1393,3 +1393,56 @@ def test_winsorized_stats_exact_cut(spark):
     b = got['b']
     assert (b['n'], b['cut'], b['n_capped'], b['win_mean']) \
         == (4, 5.0, 0, 5.0)
+
+
+def test_streaming_sessions_merge_and_timeout(spark, tmp_path):
+    """streaming_sessions: a session spanning two micro-batches merges
+    (no split at the boundary); once the watermark passes a quiet
+    user's deadline the open session closes via TIMEOUT and is
+    emitted; still-open sessions are not."""
+    import datetime
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_sessions
+
+    src = str(tmp_path / 'src')
+    ckpt = str(tmp_path / 'ckpt')
+    os.makedirs(src)
+    t = lambda h, m: datetime.datetime(2021, 9, 1, h, m)
+    batches = [
+        [(1, t(10, 0)), (1, t(10, 5)), (5, t(10, 0))],
+        [(5, t(10, 10)), (9, t(10, 20))],     # u5 merges across batches
+        [(9, t(14, 0))],                      # advances wm to 13:00
+        [(9, t(14, 10))],                     # wm 13:00 fires timeouts
+    ]
+    for i, rows in enumerate(batches):
+        part = f'{src}/batch_{i}'
+        spark.createDataFrame(rows, 'user_id long, ts timestamp') \
+            .coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream.schema('user_id long, ts timestamp')
+              .option('maxFilesPerTrigger', '1').parquet(f'{src}/batch_*'))
+    q = (streaming_sessions(stream, gap_minutes=30, watermark='1 hour')
+         .writeStream.format('memory').queryName('sess_test')
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', ckpt).start())
+    q.awaitTermination(240)
+    got = {(r['user_id'], r['sess_idx']): r
+           for r in spark.table('sess_test').collect()}
+    us = lambda h, m: int(datetime.datetime(
+        2021, 9, 1, h, m).timestamp() * 1_000_000)
+    # u9's 10:20 one-event session closes when its own 14:00 event
+    # arrives; the 14:00-14:10 session (idx 1) is still open → absent
+    assert set(got) == {(1, 0), (5, 0), (9, 0)}
+    u9 = got[(9, 0)]
+    assert (u9['start_us'], u9['end_us'], u9['n_events']) == \
+        (us(10, 20), us(10, 20), 1)
+    u1 = got[(1, 0)]
+    assert (u1['start_us'], u1['end_us'], u1['n_events']) == \
+        (us(10, 0), us(10, 5), 2)             # closed by timeout
+    u5 = got[(5, 0)]
+    assert (u5['start_us'], u5['end_us'], u5['n_events']) == \
+        (us(10, 0), us(10, 10), 2)            # merged across the split
