@@ -1074,6 +1074,107 @@ def q_kg_edge_confidence(spark, sf_dir):
     return edge_confidence(ents)
 
 
+def _web_pages(spark, sf_dir):
+    """Deterministic crawl-page corpus for the web-link-graph family:
+    50 hosts (h0..h49.example.com), each page carrying anchors that
+    exercise every kernels/links.py extraction path under the gate —
+    double-quoted / single-quoted / bare hrefs, uppercase tag +
+    attribute, protocol-relative href with uppercase authority and a
+    port (lowered + stripped), a nested-tag anchor (stripped +
+    whitespace-collapsed), a path-relative href (resolves to the base
+    host), and dropped junk (fragment, mailto).  Every formula is
+    closed-form in doc_id so the DuckDB oracles rebuild the link table
+    exactly (_WEB_LINKS_CTE)."""
+    d = F.col('doc_id')
+    a = (d * 7 + 1) % 50
+    b = (d * 7 + 2) % 50
+    c = (d * 7 + 3) % 50
+    j = d % 7
+    html = F.format_string(
+        '<html><body>'
+        '<a href="http://h%s.example.com/a%s">to h%s</a>'
+        "<a href='http://h%s.example.com/b'>to h%s</a>"
+        '<A HREF=//H%s.EXAMPLE.com:8080/x rel=nofollow>port h%s</A>'
+        '<a class="m" href=http://m%s.example.net/x>mirror %s</a>'
+        "<a href='/about'>about <b>us</b></a>"
+        '<a href="#top">top</a><a href="mailto:u@x.com">mail</a>'
+        '<p>%s</p></body></html>',
+        a, d, a, b, b, c, c, j, j, F.col('text'))
+    return _docs(spark, sf_dir).select(
+        F.format_string('http://h%s.example.com/p%s', d % 50, d)
+        .alias('url'),
+        html.alias('html'))
+
+
+_WEB_LINKS_CTE = """l as (
+  select concat('h', cast(d.doc_id % 50 as varchar), '.example.com')
+           as src_host,
+         case ks.k
+           when 0 then concat('h', cast((d.doc_id * 7 + 1) % 50 as varchar),
+                              '.example.com')
+           when 1 then concat('h', cast((d.doc_id * 7 + 2) % 50 as varchar),
+                              '.example.com')
+           when 2 then concat('h', cast((d.doc_id * 7 + 3) % 50 as varchar),
+                              '.example.com')
+           when 3 then concat('m', cast(d.doc_id % 7 as varchar),
+                              '.example.net')
+           else concat('h', cast(d.doc_id % 50 as varchar), '.example.com')
+         end as dst_host,
+         case ks.k
+           when 0 then concat('to h', cast((d.doc_id * 7 + 1) % 50
+                                           as varchar))
+           when 1 then concat('to h', cast((d.doc_id * 7 + 2) % 50
+                                           as varchar))
+           when 2 then concat('port h', cast((d.doc_id * 7 + 3) % 50
+                                             as varchar))
+           when 3 then concat('mirror ', cast(d.doc_id % 7 as varchar))
+           else 'about us'
+         end as anchor
+  from documents d, (values (0), (1), (2), (3), (4)) ks(k))"""
+
+
+def q_web_link_graph(spark, sf_dir):
+    """Hyperlink extraction → weighted host-level edge table
+    (operators/weblinks): the <a href> anchors ARE the KG edges on the
+    web side — the dual of CleanHTML's anchor deletion.  One
+    ArrowEvalPython extraction node per scan, explode once, map-side-
+    combined host×host counts; same-host navigation links dropped (the
+    drop_self filter genuinely bites: docs ≡ 8, 33 (mod 50) make their
+    second anchor point home).  The oracle rebuilds the kept-link table
+    closed-form from doc_id."""
+    from jionlp_spark.operators.weblinks import extract_links, host_edges
+    return host_edges(extract_links(_web_pages(spark, sf_dir)))
+
+
+def q_web_host_pagerank(spark, sf_dir):
+    """Host PageRank over the DIRECTED crawl link graph
+    (operators/weblinks.host_pagerank → graph.pagerank, 3 rounds,
+    d=0.85), with dangling hosts (the *.example.net mirror targets —
+    dst-only nodes) excluded per the out-degree-complete contract: the
+    standard dangling-node handling for web PageRank.  The oracle runs
+    the shared _pagerank_edge_ctes chain (the directed refactor of
+    _pagerank_ctes) over the closed-form edge CTE — bit-identical pr
+    vectors by the per-row-tree + decimal-reduction rules."""
+    from jionlp_spark.operators.weblinks import (
+        extract_links, host_edges, host_pagerank)
+    edges = (host_edges(extract_links(_web_pages(spark, sf_dir)))
+             .filter(F.col('dst_host').endswith('.example.com')))
+    return host_pagerank(edges, iters=3)
+
+
+def q_web_anchor_stats(spark, sf_dir):
+    """Anchor-text alias table (operators/weblinks.anchor_stats): the
+    top-2 anchor texts per target host under the (n desc, anchor asc)
+    total order — how the web names each host, the alias source entity
+    canonicalization consumes.  The cut bites: .com hosts carry three
+    distinct anchors ('to hX' from two link slots, 'about us', 'port
+    hX'), so rank ≤ 2 drops one per host, with the n=10 tie between
+    'about us' and 'port hX' broken lexicographically in both
+    engines."""
+    from jionlp_spark.operators.weblinks import anchor_stats, extract_links
+    return anchor_stats(extract_links(_web_pages(spark, sf_dir)), k=2)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR log-importance weights (operators/curate.dsir_logweights —
     Xie et al. 2023): hashed unigram+bigram bucket models with add-one
@@ -3273,6 +3374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_entity_profiles': q_kg_entity_profiles,
         'substring_dup_rate': q_substring_dup_rate,
         'event_winsorized': q_event_winsorized,
+        'web_link_graph': q_web_link_graph,
+        'web_host_pagerank': q_web_host_pagerank,
+        'web_anchor_stats': q_web_anchor_stats,
     }
 
 
@@ -3353,15 +3457,25 @@ def _pagerank_ctes(iters: int = 3, damping: float = 0.85) -> str:
     1.0 - 0.85 in decimal is exactly 0.15 where IEEE doubles give
     0.15000000000000002).  Shared by the kg_entity_pagerank and
     kg_edge_confidence oracles."""
-    tele = 1.0 - damping
-    sql = f"""prs as (select a.obj ea, b.obj eb,
+    return f"""prs as (select a.obj ea, b.obj eb,
                            cast(count(distinct a.doc_id) as bigint) w
                     from m a
                     join m b on a.doc_id = b.doc_id and a.obj < b.obj
                     group by 1, 2),
             e as (select ea src, eb dst, w from prs
                   union all select eb, ea, w from prs),
-            wd as (select src, sum(w) wdeg from e group by 1),
+            {_pagerank_edge_ctes(iters, damping)}"""
+
+
+def _pagerank_edge_ctes(iters: int = 3, damping: float = 0.85) -> str:
+    """The engine-parity PageRank rounds over a caller-defined edge CTE
+    ``e(src, dst, w)`` — directed as given (callers symmetrize for
+    undirected graphs; ``_pagerank_ctes`` does).  Every node must appear
+    as a src (graph.pagerank's out-degree-complete contract); the
+    web_host_pagerank oracle feeds a dangling-filtered directed host
+    graph."""
+    tele = 1.0 - damping
+    sql = """wd as (select src, sum(w) wdeg from e group by 1),
             ew as (select e.src, e.dst, e.w, wd.wdeg
                    from e join wd using (src)),
             nodes as (select distinct src v from e),
@@ -5589,6 +5703,41 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                                   as decimal(18,6)) as varchar) as double)
                        as sum_value
             from events group by 1, 2, 3""",
+        # web link graph family: the kept-link table is closed-form in
+        # doc_id (see _web_pages — the Spark side runs the real
+        # kernels/links.py extraction over constructed HTML); self-links
+        # (the relative 'about us' anchor + the doc_id ≡ 8,33 (mod 50)
+        # collisions of the second slot) are dropped by host_edges
+        'web_link_graph': f"""
+            with {_WEB_LINKS_CTE}
+            select src_host, dst_host, cast(count(*) as bigint) as n_links
+            from l where src_host <> dst_host
+            group by src_host, dst_host""",
+        # directed PageRank over the dangling-filtered host graph via
+        # the shared _pagerank_edge_ctes chain (engine-identical pr by
+        # the per-row-tree + decimal-reduction rules)
+        'web_host_pagerank': f"""
+            with {_WEB_LINKS_CTE},
+            e as (select src_host as src, dst_host as dst,
+                         cast(count(*) as bigint) as w
+                  from l
+                  where src_host <> dst_host
+                    and dst_host like '%.example.com'
+                  group by 1, 2),
+            {_pagerank_edge_ctes(3, 0.85)}
+            select v as host, pr from pr3""",
+        # top-2 anchors per target host under the (n desc, anchor asc)
+        # total order — both engines cut identical rows
+        'web_anchor_stats': f"""
+            with {_WEB_LINKS_CTE},
+            c as (select dst_host, anchor, cast(count(*) as bigint) as n
+                  from l where anchor <> '' group by 1, 2)
+            select dst_host, anchor, n, rank from (
+              select dst_host, anchor, n,
+                     cast(row_number() over (partition by dst_host
+                          order by n desc, anchor asc) as bigint) as rank
+              from c) r
+            where rank <= 2""",
     }
 
 

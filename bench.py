@@ -72,6 +72,7 @@ HEADLINE = [
     'window_perplexity', 'kg_triangles', 'kg_link_predict',
     'vocab_coverage', 'ccnet_buckets', 'kg_entity_profiles',
     'substring_dup_rate', 'event_winsorized', 'streaming_sessions',
+    'web_link_graph', 'web_host_pagerank', 'web_anchor_stats',
 ]
 
 

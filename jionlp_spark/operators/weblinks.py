@@ -1,0 +1,117 @@
+"""Web link graph — anchors → host edges → host PageRank → anchor-text
+alias table.
+
+The KG pipeline's input is a crawl (``input_hint``: url, html, …).  The
+reference's CleanHTML deletes anchors as boilerplate
+(``rule/html_cleansing.py:157-253``); a web-scale KG additionally wants
+the dual view: hyperlinks as first-class edges.  This module turns the
+``html`` column into
+
+1. a long ``links`` table (one row per kept anchor),
+2. a weighted host-level edge table,
+3. host PageRank over that directed graph (``graph.pagerank``), and
+4. per-host anchor-text statistics — the classic alias/surface-form
+   source for entity canonicalization (anchor text ≈ how the web names
+   the target).
+
+Scale shape: extraction is ONE ArrowEvalPython node per corpus scan
+(array<struct> per page, exploded once — same design as the mention
+sweep, ``operators/mentions.py``); everything downstream is
+groupBy/window over the *link* table (edges ∝ anchors, never
+corpus-quadratic).  Host keys are low-cardinality relative to pages, so
+the edge aggregation map-side combines; hot hosts (a popular domain
+linked from everywhere) skew the dst key — AQE skew handling applies,
+and the anchor-stats window partitions by dst_host with the same
+caveat.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from jionlp_spark.kernels import links as _k
+
+LINK_TYPE = T.StructType([
+    T.StructField('href', T.StringType()),
+    T.StructField('dst_host', T.StringType()),
+    T.StructField('anchor', T.StringType()),
+])
+
+
+@pandas_udf(T.ArrayType(LINK_TYPE))
+def _links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    out = []
+    for h, u in zip(html, url):
+        if h is None:
+            out.append([])
+            continue
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode('utf-8', errors='replace')
+        out.append([(d['href'], d['dst_host'], d['anchor'])
+                    for d in _k.extract_links(h, u or '')])
+    return pd.Series(out)
+
+
+def extract_links(pages: DataFrame, url_col: str = 'url',
+                  html_col: str = 'html') -> DataFrame:
+    """pages(url, html, …) → links(url, src_host, href, dst_host, anchor),
+    one row per kept anchor (kernels/links.py contract), duplicates
+    preserved — multiplicity is the edge weight downstream."""
+    src_host_udf = pandas_udf(
+        lambda u: u.map(lambda x: _k.url_host(x) if x is not None else None),
+        T.StringType())
+    return (pages
+            .select(F.col(url_col).alias('url'),
+                    src_host_udf(F.col(url_col)).alias('src_host'),
+                    F.explode(_links_udf(F.col(html_col),
+                                         F.col(url_col))).alias('l'))
+            .select('url', 'src_host', 'l.href', 'l.dst_host', 'l.anchor'))
+
+
+def host_edges(links: DataFrame, drop_self: bool = True) -> DataFrame:
+    """links → (src_host, dst_host, n_links) weighted directed edges.
+    ``drop_self`` removes same-host (navigation) links — the usual web
+    graph convention."""
+    e = links.filter(F.col('src_host').isNotNull()
+                     & F.col('dst_host').isNotNull())
+    if drop_self:
+        e = e.filter(F.col('src_host') != F.col('dst_host'))
+    return (e.groupBy('src_host', 'dst_host')
+             .agg(F.count('*').cast('long').alias('n_links')))
+
+
+def host_pagerank(edges: DataFrame, iters: int = 3,
+                  damping: float = 0.85) -> DataFrame:
+    """→ (host, pr) over the DIRECTED host graph.
+
+    ``graph.pagerank``'s contract requires out-degree-complete input
+    (every node appears as a source); callers must pre-filter dangling
+    hosts (dst-only nodes) — e.g. restrict to the crawl's own domain
+    set, as the gated query does.  That is the standard dangling-node
+    exclusion for web PageRank, not a toy shortcut."""
+    from jionlp_spark.operators.graph import pagerank
+    return (pagerank(edges, iters=iters, damping=damping,
+                     src_col='src_host', dst_col='dst_host',
+                     weight_col='n_links')
+            .select(F.col('v').alias('host'), 'pr'))
+
+
+def anchor_stats(links: DataFrame, k: int = 3) -> DataFrame:
+    """→ (dst_host, anchor, n, rank): the k most frequent anchor texts
+    per target host (count desc, anchor asc — a total order, so both
+    engines cut identical rows).  Anchor text is the web's alias table
+    for the target — input to entity canonicalization."""
+    counts = (links
+              .filter(F.col('dst_host').isNotNull()
+                      & (F.col('anchor') != ''))
+              .groupBy('dst_host', 'anchor')
+              .agg(F.count('*').cast('long').alias('n')))
+    w = Window.partitionBy('dst_host').orderBy(
+        F.col('n').desc(), F.col('anchor').asc())
+    return (counts.withColumn('rank', F.row_number().over(w).cast('long'))
+                  .filter(F.col('rank') <= k))

@@ -1,0 +1,102 @@
+"""Web link graph family: kernels/links.py extraction contract +
+operators/weblinks aggregation semantics (the oracle-contract suite
+covers the gated end-to-end queries; these pin the kernel edge cases the
+deterministic corpus can't carry)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from jionlp_spark.kernels.links import extract_links, url_host
+
+
+def test_url_host_cases():
+    assert url_host('http://A.Example.COM/p') == 'a.example.com'
+    assert url_host('HTTPS://X.com') == 'x.com'          # scheme case
+    assert url_host('http://user:pw@Host.com:8080/x') == 'host.com'
+    assert url_host('//proto.Rel/x') == 'proto.rel'
+    assert url_host('ftp://a.com/x') is None             # non-web scheme
+    assert url_host('mailto:u@x.com') is None
+    assert url_host('relative/path') is None
+    assert url_host('http:opaque') is None               # no authority
+    assert url_host('http://') is None                   # empty authority
+
+
+def test_extract_links_drops_junk_schemes_and_fragments():
+    html = ('<a href="javascript:void(0)">j</a>'
+            '<a href="tel:+123">t</a><a href="data:text/plain,x">d</a>'
+            '<a href="#sec">f</a><a href="">e</a>'
+            '<a href="ftp://host/x">ftp</a>'
+            '<a href="http://ok.com/x">ok</a>')
+    out = extract_links(html, 'http://base.com/p')
+    assert [d['dst_host'] for d in out] == ['ok.com']
+
+
+def test_extract_links_relative_needs_base_host():
+    # path-relative href against a base URL with no web authority → drop
+    assert extract_links('<a href="/x">a</a>', 'not-a-url') == []
+    out = extract_links('<a href="sub/page.html">a</a>',
+                        'http://b.com/dir/p')
+    assert [d['dst_host'] for d in out] == ['b.com']
+
+
+def test_extract_links_bare_href_and_anchor_normalization():
+    html = ('<A HREF=http://U.com/x rel=nofollow>  to\n <i>you</i>  </A>'
+            "<a data-x='1' href='//p.com:80/y'>px</a>")
+    out = extract_links(html, 'http://b.com/')
+    assert [(d['dst_host'], d['anchor']) for d in out] == [
+        ('u.com', 'to you'), ('p.com', 'px')]
+    assert out[0]['href'] == 'http://U.com/x'
+
+
+def test_extract_links_preserves_duplicates_in_order():
+    html = '<a href="http://a.com/1">x</a><a href="http://a.com/2">x</a>'
+    out = extract_links(html, 'http://b.com/')
+    assert len(out) == 2 and {d['dst_host'] for d in out} == {'a.com'}
+
+
+@pytest.fixture(scope='module')
+def links_df(spark):
+    from jionlp_spark.operators.weblinks import extract_links as op
+    rows = [
+        ('http://s1.com/a',
+         b'<a href="http://s2.com/x">two</a>'
+         b'<a href="/self">home</a><a href="http://s3.com/x">three</a>'),
+        ('http://s1.com/b', b'<a href="http://s2.com/y">two</a>'),
+        ('http://s2.com/a', b'<a href="http://s1.com/x">one</a>'
+                            b'<a href="http://s1.com/y">uno</a>'),
+    ]
+    return op(spark.createDataFrame(rows, 'url string, html binary'))
+
+
+def test_host_edges_drop_self(links_df):
+    from jionlp_spark.operators.weblinks import host_edges
+    kept = {(r.src_host, r.dst_host): r.n_links
+            for r in host_edges(links_df).collect()}
+    assert kept == {('s1.com', 's2.com'): 2, ('s1.com', 's3.com'): 1,
+                    ('s2.com', 's1.com'): 2}
+    with_self = {(r.src_host, r.dst_host): r.n_links
+                 for r in host_edges(links_df, drop_self=False).collect()}
+    assert with_self[('s1.com', 's1.com')] == 1
+
+
+def test_anchor_stats_total_order_and_cut(links_df):
+    from jionlp_spark.operators.weblinks import anchor_stats
+    rows = sorted(anchor_stats(links_df, k=1).collect())
+    got = {(r.dst_host): (r.anchor, r.n, r.rank) for r in rows}
+    # s1.com has 'home' (self-link), 'one', 'uno' all n=1: tie broken
+    # anchor asc → 'home'
+    assert got['s1.com'] == ('home', 1, 1)
+    assert got['s2.com'] == ('two', 2, 1)
+
+
+def test_host_pagerank_mass_conserved(spark):
+    from jionlp_spark.operators.weblinks import host_pagerank
+    edges = spark.createDataFrame(
+        [('a', 'b', 2), ('b', 'c', 1), ('c', 'a', 1), ('a', 'c', 1)],
+        'src_host string, dst_host string, n_links long')
+    prs = host_pagerank(edges, iters=3).collect()
+    assert len(prs) == 3
+    assert abs(sum(r.pr for r in prs) - 1.0) < 1e-9
+    # 'b' receives 2/3 of a's mass, 'c' only 1/3 of a's + all of b's
+    byv = {r.host: r.pr for r in prs}
+    assert byv['c'] > byv['b'] > 0
