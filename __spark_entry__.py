@@ -1175,6 +1175,65 @@ def q_web_anchor_stats(spark, sf_dir):
     return anchor_stats(extract_links(_web_pages(spark, sf_dir)), k=2)
 
 
+def _hll_oracle() -> str:
+    """DuckDB replay of the hll_token_distinct pipeline via the SAME
+    generated SQL snippets the Spark operator executes."""
+    from jionlp_spark.operators import sketches as sk
+    return f"""
+            with toks as (select lang, unnest(string_split(text, ' '))
+                                 as token
+                          from documents),
+            hx as (select lang, md5(token) as h from toks),
+            wb as (select lang, {sk.hll_bucket_sql('h')} as bucket,
+                          {sk.hll_w32_sql('h')} as w from hx),
+            regs as (select lang, bucket,
+                            max({sk.hll_rho_sql('w')}) as r
+                     from wb group by lang, bucket),
+            agg as (select lang,
+                           sum(cast(power(2.0, 33 - r) as bigint)) as z_obs,
+                           count(*) as n_obs
+                    from regs group by lang),
+            fin as (select lang,
+                           cast(z_obs + (256 - n_obs) * 8589934592
+                                as bigint) as z_scaled,
+                           cast(256 - n_obs as bigint) as v_empty
+                    from agg),
+            sk as (select lang, z_scaled, v_empty,
+                          {sk.hll_estimate_sql()} as hll_distinct
+                   from fin),
+            ex as (select lang, cast(count(distinct token) as bigint)
+                          as exact_distinct
+                   from toks group by lang)
+            select s.lang, s.z_scaled, s.v_empty, ex.exact_distinct,
+                   s.hll_distinct,
+                   (s.hll_distinct - ex.exact_distinct)
+                     / ex.exact_distinct as rel_err
+            from sk s join ex using (lang)"""
+
+
+def q_hll_token_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-token estimate per language
+    (operators/sketches.hll_distinct) next to the exact count and the
+    relative error.  The scale story: exact count(distinct) shuffles
+    every (lang, token) pair; the sketch's register table is langs×256
+    rows with a map-side-combined max — corpus-size-independent state.
+    The md5 register pipeline is exact integer arithmetic end-to-end
+    (scaled harmonic denominator as a bigint sum), so the DRIVER
+    verifies the sketch bit-for-bit — the reason this is hand-rolled
+    instead of approx_count_distinct's JVM-private HLL++ sketch."""
+    from jionlp_spark.operators.sketches import hll_distinct
+    toks = _docs(spark, sf_dir).select(
+        'lang', F.explode(F.split('text', ' ')).alias('token'))
+    sk = hll_distinct(toks, group_cols=('lang',), value_col='token')
+    exact = toks.groupBy('lang').agg(
+        F.countDistinct('token').cast('long').alias('exact_distinct'))
+    return (sk.join(exact, 'lang')
+            .selectExpr('lang', 'z_scaled', 'v_empty', 'exact_distinct',
+                        'hll_distinct',
+                        '(hll_distinct - exact_distinct) / exact_distinct'
+                        ' as rel_err'))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR log-importance weights (operators/curate.dsir_logweights —
     Xie et al. 2023): hashed unigram+bigram bucket models with add-one
@@ -3377,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_link_graph': q_web_link_graph,
         'web_host_pagerank': q_web_host_pagerank,
         'web_anchor_stats': q_web_anchor_stats,
+        'hll_token_distinct': q_hll_token_distinct,
     }
 
 
@@ -5738,6 +5798,14 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                           order by n desc, anchor asc) as bigint) as rank
               from c) r
             where rank <= 2""",
+        # HLL sketch replayed stage-for-stage from the shared SQL
+        # builders (operators/sketches): md5 → string bucket key +
+        # instr-expanded 32-bit w → threshold-CASE rho → max per
+        # register → exact scaled bigint denominator → one double
+        # division (numerator a shared Python literal).  DuckDB sums
+        # bigints to hugeint — the z_scaled cast back to bigint is
+        # exact (total ≤ 2^42).
+        'hll_token_distinct': _hll_oracle(),
     }
 
 

@@ -1,0 +1,108 @@
+"""Distributed sketches — deterministic HyperLogLog distinct counting.
+
+At 100 TB, ``count(distinct token)`` per key is the classic shuffle
+killer: the exact plan must co-locate every (key, token) pair before it
+can count, so the shuffle is corpus-sized.  The HLL register table is
+``keys × 256`` rows regardless of corpus size, the register aggregation
+map-side combines (``max`` per bucket), and merging partial register
+tables is associative — the same reason Spark's own
+``approx_count_distinct`` uses HLL++.  We implement the sketch from
+scratch (Flajolet et al. 2007, the standard HLL with the m ≥ 128 alpha
+constant and the small-range linear-counting correction) instead of
+calling the built-in because the whole point of this repo's gate is an
+engine-independent oracle: every stage below is a deterministic md5
+expression tree DuckDB reproduces bit-for-bit, so the DRIVER can verify
+the sketch — Spark's HLL++ is a JVM-private binary sketch no other
+engine can replay.
+
+Determinism/parity design (CLAUDE.md float rules):
+
+- hash = md5(value), lowercase hex in both engines; bucket = first two
+  hex chars (m = 256, kept as a STRING key — no hex→int needed for the
+  group key); w = next eight hex chars parsed to a 32-bit integer with
+  an instr()-based positional expansion (both engines lack a portable
+  hex→int — the generated sum of per-nibble terms is exact bigint
+  arithmetic);
+- rho = leading-zero count of w in 32 bits + 1 (33 when w = 0), as a
+  generated threshold CASE over the w column — integer-exact, no
+  log2/float bit tricks;
+- the harmonic denominator is kept SCALED: Σ 2^(33 − r) as an exact
+  bigint (r ≤ 33 ⇒ each term ≤ 2^32, total ≤ 2^42 — no overflow, no
+  order-sensitive double sum); empty buckets contribute 2^33 each,
+  added arithmetically from the observed-bucket count;
+- the estimate α·m²·2^33 / z_scaled is ONE per-row double division
+  whose numerator is a Python-computed literal injected via
+  cast('<repr>' as double) — bit-identical; the linear-counting branch
+  (raw ≤ 2.5 m and empty buckets exist → m·ln(m/V)) uses ln, where the
+  engines' libm differ at ~1e-9 relative — inside the gate's '.6f'
+  tolerance, same as every existing ln-based query (token_idf,
+  lm_perplexity, kg_link_predict).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256                       # 2 hex chars of bucket key
+_SCALE_POW = 33                   # max rho; z is scaled by 2^33
+_SCALE = 1 << _SCALE_POW          # 8589934592
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_NUMER = _ALPHA * HLL_M * HLL_M * float(_SCALE)
+_HEX = '0123456789abcdef'
+
+
+def hll_bucket_sql(h: str = 'h') -> str:
+    return f"substr({h}, 1, 2)"
+
+
+def hll_w32_sql(h: str = 'h') -> str:
+    """Hex chars 3..10 of the md5 → 32-bit integer (exact bigint sum of
+    per-nibble positional terms)."""
+    terms = ' + '.join(
+        f"cast(instr('{_HEX}', substr({h}, {3 + i}, 1)) - 1 as bigint)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"({terms})"
+
+
+def hll_rho_sql(w: str = 'w') -> str:
+    """Leading-zero count of the 32-bit value + 1; 33 when w = 0."""
+    cases = ' '.join(f"when {w} >= {1 << i} then {32 - i}"
+                     for i in range(31, -1, -1))
+    return f"(case {cases} else 33 end)"
+
+
+def hll_estimate_sql(z: str = 'z_scaled', v: str = 'v_empty') -> str:
+    """Finalizer over the exact scaled denominator + empty-bucket count."""
+    raw = f"cast('{_NUMER!r}' as double) / cast({z} as double)"
+    lin = f"{float(HLL_M)!r} * ln({float(HLL_M)!r} / cast({v} as double))"
+    return (f"(case when {raw} <= {2.5 * HLL_M!r} and {v} > 0 "
+            f"then {lin} else {raw} end)")
+
+
+def hll_distinct(df: DataFrame, group_cols=('lang',),
+                 value_col: str = 'token') -> DataFrame:
+    """→ (group_cols…, z_scaled, v_empty, hll_distinct): per-group
+    distinct-``value_col`` estimate.  ``z_scaled``/``v_empty`` are the
+    exact-integer sketch state (mergeable evidence the oracle checks
+    bit-for-bit); ``hll_distinct`` is the double estimate."""
+    gl = list(group_cols)
+    regs = (df
+            .selectExpr(*gl, f"md5({value_col}) as h")
+            .selectExpr(*gl, f"{hll_bucket_sql('h')} as bucket",
+                        f"{hll_w32_sql('h')} as w")
+            .selectExpr(*gl, 'bucket', f"{hll_rho_sql('w')} as rho")
+            .groupBy(*gl, 'bucket').agg(F.max('rho').alias('r')))
+    agg = regs.groupBy(*gl).agg(
+        F.expr(f"sum(cast(power(2.0, {_SCALE_POW} - r) as bigint))")
+        .alias('z_obs'),
+        F.count('*').alias('n_obs'))
+    return (agg
+            .selectExpr(
+                *gl,
+                f"cast(z_obs + ({HLL_M} - n_obs) * {_SCALE} as bigint)"
+                " as z_scaled",
+                f"cast({HLL_M} - n_obs as bigint) as v_empty")
+            .selectExpr(*gl, 'z_scaled', 'v_empty',
+                        f"{hll_estimate_sql()} as hll_distinct"))
