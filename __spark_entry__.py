@@ -1175,6 +1175,66 @@ def q_web_anchor_stats(spark, sf_dir):
     return anchor_stats(extract_links(_web_pages(spark, sf_dir)), k=2)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min heavy-hitter estimation (operators/sketches.cms_sketch
+    / cms_estimate): the corpus's exact top-20 tokens (freq desc, token
+    asc — a total order both engines cut identically) scored by the 4 ×
+    1024-cell sketch next to their exact counts; overestimate = est −
+    exact ≥ 0 is the CMS guarantee, surfaced as a column.  The sketch
+    path is the scale story (bounded mergeable state); the exact side
+    exists to verify it under the gate.  All-integer — exact parity."""
+    from jionlp_spark.operators.sketches import cms_estimate, cms_sketch
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split('text', ' ')).alias('token'))
+    exact = (toks.groupBy('token')
+             .agg(F.count('*').cast('long').alias('exact_freq'))
+             .orderBy(F.col('exact_freq').desc(), F.col('token').asc())
+             .limit(20))
+    est = cms_estimate(cms_sketch(toks), exact.select('token'))
+    return (exact.join(est, 'token')
+            .selectExpr('token', 'exact_freq', 'cms_est',
+                        'cast(cms_est - exact_freq as bigint)'
+                        ' as overestimate'))
+
+
+def _cms_oracle() -> str:
+    """DuckDB replay of cms_heavy_hitters via the shared w32 snippet —
+    every cell is exact bigint arithmetic."""
+    from jionlp_spark.operators.sketches import hll_w32_sql
+    return f"""
+            with toks as (select unnest(string_split(text, ' ')) as token
+                          from documents),
+            ex as (select token, cast(count(*) as bigint) as exact_freq
+                   from toks group by token),
+            top as (select token, exact_freq from ex
+                    order by exact_freq desc, token asc limit 20),
+            ri as (select i from (values (0), (1), (2), (3)) t(i)),
+            cells as (select row_i, bucket,
+                             cast(count(*) as bigint) as cnt
+                      from (select i as row_i,
+                                   {hll_w32_sql('h')} % 1024 as bucket
+                            from (select ri.i,
+                                         md5(concat(cast(ri.i as varchar),
+                                                    toks.token)) as h
+                                  from toks cross join ri))
+                      group by row_i, bucket),
+            qb as (select token, exact_freq, row_i,
+                          {hll_w32_sql('h')} % 1024 as bucket
+                   from (select t.token, t.exact_freq, ri.i as row_i,
+                                md5(concat(cast(ri.i as varchar),
+                                           t.token)) as h
+                         from top t cross join ri)),
+            est as (select token, exact_freq,
+                           cast(min(coalesce(c.cnt, 0)) as bigint)
+                               as cms_est
+                    from qb left join cells c
+                      on qb.row_i = c.row_i and qb.bucket = c.bucket
+                    group by token, exact_freq)
+            select token, exact_freq, cms_est,
+                   cast(cms_est - exact_freq as bigint) as overestimate
+            from est"""
+
+
 def _hll_oracle() -> str:
     """DuckDB replay of the hll_token_distinct pipeline via the SAME
     generated SQL snippets the Spark operator executes."""
@@ -3437,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_host_pagerank': q_web_host_pagerank,
         'web_anchor_stats': q_web_anchor_stats,
         'hll_token_distinct': q_hll_token_distinct,
+        'cms_heavy_hitters': q_cms_heavy_hitters,
     }
 
 
@@ -5806,6 +5867,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # bigints to hugeint — the z_scaled cast back to bigint is
         # exact (total ≤ 2^42).
         'hll_token_distinct': _hll_oracle(),
+        'cms_heavy_hitters': _cms_oracle(),
     }
 
 

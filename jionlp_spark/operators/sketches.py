@@ -81,6 +81,49 @@ def hll_estimate_sql(z: str = 'z_scaled', v: str = 'v_empty') -> str:
             f"then {lin} else {raw} end)")
 
 
+def cms_sketch(df: DataFrame, value_col: str = 'token',
+               d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a value
+    column → (row_i, bucket, cnt): ``d`` independent md5-seeded hash
+    rows × ``w`` counters.  The sketch table is ≤ d·w rows whatever the
+    corpus size, the counter aggregation map-side combines, and partial
+    sketches merge by cell-wise addition — the frequency-estimation
+    companion of the HLL sketch (state bounded, one pass, mergeable).
+    All arithmetic is exact bigint: hash row i buckets a value by the
+    32-bit md5 slice of ``concat(i, value)`` mod w — deterministic, so
+    DuckDB replays every cell."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias('row_i'),
+        F.col(value_col).alias('v'))
+    return (rows
+            .selectExpr('row_i',
+                        "md5(concat(cast(row_i as string), v)) as h")
+            .selectExpr('row_i', f"{hll_w32_sql('h')} % {w} as bucket")
+            .groupBy('row_i', 'bucket')
+            .agg(F.count('*').cast('long').alias('cnt')))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame,
+                 value_col: str = 'token', d: int = 4,
+                 w: int = 1024) -> DataFrame:
+    """→ (value, cms_est): point-frequency upper bounds for the query
+    values — min over the d counters each value hashes to.  The sketch
+    side is ≤ d·w rows → broadcast; absent cells read 0 (a value never
+    inserted estimates 0, the CMS guarantee est ≥ true keeps holding)."""
+    q = queries.select(F.col(value_col).alias('v')).distinct()
+    qb = (q.select(
+        'v',
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias('row_i'))
+        .selectExpr('v', 'row_i',
+                    "md5(concat(cast(row_i as string), v)) as h")
+        .selectExpr('v', 'row_i', f"{hll_w32_sql('h')} % {w} as bucket"))
+    return (qb.join(F.broadcast(sketch), ['row_i', 'bucket'], 'left')
+            .groupBy('v')
+            .agg(F.min(F.coalesce(F.col('cnt'), F.lit(0)))
+                 .cast('long').alias('cms_est'))
+            .withColumnRenamed('v', value_col))
+
+
 def hll_distinct(df: DataFrame, group_cols=('lang',),
                  value_col: str = 'token') -> DataFrame:
     """→ (group_cols…, z_scaled, v_empty, hll_distinct): per-group

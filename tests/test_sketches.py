@@ -57,3 +57,39 @@ def test_hll_estimate_matches_reference_formula(spark):
             if raw <= 2.5 * HLL_M and row.v_empty > 0 else raw)
     assert abs(row.hll_distinct - want) < 1e-9 * max(1.0, want)
     assert row.z_scaled > 0 and 0 <= row.v_empty <= HLL_M
+
+
+def test_cms_upper_bound_and_exactness_when_sparse(spark):
+    from jionlp_spark.operators.sketches import cms_estimate, cms_sketch
+    # 50 distinct values with known counts: value v_i appears i+1 times
+    df = (spark.range(50)
+          .selectExpr("explode(sequence(0, cast(id as int))) as rep",
+                      "concat('val', id) as token")
+          .select('token'))
+    sk = cms_sketch(df)
+    q = spark.range(50).selectExpr("concat('val', id) as token")
+    est = {r.token: r.cms_est for r in cms_estimate(sk, q).collect()}
+    for i in range(50):
+        true = i + 1
+        assert est[f'val{i}'] >= true          # CMS never underestimates
+    # 50 values over 4×1024 cells: collisions are overwhelmingly unlikely
+    # to hit ALL 4 rows of any value → min is exact here
+    assert all(est[f'val{i}'] == i + 1 for i in range(50))
+
+
+def test_cms_absent_value_estimates_zero(spark):
+    from jionlp_spark.operators.sketches import cms_estimate, cms_sketch
+    df = spark.range(100).selectExpr("concat('x', id) as token")
+    q = spark.createDataFrame([('never-seen-value-qqq',)], 'token string')
+    est = cms_estimate(cms_sketch(df), q).collect()
+    assert len(est) == 1 and est[0].cms_est in (0, 1)  # 0 unless collision
+
+
+def test_cms_sketch_state_is_bounded(spark):
+    from jionlp_spark.operators.sketches import cms_sketch
+    df = spark.range(20000).selectExpr("concat('t', id % 5000) as token")
+    sk = cms_sketch(df)
+    n = sk.count()
+    assert n <= 4 * 1024
+    total = sk.agg(F.sum('cnt').alias('s')).collect()[0].s
+    assert total == 4 * 20000                 # every insert hits d rows
