@@ -1175,6 +1175,95 @@ def q_web_anchor_stats(spark, sf_dir):
     return anchor_stats(extract_links(_web_pages(spark, sf_dir)), k=2)
 
 
+def q_kg_kcore(spark, sf_dir):
+    """k-core periphery pruning (operators/graph.k_core, k=2) over the
+    skew co-occurrence graph with deterministic pendant chains grafted
+    on: every doc_id ≡ 0 (mod 10) hangs a 6-node path off one of its
+    city entities, so the peel genuinely CASCADES (one tip per round,
+    6 peel rounds) instead of dropping everything in round 1 — the
+    adversarial shape the operator's round loop must walk.  The dense
+    mention core (every entity co-occurs with ≥ 2 others) survives
+    intact with its in-core degrees.  Oracle: the peel unrolled to 10
+    fixed rounds in DuckDB (rounds past convergence are no-ops, so
+    fixpoint ≡ round 10 — all-integer, exact parity)."""
+    from jionlp_spark.operators.graph import k_core
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj')).distinct()
+    a, b = ents.alias('a'), ents.alias('b')
+    prs = (a.join(b, 'doc_id')
+           .filter(F.col('a.obj') < F.col('b.obj'))
+           .select(F.col('a.obj').alias('s'), F.col('b.obj').alias('t'))
+           .distinct())
+    pd_ = d.filter(F.col('doc_id') % 10 == 0)
+    chain = (pd_
+             .select('doc_id', F.explode(F.sequence(F.lit(0), F.lit(4)))
+                     .alias('i'))
+             .select(F.format_string('p%s_%s', F.col('doc_id'),
+                                     F.col('i')).alias('s'),
+                     F.format_string('p%s_%s', F.col('doc_id'),
+                                     F.col('i') + 1).alias('t')))
+    attach = pd_.select(
+        F.concat(F.lit('city_'),
+                 F.pmod(F.col('doc_id') * 10 + 1, F.lit(97))).alias('s'),
+        F.format_string('p%s_0', F.col('doc_id')).alias('t'))
+    u = prs.union(chain).union(attach).distinct()
+    edges = u.union(u.select(F.col('t').alias('s'),
+                             F.col('s').alias('t'))).distinct()
+    return k_core(edges, k=2, src_col='s', dst_col='t') \
+        .select(F.col('v').alias('entity'), 'deg')
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 10) -> str:
+    """The peel unrolled: each round recomputes degrees over the
+    previous round's edge set and keeps both-endpoint-surviving edges.
+    Rounds after the fixpoint are no-ops, so a fixed unroll equals the
+    Spark operator's run-to-convergence result whenever the peel depth
+    fits (the gate corpus peels in 6; the operator raises past
+    max_rounds rather than returning a partial core)."""
+    sql = f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            prs as (select distinct a.obj s, b.obj t
+                    from m a join m b
+                      on a.doc_id = b.doc_id and a.obj < b.obj),
+            pd as (select doc_id from documents where doc_id % 10 = 0),
+            chain as (select concat('p', cast(doc_id as varchar), '_',
+                                    cast(i as varchar)) s,
+                             concat('p', cast(doc_id as varchar), '_',
+                                    cast(i + 1 as varchar)) t
+                      from pd, lateral unnest(range(0, 5)) as t2(i)),
+            att as (select concat('city_',
+                                  cast((doc_id * 10 + 1) % 97
+                                       as varchar)) s,
+                           concat('p', cast(doc_id as varchar), '_0') t
+                    from pd),
+            u as (select s, t from prs union select s, t from chain
+                  union select s, t from att),
+            e0 as materialized (select s src, t dst from u
+                   union select t, s from u)"""
+    # each round references the previous edge set THREE times (the edge
+    # scan + both keep-list joins) — without MATERIALIZED, DuckDB
+    # inlines CTEs and the expansion is 3^rounds scans of the parquet
+    # (the incremental_curate recursive-CTE trap, CLAUDE.md)
+    for r in range(1, rounds + 1):
+        sql += f""",
+            d{r} as (select src, count(*) deg from e{r - 1}
+                     group by src),
+            n{r} as (select src v from d{r} where deg >= {k}),
+            e{r} as materialized (select e.src, e.dst from e{r - 1} e
+                     join n{r} x on e.src = x.v
+                     join n{r} y on e.dst = y.v)"""
+    return sql + f"""
+            select src as entity, cast(count(*) as bigint) as deg
+            from e{rounds} group by src"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min heavy-hitter estimation (operators/sketches.cms_sketch
     / cms_estimate): the corpus's exact top-20 tokens (freq desc, token
@@ -3498,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_anchor_stats': q_web_anchor_stats,
         'hll_token_distinct': q_hll_token_distinct,
         'cms_heavy_hitters': q_cms_heavy_hitters,
+        'kg_kcore': q_kg_kcore,
     }
 
 
@@ -5868,6 +5958,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # exact (total ≤ 2^42).
         'hll_token_distinct': _hll_oracle(),
         'cms_heavy_hitters': _cms_oracle(),
+        'kg_kcore': _kcore_oracle(),
     }
 
 

@@ -73,7 +73,7 @@ HEADLINE = [
     'vocab_coverage', 'ccnet_buckets', 'kg_entity_profiles',
     'substring_dup_rate', 'event_winsorized', 'streaming_sessions',
     'web_link_graph', 'web_host_pagerank', 'web_anchor_stats',
-    'hll_token_distinct', 'cms_heavy_hitters',
+    'hll_token_distinct', 'cms_heavy_hitters', 'kg_kcore',
 ]
 
 

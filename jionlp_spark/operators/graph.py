@@ -322,6 +322,53 @@ def canonicalize_entities(mentions: DataFrame,
                     'df'))
 
 
+def k_core(edges: DataFrame, k: int = 2, src_col: str = 'src',
+           dst_col: str = 'dst', max_rounds: int = 30) -> DataFrame:
+    """→ (v, deg): the k-core of an undirected graph — the maximal
+    subgraph where every vertex keeps degree ≥ k — with each survivor's
+    in-core degree.  The KG periphery-pruning step: entities outside the
+    2-core are chains and pendants (single-document noise), while core
+    membership is the standard robustness filter before community /
+    centrality analysis.
+
+    Contract: ``edges`` is a SYMMETRIC, deduplicated edge list (both
+    directions present, no parallel edges, no self-loops) — the shape
+    the co-occurrence builders emit after symmetrization — so out-degree
+    = degree and one groupBy(src) counts it.
+
+    Scale shape: classic iterative peeling — each round is ONE map-side-
+    combined degree count + two semi-joins against the (node-sized) keep
+    list, ``localCheckpoint``'ed so the plan never nests (CLAUDE.md
+    iterative-driver rule).  Rounds = peel depth (the longest chain of
+    cascading removals), NOT diameter: dense cores converge in a few
+    rounds, adversarial paths peel one tip per round — hence
+    ``max_rounds`` raises rather than silently returning a half-peeled
+    graph (the dedup_components convergence policy).  Shuffles are
+    edge-table-sized and shrink monotonically."""
+    cur = (edges.select(F.col(src_col).alias('src'),
+                        F.col(dst_col).alias('dst'))
+           .localCheckpoint())
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = cur.groupBy('src').agg(F.count('*').alias('deg'))
+        keep = deg.filter(F.col('deg') >= k).select(
+            F.col('src').alias('v'))
+        nxt = (cur.join(keep.withColumnRenamed('v', 'src'), 'src',
+                        'left_semi')
+                  .join(keep.withColumnRenamed('v', 'dst'), 'dst',
+                        'left_semi')
+                  .localCheckpoint())
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return (cur.groupBy('src').agg(
+                F.count('*').cast('long').alias('deg'))
+                .select(F.col('src').alias('v'), 'deg'))
+        cur, n_edges = nxt, n_next
+    raise RuntimeError(
+        f'k_core did not converge in {max_rounds} rounds — adversarial '
+        f'peel depth; raise max_rounds')
+
+
 def triangle_stats(edges: DataFrame, a_col: str = 'ent_a',
                    b_col: str = 'ent_b') -> DataFrame:
     """→ (ent, degree, triangles, clustering) — per-vertex triangle

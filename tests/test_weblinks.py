@@ -100,3 +100,40 @@ def test_host_pagerank_mass_conserved(spark):
     # 'b' receives 2/3 of a's mass, 'c' only 1/3 of a's + all of b's
     byv = {r.host: r.pr for r in prs}
     assert byv['c'] > byv['b'] > 0
+
+
+def _sym(spark, pairs):
+    df = spark.createDataFrame(pairs, 's string, t string')
+    return df.union(df.selectExpr('t as s', 's as t')).distinct()
+
+
+def test_kcore_triangle_survives_pendants_peel(spark):
+    from jionlp_spark.operators.graph import k_core
+    edges = _sym(spark, [('a', 'b'), ('b', 'c'), ('c', 'a'),
+                         ('c', 'p0'), ('p0', 'p1'), ('p1', 'p2')])
+    got = {r.v: r.deg for r in
+           k_core(edges, k=2, src_col='s', dst_col='t').collect()}
+    assert got == {'a': 2, 'b': 2, 'c': 2}
+
+
+def test_kcore_pure_path_peels_to_empty_one_tip_per_round(spark):
+    from jionlp_spark.operators.graph import k_core
+    path = [(f'n{i}', f'n{i+1}') for i in range(8)]
+    edges = _sym(spark, path)
+    assert k_core(edges, k=2, src_col='s', dst_col='t').count() == 0
+    # the peel is genuinely sequential: a 2-round budget cannot finish
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match='did not converge'):
+        k_core(edges, k=2, src_col='s', dst_col='t', max_rounds=2)
+
+
+def test_kcore_k3_drops_the_ring(spark):
+    from jionlp_spark.operators.graph import k_core
+    # 4-clique survives k=3; the square (deg 2) does not
+    clique = [('a', 'b'), ('a', 'c'), ('a', 'd'), ('b', 'c'),
+              ('b', 'd'), ('c', 'd')]
+    square = [('w', 'x'), ('x', 'y'), ('y', 'z'), ('z', 'w')]
+    edges = _sym(spark, clique + square)
+    got = {r.v: r.deg for r in
+           k_core(edges, k=3, src_col='s', dst_col='t').collect()}
+    assert got == {'a': 3, 'b': 3, 'c': 3, 'd': 3}
