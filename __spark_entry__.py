@@ -2168,6 +2168,26 @@ def _ivf_centroids(spark, sf_dir):
     return cents
 
 
+_PQ_CB_CACHE: dict = {}
+
+
+def _pq_codebooks(spark, sf_dir):
+    """Trained (and localCheckpoint'ed) PQ codebooks, cached per
+    (applicationId, sf) — the PQ analog of _ivf_centroids; bench.py
+    reports the training pass as its own warm-up row
+    (`ann_pq_codebook_train`) so the ann_pq_topk row measures
+    encode + ADC scan, not Lloyd training."""
+    from jionlp_spark.operators.ann import pq_codebooks
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _PQ_CB_CACHE.get(key)
+    if cb is None:
+        emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+            .repartition(spark.sparkContext.defaultParallelism)
+        cb = pq_codebooks(emb)
+        _PQ_CB_CACHE[key] = cb
+    return cb
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF cosine top-3: centroids = 1 Lloyd iteration of deterministic
     hash-seeded k-means (exact decimal means → engine-identical centroids),
@@ -2185,6 +2205,37 @@ def q_ann_ivf_topk(spark, sf_dir):
                                      centroids=cents, probes=2)
     return ivf_topk(assigned, queries_assigned, k=3).select(
         F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'cos')
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-3 (operators/ann.pq_topk — Jégou et
+    al. 2011): 8 subspaces × 64 codes trained with 1 decimal-exact Lloyd
+    iteration from the shared hash-seeded sample; the corpus is encoded
+    to 8 byte-sized code ids per vector (the 32× index-payload
+    compression path) by
+    the Arrow kernel the gate certifies, and queries rank by
+    Σ_sub round6(q_sub · code) summed as exact decimals.  Encoding
+    argmin-L2 is expressed as argmax(x·c − ‖c‖²/2) so both engines
+    reuse the proven dot-fold tree."""
+    from jionlp_spark.operators.ann import pq_topk
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return pq_topk(emb, k=3, n_queries=3,
+                   codebooks=_pq_codebooks(spark, sf_dir)).select(
+        F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'adc')
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/retrieval.bm25_topk, Lucene idf
+    variant, k1=1.2 b=0.75): more-like-this queries built from docs
+    0/1/2 (first 4 distinct tokens in first-occurrence order), scoring
+    restricted to the query terms' posting lists before any corpus-
+    sized join, per-term parts decimal-summed.  All score inputs are
+    exact bigints; the score tree is written identically in DuckDB."""
+    from jionlp_spark.operators.retrieval import bm25_topk
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return bm25_topk(docs, n_queries=3, n_terms=4, k=10).select(
+        F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
 
 
 def q_ann_index_topk(spark, sf_dir):
@@ -3588,6 +3639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hll_token_distinct': q_hll_token_distinct,
         'cms_heavy_hitters': q_cms_heavy_hitters,
         'kg_kcore': q_kg_kcore,
+        'ann_pq_topk': q_ann_pq_topk,
+        'bm25_topk': q_bm25_topk,
     }
 
 
@@ -3864,6 +3917,112 @@ def _edge_confidence_oracle(iters: int = 3, damping: float = 0.85) -> str:
             from scored s
             join pr{iters} pa on s.ent_a = pa.v
             join pr{iters} pb on s.ent_b = pb.v"""
+
+
+# BM25 top-10 oracle (q_bm25_topk): tf/df/doclen/N/total_len all exact
+# bigints; the score is the identical per-row double tree (decimal
+# literals promote to the same correctly-rounded doubles in both
+# engines — the proven _CURATE_QUALITY_DUCK pattern), parts summed as
+# decimals via the string route.
+_BM25_TOPK_ORACLE = """
+with toks as (select doc_id, string_split(text, ' ') tk from documents),
+tf as (select doc_id, token, count(*)::bigint tf, max(doclen) doclen
+       from (select doc_id, len(tk)::bigint doclen, unnest(tk) token
+             from toks) t
+       group by doc_id, token),
+scalars as (select count(*)::bigint n_docs,
+                   sum(len(tk))::bigint total_len from toks),
+qtok as (select doc_id qid, unnest(tk) token,
+                unnest(range(len(tk))) pos
+         from toks where doc_id < 3),
+qfirst as (select qid, token, min(pos) fp from qtok group by 1, 2),
+queries as (select qid, token from
+            (select *, row_number() over (partition by qid
+                       order by fp, token) rn from qfirst) t
+            where rn <= 4),
+posts as (select tf.* from tf
+          join (select distinct token from queries) q using (token)),
+dfq as (select token, count(*)::bigint df from posts group by 1),
+parts as (select q.qid, posts.doc_id,
+            round(ln(1.0 + ((cast(n_docs as double) - cast(df as double))
+                            + 0.5) / (cast(df as double) + 0.5))
+             * ((cast(tf as double) * 2.2)
+             / (cast(tf as double) + 1.2 * ((1.0 - 0.75) + 0.75
+             * ((cast(doclen as double) * cast(n_docs as double))
+             / cast(total_len as double))))), 6) part
+          from posts join queries q using (token)
+          join dfq using (token)
+          cross join scalars
+          where q.qid != posts.doc_id),
+scored as (select qid, doc_id,
+             cast(cast(sum(cast(cast(part as varchar) as decimal(38,18)))
+                  as varchar) as double) score
+           from parts group by 1, 2)
+select qid, doc_id, score from
+  (select *, row_number() over (partition by qid
+             order by score desc, doc_id) rn from scored) t
+where rn <= 10"""
+
+
+# PQ-ADC top-3 oracle (q_ann_pq_topk): per-subspace codebooks = the
+# 64 smallest-md5 seed vectors sliced into 8×8-dim subs, one Lloyd
+# iteration with decimal-exact element means; encoding argmin-L2 via
+# the dot-only tree round6(x·c − 0.5·c·c) (list_dot_product is the
+# same left-to-right fold as Spark's aggregate(zip_with)); ADC = the
+# per-sub round6 dots summed as exact decimals, emitted via
+# string→double.  DuckDB list slice e[a:b] is 1-based inclusive,
+# matching slice(e, a, 16).
+_PQ_TOPK_ORACLE = """
+with emb as (select vec_id, embedding::DOUBLE[] e from embeddings),
+seeds as (select vec_id, e, md5(cast(vec_id as varchar)) h
+          from emb order by h, vec_id limit 64),
+init as (select row_number() over (order by h, vec_id) - 1 code_id, e
+         from seeds),
+subs as (select unnest(range(8)) sub_id),
+icb as (select s.sub_id, i.code_id,
+               i.e[s.sub_id*8 + 1 : s.sub_id*8 + 8] code
+        from init i cross join subs s),
+esub as (select vec_id, s.sub_id,
+                e[s.sub_id*8 + 1 : s.sub_id*8 + 8] sv
+         from emb cross join subs s),
+tsc as (select esub.vec_id, esub.sub_id, icb.code_id,
+          round(list_dot_product(esub.sv, icb.code)
+                - 0.5 * list_dot_product(icb.code, icb.code), 6) sc
+        from esub join icb using (sub_id)),
+a0 as (select vec_id, sub_id, code_id from
+        (select *, row_number() over (partition by vec_id, sub_id
+                   order by sc desc, code_id) rn from tsc) t where rn = 1),
+dims as (select a0.sub_id, a0.code_id, unnest(esub.sv) v,
+                unnest(range(len(esub.sv))) pos
+         from a0 join esub using (vec_id, sub_id)),
+cmean as (select sub_id, code_id, pos,
+            cast(sum(cast(cast(v as varchar) as decimal(38,18))) as double)
+              / count(*) mv
+          from dims group by 1, 2, 3),
+cb as (select sub_id, code_id, list(mv order by pos) code
+       from cmean group by 1, 2),
+esc as (select esub.vec_id, esub.sub_id, cb.code_id,
+          round(list_dot_product(esub.sv, cb.code)
+                - 0.5 * list_dot_product(cb.code, cb.code), 6) sc
+        from esub join cb using (sub_id)),
+enc as (select vec_id, sub_id, code_id from
+         (select *, row_number() over (partition by vec_id, sub_id
+                    order by sc desc, code_id) rn from esc) t where rn = 1),
+q as (select vec_id qid, sub_id, sv from esub where vec_id < 3),
+parts as (select q.qid, enc.vec_id, q.sub_id,
+            round(list_dot_product(q.sv, cb.code), 6) part
+          from q
+          join enc on q.sub_id = enc.sub_id
+          join cb on cb.sub_id = enc.sub_id and cb.code_id = enc.code_id
+          where q.qid != enc.vec_id),
+adc as (select qid, vec_id,
+          cast(cast(sum(cast(cast(part as varchar) as decimal(38,18)))
+               as varchar) as double) adc
+        from parts group by 1, 2)
+select qid, vec_id, adc from
+  (select *, row_number() over (partition by qid
+             order by adc desc, vec_id) rn from adc) t
+where rn <= 3"""
 
 
 def _ivf_topk_oracle(train_where: str = '') -> str:
@@ -5959,6 +6118,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'hll_token_distinct': _hll_oracle(),
         'cms_heavy_hitters': _cms_oracle(),
         'kg_kcore': _kcore_oracle(),
+        'ann_pq_topk': _PQ_TOPK_ORACLE,
+        'bm25_topk': _BM25_TOPK_ORACLE,
     }
 
 

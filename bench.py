@@ -74,6 +74,7 @@ HEADLINE = [
     'substring_dup_rate', 'event_winsorized', 'streaming_sessions',
     'web_link_graph', 'web_host_pagerank', 'web_anchor_stats',
     'hll_token_distinct', 'cms_heavy_hitters', 'kg_kcore',
+    'ann_pq_topk', 'bm25_topk',
 ]
 
 
@@ -158,6 +159,8 @@ def main() -> None:
                       for f in ('_extracted', '_extracted_qq_ip')]),
             ('ann_ivf_centroid_train',
              lambda: entry_mod._ivf_centroids(spark, SF_DIR).count()),
+            ('ann_pq_codebook_train',
+             lambda: entry_mod._pq_codebooks(spark, SF_DIR).count()),
             ('topic_prominence_build',
              lambda: entry_mod._topic_prominence(spark, SF_DIR).count())):
         query_load[row_name] = [round(os.getloadavg()[0], 2)]

@@ -229,6 +229,17 @@ def _assign(emb: DataFrame, centroids: DataFrame, probes: int,
                     F.col('centroid_id').alias('bucket')))
 
 
+def _half_up6(x):
+    """HALF_UP rounding to 6 decimals over a numpy array — Spark's
+    round() semantics (DuckDB's round is half-even; ties at an exact
+    .5e-6 double representation have never been observed on real data,
+    see _assign)."""
+    import numpy as np
+    scaled = x * 1e6
+    return np.where(x >= 0, np.floor(scaled + 0.5),
+                    np.ceil(scaled - 0.5)) / 1e6
+
+
 def _assign_arrow(emb: DataFrame, centroids: DataFrame, probes: int,
                   vec_col: str, id_col: str) -> DataFrame:
     """Vectorized coarse assignment (see _assign impl='arrow').  The
@@ -256,10 +267,7 @@ def _assign_arrow(emb: DataFrame, centroids: DataFrame, probes: int,
             f'zero-norm centroid (centroid_id {bad}) — the expression '
             f'path raises DIVIDE_BY_ZERO here; fix the centroid input')
 
-    def half_up6(x):
-        scaled = x * 1e6
-        return np.where(x >= 0, np.floor(scaled + 0.5),
-                        np.ceil(scaled - 0.5)) / 1e6
+    half_up6 = _half_up6
 
     vec_field = emb.schema[vec_col].dataType
 
@@ -508,3 +516,209 @@ def extend_ann_index(spark, base_path: str, new_emb: DataFrame,
         lambda: updated, input_fingerprint=batch_id,
         bucket_by=('bucket',))
     return {'centroids': cents, 'index': index}
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-compression scale path: each
+# vector is stored as m small code ids instead of dim floats (here
+# 8 byte-sized code ids vs 64 float32s = 32× less index payload), and query scoring reads
+# ONLY the codes column plus a broadcast codebook.  Jégou et al. 2011
+# (TPAMI, "Product quantization for nearest neighbor search"); scoring
+# is ADC for max-inner-product — rank by Σ_m q_m · c_{m,code_m(x)}.
+
+def _pq_subvectors(emb: DataFrame, m: int, sub_d: int,
+                   vec_col: str, id_col: str) -> DataFrame:
+    """One row per (vector, subspace): sv = dims [s·sub_d, (s+1)·sub_d)
+    as double.  slice() clamps at the tail exactly like DuckDB's
+    1-based-inclusive list slice, so both engines cut identical subs."""
+    return emb.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias('sub_id'),
+        F.col(vec_col)).select(
+        id_col, 'sub_id',
+        F.expr(f'slice(transform({vec_col}, x -> cast(x as double)), '
+               f'sub_id * {sub_d} + 1, {sub_d})').alias('sv'))
+
+
+_PQ_SCORE = ("round(" + _DOT.format(a='sv', b='code')
+             + " - 0.5 * " + _DOT.format(a='code', b='code') + ", 6)")
+
+
+def _pq_assign(esub: DataFrame, codebooks: DataFrame,
+               id_col: str) -> DataFrame:
+    """Nearest code per (vector, subspace) — argmin L2 expressed with
+    dot folds only: argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2), so the score
+    tree is the proven engine-identical list_dot_product fold and no
+    (x−y)² zip (which DuckDB 1.0 cannot fold sequentially) is needed.
+    Ties (score, then code_id) are deterministic across engines."""
+    from pyspark.sql.window import Window
+    scored = (esub.join(F.broadcast(codebooks), 'sub_id')
+              .select(id_col, 'sub_id', 'sv', 'code_id',
+                      F.expr(_PQ_SCORE).alias('sc')))
+    w = Window.partitionBy(id_col, 'sub_id').orderBy(
+        F.desc('sc'), 'code_id')
+    return (scored.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= 1)
+            .select(id_col, 'sub_id', 'sv', 'code_id'))
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 64,
+                 dim: int = 64, iters: int = 1,
+                 vec_col: str = 'embedding',
+                 id_col: str = 'vec_id') -> DataFrame:
+    """Train per-subspace PQ codebooks: (sub_id, code_id, code double[]).
+
+    Init = the k vectors with the smallest md5(id) (the same
+    deterministic sample as kmeans_centroids), sliced per subspace;
+    each Lloyd iteration assigns sub-vectors by exact argmin-L2 (see
+    _pq_assign) and recomputes codes as decimal-exact element means —
+    bit-identical run-to-run and engine-to-engine.  A code that loses
+    all members drops out (both engines: the mean groupBy only emits
+    assigned codes).  Codebooks are m·k tiny rows; training cost per
+    iteration is one broadcast join over N·m sub-rows plus one
+    (sub, code, pos)-keyed shuffle — localCheckpoint'ed per round so
+    downstream encode/query plans start from k rows, not the corpus."""
+    sub_d = dim // m
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias('sub_id')
+    seeds = _hash_seed_centroids(emb, k, vec_col, id_col)
+    cb = (seeds.select(F.col('centroid_id').alias('code_id'), 'centroid')
+          .select('code_id', subs, 'centroid')
+          .select('sub_id', 'code_id',
+                  F.expr(f'slice(centroid, sub_id * {sub_d} + 1, {sub_d})')
+                  .alias('code'))
+          .localCheckpoint())
+    if iters == 0:
+        return cb
+    esub = _pq_subvectors(emb, m, sub_d, vec_col, id_col)
+    for _ in range(iters):
+        assigned = _pq_assign(esub, cb, id_col)
+        dims = (assigned
+                .select('sub_id', 'code_id',
+                        F.posexplode('sv').alias('pos', 'v'))
+                .groupBy('sub_id', 'code_id', 'pos')
+                .agg((F.sum(F.col('v').cast('string')
+                            .cast('decimal(38,18)'))
+                      .cast('double') / F.count('*')).alias('mv')))
+        cb = (dims.groupBy('sub_id', 'code_id')
+              .agg(F.array_sort(F.collect_list(F.struct('pos', 'mv')))
+                   .alias('s'))
+              .select('sub_id', 'code_id',
+                      F.expr('transform(s, x -> x.mv)').alias('code'))
+              .localCheckpoint())
+    return cb
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
+              dim: int = 64, vec_col: str = 'embedding',
+              id_col: str = 'vec_id', impl: str = 'arrow') -> DataFrame:
+    """Encode each vector as its m nearest-code ids: (id, codes int[]).
+
+    impl='arrow' (default — the production path, and the one the DuckDB
+    gate certifies per the r6 arrow-assigner principle): the codebook is
+    collected once (m·k tiny rows) and closed over; each Arrow batch
+    scores all subspaces via sequential-dim outer-product accumulation —
+    the same left-to-right fold as the Catalyst aggregate, so scores are
+    bit-identical (see _cosine_pairs_arrow) — with HALF_UP rounding and
+    (score desc, code_id asc) tie order.  Zero shuffle: one narrow map
+    over the corpus.  impl='expr' keeps the plan-transparent broadcast-
+    join + window path for A/B audits (one N·m-row shuffle)."""
+    sub_d = dim // m
+    if impl != 'arrow':
+        assigned = _pq_assign(
+            _pq_subvectors(emb, m, sub_d, vec_col, id_col),
+            codebooks, id_col)
+        return (assigned.groupBy(id_col)
+                .agg(F.array_sort(F.collect_list(
+                    F.struct('sub_id', 'code_id'))).alias('s'))
+                .select(id_col,
+                        F.expr('transform(s, x -> x.code_id)')
+                        .alias('codes')))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = codebooks.orderBy('sub_id', 'code_id').collect()
+    cb = {}
+    for r in rows:
+        cb.setdefault(int(r['sub_id']), []).append(
+            (int(r['code_id']), np.asarray(r['code'], dtype=np.float64)))
+    subs = []
+    for s in range(m):
+        cids = np.array([c for c, _ in cb[s]])
+        C = np.stack([v for _, v in cb[s]])
+        # ‖c‖² via the same sequential fold as the expression path
+        cc = np.zeros(len(C))
+        for d in range(C.shape[1]):
+            cc += C[:, d] * C[:, d]
+        subs.append((cids, C, cc))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            codes = np.zeros((len(V), m), dtype=np.int64)
+            for s, (cids, C, cc) in enumerate(subs):
+                Vs = V[:, s * sub_d:(s + 1) * sub_d]
+                S = np.zeros((len(V), len(C)))
+                for d in range(C.shape[1]):
+                    S += np.outer(Vs[:, d], C[:, d])
+                sc = _half_up6(S - 0.5 * cc)
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sc.shape), -sc), axis=1)
+                codes[:, s] = cids[order[:, 0]]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                'codes': list(codes)})
+
+    schema = T.StructType([
+        emb.schema[id_col],
+        T.StructField('codes', T.ArrayType(T.LongType())),
+    ])
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def pq_topk(emb: DataFrame, k: int = 3, n_queries: int = 3,
+            m: int = 8, n_codes: int = 64, dim: int = 64,
+            iters: int = 1, codebooks: DataFrame | None = None,
+            vec_col: str = 'embedding', id_col: str = 'vec_id',
+            impl: str = 'arrow') -> DataFrame:
+    """PQ-ADC top-k by approximate inner product: (qid, vec_id, adc).
+
+    The encoded corpus carries ONLY (id, codes) — at 100 TB the index
+    scan reads m ints per vector, not dim floats — and the query batch
+    scores against the broadcast codebook: part(q, s, code) =
+    round6(q_s · c_{s,code}); adc = Σ_s part, summed as exact decimals
+    (cross-row double addition is order-sensitive; the decimal route is
+    order-independent and engine-exact, emitted via string→double).
+    Ranking (adc desc, vec_id) per query via window top-k like the
+    sibling operators.  Queries score themselves approximately too —
+    the qid==vec_id row is excluded like brute_force_topk."""
+    from pyspark.sql.window import Window
+    sub_d = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m=m, k=n_codes, dim=dim,
+                                 iters=iters, vec_col=vec_col,
+                                 id_col=id_col)
+    enc = pq_encode(emb, codebooks, m=m, dim=dim, vec_col=vec_col,
+                    id_col=id_col, impl=impl)
+    qsub = (_pq_subvectors(emb.filter(F.col(id_col) < n_queries),
+                           m, sub_d, vec_col, id_col)
+            .select(F.col(id_col).alias('qid'), 'sub_id',
+                    F.col('sv').alias('qv')))
+    parts = (enc
+             .select(id_col, F.posexplode('codes')
+                     .alias('sub_id', 'code_id'))
+             .join(F.broadcast(codebooks), ['sub_id', 'code_id'])
+             .join(F.broadcast(qsub), 'sub_id')
+             .filter(F.col('qid') != F.col(id_col))
+             .select('qid', id_col,
+                     F.round(F.expr(_DOT.format(a='qv', b='code')), 6)
+                     .alias('part')))
+    adc = (parts.groupBy('qid', id_col)
+           .agg(F.sum(F.col('part').cast('string').cast('decimal(38,18)'))
+                .cast('string').cast('double').alias('adc')))
+    w = Window.partitionBy('qid').orderBy(F.desc('adc'), F.col(id_col))
+    return (adc.withColumn('rn', F.row_number().over(w))
+            .filter(F.col('rn') <= k).drop('rn'))

@@ -1,0 +1,108 @@
+"""BM25 text retrieval over a document table.
+
+The classic sparse-retrieval scorer (Robertson & Zaragoza 2009; the
+Lucene idf variant) as a pure DataFrame pipeline: one token explode →
+(doc, term) tf table, document-frequency and corpus scalars as
+broadcast aggregates, scoring restricted to the query's terms BEFORE
+any corpus-sized join (the inverted-index access pattern — at 100 TB
+only the posting lists of the query terms are touched after the tf
+shuffle), and a per-query window top-k.
+
+Engine-exactness: every score input (tf, df, doclen, N, total_len) is
+an exact bigint; the score is one per-row double tree written
+identically in the DuckDB oracle (identical trees are bit-identical),
+and the per-term parts are summed as decimals via the string route
+(cross-row double addition is order-sensitive; decimal is exact and
+order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BM25 per-(doc, term) part — identical tree in the DuckDB oracle.
+# Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)); k1=1.2, b=0.75.
+_BM25_PART = (
+    'round('
+    'ln(1.0 + ((cast({N} as double) - cast(df as double)) + 0.5)'
+    ' / (cast(df as double) + 0.5))'
+    ' * ((cast(tf as double) * 2.2)'
+    ' / (cast(tf as double) + 1.2 * ((1.0 - 0.75) + 0.75'
+    ' * ((cast(doclen as double) * cast({N} as double))'
+    ' / cast({total_len} as double))))), 6)')
+
+
+def term_frequencies(docs: DataFrame, text_col: str = 'text',
+                     id_col: str = 'doc_id') -> DataFrame:
+    """(doc_id, token, tf, doclen) — the posting-list table.  One
+    explode + one (doc, token)-keyed shuffle with map-side combine;
+    doclen rides along (constant per doc, max() is exact)."""
+    toks = F.split(F.col(text_col), ' ')
+    return (docs
+            .select(id_col, F.size(toks).cast('long').alias('doclen'),
+                    F.explode(toks).alias('token'))
+            .groupBy(id_col, 'token')
+            .agg(F.count('*').cast('long').alias('tf'),
+                 F.max('doclen').alias('doclen')))
+
+
+def query_terms_from_docs(docs: DataFrame, n_queries: int = 3,
+                          n_terms: int = 4, text_col: str = 'text',
+                          id_col: str = 'doc_id') -> DataFrame:
+    """More-like-this query construction: for each query doc (id <
+    n_queries), its first ``n_terms`` DISTINCT tokens in first-occurrence
+    order — deterministic and replayable in SQL (min(pos) per token,
+    ties impossible)."""
+    from pyspark.sql.window import Window
+    toks = F.split(F.col(text_col), ' ')
+    first = (docs.filter(F.col(id_col) < n_queries)
+             .select(F.col(id_col).alias('qid'),
+                     F.posexplode(toks).alias('pos', 'token'))
+             .groupBy('qid', 'token')
+             .agg(F.min('pos').alias('fp')))
+    w = Window.partitionBy('qid').orderBy('fp', 'token')
+    return (first.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= n_terms).select('qid', 'token'))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame | None = None,
+              n_queries: int = 3, n_terms: int = 4, k: int = 10,
+              text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """BM25 top-k: (qid, doc_id, score), score desc / doc_id tiebreak,
+    the query's own document excluded.
+
+    Plan shape: tf shuffle (corpus-sized, map-side combined) → df
+    computed ONLY for the query terms (broadcast semi-restriction: the
+    query-term table is tiny, so df comes from the tf table filtered by
+    a broadcast join — the inverted-index read) → per-row score tree →
+    decimal-exact per-(qid, doc) sum → window top-k.  Nothing
+    corpus-sized crosses a second shuffle except the matched posting
+    rows."""
+    from pyspark.sql.window import Window
+    if queries is None:
+        queries = query_terms_from_docs(docs, n_queries, n_terms,
+                                        text_col, id_col)
+    tf = term_frequencies(docs, text_col, id_col)
+    scalars = docs.select(
+        F.count('*').cast('long').alias('n_docs'),
+        F.sum(F.size(F.split(F.col(text_col), ' ')).cast('long'))
+        .alias('total_len'))
+    # posting lists of query terms only — broadcast the tiny term list
+    posts = tf.join(F.broadcast(queries.select('token').distinct()),
+                    'token')
+    df_tbl = (posts.groupBy('token')
+              .agg(F.count('*').cast('long').alias('df')))
+    part = _BM25_PART.format(N='n_docs', total_len='total_len')
+    parts = (posts.join(F.broadcast(queries), 'token')
+             .filter(F.col('qid') != F.col(id_col))
+             .join(F.broadcast(df_tbl), 'token')
+             .crossJoin(F.broadcast(scalars))
+             .select('qid', id_col, F.expr(part).alias('part')))
+    scored = (parts.groupBy('qid', id_col)
+              .agg(F.sum(F.col('part').cast('string')
+                         .cast('decimal(38,18)'))
+                   .cast('string').cast('double').alias('score')))
+    w = Window.partitionBy('qid').orderBy(F.desc('score'), F.col(id_col))
+    return (scored.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= k).drop('_rn'))

@@ -166,3 +166,59 @@ def test_arrow_assign_zero_norm_centroid_raises(spark):
     # so the guard fails fast in the driver (before any executor work)
     with pytest.raises(ArithmeticError, match='zero-norm centroid'):
         ivf_assign(emb, centroids=cents, probes=1, impl='arrow')
+
+
+def test_pq_encode_arrow_identical_to_expression(spark):
+    """The Arrow PQ encoder (production/gated path) and the broadcast-
+    join + window expression path emit identical code assignments —
+    same dot folds, same HALF_UP rounding, same (score, code_id) ties."""
+    from jionlp_spark.operators.ann import pq_codebooks, pq_encode
+    emb = spark.read.parquet(f'{SF}/embeddings.parquet')
+    cb = pq_codebooks(emb)
+    arrow = sorted((r.vec_id, tuple(r.codes))
+                   for r in pq_encode(emb, cb, impl='arrow').collect())
+    expr = sorted((r.vec_id, tuple(r.codes))
+                  for r in pq_encode(emb, cb, impl='expr').collect())
+    assert arrow == expr
+
+
+def test_pq_mips_recall_beats_random(spark):
+    """PQ-ADC top-5 against exact max-inner-product top-5.  The fixture
+    embeddings are near-random 64-dim vectors — the hard case for
+    quantization — so the pinned floor is modest; random guessing
+    scores 5/499 ≈ 0.01, the deterministic measured value is 0.41."""
+    from jionlp_spark.operators.ann import pq_topk
+    emb = spark.read.parquet(f'{SF}/embeddings.parquet').cache()
+    exact = {}
+    dot = ("aggregate(zip_with(qe, embedding, (x, y) -> "
+           "cast(x as double) * cast(y as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    from pyspark.sql.window import Window
+    q = emb.filter(F.col('vec_id') < 20).select(
+        F.col('vec_id').alias('qid'), F.col('embedding').alias('qe'))
+    scored = (q.crossJoin(emb).filter(F.col('qid') != F.col('vec_id'))
+              .select('qid', 'vec_id', F.expr(dot).alias('dot')))
+    w = Window.partitionBy('qid').orderBy(F.desc('dot'), 'vec_id')
+    for r in (scored.withColumn('rn', F.row_number().over(w))
+              .filter('rn <= 5').collect()):
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    approx = {}
+    for r in pq_topk(emb, k=5, n_queries=20).collect():
+        approx.setdefault(r.qid, set()).add(r.vec_id)
+    recall = _recall(exact, approx)
+    assert recall >= 0.35, recall
+
+
+def test_pq_identical_vectors_identical_codes(spark):
+    """Deterministic encode: planted exact-duplicate vectors quantize to
+    the same code ids (the PQ dedup/serving invariant)."""
+    from jionlp_spark.operators.ann import pq_codebooks, pq_encode
+    emb = spark.read.parquet(f'{SF}/embeddings.parquet')
+    dup = emb.filter(F.col('vec_id') < 4).withColumn(
+        'vec_id', F.col('vec_id') + 10000)
+    both = emb.union(dup)
+    cb = pq_codebooks(emb)
+    codes = {r.vec_id: tuple(r.codes)
+             for r in pq_encode(both, cb).collect()}
+    for i in range(4):
+        assert codes[i] == codes[i + 10000], i

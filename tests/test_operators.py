@@ -1446,3 +1446,41 @@ def test_streaming_sessions_merge_and_timeout(spark, tmp_path):
     u5 = got[(5, 0)]
     assert (u5['start_us'], u5['end_us'], u5['n_events']) == \
         (us(10, 0), us(10, 10), 2)            # merged across the split
+
+
+def test_bm25_hand_corpus(spark):
+    """Hand-checkable BM25: doc 0's query terms (a b c d) match doc 1
+    only through 'a' (tf=2) and doc 3 through three terms; doc 2 shares
+    nothing and must be absent; the multi-term match outranks the
+    single-term one; the query's own doc is excluded."""
+    import math
+
+    from jionlp_spark.operators.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(0, 'a b c d'), (1, 'a a x y'), (2, 'z z z w'),
+         (3, 'b c d q')], 'doc_id long, text string')
+    rows = bm25_topk(docs, n_queries=1, n_terms=4, k=10).collect()
+    got = {r.doc_id: r.score for r in rows}
+    assert set(got) == {1, 3}
+    assert got[3] > got[1] > 0
+    # exact check for the doc-1 score: one matched term, tf=2, df=2,
+    # N=4, doclen=4, total_len=16 → avg-normalizer = 4·4/16 = 1.0
+    idf = math.log(1.0 + ((4.0 - 2.0) + 0.5) / (2.0 + 0.5))
+    part = round(idf * ((2.0 * 2.2) / (2.0 + 1.2 * ((1.0 - 0.75)
+                                                    + 0.75 * 1.0))), 6)
+    assert got[1] == part, (got[1], part)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """idf discrimination: with equal tf/doclen, the doc matching the
+    corpus-rare query term scores above the doc matching the common
+    one."""
+    from jionlp_spark.operators.retrieval import bm25_topk
+    rows = [(0, 'rare common'), (1, 'rare pad pad pad'),
+            (2, 'common pad pad pad')]
+    rows += [(i, 'common filler filler filler') for i in range(3, 10)]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r.doc_id: r.score
+           for r in bm25_topk(docs, n_queries=1, n_terms=2, k=10)
+           .collect() if r.doc_id in (1, 2)}
+    assert got[1] > got[2], got
