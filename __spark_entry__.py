@@ -1175,6 +1175,35 @@ def q_web_anchor_stats(spark, sf_dir):
     return anchor_stats(extract_links(_web_pages(spark, sf_dir)), k=2)
 
 
+def q_web_url_dedup(spark, sf_dir):
+    """URL-level dedup (kernels/urlnorm + operators/weblinks.url_dedup):
+    the fetch-once canonicalization every crawl applies BEFORE reading
+    content.  Each doc_id carries one of five syntactic variants of its
+    group's base URL (g = doc_id//5, host hg%50): verbatim; uppercase
+    scheme/host + default port + fragment; tracking params (utm_source,
+    gclid); dot segments /a/../p/./g; and a reordered real query
+    ?b=2&a=1.  Variants 0-3 collapse to the base canonical (keep =
+    min doc_id = 5g), variant 4 canonicalizes to ?a=1&b=2 and stays its
+    own group — the oracle rebuilds both closed-form from doc_id."""
+    from jionlp_spark.operators.weblinks import url_dedup
+    d = F.col('doc_id')
+    g = (d / 5).cast('long')
+    h = g % 50
+    url = (
+        F.when(d % 5 == 0, F.format_string(
+            'http://h%s.example.com/p/%s', h, g))
+        .when(d % 5 == 1, F.format_string(
+            'HTTP://H%s.EXAMPLE.COM:80/p/%s#frag', h, g))
+        .when(d % 5 == 2, F.format_string(
+            'http://h%s.example.com/p/%s?utm_source=feed&gclid=1', h, g))
+        .when(d % 5 == 3, F.format_string(
+            'http://h%s.example.com/a/../p/./%s', h, g))
+        .otherwise(F.format_string(
+            'http://h%s.example.com/p/%s?b=2&a=1', h, g)))
+    pages = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    return url_dedup(pages)
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -3641,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_kcore': q_kg_kcore,
         'ann_pq_topk': q_ann_pq_topk,
         'bm25_topk': q_bm25_topk,
+        'web_url_dedup': q_web_url_dedup,
     }
 
 
@@ -6120,6 +6150,22 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'kg_kcore': _kcore_oracle(),
         'ann_pq_topk': _PQ_TOPK_ORACLE,
         'bm25_topk': _BM25_TOPK_ORACLE,
+        # per-doc expected canonical form rebuilt closed-form from
+        # doc_id (variants 0-3 collapse; variant 4 keeps its sorted
+        # query), then the same keep-min groupBy as the operator
+        'web_url_dedup': '''
+            with c as (select doc_id,
+              case when doc_id % 5 = 4
+                then concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                            '.example.com/p/', cast(doc_id // 5 as varchar),
+                            '?a=1&b=2')
+                else concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                            '.example.com/p/', cast(doc_id // 5 as varchar))
+              end canon_url
+              from documents)
+            select canon_url, count(*)::bigint n_urls,
+                   min(doc_id)::bigint keep_id
+            from c group by 1''',
     }
 
 

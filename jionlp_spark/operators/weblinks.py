@@ -115,3 +115,31 @@ def anchor_stats(links: DataFrame, k: int = 3) -> DataFrame:
         F.col('n').desc(), F.col('anchor').asc())
     return (counts.withColumn('rank', F.row_number().over(w).cast('long'))
                   .filter(F.col('rank') <= k))
+
+
+@pandas_udf(T.StringType())
+def _canon_udf(url: pd.Series) -> pd.Series:
+    from jionlp_spark.kernels import urlnorm
+    return url.map(lambda u: urlnorm.normalize_url(u)
+                   if u is not None else None)
+
+
+def canonical_urls(df: DataFrame, url_col: str = 'url') -> DataFrame:
+    """Append ``canon_url`` (kernels/urlnorm.normalize_url — RFC 3986
+    syntax normalization + tracking-param removal + query ordering);
+    None for non-http(s) inputs.  One pandas-UDF node per scan."""
+    return df.withColumn('canon_url', _canon_udf(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, url_col: str = 'url',
+              id_col: str = 'doc_id') -> DataFrame:
+    """URL-level dedup report: (canon_url, n_urls, keep_id) — the
+    fetch-once key of a crawl frontier.  Non-canonicalizable rows
+    (mailto:, javascript:) are dropped (they are not fetchable
+    resources).  One groupBy on the canonical key, map-side combined;
+    keep = min id, the same keep-min rule as the content dedup family."""
+    return (canonical_urls(df, url_col)
+            .filter(F.col('canon_url').isNotNull())
+            .groupBy('canon_url')
+            .agg(F.count('*').cast('long').alias('n_urls'),
+                 F.min(id_col).cast('long').alias('keep_id')))
