@@ -2267,6 +2267,27 @@ def q_bm25_topk(spark, sf_dir):
         F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
 
 
+def q_bm25_index_topk(spark, sf_dir):
+    """BM25 top-10 against a PUBLISHED inverted index
+    (operators/retrieval.publish_text_index / query_text_index): same
+    queries and scoring as q_bm25_topk, but the posting lists live in a
+    catalog table BUCKETED on token — per-token df aggregates
+    exchange-free and the corpus is tokenized once, not per query
+    batch.  Oracle: identical SQL to bm25_topk (the catalog publish
+    changes storage, not semantics)."""
+    from jionlp_spark.operators.retrieval import (publish_text_index,
+                                                  query_terms_from_docs,
+                                                  query_text_index)
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    base = _work_dir('jionlp_textidx', sf_dir)
+    publish_text_index(spark, f'{base}/bm25', docs,
+                       input_fingerprint=f'docs@{sf_dir}')
+    return query_text_index(
+        spark, f'{base}/bm25',
+        query_terms_from_docs(docs, n_queries=3, n_terms=4), k=10).select(
+        F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
+
+
 def q_ann_index_topk(spark, sf_dir):
     """Top-3 search of a PUBLISHED IVF index (operators/ann
     publish_ann_index / query_ann_index): same trained centroids and
@@ -3671,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_pq_topk': q_ann_pq_topk,
         'bm25_topk': q_bm25_topk,
         'web_url_dedup': q_web_url_dedup,
+        'bm25_index_topk': q_bm25_index_topk,
     }
 
 
@@ -6150,6 +6172,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'kg_kcore': _kcore_oracle(),
         'ann_pq_topk': _PQ_TOPK_ORACLE,
         'bm25_topk': _BM25_TOPK_ORACLE,
+        # the catalog publish changes storage, not semantics
+        'bm25_index_topk': _BM25_TOPK_ORACLE,
         # per-doc expected canonical form rebuilt closed-form from
         # doc_id (variants 0-3 collapse; variant 4 keeps its sorted
         # query), then the same keep-min groupBy as the operator

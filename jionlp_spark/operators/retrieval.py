@@ -106,3 +106,68 @@ def bm25_topk(docs: DataFrame, queries: DataFrame | None = None,
     w = Window.partitionBy('qid').orderBy(F.desc('score'), F.col(id_col))
     return (scored.withColumn('_rn', F.row_number().over(w))
             .filter(F.col('_rn') <= k).drop('_rn'))
+
+
+# ---------------------------------------------------------------------------
+# persistent inverted index through the catalog — the serving-side
+# counterpart of publish_ann_index: tokenize/aggregate the corpus once,
+# publish the posting lists BUCKETED on token, then every query batch
+# reads only the matched postings with no exchange on the index side.
+
+def publish_text_index(spark, base_path: str, docs: DataFrame,
+                       text_col: str = 'text', id_col: str = 'doc_id',
+                       input_fingerprint: str | None = None) -> dict:
+    """Publish a BM25-servable inverted index: a `postings` table
+    (doc_id, token, tf, doclen) BUCKETED on token and a 1-row `stats`
+    table (n_docs, total_len), both through the catalog (atomic
+    publish, lineage, snapshot history).
+
+    The bucketed layout is the scale lever: per-token document
+    frequency aggregates WITHOUT an exchange (the groupBy key is the
+    bucket key), and a large query-term batch equi-joins the postings
+    with the single shuffle on the query side.  Re-publishing under a
+    new fingerprint snapshots the previous index."""
+    from jionlp_spark.sources import catalog
+
+    posts = catalog.run_stage(
+        spark, f'{base_path}/postings', 'text_postings',
+        lambda: term_frequencies(docs, text_col, id_col),
+        input_fingerprint=input_fingerprint, bucket_by=('token',))
+    stats = catalog.run_stage(
+        spark, f'{base_path}/stats', 'text_stats',
+        lambda: docs.select(
+            F.count('*').cast('long').alias('n_docs'),
+            F.sum(F.size(F.split(F.col(text_col), ' ')).cast('long'))
+            .alias('total_len')),
+        input_fingerprint=input_fingerprint)
+    return {'postings': posts, 'stats': stats}
+
+
+def query_text_index(spark, base_path: str, queries: DataFrame,
+                     k: int = 10, id_col: str = 'doc_id') -> DataFrame:
+    """BM25 top-k against a published inverted index: identical scoring
+    to bm25_topk (same trees, same decimal sums) but the corpus side is
+    a bucketed postings scan — nothing corpus-sized is recomputed."""
+    from pyspark.sql.window import Window
+
+    from jionlp_spark.sources import catalog
+
+    tf = catalog.read_table(spark, f'{base_path}/postings')
+    scalars = catalog.read_table(spark, f'{base_path}/stats')
+    posts = tf.join(F.broadcast(queries.select('token').distinct()),
+                    'token')
+    df_tbl = (posts.groupBy('token')
+              .agg(F.count('*').cast('long').alias('df')))
+    part = _BM25_PART.format(N='n_docs', total_len='total_len')
+    parts = (posts.join(F.broadcast(queries), 'token')
+             .filter(F.col('qid') != F.col(id_col))
+             .join(F.broadcast(df_tbl), 'token')
+             .crossJoin(F.broadcast(scalars))
+             .select('qid', id_col, F.expr(part).alias('part')))
+    scored = (parts.groupBy('qid', id_col)
+              .agg(F.sum(F.col('part').cast('string')
+                         .cast('decimal(38,18)'))
+                   .cast('string').cast('double').alias('score')))
+    w = Window.partitionBy('qid').orderBy(F.desc('score'), F.col(id_col))
+    return (scored.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= k).drop('_rn'))

@@ -151,3 +151,25 @@ def test_ann_index_query_scan_is_bucketed(spark, tmp_path):
         spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old_bc)
     assert 'Bucketed: true' in plan, plan
     assert len(re.findall(r'\bExchange\b', plan)) == 1, plan
+
+
+def test_text_index_df_agg_is_exchange_free(spark, tmp_path):
+    """The published inverted index's postings table is bucketed on
+    token: the per-token document-frequency aggregate (the first thing
+    every index query computes) must scan `Bucketed: true` and need NO
+    Exchange — the groupBy key IS the bucket key."""
+    import pyspark.sql.functions as F
+
+    from jionlp_spark.operators.retrieval import publish_text_index
+    from jionlp_spark.sources import catalog
+
+    docs = spark.createDataFrame(
+        [(i, f'tok{i % 5} tok{i % 3} common') for i in range(40)],
+        'doc_id long, text string')
+    base = str(tmp_path / 'textidx')
+    publish_text_index(spark, base, docs, input_fingerprint='t')
+    posts = catalog.read_table(spark, f'{base}/postings')
+    agg = posts.groupBy('token').agg(F.count('*').alias('df'))
+    plan = _plan(agg)
+    assert 'Bucketed: true' in plan, plan
+    assert len(re.findall(r'\bExchange\b', plan)) == 0, plan
