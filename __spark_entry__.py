@@ -2288,6 +2288,33 @@ def q_bm25_index_topk(spark, sf_dir):
         F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
 
 
+def q_bm25_index_extend(spark, sf_dir):
+    """Incremental inverted-index growth
+    (operators/retrieval.extend_text_index): the index publishes from
+    EVEN doc_ids only, the odd batch appends its own posting rows and
+    advances the exact corpus scalars — O(batch) per day, history never
+    re-tokenized.  Queried with the same doc-0/1/2 queries, the
+    extended index is value-identical to a from-scratch build (posting
+    rows are per-doc; bigint scalar sums are associative), so the
+    oracle is the bm25_topk SQL verbatim."""
+    from jionlp_spark.operators.retrieval import (extend_text_index,
+                                                  publish_text_index,
+                                                  query_terms_from_docs,
+                                                  query_text_index)
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    base = _work_dir('jionlp_textidx_ext', sf_dir)
+    publish_text_index(spark, f'{base}/bm25',
+                       docs.filter(F.col('doc_id') % 2 == 0),
+                       input_fingerprint=f'even@{sf_dir}')
+    extend_text_index(spark, f'{base}/bm25',
+                      docs.filter(F.col('doc_id') % 2 == 1),
+                      batch_id=f'odd@{sf_dir}')
+    return query_text_index(
+        spark, f'{base}/bm25',
+        query_terms_from_docs(docs, n_queries=3, n_terms=4), k=10).select(
+        F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
+
+
 def q_ann_index_topk(spark, sf_dir):
     """Top-3 search of a PUBLISHED IVF index (operators/ann
     publish_ann_index / query_ann_index): same trained centroids and
@@ -3693,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_topk': q_bm25_topk,
         'web_url_dedup': q_web_url_dedup,
         'bm25_index_topk': q_bm25_index_topk,
+        'bm25_index_extend': q_bm25_index_extend,
     }
 
 
@@ -6174,6 +6202,9 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'bm25_topk': _BM25_TOPK_ORACLE,
         # the catalog publish changes storage, not semantics
         'bm25_index_topk': _BM25_TOPK_ORACLE,
+        # extended index ≡ from-scratch index (per-doc posting rows,
+        # associative bigint scalars) — same SQL again
+        'bm25_index_extend': _BM25_TOPK_ORACLE,
         # per-doc expected canonical form rebuilt closed-form from
         # doc_id (variants 0-3 collapse; variant 4 keeps its sorted
         # query), then the same keep-min groupBy as the operator

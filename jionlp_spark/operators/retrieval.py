@@ -171,3 +171,40 @@ def query_text_index(spark, base_path: str, queries: DataFrame,
     w = Window.partitionBy('qid').orderBy(F.desc('score'), F.col(id_col))
     return (scored.withColumn('_rn', F.row_number().over(w))
             .filter(F.col('_rn') <= k).drop('_rn'))
+
+
+def extend_text_index(spark, base_path: str, new_docs: DataFrame,
+                      batch_id: str, text_col: str = 'text',
+                      id_col: str = 'doc_id') -> dict:
+    """Append a NEW document batch to a published inverted index
+    without re-tokenizing history: the batch's posting rows
+    (term_frequencies over the batch only — per-doc computation, so
+    batch postings ∪ stored postings ≡ from-scratch postings) union
+    into the bucketed table, and the corpus scalars advance by the
+    batch's exact bigint counts.  O(batch) per day; the batch_id
+    fingerprint makes a re-publish a no-op (both stages share it, so
+    postings and stats can never drift apart).  Assumes batch doc ids
+    are new — same contract as extend_ann_index."""
+    from jionlp_spark.sources import catalog
+
+    posts = catalog.read_table(spark, f'{base_path}/postings')
+    new_tf = term_frequencies(new_docs, text_col, id_col)
+    updated = posts.union(new_tf.select(*posts.columns))
+    posts = catalog.run_stage(
+        spark, f'{base_path}/postings', 'text_postings',
+        lambda: updated, input_fingerprint=batch_id,
+        bucket_by=('token',))
+
+    old = catalog.read_table(spark, f'{base_path}/stats')
+    batch = new_docs.select(
+        F.count('*').cast('long').alias('_n'),
+        F.sum(F.size(F.split(F.col(text_col), ' ')).cast('long'))
+        .alias('_len'))
+    merged = (old.crossJoin(batch)
+              .select((F.col('n_docs') + F.col('_n')).alias('n_docs'),
+                      (F.col('total_len') + F.col('_len'))
+                      .alias('total_len')))
+    stats = catalog.run_stage(
+        spark, f'{base_path}/stats', 'text_stats',
+        lambda: merged, input_fingerprint=batch_id)
+    return {'postings': posts, 'stats': stats}

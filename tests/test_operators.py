@@ -1484,3 +1484,26 @@ def test_bm25_rare_term_outranks_common(spark):
            for r in bm25_topk(docs, n_queries=1, n_terms=2, k=10)
            .collect() if r.doc_id in (1, 2)}
     assert got[1] > got[2], got
+
+
+def test_text_index_extend_idempotent(spark, tmp_path):
+    """Re-extending with the same batch_id is a no-op (fingerprint
+    resume): postings don't duplicate and the corpus scalars don't
+    double-count — the seam that would silently corrupt BM25 idf."""
+    from jionlp_spark.operators.retrieval import (extend_text_index,
+                                                  publish_text_index)
+    from jionlp_spark.sources import catalog
+    docs = spark.createDataFrame(
+        [(i, f'tok{i % 5} common word{i}') for i in range(20)],
+        'doc_id long, text string')
+    base = str(tmp_path / 'ti')
+    publish_text_index(spark, base, docs.filter('doc_id % 2 = 0'),
+                       input_fingerprint='even')
+    for _ in range(2):          # second call must resume, not re-append
+        extend_text_index(spark, base, docs.filter('doc_id % 2 = 1'),
+                          batch_id='odd')
+        n_posts = catalog.read_table(spark, f'{base}/postings').count()
+        stats = catalog.read_table(spark, f'{base}/stats').collect()[0]
+        assert stats['n_docs'] == 20, stats
+        assert stats['total_len'] == 60, stats
+        assert n_posts == 60, n_posts   # 3 distinct tokens per doc
