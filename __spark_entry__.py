@@ -2315,6 +2315,21 @@ def q_bm25_index_extend(spark, sf_dir):
         F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
 
 
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid sparse+dense retrieval (operators/retrieval.hybrid_topk):
+    BM25 depth-20 fused with exact-cosine depth-20 by reciprocal rank
+    fusion (Cormack et al. 2009, C=60) — only integer ranks cross the
+    seam, so the fused score is one fixed-order per-row double tree.
+    The oracle rebuilds both rank lists (shared _BM25_CTES chain; the
+    proven round-6 cosine tree) and the same full-outer fusion."""
+    from jionlp_spark.operators.retrieval import hybrid_topk
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return hybrid_topk(docs, emb, k=10, depth=20).select(
+        F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'rrf')
+
+
 def q_ann_index_topk(spark, sf_dir):
     """Top-3 search of a PUBLISHED IVF index (operators/ann
     publish_ann_index / query_ann_index): same trained centroids and
@@ -3721,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_url_dedup': q_web_url_dedup,
         'bm25_index_topk': q_bm25_index_topk,
         'bm25_index_extend': q_bm25_index_extend,
+        'hybrid_topk': q_hybrid_topk,
     }
 
 
@@ -4004,8 +4020,10 @@ def _edge_confidence_oracle(iters: int = 3, damping: float = 0.85) -> str:
 # literals promote to the same correctly-rounded doubles in both
 # engines — the proven _CURATE_QUALITY_DUCK pattern), parts summed as
 # decimals via the string route.
-_BM25_TOPK_ORACLE = """
-with toks as (select doc_id, string_split(text, ' ') tk from documents),
+# CTE chain shared by every BM25 oracle (bm25_topk / index / extend /
+# hybrid): tokenize → postings → query terms → per-term parts →
+# decimal-summed per-(qid, doc) scores (CTE `scored`).
+_BM25_CTES = """toks as (select doc_id, string_split(text, ' ') tk from documents),
 tf as (select doc_id, token, count(*)::bigint tf, max(doclen) doclen
        from (select doc_id, len(tk)::bigint doclen, unnest(tk) token
              from toks) t
@@ -4037,10 +4055,46 @@ parts as (select q.qid, posts.doc_id,
 scored as (select qid, doc_id,
              cast(cast(sum(cast(cast(part as varchar) as decimal(38,18)))
                   as varchar) as double) score
-           from parts group by 1, 2)
+           from parts group by 1, 2)"""
+
+_BM25_TOPK_ORACLE = f"""
+with {_BM25_CTES}
 select qid, doc_id, score from
   (select *, row_number() over (partition by qid
              order by score desc, doc_id) rn from scored) t
+where rn <= 10"""
+
+
+# hybrid RRF oracle (q_hybrid_topk): BM25 depth-20 ranks (shared CTE
+# chain) full-outer-fused with exact round-6 cosine depth-20 ranks;
+# rrf = 1/(60+r_sparse) + 1/(60+r_dense) as ONE fixed-order per-row
+# double tree (absent list -> 0.0), ties by doc_id.
+_HYBRID_TOPK_ORACLE = f"""
+with {_BM25_CTES},
+br as (select qid, doc_id, rn r from
+        (select *, row_number() over (partition by qid
+                   order by score desc, doc_id) rn from scored) t
+       where rn <= 20),
+emb as (select vec_id, embedding::DOUBLE[] e from embeddings),
+vq as (select vec_id qid, e qe from emb where vec_id < 3),
+vs as (select vq.qid, emb.vec_id doc_id,
+         round(list_dot_product(vq.qe, emb.e)
+           / (sqrt(list_dot_product(vq.qe, vq.qe))
+            * sqrt(list_dot_product(emb.e, emb.e))), 6) cos
+       from vq cross join emb where vq.qid != emb.vec_id),
+vr as (select qid, doc_id, rn r from
+        (select *, row_number() over (partition by qid
+                   order by cos desc, doc_id) rn from vs) t
+       where rn <= 20),
+fused as (select coalesce(br.qid, vr.qid) qid,
+                 coalesce(br.doc_id, vr.doc_id) doc_id,
+                 coalesce(1.0 / (60.0 + cast(br.r as double)), 0.0)
+                 + coalesce(1.0 / (60.0 + cast(vr.r as double)), 0.0) rrf
+          from br full outer join vr
+            on br.qid = vr.qid and br.doc_id = vr.doc_id)
+select qid, doc_id, rrf from
+  (select *, row_number() over (partition by qid
+             order by rrf desc, doc_id) rn from fused) t
 where rn <= 10"""
 
 
@@ -6205,6 +6259,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # extended index ≡ from-scratch index (per-doc posting rows,
         # associative bigint scalars) — same SQL again
         'bm25_index_extend': _BM25_TOPK_ORACLE,
+        'hybrid_topk': _HYBRID_TOPK_ORACLE,
         # per-doc expected canonical form rebuilt closed-form from
         # doc_id (variants 0-3 collapse; variant 4 keeps its sorted
         # query), then the same keep-min groupBy as the operator

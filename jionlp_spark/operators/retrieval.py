@@ -208,3 +208,69 @@ def extend_text_index(spark, base_path: str, new_docs: DataFrame,
         spark, f'{base_path}/stats', 'text_stats',
         lambda: merged, input_fingerprint=batch_id)
     return {'postings': posts, 'stats': stats}
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal rank fusion of the sparse (BM25) and
+# dense (cosine) rankings: rrf(d) = Σ_lists 1/(C + rank_d), C = 60
+# (Cormack et al. 2009).  Rank fusion is the production pattern for
+# combining lexical and embedding retrieval without score calibration —
+# only the integer RANKS cross the seam, so the fused score is exactly
+# reproducible however each list was scored.
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 10,
+             c: int = 60, id_col: str = 'doc_id') -> DataFrame:
+    """Fuse two (qid, id, rank) lists: (qid, id, rrf) top-k.
+
+    rrf = 1/(C+rank_a) + 1/(C+rank_b), each term 0 when the doc is
+    absent from that list — ONE per-row double tree in fixed a-then-b
+    order (bit-identical across engines; no cross-row float addition),
+    ties broken by id.  The join is rank-list-sized (q·depth rows),
+    never corpus-sized."""
+    from pyspark.sql.window import Window
+    a = ranked_a.select('qid', id_col, F.col('rank').alias('_ra'))
+    b = ranked_b.select('qid', id_col, F.col('rank').alias('_rb'))
+    fused = (a.join(b, ['qid', id_col], 'full_outer')
+             .select('qid', id_col,
+                     (F.coalesce(
+                         F.lit(1.0) / (F.lit(float(c)) +
+                                       F.col('_ra').cast('double')),
+                         F.lit(0.0))
+                      + F.coalesce(
+                         F.lit(1.0) / (F.lit(float(c)) +
+                                       F.col('_rb').cast('double')),
+                         F.lit(0.0))).alias('rrf')))
+    w = Window.partitionBy('qid').orderBy(F.desc('rrf'), F.col(id_col))
+    return (fused.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= k).drop('_rn'))
+
+
+def _with_rank(topk: DataFrame, score_col: str,
+               id_col: str) -> DataFrame:
+    """Attach 1-based ranks to a top-k list under the list's own
+    (score desc, id) total order."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy('qid').orderBy(F.desc(score_col), F.col(id_col))
+    return topk.withColumn('rank', F.row_number().over(w))
+
+
+def hybrid_topk(docs: DataFrame, emb: DataFrame, k: int = 10,
+                depth: int = 20, n_queries: int = 3, n_terms: int = 4,
+                text_col: str = 'text') -> DataFrame:
+    """Hybrid top-k over a corpus with aligned doc_id/vec_id: BM25
+    depth-20 (more-like-this queries from docs < n_queries) fused with
+    exact-cosine depth-20 (the same ids as embedding queries) by RRF.
+    Each branch is the already-certified operator; only integer ranks
+    meet at the fusion join."""
+    from jionlp_spark.operators.ann import brute_force_topk
+    sparse = _with_rank(
+        bm25_topk(docs, n_queries=n_queries, n_terms=n_terms, k=depth,
+                  text_col=text_col),
+        'score', 'doc_id')
+    dense_q = emb.filter(F.col('vec_id') < n_queries).select(
+        F.col('vec_id').alias('qid'), F.col('embedding').alias('qe'))
+    dense = _with_rank(
+        brute_force_topk(emb, dense_q, k=depth)
+        .withColumnRenamed('vec_id', 'doc_id'),
+        'cos', 'doc_id')
+    return rrf_fuse(sparse, dense, k=k)

@@ -1507,3 +1507,18 @@ def test_text_index_extend_idempotent(spark, tmp_path):
         assert stats['n_docs'] == 20, stats
         assert stats['total_len'] == 60, stats
         assert n_posts == 60, n_posts   # 3 distinct tokens per doc
+
+
+def test_rrf_fuse_hand_lists(spark):
+    """RRF semantics: a doc present in both lists outranks a doc that
+    leads one list only; an absent list contributes exactly 0."""
+    from jionlp_spark.operators.retrieval import rrf_fuse
+    a = spark.createDataFrame([(0, 1, 1), (0, 2, 2)],
+                              'qid long, doc_id long, rank long')
+    b = spark.createDataFrame([(0, 2, 1), (0, 3, 2)],
+                              'qid long, doc_id long, rank long')
+    got = {r.doc_id: r.rrf for r in rrf_fuse(a, b, k=10).collect()}
+    assert got[2] == 1.0 / 62 + 1.0 / 61       # both lists
+    assert got[1] == 1.0 / 61                  # list-a only
+    assert got[3] == 1.0 / 62                  # list-b only
+    assert got[2] > got[1] > got[3]
