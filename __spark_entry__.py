@@ -1204,6 +1204,64 @@ def q_web_url_dedup(spark, sf_dir):
     return url_dedup(pages)
 
 
+def q_web_frontier_plan(spark, sf_dir):
+    """Politeness-scheduled crawl frontier
+    (operators/weblinks.frontier_plan over url_dedup survivors): each
+    host serves ≤2 fetches per time slot, FIFO by keep_id — on the
+    variant corpus every host carries exactly 4 canonical URLs (2
+    groups × base + sorted-query forms), so the plan fills slots 0 and
+    1 per host and the slot division genuinely bites.  Oracle: the
+    closed-form canon table, the same keep-min groupBy, the same
+    host-keyed window."""
+    from jionlp_spark.operators.weblinks import frontier_plan, url_dedup
+    d = F.col('doc_id')
+    g = (d / 5).cast('long')
+    h = g % 50
+    url = (
+        F.when(d % 5 == 0, F.format_string(
+            'http://h%s.example.com/p/%s', h, g))
+        .when(d % 5 == 1, F.format_string(
+            'HTTP://H%s.EXAMPLE.COM:80/p/%s#frag', h, g))
+        .when(d % 5 == 2, F.format_string(
+            'http://h%s.example.com/p/%s?utm_source=feed&gclid=1', h, g))
+        .when(d % 5 == 3, F.format_string(
+            'http://h%s.example.com/a/../p/./%s', h, g))
+        .otherwise(F.format_string(
+            'http://h%s.example.com/p/%s?b=2&a=1', h, g)))
+    pages = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    return frontier_plan(url_dedup(pages), per_slot=2)
+
+
+def q_host_curation(spark, sf_dir):
+    """Domain-level curation verdicts (operators/curate.host_curation —
+    the RefinedWeb-style block-the-domain step): 20 synthetic hosts
+    (doc_id % 20); docs ≡ 7 (mod 10) copy their predecessor's text, so
+    hosts 7 and 17 are 100% exact-dup mirrors (> the 20% cap →
+    blocked_dup, while the ORIGINALS' hosts 6/16 stay clean under the
+    global keep-min); host 3's pages degrade to one token repeated 40×
+    (quality ≈ 0.09 vs the ≈ 0.35 natural host average), dragging its
+    decimal-exact quality sum under the 0.2·n threshold
+    (→ blocked_quality, judged before the dup rule).  All verdict
+    arithmetic is exact (decimal sums, integer cross-multiplies) — no
+    float-ratio tie risk."""
+    from jionlp_spark.operators.curate import host_curation
+    d = F.col('doc_id')
+    toks = F.split(F.col('text'), ' ')
+    base = _docs(spark, sf_dir).alias('d')
+    prev = _docs(spark, sf_dir).select(
+        F.col('doc_id').alias('_pid'), F.col('text').alias('_ptext'))
+    pages = (base.join(prev, F.col('doc_id') - 1 == F.col('_pid'), 'left')
+             .select('doc_id',
+                     F.when(d % 10 == 7, F.col('_ptext'))
+                     .when(d % 20 == 3,
+                           F.array_join(F.array_repeat(
+                               F.element_at(toks, 1), 40), ' '))
+                     .otherwise(F.col('text')).alias('text'),
+                     F.format_string('http://s%s.example.org/p%s',
+                                     d % 20, d).alias('url')))
+    return host_curation(pages, min_avg_quality='0.2', max_dup_pct=20)
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -3737,6 +3795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bm25_index_topk': q_bm25_index_topk,
         'bm25_index_extend': q_bm25_index_extend,
         'hybrid_topk': q_hybrid_topk,
+        'web_frontier_plan': q_web_frontier_plan,
+        'host_curation': q_host_curation,
     }
 
 
@@ -6260,6 +6320,58 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # associative bigint scalars) — same SQL again
         'bm25_index_extend': _BM25_TOPK_ORACLE,
         'hybrid_topk': _HYBRID_TOPK_ORACLE,
+        # canon table closed-form -> keep-min groupBy -> the same
+        # host-keyed FIFO window and slot division
+        'host_curation': f'''
+            with base as (select d.doc_id,
+                case when d.doc_id % 10 = 7 then p.text
+                     when d.doc_id % 20 = 3 then
+                       rtrim(repeat(concat(string_split(d.text, ' ')[1],
+                                           ' '), 40))
+                     else d.text end as text,
+                concat('s', cast(d.doc_id % 20 as varchar),
+                       '.example.org') host
+              from documents d
+              left join documents p on p.doc_id = d.doc_id - 1),
+            hashed as (select doc_id, host, md5(text) h,
+                         cast(cast({_CURATE_QUALITY_DUCK} as varchar)
+                              as decimal(38,18)) q
+                       from base),
+            keep as (select h, min(doc_id) keep_id from hashed group by 1),
+            ph as (select host, count(*)::bigint n_docs,
+                     sum(case when hashed.doc_id <> keep.keep_id
+                              then 1 else 0 end)::bigint n_dups,
+                     sum(q)::decimal(38,18) sq
+                   from hashed join keep using (h) group by 1)
+            select host, n_docs, n_dups,
+              cast(cast(sq as varchar) as double) sum_quality,
+              case when sq < cast('0.2' as decimal(10,6))
+                            * cast(n_docs as decimal(10,0))
+                   then 'blocked_quality'
+                   when n_dups * 100 > 20 * n_docs then 'blocked_dup'
+                   else 'kept' end verdict
+            from ph''',
+        'web_frontier_plan': '''
+            with c as (select doc_id,
+              case when doc_id % 5 = 4
+                then concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                            '.example.com/p/', cast(doc_id // 5 as varchar),
+                            '?a=1&b=2')
+                else concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                            '.example.com/p/', cast(doc_id // 5 as varchar))
+              end canon_url
+              from documents),
+            d as (select canon_url, min(doc_id)::bigint keep_id
+                  from c group by 1),
+            hosted as (select canon_url, keep_id,
+                         string_split(string_split(canon_url, '://')[2],
+                                      '/')[1] host
+                       from d)
+            select canon_url, host,
+                   ((row_number() over (partition by host
+                      order by keep_id, canon_url)) - 1) // 2 as slot,
+                   keep_id
+            from hosted''',
         # per-doc expected canonical form rebuilt closed-form from
         # doc_id (variants 0-3 collapse; variant 4 keeps its sorted
         # query), then the same keep-min groupBy as the operator

@@ -75,7 +75,7 @@ HEADLINE = [
     'web_link_graph', 'web_host_pagerank', 'web_anchor_stats',
     'hll_token_distinct', 'cms_heavy_hitters', 'kg_kcore',
     'ann_pq_topk', 'bm25_topk', 'web_url_dedup', 'bm25_index_topk',
-    'bm25_index_extend', 'hybrid_topk',
+    'bm25_index_extend', 'hybrid_topk', 'web_frontier_plan', 'host_curation',
 ]
 
 

@@ -449,3 +449,52 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
              .when(bucket < int(ratios[1]), 'valid')
              .otherwise('test'))
     return labeled.select('doc_id', 'group_id', split.alias('split'))
+
+
+def host_curation(docs: DataFrame, min_avg_quality: str = '0.55',
+                  max_dup_pct: int = 20, url_col: str = 'url',
+                  text_col: str = 'text',
+                  id_col: str = 'doc_id') -> DataFrame:
+    """Per-host (domain-level) curation verdicts — the RefinedWeb-style
+    step that blocks whole domains instead of re-judging every page:
+    (host, n_docs, n_dups, sum_quality, verdict).
+
+    n_dups = pages that are exact copies of an earlier page ANYWHERE in
+    the corpus (global md5 keep-min — mirror hosts get charged for
+    copying, the original host doesn't); sum_quality = decimal-exact
+    sum of the per-row quality composite.  Verdicts use exact
+    arithmetic only: quality blocks when sum_quality <
+    min_avg_quality·n_docs (decimal × bigint — no float average), dups
+    block when n_dups·100 > max_dup_pct·n_docs (integer cross-multiply
+    — no float ratio), quality judged first.  Two corpus-sized
+    shuffles (hash groupBy, host groupBy), both map-side combined."""
+    host = F.split(F.element_at(F.split(F.col(url_col), '://'), 2),
+                   '/')[0]
+    hashed = docs.select(
+        id_col, F.md5(F.col(text_col)).alias('_h'),
+        host.alias('host'),
+        quality_expr(text_col).cast('string').cast('decimal(38,18)')
+        .alias('_q'))
+    keep = hashed.groupBy('_h').agg(F.min(id_col).alias('_keep'))
+    per_host = (hashed.join(keep, '_h')
+                .groupBy('host')
+                .agg(F.count('*').cast('long').alias('n_docs'),
+                     F.sum((F.col(id_col) != F.col('_keep'))
+                           .cast('long')).alias('n_dups'),
+                     F.sum('_q').cast('decimal(38,18)')
+                     .alias('_sum_q')))
+    # decimal(10,6) × decimal(10,0) → decimal(21,6): exact, no overflow
+    # (a 38,18 product would exceed precision 38 and round)
+    thresh = F.lit(min_avg_quality).cast('decimal(10,6)')
+    verdict = (
+        F.when(F.col('_sum_q') <
+               thresh * F.col('n_docs').cast('decimal(10,0)'),
+               F.lit('blocked_quality'))
+        .when(F.col('n_dups') * 100 > max_dup_pct * F.col('n_docs'),
+              F.lit('blocked_dup'))
+        .otherwise(F.lit('kept')))
+    return per_host.select(
+        'host', 'n_docs', 'n_dups',
+        F.col('_sum_q').cast('string').cast('double')
+        .alias('sum_quality'),
+        verdict.alias('verdict'))

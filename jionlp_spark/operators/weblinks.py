@@ -143,3 +143,29 @@ def url_dedup(df: DataFrame, url_col: str = 'url',
             .groupBy('canon_url')
             .agg(F.count('*').cast('long').alias('n_urls'),
                  F.min(id_col).cast('long').alias('keep_id')))
+
+
+def url_host(col):
+    """Host of a canonical URL by pure string ops (split on '://' then
+    '/') — engine-identical in DuckDB, no regex (CLAUDE.md rule)."""
+    return F.split(F.element_at(F.split(col, '://'), 2), '/')[0]
+
+
+def frontier_plan(frontier: DataFrame, per_slot: int = 2,
+                  url_col: str = 'canon_url',
+                  priority_col: str = 'keep_id') -> DataFrame:
+    """Politeness-scheduled fetch plan over a deduplicated frontier:
+    (canon_url, host, slot) where each host serves at most ``per_slot``
+    fetches per time slot, FIFO by priority — the per-host rate limit
+    every polite crawler enforces.  One host-keyed window (row_number
+    by priority) and an integer slot division; hot hosts produce long
+    slot tails instead of reducer skew (rows stay one-per-url)."""
+    from pyspark.sql.window import Window
+    host = url_host(F.col(url_col))
+    w = Window.partitionBy('host').orderBy(priority_col, url_col)
+    return (frontier.withColumn('host', host)
+            .withColumn('_rn', F.row_number().over(w))
+            .select(url_col, 'host',
+                    ((F.col('_rn') - 1) / per_slot).cast('long')
+                    .alias('slot'),
+                    F.col(priority_col)))

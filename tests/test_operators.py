@@ -1522,3 +1522,29 @@ def test_rrf_fuse_hand_lists(spark):
     assert got[1] == 1.0 / 61                  # list-a only
     assert got[3] == 1.0 / 62                  # list-b only
     assert got[2] > got[1] > got[3]
+
+
+def test_host_curation_verdict_priority(spark):
+    """A host failing BOTH rules reports blocked_quality (the cheaper,
+    first-judged rule); dup charging follows the global keep-min (the
+    original's host stays clean, the mirror blocks); boundary: dup rule
+    is strict-greater (exactly 20% does not block)."""
+    from jionlp_spark.operators.curate import host_curation
+    low = 'x x x x x x x x x x'                       # quality ≈ 0.07
+    rows = [
+        (0, 'alpha beta gamma delta epsilon', 'http://a.org/0'),
+        (1, 'alpha beta gamma delta epsilon', 'http://b.org/1'),  # mirror
+        (2, 'zeta eta theta iota kappa', 'http://b.org/2'),
+        (3, 'unique one two three four', 'http://b.org/3'),
+        (4, 'other five six seven eight', 'http://b.org/4'),
+        (5, 'more nine ten eleven twelve', 'http://b.org/5'),
+        (6, low, 'http://c.org/6'),                   # low quality
+        (7, low, 'http://c.org/7'),                   # AND a dup of 6
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string, url string')
+    got = {r.host: (r.verdict, r.n_dups)
+           for r in host_curation(docs, min_avg_quality='0.2',
+                                  max_dup_pct=20).collect()}
+    assert got['a.org'] == ('kept', 0)                # original host clean
+    assert got['b.org'] == ('kept', 1)                # 1/5 = 20%, not >20%
+    assert got['c.org'][0] == 'blocked_quality'       # beats blocked_dup
