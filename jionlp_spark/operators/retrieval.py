@@ -83,14 +83,21 @@ def bm25_topk(docs: DataFrame, queries: DataFrame | None = None,
     if queries is None:
         queries = query_terms_from_docs(docs, n_queries, n_terms,
                                         text_col, id_col)
+    # every small intermediate feeds ≥2 consumers — plans are trees, so
+    # lazy reuse re-derives the corpus subtree per consumer (audited
+    # 12 scans / 28 exchanges); checkpointing the query-term table
+    # (q·terms rows), the 1-row scalars, and the MATCHED posting lists
+    # (query-term-bounded, never corpus-bounded) collapses the plan to
+    # the three eager build passes + tiny downstream joins
+    queries = queries.localCheckpoint()
     tf = term_frequencies(docs, text_col, id_col)
     scalars = docs.select(
         F.count('*').cast('long').alias('n_docs'),
         F.sum(F.size(F.split(F.col(text_col), ' ')).cast('long'))
-        .alias('total_len'))
+        .alias('total_len')).localCheckpoint()
     # posting lists of query terms only — broadcast the tiny term list
     posts = tf.join(F.broadcast(queries.select('token').distinct()),
-                    'token')
+                    'token').localCheckpoint()
     df_tbl = (posts.groupBy('token')
               .agg(F.count('*').cast('long').alias('df')))
     part = _BM25_PART.format(N='n_docs', total_len='total_len')
@@ -154,6 +161,11 @@ def query_text_index(spark, base_path: str, queries: DataFrame,
 
     tf = catalog.read_table(spark, f'{base_path}/postings')
     scalars = catalog.read_table(spark, f'{base_path}/stats')
+    # the query-term table feeds three joins — checkpoint the tiny rows
+    # so its (possibly corpus-sized) derivation runs once; the postings
+    # scans stay LAZY on purpose: they are bucketed (exchange-free) and
+    # a checkpoint would erase the bucket info the plan guard pins
+    queries = queries.localCheckpoint()
     posts = tf.join(F.broadcast(queries.select('token').distinct()),
                     'token')
     df_tbl = (posts.groupBy('token')
@@ -263,14 +275,17 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame, k: int = 10,
     Each branch is the already-certified operator; only integer ranks
     meet at the fusion join."""
     from jionlp_spark.operators.ann import brute_force_topk
+    # both rank lists are q·depth rows feeding a full-outer join (two
+    # consumers of each side's corpus subtree) — checkpoint them so the
+    # fusion plan starts from 120 rows, not two corpus pipelines
     sparse = _with_rank(
         bm25_topk(docs, n_queries=n_queries, n_terms=n_terms, k=depth,
                   text_col=text_col),
-        'score', 'doc_id')
+        'score', 'doc_id').localCheckpoint()
     dense_q = emb.filter(F.col('vec_id') < n_queries).select(
         F.col('vec_id').alias('qid'), F.col('embedding').alias('qe'))
     dense = _with_rank(
         brute_force_topk(emb, dense_q, k=depth)
         .withColumnRenamed('vec_id', 'doc_id'),
-        'cos', 'doc_id')
+        'cos', 'doc_id').localCheckpoint()
     return rrf_fuse(sparse, dense, k=k)

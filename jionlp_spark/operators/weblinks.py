@@ -137,8 +137,27 @@ def url_dedup(df: DataFrame, url_col: str = 'url',
     fetch-once key of a crawl frontier.  Non-canonicalizable rows
     (mailto:, javascript:) are dropped (they are not fetchable
     resources).  One groupBy on the canonical key, map-side combined;
-    keep = min id, the same keep-min rule as the content dedup family."""
-    return (canonical_urls(df, url_col)
+    keep = min id, the same keep-min rule as the content dedup family.
+
+    The canonical key is computed by ONE mapInPandas node, not the
+    column-append pandas UDF: grouping/filtering on a pandas-UDF column
+    makes Catalyst re-evaluate the UDF around the exchange (audited: 2
+    ArrowEvalPython nodes, the kernel run twice per row), while a
+    mapInPandas output is a black box evaluated exactly once."""
+    from jionlp_spark.kernels import urlnorm
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                'canon_url': pdf[url_col].map(
+                    lambda u: urlnorm.normalize_url(u)
+                    if u is not None else None)})
+
+    schema = T.StructType([
+        df.schema[id_col], T.StructField('canon_url', T.StringType())])
+    canoned = df.select(id_col, url_col).mapInPandas(kernel, schema)
+    return (canoned
             .filter(F.col('canon_url').isNotNull())
             .groupBy('canon_url')
             .agg(F.count('*').cast('long').alias('n_urls'),
