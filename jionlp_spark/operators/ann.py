@@ -562,10 +562,81 @@ def _pq_assign(esub: DataFrame, codebooks: DataFrame,
             .select(id_col, 'sub_id', 'sv', 'code_id'))
 
 
+def _collect_pq_codebooks(codebooks: DataFrame, m: int) -> list:
+    """Collect the m·k tiny codebook rows into per-subspace
+    (code_ids, code matrix, ‖c‖² via the sequential fold) triples for
+    the Arrow kernels."""
+    import numpy as np
+    rows = codebooks.orderBy('sub_id', 'code_id').collect()
+    cb = {}
+    for r in rows:
+        cb.setdefault(int(r['sub_id']), []).append(
+            (int(r['code_id']), np.asarray(r['code'], dtype=np.float64)))
+    subs = []
+    for s in range(m):
+        cids = np.array([c for c, _ in cb[s]])
+        C = np.stack([v for _, v in cb[s]])
+        cc = np.zeros(len(C))
+        for d in range(C.shape[1]):
+            cc += C[:, d] * C[:, d]
+        subs.append((cids, C, cc))
+    return subs
+
+
+def _pq_assign_arrow(emb: DataFrame, codebooks: DataFrame, m: int,
+                     sub_d: int, vec_col: str,
+                     id_col: str) -> DataFrame:
+    """Vectorized training assignment: (id, sub_id, sv, code_id), m rows
+    per vector, same scores/ties as _pq_assign (sequential-dim fold,
+    HALF_UP, code_id tiebreak — the _assign_arrow equivalence class).
+    Replaces the N·m·k interpreted-lambda broadcast join + window that
+    dominates training once the corpus grows (the r5 IVF lesson)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    subs = _collect_pq_codebooks(codebooks, m)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            out_sv, out_code, out_sub = [], [], []
+            for s, (cids, C, cc) in enumerate(subs):
+                Vs = V[:, s * sub_d:(s + 1) * sub_d]
+                S = np.zeros((len(V), len(C)))
+                for d in range(C.shape[1]):
+                    S += np.outer(Vs[:, d], C[:, d])
+                sc = _half_up6(S - 0.5 * cc)
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sc.shape), -sc), axis=1)
+                out_code.append(cids[order[:, 0]])
+                out_sub.append(np.full(len(V), s))
+                out_sv.append(Vs)
+            yield pd.DataFrame({
+                id_col: np.tile(ids, m),
+                'sub_id': np.concatenate(out_sub).astype('int32'),
+                'sv': [r for block in out_sv for r in block],
+                'code_id': np.concatenate(out_code).astype('int32'),
+            })
+
+    schema = T.StructType([
+        emb.schema[id_col],
+        T.StructField('sub_id', T.IntegerType()),
+        T.StructField('sv', T.ArrayType(T.DoubleType())),
+        T.StructField('code_id', T.IntegerType()),
+    ])
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 64,
                  dim: int = 64, iters: int = 1,
                  vec_col: str = 'embedding',
-                 id_col: str = 'vec_id') -> DataFrame:
+                 id_col: str = 'vec_id',
+                 impl: str = 'arrow') -> DataFrame:
     """Train per-subspace PQ codebooks: (sub_id, code_id, code double[]).
 
     Init = the k vectors with the smallest md5(id) (the same
@@ -575,9 +646,16 @@ def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 64,
     bit-identical run-to-run and engine-to-engine.  A code that loses
     all members drops out (both engines: the mean groupBy only emits
     assigned codes).  Codebooks are m·k tiny rows; training cost per
-    iteration is one broadcast join over N·m sub-rows plus one
+    iteration is one assignment pass over N·m sub-rows plus one
     (sub, code, pos)-keyed shuffle — localCheckpoint'ed per round so
-    downstream encode/query plans start from k rows, not the corpus."""
+    downstream encode/query plans start from k rows, not the corpus.
+
+    impl='arrow' (default, gate-certified through ann_pq_topk)
+    vectorizes the assignment pass — the expression path's N·m·k
+    interpreted dot folds dominate training at corpus scale (the r5
+    IVF-assigner lesson; measured 57 s → 4.4 s at x100 = 200k vectors,
+    BENCH/PLANS.md); impl='expr' keeps the plan-transparent path,
+    value-identical by the parity test."""
     sub_d = dim // m
     subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias('sub_id')
     seeds = _hash_seed_centroids(emb, k, vec_col, id_col)
@@ -589,9 +667,14 @@ def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 64,
           .localCheckpoint())
     if iters == 0:
         return cb
-    esub = _pq_subvectors(emb, m, sub_d, vec_col, id_col)
+    esub = (None if impl == 'arrow'
+            else _pq_subvectors(emb, m, sub_d, vec_col, id_col))
     for _ in range(iters):
-        assigned = _pq_assign(esub, cb, id_col)
+        if impl == 'arrow':
+            assigned = _pq_assign_arrow(emb, cb, m, sub_d,
+                                        vec_col, id_col)
+        else:
+            assigned = _pq_assign(esub, cb, id_col)
         dims = (assigned
                 .select('sub_id', 'code_id',
                         F.posexplode('sv').alias('pos', 'v'))
@@ -638,20 +721,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = codebooks.orderBy('sub_id', 'code_id').collect()
-    cb = {}
-    for r in rows:
-        cb.setdefault(int(r['sub_id']), []).append(
-            (int(r['code_id']), np.asarray(r['code'], dtype=np.float64)))
-    subs = []
-    for s in range(m):
-        cids = np.array([c for c, _ in cb[s]])
-        C = np.stack([v for _, v in cb[s]])
-        # ‖c‖² via the same sequential fold as the expression path
-        cc = np.zeros(len(C))
-        for d in range(C.shape[1]):
-            cc += C[:, d] * C[:, d]
-        subs.append((cids, C, cc))
+    subs = _collect_pq_codebooks(codebooks, m)
 
     def kernel(batches):
         for pdf in batches:

@@ -222,3 +222,16 @@ def test_pq_identical_vectors_identical_codes(spark):
              for r in pq_encode(both, cb).collect()}
     for i in range(4):
         assert codes[i] == codes[i + 10000], i
+
+
+def test_pq_codebooks_arrow_identical_to_expression(spark):
+    """The Arrow training-assignment path (gated default) and the
+    broadcast-join expression path train IDENTICAL codebooks — same
+    scores, ties, and decimal-exact means."""
+    from jionlp_spark.operators.ann import pq_codebooks
+    emb = spark.read.parquet(f'{SF}/embeddings.parquet')
+    a = sorted((r.sub_id, r.code_id, tuple(r.code)) for r in
+               pq_codebooks(emb, iters=2, impl='arrow').collect())
+    e = sorted((r.sub_id, r.code_id, tuple(r.code)) for r in
+               pq_codebooks(emb, iters=2, impl='expr').collect())
+    assert a == e
