@@ -2388,6 +2388,33 @@ def q_hybrid_topk(spark, sf_dir):
         F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'rrf')
 
 
+def q_pq_index_extend(spark, sf_dir):
+    """Incremental PQ index growth (operators/ann.publish_pq_index /
+    extend_pq_index / query_pq_index): codebooks train on EVEN vec_ids
+    only; the even batch publishes codes, the odd batch appends via a
+    zero-shuffle Arrow encode against the STORED codebooks, and the
+    query scans the stored codes table (8 ints/vector — the embeddings
+    are never re-read).  Codes are per-vector, so extended ≡
+    from-scratch; the oracle trains its SQL codebooks on the even half
+    only (_pq_topk_oracle's TRAINWHERE) and encodes everything."""
+    from jionlp_spark.operators.ann import (extend_pq_index,
+                                            publish_pq_index,
+                                            query_pq_index)
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    base = _work_dir('jionlp_pqidx', sf_dir)
+    publish_pq_index(spark, f'{base}/pq',
+                     emb.filter(F.col('vec_id') % 2 == 0),
+                     input_fingerprint=f'even@{sf_dir}')
+    extend_pq_index(spark, f'{base}/pq',
+                    emb.filter(F.col('vec_id') % 2 == 1),
+                    batch_id=f'odd@{sf_dir}')
+    return query_pq_index(
+        spark, f'{base}/pq', emb.filter(F.col('vec_id') < 3),
+        k=3).select(
+        F.col('qid').cast('long'), F.col('vec_id').cast('long'), 'adc')
+
+
 def q_ann_index_topk(spark, sf_dir):
     """Top-3 search of a PUBLISHED IVF index (operators/ann
     publish_ann_index / query_ann_index): same trained centroids and
@@ -3797,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hybrid_topk': q_hybrid_topk,
         'web_frontier_plan': q_web_frontier_plan,
         'host_curation': q_host_curation,
+        'pq_index_extend': q_pq_index_extend,
     }
 
 
@@ -4166,10 +4194,16 @@ where rn <= 10"""
 # per-sub round6 dots summed as exact decimals, emitted via
 # string→double.  DuckDB list slice e[a:b] is 1-based inclusive,
 # matching slice(e, a, 16).
-_PQ_TOPK_ORACLE = """
+def _pq_topk_oracle(train_where: str = '') -> str:
+    """PQ-ADC top-3 oracle, parameterized like _ivf_topk_oracle:
+    ``train_where`` restricts the TRAINING set (seeds + the Lloyd
+    assignment/means) while the encoded corpus stays all vectors —
+    the pq_index_extend oracle trains on the first batch only,
+    exactly like the Spark side's stored codebooks."""
+    return """
 with emb as (select vec_id, embedding::DOUBLE[] e from embeddings),
 seeds as (select vec_id, e, md5(cast(vec_id as varchar)) h
-          from emb order by h, vec_id limit 64),
+          from emb TRAINWHERE order by h, vec_id limit 64),
 init as (select row_number() over (order by h, vec_id) - 1 code_id, e
          from seeds),
 subs as (select unnest(range(8)) sub_id),
@@ -4179,16 +4213,18 @@ icb as (select s.sub_id, i.code_id,
 esub as (select vec_id, s.sub_id,
                 e[s.sub_id*8 + 1 : s.sub_id*8 + 8] sv
          from emb cross join subs s),
-tsc as (select esub.vec_id, esub.sub_id, icb.code_id,
-          round(list_dot_product(esub.sv, icb.code)
+tsub as (select esub.* from esub
+         join (select vec_id from emb TRAINWHERE) t using (vec_id)),
+tsc as (select tsub.vec_id, tsub.sub_id, icb.code_id,
+          round(list_dot_product(tsub.sv, icb.code)
                 - 0.5 * list_dot_product(icb.code, icb.code), 6) sc
-        from esub join icb using (sub_id)),
+        from tsub join icb using (sub_id)),
 a0 as (select vec_id, sub_id, code_id from
         (select *, row_number() over (partition by vec_id, sub_id
                    order by sc desc, code_id) rn from tsc) t where rn = 1),
-dims as (select a0.sub_id, a0.code_id, unnest(esub.sv) v,
-                unnest(range(len(esub.sv))) pos
-         from a0 join esub using (vec_id, sub_id)),
+dims as (select a0.sub_id, a0.code_id, unnest(tsub.sv) v,
+                unnest(range(len(tsub.sv))) pos
+         from a0 join tsub using (vec_id, sub_id)),
 cmean as (select sub_id, code_id, pos,
             cast(sum(cast(cast(v as varchar) as decimal(38,18))) as double)
               / count(*) mv
@@ -4216,7 +4252,8 @@ adc as (select qid, vec_id,
 select qid, vec_id, adc from
   (select *, row_number() over (partition by qid
              order by adc desc, vec_id) rn from adc) t
-where rn <= 3"""
+where rn <= 3""".replace(
+        'TRAINWHERE', train_where)
 
 
 def _ivf_topk_oracle(train_where: str = '') -> str:
@@ -6312,7 +6349,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'hll_token_distinct': _hll_oracle(),
         'cms_heavy_hitters': _cms_oracle(),
         'kg_kcore': _kcore_oracle(),
-        'ann_pq_topk': _PQ_TOPK_ORACLE,
+        'ann_pq_topk': _pq_topk_oracle(),
+        'pq_index_extend': _pq_topk_oracle('where vec_id % 2 = 0'),
         'bm25_topk': _BM25_TOPK_ORACLE,
         # the catalog publish changes storage, not semantics
         'bm25_index_topk': _BM25_TOPK_ORACLE,

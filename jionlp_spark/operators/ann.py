@@ -777,6 +777,15 @@ def pq_topk(emb: DataFrame, k: int = 3, n_queries: int = 3,
                            m, sub_d, vec_col, id_col)
             .select(F.col(id_col).alias('qid'), 'sub_id',
                     F.col('sv').alias('qv')))
+    return _pq_adc_topk(enc, codebooks, qsub, k, id_col)
+
+
+def _pq_adc_topk(enc: DataFrame, codebooks: DataFrame, qsub: DataFrame,
+                 k: int, id_col: str) -> DataFrame:
+    """ADC scoring core over an encoded corpus: explode codes, attach
+    code vectors (broadcast m·k rows) and query subvectors (broadcast
+    q·m rows), per-sub round-6 dots decimal-summed, window top-k."""
+    from pyspark.sql.window import Window
     parts = (enc
              .select(id_col, F.posexplode('codes')
                      .alias('sub_id', 'code_id'))
@@ -792,3 +801,79 @@ def pq_topk(emb: DataFrame, k: int = 3, n_queries: int = 3,
     w = Window.partitionBy('qid').orderBy(F.desc('adc'), F.col(id_col))
     return (adc.withColumn('rn', F.row_number().over(w))
             .filter(F.col('rn') <= k).drop('rn'))
+
+
+# ---------------------------------------------------------------------------
+# persistent PQ index through the catalog — the PQ analog of
+# publish_ann_index: train once, encode once, store CODES ONLY (8 ints
+# per vector); daily batches append via encoding against the STORED
+# codebooks, queries scan the stored codes.
+
+def publish_pq_index(spark, base_path: str, emb: DataFrame,
+                     m: int = 8, n_codes: int = 64, dim: int = 64,
+                     iters: int = 1, vec_col: str = 'embedding',
+                     id_col: str = 'vec_id',
+                     codebooks: DataFrame | None = None,
+                     input_fingerprint: str | None = None) -> dict:
+    """Publish a PQ index: `codebooks` (m·k tiny rows) and `codes`
+    (id + m code ids — the 32×-compressed searchable corpus), both
+    catalog tables (atomic publish, lineage, snapshot history).  The
+    codes table IS the scan at query time; the float embeddings are
+    never read again."""
+    from jionlp_spark.sources import catalog
+
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m=m, k=n_codes, dim=dim,
+                                 iters=iters, vec_col=vec_col,
+                                 id_col=id_col)
+    cb = catalog.run_stage(
+        spark, f'{base_path}/codebooks', 'pq_codebooks',
+        lambda: codebooks, input_fingerprint=input_fingerprint)
+    codes = catalog.run_stage(
+        spark, f'{base_path}/codes', 'pq_codes',
+        lambda: pq_encode(emb, cb, m=m, dim=dim, vec_col=vec_col,
+                          id_col=id_col),
+        input_fingerprint=input_fingerprint)
+    return {'codebooks': cb, 'codes': codes}
+
+
+def extend_pq_index(spark, base_path: str, new_emb: DataFrame,
+                    batch_id: str, m: int = 8, dim: int = 64,
+                    vec_col: str = 'embedding',
+                    id_col: str = 'vec_id') -> dict:
+    """Append a NEW vector batch to a published PQ index: encode the
+    batch against the STORED codebooks (one zero-shuffle Arrow pass
+    over the batch — history never re-read for compute) and union into
+    the codes table.  Codes are per-vector, so the extended index is
+    value-identical to a from-scratch encode over the union with the
+    same codebooks (oracle: pq_index_extend trains in SQL on the first
+    batch only, encodes everything)."""
+    from jionlp_spark.sources import catalog
+
+    cb = catalog.read_table(spark, f'{base_path}/codebooks')
+    codes = catalog.read_table(spark, f'{base_path}/codes')
+    new_codes = pq_encode(new_emb, cb, m=m, dim=dim, vec_col=vec_col,
+                          id_col=id_col)
+    updated = codes.union(new_codes.select(*codes.columns))
+    out = catalog.run_stage(
+        spark, f'{base_path}/codes', 'pq_codes',
+        lambda: updated, input_fingerprint=batch_id)
+    return {'codebooks': cb, 'codes': out}
+
+
+def query_pq_index(spark, base_path: str, queries: DataFrame,
+                   k: int = 3, m: int = 8, dim: int = 64,
+                   vec_col: str = 'embedding',
+                   id_col: str = 'vec_id') -> DataFrame:
+    """ADC top-k against a published PQ index: slice the query batch
+    into subvectors, scan the stored CODES table (m ints per corpus
+    vector — the compression is the I/O win), score via the broadcast
+    stored codebooks."""
+    from jionlp_spark.sources import catalog
+
+    cb = catalog.read_table(spark, f'{base_path}/codebooks')
+    codes = catalog.read_table(spark, f'{base_path}/codes')
+    qsub = (_pq_subvectors(queries, m, dim // m, vec_col, id_col)
+            .select(F.col(id_col).alias('qid'), 'sub_id',
+                    F.col('sv').alias('qv')))
+    return _pq_adc_topk(codes, cb, qsub, k, id_col)
