@@ -3366,6 +3366,76 @@ def q_streaming_dedup(spark, sf_dir):
     return out
 
 
+def q_streaming_url_dedup(spark, sf_dir):
+    """Streaming canonical-URL dedup (streaming/stream
+    .streaming_url_dedup) under the batch gate: the 2-micro-batch
+    mtime-ordered file stream carries the SAME five syntactic URL
+    variants per group as web_url_dedup (g = doc_id//5), arriving in
+    doc_id order (warc_ts = doc_id minutes).  Variants 0-3 collapse to
+    the base canonical form — dup_index counts their arrivals ACROSS
+    the micro-batch boundary (the split at n//2 is not a multiple of
+    5, so groups genuinely straddle batches and the state carries) —
+    and variant 4 opens its own group.  Closed form: dup_index =
+    doc_id % 5, except 0 for the variant-4 rows."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'urldedup')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_url_dedup
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_streamu', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    docs = spark.range(n).selectExpr(
+        'id as doc_id',
+        "case when id % 5 = 0 then concat('http://h',"
+        " cast((id div 5) % 50 as string), '.example.com/p/',"
+        " cast(id div 5 as string))"
+        " when id % 5 = 1 then concat('HTTP://H',"
+        " cast((id div 5) % 50 as string), '.EXAMPLE.COM:80/p/',"
+        " cast(id div 5 as string), '#frag')"
+        " when id % 5 = 2 then concat('http://h',"
+        " cast((id div 5) % 50 as string), '.example.com/p/',"
+        " cast(id div 5 as string), '?utm_source=feed&gclid=1')"
+        " when id % 5 = 3 then concat('http://h',"
+        " cast((id div 5) % 50 as string), '.example.com/a/../p/./',"
+        " cast(id div 5 as string))"
+        " else concat('http://h', cast((id div 5) % 50 as string),"
+        " '.example.com/p/', cast(id div 5 as string), '?b=2&a=1')"
+        ' end as url',
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, id, 0)"
+        ' as warc_ts')
+    half = n // 2
+    if half % 5 == 0:
+        half += 1           # force a canonical group to straddle batches
+    for i, pred in enumerate((f'doc_id < {half}', f'doc_id >= {half}')):
+        part = f'{src_dir}/batch_{i}'
+        docs.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,
+                          1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('doc_id long, url string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_url_dedup(stream)
+    table = f'stream_urldedup_{abs(hash(key)) % 10**8}'
+    q = _run_stream_lowstate(spark, result, table, ckpt)
+    out = spark.table(table).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        'canon_url',
+        F.col('dup_index').cast('int').alias('dup_index'))
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_curate(spark, sf_dir):
     """Streaming admission verdicts (streaming/stream.streaming_curate)
     under the batch gate: the same 2-micro-batch mtime-ordered file
@@ -3825,6 +3895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_frontier_plan': q_web_frontier_plan,
         'host_curation': q_host_curation,
         'pq_index_extend': q_pq_index_extend,
+        'streaming_url_dedup': q_streaming_url_dedup,
     }
 
 
@@ -6351,6 +6422,21 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'kg_kcore': _kcore_oracle(),
         'ann_pq_topk': _pq_topk_oracle(),
         'pq_index_extend': _pq_topk_oracle('where vec_id % 2 = 0'),
+        # closed form of the streamed variant corpus: variants 0-3 of a
+        # group arrive in doc order (dup_index = doc_id % 5, state
+        # crossing the batch split), variant 4 opens its own group
+        'streaming_url_dedup': '''
+            with b as (select doc_id,
+                concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                       '.example.com/p/', cast(doc_id // 5 as varchar))
+                  base
+              from documents)
+            select doc_id,
+              case when doc_id % 5 = 4 then concat(base, '?a=1&b=2')
+                   else base end canon_url,
+              cast(case when doc_id % 5 = 4 then 0
+                        else doc_id % 5 end as int) dup_index
+            from b''',
         'bm25_topk': _BM25_TOPK_ORACLE,
         # the catalog publish changes storage, not semantics
         'bm25_index_topk': _BM25_TOPK_ORACLE,

@@ -399,3 +399,75 @@ def streaming_sessions(events_stream: DataFrame,
             .applyInPandasWithState(sess_fn, out_schema, state_schema,
                                     'append',
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_url_dedup(pages_stream: DataFrame,
+                        watermark: str = '1 hour',
+                        ttl: str | None = None) -> DataFrame:
+    """Streaming canonical-URL dedup — the ONLINE crawl-frontier shape
+    of operators/weblinks.url_dedup: each arriving URL canonicalizes
+    (kernels/urlnorm, one pandas-UDF stage feeding the state key), the
+    first arrival of each canonical form passes with dup_index 0,
+    syntactic re-fetches are flagged with their arrival index through
+    Spark-managed per-key state crossing micro-batches.  Non-fetchable
+    URLs (mailto:, fragments) drop before the state shuffle, so junk
+    never occupies state.
+
+    State = one row per canon_url {n_seen}, event-time TTL (default one
+    watermark interval) bounds state to recently-seen URLs — the
+    frontier's recrawl-suppression window.
+
+    Input: (doc_id long, url string, warc_ts timestamp) stream.
+    Output: (canon_url, doc_id, warc_ts, dup_index).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from jionlp_spark.kernels import urlnorm
+
+    def _canon_fn(url):
+        return url.map(lambda u: urlnorm.normalize_url(u)
+                       if u is not None else None)
+
+    # real annotation objects (the module uses `from __future__ import
+    # annotations`, so inline hints would be unresolvable strings)
+    _canon_fn.__annotations__ = {'url': pd.Series, 'return': pd.Series}
+    _canon = pandas_udf(_canon_fn, 'string')
+
+    canoned = (pages_stream
+               .select(_canon(F.col('url')).alias('canon_url'),
+                       'doc_id', 'warc_ts')
+               .filter(F.col('canon_url').isNotNull())
+               .withWatermark('warc_ts', watermark))
+    ttl_ms = _interval_ms(ttl if ttl is not None else watermark)
+    session_tz = pages_stream.sparkSession.conf.get(
+        'spark.sql.session.timeZone')
+
+    out_schema = ('canon_url string, doc_id long, warc_ts timestamp, '
+                  'dup_index int')
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen = state.get[0] if state.exists else 0
+        out = []
+        max_ts = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(['warc_ts', 'doc_id'])
+            for row in pdf.itertuples():
+                out.append((key[0], row.doc_id, row.warc_ts, n_seen))
+                n_seen += 1
+                if max_ts is None or row.warc_ts > max_ts:
+                    max_ts = row.warc_ts
+        state.update((n_seen,))
+        state.setTimeoutTimestamp(_epoch_ms(max_ts, session_tz) + ttl_ms)
+        yield pd.DataFrame(out, columns=['canon_url', 'doc_id',
+                                         'warc_ts', 'dup_index'])
+
+    return (canoned.groupBy('canon_url')
+            .applyInPandasWithState(dedup_fn, out_schema, 'n_seen int',
+                                    'append',
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -1548,3 +1548,50 @@ def test_host_curation_verdict_priority(spark):
     assert got['a.org'] == ('kept', 0)                # original host clean
     assert got['b.org'] == ('kept', 1)                # 1/5 = 20%, not >20%
     assert got['c.org'][0] == 'blocked_quality'       # beats blocked_dup
+
+
+def test_streaming_url_dedup_cross_batch_and_junk(spark, tmp_path):
+    """streaming_url_dedup: syntactic variants of one resource count a
+    shared dup_index ACROSS micro-batches (state carries); mailto/
+    fragment junk is dropped BEFORE the state shuffle and never
+    emitted."""
+    import datetime
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_url_dedup
+
+    src = str(tmp_path / 'src')
+    ckpt = str(tmp_path / 'ckpt')
+    os.makedirs(src)
+    t = lambda m: datetime.datetime(2021, 9, 1, 10, m)
+    batches = [
+        [(0, 'http://a.com/x', t(0)),
+         (1, 'HTTP://A.COM:80/x#f', t(1)),          # same resource
+         (2, 'mailto:u@x.com', t(2))],              # junk, no state
+        [(3, 'http://a.com/q/../x', t(3)),          # carries n_seen=2
+         (4, 'http://b.com/y?utm_source=s', t(4))],
+    ]
+    for i, rows in enumerate(batches):
+        part = f'{src}/batch_{i}'
+        spark.createDataFrame(
+            rows, 'doc_id long, url string, warc_ts timestamp') \
+            .coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream
+              .schema('doc_id long, url string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1').parquet(f'{src}/batch_*'))
+    q = (streaming_url_dedup(stream)
+         .writeStream.format('memory').queryName('url_dedup_test')
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', ckpt).start())
+    q.awaitTermination(240)
+    got = {r['doc_id']: (r['canon_url'], r['dup_index'])
+           for r in spark.table('url_dedup_test').collect()}
+    assert set(got) == {0, 1, 3, 4}              # doc 2 (mailto) dropped
+    assert got[0] == ('http://a.com/x', 0)
+    assert got[1] == ('http://a.com/x', 1)
+    assert got[3] == ('http://a.com/x', 2)       # state crossed batches
+    assert got[4] == ('http://b.com/y', 0)
