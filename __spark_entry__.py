@@ -1262,6 +1262,34 @@ def q_host_curation(spark, sf_dir):
     return host_curation(pages, min_avg_quality='0.2', max_dup_pct=20)
 
 
+def q_catalog_snapshot_diff(spark, sf_dir):
+    """Snapshot-level table diff (sources/catalog.snapshot_diff — the
+    audit companion of read_snapshot time travel): version 1 of a doc
+    table publishes all docs, version 2 removes doc_id ≡ 0 (mod 10),
+    adds doc_id+10000 rows for ≡ 1, and flips lang to 'xx' for ≡ 2;
+    diff(1→2, key=doc_id, compare=lang) must report exactly those
+    three delta classes (unchanged rows not emitted — delta-sized
+    output).  The null-safe payload compare and full-outer key join
+    are the operator; the oracle rebuilds the delta closed-form."""
+    from jionlp_spark.sources.catalog import run_stage, snapshot_diff
+    base = _work_dir('jionlp_snapdiff', sf_dir)
+    docs = _docs(spark, sf_dir).select('doc_id', 'lang')
+
+    run_stage(spark, f'{base}/t', 'docs_v', lambda: docs,
+              input_fingerprint='v1')
+    v2 = (docs.filter(F.col('doc_id') % 10 != 0)
+          .withColumn('lang', F.when(F.col('doc_id') % 10 == 2, 'xx')
+                      .otherwise(F.col('lang')))
+          .unionByName(docs.filter(F.col('doc_id') % 10 == 1)
+                       .select((F.col('doc_id') + 10000).alias('doc_id'),
+                               'lang')))
+    run_stage(spark, f'{base}/t', 'docs_v', lambda: v2,
+              input_fingerprint='v2')
+    return snapshot_diff(spark, f'{base}/t', 1, 2, ('doc_id',),
+                         ('lang',)).select(
+        F.col('doc_id').cast('long'), 'change')
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -3896,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_curation': q_host_curation,
         'pq_index_extend': q_pq_index_extend,
         'streaming_url_dedup': q_streaming_url_dedup,
+        'catalog_snapshot_diff': q_catalog_snapshot_diff,
     }
 
 
@@ -6422,6 +6451,17 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'kg_kcore': _kcore_oracle(),
         'ann_pq_topk': _pq_topk_oracle(),
         'pq_index_extend': _pq_topk_oracle('where vec_id % 2 = 0'),
+        # the delta classes closed-form: v2 removed ≡0, added ≡1 (+10000),
+        # changed lang on ≡2 (mod 10)
+        'catalog_snapshot_diff': '''
+            select doc_id, 'removed' change from documents
+              where doc_id % 10 = 0
+            union all
+            select doc_id + 10000, 'added' from documents
+              where doc_id % 10 = 1
+            union all
+            select doc_id, 'changed' from documents
+              where doc_id % 10 = 2''',
         # closed form of the streamed variant corpus: variants 0-3 of a
         # group arrive in doc order (dup_index = doc_id % 5, state
         # crossing the batch split), variant 4 opens its own group

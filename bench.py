@@ -76,7 +76,7 @@ HEADLINE = [
     'hll_token_distinct', 'cms_heavy_hitters', 'kg_kcore',
     'ann_pq_topk', 'bm25_topk', 'web_url_dedup', 'bm25_index_topk',
     'bm25_index_extend', 'hybrid_topk', 'web_frontier_plan', 'host_curation',
-    'pq_index_extend', 'streaming_url_dedup',
+    'pq_index_extend', 'streaming_url_dedup', 'catalog_snapshot_diff',
 ]
 
 

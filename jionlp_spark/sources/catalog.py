@@ -29,6 +29,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = '_manifest.json'
 SNAPSHOT_DIR = '_snapshots'
@@ -343,3 +344,46 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def snapshot_diff(spark: SparkSession, path: str, from_id: int,
+                  to_id: int, key_cols: tuple,
+                  compare_cols: tuple = ()) -> DataFrame:
+    """Row-level diff between two snapshots of a catalog table:
+    (key_cols..., change ∈ {added, removed, changed}) — the audit
+    companion of read_snapshot time travel (what did yesterday's
+    publish do to the table?).
+
+    `added`/`removed` come from a full-outer key join of the two
+    snapshot reads; `changed` rows (same key, different payload) are
+    reported only when ``compare_cols`` names the payload columns —
+    compared null-safely (<=>), so a value toggling to/from null
+    counts as a change.  Unchanged rows are not emitted, so the result
+    is delta-sized.  Each side is one snapshot scan; the join shuffles
+    both snapshots on the key — at scale, prefer key-bucketed
+    publishes (bucket_by=key_cols) so the exchange falls away like the
+    incremental-dedup index join."""
+    a = read_snapshot(spark, path, from_id)
+    b = read_snapshot(spark, path, to_id)
+    keys = list(key_cols)
+    al = a.select(*keys, *compare_cols).alias('a')
+    bl = b.select(*keys, *compare_cols).alias('b')
+    cond = None
+    for k in keys:
+        c = F.col(f'a.{k}').eqNullSafe(F.col(f'b.{k}'))
+        cond = c if cond is None else cond & c
+    j = al.join(bl, cond, 'full_outer')
+    # key columns are non-null by contract (they key the table), so a
+    # null key side marks absence in that snapshot
+    b_absent = F.col(f'b.{keys[0]}').isNull()
+    same_payload = F.lit(True)
+    for c in compare_cols:
+        same_payload = same_payload & \
+            F.col(f'a.{c}').eqNullSafe(F.col(f'b.{c}'))
+    change = (F.when(F.col(f'a.{keys[0]}').isNull(), 'added')
+              .when(b_absent, 'removed')
+              .when(~same_payload, 'changed'))
+    out_keys = [F.coalesce(F.col(f'a.{k}'), F.col(f'b.{k}')).alias(k)
+                for k in keys]
+    return (j.select(*out_keys, change.alias('change'))
+            .filter(F.col('change').isNotNull()))

@@ -1595,3 +1595,24 @@ def test_streaming_url_dedup_cross_batch_and_junk(spark, tmp_path):
     assert got[1] == ('http://a.com/x', 1)
     assert got[3] == ('http://a.com/x', 2)       # state crossed batches
     assert got[4] == ('http://b.com/y', 0)
+
+
+def test_snapshot_diff_null_safe_payload(spark, tmp_path):
+    """snapshot_diff: a payload toggling to/from null IS a change (the
+    compare is null-safe <=>); identical rows are not emitted; keys
+    present in only one snapshot classify added/removed."""
+    from jionlp_spark.sources.catalog import run_stage, snapshot_diff
+    base = str(tmp_path / 't')
+    v1 = spark.createDataFrame(
+        [(1, 'a'), (2, None), (3, 'c'), (4, 'd')],
+        'k long, v string')
+    v2 = spark.createDataFrame(
+        [(1, 'a'), (2, 'b'), (3, None), (5, 'e')],
+        'k long, v string')
+    run_stage(spark, base, 's', lambda: v1, input_fingerprint='1')
+    run_stage(spark, base, 's', lambda: v2, input_fingerprint='2')
+    got = {r.k: r.change
+           for r in snapshot_diff(spark, base, 1, 2, ('k',),
+                                  ('v',)).collect()}
+    assert got == {2: 'changed', 3: 'changed',
+                   4: 'removed', 5: 'added'}, got
