@@ -1290,6 +1290,20 @@ def q_catalog_snapshot_diff(spark, sf_dir):
         F.col('doc_id').cast('long'), 'change')
 
 
+def q_lm_stupid_backoff(spark, sf_dir):
+    """Stupid-backoff held-out scoring (operators/textstats
+    .stupid_backoff_scores — Brants et al. 2007): the bigram model
+    trains on EVEN doc_ids only and scores every doc, so odd docs'
+    unseen bigrams genuinely back off to 0.4·c(w2)/N and rare tokens
+    go OOV — the branch structure in-corpus training can never reach.
+    Counts are exact bigints; ln terms are identical per-row trees;
+    per-doc sums run as decimals."""
+    from jionlp_spark.operators.textstats import stupid_backoff_scores
+    docs = _docs(spark, sf_dir)
+    return stupid_backoff_scores(
+        docs.filter(F.col('doc_id') % 2 == 0), docs)
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -3925,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pq_index_extend': q_pq_index_extend,
         'streaming_url_dedup': q_streaming_url_dedup,
         'catalog_snapshot_diff': q_catalog_snapshot_diff,
+        'lm_stupid_backoff': q_lm_stupid_backoff,
     }
 
 
@@ -5719,6 +5734,47 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # shortest-round-trip form both engines parse identically);
         # parallel unnest of the two shifted slices zips them like
         # Spark arrays_zip
+        'lm_stupid_backoff': """
+            with toks as (select doc_id, string_split(text, ' ') w
+                          from documents),
+            tbg as (select unnest(w[1:len(w)-1]) w1,
+                           unnest(w[2:len(w)]) w2
+                    from toks where doc_id % 2 = 0 and len(w) >= 2),
+            pc as (select w1, w2, count(*)::bigint c12
+                   from tbg group by 1, 2),
+            cc as (select w1, sum(c12)::bigint c1 from pc group by 1),
+            uni as (select unnest(w) w2 from toks where doc_id % 2 = 0),
+            uc as (select w2, count(*)::bigint cu from uni group by 1),
+            nt as (select sum(cu)::bigint n_tok from uc),
+            dbg as (select doc_id, unnest(w[1:len(w)-1]) w1,
+                           unnest(w[2:len(w)]) w2
+                    from toks where len(w) >= 2),
+            sc as (select dbg.doc_id,
+                     case when pc.c12 is not null
+                          then ln(cast(pc.c12 as double)
+                                  / cast(cc.c1 as double))
+                          when uc.cu is not null
+                          then ln(0.4 * cast(uc.cu as double)
+                                  / cast(nt.n_tok as double))
+                     end t,
+                     case when pc.c12 is null and uc.cu is not null
+                          then 1 else 0 end b,
+                     case when pc.c12 is null and uc.cu is null
+                          then 1 else 0 end o
+                   from dbg
+                   left join pc using (w1, w2)
+                   left join cc using (w1)
+                   left join uc using (w2)
+                   cross join nt),
+            agg as (select doc_id, count(*)::bigint n_bigrams,
+                      sum(b)::bigint n_backoff, sum(o)::bigint n_oov,
+                      sum(cast(cast(t as varchar) as decimal(38,18))) s
+                    from sc group by 1)
+            select doc_id::bigint doc_id, n_bigrams, n_backoff, n_oov,
+                   case when n_bigrams - n_oov > 0
+                        then cast(cast(s as varchar) as double)
+                             / (n_bigrams - n_oov) end sb_avg
+            from agg""",
         'lm_perplexity': """
             with toks as (select doc_id, string_split(text, ' ') w
                           from documents),

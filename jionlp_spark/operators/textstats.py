@@ -721,3 +721,78 @@ def ccnet_buckets(docs: DataFrame, grid: int = 1000,
     return (scored.join(F.broadcast(cuts), 'lang')
             .select('doc_id', 'lang', 'nlp_grid',
                     bucket.alias('bucket')))
+
+
+def stupid_backoff_scores(train: DataFrame, docs: DataFrame,
+                          text_col: str = 'text',
+                          id_col: str = 'doc_id') -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007, EMNLP — THE
+    distributed-LM scheme: no normalization, so the model is pure
+    counts and trains as two map-side-combined groupBys): per doc,
+    S(w2|w1) = c12/c1 when the bigram was seen in TRAIN, else
+    0.4 · c(w2)/N when the unigram was, else the bigram is OOV and
+    excluded (counted).  Scoring a held-out corpus against a
+    subset-trained model is the honest shape — in-corpus training
+    never backs off.
+
+    → (doc_id, n_bigrams, n_backoff, n_oov, sb_avg): sb_avg = decimal-
+    exact Σ ln S over scorable bigrams / (n_bigrams − n_oov), null when
+    nothing scored.  ln terms are per-row trees on exact integer
+    counts; hot function-word bigrams skew the model join — AQE
+    skew-join applies.  The pair/unigram count tables are model-sized
+    (checkpointed once); N rides a broadcast-scalar crossJoin."""
+    # engine-mirrorable bigram extraction: zip the token list against
+    # its own tail (the lm_perplexity oracle's w[1:n-1] / w[2:n] slices)
+    tbg = (train.select(
+        F.explode(F.arrays_zip(
+            F.expr(f"slice(split({text_col}, ' '), 1, "
+                   f"size(split({text_col}, ' ')) - 1)"),
+            F.expr(f"slice(split({text_col}, ' '), 2, "
+                   f"size(split({text_col}, ' ')) - 1)"))).alias('p'))
+        .select(F.col('p.0').alias('w1'), F.col('p.1').alias('w2')))
+    pc = (tbg.groupBy('w1', 'w2')
+          .agg(F.count('*').cast('long').alias('c12')).localCheckpoint())
+    cc = pc.groupBy('w1').agg(F.sum('c12').cast('long').alias('c1'))
+    uni = (train.select(F.explode(F.split(F.col(text_col), ' '))
+                        .alias('w2'))
+           .groupBy('w2').agg(F.count('*').cast('long').alias('cu'))
+           .localCheckpoint())
+    n_tok = uni.agg(F.sum('cu').cast('long').alias('n_tok'))
+
+    dbg = (docs.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.expr(f"slice(split({text_col}, ' '), 1, "
+                   f"size(split({text_col}, ' ')) - 1)"),
+            F.expr(f"slice(split({text_col}, ' '), 2, "
+                   f"size(split({text_col}, ' ')) - 1)"))).alias('p'))
+        .select(id_col, F.col('p.0').alias('w1'),
+                F.col('p.1').alias('w2')))
+    seen = F.col('c12').isNotNull()
+    backoff = F.col('c12').isNull() & F.col('cu').isNotNull()
+    term = (F.when(seen, F.log(F.col('c12').cast('double')
+                               / F.col('c1').cast('double')))
+            .when(backoff, F.log(F.lit(0.4)
+                                 * F.col('cu').cast('double')
+                                 / F.col('n_tok').cast('double'))))
+    scored = (dbg.join(pc, ['w1', 'w2'], 'left')
+              .join(cc, 'w1', 'left')
+              .join(uni, 'w2', 'left')
+              .crossJoin(F.broadcast(n_tok))
+              .select(id_col, term.alias('t'),
+                      backoff.cast('long').alias('b'),
+                      (F.col('c12').isNull() & F.col('cu').isNull())
+                      .cast('long').alias('o')))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count('*').cast('long').alias('n_bigrams'),
+                F.sum('b').alias('n_backoff'),
+                F.sum('o').alias('n_oov'),
+                F.sum(F.col('t').cast('string').cast('decimal(38,18)'))
+                .alias('_s')))
+    n_scored = F.col('n_bigrams') - F.col('n_oov')
+    return agg.select(
+        F.col(id_col).cast('long').alias(id_col),
+        'n_bigrams', 'n_backoff', 'n_oov',
+        F.when(n_scored > 0,
+               F.col('_s').cast('string').cast('double') / n_scored)
+        .alias('sb_avg'))

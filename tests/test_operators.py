@@ -1616,3 +1616,35 @@ def test_snapshot_diff_null_safe_payload(spark, tmp_path):
                                   ('v',)).collect()}
     assert got == {2: 'changed', 3: 'changed',
                    4: 'removed', 5: 'added'}, got
+
+
+def test_stupid_backoff_branches(spark):
+    """All three scoring branches on a hand corpus: seen bigram =
+    c12/c1, unseen bigram with seen unigram = 0.4·c(w2)/N, OOV unigram
+    excluded and counted; n_scored denominator excludes OOV only."""
+    import math
+
+    from jionlp_spark.operators.textstats import stupid_backoff_scores
+    train = spark.createDataFrame(
+        [(0, 'a b a b c')], 'doc_id long, text string')
+    # N=5 tokens; c(a b)=2, c(a)=2 as context; c(c)=1
+    score = spark.createDataFrame(
+        [(1, 'a b x c q')], 'doc_id long, text string')
+    # bigrams: (a,b) seen → ln(2/2); (b,x) x OOV → excluded;
+    # (x,c) backoff to c → ln(0.4·1/5); (c,q) q OOV → excluded
+    r = stupid_backoff_scores(train, score).collect()[0]
+    assert (r.n_bigrams, r.n_backoff, r.n_oov) == (4, 1, 2)
+    want = (math.log(2.0 / 2.0) + math.log(0.4 * 1.0 / 5.0)) / 2
+    assert abs(r.sb_avg - want) < 1e-12, (r.sb_avg, want)
+
+
+def test_stupid_backoff_nothing_scored_is_null(spark):
+    """A doc whose every bigram hits an OOV token scores null, not a
+    zero-division."""
+    from jionlp_spark.operators.textstats import stupid_backoff_scores
+    train = spark.createDataFrame(
+        [(0, 'a b a b')], 'doc_id long, text string')
+    score = spark.createDataFrame(
+        [(1, 'x y z')], 'doc_id long, text string')
+    r = stupid_backoff_scores(train, score).collect()[0]
+    assert r.n_oov == 2 and r.sb_avg is None
