@@ -1304,6 +1304,22 @@ def q_lm_stupid_backoff(spark, sf_dir):
         docs.filter(F.col('doc_id') % 2 == 0), docs)
 
 
+def q_web_random_walks(spark, sf_dir):
+    """Deterministic random walks (operators/graph.random_walks —
+    DeepWalk/node2vec corpus prep with the RNG replaced by an md5 hop
+    rule) over the directed crawl host graph: one 3-step walk per
+    source host; walks reaching the dangling *.example.net mirrors end
+    early, keeping their prefix.  The oracle unrolls the three hop
+    CTEs over the closed-form edge table with the identical
+    md5(start || '|t|' || dst) ranking."""
+    from jionlp_spark.operators.graph import random_walks
+    from jionlp_spark.operators.weblinks import extract_links, host_edges
+    edges = host_edges(extract_links(_web_pages(spark, sf_dir))).select(
+        F.col('src_host').alias('src'), F.col('dst_host').alias('dst'))
+    return random_walks(edges, walk_len=3).select(
+        'start', F.col('step').cast('int'), 'node')
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -3940,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_url_dedup': q_streaming_url_dedup,
         'catalog_snapshot_diff': q_catalog_snapshot_diff,
         'lm_stupid_backoff': q_lm_stupid_backoff,
+        'web_random_walks': q_web_random_walks,
     }
 
 
@@ -6465,6 +6482,31 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # kernels/links.py extraction over constructed HTML); self-links
         # (the relative 'about us' anchor + the doc_id ≡ 8,33 (mod 50)
         # collisions of the second slot) are dropped by host_edges
+        # three unrolled hop CTEs with the identical md5 hop ranking
+        'web_random_walks': f"""
+            with {_WEB_LINKS_CTE},
+            e as (select distinct src_host src, dst_host dst
+                  from l where src_host <> dst_host),
+            w0 as (select distinct src "start", src node from e),
+            w1 as (select "start", node from (
+                select w0.start, e.dst node, row_number() over (
+                  partition by w0.start
+                  order by md5(w0.start || '|1|' || e.dst), e.dst) rn
+                from w0 join e on e.src = w0.node) t where rn = 1),
+            w2 as (select "start", node from (
+                select w1.start, e.dst node, row_number() over (
+                  partition by w1.start
+                  order by md5(w1.start || '|2|' || e.dst), e.dst) rn
+                from w1 join e on e.src = w1.node) t where rn = 1),
+            w3 as (select "start", node from (
+                select w2.start, e.dst node, row_number() over (
+                  partition by w2.start
+                  order by md5(w2.start || '|3|' || e.dst), e.dst) rn
+                from w2 join e on e.src = w2.node) t where rn = 1)
+            select "start", 0 step, node from w0
+            union all select "start", 1, node from w1
+            union all select "start", 2, node from w2
+            union all select "start", 3, node from w3""",
         'web_link_graph': f"""
             with {_WEB_LINKS_CTE}
             select src_host, dst_host, cast(count(*) as bigint) as n_links

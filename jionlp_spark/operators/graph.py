@@ -527,3 +527,47 @@ def entity_profiles(mentions: DataFrame, k: int = 3,
     return (sym.withColumn('rnk', F.row_number().over(w).cast('long'))
             .filter(F.col('rnk') <= int(k))
             .select('ent', 'rnk', 'other', 'n_ab', 'npmi'))
+
+
+def random_walks(edges: DataFrame, walk_len: int = 3,
+                 src_col: str = 'src', dst_col: str = 'dst') -> DataFrame:
+    """Deterministic pseudo-random walks over a directed edge table —
+    the node2vec/DeepWalk corpus-preparation step (Grover & Leskovec
+    2016; Perozzi et al. 2014), with the RNG replaced by a hash rule so
+    walks are reproducible run-to-run and engine-to-engine: from the
+    walk's current node, the next hop is the out-neighbor minimizing
+    md5(start || '|step|' || candidate) (ties by candidate) — uniform
+    pseudo-random per (walk, step), no RNG state to ship.
+
+    → (start, step, node) rows, step 0 = the start itself; one walk per
+    distinct source node.  A walk reaching a dangling node (no
+    out-edges) simply ends — shorter walks keep their prefix rows.
+
+    Scale shape: one frontier-sized join + per-start window per step,
+    localCheckpoint per round (iterative-driver rule: the lineage would
+    otherwise nest walk_len plans deep).  The frontier is one row per
+    walk, so each round's shuffle is walks-sized, never edges-sized;
+    hub destinations skew the join key — AQE skew-join applies."""
+    adj = edges.select(F.col(src_col).alias('node'),
+                       F.col(dst_col).alias('_dst'))
+    cur = (adj.select('node').distinct()
+           .select(F.col('node').alias('start'),
+                   F.lit(0).alias('step'), 'node')
+           .localCheckpoint())
+    paths = [cur]
+    for t in range(1, walk_len + 1):
+        from pyspark.sql.window import Window
+        w = Window.partitionBy('start').orderBy('_r', '_dst')
+        cur = (cur.join(adj, 'node')
+               .withColumn('_r', F.md5(F.concat(
+                   F.col('start'), F.lit(f'|{t}|'), F.col('_dst'))))
+               .withColumn('_rn', F.row_number().over(w))
+               .filter(F.col('_rn') == 1)
+               .select('start', F.lit(t).alias('step'),
+                       F.col('_dst').alias('node'))
+               .localCheckpoint())
+        paths.append(cur)
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.union(p)
+    return out

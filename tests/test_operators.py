@@ -1648,3 +1648,28 @@ def test_stupid_backoff_nothing_scored_is_null(spark):
         [(1, 'x y z')], 'doc_id long, text string')
     r = stupid_backoff_scores(train, score).collect()[0]
     assert r.n_oov == 2 and r.sb_avg is None
+
+
+def test_random_walks_deterministic_and_terminating(spark):
+    """random_walks: hop choice is the md5 rule (reproducible across
+    runs), walks reaching a sink keep their prefix and stop, and a
+    single-out-neighbor chain is followed exactly."""
+    import hashlib
+
+    from jionlp_spark.operators.graph import random_walks
+    edges = spark.createDataFrame(
+        [('a', 'b'), ('a', 'c'), ('b', 'd'), ('c', 'a')],
+        'src string, dst string')          # d is a sink
+    rows = {(r.start, r.step): r.node
+            for r in random_walks(edges, walk_len=3).collect()}
+    # a's first hop: min md5('a|1|b') vs md5('a|1|c')
+    first = min(['b', 'c'], key=lambda d: (hashlib.md5(
+        f'a|1|{d}'.encode()).hexdigest(), d))
+    assert rows[('a', 1)] == first
+    # b → d (only neighbor), then the walk ends at the sink
+    assert rows[('b', 1)] == 'd'
+    assert ('b', 2) not in rows
+    # two runs agree exactly
+    again = {(r.start, r.step): r.node
+             for r in random_walks(edges, walk_len=3).collect()}
+    assert rows == again
