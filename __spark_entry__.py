@@ -1320,6 +1320,32 @@ def q_web_random_walks(spark, sf_dir):
         'start', F.col('step').cast('int'), 'node')
 
 
+def q_web_mirror_pairs(spark, sf_dir):
+    """Mirror-host detection (operators/weblinks.mirror_pairs) over the
+    host_curation corpus: hosts 7/17 carry verbatim copies of hosts
+    6/16's pages (docs ≡ 7 mod 10 copy their predecessor, whose host
+    is theirs minus one), so exactly the pairs (s6,s7) and (s16,s17)
+    share all 25 fingerprints at jaccard 1.0; every other host pair
+    shares nothing.  Oracle rebuilds the same distinct (host, md5)
+    table and pair join closed-form."""
+    from jionlp_spark.operators.weblinks import mirror_pairs
+    d = F.col('doc_id')
+    toks = F.split(F.col('text'), ' ')
+    base = _docs(spark, sf_dir).alias('d')
+    prev = _docs(spark, sf_dir).select(
+        F.col('doc_id').alias('_pid'), F.col('text').alias('_ptext'))
+    pages = (base.join(prev, F.col('doc_id') - 1 == F.col('_pid'), 'left')
+             .select('doc_id',
+                     F.when(d % 10 == 7, F.col('_ptext'))
+                     .when(d % 20 == 3,
+                           F.array_join(F.array_repeat(
+                               F.element_at(toks, 1), 40), ' '))
+                     .otherwise(F.col('text')).alias('text'),
+                     F.format_string('http://s%s.example.org/p%s',
+                                     d % 20, d).alias('url')))
+    return mirror_pairs(pages)
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -3957,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'catalog_snapshot_diff': q_catalog_snapshot_diff,
         'lm_stupid_backoff': q_lm_stupid_backoff,
         'web_random_walks': q_web_random_walks,
+        'web_mirror_pairs': q_web_mirror_pairs,
     }
 
 
@@ -6584,6 +6611,37 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'hybrid_topk': _HYBRID_TOPK_ORACLE,
         # canon table closed-form -> keep-min groupBy -> the same
         # host-keyed FIFO window and slot division
+        # same corpus construction as host_curation; distinct (host, md5)
+        # self-join with the hot-hash guard a no-op here (no fingerprint
+        # spans > 2 hosts), jaccard = shared/(na+nb-shared) exact ints
+        'web_mirror_pairs': '''
+            with base as (select d.doc_id,
+                case when d.doc_id % 10 = 7 then p.text
+                     when d.doc_id % 20 = 3 then
+                       rtrim(repeat(concat(string_split(d.text, ' ')[1],
+                                           ' '), 40))
+                     else d.text end as text,
+                concat('s', cast(d.doc_id % 20 as varchar),
+                       '.example.org') host
+              from documents d
+              left join documents p on p.doc_id = d.doc_id - 1),
+            hh as (select distinct host, md5(text) h from base),
+            hot as (select h from hh group by h having count(*) <= 8),
+            kept as (select hh.* from hh join hot using (h)),
+            sizes as (select host, count(*)::bigint n
+                      from kept group by 1),
+            prs as (select a.host host_a, b.host host_b,
+                           count(*)::bigint shared
+                    from kept a join kept b using (h)
+                    where a.host < b.host
+                    group by 1, 2
+                    having count(*) >= 2)
+            select host_a, host_b, shared, sa.n n_a, sb.n n_b,
+                   cast(shared as double)
+                     / cast(sa.n + sb.n - shared as double) jaccard
+            from prs
+            join sizes sa on sa.host = prs.host_a
+            join sizes sb on sb.host = prs.host_b''',
         'host_curation': f'''
             with base as (select d.doc_id,
                 case when d.doc_id % 10 = 7 then p.text

@@ -77,7 +77,7 @@ HEADLINE = [
     'ann_pq_topk', 'bm25_topk', 'web_url_dedup', 'bm25_index_topk',
     'bm25_index_extend', 'hybrid_topk', 'web_frontier_plan', 'host_curation',
     'pq_index_extend', 'streaming_url_dedup', 'catalog_snapshot_diff',
-    'lm_stupid_backoff', 'web_random_walks',
+    'lm_stupid_backoff', 'web_random_walks', 'web_mirror_pairs',
 ]
 
 

@@ -188,3 +188,51 @@ def frontier_plan(frontier: DataFrame, per_slot: int = 2,
                     ((F.col('_rn') - 1) / per_slot).cast('long')
                     .alias('slot'),
                     F.col(priority_col)))
+
+
+def mirror_pairs(docs: DataFrame, url_col: str = 'url',
+                 text_col: str = 'text', min_shared: int = 2,
+                 hot_host_limit: int = 8) -> DataFrame:
+    """Mirror-host detection: pairs of hosts sharing content
+    fingerprints — (host_a, host_b, shared, n_a, n_b, jaccard), the
+    site-level dual of document dedup (a mirror farm is cheaper to
+    block once than to dedup page-by-page).
+
+    Shape: distinct (host, md5(text)) → self-join on the hash (host_a
+    < host_b) → pair counts + per-host set sizes; jaccard =
+    shared/(n_a + n_b − shared) as one per-row double tree over exact
+    bigints.  Fingerprints carried by more than ``hot_host_limit``
+    hosts are dropped BEFORE the self-join (boilerplate pages — empty
+    templates, error pages — would otherwise contribute O(hosts²)
+    pairs per hash; the same stop-set cut as winnowing's hot-shingle
+    guard, and set sizes count the SURVIVING fingerprints so jaccard
+    stays consistent)."""
+    from pyspark.sql.window import Window as _W
+    host = url_host(F.col(url_col))
+    hh = (docs.select(host.alias('host'),
+                      F.md5(F.col(text_col)).alias('h'))
+          .distinct())
+    n_hosts = F.count('*').over(_W.partitionBy('h'))
+    kept = (hh.withColumn('_nh', n_hosts)
+            .filter(F.col('_nh') <= hot_host_limit)
+            .drop('_nh')
+            .localCheckpoint())
+    sizes = kept.groupBy('host').agg(
+        F.count('*').cast('long').alias('n'))
+    pairs = (kept.alias('a')
+             .join(kept.alias('b'), 'h')
+             .filter(F.col('a.host') < F.col('b.host'))
+             .groupBy(F.col('a.host').alias('host_a'),
+                      F.col('b.host').alias('host_b'))
+             .agg(F.count('*').cast('long').alias('shared'))
+             .filter(F.col('shared') >= min_shared))
+    return (pairs
+            .join(sizes.select(F.col('host').alias('host_a'),
+                               F.col('n').alias('n_a')), 'host_a')
+            .join(sizes.select(F.col('host').alias('host_b'),
+                               F.col('n').alias('n_b')), 'host_b')
+            .select('host_a', 'host_b', 'shared', 'n_a', 'n_b',
+                    (F.col('shared').cast('double')
+                     / (F.col('n_a') + F.col('n_b')
+                        - F.col('shared')).cast('double'))
+                    .alias('jaccard')))

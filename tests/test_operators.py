@@ -1673,3 +1673,28 @@ def test_random_walks_deterministic_and_terminating(spark):
     again = {(r.start, r.step): r.node
              for r in random_walks(edges, walk_len=3).collect()}
     assert rows == again
+
+
+def test_mirror_pairs_hot_hash_guard_and_jaccard(spark):
+    """mirror_pairs: a boilerplate fingerprint on many hosts is cut
+    before the self-join (no O(hosts²) pair storm) AND leaves the set
+    sizes; partial overlap computes the exact jaccard."""
+    from jionlp_spark.operators.weblinks import mirror_pairs
+    rows = []
+    # 10 hosts all serving the same error page (hot hash, limit 8)
+    for i in range(10):
+        rows.append((i, 'not found oops', f'http://h{i}.org/e'))
+    # hosts m0/m1 share 2 of m0's 3 / m1's 2 real pages
+    rows += [(100, 'alpha beta', 'http://m0.org/a'),
+             (101, 'gamma delta', 'http://m0.org/b'),
+             (102, 'epsilon zeta', 'http://m0.org/c'),
+             (103, 'alpha beta', 'http://m1.org/a'),
+             (104, 'gamma delta', 'http://m1.org/b')]
+    docs = spark.createDataFrame(
+        rows, 'doc_id long, text string, url string')
+    got = {(r.host_a, r.host_b): r
+           for r in mirror_pairs(docs, min_shared=2).collect()}
+    assert set(got) == {('m0.org', 'm1.org')}   # no error-page pairs
+    r = got[('m0.org', 'm1.org')]
+    assert (r.shared, r.n_a, r.n_b) == (2, 3, 2)
+    assert r.jaccard == 2.0 / 3.0
