@@ -1554,6 +1554,82 @@ def q_hll_token_distinct(spark, sf_dir):
                         ' as rel_err'))
 
 
+def q_bloom_seen_tokens(spark, sf_dir):
+    """Bloom membership sketch (operators/sketches.bloom_build /
+    bloom_contains): the fetch-history filter — 'seen' = the distinct
+    tokens of doc_id ≡ 0 (mod 4) pages standing in for the crawl's
+    fetched-URL history, probed by the full corpus vocabulary plus 40
+    digit-bearing synthetic probes the digit-free corpus can never
+    contain.  m = 128 bits / k = 3 over the 31-token vocabulary →
+    ~52% fill, so the false-positive branch is plausibly live while
+    every seen token MUST hit (no false negatives — the Bloom
+    guarantee, asserted per row by the exact_in column computed next
+    to the sketch verdict).  All positions are exact md5/bigint
+    arithmetic — the oracle replays the filter bit-for-bit."""
+    from jionlp_spark.operators.sketches import bloom_build, bloom_contains
+    k, m = 3, 128
+    toks = _docs(spark, sf_dir).select(
+        'doc_id', F.explode(F.split('text', ' ')).alias('token'))
+    seen = (toks.filter(F.col('doc_id') % 4 == 0)
+            .select('token').distinct())
+    bloom = bloom_build(seen, value_col='token', k=k, m=m)
+    probes = spark.range(40).selectExpr(
+        "concat('probe', cast(id as string), 'q') as token")
+    qs = toks.select('token').distinct().unionByName(probes).distinct()
+    hits = bloom_contains(bloom, qs, value_col='token', k=k, m=m)
+    return (hits
+            .join(seen.select('token', F.lit(True).alias('_e')),
+                  'token', 'left')
+            .selectExpr('token',
+                        'coalesce(_e, false) as exact_in',
+                        'bloom_hit',
+                        '(bloom_hit and not coalesce(_e, false))'
+                        ' as false_positive'))
+
+
+def _bloom_oracle(k: int = 3, m: int = 128) -> str:
+    """DuckDB replay of bloom_seen_tokens via the shared w32 snippet —
+    the lit-position set and the k-way probe are exact bigint
+    arithmetic."""
+    from jionlp_spark.operators.sketches import hll_w32_sql
+    ks = ', '.join(f'({i})' for i in range(k))
+    return f"""
+            with seen as (select distinct t.token
+                          from (select unnest(string_split(text, ' '))
+                                       as token
+                                from documents where doc_id % 4 = 0) t),
+            ks as (select i from (values {ks}) t(i)),
+            pos as (select distinct
+                           cast({hll_w32_sql('h')} % {m} as bigint) as pos
+                    from (select md5(concat(cast(ks.i as varchar),
+                                            s.token)) as h
+                          from seen s cross join ks)),
+            corpus as (select distinct t.token
+                       from (select unnest(string_split(text, ' '))
+                                    as token
+                             from documents) t),
+            probes as (select concat('probe', cast(i as varchar), 'q')
+                              as token from range(40) r(i)),
+            qs as (select token from corpus
+                   union select token from probes),
+            qp as (select token,
+                          cast({hll_w32_sql('h')} % {m} as bigint) as pos
+                   from (select qs.token,
+                                md5(concat(cast(ks.i as varchar),
+                                           qs.token)) as h
+                         from qs cross join ks)),
+            hit as (select qp.token,
+                           (sum(case when p.pos is not null
+                                then 1 else 0 end) = {k}) as bloom_hit
+                    from qp left join pos p on qp.pos = p.pos
+                    group by qp.token),
+            ex as (select qs.token, (s.token is not null) as exact_in
+                   from qs left join seen s on qs.token = s.token)
+            select h.token, ex.exact_in, h.bloom_hit,
+                   (h.bloom_hit and not ex.exact_in) as false_positive
+            from hit h join ex on h.token = ex.token"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR log-importance weights (operators/curate.dsir_logweights —
     Xie et al. 2023): hashed unigram+bigram bucket models with add-one
@@ -3984,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_stupid_backoff': q_lm_stupid_backoff,
         'web_random_walks': q_web_random_walks,
         'web_mirror_pairs': q_web_mirror_pairs,
+        'bloom_seen_tokens': q_bloom_seen_tokens,
     }
 
 
@@ -6708,6 +6785,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             select canon_url, count(*)::bigint n_urls,
                    min(doc_id)::bigint keep_id
             from c group by 1''',
+        'bloom_seen_tokens': _bloom_oracle(),
     }
 
 

@@ -124,6 +124,56 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame,
             .withColumnRenamed('v', value_col))
 
 
+def bloom_build(df: DataFrame, value_col: str = 'token',
+                k: int = 3, m: int = 4096) -> DataFrame:
+    """Bloom filter (Bloom 1970) over a value column → (pos,) — the SET
+    of lit bit positions, i.e. the sparse encoding of the m-bit array.
+
+    The membership companion of the HLL/CMS sketches: ≤ m rows whatever
+    the corpus size, the position aggregation map-side combines
+    (distinct), and partial filters merge by union — a crawl frontier's
+    "have we ever fetched this URL" check becomes a broadcast join
+    against ≤ m rows instead of a corpus-sized anti-join against the
+    full fetch history.  Guarantee: no false negatives ever; false
+    positives at rate ≈ (1 − e^{−kn/m})^k, tunable via m.
+
+    Hash i of value v lights position w32(md5(i ‖ v)) mod m — the same
+    md5 slice arithmetic as the CMS rows (``hll_w32_sql``), exact bigint
+    end-to-end, so DuckDB replays every position.  A bit-packed bigint
+    encoding would be 64× narrower but 1<<63 overflows DuckDB's signed
+    shift — the position-set form keeps the oracle engine-identical."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias('row_i'),
+        F.col(value_col).alias('v'))
+    return (rows
+            .selectExpr("md5(concat(cast(row_i as string), v)) as h")
+            .selectExpr(f"cast({hll_w32_sql('h')} % {m} as bigint) as pos")
+            .distinct())
+
+
+def bloom_contains(bloom: DataFrame, queries: DataFrame,
+                   value_col: str = 'token',
+                   k: int = 3, m: int = 4096) -> DataFrame:
+    """→ (value_col, bloom_hit): membership verdicts for the query
+    values — hit iff ALL k positions are lit.  The filter side is ≤ m
+    rows → broadcast; the k-way position probe is an equi-join, never a
+    scan of the insert history."""
+    q = queries.select(F.col(value_col).alias('v')).distinct()
+    qpos = (q.select(
+        'v',
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias('row_i'))
+        .selectExpr('v',
+                    "md5(concat(cast(row_i as string), v)) as h")
+        .selectExpr('v', f"cast({hll_w32_sql('h')} % {m} as bigint)"
+                         " as pos"))
+    lit = bloom.select('pos', F.lit(1).alias('_hit'))
+    return (qpos.join(F.broadcast(lit), 'pos', 'left')
+            .groupBy('v')
+            .agg((F.sum(F.coalesce(F.col('_hit'), F.lit(0))) == k)
+                 .alias('bloom_hit'))
+            .withColumnRenamed('v', value_col))
+
+
 def hll_distinct(df: DataFrame, group_cols=('lang',),
                  value_col: str = 'token') -> DataFrame:
     """→ (group_cols…, z_scaled, v_empty, hll_distinct): per-group

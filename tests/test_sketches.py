@@ -85,6 +85,41 @@ def test_cms_absent_value_estimates_zero(spark):
     assert len(est) == 1 and est[0].cms_est in (0, 1)  # 0 unless collision
 
 
+def test_bloom_never_false_negative(spark):
+    # every inserted value MUST hit, at any fill level (m=64 over 300
+    # inserts is heavily loaded — the guarantee still holds)
+    from jionlp_spark.operators.sketches import bloom_build, bloom_contains
+    df = spark.range(300).selectExpr("concat('u', id) as token")
+    bloom = bloom_build(df, k=3, m=64)
+    hits = bloom_contains(bloom, df, k=3, m=64).collect()
+    assert len(hits) == 300 and all(r.bloom_hit for r in hits)
+
+
+def test_bloom_state_bounded_and_misses_possible(spark):
+    from jionlp_spark.operators.sketches import bloom_build, bloom_contains
+    df = spark.range(40).selectExpr("concat('v', id) as token")
+    bloom = bloom_build(df, k=3, m=4096)
+    assert bloom.count() <= min(40 * 3, 4096)
+    probes = spark.range(200).selectExpr("concat('absent', id) as token")
+    hits = bloom_contains(bloom, probes, k=3, m=4096).collect()
+    # 120/4096 lit bits → FP rate ≈ (0.03)^3 ≈ 3e-5; 200 probes must
+    # overwhelmingly miss (a single collision-FP would still pass)
+    assert sum(r.bloom_hit for r in hits) <= 2
+
+
+def test_bloom_merge_is_union(spark):
+    # building over A ∪ B == union-distinct of the two partial filters —
+    # the mergeability that lets per-batch filters combine at publish
+    from jionlp_spark.operators.sketches import bloom_build
+    a = spark.range(50).selectExpr("concat('a', id) as token")
+    b = spark.range(50).selectExpr("concat('b', id) as token")
+    merged = (bloom_build(a, k=3, m=512)
+              .union(bloom_build(b, k=3, m=512)).distinct())
+    whole = bloom_build(a.union(b), k=3, m=512)
+    assert (sorted(r.pos for r in merged.collect())
+            == sorted(r.pos for r in whole.collect()))
+
+
 def test_cms_sketch_state_is_bounded(spark):
     from jionlp_spark.operators.sketches import cms_sketch
     df = spark.range(20000).selectExpr("concat('t', id % 5000) as token")
