@@ -1346,6 +1346,89 @@ def q_web_mirror_pairs(spark, sf_dir):
     return mirror_pairs(pages)
 
 
+def q_web_robots_filter(spark, sf_dir):
+    """RFC 9309 crawl-permission verdicts (kernels/robots.parse_robots
+    → operators/weblinks.robots_rules / robots_filter): per host h,
+    robots.txt is one of five closed-form bodies — h≡0 (mod 5)
+    disallows /private/ but re-allows /private/open/ (the longest-match
+    precedence genuinely bites), h≡1 disallows everything, h≡2 carries
+    a specific 'jionlp' group (which governs our 'jionlpbot' agent,
+    shadowing its '*' group — RFC group selection under the gate), h≡3
+    publishes an empty robots, h≡4 has none at all (left-join miss →
+    allow, null rule).  URLs take four path shapes per doc_id so every
+    rule class fires.  The Spark side PARSES the robots text through
+    the kernel; the oracle states the governing rule table closed-form
+    and replays the same longest-match window — parse + match both
+    certified."""
+    from jionlp_spark.operators.weblinks import robots_filter, robots_rules
+    hid = F.col('id')
+    txt = (F.when(hid % 5 == 0, F.lit(
+        'User-agent: *\nDisallow: /private/\nAllow: /private/open/\n'))
+        .when(hid % 5 == 1, F.lit('User-agent: *\nDisallow: /\n'))
+        .when(hid % 5 == 2, F.lit(
+            'User-agent: jionlp\nDisallow: /p/\n\n'
+            'User-agent: *\nDisallow: /q/\n'))
+        .when(hid % 5 == 3, F.lit('# crawl freely\n')))
+    robots = (spark.range(50)
+              .filter(hid % 5 != 4)
+              .select(F.format_string('h%s.example.com', hid)
+                      .alias('host'), txt.alias('robots_txt')))
+    rules = robots_rules(robots, agent='jionlpbot')
+    d = F.col('doc_id')
+    path = (F.when(d % 4 == 0, F.format_string('/p/%s', d))
+            .when(d % 4 == 1, F.format_string('/private/x%s', d))
+            .when(d % 4 == 2, F.format_string('/private/open/x%s', d))
+            .otherwise(F.format_string('/q/%s', d)))
+    urls = _docs(spark, sf_dir).select(
+        F.format_string('http://h%s.example.com%s', d % 50, path)
+        .alias('url'))
+    return robots_filter(urls, rules)
+
+
+_ROBOTS_ORACLE = """
+            with u as (select
+                concat('h', cast(doc_id % 50 as varchar),
+                       '.example.com') host,
+                case doc_id % 4
+                  when 0 then concat('/p/', cast(doc_id as varchar))
+                  when 1 then concat('/private/x', cast(doc_id as varchar))
+                  when 2 then concat('/private/open/x',
+                                     cast(doc_id as varchar))
+                  else concat('/q/', cast(doc_id as varchar))
+                end as path
+              from documents),
+            urls as (select concat('http://', host, path) as url,
+                            host, path from u),
+            hs as (select i as h from range(50) r(i)),
+            rules as (select concat('h', cast(h as varchar),
+                                    '.example.com') as host,
+                             allow, pattern
+                      from (select h, false as allow,
+                                   '/private/' as pattern
+                            from hs where h % 5 = 0
+                            union all
+                            select h, true, '/private/open/'
+                            from hs where h % 5 = 0
+                            union all
+                            select h, false, '/' from hs where h % 5 = 1
+                            union all
+                            select h, false, '/p/'
+                            from hs where h % 5 = 2)),
+            cand as (select urls.url, urls.host, r.allow, r.pattern,
+                            (r.pattern is not null
+                             and starts_with(urls.path, r.pattern)) as m
+                     from urls left join rules r on urls.host = r.host),
+            best as (select url, host, m, allow, pattern,
+                            row_number() over (partition by url
+                              order by m desc, length(pattern) desc,
+                                       allow desc, pattern asc) as rn
+                     from cand)
+            select url, host,
+                   case when m then allow else true end as allowed,
+                   case when m then pattern end as rule_path
+            from best where rn = 1"""
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -4061,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_random_walks': q_web_random_walks,
         'web_mirror_pairs': q_web_mirror_pairs,
         'bloom_seen_tokens': q_bloom_seen_tokens,
+        'web_robots_filter': q_web_robots_filter,
     }
 
 
@@ -6786,6 +6870,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    min(doc_id)::bigint keep_id
             from c group by 1''',
         'bloom_seen_tokens': _bloom_oracle(),
+        'web_robots_filter': _ROBOTS_ORACLE,
     }
 
 

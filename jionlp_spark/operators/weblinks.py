@@ -190,6 +190,87 @@ def frontier_plan(frontier: DataFrame, per_slot: int = 2,
                     F.col(priority_col)))
 
 
+def robots_rules(robots: DataFrame, agent: str = '*',
+                 host_col: str = 'host',
+                 text_col: str = 'robots_txt') -> DataFrame:
+    """robots(host, robots_txt) → rules(host, allow, pattern): the
+    per-host rule list governing ``agent`` (kernels/robots.parse_robots
+    — RFC 9309 group selection: longest matching specific user-agent
+    token, else the ``*`` group).  ONE mapInPandas node over the
+    hosts-sized robots table (the url_dedup lesson: a column-append
+    pandas UDF gets re-evaluated around downstream exchanges); hosts
+    whose governing group is empty emit no rows — downstream treats
+    no-rule hosts as allow-all, the RFC default."""
+    from jionlp_spark.kernels import robots as _rb
+
+    def kernel(batches):
+        for pdf in batches:
+            hosts, allows, pats = [], [], []
+            for h, txt in zip(pdf[host_col], pdf[text_col]):
+                for allow, pattern in _rb.parse_robots(txt, agent):
+                    hosts.append(h)
+                    allows.append(allow)
+                    pats.append(pattern)
+            yield pd.DataFrame({'host': pd.Series(hosts, dtype=object),
+                                'allow': pd.Series(allows, dtype=bool),
+                                'pattern': pd.Series(pats, dtype=object)})
+
+    schema = T.StructType([
+        T.StructField('host', T.StringType()),
+        T.StructField('allow', T.BooleanType()),
+        T.StructField('pattern', T.StringType())])
+    return robots.select(host_col, text_col).mapInPandas(kernel, schema)
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = 'url') -> DataFrame:
+    """→ (url, host, allowed, rule_path): RFC 9309 fetch-permission
+    verdicts — per URL, the longest-pattern matching rule decides
+    (allow wins length ties, pattern asc as the final determinism
+    tie-break); URLs on hosts with no matching rule (or no robots at
+    all) are allowed with a null ``rule_path``.
+
+    Scale shape: equi-join on host (rules ∝ hosts ≪ URLs — broadcast
+    when the rules table is small, shuffle hash join otherwise; Spark
+    decides), prefix test as a per-row JVM expression, one url-keyed
+    window for the precedence rule.  LITERAL prefix rules only on this
+    path — wildcard patterns ('*'/'$') must go through the Python
+    kernel (robots_allowed); this operator raises if any are present
+    rather than silently mis-matching them.  Real-crawl rule sets are
+    overwhelmingly literal prefixes, so the declarative path is the
+    100-TB path.  The contract is enforced IN the plan (raise_error on
+    any wildcard pattern reaching the join) — no eager validation job
+    at plan-build time (the lsh_topk lesson)."""
+    from pyspark.sql.window import Window as _W
+    rules = rules.withColumn('pattern', F.expr(
+        "case when contains(pattern, '*') or endswith(pattern, '$') "
+        "then raise_error('robots_filter handles literal prefix rules "
+        "only; match wildcard rules via kernels.robots.robots_allowed') "
+        "else pattern end"))
+    host = url_host(F.col(url_col))
+    path = F.concat(F.lit('/'), F.array_join(F.slice(
+        F.split(F.element_at(F.split(F.col(url_col), '://'), 2), '/'),
+        2, 100000), '/'))
+    u = urls.select(F.col(url_col).alias('url'), host.alias('host'),
+                    path.alias('_path'))
+    cand = (u.join(rules, ['host'], 'left')
+            .withColumn('_m', F.col('pattern').isNotNull()
+                        & F.col('_path').startswith(F.col('pattern'))))
+    w = _W.partitionBy('url').orderBy(
+        F.col('_m').desc(),
+        F.length('pattern').desc(),
+        F.col('allow').desc(),
+        F.col('pattern').asc())
+    return (cand
+            .withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') == 1)
+            .select('url', 'host',
+                    F.when(F.col('_m'), F.col('allow'))
+                    .otherwise(F.lit(True)).alias('allowed'),
+                    F.when(F.col('_m'), F.col('pattern'))
+                    .alias('rule_path')))
+
+
 def mirror_pairs(docs: DataFrame, url_col: str = 'url',
                  text_col: str = 'text', min_shared: int = 2,
                  hot_host_limit: int = 8) -> DataFrame:

@@ -1,0 +1,102 @@
+"""robots.txt kernel (RFC 9309) + declarative filter contract — the
+gated web_robots_filter query pins engine parity on literal rules;
+these pin the kernel semantics the fixture doesn't reach (wildcards,
+ties, group selection edge cases) and the wildcard guard."""
+
+import pytest
+
+from jionlp_spark.kernels.robots import (
+    parse_robots, robots_allowed)
+
+
+BODY = """\
+# comments ignored
+User-agent: jionlp
+Disallow: /p/
+
+User-agent: *
+Disallow: /q/
+Allow: /q/open/
+"""
+
+
+def test_group_selection_specific_beats_star():
+    rules = parse_robots(BODY, agent='jionlpbot')
+    assert rules == [(False, '/p/')]
+    star = parse_robots(BODY, agent='otherbot')
+    assert star == [(False, '/q/'), (True, '/q/open/')]
+
+
+def test_longest_specific_agent_wins():
+    body = ("User-agent: jio\nDisallow: /a/\n\n"
+            "User-agent: jionlp\nDisallow: /b/\n")
+    assert parse_robots(body, 'jionlpbot') == [(False, '/b/')]
+
+
+def test_adjacent_user_agent_lines_share_rules():
+    body = ("User-agent: a\nUser-agent: b\nDisallow: /x/\n")
+    assert parse_robots(body, 'a') == [(False, '/x/')]
+    assert parse_robots(body, 'b') == [(False, '/x/')]
+
+
+def test_same_agent_groups_merge():
+    body = ("User-agent: *\nDisallow: /a/\n\n"
+            "User-agent: *\nDisallow: /b/\n")
+    assert parse_robots(body, 'any') == [(False, '/a/'), (False, '/b/')]
+
+
+def test_empty_disallow_is_allow_all():
+    assert parse_robots("User-agent: *\nDisallow:\n", 'x') == []
+    assert parse_robots(None, 'x') == []
+    assert parse_robots("# nothing here\n", 'x') == []
+
+
+def test_longest_match_and_allow_tie():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n",
+        'x')
+    assert robots_allowed('/private/secret', rules) == (False, '/private/')
+    assert robots_allowed('/private/open/a', rules) == (True,
+                                                        '/private/open/')
+    assert robots_allowed('/public', rules) == (True, None)
+    # exact length tie: allow wins (RFC 9309 §2.2.2)
+    tie = [(False, '/page'), (True, '/page')]
+    assert robots_allowed('/page1', tie) == (True, '/page')
+
+
+def test_wildcard_and_anchor_matching():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/x\n", 'x')
+    assert robots_allowed('/a/b.pdf', rules)[0] is False
+    assert robots_allowed('/a/b.pdfx', rules)[0] is True     # $ anchors
+    assert robots_allowed('/tmp123/x', rules)[0] is False
+    # precedence by PATTERN length on wildcard rules
+    mixed = parse_robots(
+        "User-agent: *\nDisallow: /dir/\nAllow: /dir/*.html$\n", 'x')
+    assert robots_allowed('/dir/a.html', mixed)[0] is True
+    assert robots_allowed('/dir/a.txt', mixed)[0] is False
+
+
+def test_declarative_filter_rejects_wildcards(spark):
+    from jionlp_spark.operators.weblinks import robots_filter
+    urls = spark.createDataFrame(
+        [('http://h.example.com/p/1',)], 'url string')
+    rules = spark.createDataFrame(
+        [('h.example.com', False, '/p*')],
+        'host string, allow boolean, pattern string')
+    with pytest.raises(Exception, match='literal prefix'):
+        robots_filter(urls, rules).collect()
+
+
+def test_declarative_filter_no_rule_host_allows(spark):
+    from jionlp_spark.operators.weblinks import robots_filter
+    urls = spark.createDataFrame(
+        [('http://a.example.com/p/1',), ('http://b.example.com/p/2',)],
+        'url string')
+    rules = spark.createDataFrame(
+        [('a.example.com', False, '/p/')],
+        'host string, allow boolean, pattern string')
+    rows = {r.url: r for r in robots_filter(urls, rules).collect()}
+    assert rows['http://a.example.com/p/1'].allowed is False
+    assert rows['http://b.example.com/p/2'].allowed is True
+    assert rows['http://b.example.com/p/2'].rule_path is None
