@@ -772,6 +772,85 @@ def q_kg_edge_pmi(spark, sf_dir):
     return edge_association(ents)
 
 
+def q_kg_entity_types(spark, sf_dir):
+    """Semi-supervised entity typing by label propagation
+    (operators/graph.label_propagation, 3 synchronous rounds): ten
+    typed seed cities (city_k, k ≡ 0 mod 10 → label t(k%3)) spread
+    over the weighted city-city co-occurrence graph; the hot hub
+    北京市 is EXCLUDED from the graph before propagation — it
+    co-occurs with everything, so its edges carry no type signal (the
+    stop-entity analog of the winnowing hot-shingle cut, and the skew
+    guard: the hub would otherwise be every vote's top contributor).
+    Vote sums are exact bigints, ties break label-asc, seeds are
+    clamped — the oracle unrolls the three rounds with materialized
+    CTEs and walks bit-identical label tables."""
+    from jionlp_spark.operators.graph import label_propagation
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = (m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj'))
+        .filter(F.col('obj') != '北京市').distinct())
+    a, b = ents.alias('a'), ents.alias('b')
+    prs = (a.join(b, 'doc_id')
+           .filter(F.col('a.obj') < F.col('b.obj'))
+           .groupBy(F.col('a.obj').alias('ea'), F.col('b.obj').alias('eb'))
+           .agg(F.countDistinct('doc_id').cast('long').alias('w')))
+    edges = (prs.select(F.col('ea').alias('src'),
+                        F.col('eb').alias('dst'), 'w')
+             .union(prs.select(F.col('eb').alias('src'),
+                               F.col('ea').alias('dst'), 'w')))
+    seeds = (spark.range(97).filter(F.col('id') % 10 == 0)
+             .select(F.concat(F.lit('city_'),
+                              F.col('id').cast('string')).alias('v'),
+                     F.concat(F.lit('t'), (F.col('id') % 3)
+                              .cast('string')).alias('label')))
+    return label_propagation(edges, seeds, rounds=3, weight_col='w') \
+        .select(F.col('v').alias('entity'), 'label', 'is_seed')
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """label_propagation unrolled: each round votes from the previous
+    MATERIALIZED label table (the recursive-CTE inlining trap,
+    CLAUDE.md) with the identical (wt desc, label asc) argmax window
+    and the seed-clamp anti-join."""
+    sql = f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            mc as (select doc_id, obj from m where obj <> '北京市'),
+            prs as (select a.obj ea, b.obj eb,
+                           cast(count(distinct a.doc_id) as bigint) w
+                    from mc a join mc b
+                      on a.doc_id = b.doc_id and a.obj < b.obj
+                    group by a.obj, b.obj),
+            e as materialized (select ea src, eb dst, w from prs
+                 union all select eb, ea, w from prs),
+            seeds as (select concat('city_', cast(i as varchar)) v,
+                             concat('t', cast(i % 3 as varchar)) "label"
+                      from range(97) r(i) where i % 10 = 0),
+            l0 as (select v, "label" from seeds)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+            v{r} as (select e.src, l."label", sum(e.w) wt
+                     from e join l{r - 1} l on e.dst = l.v
+                     group by e.src, l."label"),
+            b{r} as (select src, "label" from
+                       (select src, "label",
+                               row_number() over (partition by src
+                                 order by wt desc, "label" asc) rn
+                        from v{r}) t where rn = 1),
+            l{r} as materialized (select v, "label" from seeds
+                 union all
+                 select b.src, b."label" from b{r} b
+                 left join seeds s on b.src = s.v where s.v is null)"""
+    return sql + f"""
+            select l.v as entity, l."label" as "label", (s.v is not null) as is_seed
+            from l{rounds} l left join seeds s on l.v = s.v"""
+
+
 def q_semdedup_keep(spark, sf_dir):
     """SemDeDup keep-list (operators/dedup.semantic_dedup): embedding
     near-dup pairs (IVF-bucketed, k ∝ N, exact verify ≥ 0.4) resolved
@@ -4145,6 +4224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_mirror_pairs': q_web_mirror_pairs,
         'bloom_seen_tokens': q_bloom_seen_tokens,
         'web_robots_filter': q_web_robots_filter,
+        'kg_entity_types': q_kg_entity_types,
     }
 
 
@@ -6871,6 +6951,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             from c group by 1''',
         'bloom_seen_tokens': _bloom_oracle(),
         'web_robots_filter': _ROBOTS_ORACLE,
+        'kg_entity_types': _lpa_oracle(),
     }
 
 

@@ -369,6 +369,59 @@ def k_core(edges: DataFrame, k: int = 2, src_col: str = 'src',
         f'peel depth; raise max_rounds')
 
 
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      rounds: int = 3, weight_col: str | None = None,
+                      src_col: str = 'src',
+                      dst_col: str = 'dst') -> DataFrame:
+    """→ (v, label, is_seed): semi-supervised entity typing — seed
+    labels spread over the co-occurrence graph by synchronous weighted
+    neighbor vote (Zhu & Ghahramani 2002 / Raghavan et al. 2007's LPA
+    with the randomness removed).  The KG step after canonicalization:
+    a handful of typed seed entities (from lexicons — cities, persons)
+    type the untyped rest via co-occurrence evidence.
+
+    Determinism contract (both the known LPA failure mode and the
+    oracle's requirement): updates are SYNCHRONOUS (round r reads only
+    round r−1 labels), the vote is argmax of the exact-integer weight
+    sum with ties broken label-asc, and seeds are CLAMPED (a seed
+    never changes — the semi-supervised variant).  Unlabeled nodes
+    with no labeled neighbor stay absent until a label reaches them.
+
+    Contract: ``edges`` symmetric + deduplicated (the k_core shape).
+    Scale shape: each round is ONE label-table join against the edge
+    table (both keyed on node ids) + a map-side-combined vote sum +
+    one node-keyed window; state is node-sized, ``localCheckpoint``
+    per round (iterative-driver rule).  Fixed ``rounds`` — label
+    radius = rounds, the caller's knob, not a convergence loop (LPA
+    oscillates on bipartite structures; a fixed horizon is the
+    deterministic choice)."""
+    from pyspark.sql.window import Window as _W
+    w = (F.col(weight_col) if weight_col is not None
+         else F.lit(1)).cast('long')
+    e = (edges.select(F.col(src_col).alias('src'),
+                      F.col(dst_col).alias('dst'), w.alias('w'))
+         .persist())
+    seeds = seeds.select('v', 'label').localCheckpoint()
+    labels = seeds
+    win = _W.partitionBy('src').orderBy(
+        F.col('wt').desc(), F.col('label').asc())
+    for _ in range(rounds):
+        votes = (e.join(labels.select(F.col('v').alias('dst'), 'label'),
+                        'dst')
+                 .groupBy('src', 'label')
+                 .agg(F.sum('w').alias('wt')))
+        best = (votes.withColumn('_rn', F.row_number().over(win))
+                .filter(F.col('_rn') == 1)
+                .select(F.col('src').alias('v'), 'label'))
+        labels = (seeds.unionByName(
+            best.join(seeds.select('v'), 'v', 'left_anti'))
+            .localCheckpoint())
+    return labels.join(
+        seeds.select('v', F.lit(True).alias('_s')), 'v', 'left') \
+        .select('v', 'label',
+                F.coalesce(F.col('_s'), F.lit(False)).alias('is_seed'))
+
+
 def triangle_stats(edges: DataFrame, a_col: str = 'ent_a',
                    b_col: str = 'ent_b') -> DataFrame:
     """→ (ent, degree, triangles, clustering) — per-vertex triangle

@@ -1698,3 +1698,51 @@ def test_mirror_pairs_hot_hash_guard_and_jaccard(spark):
     r = got[('m0.org', 'm1.org')]
     assert (r.shared, r.n_a, r.n_b) == (2, 3, 2)
     assert r.jaccard == 2.0 / 3.0
+
+
+def test_label_propagation_seeds_clamped_and_tie_lexmin(spark):
+    """Two seeds fight over node c with equal total weight → lex-min
+    label wins; the seed nodes themselves never change."""
+    from jionlp_spark.operators.graph import label_propagation
+    und = [('a', 'c', 2), ('b', 'c', 2)]
+    edges = spark.createDataFrame(
+        und + [(d, s, w) for s, d, w in und],
+        'src string, dst string, w long')
+    seeds = spark.createDataFrame(
+        [('a', 'tb'), ('b', 'ta')], 'v string, label string')
+    got = {r.v: (r.label, r.is_seed)
+           for r in label_propagation(edges, seeds, rounds=2,
+                                      weight_col='w').collect()}
+    assert got['c'] == ('ta', False)       # tie 2-2 → lex-min label
+    assert got['a'] == ('tb', True) and got['b'] == ('ta', True)
+
+
+def test_label_propagation_weight_beats_count(spark):
+    """c has TWO light tb-neighbors vs ONE heavy ta-neighbor — the
+    weighted vote must pick ta (an unweighted LPA would pick tb)."""
+    from jionlp_spark.operators.graph import label_propagation
+    und = [('a', 'c', 5), ('b1', 'c', 2), ('b2', 'c', 2)]
+    edges = spark.createDataFrame(
+        und + [(d, s, w) for s, d, w in und],
+        'src string, dst string, w long')
+    seeds = spark.createDataFrame(
+        [('a', 'ta'), ('b1', 'tb'), ('b2', 'tb')], 'v string, label string')
+    got = {r.v: r.label
+           for r in label_propagation(edges, seeds, rounds=1,
+                                      weight_col='w').collect()}
+    assert got['c'] == 'ta'
+
+
+def test_label_propagation_radius_is_rounds(spark):
+    """Path a-b-c-d seeded at a: after 2 rounds the label reaches c but
+    not d (absent — no labeled neighbor yet); after 3 it reaches d."""
+    from jionlp_spark.operators.graph import label_propagation
+    und = [('a', 'b'), ('b', 'c'), ('c', 'd')]
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], 'src string, dst string')
+    seeds = spark.createDataFrame([('a', 't')], 'v string, label string')
+    two = {r.v for r in label_propagation(edges, seeds, rounds=2).collect()}
+    assert two == {'a', 'b', 'c'}
+    three = {r.v for r in
+             label_propagation(edges, seeds, rounds=3).collect()}
+    assert three == {'a', 'b', 'c', 'd'}
