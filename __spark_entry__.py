@@ -1508,6 +1508,61 @@ _ROBOTS_ORACLE = """
             from best where rn = 1"""
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-level paragraph dedup (operators/dedup.paragraph_dedup —
+    CCNet §3.1's boilerplate cut): every page carries a per-host
+    copyright line (df ≈ N/20) and every third page a newsletter
+    banner (df ≈ N/3) around its unique body; min_df=5 removes exactly
+    the planted boilerplate and keeps the body, re-joined in original
+    order.  The df count is the one corpus shuffle; removal is a
+    per-row higher-order filter against the broadcast boilerplate
+    array.  The oracle splits/counts/reassembles the same corpus
+    closed-form (string_agg ordered by paragraph index)."""
+    from jionlp_spark.operators.dedup import paragraph_dedup
+    d = F.col('doc_id')
+    t = F.concat(
+        F.format_string('copyright host %s all rights reserved\n',
+                        d % 20),
+        F.col('text'),
+        F.when(d % 3 == 0, F.lit('\nsubscribe to our newsletter'))
+        .otherwise(F.lit('')))
+    pages = _docs(spark, sf_dir).select('doc_id', t.alias('text'))
+    return paragraph_dedup(pages, min_df=5).select(
+        F.col('doc_id').cast('long'), 'clean_text', 'n_paras',
+        'n_removed')
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+            with base as (select doc_id,
+                concat('copyright host ', cast(doc_id % 20 as varchar),
+                       ' all rights reserved', chr(10), text,
+                       case when doc_id % 3 = 0
+                            then concat(chr(10),
+                                        'subscribe to our newsletter')
+                            else '' end) as t
+              from documents),
+            sp as (select doc_id, string_split(t, chr(10)) ps
+                   from base),
+            paras as (select doc_id, ps[cast(i as int) + 1] p, i
+                      from sp, lateral unnest(range(0, len(ps)))
+                        as r(i)),
+            pdf as (select p, count(distinct doc_id) df
+                    from paras group by p),
+            kept as (select paras.doc_id, paras.p, paras.i
+                     from paras join pdf using (p) where pdf.df < 5),
+            agg as (select doc_id,
+                           string_agg(p, chr(10) order by i) clean_text,
+                           count(*) n_kept
+                    from kept group by doc_id),
+            cnt as (select doc_id, cast(count(*) as bigint) n_paras
+                    from paras group by doc_id)
+            select c.doc_id, coalesce(a.clean_text, '') as clean_text,
+                   c.n_paras,
+                   cast(c.n_paras - coalesce(a.n_kept, 0) as bigint)
+                     as n_removed
+            from cnt c left join agg a using (doc_id)"""
+
+
 def q_kg_kcore(spark, sf_dir):
     """k-core periphery pruning (operators/graph.k_core, k=2) over the
     skew co-occurrence graph with deterministic pendant chains grafted
@@ -4225,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bloom_seen_tokens': q_bloom_seen_tokens,
         'web_robots_filter': q_web_robots_filter,
         'kg_entity_types': q_kg_entity_types,
+        'dedup_paragraphs': q_dedup_paragraphs,
     }
 
 
@@ -6952,6 +7008,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'bloom_seen_tokens': _bloom_oracle(),
         'web_robots_filter': _ROBOTS_ORACLE,
         'kg_entity_types': _lpa_oracle(),
+        'dedup_paragraphs': _PARAGRAPH_DEDUP_ORACLE,
     }
 
 

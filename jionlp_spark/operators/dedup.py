@@ -833,3 +833,47 @@ def substring_dup_rate(docs: DataFrame, n: int = 20,
             .withColumn('dup_rate', rate)
             .withColumn('flagged',
                         F.col('dup_rate') >= F.lit(float(flag_at))))
+
+
+def paragraph_dedup(docs: DataFrame, min_df: int = 5, sep: str = '\n',
+                    id_col: str = 'doc_id', text_col: str = 'text',
+                    max_boilerplate: int = 200000) -> DataFrame:
+    """CCNet-style corpus-level paragraph dedup (Wenzek et al. 2020
+    §3.1: drop paragraphs repeated across documents — headers, nav,
+    cookie banners, the boilerplate exact-doc dedup can't touch because
+    the REST of each page differs) → (id, clean_text, n_paras,
+    n_removed).  A paragraph is boilerplate when its document frequency
+    ≥ ``min_df``; surviving paragraphs rejoin in original order.
+
+    Scale shape: the only corpus-sized shuffle is the distinct
+    (paragraph, doc) df count (map-side combined).  The boilerplate SET
+    — small by nature: boilerplate is repeated, so distinct strings are
+    few — is folded into ONE array row and broadcast-crossJoined back,
+    and the removal itself is a per-row higher-order filter
+    (array_contains against the broadcast array): the corpus never
+    shuffles, and re-assembly needs no second explode→groupBy (the
+    Spark-4.1 per-row rule).  An in-plan raise_error guard fires if the
+    set exceeds ``max_boilerplate`` entries rather than silently
+    building an unbroadcastable array (the winnowing hot-cap policy).
+    ``sep`` must be a literal string — it is used verbatim both as the
+    split pattern and the re-join glue."""
+    paras = (docs.select(F.col(id_col).alias('_id'),
+                         F.explode(F.split(F.col(text_col), sep))
+                         .alias('p'))
+             .distinct())
+    hot = (paras.groupBy('p')
+           .agg(F.count('*').alias('df'))
+           .filter(F.col('df') >= min_df))
+    hot_row = hot.agg(F.collect_list('p').alias('_hot')).selectExpr(
+        f"case when size(_hot) > {int(max_boilerplate)} then "
+        f"raise_error('paragraph_dedup: boilerplate set exceeds "
+        f"{int(max_boilerplate)} entries — raise min_df or "
+        f"max_boilerplate') else _hot end as _hot")
+    ps = F.split(F.col(text_col), sep)
+    kept = F.filter(ps, lambda p: ~F.array_contains(F.col('_hot'), p))
+    return (docs.crossJoin(F.broadcast(hot_row))
+            .select(F.col(id_col),
+                    F.array_join(kept, sep).alias('clean_text'),
+                    F.size(ps).cast('long').alias('n_paras'),
+                    (F.size(ps) - F.size(kept)).cast('long')
+                    .alias('n_removed')))

@@ -1746,3 +1746,27 @@ def test_label_propagation_radius_is_rounds(spark):
     three = {r.v for r in
              label_propagation(edges, seeds, rounds=3).collect()}
     assert three == {'a', 'b', 'c', 'd'}
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Within-doc repetition counts df=1 (distinct doc count); fully-
+    boilerplate docs come back as empty string; order preserved."""
+    import pytest
+    from jionlp_spark.operators.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(0, 'nav\nbody zero\nnav\nfooter'),
+         (1, 'nav\nbody one\nfooter'),
+         (2, 'nav\nfooter'),
+         (3, 'solo page')],
+        'doc_id long, text string')
+    got = {r.doc_id: r for r in
+           paragraph_dedup(docs, min_df=3).collect()}
+    # 'nav' df=3 removed (doc 0's double copy counts once); 'footer'
+    # df=3 removed; bodies unique
+    assert got[0].clean_text == 'body zero'
+    assert (got[0].n_paras, got[0].n_removed) == (4, 3)
+    assert got[1].clean_text == 'body one'
+    assert got[2].clean_text == '' and got[2].n_removed == 2
+    assert got[3].clean_text == 'solo page' and got[3].n_removed == 0
+    with pytest.raises(Exception, match='boilerplate set exceeds'):
+        paragraph_dedup(docs, min_df=1, max_boilerplate=2).collect()
