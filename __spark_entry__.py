@@ -726,6 +726,28 @@ def q_kg_cooccurrence(spark, sf_dir):
             .agg(F.countDistinct('doc_id').cast('long').alias('n_docs')))
 
 
+def q_kg_entity_timeline(spark, sf_dir):
+    """Temporal fact edges (operators/graph.entity_timeline): canonical
+    entities × the SAME document's parsed time expressions → (entity,
+    day, support) — grounding each entity on the dates its documents
+    talk about, the timeline step after linking.  Times come from the
+    REAL grid-search extractor + parser (norm.time[0] of the injected
+    time mention, day = its date part); the oracle recomputes entity
+    and date closed-form from doc_id.  Per-doc join co-partitioned on
+    doc_id; map-side-combined (entity, day) aggregation."""
+    from jionlp_spark.operators.graph import entity_timeline
+    m = _extracted(spark, sf_dir)
+    ents = m.filter(
+        F.col('mention_type').isin('cell_phone', 'id_card')).select(
+        'doc_id', 'obj', 'obj_type')
+    times = m.filter(F.col('mention_type').startswith('time')).select(
+        'doc_id',
+        F.substring(F.get_json_object('norm', '$.time[0]'), 1, 10)
+        .alias('day'))
+    return entity_timeline(ents, times).select(
+        F.col('obj').alias('entity'), 'obj_type', 'day', 'n_docs')
+
+
 def q_kg_entity_pagerank(spark, sf_dir):
     """Weighted PageRank over the entity co-occurrence graph
     (operators/graph.pagerank, 3 rounds, d=0.85) — the KG-side entity
@@ -4281,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_robots_filter': q_web_robots_filter,
         'kg_entity_types': q_kg_entity_types,
         'dedup_paragraphs': q_dedup_paragraphs,
+        'kg_entity_timeline': q_kg_entity_timeline,
     }
 
 
@@ -5116,6 +5139,23 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(count(distinct a.doc_id) as bigint) n_docs
             from m a join m b on a.doc_id = b.doc_id and a.obj < b.obj
             group by 1, 2, 3, 4""",
+        'kg_entity_timeline': f"""
+            with m as (
+              select doc_id, {phone} as obj, 'phone' as obj_type
+              from documents
+              union all
+              select doc_id, {idc} as obj, 'id_card' as obj_type
+              from documents),
+            t as (select doc_id,
+                         concat('2021-',
+                                lpad({_duck(_TIME_M_SQL)}, 2, '0'), '-',
+                                lpad({_duck(_TIME_D_SQL)}, 2, '0'))
+                           as day
+                  from documents)
+            select m.obj as entity, m.obj_type, t.day,
+                   cast(count(distinct m.doc_id) as bigint) as n_docs
+            from m join t using (doc_id)
+            group by 1, 2, 3""",
         'kg_entity_pagerank': _pagerank_oracle(phone, idc),
         'kg_edge_confidence': _edge_confidence_oracle(),
         # shared-neighbor cosine: dot/norms are exact bigint sums of

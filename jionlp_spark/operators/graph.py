@@ -369,6 +369,30 @@ def k_core(edges: DataFrame, k: int = 2, src_col: str = 'src',
         f'peel depth; raise max_rounds')
 
 
+def entity_timeline(entities: DataFrame, times: DataFrame,
+                    doc_col: str = 'doc_id', entity_col: str = 'obj',
+                    type_col: str = 'obj_type',
+                    date_col: str = 'day') -> DataFrame:
+    """→ (entity, type, day, n_docs): temporal fact edges — an entity
+    mentioned in the same document as a parsed time expression is
+    evidence the entity was ACTIVE on that date (the KG timeline /
+    event-grounding step; the temporal dual of kg_cooccurrence's
+    entity-entity edges, with parse_time's normalized date as the
+    second endpoint).
+
+    Scale shape: the join is co-partitioned on doc_id and k_e × k_t
+    PER DOC (mentions per doc are few — never corpus-quadratic, the
+    kg_cooccurrence argument), and the (entity, day) aggregation
+    map-side combines.  Hot dates (breaking-news days concentrate
+    mentions) skew the groupBy key — AQE skew handling applies, and
+    extreme cases ride the salted two-phase pattern of
+    operators/link.entity_counts."""
+    return (entities.select(doc_col, entity_col, type_col)
+            .join(times.select(doc_col, date_col), doc_col)
+            .groupBy(entity_col, type_col, date_col)
+            .agg(F.countDistinct(doc_col).cast('long').alias('n_docs')))
+
+
 def label_propagation(edges: DataFrame, seeds: DataFrame,
                       rounds: int = 3, weight_col: str | None = None,
                       src_col: str = 'src',

@@ -1770,3 +1770,20 @@ def test_paragraph_dedup_semantics(spark):
     assert got[3].clean_text == 'solo page' and got[3].n_removed == 0
     with pytest.raises(Exception, match='boilerplate set exceeds'):
         paragraph_dedup(docs, min_df=1, max_boilerplate=2).collect()
+
+
+def test_entity_timeline_counts_distinct_docs(spark):
+    """Two time mentions of the same day in one doc count once; the
+    same (entity, day) from two docs counts twice."""
+    from jionlp_spark.operators.graph import entity_timeline
+    ents = spark.createDataFrame(
+        [(1, 'e1', 'phone'), (2, 'e1', 'phone')],
+        'doc_id long, obj string, obj_type string')
+    times = spark.createDataFrame(
+        [(1, '2021-01-01'), (1, '2021-01-01'), (1, '2021-02-02'),
+         (2, '2021-01-01')],
+        'doc_id long, day string')
+    got = {(r.obj, r.day): r.n_docs
+           for r in entity_timeline(ents, times).collect()}
+    assert got[('e1', '2021-01-01')] == 2
+    assert got[('e1', '2021-02-02')] == 1
