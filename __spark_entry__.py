@@ -1391,6 +1391,73 @@ def q_catalog_snapshot_diff(spark, sf_dir):
         F.col('doc_id').cast('long'), 'change')
 
 
+def q_catalog_recrawl_plan(spark, sf_dir):
+    """Churn-driven recrawl scheduling (operators/weblinks.recrawl_plan
+    over two published crawl snapshots): host s0 flips every page's
+    content signature (100% changed → 1-day bucket), s1 loses the
+    doc_id ≡ 21 (mod 250) pages (small removal churn → 7-day bucket),
+    s2 gains one new page per existing page (added churn → 1-day),
+    every other host is byte-stable (→ 30-day).  The churn comparison
+    is integer cross-multiplied; the oracle rebuilds all four per-host
+    counters closed-form from doc_id and applies the same CASE."""
+    from jionlp_spark.operators.weblinks import recrawl_plan
+    from jionlp_spark.sources.catalog import run_stage
+    base = _work_dir('jionlp_recrawl', sf_dir)
+    d = F.col('doc_id')
+    docs = _docs(spark, sf_dir).select(
+        'doc_id',
+        F.format_string('http://s%s.example.org/p%s', d % 20, d)
+        .alias('url'),
+        'text')
+
+    v1 = docs.select('url', F.md5('text').alias('sig'))
+    run_stage(spark, f'{base}/t', 'crawl', lambda: v1,
+              input_fingerprint='v1')
+    kept = (docs.filter(~((d % 20 == 1) & (d % 250 == 21)))
+            .select('url',
+                    F.when(d % 20 == 0,
+                           F.md5(F.concat(F.col('text'), F.lit('x'))))
+                    .otherwise(F.md5('text')).alias('sig')))
+    added = (docs.filter(d % 20 == 2)
+             .select(F.format_string('http://s2.example.org/p%s',
+                                     d + 10000).alias('url'),
+                     F.md5(F.concat(F.col('text'), F.lit('new')))
+                     .alias('sig')))
+    run_stage(spark, f'{base}/t', 'crawl',
+              lambda: kept.unionByName(added), input_fingerprint='v2')
+    return recrawl_plan(spark, f'{base}/t', 1, 2)
+
+
+_RECRAWL_ORACLE = """
+            with base as (select doc_id, doc_id % 20 h from documents),
+            tot as (select h, count(*) c from base group by h),
+            rem as (select h, count(*) c from base
+                    where h = 1 and doc_id % 250 = 21 group by h),
+            chg as (select h, count(*) c from base
+                    where h = 0 group by h),
+            ad as (select h, count(*) c from base
+                   where h = 2 group by h),
+            stats as (select t.h,
+                             cast(t.c - coalesce(r.c, 0)
+                                  + coalesce(a.c, 0) as bigint) n_urls,
+                             cast(coalesce(a.c, 0) as bigint) n_added,
+                             cast(coalesce(r.c, 0) as bigint) n_removed,
+                             cast(coalesce(g.c, 0) as bigint) n_changed
+                      from tot t
+                      left join rem r on t.h = r.h
+                      left join chg g on t.h = g.h
+                      left join ad a on t.h = a.h)
+            select concat('s', cast(h as varchar), '.example.org')
+                     as host,
+                   n_urls, n_added, n_removed, n_changed,
+                   cast(case when (n_changed + n_added + n_removed) * 4
+                                  >= n_urls then 1
+                             when (n_changed + n_added + n_removed) * 20
+                                  >= n_urls then 7
+                             else 30 end as bigint) as interval_days
+            from stats"""
+
+
 def q_lm_stupid_backoff(spark, sf_dir):
     """Stupid-backoff held-out scoring (operators/textstats
     .stupid_backoff_scores — Brants et al. 2007): the bigram model
@@ -4304,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_entity_types': q_kg_entity_types,
         'dedup_paragraphs': q_dedup_paragraphs,
         'kg_entity_timeline': q_kg_entity_timeline,
+        'catalog_recrawl_plan': q_catalog_recrawl_plan,
     }
 
 
@@ -7049,6 +7117,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'web_robots_filter': _ROBOTS_ORACLE,
         'kg_entity_types': _lpa_oracle(),
         'dedup_paragraphs': _PARAGRAPH_DEDUP_ORACLE,
+        'catalog_recrawl_plan': _RECRAWL_ORACLE,
     }
 
 

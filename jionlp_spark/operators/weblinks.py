@@ -271,6 +271,52 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                     .alias('rule_path')))
 
 
+def recrawl_plan(spark, path: str, from_id: int, to_id: int,
+                 url_col: str = 'url',
+                 payload_cols: tuple = ('sig',),
+                 fast_days: int = 1, mid_days: int = 7,
+                 slow_days: int = 30,
+                 fast_den: int = 4, mid_den: int = 20) -> DataFrame:
+    """→ (host, n_urls, n_added, n_removed, n_changed, interval_days):
+    per-host recrawl scheduling from OBSERVED snapshot-to-snapshot
+    churn — the freshness-estimation step a crawler runs between two
+    published crawls (Cho & Garcia-Molina 2003's change-rate
+    estimation, bucketed): hosts whose churn (changed + added +
+    removed) is ≥ 1/``fast_den`` of their current URL count recrawl
+    every ``fast_days``, ≥ 1/``mid_den`` every ``mid_days``, else
+    every ``slow_days``.
+
+    Composes the catalog machinery: ``snapshot_diff`` supplies the
+    delta (delta-sized, unchanged rows never materialize),
+    ``read_snapshot`` the current per-host URL counts.  The churn
+    comparison is INTEGER cross-multiplied (churn·den ≥ n_urls) — no
+    float ratio, no tie risk (the host_curation rule).  Hosts present
+    only in the old snapshot (fully removed) keep a row with n_urls=0
+    and land in the fast bucket — a vanished host is exactly the one
+    to re-check soon."""
+    from jionlp_spark.sources.catalog import read_snapshot, snapshot_diff
+    host = url_host(F.col(url_col))
+    delta = (snapshot_diff(spark, path, from_id, to_id, (url_col,),
+                           payload_cols)
+             .withColumn('host', host)
+             .groupBy('host')
+             .agg(*[F.sum(F.when(F.col('change') == c, 1).otherwise(0))
+                    .cast('long').alias(f'n_{c}')
+                    for c in ('added', 'removed', 'changed')]))
+    cur = (read_snapshot(spark, path, to_id)
+           .select(host.alias('host'))
+           .groupBy('host')
+           .agg(F.count('*').cast('long').alias('n_urls')))
+    j = (cur.join(delta, 'host', 'full_outer')
+         .fillna(0, ['n_urls', 'n_added', 'n_removed', 'n_changed']))
+    churn = F.col('n_added') + F.col('n_removed') + F.col('n_changed')
+    return j.select(
+        'host', 'n_urls', 'n_added', 'n_removed', 'n_changed',
+        F.when(churn * fast_den >= F.col('n_urls'), fast_days)
+        .when(churn * mid_den >= F.col('n_urls'), mid_days)
+        .otherwise(slow_days).cast('long').alias('interval_days'))
+
+
 def mirror_pairs(docs: DataFrame, url_col: str = 'url',
                  text_col: str = 'text', min_shared: int = 2,
                  hot_host_limit: int = 8) -> DataFrame:

@@ -137,3 +137,30 @@ def test_kcore_k3_drops_the_ring(spark):
     got = {r.v: r.deg for r in
            k_core(edges, k=3, src_col='s', dst_col='t').collect()}
     assert got == {'a': 3, 'b': 3, 'c': 3, 'd': 3}
+
+
+def test_recrawl_plan_buckets_and_vanished_host(spark, tmp_path):
+    """Strict boundaries (churn·den ≥ n fires at equality) and the
+    vanished-host rule (n_urls=0 → fast bucket)."""
+    from jionlp_spark.operators.weblinks import recrawl_plan
+    from jionlp_spark.sources.catalog import run_stage
+    base = str(tmp_path / 't')
+    rows1 = ([(f'http://a.org/p{i}', f's{i}') for i in range(4)]      # a: 4
+             + [(f'http://b.org/p{i}', f's{i}') for i in range(20)]   # b: 20
+             + [('http://c.org/p0', 'x')])                            # c: 1
+    v1 = spark.createDataFrame(rows1, 'url string, sig string')
+    run_stage(spark, base, 'crawl', lambda: v1, input_fingerprint='v1')
+    # a: exactly 1 of 4 changed → 1·4 ≥ 4 (boundary) → fast
+    # b: exactly 1 of 20 changed → 1·4 < 20, 1·20 ≥ 20 (boundary) → mid
+    # c: vanishes entirely → n_urls 0, removed 1 → fast
+    rows2 = ([('http://a.org/p0', 'CHANGED')]
+             + [(f'http://a.org/p{i}', f's{i}') for i in range(1, 4)]
+             + [('http://b.org/p0', 'CHANGED')]
+             + [(f'http://b.org/p{i}', f's{i}') for i in range(1, 20)])
+    v2 = spark.createDataFrame(rows2, 'url string, sig string')
+    run_stage(spark, base, 'crawl', lambda: v2, input_fingerprint='v2')
+    got = {r.host: r for r in recrawl_plan(spark, base, 1, 2).collect()}
+    assert got['a.org'].interval_days == 1
+    assert got['b.org'].interval_days == 7
+    assert (got['c.org'].n_urls, got['c.org'].n_removed,
+            got['c.org'].interval_days) == (0, 1, 1)
