@@ -1391,6 +1391,135 @@ def q_catalog_snapshot_diff(spark, sf_dir):
         F.col('doc_id').cast('long'), 'change')
 
 
+def q_web_frontier_pipeline(spark, sf_dir):
+    """The composed crawl-frontier pipeline — canonicalize → dedup →
+    robots permission → politeness schedule — in one gated query (the
+    crawl-side analog of curate_corpus's staged admission): the
+    five-variant URL corpus collapses through url_dedup, hosts h ≡ 1
+    (mod 5) publish Disallow-all and h ≡ 2 a 'jionlp' group
+    disallowing /p/ (both classes drop out at the robots gate — parse
+    through the kernel, match through the declarative filter), and the
+    survivors get per-host FIFO fetch slots.  Oracle: the closed-form
+    canon table filtered to h % 5 ∈ {0, 3, 4} plus the same window."""
+    from jionlp_spark.operators.weblinks import (
+        frontier_plan, robots_filter, robots_rules, url_dedup)
+    d = F.col('doc_id')
+    g = (d / 5).cast('long')
+    h = g % 50
+    url = (
+        F.when(d % 5 == 0, F.format_string(
+            'http://h%s.example.com/p/%s', h, g))
+        .when(d % 5 == 1, F.format_string(
+            'HTTP://H%s.EXAMPLE.COM:80/p/%s#frag', h, g))
+        .when(d % 5 == 2, F.format_string(
+            'http://h%s.example.com/p/%s?utm_source=feed&gclid=1', h, g))
+        .when(d % 5 == 3, F.format_string(
+            'http://h%s.example.com/a/../p/./%s', h, g))
+        .otherwise(F.format_string(
+            'http://h%s.example.com/p/%s?b=2&a=1', h, g)))
+    pages = _docs(spark, sf_dir).select('doc_id', url.alias('url'))
+    frontier = url_dedup(pages)
+
+    hid = F.col('id')
+    txt = (F.when(hid % 5 == 1, F.lit('User-agent: *\nDisallow: /\n'))
+           .when(hid % 5 == 2, F.lit(
+               'User-agent: jionlp\nDisallow: /p/\n')))
+    robots = (spark.range(50)
+              .filter((hid % 5 == 1) | (hid % 5 == 2))
+              .select(F.format_string('h%s.example.com', hid)
+                      .alias('host'), txt.alias('robots_txt')))
+    rules = robots_rules(robots, agent='jionlpbot')
+    verdicts = robots_filter(frontier, rules, url_col='canon_url')
+    allowed = (frontier.join(
+        verdicts.filter(F.col('allowed'))
+        .select(F.col('url').alias('canon_url')), 'canon_url'))
+    return frontier_plan(allowed, per_slot=2)
+
+
+_FRONTIER_PIPELINE_ORACLE = """
+            with c as (select doc_id,
+              case when doc_id % 5 = 4
+                then concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                            '.example.com/p/', cast(doc_id // 5 as varchar),
+                            '?a=1&b=2')
+                else concat('http://h', cast((doc_id // 5) % 50 as varchar),
+                            '.example.com/p/', cast(doc_id // 5 as varchar))
+              end canon_url
+              from documents),
+            d as (select canon_url, min(doc_id)::bigint keep_id
+                  from c group by 1),
+            hosted as (select canon_url, keep_id,
+                         string_split(string_split(canon_url, '://')[2],
+                                      '/')[1] host
+                       from d),
+            surv as (select * from hosted
+                     where cast(substr(host, 2,
+                                       length(host) - 13) as bigint)
+                           % 5 in (0, 3, 4))
+            select canon_url, host,
+                   ((row_number() over (partition by host
+                      order by keep_id, canon_url)) - 1) // 2 as slot,
+                   keep_id
+            from surv"""
+
+
+def q_web_url_templates(spark, sf_dir):
+    """URL path-template mining (operators/weblinks.url_templates):
+    each doc contributes one of four path shapes — an article page
+    /p/<id>, a nested listing /a/<id%7>/b/<id>, the static /about, and
+    a calendar trap /cal/2021/<m>/<d>?sess=<id> — numeric segments
+    generalize to {n} via the translate() digit-strip (no regex), the
+    query string is cut first, and the calendar template's outsized
+    n_urls is exactly the trap signature the operator exists to
+    surface.  Oracle rebuilds the templates closed-form."""
+    from jionlp_spark.operators.weblinks import url_templates
+    d = F.col('doc_id')
+    url = (F.when(d % 4 == 0, F.format_string(
+        'http://h%s.example.com/p/%s', d % 50, d))
+        .when(d % 4 == 1, F.format_string(
+            'http://h%s.example.com/a/%s/b/%s', d % 50, d % 7, d))
+        .when(d % 4 == 2, F.format_string(
+            'http://h%s.example.com/about', d % 50))
+        .otherwise(F.format_string(
+            'http://h%s.example.com/cal/2021/%s/%s?sess=%s',
+            d % 50, 1 + d % 12, 1 + d % 28, d)))
+    return url_templates(_docs(spark, sf_dir).select(url.alias('url')))
+
+
+_URL_TEMPLATES_ORACLE = """
+            with u as (select
+                concat('h', cast(doc_id % 50 as varchar),
+                       '.example.com') host,
+                case doc_id % 4
+                  when 0 then concat('http://h',
+                    cast(doc_id % 50 as varchar), '.example.com/p/',
+                    cast(doc_id as varchar))
+                  when 1 then concat('http://h',
+                    cast(doc_id % 50 as varchar), '.example.com/a/',
+                    cast(doc_id % 7 as varchar), '/b/',
+                    cast(doc_id as varchar))
+                  when 2 then concat('http://h',
+                    cast(doc_id % 50 as varchar), '.example.com/about')
+                  else concat('http://h',
+                    cast(doc_id % 50 as varchar),
+                    '.example.com/cal/2021/',
+                    cast(1 + doc_id % 12 as varchar), '/',
+                    cast(1 + doc_id % 28 as varchar), '?sess=',
+                    cast(doc_id as varchar))
+                end as url,
+                case doc_id % 4
+                  when 0 then '/p/{n}'
+                  when 1 then '/a/{n}/b/{n}'
+                  when 2 then '/about'
+                  else '/cal/{n}/{n}/{n}'
+                end as template
+              from documents)
+            select host, template,
+                   cast(count(*) as bigint) as n_urls,
+                   min(url) as example
+            from u group by host, template"""
+
+
 def q_catalog_recrawl_plan(spark, sf_dir):
     """Churn-driven recrawl scheduling (operators/weblinks.recrawl_plan
     over two published crawl snapshots): host s0 flips every page's
@@ -1876,12 +2005,16 @@ def q_bloom_seen_tokens(spark, sf_dir):
     k, m = 3, 128
     toks = _docs(spark, sf_dir).select(
         'doc_id', F.explode(F.split('text', ' ')).alias('token'))
+    # seen/query sets are vocabulary-sized — checkpoint them so the
+    # probe/exact/filter branches don't re-derive the corpus explode
+    # (plans are trees; the curate_corpus lesson)
     seen = (toks.filter(F.col('doc_id') % 4 == 0)
-            .select('token').distinct())
+            .select('token').distinct().localCheckpoint())
     bloom = bloom_build(seen, value_col='token', k=k, m=m)
     probes = spark.range(40).selectExpr(
         "concat('probe', cast(id as string), 'q') as token")
-    qs = toks.select('token').distinct().unionByName(probes).distinct()
+    qs = (toks.select('token').distinct().unionByName(probes).distinct()
+          .localCheckpoint())
     hits = bloom_contains(bloom, qs, value_col='token', k=k, m=m)
     return (hits
             .join(seen.select('token', F.lit(True).alias('_e')),
@@ -4372,6 +4505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_paragraphs': q_dedup_paragraphs,
         'kg_entity_timeline': q_kg_entity_timeline,
         'catalog_recrawl_plan': q_catalog_recrawl_plan,
+        'web_url_templates': q_web_url_templates,
+        'web_frontier_pipeline': q_web_frontier_pipeline,
     }
 
 
@@ -7118,6 +7253,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'kg_entity_types': _lpa_oracle(),
         'dedup_paragraphs': _PARAGRAPH_DEDUP_ORACLE,
         'catalog_recrawl_plan': _RECRAWL_ORACLE,
+        'web_url_templates': _URL_TEMPLATES_ORACLE,
+        'web_frontier_pipeline': _FRONTIER_PIPELINE_ORACLE,
     }
 
 

@@ -271,6 +271,39 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                     .alias('rule_path')))
 
 
+def url_templates(urls: DataFrame, url_col: str = 'url') -> DataFrame:
+    """→ (host, template, n_urls, example): URL path-template mining —
+    numeric path segments generalize to ``{n}``, so ``/p/123`` and
+    ``/p/456`` share the template ``/p/{n}``.  The site-structure view
+    of a crawl: template cardinality drives crawl budgeting, and a
+    template with outsized instance counts is the classic crawler-trap
+    signature (calendar pages, session ids, infinite listings).
+
+    Engine-parity design: a segment is numeric iff stripping digits
+    empties it — ``translate(seg, '0123456789', '') = ''`` — pure
+    string ops, NO regex (the CLAUDE.md regex rule); the query string
+    is cut before templating (``substring_index`` on '?').  Shape: one
+    per-row expression tree + one map-side-combined (host, template)
+    groupBy — a single corpus-sized exchange; ``example`` = min(url),
+    a total order both engines agree on."""
+    path = F.substring_index(F.col(url_col), '?', 1)
+    rest = F.element_at(F.split(path, '://'), 2)
+    segs = F.slice(F.split(rest, '/'), 2, 1 << 20)
+    gen = F.transform(
+        segs,
+        lambda s: F.when((s != '') &
+                         (F.translate(s, '0123456789', '') == ''),
+                         F.lit('{n}')).otherwise(s))
+    template = F.concat(F.lit('/'), F.array_join(gen, '/'))
+    return (urls
+            .select(url_host(F.col(url_col)).alias('host'),
+                    template.alias('template'),
+                    F.col(url_col).alias('u'))
+            .groupBy('host', 'template')
+            .agg(F.count('*').cast('long').alias('n_urls'),
+                 F.min('u').alias('example')))
+
+
 def recrawl_plan(spark, path: str, from_id: int, to_id: int,
                  url_col: str = 'url',
                  payload_cols: tuple = ('sig',),
