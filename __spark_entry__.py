@@ -3081,6 +3081,57 @@ _MM_HEADERS = (
 )
 
 
+# WAV fixtures for the audio-metadata parser: (base64, channels,
+# sample_rate, bits, duration_ms, n_bytes, md5) — fixture 3 carries a
+# LIST chunk BEFORE fmt, so the chunk-skip path is under the gate
+_MM_WAVS = (
+    ('UklGRnQAAABXQVZFZm10IBAAAAABAAEAQB8AAIA+AAACABAAZGF0YVAAAAAABw4VHC'
+     'MqMTg/Rk1UW2JpcHd+hYyTmqGor7a9xMvS2eDn7vX8AwoRGB8mLTQ7QklQV15lbHN6'
+     'gYiPlp2kq7K5wMfO1dzj6vH4/wYNFBsiKQ==',
+     1, 8000, 16, 5, 124, '1b641d265c942863e7a376bf3ae7965f'),
+    ('UklGRtQAAABXQVZFZm10IBAAAAABAAIAOhEAAOhEAAAEABAAZGF0YbAAAAAABw4VHC'
+     'MqMTg/Rk1UW2JpcHd+hYyTmqGor7a9xMvS2eDn7vX8AwoRGB8mLTQ7QklQV15lbHN6'
+     'gYiPlp2kq7K5wMfO1dzj6vH4/wYNFBsiKTA3PkVMU1phaG92fYSLkpmgp661vMPK0d'
+     'jf5u30+wIJEBceJSwzOkFIT1ZdZGtyeYCHjpWco6qxuL/GzdTb4unw9/4FDBMaISgv'
+     'Nj1ES1JZYGdudXyDipGYn6attLvCyQ==',
+     2, 4410, 16, 9, 220, 'b42d357c7f408e1497bb13d0833ca54d'),
+    ('UklGRnABAABXQVZFTElTVAQAAABJTkZPZm10IBAAAAABAAEAgD4AAIA+AAABAAgAZG'
+     'F0YUABAAAABw4VHCMqMTg/Rk1UW2JpcHd+hYyTmqGor7a9xMvS2eDn7vX8AwoRGB8m'
+     'LTQ7QklQV15lbHN6gYiPlp2kq7K5wMfO1dzj6vH4/wYNFBsiKTA3PkVMU1phaG92fY'
+     'SLkpmgp661vMPK0djf5u30+wIJEBceJSwzOkFIT1ZdZGtyeYCHjpWco6qxuL/GzdTb'
+     '4unw9/4FDBMaISgvNj1ES1JZYGdudXyDipGYn6attLvCydDX3uXs8/oBCA8WHSQrMj'
+     'lAR05VXGNqcXh/ho2Um6KpsLe+xczT2uHo7/b9BAsSGSAnLjU8Q0pRWF9mbXR7gomQ'
+     'l56lrLO6wcjP1t3k6/L5AAcOFRwjKjE4P0ZNVFtiaXB3foWMk5qhqK+2vcTL0tng5+'
+     '71/AMKERgfJi00O0JJUFdeZWxzeoGIj5adpKuyuQ==',
+     1, 16000, 8, 20, 376, 'd302493ed70e79b16aa2c38e257f7927'),
+)
+
+
+def _case3(col_vals) -> str:
+    return ("case doc_id % 3 when 0 then '{}' when 1 then '{}' "
+            "else '{}' end".format(*col_vals))
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio-metadata plumbing (operators/multimodal
+    .decode_audio_features): real RIFF/WAVE headers injected on
+    doc_id % 11 == 0 — three fixtures covering mono/stereo, 8/16-bit,
+    three sample rates, and a LIST chunk before fmt (the chunk-skip
+    path) — parsed to REAL channels/sample_rate/bits/duration_ms by
+    pure byte scanning (parse_audio_metadata, the audio analog of the
+    r5 image-dimension work); non-WAV payloads yield nulls.  The
+    sample embedding stays the documented stub and is not selected."""
+    from jionlp_spark.operators.multimodal import decode_audio_features
+    b64 = _case3([w[0] for w in _MM_WAVS])
+    media = _docs(spark, sf_dir).select(
+        F.col('doc_id').alias('media_id'),
+        F.expr(f"case when doc_id % 11 = 0 then unbase64({b64}) "
+               f"else encode(text, 'utf-8') end").alias('payload'))
+    return decode_audio_features(media).select(
+        'media_id', 'n_bytes', 'format', 'content_md5', 'channels',
+        'sample_rate', 'bits', 'duration_ms')
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media plumbing: documents.text bytes as opaque payloads —
     with real PNG/GIF/JPEG headers injected on doc_id % 13 == 0 — →
@@ -4507,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'catalog_recrawl_plan': q_catalog_recrawl_plan,
         'web_url_templates': q_web_url_templates,
         'web_frontier_pipeline': q_web_frontier_pipeline,
+        'multimodal_audio': q_multimodal_audio,
     }
 
 
@@ -6552,6 +6604,30 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(case when doc_id % 13 = 0
                         then {_case4([h[3] for h in _MM_HEADERS])}
                         end as int) height
+            from documents""",
+        'multimodal_audio': f"""
+            select doc_id media_id,
+                   case when doc_id % 11 = 0
+                        then cast({_case3([w[5] for w in _MM_WAVS])}
+                                  as bigint)
+                        else cast(length(text) as bigint) end n_bytes,
+                   case when doc_id % 11 = 0 then 'riff'
+                        else 'unknown' end format,
+                   case when doc_id % 11 = 0
+                        then {_case3([w[6] for w in _MM_WAVS])}
+                        else md5(text) end content_md5,
+                   cast(case when doc_id % 11 = 0
+                        then {_case3([w[1] for w in _MM_WAVS])}
+                        end as int) channels,
+                   cast(case when doc_id % 11 = 0
+                        then {_case3([w[2] for w in _MM_WAVS])}
+                        end as int) sample_rate,
+                   cast(case when doc_id % 11 = 0
+                        then {_case3([w[3] for w in _MM_WAVS])}
+                        end as int) bits,
+                   cast(case when doc_id % 11 = 0
+                        then {_case3([w[4] for w in _MM_WAVS])}
+                        end as bigint) duration_ms
             from documents""",
         # text is ascii [a-z ]+ so byte offsets == char offsets
         'multimodal_frames': """

@@ -301,6 +301,8 @@ def test_multimodal_stub_contract(spark):
     # every output field exactly once)
     feats_df = mm.decode_image_features(media)
     for op, df_cols in (('decode_image_features', feats_df.columns),
+                        ('decode_audio_features',
+                         mm.decode_audio_features(media).columns),
                         ('frame_sample_stub',
                          mm.frame_sample_stub(media).columns),
                         ('resize_image_stub',
@@ -1787,3 +1789,48 @@ def test_entity_timeline_counts_distinct_docs(spark):
            for r in entity_timeline(ents, times).collect()}
     assert got[('e1', '2021-01-01')] == 2
     assert got[('e1', '2021-02-02')] == 1
+
+
+def test_audio_metadata_contract(spark):
+    """REAL audio fields recomputed independently from the raw WAV
+    bytes; unknown chunks skipped; odd-size chunks pad-aligned;
+    non-WAV payloads yield all-null metadata."""
+    import hashlib
+    import struct
+
+    from jionlp_spark.operators import multimodal as mm
+
+    def wav(channels, rate, bits, n_frames, pre_junk=False,
+            odd_junk=False):
+        block = channels * bits // 8
+        data = bytes((i * 7) % 256 for i in range(n_frames * block))
+        chunks = b''
+        if pre_junk:
+            chunks += b'LIST' + struct.pack('<I', 4) + b'INFO'
+        if odd_junk:  # odd-sized chunk: the reader must skip the pad byte
+            chunks += b'junk' + struct.pack('<I', 3) + b'abc\x00'
+        chunks += (b'fmt ' + struct.pack('<IHHIIHH', 16, 1, channels,
+                                         rate, rate * block, block, bits))
+        chunks += b'data' + struct.pack('<I', len(data)) + data
+        return b'RIFF' + struct.pack('<I', 4 + len(chunks)) + b'WAVE' + chunks
+
+    payloads = {1: wav(1, 8000, 16, 80),            # 160 B / 16000 Bps = 10ms
+                2: wav(2, 22050, 16, 441, pre_junk=True),   # 20ms
+                3: wav(1, 8000, 8, 100, odd_junk=True),     # 12ms
+                4: b'not audio at all'}
+    want = {1: (1, 8000, 16, 10), 2: (2, 22050, 16, 20),
+            3: (1, 8000, 8, 12), 4: (None, None, None, None)}
+    media = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()],
+        'media_id long, payload binary')
+    got = {r.media_id: r
+           for r in mm.decode_audio_features(media).collect()}
+    for mid, b in payloads.items():
+        r = got[mid]
+        assert (r.channels, r.sample_rate, r.bits,
+                r.duration_ms) == want[mid]
+        assert r.n_bytes == len(b)
+        assert r.content_md5 == hashlib.md5(b).hexdigest()
+        # pure-Python parse agrees with the distributed kernel
+        assert mm.parse_audio_metadata(b) == (
+            None if want[mid][0] is None else want[mid])
