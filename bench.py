@@ -78,6 +78,9 @@ HEADLINE = [
     'bm25_index_extend', 'hybrid_topk', 'web_frontier_plan', 'host_curation',
     'pq_index_extend', 'streaming_url_dedup', 'catalog_snapshot_diff',
     'lm_stupid_backoff', 'web_random_walks', 'web_mirror_pairs',
+    'bloom_seen_tokens', 'web_robots_filter', 'kg_entity_types',
+    'dedup_paragraphs', 'kg_entity_timeline', 'catalog_recrawl_plan',
+    'web_url_templates', 'web_frontier_pipeline', 'multimodal_audio',
 ]
 
 
