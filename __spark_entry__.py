@@ -873,6 +873,75 @@ def _lpa_oracle(rounds: int = 3) -> str:
             from l{rounds} l left join seeds s on l.v = s.v"""
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic corrupted-tail negative sampling
+    (operators/graph.negative_samples, k=3 of 6 md5 draws) over the
+    skew co-occurrence graph WITH the hub: for the hub's own edges the
+    rejection anti-join discards nearly every proposal (the hub
+    neighbors the whole graph), so those positives genuinely yield
+    fewer than k negatives — the shortfall branch the oversample knob
+    exists for.  Draw rule, endpoint/adjacency rejection, and both
+    dedup/cut windows are mirrored in the oracle; everything is md5 +
+    integer arithmetic."""
+    from jionlp_spark.operators.graph import negative_samples
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj')).distinct()
+    a, b = ents.alias('a'), ents.alias('b')
+    prs = (a.join(b, 'doc_id')
+           .filter(F.col('a.obj') < F.col('b.obj'))
+           .select(F.col('a.obj').alias('src'),
+                   F.col('b.obj').alias('dst')).distinct())
+    edges = (prs.union(prs.select(F.col('dst').alias('src'),
+                                  F.col('src').alias('dst')))
+             .distinct())
+    return negative_samples(edges, k=3, draws=6)
+
+
+def _negative_samples_oracle(k: int = 3, draws: int = 6) -> str:
+    from jionlp_spark.operators.sketches import hll_w32_sql
+    dvals = ', '.join(f'({i})' for i in range(draws))
+    return f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            prs as (select distinct a.obj s, b.obj t
+                    from m a join m b
+                      on a.doc_id = b.doc_id and a.obj < b.obj),
+            e as materialized (select s src, t dst from prs
+                 union select t, s from prs),
+            nodes as (select v,
+                             row_number() over (order by v asc) - 1 idx
+                      from (select src v from e
+                            union select dst from e)),
+            nn as (select count(*) c from nodes),
+            props as (select src, dst, i draw_i,
+                             {hll_w32_sql('h')} % (select c from nn) idx
+                      from (select src, dst, i,
+                                   md5(concat(src, '|', dst, '|',
+                                              cast(i as varchar))) h
+                            from e, (values {dvals}) t(i))),
+            cand as (select p.src, p.dst, p.draw_i, n.v neg
+                     from props p join nodes n using (idx)
+                     where n.v <> p.src and n.v <> p.dst),
+            surv as (select c.* from cand c
+                     left join e x
+                       on c.src = x.src and c.neg = x.dst
+                     where x.src is null),
+            d1 as (select *, row_number() over (partition by src, dst,
+                     neg order by draw_i) rd from surv),
+            d2 as (select src, dst, neg, draw_i,
+                          row_number() over (partition by src, dst
+                            order by draw_i) rn
+                   from d1 where rd = 1)
+            select src, dst, neg, cast(draw_i as bigint) draw_i
+            from d2 where rn <= {k}"""
+
+
 def q_semdedup_keep(spark, sf_dir):
     """SemDeDup keep-list (operators/dedup.semantic_dedup): embedding
     near-dup pairs (IVF-bucketed, k ∝ N, exact verify ≥ 0.4) resolved
@@ -4559,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_url_templates': q_web_url_templates,
         'web_frontier_pipeline': q_web_frontier_pipeline,
         'multimodal_audio': q_multimodal_audio,
+        'kg_negative_samples': q_kg_negative_samples,
     }
 
 
@@ -7331,6 +7401,7 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'catalog_recrawl_plan': _RECRAWL_ORACLE,
         'web_url_templates': _URL_TEMPLATES_ORACLE,
         'web_frontier_pipeline': _FRONTIER_PIPELINE_ORACLE,
+        'kg_negative_samples': _negative_samples_oracle(),
     }
 
 

@@ -81,6 +81,7 @@ HEADLINE = [
     'bloom_seen_tokens', 'web_robots_filter', 'kg_entity_types',
     'dedup_paragraphs', 'kg_entity_timeline', 'catalog_recrawl_plan',
     'web_url_templates', 'web_frontier_pipeline', 'multimodal_audio',
+    'kg_negative_samples',
 ]
 
 

@@ -446,6 +446,68 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
                 F.coalesce(F.col('_s'), F.lit(False)).alias('is_seed'))
 
 
+def negative_samples(edges: DataFrame, k: int = 3, draws: int = 6,
+                     src_col: str = 'src',
+                     dst_col: str = 'dst') -> DataFrame:
+    """→ (src, dst, neg, draw_i): deterministic corrupted-tail negative
+    sampling — for every positive edge, up to ``k`` entities that are
+    NOT neighbors of ``src`` (and neither endpoint), the training-pair
+    prep step for KG-embedding objectives (TransE-family corrupted
+    triples, word2vec-style negative sampling) with the RNG replaced by
+    an md5 draw rule (the random_walks determinism scheme).
+
+    Draw i ∈ [0, draws) proposes the entity whose dense index is
+    w32(md5(src ‖ dst ‖ i)) mod V; proposals hitting an endpoint or an
+    existing (src, ·) edge are REJECTED (one pair-keyed anti-join — the
+    standard rejection step), and the surviving draws keep their first
+    ``k`` by draw order.  Hubs adjacent to most of the graph reject
+    most proposals and may yield FEWER than k negatives — by design:
+    oversample via ``draws`` rather than scanning the V-sized
+    complement (which is edges × V at web scale; this is edges × draws,
+    linear).
+
+    The dense entity index is one window over the V-sized node table
+    (entity asc — a total order both engines cut identically); the
+    node table broadcasts into the index lookup."""
+    from jionlp_spark.operators.sketches import hll_w32_sql
+    from pyspark.sql.window import Window as _W
+    e = edges.select(F.col(src_col).alias('src'),
+                     F.col(dst_col).alias('dst'))
+    nodes = (e.select(F.col('src').alias('v'))
+             .union(e.select('dst')).distinct()
+             .withColumn('idx', F.row_number().over(
+                 _W.orderBy(F.col('v').asc())) - 1)
+             .localCheckpoint())          # V-sized; single-reducer window
+    n_nodes = nodes.count()
+    props = (e.select(
+        'src', 'dst',
+        F.explode(F.array(*[F.lit(i) for i in range(draws)]))
+        .alias('draw_i'))
+        .selectExpr('src', 'dst', 'draw_i',
+                    "md5(concat(src, '|', dst, '|', "
+                    "cast(draw_i as string))) as h")
+        .selectExpr('src', 'dst', 'draw_i',
+                    f"{hll_w32_sql('h')} % {n_nodes} as idx"))
+    cand = (props.join(F.broadcast(nodes), 'idx')
+            .select('src', 'dst', 'draw_i', F.col('v').alias('neg'))
+            .filter((F.col('neg') != F.col('src'))
+                    & (F.col('neg') != F.col('dst'))))
+    surviving = cand.join(
+        e.select(F.col('src'), F.col('dst').alias('neg')).distinct(),
+        ['src', 'neg'], 'left_anti')
+    # two draws can propose the same entity: keep the earliest, then
+    # cut to k by draw order — both windows mirrored in the oracle
+    wd = _W.partitionBy('src', 'dst', 'neg').orderBy('draw_i')
+    w = _W.partitionBy('src', 'dst').orderBy('draw_i')
+    return (surviving
+            .withColumn('_rd', F.row_number().over(wd))
+            .filter(F.col('_rd') == 1)
+            .withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') <= k)
+            .select('src', 'dst', 'neg',
+                    F.col('draw_i').cast('long').alias('draw_i')))
+
+
 def triangle_stats(edges: DataFrame, a_col: str = 'ent_a',
                    b_col: str = 'ent_b') -> DataFrame:
     """→ (ent, degree, triangles, clustering) — per-vertex triangle

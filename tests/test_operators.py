@@ -1834,3 +1834,26 @@ def test_audio_metadata_contract(spark):
         # pure-Python parse agrees with the distributed kernel
         assert mm.parse_audio_metadata(b) == (
             None if want[mid][0] is None else want[mid])
+
+
+def test_negative_samples_reject_and_shortfall(spark):
+    """No sampled negative is a neighbor or endpoint; a hub adjacent to
+    the whole graph yields FEWER than k negatives (rejection); output
+    is deterministic run-to-run."""
+    from jionlp_spark.operators.graph import negative_samples
+    # hub h adjacent to every other node; ring a-b-c-d besides
+    nodes = ['a', 'b', 'c', 'd']
+    und = [('h', x) for x in nodes] + [('a', 'b'), ('c', 'd')]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], 'src string, dst string')
+    adj = set(und) | {(y, x) for x, y in und}
+    out = negative_samples(edges, k=2, draws=8).collect()
+    assert out, 'no negatives sampled at all'
+    for r in out:
+        assert (r.src, r.neg) not in adj
+        assert r.neg not in (r.src, r.dst)
+    # hub-sourced positives: every candidate is adjacent -> zero rows
+    assert not [r for r in out if r.src == 'h']
+    again = negative_samples(edges, k=2, draws=8).collect()
+    key = lambda r: (r.src, r.dst, r.neg, r.draw_i)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, again))
