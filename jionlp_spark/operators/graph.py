@@ -471,8 +471,12 @@ def negative_samples(edges: DataFrame, k: int = 3, draws: int = 6,
     node table broadcasts into the index lookup."""
     from jionlp_spark.operators.sketches import hll_w32_sql
     from pyspark.sql.window import Window as _W
-    e = edges.select(F.col(src_col).alias('src'),
-                     F.col(dst_col).alias('dst'))
+    # the edge table feeds the node build, the proposal explode, AND the
+    # rejection anti-join — checkpoint it once or each consumer
+    # re-derives the caller's (often corpus-sized) edge construction
+    e = (edges.select(F.col(src_col).alias('src'),
+                      F.col(dst_col).alias('dst'))
+         .localCheckpoint())
     nodes = (e.select(F.col('src').alias('v'))
              .union(e.select('dst')).distinct()
              .withColumn('idx', F.row_number().over(
