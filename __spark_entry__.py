@@ -884,31 +884,94 @@ def q_kg_negative_samples(spark, sf_dir):
     dedup/cut windows are mirrored in the oracle; everything is md5 +
     integer arithmetic."""
     from jionlp_spark.operators.graph import negative_samples
+    return negative_samples(_skew_edges(spark, sf_dir), k=3, draws=6)
+
+
+def _skew_mentions_pos(spark, sf_dir):
+    """The skew-shaped synthetic mention table WITH positions (k =
+    0-based mention index; one hot entity, 97 cold keys) — the Spark
+    twin of _SKEW_MENTIONS_SQL before its distinct."""
     d = _docs(spark, sf_dir).select('doc_id')
     m = d.select('doc_id',
                  F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
-    ents = m.select(
-        'doc_id',
+    return m.select(
+        'doc_id', 'k',
         F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
         .otherwise(F.concat(F.lit('city_'),
                             F.pmod(F.col('doc_id') * 10 + F.col('k'),
-                                   F.lit(97)))).alias('obj')).distinct()
+                                   F.lit(97)))).alias('obj'))
+
+
+def _skew_edges(spark, sf_dir):
+    """Symmetrized co-occurrence edges over the skew mention table —
+    shared by the negative-sampling / TransE queries."""
+    ents = _skew_mentions_pos(spark, sf_dir).select('doc_id',
+                                                    'obj').distinct()
     a, b = ents.alias('a'), ents.alias('b')
     prs = (a.join(b, 'doc_id')
            .filter(F.col('a.obj') < F.col('b.obj'))
            .select(F.col('a.obj').alias('src'),
                    F.col('b.obj').alias('dst')).distinct())
-    edges = (prs.union(prs.select(F.col('dst').alias('src'),
-                                  F.col('src').alias('dst')))
-             .distinct())
-    return negative_samples(edges, k=3, draws=6)
+    return (prs.union(prs.select(F.col('dst').alias('src'),
+                                 F.col('src').alias('dst')))
+            .distinct())
 
 
-def _negative_samples_oracle(k: int = 3, draws: int = 6) -> str:
+def q_kg_transe_scores(spark, sf_dir):
+    """KG-embedding margin evaluation (operators/graph.transe_scores,
+    Bordes et al. 2013) composed over the corrupted-tail sampler: for
+    every (positive edge, negative) pair, L1 scores under deterministic
+    md5 hash embeddings (dim=4) and the hinge loss max(0, 1 + pos −
+    neg).  Everything downstream of the sampler is three zero-shuffle
+    projections — hex columns materialized once, per-component double
+    trees and the fixed-order L1 fold shared verbatim with the oracle
+    (emb_component_sql / transe_l1_sql).  Both branches of the hinge
+    are live: random hash embeddings put ~half the pairs inside the
+    margin."""
+    from jionlp_spark.operators.graph import negative_samples, \
+        transe_scores
+    negs = negative_samples(_skew_edges(spark, sf_dir), k=3, draws=6)
+    return transe_scores(negs, dim=4, margin=1.0)
+
+
+def q_web_host_hits(spark, sf_dir):
+    """Weighted HITS hubs/authorities (operators/graph.hits, Kleinberg
+    1999; 2 mutual-reinforcement rounds) over the DIRECTED crawl host
+    graph — the crawl-seeding complement of web_host_pagerank, and
+    unlike it needs NO dangling filter (dst-only mirror hosts simply
+    keep hub=0 after round 1: they point at nothing).  Unnormalized
+    exact-integer formulation → every score a bigint, zero float
+    surface; the oracle unrolls both rounds over the closed-form link
+    CTE."""
+    from jionlp_spark.operators.graph import hits
+    from jionlp_spark.operators.weblinks import extract_links, host_edges
+    edges = host_edges(extract_links(_web_pages(spark, sf_dir)))
+    return (hits(edges, iters=2, src_col='src_host',
+                 dst_col='dst_host', weight_col='n_links')
+            .select(F.col('v').alias('host'), 'hub', 'auth'))
+
+
+def q_kg_entity_salience(spark, sf_dir):
+    """Per-document entity salience (operators/graph.entity_salience):
+    frequency × earliness weighting over the skew mention table WITH
+    positions (k = mention index 0..9) — the hot entity repeats ~5×
+    per doc so the n_mentions>1 branch is live, and its first position
+    alternates with doc parity so first_pos genuinely varies.  All
+    inputs exact bigints, salience ONE per-row double tree; two
+    exchanges total (per-entity groupBy + doc-partitioned window over
+    the reduced rows)."""
+    from jionlp_spark.operators.graph import entity_salience
+    return entity_salience(_skew_mentions_pos(spark, sf_dir),
+                           pos_col='k')
+
+
+def _negative_samples_ctes(k: int = 3, draws: int = 6) -> str:
+    """CTE chain ending at ``negs(src, dst, neg, draw_i)`` — the
+    corrupted-tail sampler over the skew graph, shared by the
+    kg_negative_samples and kg_transe_scores oracles."""
     from jionlp_spark.operators.sketches import hll_w32_sql
     dvals = ', '.join(f'({i})' for i in range(draws))
-    return f"""
-            with m as ({_SKEW_MENTIONS_SQL}),
+    return f"""m as ({_SKEW_MENTIONS_SQL}),
             prs as (select distinct a.obj s, b.obj t
                     from m a join m b
                       on a.doc_id = b.doc_id and a.obj < b.obj),
@@ -937,9 +1000,43 @@ def _negative_samples_oracle(k: int = 3, draws: int = 6) -> str:
             d2 as (select src, dst, neg, draw_i,
                           row_number() over (partition by src, dst
                             order by draw_i) rn
-                   from d1 where rd = 1)
-            select src, dst, neg, cast(draw_i as bigint) draw_i
-            from d2 where rn <= {k}"""
+                   from d1 where rd = 1),
+            negs as (select src, dst, neg,
+                            cast(draw_i as bigint) draw_i
+                     from d2 where rn <= {k})"""
+
+
+def _negative_samples_oracle(k: int = 3, draws: int = 6) -> str:
+    return f"""
+            with {_negative_samples_ctes(k, draws)}
+            select src, dst, neg, draw_i from negs"""
+
+
+def _transe_oracle(dim: int = 4, margin: float = 1.0, k: int = 3,
+                   draws: int = 6) -> str:
+    """kg_transe_scores: the negative-sampler chain extended with the
+    deterministic hash embeddings and the TransE L1 margin evaluation —
+    hex columns materialized once per (entity, dim) (so each md5 hashes
+    once, exactly like the operator's first projection), per-component
+    trees and the fixed-order L1 fold shared verbatim from
+    operators/graph (emb_component_sql / transe_l1_sql)."""
+    from jionlp_spark.operators.graph import emb_hex_sql, transe_l1_sql
+    hexes = ', '.join(
+        f"{emb_hex_sql(c, j)} {p}{j}"
+        for p, c in (('hs', 'src'), ('ht', 'dst'), ('hn', 'neg'))
+        for j in range(dim))
+    return f"""
+            with {_negative_samples_ctes(k, draws)},
+            hx as (select src, dst, neg, {hexes} from negs),
+            sc as (select src, dst, neg,
+                          {transe_l1_sql('hs', 'ht', dim)} pos_score,
+                          {transe_l1_sql('hs', 'hn', dim)} neg_score
+                   from hx)
+            select src, dst, neg, pos_score, neg_score,
+                   greatest(cast('{margin!r}' as double)
+                            + pos_score - neg_score,
+                            cast('0.0' as double)) loss
+            from sc"""
 
 
 def q_semdedup_keep(spark, sf_dir):
@@ -4629,6 +4726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_frontier_pipeline': q_web_frontier_pipeline,
         'multimodal_audio': q_multimodal_audio,
         'kg_negative_samples': q_kg_negative_samples,
+        'kg_transe_scores': q_kg_transe_scores,
+        'web_host_hits': q_web_host_hits,
+        'kg_entity_salience': q_kg_entity_salience,
     }
 
 
@@ -4750,6 +4850,36 @@ def _pagerank_edge_ctes(iters: int = 3, damping: float = 0.85) -> str:
                       from nodes
                       left join c{k} on nodes.v = c{k}.dst
                       cross join nn)"""
+    return sql
+
+
+def _hits_edge_ctes(iters: int = 2) -> str:
+    """Exact-integer weighted HITS rounds over a caller-defined edge
+    CTE ``e(src, dst, w)`` — unrolls operators/graph.hits round for
+    round (hub₀ = 1; auth_k = Σ_in w·hub_{k−1}; hub_k = Σ_out w·auth_k;
+    no normalization, so every score stays an exact integer and no
+    float crosses an aggregation).  DuckDB sums bigints into hugeint —
+    the casts back to bigint are exact within the operator's
+    documented (w·deg)^(2·iters) bound.  Ends at hub{iters} /
+    auth{iters}."""
+    sql = """nodes as (select src v from e union select dst from e),
+            hub0 as (select v, cast(1 as bigint) hub from nodes)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+            a{k} as (select e.dst, sum(e.w * h.hub) s
+                     from e join hub{k - 1} h on e.src = h.v
+                     group by e.dst),
+            auth{k} as (select nodes.v,
+                          cast(coalesce(a{k}.s, 0) as bigint) auth
+                        from nodes
+                        left join a{k} on nodes.v = a{k}.dst),
+            h{k} as (select e.src, sum(e.w * a.auth) s
+                     from e join auth{k} a on e.dst = a.v
+                     group by e.src),
+            hub{k} as (select nodes.v,
+                         cast(coalesce(h{k}.s, 0) as bigint) hub
+                       from nodes
+                       left join h{k} on nodes.v = h{k}.src)"""
     return sql
 
 
@@ -7402,6 +7532,44 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'web_url_templates': _URL_TEMPLATES_ORACLE,
         'web_frontier_pipeline': _FRONTIER_PIPELINE_ORACLE,
         'kg_negative_samples': _negative_samples_oracle(),
+        'kg_transe_scores': _transe_oracle(),
+        # weighted HITS over the closed-form crawl link CTE — exact
+        # bigint scores, the mirror hosts' hub stays 0 (dst-only)
+        'web_host_hits': f"""
+            with {_WEB_LINKS_CTE},
+            e as (select src_host as src, dst_host as dst,
+                         cast(count(*) as bigint) as w
+                  from l where src_host <> dst_host
+                  group by 1, 2),
+            {_hits_edge_ctes(2)}
+            select hub2.v as host, hub2.hub, auth2.auth
+            from hub2 join auth2 using (v)""",
+        # per-doc salience over the positioned skew mention table —
+        # exact bigint inputs, ONE per-row double tree
+        'kg_entity_salience': """
+            with m as (select doc_id, k as pos,
+                              case when (doc_id + k) % 2 = 0
+                                   then '北京市'
+                                   else 'city_' ||
+                                        cast((doc_id * 10 + k) % 97
+                                             as varchar)
+                              end obj
+                       from documents,
+                            lateral unnest(range(0, 10)) as t(k)),
+            per as (select doc_id, obj entity,
+                           cast(count(*) as bigint) n_mentions,
+                           cast(min(pos) as bigint) first_pos
+                    from m group by 1, 2),
+            nd as (select per.*,
+                          sum(n_mentions) over (partition by doc_id) _nd
+                   from per)
+            select doc_id, entity, n_mentions, first_pos,
+                   (cast(n_mentions as double) / cast(_nd as double))
+                   * cast('0.5' as double)
+                   + (cast('1.0' as double)
+                      - cast(first_pos as double) / cast(_nd as double))
+                   * cast('0.5' as double) as salience
+            from nd""",
     }
 
 

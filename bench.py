@@ -81,7 +81,8 @@ HEADLINE = [
     'bloom_seen_tokens', 'web_robots_filter', 'kg_entity_types',
     'dedup_paragraphs', 'kg_entity_timeline', 'catalog_recrawl_plan',
     'web_url_templates', 'web_frontier_pipeline', 'multimodal_audio',
-    'kg_negative_samples',
+    'kg_negative_samples', 'kg_transe_scores', 'web_host_hits',
+    'kg_entity_salience',
 ]
 
 

@@ -714,3 +714,181 @@ def random_walks(edges: DataFrame, walk_len: int = 3,
     for p in paths[1:]:
         out = out.union(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KG-embedding training step: deterministic hash embeddings + TransE scoring
+# ---------------------------------------------------------------------------
+
+# 2^32 — the w32 hash range; a component is w32/2^32 - 0.5 ∈ [-0.5, 0.5)
+_EMB_DENOM = '4294967296.0'
+
+
+def emb_component_sql(hex_col: str) -> str:
+    """One deterministic embedding component from a precomputed md5 hex
+    column: ``w32(hex)/2^32 - 0.5`` as ONE per-row double tree —
+    bit-identical in Spark and DuckDB (constants enter as
+    ``cast('<repr>' as double)``; DuckDB parses bare float literals as
+    DECIMAL).  Callers materialize the hex column once per (entity,
+    dim) so the 8-nibble w32 fold hashes once, not once per nibble."""
+    from jionlp_spark.operators.sketches import hll_w32_sql
+    return (f"(cast({hll_w32_sql(hex_col)} as double)"
+            f" / cast('{_EMB_DENOM}' as double)"
+            f" - cast('0.5' as double))")
+
+
+def emb_hex_sql(ent_expr: str, j: int) -> str:
+    """The md5 hex feeding component ``j`` of entity ``ent_expr``'s
+    hash embedding: ``md5('emb|' || entity || '|' || j)`` — the
+    'emb|' tag keeps the draw domain disjoint from negative_samples'
+    md5(src|dst|i) proposals."""
+    return f"md5(concat('emb|', {ent_expr}, '|', '{j}'))"
+
+
+def transe_l1_sql(pa: str, pb: str, dim: int) -> str:
+    """L1 distance between two hash embeddings whose hex columns are
+    ``{pa}0..{pa}{dim-1}`` / ``{pb}0..``: a fixed-order (j asc) left
+    fold of per-component absolute differences — one per-row double
+    tree, engine-identical by construction."""
+    terms = ' + '.join(
+        f"abs({emb_component_sql(f'{pa}{j}')}"
+        f" - {emb_component_sql(f'{pb}{j}')})"
+        for j in range(dim))
+    return f"({terms})"
+
+
+def transe_scores(negatives: DataFrame, dim: int = 4, margin: float = 1.0,
+                  src_col: str = 'src', dst_col: str = 'dst',
+                  neg_col: str = 'neg') -> DataFrame:
+    """→ (src, dst, neg, pos_score, neg_score, loss): the TransE-family
+    margin-ranking evaluation step (Bordes et al. 2013) over positive
+    edges and their corrupted-tail negatives (``negative_samples``
+    output) — score(h, t) = ‖e_h − e_t‖₁ with the single untyped
+    relation vector at 0 (co-occurrence edges carry no relation type),
+    loss = max(0, margin + pos_score − neg_score).  The row's loss > 0
+    means the corrupted triple is not yet separated by the margin —
+    the quantity a training loop would reduce (cross-row reduction is
+    the caller's move, via the decimal-through-string route).
+
+    Embeddings are DETERMINISTIC hash embeddings — component j of
+    entity v is w32(md5('emb|' v '|' j))/2³² − 0.5 — the random-init
+    scheme with the RNG replaced by md5 (the random_walks /
+    negative_samples determinism rule): reproducible run-to-run,
+    engine-to-engine, and with no V×dim parameter table to ship.  The
+    one real-training divergence (learned weights) is exactly the
+    model-state boundary, as with the multimodal embedding stub.
+
+    Scale shape: ZERO shuffle over the negatives table — hex columns
+    are one projection (3·dim md5 calls per row, each hashed once),
+    scores a second, loss a third; everything stays in whole-stage
+    codegen and scales embarrassingly with executors.
+    """
+    hexes = [f"{emb_hex_sql(c, j)} as {p}{j}"
+             for p, c in (('hs', src_col), ('ht', dst_col),
+                          ('hn', neg_col))
+             for j in range(dim)]
+    t = negatives.selectExpr(f'{src_col} as src', f'{dst_col} as dst',
+                             f'{neg_col} as neg', *hexes)
+    scored = t.selectExpr(
+        'src', 'dst', 'neg',
+        f"{transe_l1_sql('hs', 'ht', dim)} as pos_score",
+        f"{transe_l1_sql('hs', 'hn', dim)} as neg_score")
+    return scored.selectExpr(
+        'src', 'dst', 'neg', 'pos_score', 'neg_score',
+        f"greatest(cast('{margin!r}' as double)"
+        " + pos_score - neg_score, cast('0.0' as double)) as loss")
+
+
+def hits(edges: DataFrame, iters: int = 2, src_col: str = 'src',
+         dst_col: str = 'dst', weight_col: str | None = None) -> DataFrame:
+    """→ (v, hub, auth): weighted HITS (Kleinberg 1999) after ``iters``
+    mutual-reinforcement rounds over a DIRECTED edge table — the
+    complement of PageRank for crawl seeding: authorities are pages
+    worth fetching, hubs are directories worth re-crawling for URL
+    discovery.
+
+    Unnormalized exact-integer formulation: hub₀ = 1 for every node;
+    auth_k(v) = Σ_{u→v} w·hub_{k−1}(u); hub_k(v) = Σ_{v→w} w·auth_k(w).
+    Skipping the per-round normalization keeps every score an exact
+    bigint (the ranking is identical — normalization only rescales),
+    so there is NO float surface anywhere and both engines agree
+    bit-for-bit.  Overflow bound: scores grow like (w·deg)^(2·iters);
+    at the default iters=2 a host graph with 10⁸ hosts and hub degree
+    10⁵ stays under 2⁶³, and past that ANSI mode raises on the sum
+    (crash, never corruption) — raise ``iters`` only with the bound in
+    mind.
+
+    Scale shape: the edge table is persisted once; each half-round is
+    ONE node-keyed join + ONE map-side-combined aggregation with a
+    ``localCheckpoint`` on the node-sized score table (iterative-driver
+    rule).  Hub-degree skew on the join key rides AQE skew handling.
+    """
+    w = (F.col(weight_col).cast('long') if weight_col is not None
+         else F.lit(1).cast('long'))
+    e = edges.select(F.col(src_col).alias('src'),
+                     F.col(dst_col).alias('dst'),
+                     w.alias('w')).persist()
+    nodes = (e.select(F.col('src').alias('v'))
+             .union(e.select('dst')).distinct().localCheckpoint())
+    hub = nodes.select('v', F.lit(1).cast('long').alias('hub'))
+    auth = None
+    for _ in range(iters):
+        a = (e.join(hub, e['src'] == hub['v'])
+             .groupBy('dst')
+             .agg(F.sum(F.col('w') * F.col('hub')).alias('s')))
+        auth = (nodes.join(a, nodes['v'] == a['dst'], 'left')
+                .select(nodes['v'],
+                        F.coalesce(F.col('s'), F.lit(0))
+                        .cast('long').alias('auth'))
+                .localCheckpoint())
+        h = (e.join(auth, e['dst'] == auth['v'])
+             .groupBy('src')
+             .agg(F.sum(F.col('w') * F.col('auth')).alias('s')))
+        hub = (nodes.join(h, nodes['v'] == h['src'], 'left')
+               .select(nodes['v'],
+                       F.coalesce(F.col('s'), F.lit(0))
+                       .cast('long').alias('hub'))
+               .localCheckpoint())
+    e.unpersist()
+    return (hub.join(auth, 'v')
+            .select('v', 'hub', 'auth'))
+
+
+def entity_salience(mentions: DataFrame, doc_col: str = 'doc_id',
+                    ent_col: str = 'obj',
+                    pos_col: str = 'pos') -> DataFrame:
+    """→ (doc_id, entity, n_mentions, first_pos, salience): per-document
+    entity salience — the weighting step between mention detection and
+    edge aggregation, so KG edges can be weighted by how central each
+    endpoint is to its documents rather than raw mention counts
+    (frequency × earliness is the classic salience prior: lead
+    mentions carry the document's topic).
+
+    salience = 0.5·(n_mentions/n_doc) + 0.5·(1 − first_pos/n_doc),
+    with n_doc the document's TOTAL mention count and first_pos the
+    entity's earliest 0-based mention index — every input an exact
+    bigint, the score ONE per-row double tree (engine-identical; no
+    cross-row float aggregation anywhere).  first_pos < n_doc always,
+    so salience ∈ (0, 1].
+
+    Scale shape: one groupBy on (doc, entity) + one doc-partitioned
+    window over the already-reduced per-entity rows (entities-per-doc
+    sized, k per doc — never corpus-wide) = two exchanges total, both
+    map-side-combinable; no hot keys beyond document size itself.
+    """
+    from pyspark.sql.window import Window as _W
+    per = (mentions.select(F.col(doc_col).alias('doc_id'),
+                           F.col(ent_col).alias('entity'),
+                           F.col(pos_col).cast('long').alias('pos'))
+           .groupBy('doc_id', 'entity')
+           .agg(F.count('*').cast('long').alias('n_mentions'),
+                F.min('pos').alias('first_pos')))
+    nd = F.sum('n_mentions').over(_W.partitionBy('doc_id'))
+    return (per.withColumn('_nd', nd)
+            .selectExpr(
+                'doc_id', 'entity', 'n_mentions', 'first_pos',
+                "(cast(n_mentions as double) / cast(_nd as double))"
+                " * cast('0.5' as double)"
+                " + (cast('1.0' as double)"
+                "    - cast(first_pos as double) / cast(_nd as double))"
+                " * cast('0.5' as double) as salience"))

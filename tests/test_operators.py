@@ -1857,3 +1857,80 @@ def test_negative_samples_reject_and_shortfall(spark):
     again = negative_samples(edges, k=2, draws=8).collect()
     key = lambda r: (r.src, r.dst, r.neg, r.draw_i)  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_transe_scores_hinge_and_hash_contract(spark):
+    """transe_scores: loss is the exact hinge over the row's own
+    scores; pos_score is recomputable in pure Python from the md5
+    hash-embedding contract; deterministic run-to-run."""
+    import hashlib
+
+    from jionlp_spark.operators.graph import transe_scores
+    negs = spark.createDataFrame(
+        [('a', 'b', 'c'), ('a', 'b', 'd'), ('x', 'y', 'a')],
+        'src string, dst string, neg string')
+    rows = transe_scores(negs, dim=4, margin=1.0).collect()
+    assert len(rows) == 3
+
+    def comp(v, j):
+        h = hashlib.md5(f'emb|{v}|{j}'.encode()).hexdigest()
+        return int(h[2:10], 16) / 4294967296.0 - 0.5
+
+    def l1(u, v):
+        return sum(abs(comp(u, j) - comp(v, j)) for j in range(4))
+
+    for r in rows:
+        assert r['pos_score'] == pytest.approx(l1(r['src'], r['dst']),
+                                               abs=0.0)
+        assert r['neg_score'] == pytest.approx(l1(r['src'], r['neg']),
+                                               abs=0.0)
+        assert r['loss'] == max(
+            0.0, 1.0 + r['pos_score'] - r['neg_score'])
+        assert 0.0 <= r['pos_score'] <= 4.0
+    again = transe_scores(negs, dim=4, margin=1.0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hits_hand_graph_and_dangling(spark):
+    """hits: 2-round exact-integer scores on a hand graph — a dangling
+    (dst-only) node keeps hub=0; weights multiply contributions."""
+    from jionlp_spark.operators.graph import hits
+    # a→c(w2), b→c(w1), c→d(w1); d dangling
+    edges = spark.createDataFrame(
+        [('a', 'c', 2), ('b', 'c', 1), ('c', 'd', 1)],
+        'src string, dst string, w long')
+    out = {r['v']: (r['hub'], r['auth'])
+           for r in hits(edges, iters=2, weight_col='w').collect()}
+    # round 1: auth = in-weight·1 → c:3, d:1; hub = Σ out w·auth →
+    #   a: 2·3=6, b: 1·3=3, c: 1·1=1
+    # round 2: auth: c = 2·hub(a)+1·hub(b) = 15, d = 1·hub(c) = 1;
+    #   hub: a = 2·15=30, b = 15, c = 1
+    assert out == {'a': (30, 0), 'b': (15, 0), 'c': (1, 15),
+                   'd': (0, 1)}
+    # unweighted: same shape, w=1 everywhere
+    out1 = {r['v']: (r['hub'], r['auth'])
+            for r in hits(edges.select('src', 'dst'),
+                          iters=1).collect()}
+    assert out1 == {'a': (2, 0), 'b': (2, 0), 'c': (1, 2),
+                    'd': (0, 1)}
+
+
+def test_entity_salience_frequency_and_earliness(spark):
+    """entity_salience: n_doc is the doc's TOTAL mention count; the
+    score rewards frequency and early first mention."""
+    from jionlp_spark.operators.graph import entity_salience
+    m = spark.createDataFrame(
+        [(1, 'a', 0), (1, 'b', 1), (1, 'a', 2), (1, 'a', 3),
+         (2, 'z', 0)],
+        'doc_id long, obj string, pos long')
+    out = {(r['doc_id'], r['entity']):
+           (r['n_mentions'], r['first_pos'], r['salience'])
+           for r in entity_salience(m).collect()}
+    # doc 1: n_doc=4; a: 3 mentions, first 0 → 0.5·3/4 + 0.5·1 = 0.875
+    #        b: 1 mention, first 1 → 0.5·1/4 + 0.5·(1−1/4) = 0.5
+    assert out[(1, 'a')] == (3, 0, 0.875)
+    assert out[(1, 'b')] == (1, 1, 0.5)
+    # single-mention doc: 0.5·1 + 0.5·1 = 1.0 (the upper bound)
+    assert out[(2, 'z')] == (1, 0, 1.0)
+    # frequency and earliness both bite: a outranks b
+    assert out[(1, 'a')][2] > out[(1, 'b')][2]
