@@ -951,6 +951,99 @@ def q_web_host_hits(spark, sf_dir):
             .select(F.col('v').alias('host'), 'hub', 'auth'))
 
 
+def q_web_seed_ppr(spark, sf_dir):
+    """Personalized PageRank (operators/graph.personalized_pagerank,
+    3 rounds, d=0.85) over the DIRECTED dangling-filtered host graph
+    with seeds h0..h4 — the focused-crawl / TrustRank prioritization
+    signal: teleport mass returns only to the five seed hosts, so
+    scores rank hosts by link proximity to the trusted set (non-seed
+    hosts start at exactly 0.0 and hold only propagated mass).  The
+    oracle runs the shared _ppr_edge_ctes chain over the closed-form
+    edge CTE — bit-identical ppr vectors by the per-row-tree +
+    decimal-reduction rules."""
+    from jionlp_spark.operators.graph import personalized_pagerank
+    from jionlp_spark.operators.weblinks import extract_links, host_edges
+    edges = (host_edges(extract_links(_web_pages(spark, sf_dir)))
+             .filter(F.col('dst_host').endswith('.example.com')))
+    seeds = spark.range(5).select(
+        F.format_string('h%s.example.com', F.col('id')).alias('v'))
+    return (personalized_pagerank(edges, seeds, iters=3,
+                                  src_col='src_host',
+                                  dst_col='dst_host',
+                                  weight_col='n_links')
+            .select(F.col('v').alias('host'), 'ppr'))
+
+
+def q_web_sitemap_urls(spark, sf_dir):
+    """sitemaps.org discovery feed (kernels/sitemap.parse_sitemap →
+    operators/weblinks.sitemap_entries): per host h, the sitemap is
+    one of five closed-form documents — h≡0 (mod 5) a plain urlset
+    (two entries; the first carries an &amp; entity in its query
+    string plus lastmod/priority, the second only a loc), h≡1
+    UPPERCASE tags with attributes, a CDATA-wrapped loc with padding
+    whitespace, and an empty-loc entry (skipped), h≡2 a sitemapindex
+    (two child pointers, one with lastmod), h≡3 junk (no root tag →
+    zero rows), h≡4 numeric character references (&#47;/&#x2F;) in
+    the loc plus changefreq.  The Spark side PARSES the XML through
+    the kernel; the oracle states the decoded entry rows closed-form
+    — scan, entity/CDATA decode, and block skipping all certified."""
+    from jionlp_spark.operators.weblinks import sitemap_entries
+    h = F.col('id')
+    xml = (
+        F.when(h % 5 == 0, F.format_string(
+            '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.'
+            'org/schemas/sitemap/0.9">'
+            '<url><loc>http://s%s.example.com/p/%s?a=1&amp;b=2</loc>'
+            '<lastmod>2026-01-15</lastmod><priority>0.8</priority></url>'
+            '<url><loc>http://s%s.example.com/q/%s</loc></url>'
+            '</urlset>', h, h, h, h))
+        .when(h % 5 == 1, F.format_string(
+            '<URLSET xmlns="x"><URL rel="a"><LOC><![CDATA[  '
+            'http://s%s.example.com/cdata  ]]></LOC>'
+            '<CHANGEFREQ>daily</CHANGEFREQ></URL>'
+            '<URL><LOC>  </LOC></URL></URLSET>', h))
+        .when(h % 5 == 2, F.format_string(
+            '<sitemapindex><sitemap>'
+            '<loc>http://s%s.example.com/sm1.xml</loc>'
+            '<lastmod>2026-02-01</lastmod></sitemap>'
+            '<sitemap><loc>http://s%s.example.com/sm2.xml</loc>'
+            '</sitemap></sitemapindex>', h, h))
+        .when(h % 5 == 3, F.format_string('plain junk, no root %s', h))
+        .otherwise(F.format_string(
+            '<urlset><url><loc>http://s%s.example.com&#47;n&#x2F;%s'
+            '</loc><changefreq>weekly</changefreq>'
+            '<priority>1.0</priority></url></urlset>', h, h)))
+    sm = spark.range(40).select(
+        F.format_string('s%s.example.com', h).alias('host'),
+        xml.alias('sitemap_xml'))
+    return sitemap_entries(sm)
+
+
+def q_dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup
+    (operators/dedup.containment_pairs): docs ≡ 4 (mod 9) get their
+    predecessor's FULL text prepended — the quote/wrapper shape whose
+    Jaccard is diluted by the larger doc but whose containment is
+    exactly 1.0 (every kept predecessor shingle appears in the
+    wrapper; the global hot-cut removes a shingle from both sides, so
+    A ⊆ B survives it).  max_shingle_df=4 genuinely bites (the sf0.01
+    corpus has 151 natural 3-gram shingles at df ≥ 5, max 7) — the
+    gate certifies the stop-shingle path production needs."""
+    from jionlp_spark.operators.dedup import containment_pairs, shingles
+    d = _docs(spark, sf_dir).select('doc_id', 'text')
+    p = d.select(F.col('doc_id').alias('p_id'),
+                 F.col('text').alias('p_text'))
+    inj = (d.join(p, F.col('p_id') == F.col('doc_id') - 1, 'left')
+           .select('doc_id',
+                   F.when((F.col('doc_id') % 9 == 4)
+                          & F.col('p_text').isNotNull(),
+                          F.concat(F.col('p_text'), F.lit(' '),
+                                   F.col('text')))
+                   .otherwise(F.col('text')).alias('text')))
+    return containment_pairs(shingles(inj, n=3), threshold=0.8,
+                             max_shingle_df=4)
+
+
 def q_kg_entity_salience(spark, sf_dir):
     """Per-document entity salience (operators/graph.entity_salience):
     frequency × earliness weighting over the skew mention table WITH
@@ -4729,6 +4822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_transe_scores': q_kg_transe_scores,
         'web_host_hits': q_web_host_hits,
         'kg_entity_salience': q_kg_entity_salience,
+        'dedup_containment_pairs': q_dedup_containment_pairs,
+        'web_sitemap_urls': q_web_sitemap_urls,
+        'web_seed_ppr': q_web_seed_ppr,
     }
 
 
@@ -4880,6 +4976,49 @@ def _hits_edge_ctes(iters: int = 2) -> str:
                          cast(coalesce(h{k}.s, 0) as bigint) hub
                        from nodes
                        left join h{k} on nodes.v = h{k}.src)"""
+    return sql
+
+
+def _ppr_edge_ctes(iters: int = 3, damping: float = 0.85) -> str:
+    """Personalized-PageRank rounds over caller-defined CTEs
+    ``e(src, dst, w)`` and ``sd(v)`` (the seed set) — mirrors
+    operators/graph.personalized_pagerank round for round (teleport
+    mass returns ONLY to seeds; the seed indicator is a left-join
+    null-check; same per-row-tree + decimal-reduction parity rules as
+    _pagerank_edge_ctes).  Ends at pp{iters}."""
+    tele = 1.0 - damping
+    sql = """wd as (select src, sum(w) wdeg from e group by 1),
+            ew as (select e.src, e.dst, e.w, wd.wdeg
+                   from e join wd using (src)),
+            nodes0 as (select distinct src v from e),
+            nodes as (select nodes0.v,
+                             (sd.v is not null) is_seed
+                      from nodes0 left join sd on nodes0.v = sd.v),
+            sn as (select cast(count(*) as bigint) n
+                   from nodes where is_seed),
+            pp0 as (select v, is_seed,
+                           case when is_seed
+                                then cast('1.0' as double) / n
+                                else cast('0.0' as double) end ppr
+                    from nodes cross join sn)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+            pc{k} as (select ew.dst,
+                        sum(cast(cast(p.ppr * ew.w / ew.wdeg as varchar)
+                                 as decimal(38,18))) s
+                      from ew join pp{k - 1} p on ew.src = p.v
+                      group by ew.dst),
+            pp{k} as (select nodes.v, nodes.is_seed,
+                        case when nodes.is_seed
+                             then cast('{tele!r}' as double) / sn.n
+                             else cast('0.0' as double) end
+                        + cast('{damping!r}' as double)
+                          * coalesce(cast(cast(pc{k}.s as varchar)
+                                          as double),
+                                     cast('0.0' as double)) ppr
+                      from nodes
+                      left join pc{k} on nodes.v = pc{k}.dst
+                      cross join sn)"""
     return sql
 
 
@@ -7368,6 +7507,21 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                   group by 1, 2),
             {_pagerank_edge_ctes(3, 0.85)}
             select v as host, pr from pr3""",
+        # personalized PageRank: the same directed dangling-filtered
+        # edge CTE, teleport confined to the five seed hosts
+        'web_seed_ppr': f"""
+            with {_WEB_LINKS_CTE},
+            e as (select src_host as src, dst_host as dst,
+                         cast(count(*) as bigint) as w
+                  from l
+                  where src_host <> dst_host
+                    and dst_host like '%.example.com'
+                  group by 1, 2),
+            sd as (select concat('h', cast(i as varchar),
+                                 '.example.com') v
+                   from range(5) r(i)),
+            {_ppr_edge_ctes(3, 0.85)}
+            select v as host, ppr from pp3""",
         # top-2 anchors per target host under the (n desc, anchor asc)
         # total order — both engines cut identical rows
         'web_anchor_stats': f"""
@@ -7570,6 +7724,90 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                       - cast(first_pos as double) / cast(_nd as double))
                    * cast('0.5' as double) as salience
             from nd""",
+        # exact shingle-set containment over the prefix-injected corpus
+        # with the df ≤ 4 hot-shingle cut (both engines cut the same
+        # shingles; the containment division and threshold compare are
+        # identical per-row trees)
+        'dedup_containment_pairs': """
+            with base as (select doc_id, text from documents),
+            inj as (select d.doc_id,
+                           case when d.doc_id % 9 = 4
+                                     and p.text is not null
+                                then p.text || ' ' || d.text
+                                else d.text end as text
+                    from base d
+                    left join base p on p.doc_id = d.doc_id - 1),
+            w as (select doc_id, string_split(text, ' ') toks from inj),
+            g as (select distinct doc_id,
+                         array_to_string(toks[i:i+2], ' ') s
+                  from w, lateral unnest(
+                      range(1, greatest(len(toks) - 2, 1) + 1)) t(i)),
+            keep_s as (select s from g group by s
+                       having count(*) <= 4),
+            kept as (select g.doc_id, g.s from g join keep_s using (s)),
+            sz as (select doc_id, cast(count(*) as bigint) sz
+                   from kept group by doc_id),
+            sh as (select a.doc_id da, b.doc_id db,
+                          cast(count(*) as bigint) n_shared
+                   from kept a
+                   join kept b on a.s = b.s and a.doc_id < b.doc_id
+                   group by 1, 2)
+            select sh.da doc_a, sh.db doc_b, n_shared,
+                   sa.sz size_a, sb.sz size_b,
+                   cast(n_shared as double)
+                   / cast(least(sa.sz, sb.sz) as double) containment
+            from sh
+            join sz sa on sh.da = sa.doc_id
+            join sz sb on sh.db = sb.doc_id
+            where cast(n_shared as double)
+                  / cast(least(sa.sz, sb.sz) as double)
+                  >= cast('0.8' as double)""",
+        # the decoded sitemap entry rows stated closed-form per host
+        # class — the Spark side parses real XML through the kernel
+        'web_sitemap_urls': """
+            with hs as (select i as h from range(40) r(i)),
+            rows_ as (
+              select h, 'urlset' kind,
+                     concat('http://s', cast(h as varchar),
+                            '.example.com/p/', cast(h as varchar),
+                            '?a=1&b=2') loc,
+                     '2026-01-15' lastmod,
+                     cast(null as varchar) changefreq,
+                     '0.8' priority
+              from hs where h % 5 = 0
+              union all
+              select h, 'urlset',
+                     concat('http://s', cast(h as varchar),
+                            '.example.com/q/', cast(h as varchar)),
+                     null, null, null
+              from hs where h % 5 = 0
+              union all
+              select h, 'urlset',
+                     concat('http://s', cast(h as varchar),
+                            '.example.com/cdata'),
+                     null, 'daily', null
+              from hs where h % 5 = 1
+              union all
+              select h, 'sitemapindex',
+                     concat('http://s', cast(h as varchar),
+                            '.example.com/sm1.xml'),
+                     '2026-02-01', null, null
+              from hs where h % 5 = 2
+              union all
+              select h, 'sitemapindex',
+                     concat('http://s', cast(h as varchar),
+                            '.example.com/sm2.xml'),
+                     null, null, null
+              from hs where h % 5 = 2
+              union all
+              select h, 'urlset',
+                     concat('http://s', cast(h as varchar),
+                            '.example.com/n/', cast(h as varchar)),
+                     null, 'weekly', '1.0'
+              from hs where h % 5 = 4)
+            select concat('s', cast(h as varchar), '.example.com') host,
+                   kind, loc, lastmod, changefreq, priority
+            from rows_""",
     }
 
 

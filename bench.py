@@ -82,7 +82,8 @@ HEADLINE = [
     'dedup_paragraphs', 'kg_entity_timeline', 'catalog_recrawl_plan',
     'web_url_templates', 'web_frontier_pipeline', 'multimodal_audio',
     'kg_negative_samples', 'kg_transe_scores', 'web_host_hits',
-    'kg_entity_salience',
+    'kg_entity_salience', 'dedup_containment_pairs',
+    'web_sitemap_urls', 'web_seed_ppr',
 ]
 
 

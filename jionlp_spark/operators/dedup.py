@@ -877,3 +877,56 @@ def paragraph_dedup(docs: DataFrame, min_df: int = 5, sep: str = '\n',
                     F.size(ps).cast('long').alias('n_paras'),
                     (F.size(ps) - F.size(kept)).cast('long')
                     .alias('n_removed')))
+
+
+def containment_pairs(shingle_df: DataFrame, threshold: float = 0.8,
+                      max_shingle_df: int = 100) -> DataFrame:
+    """→ (doc_a, doc_b, n_shared, size_a, size_b, containment): exact
+    shingle-set containment C(A, B) = |A∩B| / min(|A|, |B|) — the
+    ASYMMETRIC near-dup the Jaccard family structurally misses: a doc
+    quoted or prepended inside a larger one has high containment but
+    low Jaccard (the union is dominated by the larger doc), so
+    quote-farm and wrapper pages sail through MinHash-LSH.  Pairs with
+    containment ≥ ``threshold`` are emitted.
+
+    Scale shape: explode to (shingle, doc) posting rows, CUT shingles
+    appearing in more than ``max_shingle_df`` docs before the
+    posting-list self-join (the winnowing/mirror hot-set rule —
+    boilerplate shingles would contribute df² pairs each; with the cut
+    the join moves at most cap·|postings| rows), then ONE map-side-
+    combined pair count + two set-size joins.  The cut is applied to
+    intersections AND sizes (a global domain restriction), so A ⊆ B
+    still yields containment exactly 1.0 after the cut, and the score
+    is exact over the informative-shingle domain.  The posting table is
+    checkpointed once — it feeds the df count, both join sides, and
+    the sizes (lazy reuse would re-derive the corpus explode per
+    consumer).  The containment division is ONE per-row double tree
+    over exact bigints; the threshold compare splits identically in
+    both engines (identical trees are bit-identical).
+
+    ``shingle_df`` is ``shingles()`` output — per-doc DISTINCT shingle
+    arrays (array_distinct is the set contract the counts rely on)."""
+    posts = (shingle_df.select('doc_id', F.explode('shingles').alias('s'))
+             .localCheckpoint())
+    keep_s = (posts.groupBy('s').agg(F.count('*').alias('df'))
+              .filter(F.col('df') <= max_shingle_df).select('s'))
+    kept = posts.join(keep_s, 's').localCheckpoint()
+    sizes = kept.groupBy('doc_id').agg(
+        F.count('*').cast('long').alias('sz'))
+    a, b = kept.alias('a'), kept.alias('b')
+    shared = (a.join(b, 's')
+              .filter(F.col('a.doc_id') < F.col('b.doc_id'))
+              .groupBy(F.col('a.doc_id').alias('doc_a'),
+                       F.col('b.doc_id').alias('doc_b'))
+              .agg(F.count('*').cast('long').alias('n_shared')))
+    return (shared
+            .join(sizes.select(F.col('doc_id').alias('doc_a'),
+                               F.col('sz').alias('size_a')), 'doc_a')
+            .join(sizes.select(F.col('doc_id').alias('doc_b'),
+                               F.col('sz').alias('size_b')), 'doc_b')
+            .selectExpr(
+                'doc_a', 'doc_b', 'n_shared', 'size_a', 'size_b',
+                'cast(n_shared as double)'
+                ' / cast(least(size_a, size_b) as double) as containment')
+            .filter(F.expr(
+                f"containment >= cast('{threshold!r}' as double)")))

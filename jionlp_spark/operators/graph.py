@@ -892,3 +892,77 @@ def entity_salience(mentions: DataFrame, doc_col: str = 'doc_id',
                 " + (cast('1.0' as double)"
                 "    - cast(first_pos as double) / cast(_nd as double))"
                 " * cast('0.5' as double) as salience"))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 3, damping: float = 0.85,
+                          src_col: str = 'src', dst_col: str = 'dst',
+                          weight_col: str = 'weight',
+                          seed_col: str = 'v') -> DataFrame:
+    """→ (v, ppr) — personalized PageRank after ``iters`` rounds:
+    teleport mass returns ONLY to the seed set (uniformly), so scores
+    measure proximity to the seeds — the focused-crawl prioritization
+    signal (fetch hosts near trusted seeds first: Gyöngyi et al. 2004
+    TrustRank is exactly this shape) and the KG seed-expansion query
+    (entities relevant to a topic seed set).
+
+    Same engine-parity scheme as ``pagerank``: per-edge contributions
+    are per-row double trees, per-target reductions route through
+    decimal(38,18) via varchar, constants enter as cast('<repr>' as
+    double); the seed indicator is decided by a null-check on a left
+    join (both engines agree on join semantics), so pr₀ and every
+    teleport term are engine-identical.  Non-seed nodes start at
+    exactly 0.0 and receive only propagated mass.
+
+    Scale shape: identical to ``pagerank`` — the out-weighted edge
+    table persists once, each round is ONE co-partitionable join + ONE
+    map-side-combined decimal aggregation + a localCheckpoint; the
+    seed table is seed-set-sized and broadcasts.  Same
+    out-degree-complete contract (callers pre-filter dangling nodes).
+    """
+    tele = 1.0 - damping
+
+    e = edges.select(F.col(src_col).alias('src'),
+                     F.col(dst_col).alias('dst'),
+                     F.col(weight_col).cast('long').alias('w'))
+    wdeg = e.groupBy('src').agg(F.sum('w').alias('wdeg'))
+    ew = e.join(wdeg, 'src').persist()
+
+    nodes = ew.select(F.col('src').alias('v')).distinct()
+    sd = seeds.select(F.col(seed_col).alias('v'),
+                      F.lit(True).alias('_s')).distinct()
+    nodes = (nodes.join(F.broadcast(sd), 'v', 'left')
+             .select('v', F.coalesce(F.col('_s'), F.lit(False))
+                     .alias('is_seed'))
+             .localCheckpoint())
+    n_seeds = (nodes.filter('is_seed')
+               .agg(F.count('*').cast('long').alias('n')))
+
+    pr = (nodes.crossJoin(F.broadcast(n_seeds))
+          .select('v', 'is_seed',
+                  F.when(F.col('is_seed'),
+                         F.lit(1.0) / F.col('n'))
+                  .otherwise(F.lit(0.0)).alias('ppr'))
+          .localCheckpoint())
+    for _ in range(iters):
+        contrib = (
+            ew.join(pr, ew['src'] == pr['v'])
+            .select(F.col('dst'),
+                    (F.col('ppr') * F.col('w') / F.col('wdeg'))
+                    .alias('c'))
+            .groupBy('dst')
+            .agg(F.sum(F.col('c').cast('string').cast('decimal(38,18)'))
+                 .alias('s')))
+        pr = (nodes.join(contrib, nodes['v'] == contrib['dst'], 'left')
+              .crossJoin(F.broadcast(n_seeds))
+              .select(nodes['v'], 'is_seed',
+                      (F.when(F.col('is_seed'),
+                              F.lit(tele) / F.col('n'))
+                       .otherwise(F.lit(0.0))
+                       + F.lit(damping)
+                       * F.coalesce(F.col('s').cast('string')
+                                    .cast('double'), F.lit(0.0)))
+                      .alias('ppr'))
+              .localCheckpoint())
+    ew.unpersist()
+    return pr.select('v', 'ppr')

@@ -396,3 +396,52 @@ def mirror_pairs(docs: DataFrame, url_col: str = 'url',
                      / (F.col('n_a') + F.col('n_b')
                         - F.col('shared')).cast('double'))
                     .alias('jaccard')))
+
+
+def sitemap_entries(sitemaps: DataFrame, host_col: str = 'host',
+                    xml_col: str = 'sitemap_xml') -> DataFrame:
+    """sitemaps(host, sitemap_xml) → (host, kind, loc, lastmod,
+    changefreq, priority): the sitemaps.org discovery feed
+    (kernels/sitemap.parse_sitemap) — ``kind='urlset'`` rows are page
+    URLs for the frontier (anti-join the canonical seen set, gate
+    through robots_filter), ``kind='sitemapindex'`` rows are child
+    sitemaps to fetch next round; hosts whose document parses to
+    neither emit nothing.
+
+    Scale shape: ONE mapInPandas node over the HOSTS-sized sitemap
+    table (the robots_rules/url_dedup lesson — a column-append pandas
+    UDF gets re-evaluated around downstream exchanges; mapInPandas is
+    a black box evaluated once); output is entry rows, fanout = the
+    site's declared URL count.  Optional fields surface as nulls, not
+    parse failures."""
+    from jionlp_spark.kernels.sitemap import parse_sitemap
+
+    def kernel(batches):
+        for pdf in batches:
+            hosts, kinds, locs, lastmods, freqs, prios = \
+                [], [], [], [], [], []
+            for h, xml in zip(pdf[host_col], pdf[xml_col]):
+                kind, entries = parse_sitemap(xml)
+                for e in entries:
+                    hosts.append(h)
+                    kinds.append(kind)
+                    locs.append(e.loc)
+                    lastmods.append(e.lastmod)
+                    freqs.append(e.changefreq)
+                    prios.append(e.priority)
+            yield pd.DataFrame({
+                'host': pd.Series(hosts, dtype=object),
+                'kind': pd.Series(kinds, dtype=object),
+                'loc': pd.Series(locs, dtype=object),
+                'lastmod': pd.Series(lastmods, dtype=object),
+                'changefreq': pd.Series(freqs, dtype=object),
+                'priority': pd.Series(prios, dtype=object)})
+
+    schema = T.StructType([
+        T.StructField('host', T.StringType()),
+        T.StructField('kind', T.StringType()),
+        T.StructField('loc', T.StringType()),
+        T.StructField('lastmod', T.StringType()),
+        T.StructField('changefreq', T.StringType()),
+        T.StructField('priority', T.StringType())])
+    return sitemaps.select(host_col, xml_col).mapInPandas(kernel, schema)

@@ -1934,3 +1934,61 @@ def test_entity_salience_frequency_and_earliness(spark):
     assert out[(2, 'z')] == (1, 0, 1.0)
     # frequency and earliness both bite: a outranks b
     assert out[(1, 'a')][2] > out[(1, 'b')][2]
+
+
+def test_containment_asymmetric_and_hot_cut(spark):
+    """containment_pairs: a doc fully contained in a wrapper scores
+    1.0 even when Jaccard is low; the hot-shingle cut removes a
+    boilerplate shingle from BOTH sides so subset pairs survive it;
+    sub-threshold overlap is dropped."""
+    from jionlp_spark.operators.dedup import containment_pairs, shingles
+    rows = [
+        # doc 1 ⊂ doc 2 (wrapper prepends 1's text) — Jaccard ≈ 0.4
+        (1, 'alpha beta gamma delta epsilon zeta'),
+        (2, 'alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron'),
+        # doc 3 shares one shingle with 1/2 — below threshold
+        (3, 'alpha beta gamma completely different tail here now'),
+        # 4..8: make 'alpha beta gamma' hot (df 8 > cap 5)
+        (4, 'alpha beta gamma aa bb'), (5, 'alpha beta gamma cc dd'),
+        (6, 'alpha beta gamma ee ff'), (7, 'alpha beta gamma gg hh'),
+        (8, 'alpha beta gamma ii jj'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {(r['doc_a'], r['doc_b']): r
+           for r in containment_pairs(shingles(docs, n=3),
+                                      threshold=0.8,
+                                      max_shingle_df=5).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # 'alpha beta gamma' was cut from BOTH docs: doc 1 keeps 3 of its
+    # 4 shingles, all present in doc 2 → containment exactly 1.0
+    assert r['size_a'] == 3 and r['n_shared'] == 3
+    assert r['containment'] == 1.0
+    # the sub-threshold pair is gone; so is any pair made ONLY of the
+    # hot shingle (docs 4..8 share nothing after the cut)
+    assert (1, 3) not in out
+    assert not any(a >= 4 and b >= 4 for a, b in out)
+
+
+def test_personalized_pagerank_seed_confinement(spark):
+    """personalized_pagerank: teleport mass returns only to seeds —
+    hand-computed 2-round values on a cycle, an unreached non-seed
+    holds exactly 0.0."""
+    from jionlp_spark.operators.graph import personalized_pagerank
+    edges = spark.createDataFrame(
+        [('a', 'b', 1), ('b', 'c', 1), ('c', 'a', 1), ('d', 'a', 1)],
+        'src string, dst string, weight long')
+    seeds = spark.createDataFrame([('a',)], 'v string')
+    out = {r['v']: r['ppr']
+           for r in personalized_pagerank(edges, seeds,
+                                          iters=2).collect()}
+    tele = 1.0 - 0.85
+    # round 1: a = tele (c holds 0), b = 0.85·1, c = 0, d = 0
+    # round 2: a = tele + 0.85·0, b = 0.85·tele, c = 0.85·0.85, d = 0
+    assert out['a'] == tele
+    assert out['b'] == 0.85 * tele
+    assert out['c'] == 0.85 * 0.85
+    assert out['d'] == 0.0
+    # total mass stays bounded by 1 (leaks only via the d sink's share)
+    assert sum(out.values()) <= 1.0 + 1e-12

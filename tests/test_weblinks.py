@@ -164,3 +164,64 @@ def test_recrawl_plan_buckets_and_vanished_host(spark, tmp_path):
     assert got['b.org'].interval_days == 7
     assert (got['c.org'].n_urls, got['c.org'].n_removed,
             got['c.org'].interval_days) == (0, 1, 1)
+
+
+def test_sitemap_kernel_paths():
+    """parse_sitemap: kind detection, case/attribute tolerance, CDATA
+    trim, ONE-PASS entity decode, empty-loc skip, truncated tail."""
+    from jionlp_spark.kernels.sitemap import parse_sitemap
+
+    kind, es = parse_sitemap(
+        '<urlset><url><loc>http://a/x?p=1&amp;q=2</loc>'
+        '<lastmod>2026-01-01</lastmod><priority>0.5</priority></url>'
+        '<url><loc>http://a/y</loc></url></urlset>')
+    assert kind == 'urlset'
+    assert [e.loc for e in es] == ['http://a/x?p=1&q=2', 'http://a/y']
+    assert es[0].lastmod == '2026-01-01' and es[0].priority == '0.5'
+    assert es[1].lastmod is None and es[1].changefreq is None
+
+    # one-pass decode: &amp;lt; is the ESCAPED text '&lt;', not '<'
+    _, es = parse_sitemap('<urlset><url><loc>a&amp;lt;b</loc></url>'
+                          '</urlset>')
+    assert es[0].loc == 'a&lt;b'
+
+    # uppercase + attributes + CDATA (literal, trimmed) + empty loc
+    kind, es = parse_sitemap(
+        '<URLSET xmlns="x"><URL a="1"><LOC><![CDATA[  http://c/&amp; '
+        ' ]]></LOC></URL><URL><LOC> </LOC></URL></URLSET>')
+    assert kind == 'urlset' and len(es) == 1
+    assert es[0].loc == 'http://c/&amp;'   # no decode inside CDATA
+
+    # numeric character references, both forms
+    _, es = parse_sitemap('<urlset><url><loc>http://d&#47;n&#x2F;m'
+                          '</loc></url></urlset>')
+    assert es[0].loc == 'http://d/n/m'
+
+    # sitemapindex + a truncated (unclosed) trailing block is skipped
+    kind, es = parse_sitemap(
+        '<sitemapindex><sitemap><loc>http://e/sm1.xml</loc></sitemap>'
+        '<sitemap><loc>http://e/sm2.xml</loc>')
+    assert kind == 'sitemapindex'
+    assert [e.loc for e in es] == ['http://e/sm1.xml']
+
+    # junk / None / empty → no kind, no entries
+    assert parse_sitemap('no tags here') == (None, [])
+    assert parse_sitemap(None) == (None, [])
+    assert parse_sitemap('') == (None, [])
+
+
+def test_sitemap_entries_operator(spark):
+    """sitemap_entries: one mapInPandas node, hosts with junk emit
+    nothing, optional fields surface as nulls."""
+    from jionlp_spark.operators.weblinks import sitemap_entries
+    sm = spark.createDataFrame(
+        [('a.com', '<urlset><url><loc>http://a.com/1</loc>'
+                   '<changefreq>daily</changefreq></url></urlset>'),
+         ('b.com', 'junk')],
+        'host string, sitemap_xml string')
+    rows = sitemap_entries(sm).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r['host'], r['kind'], r['loc'], r['changefreq']) == \
+        ('a.com', 'urlset', 'http://a.com/1', 'daily')
+    assert r['lastmod'] is None and r['priority'] is None
