@@ -951,6 +951,36 @@ def q_web_host_hits(spark, sf_dir):
             .select(F.col('v').alias('host'), 'hub', 'auth'))
 
 
+def q_web_content_extract(spark, sf_dir):
+    """Block-level main-content extraction
+    (kernels/content_extract → operators/weblinks.content_extract):
+    every page wraps its document text in boilerplate — a nav div
+    (pure links, short AND link-dense), a 9-char stub paragraph, a
+    'read more' teaser whose anchor text is 31 of 42 chars (dropped by
+    the integer cross-multiplied density rule 31·2 > 42·1), a script
+    block, a comment, and a copyright footer.  Docs ≡ 7 (mod 11) carry
+    only the first 10 chars of their text, so the min-length drop
+    genuinely fires on the MAIN block too.  The Spark side parses real
+    HTML through the kernel; the oracle states the kept content
+    closed-form (the corpus text is already whitespace-collapsed, so
+    kernel text == raw text)."""
+    from jionlp_spark.operators.weblinks import content_extract
+    d = F.col('doc_id')
+    main = (F.when(d % 11 == 7, F.substring('text', 1, 10))
+            .otherwise(F.col('text')))
+    html = F.format_string(
+        '<html><head><script>var q=1;</script></head><body>'
+        '<div><a href="/">home</a> <a href="/x">about &amp; '
+        'contact</a></div>'
+        '<p>%s</p>'
+        '<p>short bit</p>'
+        '<div>read more: <a href="/m">click here for more stories '
+        'now</a></div>'
+        '<!-- note --><footer>copyright</footer></body></html>', main)
+    pages = _docs(spark, sf_dir).select('doc_id', html.alias('html'))
+    return content_extract(pages)
+
+
 def q_web_seed_ppr(spark, sf_dir):
     """Personalized PageRank (operators/graph.personalized_pagerank,
     3 rounds, d=0.85) over the DIRECTED dangling-filtered host graph
@@ -4825,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_containment_pairs': q_dedup_containment_pairs,
         'web_sitemap_urls': q_web_sitemap_urls,
         'web_seed_ppr': q_web_seed_ppr,
+        'web_content_extract': q_web_content_extract,
     }
 
 
@@ -7522,6 +7553,23 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    from range(5) r(i)),
             {_ppr_edge_ctes(3, 0.85)}
             select v as host, ppr from pp3""",
+        # the kept main-content stated closed-form: the four
+        # boilerplate blocks (nav, stub, teaser, footer) always drop;
+        # the main block drops only for the truncated ≡7 (mod 11) docs
+        'web_content_extract': """
+            with m as (select doc_id,
+                              case when doc_id % 11 = 7
+                                   then substr(text, 1, 10)
+                                   else text end main
+                       from documents)
+            select doc_id,
+                   case when length(main) >= 30 then main
+                        else '' end as "content",
+                   cast(case when length(main) >= 30 then 1 else 0 end
+                        as bigint) n_kept,
+                   cast(case when length(main) >= 30 then 4 else 5 end
+                        as bigint) n_dropped
+            from m""",
         # top-2 anchors per target host under the (n desc, anchor asc)
         # total order — both engines cut identical rows
         'web_anchor_stats': f"""

@@ -83,7 +83,7 @@ HEADLINE = [
     'web_url_templates', 'web_frontier_pipeline', 'multimodal_audio',
     'kg_negative_samples', 'kg_transe_scores', 'web_host_hits',
     'kg_entity_salience', 'dedup_containment_pairs',
-    'web_sitemap_urls', 'web_seed_ppr',
+    'web_sitemap_urls', 'web_seed_ppr', 'web_content_extract',
 ]
 
 

@@ -445,3 +445,48 @@ def sitemap_entries(sitemaps: DataFrame, host_col: str = 'host',
         T.StructField('changefreq', T.StringType()),
         T.StructField('priority', T.StringType())])
     return sitemaps.select(host_col, xml_col).mapInPandas(kernel, schema)
+
+
+def content_extract(pages: DataFrame, id_col: str = 'doc_id',
+                    html_col: str = 'html', min_len: int = 30,
+                    link_num: int = 1, link_den: int = 2) -> DataFrame:
+    """pages(doc_id, html) → (doc_id, content, n_kept, n_dropped):
+    block-level main-content extraction
+    (kernels/content_extract.extract_content — the justext/readability
+    text-length + link-density heuristic), the structural boilerplate
+    cut a crawl pipeline applies BEFORE text cleaning so nav bars and
+    link farms never enter the corpus (dedup_paragraphs then catches
+    the cross-page repeats structure can't see).
+
+    Scale shape: ONE mapInPandas node over the page table (the
+    url_dedup lesson — column-append pandas UDFs get re-evaluated
+    around downstream exchanges), zero shuffle; kernel CPU scales with
+    executors.  Block verdicts are integer cross-multiplied (no
+    float-ratio ties), so the whole operator is closed-form
+    replayable."""
+    from jionlp_spark.kernels.content_extract import extract_content
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, contents, keeps, drops = [], [], [], []
+            for i, html in zip(pdf[id_col], pdf[html_col]):
+                content, n_kept, n_dropped = extract_content(
+                    html, min_len, link_num, link_den)
+                ids.append(i)
+                contents.append(content)
+                keeps.append(n_kept)
+                drops.append(n_dropped)
+            yield pd.DataFrame({
+                'doc_id': pd.Series(ids, dtype='int64'),
+                'content': pd.Series(contents, dtype=object),
+                'n_kept': pd.Series(keeps, dtype='int64'),
+                'n_dropped': pd.Series(drops, dtype='int64')})
+
+    schema = T.StructType([
+        T.StructField('doc_id', T.LongType()),
+        T.StructField('content', T.StringType()),
+        T.StructField('n_kept', T.LongType()),
+        T.StructField('n_dropped', T.LongType())])
+    return pages.select(F.col(id_col).alias(id_col),
+                        F.col(html_col).alias(html_col)) \
+        .mapInPandas(kernel, schema)

@@ -225,3 +225,53 @@ def test_sitemap_entries_operator(spark):
     assert (r['host'], r['kind'], r['loc'], r['changefreq']) == \
         ('a.com', 'urlset', 'http://a.com/1', 'daily')
     assert r['lastmod'] is None and r['priority'] is None
+
+
+def test_content_extract_kernel():
+    """content_blocks/extract_content: length + integer-crossed link
+    density verdicts, script/comment removal, entity decode, order."""
+    from jionlp_spark.kernels.content_extract import (content_blocks,
+                                                      extract_content)
+    html = ('<html><head><script>var a="<p>fake</p>";</script></head>'
+            '<body><div><a href="/">home</a> <a>about &amp; us</a></div>'
+            '<p>this paragraph is long enough to be kept as content</p>'
+            '<p>tiny</p>'
+            '<div>more: <a>click here for many more stories now</a>'
+            '</div>'
+            '<!-- c --><footer>see <a>this footer link text that is '
+            'long enough to pass the length rule</a>'
+            '</footer></body></html>')
+    bs = content_blocks(html, min_len=30)
+    texts = [b.text for b in bs]
+    assert texts[0] == 'home about & us'          # entities decoded
+    assert not bs[0].kept                          # short AND linky
+    assert bs[1].kept                              # the main block
+    assert not bs[2].kept                          # tiny
+    assert not bs[3].kept                          # link density > 1/2
+    # footer: long enough but anchor covers most of it → density drop
+    assert not bs[4].kept
+    content, n_kept, n_dropped = extract_content(html, min_len=30)
+    assert content == ('this paragraph is long enough to be kept '
+                       'as content')
+    assert (n_kept, n_dropped) == (1, 4)
+    # density boundary is inclusive via integer cross-multiply:
+    # link_chars·2 == n_chars·1 keeps (no float tie risk)
+    half = '<p>aaaaaaaaaaaaaa<a>bbbbbbbbbbbbbbb</a></p>'
+    b = content_blocks(half, min_len=10)[0]
+    assert b.n_chars == 30 and b.link_chars == 15 and b.kept
+    assert extract_content(None) == ('', 0, 0)
+    assert extract_content('') == ('', 0, 0)
+
+
+def test_content_extract_operator(spark):
+    """content_extract: one mapInPandas node over (doc_id, html)."""
+    from jionlp_spark.operators.weblinks import content_extract
+    pages = spark.createDataFrame(
+        [(1, '<body><p>the quick brown fox jumps over the lazy '
+             'dog today</p><p>hi</p></body>'),
+         (2, None)],
+        'doc_id long, html string')
+    out = {r['doc_id']: r for r in content_extract(pages).collect()}
+    assert out[1]['content'].startswith('the quick brown fox')
+    assert (out[1]['n_kept'], out[1]['n_dropped']) == (1, 1)
+    assert (out[2]['content'], out[2]['n_kept']) == ('', 0)
