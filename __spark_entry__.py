@@ -951,6 +951,30 @@ def q_web_host_hits(spark, sf_dir):
             .select(F.col('v').alias('host'), 'hub', 'auth'))
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Gopher/MassiveText quality rules
+    (operators/textstats.gopher_quality, Rae et al. 2021 §A1.1) with
+    every rule branch live under the gate: the natural 10–99-word
+    corpus splits on min_words=50; docs ≡ 5 (mod 13) grow a 40-token
+    '#' tail (alpha fraction drops below 0.8 — and short ones trip the
+    mean-length floor too); docs ≡ 3 (mod 17) grow a 200-token 'a'
+    tail (mean word length < 3 AND n_words > 120, so the max-words
+    bound fires); stop list ('join','hash','row') ≥ 2 passes 418/500
+    naturally.  One per-row projection; every compare an identical
+    int-derived double tree in both engines."""
+    from jionlp_spark.operators.textstats import gopher_quality
+    d = F.col('doc_id')
+    text = (F.when(d % 13 == 5,
+                   F.concat(F.col('text'), F.expr("repeat(' #', 40)")))
+            .when(d % 17 == 3,
+                  F.concat(F.col('text'), F.expr("repeat(' a', 200)")))
+            .otherwise(F.col('text')))
+    docs = _docs(spark, sf_dir).select('doc_id', text.alias('text'))
+    return gopher_quality(docs, min_words=50, max_words=120,
+                          stopwords=('join', 'hash', 'row'),
+                          min_stop_hits=2)
+
+
 def q_web_content_extract(spark, sf_dir):
     """Block-level main-content extraction
     (kernels/content_extract → operators/weblinks.content_extract):
@@ -4856,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_sitemap_urls': q_web_sitemap_urls,
         'web_seed_ppr': q_web_seed_ppr,
         'web_content_extract': q_web_content_extract,
+        'quality_gopher': q_quality_gopher,
     }
 
 
@@ -7553,6 +7578,45 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    from range(5) r(i)),
             {_ppr_edge_ctes(3, 0.85)}
             select v as host, ppr from pp3""",
+        # Gopher rules replayed tree-for-tree over the same injected
+        # corpus (translate-strip alpha detection, fold char sums)
+        'quality_gopher': """
+            with inj as (select doc_id,
+                   case when doc_id % 13 = 5
+                        then text || repeat(' #', 40)
+                        when doc_id % 17 = 3
+                        then text || repeat(' a', 200)
+                        else text end as text
+                 from documents),
+            w as (select doc_id, string_split(text, ' ') ws from inj),
+            base as (select doc_id,
+                   cast(len(ws) as bigint) n_words,
+                   cast(list_sum(list_transform(ws, x -> len(x)))
+                        as double) / cast(len(ws) as double)
+                     mean_word_len,
+                   cast(len(list_filter(ws, x ->
+                          translate(x, 'abcdefghijklmnopqrstuvwxyz',
+                                    '') <> x)) as double)
+                     / cast(len(ws) as double) alpha_frac,
+                   cast(len(list_intersect(list_distinct(ws),
+                            ['join', 'hash', 'row'])) as bigint)
+                     stop_hits
+                 from w)
+            select doc_id, n_words, mean_word_len, alpha_frac,
+                   stop_hits,
+                   (n_words < 50) too_short,
+                   (n_words > 120) too_long,
+                   (mean_word_len < cast('3.0' as double)
+                    or mean_word_len > cast('10.0' as double))
+                     bad_mean_len,
+                   (alpha_frac < cast('0.8' as double)) low_alpha,
+                   (stop_hits < 2) low_stopwords,
+                   not ((n_words < 50) or (n_words > 120)
+                        or (mean_word_len < cast('3.0' as double)
+                            or mean_word_len > cast('10.0' as double))
+                        or (alpha_frac < cast('0.8' as double))
+                        or (stop_hits < 2)) gopher_pass
+            from base""",
         # the kept main-content stated closed-form: the four
         # boilerplate blocks (nav, stub, teaser, footer) always drop;
         # the main block drops only for the truncated ≡7 (mod 11) docs

@@ -796,3 +796,68 @@ def stupid_backoff_scores(train: DataFrame, docs: DataFrame,
         F.when(n_scored > 0,
                F.col('_s').cast('string').cast('double') / n_scored)
         .alias('sb_avg'))
+
+
+GOPHER_STOPWORDS = ('the', 'be', 'to', 'of', 'and', 'that', 'have',
+                    'with')
+_ALPHA = 'abcdefghijklmnopqrstuvwxyz'
+
+
+def gopher_quality(docs: DataFrame, text_col: str = 'text',
+                   id_col: str = 'doc_id', min_words: int = 50,
+                   max_words: int = 100000, min_mean_len: float = 3.0,
+                   max_mean_len: float = 10.0,
+                   min_alpha_frac: float = 0.8,
+                   stopwords=GOPHER_STOPWORDS,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021 §A1.1)
+    — the published heuristics every LLM curation pipeline since has
+    reused, complementing ``repetition_filters`` (the same paper's
+    repetition signals): word-count bounds, mean-word-length bounds,
+    the minimum fraction of words containing an alphabetic character,
+    and the stop-word-presence rule (≥ ``min_stop_hits`` distinct stop
+    words — the cheap English-ness/structure check).  → per-doc
+    measurements, per-rule flags, and the composed ``gopher_pass``.
+
+    Engine parity: word/char counts are exact integers (character sums
+    via a fixed higher-order fold); the mean/fraction compares are
+    per-row double trees over those integers with the thresholds
+    entering as cast('<repr>' as double) — identical trees split
+    identically, so flags never straddle engines.  Alphabetic
+    detection is translate()-based (strip a–z; changed ⟹ has alpha —
+    the url_templates digit-strip rule), NOT regex: Spark SQL regex is
+    off-limits (CLAUDE.md) and lowercase corpora are the repo-wide
+    tokenization contract.
+
+    Scale shape: ONE per-row projection — no explode, no shuffle, no
+    Python; top-cost term is O(tokens) per row.  The stop list enters
+    as an array literal (a dozen words, never a join).
+    """
+    sw = ', '.join("'" + w.replace("'", "''") + "'" for w in stopwords)
+    t = f'split({text_col}, \' \')'
+    n = f'size({t})'
+    sum_len = (f"aggregate(transform({t}, w -> length(w)), 0L,"
+               " (a, x) -> a + x)")
+    mean_len = f'(cast({sum_len} as double) / cast({n} as double))'
+    alpha_n = (f"size(filter({t},"
+               f" w -> translate(w, '{_ALPHA}', '') != w))")
+    alpha_frac = f'(cast({alpha_n} as double) / cast({n} as double))'
+    stop_hits = f'size(array_intersect(array_distinct({t}), array({sw})))'
+    flags = {
+        'too_short': f'({n} < {min_words})',
+        'too_long': f'({n} > {max_words})',
+        'bad_mean_len': (f"({mean_len} < cast('{min_mean_len!r}' as"
+                         f" double) or {mean_len} >"
+                         f" cast('{max_mean_len!r}' as double))"),
+        'low_alpha': (f"({alpha_frac} < cast('{min_alpha_frac!r}' as"
+                      " double))"),
+        'low_stopwords': f'({stop_hits} < {min_stop_hits})',
+    }
+    return docs.selectExpr(
+        f'{id_col} as doc_id',
+        f'cast({n} as bigint) as n_words',
+        f'{mean_len} as mean_word_len',
+        f'{alpha_frac} as alpha_frac',
+        f'cast({stop_hits} as bigint) as stop_hits',
+        *[f'{expr} as {name}' for name, expr in flags.items()],
+        'not (' + ' or '.join(flags.values()) + ') as gopher_pass')

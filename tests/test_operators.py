@@ -1992,3 +1992,30 @@ def test_personalized_pagerank_seed_confinement(spark):
     assert out['d'] == 0.0
     # total mass stays bounded by 1 (leaks only via the d sink's share)
     assert sum(out.values()) <= 1.0 + 1e-12
+
+
+def test_gopher_quality_rules(spark):
+    """gopher_quality: each rule flags independently and gopher_pass
+    composes them; alpha detection is translate-based (no regex)."""
+    from jionlp_spark.operators.textstats import gopher_quality
+    rows = [
+        (1, 'alpha beta gamma delta echo'),            # clean, 5 words
+        (2, 'a b c d e'),                               # mean len 1 < 3
+        (3, 'alpha beta # # #'),                        # alpha 2/5 < 0.8
+        (4, 'w x y z q r s t u v w x'),                 # 12 > max_words
+        (5, 'zeta eta theta iota kappa'),               # no stop hits
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r['doc_id']: r
+           for r in gopher_quality(
+               docs, min_words=3, max_words=10,
+               stopwords=('alpha', 'beta', 'echo'),
+               min_stop_hits=2).collect()}
+    assert out[1]['gopher_pass'] and out[1]['stop_hits'] == 3
+    assert out[1]['mean_word_len'] == pytest.approx(23 / 5.0, abs=0.0)
+    assert out[2]['bad_mean_len'] and not out[2]['gopher_pass']
+    assert out[3]['low_alpha'] and out[3]['alpha_frac'] == 0.4
+    assert out[4]['too_long']
+    assert out[5]['low_stopwords'] and out[5]['stop_hits'] == 0
+    # exactly one doc passes everything
+    assert [d for d, r in out.items() if r['gopher_pass']] == [1]
