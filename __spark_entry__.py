@@ -951,6 +951,58 @@ def q_web_host_hits(spark, sf_dir):
             .select(F.col('v').alias('host'), 'hub', 'auth'))
 
 
+def q_web_ingest_pipeline(spark, sf_dir):
+    """The composed crawl-ingest admission chain — raw page HTML →
+    content_extract (structural boilerplate cut) → gopher_quality gate
+    → exact-dedup keep-min — under ONE oracle: the 'fetch to admitted
+    text' path a production pipeline runs before any KG extraction,
+    the ingest-side sibling of web_frontier_pipeline (which gates the
+    URLs) and curate_corpus (which assumes text already extracted).
+    Per doc: verdict kept / dropped_quality / dropped_dup with stage
+    priority (dedup sees only quality survivors, so a junk copy
+    reports the earlier, cheaper reason).  Docs ≡ 6 (mod 19) carry
+    their predecessor's full text (the dup branch), ≡ 7 (mod 11)
+    truncate to 10 chars (content_extract drops the main block →
+    empty content → dropped_quality).  Each stage keeps its audited
+    shape; the extract output and the joined gate table are
+    checkpointed once (each feeds two consumers)."""
+    from jionlp_spark.operators.textstats import gopher_quality
+    from jionlp_spark.operators.weblinks import content_extract
+    d = F.col('doc_id')
+    base = _docs(spark, sf_dir).select('doc_id', 'text')
+    p = base.select((F.col('doc_id') + 1).alias('doc_id'),
+                    F.col('text').alias('p_text'))
+    main = (F.when((d % 19 == 6) & F.col('p_text').isNotNull(),
+                   F.col('p_text'))
+            .when(d % 11 == 7, F.substring('text', 1, 10))
+            .otherwise(F.col('text')))
+    html = F.format_string(
+        '<html><body><div><a href="/">home</a> <a href="/x">about '
+        '&amp; contact</a></div><p>%s</p>'
+        '<div>read more: <a href="/m">click here for more stories '
+        'now</a></div><footer>copyright</footer></body></html>', main)
+    pages = (base.join(p, 'doc_id', 'left')
+             .select('doc_id', html.alias('html')))
+    ext = (content_extract(pages).select('doc_id', 'content')
+           .localCheckpoint())
+    g = gopher_quality(ext, text_col='content', min_words=50,
+                       stopwords=('join', 'hash', 'row'),
+                       min_stop_hits=2) \
+        .select('doc_id', 'n_words', 'gopher_pass')
+    j = ext.join(g, 'doc_id').localCheckpoint()
+    surv = j.filter('gopher_pass').select('doc_id',
+                                          F.md5('content').alias('h'))
+    keep = surv.groupBy('h').agg(F.min('doc_id').alias('k'))
+    return (j.join(surv.join(keep, 'h').select('doc_id', 'k'),
+                   'doc_id', 'left')
+            .selectExpr(
+                'doc_id',
+                "case when not gopher_pass then 'dropped_quality' "
+                "when doc_id <> k then 'dropped_dup' "
+                "else 'kept' end as verdict",
+                'n_words'))
+
+
 def q_quality_gopher(spark, sf_dir):
     """Gopher/MassiveText quality rules
     (operators/textstats.gopher_quality, Rae et al. 2021 §A1.1) with
@@ -4881,6 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_seed_ppr': q_web_seed_ppr,
         'web_content_extract': q_web_content_extract,
         'quality_gopher': q_quality_gopher,
+        'web_ingest_pipeline': q_web_ingest_pipeline,
     }
 
 
@@ -7578,6 +7631,55 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    from range(5) r(i)),
             {_ppr_edge_ctes(3, 0.85)}
             select v as host, ppr from pp3""",
+        # the composed ingest chain: closed-form content (the
+        # boilerplate blocks always drop; main survives iff ≥ 30
+        # chars), the gopher gate's trees verbatim, keep-min dedup
+        # over quality survivors only
+        'web_ingest_pipeline': """
+            with base as (select doc_id, text from documents),
+            mainx as (select d.doc_id,
+                   case when d.doc_id % 19 = 6 and p.text is not null
+                        then p.text
+                        when d.doc_id % 11 = 7
+                        then substr(d.text, 1, 10)
+                        else d.text end as main
+                 from base d
+                 left join base p on p.doc_id = d.doc_id - 1),
+            cont as (select doc_id,
+                   case when length(main) >= 30 then main
+                        else '' end as c
+                 from mainx),
+            w as (select doc_id, c, string_split(c, ' ') ws from cont),
+            g as (select doc_id, c,
+                   cast(len(ws) as bigint) n_words,
+                   not ((len(ws) < 50) or (len(ws) > 100000)
+                        or (cast(list_sum(list_transform(ws,
+                              x -> len(x))) as double)
+                            / cast(len(ws) as double)
+                              < cast('3.0' as double)
+                            or cast(list_sum(list_transform(ws,
+                                 x -> len(x))) as double)
+                              / cast(len(ws) as double)
+                              > cast('10.0' as double))
+                        or (cast(len(list_filter(ws, x ->
+                              translate(x,
+                                'abcdefghijklmnopqrstuvwxyz', '')
+                              <> x)) as double)
+                            / cast(len(ws) as double)
+                              < cast('0.8' as double))
+                        or (len(list_intersect(list_distinct(ws),
+                              ['join', 'hash', 'row'])) < 2))
+                     gopher_pass
+                 from w),
+            keep as (select md5(c) h, min(doc_id) k from g
+                     where gopher_pass group by 1)
+            select g.doc_id,
+                   case when not gopher_pass then 'dropped_quality'
+                        when g.doc_id <> keep.k then 'dropped_dup'
+                        else 'kept' end verdict,
+                   n_words
+            from g
+            left join keep on gopher_pass and md5(g.c) = keep.h""",
         # Gopher rules replayed tree-for-tree over the same injected
         # corpus (translate-strip alpha detection, fold char sums)
         'quality_gopher': """
