@@ -951,6 +951,31 @@ def q_web_host_hits(spark, sf_dir):
             .select(F.col('v').alias('host'), 'hub', 'auth'))
 
 
+def q_kg_edges_extend(spark, sf_dir):
+    """Incremental KG edge maintenance (operators/graph.
+    publish_edge_index / extend_edge_index / read_edge_index): the
+    edge table publishes from EVEN doc_ids' mentions only, the odd
+    batch appends its own per-doc pair counts as delta rows — O(batch
+    · k²) per day, history never re-joined — and the merged read must
+    equal the from-scratch co-occurrence count over ALL docs (disjoint
+    batches ⇒ distinct-doc counts sum), which is exactly what the
+    oracle computes in one SQL aggregation.  The stored table is
+    BUCKETED on the pair key, so the reader's merge groupBy is
+    exchange-free (plan guard)."""
+    from jionlp_spark.operators.graph import (extend_edge_index,
+                                              publish_edge_index,
+                                              read_edge_index)
+    m = _skew_mentions_pos(spark, sf_dir).select('doc_id', 'obj')
+    base = _work_dir('jionlp_edgeidx', sf_dir)
+    publish_edge_index(spark, f'{base}/kg',
+                       m.filter(F.col('doc_id') % 2 == 0),
+                       input_fingerprint=f'even@{sf_dir}')
+    extend_edge_index(spark, f'{base}/kg',
+                      m.filter(F.col('doc_id') % 2 == 1),
+                      batch_id=f'odd@{sf_dir}')
+    return read_edge_index(spark, f'{base}/kg')
+
+
 def q_web_ingest_pipeline(spark, sf_dir):
     """The composed crawl-ingest admission chain — raw page HTML →
     content_extract (structural boilerplate cut) → gopher_quality gate
@@ -4934,6 +4959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_content_extract': q_web_content_extract,
         'quality_gopher': q_quality_gopher,
         'web_ingest_pipeline': q_web_ingest_pipeline,
+        'kg_edges_extend': q_kg_edges_extend,
     }
 
 
@@ -7631,6 +7657,15 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    from range(5) r(i)),
             {_ppr_edge_ctes(3, 0.85)}
             select v as host, ppr from pp3""",
+        # extended edge index ≡ from-scratch: one SQL co-occurrence
+        # aggregation over ALL docs (disjoint batches sum)
+        'kg_edges_extend': f"""
+            with m as ({_SKEW_MENTIONS_SQL})
+            select a.obj ent_a, b.obj ent_b,
+                   cast(count(distinct a.doc_id) as bigint) weight
+            from m a join m b
+              on a.doc_id = b.doc_id and a.obj < b.obj
+            group by 1, 2""",
         # the composed ingest chain: closed-form content (the
         # boilerplate blocks always drop; main survives iff ≥ 30
         # chars), the gopher gate's trees verbatim, keep-min dedup

@@ -84,7 +84,7 @@ HEADLINE = [
     'kg_negative_samples', 'kg_transe_scores', 'web_host_hits',
     'kg_entity_salience', 'dedup_containment_pairs',
     'web_sitemap_urls', 'web_seed_ppr', 'web_content_extract',
-    'quality_gopher', 'web_ingest_pipeline',
+    'quality_gopher', 'web_ingest_pipeline', 'kg_edges_extend',
 ]
 
 

@@ -966,3 +966,78 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
               .localCheckpoint())
     ew.unpersist()
     return pr.select('v', 'ppr')
+
+
+# ---------------------------------------------------------------------------
+# Persistent co-occurrence edge table through the catalog — the KG's
+# daily-maintenance seam (the text/ANN/PQ index-extend pattern applied
+# to the graph itself)
+# ---------------------------------------------------------------------------
+
+def pair_counts(mentions: DataFrame, doc_col: str = 'doc_id',
+                ent_col: str = 'obj') -> DataFrame:
+    """→ (ent_a, ent_b, n_ab): per-doc co-occurrence pair counts —
+    distinct (doc, entity), per-doc self-join co-partitioned on the
+    doc key (k² per doc, never corpus-quadratic), map-side-combined
+    edge aggregation.  The delta unit of the edge index: counts over
+    DISJOINT doc batches sum to the global count."""
+    m = (mentions.select(F.col(doc_col).alias('doc_id'),
+                         F.col(ent_col).alias('ent'))
+         .distinct().localCheckpoint())
+    a, b = m.alias('a'), m.alias('b')
+    return (a.join(b, 'doc_id')
+            .filter(F.col('a.ent') < F.col('b.ent'))
+            .groupBy(F.col('a.ent').alias('ent_a'),
+                     F.col('b.ent').alias('ent_b'))
+            .agg(F.countDistinct('doc_id').cast('long').alias('n_ab')))
+
+
+def publish_edge_index(spark, base_path: str, mentions: DataFrame,
+                       doc_col: str = 'doc_id', ent_col: str = 'obj',
+                       input_fingerprint: str | None = None):
+    """Publish the co-occurrence edge table through the catalog,
+    BUCKETED on (ent_a, ent_b) — the persistent KG edge store a daily
+    crawl maintains incrementally instead of re-deriving the per-doc
+    self-join over ALL history (the publish_text_index pattern applied
+    to the graph).  Bucketing on the pair key makes the reader's merge
+    aggregation exchange-free, and snapshot versioning gives the edge
+    table time travel like every other published artifact."""
+    from jionlp_spark.sources import catalog
+    return catalog.run_stage(
+        spark, f'{base_path}/edges', 'kg_edges',
+        lambda: pair_counts(mentions, doc_col, ent_col),
+        input_fingerprint=input_fingerprint,
+        bucket_by=('ent_a', 'ent_b'))
+
+
+def extend_edge_index(spark, base_path: str, new_mentions: DataFrame,
+                      batch_id: str, doc_col: str = 'doc_id',
+                      ent_col: str = 'obj'):
+    """Append a NEW document batch's co-occurrence counts to the
+    published edge table without touching history: the batch's delta
+    rows (pair counts over the batch's docs only) union into the
+    bucketed table — O(batch · k²) per day, history never re-joined.
+    Disjoint batches ⇒ per-batch distinct-doc counts SUM to the
+    global count, so delta rows ∪ stored rows ≡ from-scratch (the
+    reader merges).  Same new-doc-ids contract and batch_id
+    idempotence as extend_text_index."""
+    from jionlp_spark.sources import catalog
+    stored = catalog.read_table(spark, f'{base_path}/edges')
+    delta = pair_counts(new_mentions, doc_col, ent_col)
+    updated = stored.union(delta.select(*stored.columns))
+    return catalog.run_stage(
+        spark, f'{base_path}/edges', 'kg_edges',
+        lambda: updated, input_fingerprint=batch_id,
+        bucket_by=('ent_a', 'ent_b'))
+
+
+def read_edge_index(spark, base_path: str) -> DataFrame:
+    """→ (ent_a, ent_b, weight): the merged edge view — per-batch delta
+    rows summed per pair.  The scan is bucketed on (ent_a, ent_b), so
+    the merge groupBy needs NO exchange (the groupBy key IS the bucket
+    key — same plan guarantee as the BM25 df aggregate); weight sums
+    are exact bigints."""
+    from jionlp_spark.sources import catalog
+    t = catalog.read_table(spark, f'{base_path}/edges')
+    return (t.groupBy('ent_a', 'ent_b')
+            .agg(F.sum('n_ab').cast('long').alias('weight')))

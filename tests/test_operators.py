@@ -2019,3 +2019,35 @@ def test_gopher_quality_rules(spark):
     assert out[5]['low_stopwords'] and out[5]['stop_hits'] == 0
     # exactly one doc passes everything
     assert [d for d, r in out.items() if r['gopher_pass']] == [1]
+
+
+def test_edge_index_extend_idempotent(spark, tmp_path):
+    """extend_edge_index: extended ≡ from-scratch on disjoint batches;
+    re-extending the SAME batch_id is a no-op (no double counting)."""
+    from jionlp_spark.operators.graph import (extend_edge_index,
+                                              pair_counts,
+                                              publish_edge_index,
+                                              read_edge_index)
+    m = spark.createDataFrame(
+        [(i, f'e{j}') for i in range(10) for j in (i % 3, i % 4, 7)],
+        'doc_id long, obj string')
+    base = str(tmp_path / 'edgeidx2')
+    publish_edge_index(spark, f'{base}/kg',
+                       m.filter('doc_id % 2 = 0'),
+                       input_fingerprint='even')
+    extend_edge_index(spark, f'{base}/kg',
+                      m.filter('doc_id % 2 = 1'), batch_id='odd')
+
+    def snap():
+        return sorted((r['ent_a'], r['ent_b'], r['weight'])
+                      for r in read_edge_index(spark,
+                                               f'{base}/kg').collect())
+
+    want = sorted((r['ent_a'], r['ent_b'], r['n_ab'])
+                  for r in pair_counts(m).collect())
+    got = snap()
+    assert got == want
+    # same batch_id again → fingerprint no-op, counts unchanged
+    extend_edge_index(spark, f'{base}/kg',
+                      m.filter('doc_id % 2 = 1'), batch_id='odd')
+    assert snap() == got

@@ -173,3 +173,20 @@ def test_text_index_df_agg_is_exchange_free(spark, tmp_path):
     plan = _plan(agg)
     assert 'Bucketed: true' in plan, plan
     assert len(re.findall(r'\bExchange\b', plan)) == 0, plan
+
+
+def test_edge_index_merge_is_exchange_free(spark, tmp_path):
+    """The published KG edge table is bucketed on (ent_a, ent_b): the
+    reader's per-pair merge aggregation must scan `Bucketed: true` and
+    need NO Exchange — the groupBy key IS the bucket key."""
+    from jionlp_spark.operators.graph import (publish_edge_index,
+                                              read_edge_index)
+
+    m = spark.createDataFrame(
+        [(i, f'e{j}') for i in range(20) for j in (i % 4, i % 5, 9)],
+        'doc_id long, obj string')
+    base = str(tmp_path / 'edgeidx')
+    publish_edge_index(spark, f'{base}/kg', m, input_fingerprint='t')
+    plan = _plan(read_edge_index(spark, f'{base}/kg'))
+    assert 'Bucketed: true' in plan, plan
+    assert len(re.findall(r'\bExchange\b', plan)) == 0, plan
