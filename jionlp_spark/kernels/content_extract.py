@@ -36,7 +36,8 @@ _BLOCK_TAG_RE = re.compile(
 _A_RE = re.compile(r'<a(?:\s[^>]*)?>(.*?)</a\s*>', re.I | re.S)
 _TAG_RE = re.compile(r'<[^>]*>')
 _WS_RE = re.compile(r'\s+')
-_ENTITY_RE = re.compile(r'&(#x[0-9a-fA-F]+|#[0-9]+|amp|lt|gt|quot|apos);')
+_ENTITY_RE = re.compile(
+    r'&(#[xX][0-9a-fA-F]+|#[0-9]+|amp|lt|gt|quot|apos);')
 _NAMED = {'amp': '&', 'lt': '<', 'gt': '>', 'quot': '"', 'apos': "'"}
 
 

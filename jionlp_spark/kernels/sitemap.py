@@ -53,7 +53,8 @@ _FIELD_RES = {
     for f in ('loc', 'lastmod', 'changefreq', 'priority')
 }
 _CDATA_RE = re.compile(r'^<!\[CDATA\[(.*)\]\]>$', re.S)
-_ENTITY_RE = re.compile(r'&(#x[0-9a-fA-F]+|#[0-9]+|amp|lt|gt|quot|apos);')
+_ENTITY_RE = re.compile(
+    r'&(#[xX][0-9a-fA-F]+|#[0-9]+|amp|lt|gt|quot|apos);')
 _NAMED = {'amp': '&', 'lt': '<', 'gt': '>', 'quot': '"', 'apos': "'"}
 
 
@@ -67,7 +68,7 @@ def _decode(raw: str) -> str:
 
     def sub(em: re.Match) -> str:
         e = em.group(1)
-        if e.startswith('#x') or e.startswith('#X'):
+        if e[:2].lower() == '#x':
             return chr(int(e[2:], 16))
         if e.startswith('#'):
             return chr(int(e[1:]))

@@ -823,6 +823,9 @@ def hits(edges: DataFrame, iters: int = 2, src_col: str = 'src',
     ``localCheckpoint`` on the node-sized score table (iterative-driver
     rule).  Hub-degree skew on the join key rides AQE skew handling.
     """
+    if iters < 1:
+        raise ValueError('hits needs iters >= 1 (auth is undefined '
+                         'before the first half-round)')
     w = (F.col(weight_col).cast('long') if weight_col is not None
          else F.lit(1).cast('long'))
     e = edges.select(F.col(src_col).alias('src'),
@@ -931,6 +934,10 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     nodes = ew.select(F.col('src').alias('v')).distinct()
     sd = seeds.select(F.col(seed_col).alias('v'),
                       F.lit(True).alias('_s')).distinct()
+    if sd.isEmpty():
+        raise ValueError('personalized_pagerank needs a non-empty seed '
+                         'set (zero seeds would silently return all-0.0 '
+                         'scores)')
     nodes = (nodes.join(F.broadcast(sd), 'v', 'left')
              .select('v', F.coalesce(F.col('_s'), F.lit(False))
                      .alias('is_seed'))

@@ -192,10 +192,10 @@ def test_sitemap_kernel_paths():
     assert kind == 'urlset' and len(es) == 1
     assert es[0].loc == 'http://c/&amp;'   # no decode inside CDATA
 
-    # numeric character references, both forms
+    # numeric character references: decimal, hex, and UPPERCASE hex
     _, es = parse_sitemap('<urlset><url><loc>http://d&#47;n&#x2F;m'
-                          '</loc></url></urlset>')
-    assert es[0].loc == 'http://d/n/m'
+                          '&#X2F;o</loc></url></urlset>')
+    assert es[0].loc == 'http://d/n/m/o'
 
     # sitemapindex + a truncated (unclosed) trailing block is skipped
     kind, es = parse_sitemap(
