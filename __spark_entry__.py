@@ -4788,20 +4788,101 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 94).  r6
-    # rotation (r5 verdict item 2): (a) the 34 queries whose last driver
-    # row is r4 come FIRST, (b) then everything NEW this round
-    # (decontam_report, lm_perplexity, kg_entity_pagerank, training_mix,
-    # repetition_filters, curate_corpus, incremental_curate,
-    # ann_index_topk, ann_index_extend, streaming_to_incremental) or
-    # changed in r6 (star components, bucketed index, arrow-default
-    # assigner, TSV contract, streaming TTL refresh) — exactly filling
-    # the 50-slot window.  The tail is all r5-green (verified vs
-    # CORRECTNESS_r05) → union r5+r6 = 94/94 with no row older than one
-    # round.  catalog_roundtrip (r6-changed: bucketed publish) didn't
-    # fit the window; its r5 row + the local oracle gate (which replays
-    # all 94) carry it this round — rotate it forward in r7.
+    # Dict order is the driver's sampling order (first 50 of 156).  The
+    # r6 sessions grew the inventory from 94 to 156 queries; 72 of them
+    # have NEVER been driver-sampled (no row in CORRECTNESS_r04/r05 —
+    # local-oracle-gate evidence only).  The r6 window therefore goes to
+    # union coverage: 46 never-sampled queries (every family sessions
+    # 2-6 added: graph/retrieval/web/curation/sketch/LM, preferring one
+    # representative per shared core — e.g. kg_transe_scores over
+    # kg_negative_samples which it composes, bm25_index_extend +
+    # bm25_topk over bm25_index_topk) plus the 4 r5-green queries whose
+    # SEMANTICS changed in r6 and need re-certification (ann_ivf_topk:
+    # arrow-default assigner, r5 verdict #4; dedup_incremental: bucketed
+    # exchange-free history join, verdict #5; dedup_cluster_keep:
+    # large-star/small-star components, verdict #3; catalog_roundtrip:
+    # bucketed publish).  Driver union after r6 = 134/156 distinct
+    # queries with >= 1 green row.  Tail order is the r7 rotation queue:
+    # first the 26 deferred never-sampled (their shared-core sibling IS
+    # in this window), then the 34 r4-aged rows (2 rounds old after r6
+    # - oldest refreshable evidence), then the r5-green remainder.
     return {
+        'streaming_to_incremental': q_streaming_to_incremental,
+        'decontam_report': q_decontam_report,
+        'lm_perplexity': q_lm_perplexity,
+        'kg_entity_pagerank': q_kg_entity_pagerank,
+        'training_mix': q_training_mix,
+        'repetition_filters': q_repetition_filters,
+        'curate_corpus': q_curate_corpus,
+        'ann_index_topk': q_ann_index_topk,
+        'ann_index_extend': q_ann_index_extend,
+        'dsir_weights': q_dsir_weights,
+        'semdedup_keep': q_semdedup_keep,
+        'streaming_curate': q_streaming_curate,
+        'kg_edge_confidence': q_kg_edge_confidence,
+        'pack_plan': q_pack_plan,
+        'kg_entity_similarity': q_kg_entity_similarity,
+        'kg_entity_canon': q_kg_entity_canon,
+        'leakage_safe_split': q_leakage_safe_split,
+        'dedup_substring_spans': q_dedup_substring_spans,
+        'kg_triangles': q_kg_triangles,
+        'kg_link_predict': q_kg_link_predict,
+        'ccnet_buckets': q_ccnet_buckets,
+        'web_link_graph': q_web_link_graph,
+        'hll_token_distinct': q_hll_token_distinct,
+        'cms_heavy_hitters': q_cms_heavy_hitters,
+        'kg_kcore': q_kg_kcore,
+        'ann_pq_topk': q_ann_pq_topk,
+        'bm25_topk': q_bm25_topk,
+        'web_url_dedup': q_web_url_dedup,
+        'bm25_index_extend': q_bm25_index_extend,
+        'hybrid_topk': q_hybrid_topk,
+        'lm_stupid_backoff': q_lm_stupid_backoff,
+        'web_random_walks': q_web_random_walks,
+        'web_robots_filter': q_web_robots_filter,
+        'kg_entity_types': q_kg_entity_types,
+        'dedup_paragraphs': q_dedup_paragraphs,
+        'web_frontier_pipeline': q_web_frontier_pipeline,
+        'kg_transe_scores': q_kg_transe_scores,
+        'web_host_hits': q_web_host_hits,
+        'kg_entity_salience': q_kg_entity_salience,
+        'dedup_containment_pairs': q_dedup_containment_pairs,
+        'web_sitemap_urls': q_web_sitemap_urls,
+        'web_seed_ppr': q_web_seed_ppr,
+        'web_content_extract': q_web_content_extract,
+        'quality_gopher': q_quality_gopher,
+        'web_ingest_pipeline': q_web_ingest_pipeline,
+        'kg_edges_extend': q_kg_edges_extend,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'dedup_incremental': q_dedup_incremental,
+        'dedup_cluster_keep': q_dedup_cluster_keep,
+        'catalog_roundtrip': q_catalog_roundtrip,
+        'kg_edge_pmi': q_kg_edge_pmi,
+        'streaming_sessions': q_streaming_sessions,
+        'length_quantiles': q_length_quantiles,
+        'entity_bursts': q_entity_bursts,
+        'vocab_coverage': q_vocab_coverage,
+        'substring_dup_rate': q_substring_dup_rate,
+        'event_winsorized': q_event_winsorized,
+        'web_anchor_stats': q_web_anchor_stats,
+        'bloom_seen_tokens': q_bloom_seen_tokens,
+        'web_url_templates': q_web_url_templates,
+        'multimodal_audio': q_multimodal_audio,
+        'kg_entity_timeline': q_kg_entity_timeline,
+        'kg_negative_samples': q_kg_negative_samples,
+        'web_host_pagerank': q_web_host_pagerank,
+        'bm25_index_topk': q_bm25_index_topk,
+        'pq_index_extend': q_pq_index_extend,
+        'catalog_snapshot_diff': q_catalog_snapshot_diff,
+        'web_frontier_plan': q_web_frontier_plan,
+        'incremental_curate': q_incremental_curate,
+        'streaming_url_dedup': q_streaming_url_dedup,
+        'kg_entity_profiles': q_kg_entity_profiles,
+        'window_perplexity': q_window_perplexity,
+        'host_curation': q_host_curation,
+        'web_mirror_pairs': q_web_mirror_pairs,
+        'catalog_recrawl_plan': q_catalog_recrawl_plan,
+        'event_sessions': q_event_sessions,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -4836,23 +4917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'textaug_swap': q_textaug_swap,
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'tpch_top_orders': q_tpch_top_orders,
-        'streaming_to_incremental': q_streaming_to_incremental,
-        'decontam_report': q_decontam_report,
-        'lm_perplexity': q_lm_perplexity,
-        'kg_entity_pagerank': q_kg_entity_pagerank,
-        'training_mix': q_training_mix,
-        'repetition_filters': q_repetition_filters,
-        'curate_corpus': q_curate_corpus,
-        'incremental_curate': q_incremental_curate,
-        'dedup_cluster_keep': q_dedup_cluster_keep,
-        'dedup_incremental': q_dedup_incremental,
-        'ann_ivf_topk': q_ann_ivf_topk,
-        'ann_index_topk': q_ann_index_topk,
-        'ann_index_extend': q_ann_index_extend,
         'dedup_embedding_pairs': q_dedup_embedding_pairs,
         'source_roundtrip': q_source_roundtrip,
         'streaming_lsh_pairs': q_streaming_lsh_pairs,
-        'catalog_roundtrip': q_catalog_roundtrip,
         'kg_link_location': q_kg_link_location,
         'kg_extract_time': q_kg_extract_time,
         'kg_entity_counts': q_kg_entity_counts,
@@ -4896,70 +4963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_state_bounded': q_streaming_state_bounded,
         'kg_entity_counts_skew': q_kg_entity_counts_skew,
         'kg_recognize_location_full': q_kg_recognize_location_full,
-        # --- new in late r6 (after the 50-slot driver window): local
-        # oracle gate covers them this round; front-load in r7
-        'kg_edge_pmi': q_kg_edge_pmi,
-        'dsir_weights': q_dsir_weights,
-        'semdedup_keep': q_semdedup_keep,
-        'streaming_curate': q_streaming_curate,
-        'streaming_sessions': q_streaming_sessions,
-        'kg_edge_confidence': q_kg_edge_confidence,
-        'length_quantiles': q_length_quantiles,
-        'pack_plan': q_pack_plan,
-        'kg_entity_similarity': q_kg_entity_similarity,
-        'kg_entity_canon': q_kg_entity_canon,
-        'leakage_safe_split': q_leakage_safe_split,
-        'dedup_substring_spans': q_dedup_substring_spans,
-        'entity_bursts': q_entity_bursts,
-        'event_sessions': q_event_sessions,
-        'window_perplexity': q_window_perplexity,
-        'kg_triangles': q_kg_triangles,
-        'kg_link_predict': q_kg_link_predict,
-        'vocab_coverage': q_vocab_coverage,
-        'ccnet_buckets': q_ccnet_buckets,
-        'kg_entity_profiles': q_kg_entity_profiles,
-        'substring_dup_rate': q_substring_dup_rate,
-        'event_winsorized': q_event_winsorized,
-        'web_link_graph': q_web_link_graph,
-        'web_host_pagerank': q_web_host_pagerank,
-        'web_anchor_stats': q_web_anchor_stats,
-        'hll_token_distinct': q_hll_token_distinct,
-        'cms_heavy_hitters': q_cms_heavy_hitters,
-        'kg_kcore': q_kg_kcore,
-        'ann_pq_topk': q_ann_pq_topk,
-        'bm25_topk': q_bm25_topk,
-        'web_url_dedup': q_web_url_dedup,
-        'bm25_index_topk': q_bm25_index_topk,
-        'bm25_index_extend': q_bm25_index_extend,
-        'hybrid_topk': q_hybrid_topk,
-        'web_frontier_plan': q_web_frontier_plan,
-        'host_curation': q_host_curation,
-        'pq_index_extend': q_pq_index_extend,
-        'streaming_url_dedup': q_streaming_url_dedup,
-        'catalog_snapshot_diff': q_catalog_snapshot_diff,
-        'lm_stupid_backoff': q_lm_stupid_backoff,
-        'web_random_walks': q_web_random_walks,
-        'web_mirror_pairs': q_web_mirror_pairs,
-        'bloom_seen_tokens': q_bloom_seen_tokens,
-        'web_robots_filter': q_web_robots_filter,
-        'kg_entity_types': q_kg_entity_types,
-        'dedup_paragraphs': q_dedup_paragraphs,
-        'kg_entity_timeline': q_kg_entity_timeline,
-        'catalog_recrawl_plan': q_catalog_recrawl_plan,
-        'web_url_templates': q_web_url_templates,
-        'web_frontier_pipeline': q_web_frontier_pipeline,
-        'multimodal_audio': q_multimodal_audio,
-        'kg_negative_samples': q_kg_negative_samples,
-        'kg_transe_scores': q_kg_transe_scores,
-        'web_host_hits': q_web_host_hits,
-        'kg_entity_salience': q_kg_entity_salience,
-        'dedup_containment_pairs': q_dedup_containment_pairs,
-        'web_sitemap_urls': q_web_sitemap_urls,
-        'web_seed_ppr': q_web_seed_ppr,
-        'web_content_extract': q_web_content_extract,
-        'quality_gopher': q_quality_gopher,
-        'web_ingest_pipeline': q_web_ingest_pipeline,
-        'kg_edges_extend': q_kg_edges_extend,
     }
 
 
