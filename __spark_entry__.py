@@ -1534,6 +1534,22 @@ def q_pack_plan(spark, sf_dir):
     return pack_plan(_docs(spark, sf_dir), max_len=1024)
 
 
+def q_pack_plan_bfd(spark, sf_dir):
+    """Non-splitting best-fit-decreasing packing plan
+    (operators/curate.pack_plan_bfd): per-shard greedy BFD in ONE
+    applyInPandas after the 16-way md5 shard shuffle; integer-only
+    state, tie rule = (best load, lowest pack id), oracle replays the
+    greedy as a DuckDB recursive CTE carrying open-pack loads as a
+    LIST(BIGINT).  Docs ≡ 0 (mod 13) get 9× their text so the
+    oversize-solo-pack branch is live next to fit/new-pack at
+    max_len=128."""
+    from jionlp_spark.operators.curate import pack_plan_bfd
+    docs = _docs(spark, sf_dir).withColumn('text', F.expr(
+        "case when doc_id % 13 = 0 then "
+        "concat(repeat(concat(text, ' '), 8), text) else text end"))
+    return pack_plan_bfd(docs, max_len=128)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-language token-count quantiles
     (operators/textstats.length_quantiles): the corpus reduces to a
@@ -4857,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'catalog_roundtrip': q_catalog_roundtrip,
+        'pack_plan_bfd': q_pack_plan_bfd,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6350,6 +6367,53 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # BFD packing: the Spark-side per-shard greedy replayed as a
+        # recursive CTE — one row per (shard, step) carrying the open
+        # pack loads as LIST(BIGINT); best fit = list_max over the
+        # fitting loads, lowest index via list_position (first
+        # occurrence = the Spark tie rule); slices are DuckDB 1-based
+        # inclusive and clamp, so idx=1 / idx=len edges are safe
+        'pack_plan_bfd': """
+            with recursive d as (
+              select doc_id,
+                     cast(len(string_split(
+                       case when doc_id % 13 = 0 then
+                         concat(repeat(concat(text, ' '), 8), text)
+                       else text end, ' ')) as bigint) len,
+                     md5(cast(doc_id as varchar)) h
+              from documents),
+            ord as (select doc_id, substr(h, 1, 1) shard, len, h,
+                      row_number() over (partition by substr(h, 1, 1)
+                        order by len desc, h, doc_id) rn
+                    from d),
+            rec as (
+              select doc_id, shard, rn, len,
+                     cast(0 as bigint) pack_id,
+                     cast(0 as bigint) pack_off,
+                     [len] bins
+              from ord where rn = 1
+              union all
+              select doc_id, shard, rn, len,
+                     case when bl is null
+                          then cast(len(bins) as bigint)
+                          else cast(idx - 1 as bigint) end pack_id,
+                     case when bl is null then cast(0 as bigint)
+                          else bl end pack_off,
+                     case when bl is null then list_append(bins, len)
+                          else bins[1:idx-1] || [bins[idx] + len]
+                               || bins[idx+1:cast(len(bins) as int)]
+                     end bins
+              from (select o.doc_id, o.shard, o.rn, o.len, r.bins,
+                      list_max(list_filter(
+                        r.bins, x -> x + o.len <= 128)) bl,
+                      list_position(r.bins, list_max(list_filter(
+                        r.bins, x -> x + o.len <= 128))) idx
+                    from rec r
+                    join ord o on o.shard = r.shard
+                              and o.rn = r.rn + 1))
+            select doc_id, shard, pack_id, pack_off,
+                   len > 128 oversize
+            from rec""",
         # edge pmi/npmi: counts exact bigints; score trees written as the
         # EXACT Spark trees (one int·int product cast to double per side
         # of the division; ln = natural log in both engines); npmi null

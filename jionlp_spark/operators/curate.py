@@ -415,6 +415,73 @@ def pack_plan(docs: DataFrame, max_len: int = 1024, n_shards: int = 16,
         .alias('pack_last'))
 
 
+def pack_plan_bfd(docs: DataFrame, max_len: int = 1024,
+                  text_col: str = 'text') -> DataFrame:
+    """→ (doc_id, shard, pack_id, pack_off, oversize) — the NON-SPLITTING
+    best-fit-decreasing packing plan, the other standard LM layout next
+    to :func:`pack_plan`'s concat-and-chunk: no document straddles a
+    pack boundary (no cross-doc attention contamination and no mid-doc
+    truncation), at the cost of per-pack slack.  Within each shard, docs
+    are sorted by (len DESC, md5 hex, doc_id) and greedily placed into
+    the OPEN pack with the smallest remaining capacity that still fits
+    (classic BFD, ≤ 11/9·OPT + 4 packs); no fit opens a new pack.  Docs
+    longer than ``max_len`` never fit anything and nothing ever fits
+    their pack, so they come out as flagged solo packs (``oversize``)
+    with no special-casing — downstream chooses truncate/split policy.
+
+    Determinism and engine parity: lens are bigint token counts, the
+    sort key and the tie rule (best load, then LOWEST pack id) are
+    total orders both engines share, so the whole plan is
+    integer-deterministic; the oracle replays the same greedy as a
+    DuckDB recursive CTE carrying the per-shard open-pack loads as a
+    LIST(BIGINT).
+
+    Scale shape: ONE shuffle into 16 md5 shards, then a per-shard
+    greedy in applyInPandas — BFD is inherently sequential WITHIN a
+    pack stream (same contract as pack_plan's cumulative sum); shards
+    are the parallelism unit.  The greedy is O(docs·open_packs) per
+    shard; open packs stay small because decreasing order fills them
+    tight (and a production run shards finer — the shard key is one
+    md5 substring away from 256/4096-way).
+    """
+    import pandas as pd
+
+    d = docs.select(
+        'doc_id',
+        F.size(F.split(F.col(text_col), ' ')).cast('long').alias('len'),
+        F.md5(F.col('doc_id').cast('string')).alias('h'))
+    d = d.withColumn('shard', F.substring('h', 1, 1))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ['len', 'h', 'doc_id'], ascending=[False, True, True])
+        bins: list[int] = []
+        pack_id, pack_off = [], []
+        for ln in pdf['len']:
+            ln = int(ln)
+            best = -1
+            for i, load in enumerate(bins):
+                if load + ln <= max_len and (best < 0
+                                             or load > bins[best]):
+                    best = i
+            if best < 0:
+                pack_id.append(len(bins))
+                pack_off.append(0)
+                bins.append(ln)
+            else:
+                pack_id.append(best)
+                pack_off.append(bins[best])
+                bins[best] += ln
+        pdf = pdf.assign(pack_id=pack_id, pack_off=pack_off,
+                         oversize=pdf['len'] > max_len)
+        return pdf[['doc_id', 'shard', 'pack_id', 'pack_off',
+                    'oversize']]
+
+    return d.groupBy('shard').applyInPandas(
+        pack, 'doc_id long, shard string, pack_id long, pack_off long, '
+              'oversize boolean')
+
+
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                        id_col: str = 'doc_id',
                        a_col: str = 'doc_a', b_col: str = 'doc_b',

@@ -1023,6 +1023,60 @@ def test_pack_plan_contract(spark):
     assert straddlers > 0
 
 
+def test_pack_plan_bfd_exact_and_invariants(spark):
+    """pack_plan_bfd hand case: five same-shard docs with lens
+    100/60/50/40/30 at max_len=128 pack as BFD dictates
+    (100→p0; 60 opens p1; 50 best-fits p1@60; 40 opens p2; 30
+    best-fits p2@40), plus corpus invariants: non-oversize pack loads
+    ≤ max_len, oversize ⇔ len > max_len ⇔ solo pack."""
+    import hashlib
+    from jionlp_spark.operators.curate import pack_plan_bfd
+
+    # five doc ids whose md5 hex shares a first char → one shard
+    ids, want = [], None
+    i = 0
+    while len(ids) < 5:
+        if hashlib.md5(str(i).encode()).hexdigest()[0] == 'a':
+            ids.append(i)
+        i += 1
+    lens = dict(zip(ids, [100, 60, 50, 40, 30]))
+    docs = spark.createDataFrame(
+        [(d, ' '.join(['w'] * n)) for d, n in lens.items()],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in pack_plan_bfd(docs, 128).collect()}
+    assert all(r['shard'] == 'a' for r in rows.values())
+    by_len = {lens[d]: rows[d] for d in ids}
+    got = {n: (r['pack_id'], r['pack_off'], r['oversize'])
+           for n, r in by_len.items()}
+    assert got == {100: (0, 0, False), 60: (1, 0, False),
+                   50: (1, 60, False), 40: (2, 0, False),
+                   30: (2, 40, False)}
+
+    # invariants over a 300-doc mixed corpus with oversize docs
+    docs2 = spark.createDataFrame(
+        [(i, ' '.join(['w'] * (200 if i % 17 == 0 else 5 + i % 90)))
+         for i in range(300)], 'doc_id long, text string')
+    rs = pack_plan_bfd(docs2, 128).collect()
+    assert len(rs) == 300
+    ln = {i: (200 if i % 17 == 0 else 5 + i % 90) for i in range(300)}
+    packs = {}
+    for r in rs:
+        assert r['oversize'] == (ln[r['doc_id']] > 128)
+        packs.setdefault((r['shard'], r['pack_id']), []).append(r)
+    for members in packs.values():
+        total = sum(ln[r['doc_id']] for r in members)
+        if any(r['oversize'] for r in members):
+            assert len(members) == 1          # oversize packs are solo
+        else:
+            assert total <= 128
+            # offsets are the placement-order prefix sums
+            acc, seen = 0, sorted(
+                members, key=lambda r: r['pack_off'])
+            for r in seen:
+                assert r['pack_off'] == acc
+                acc += ln[r['doc_id']]
+
+
 def test_entity_neighbor_similarity_alias_and_hub_cap(spark):
     """Neighbor-vector cosine: two alias surface forms that never
     co-occur with EACH OTHER but share all neighbors score cos=1 with
