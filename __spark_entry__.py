@@ -1105,6 +1105,69 @@ def q_web_seed_ppr(spark, sf_dir):
             .select(F.col('v').alias('host'), 'ppr'))
 
 
+def q_web_sitemap_discover(spark, sf_dir):
+    """Bounded-depth sitemap tree expansion
+    (operators/weblinks.sitemap_discover): 20 hosts — odd seeds are
+    urlsets (3 pages at depth 0), even seeds are sitemapindexes with
+    children a.xml/b.xml resolved against the fetch store; a.xml is
+    MISSING for h ≡ 6 (mod 10) (unfetched branch), b.xml is a page
+    for h ≡ 2 (mod 4) and a second-level index → c.xml for h ≡ 0
+    (mod 4); h=0's c.xml is a THIRD index whose child exceeds
+    max_depth=2 (depth_capped branch), and h ≡ 0 (mod 8) seeds also
+    point back at THEMSELVES (cycle — dropped by the visited
+    anti-join, emitting nothing).  The Spark side walks the real
+    fetch-join recursion; the oracle states the final row set
+    closed-form from the host arithmetic."""
+    from jionlp_spark.operators.weblinks import sitemap_discover
+    h = F.col('id')
+    host = F.format_string('h%s.example.com', h)
+    seed_loc = F.format_string('http://h%s.example.com/sitemap.xml', h)
+    cyc = F.when(h % 8 == 0, F.format_string(
+        '<sitemap><loc>http://h%s.example.com/sitemap.xml</loc>'
+        '</sitemap>', h)).otherwise(F.lit(''))
+    seed_xml = (
+        F.when(h % 2 == 1, F.format_string(
+            '<urlset><url><loc>http://h%s.example.com/p/%s/0</loc></url>'
+            '<url><loc>http://h%s.example.com/p/%s/1</loc></url>'
+            '<url><loc>http://h%s.example.com/p/%s/2</loc></url>'
+            '</urlset>', h, h, h, h, h, h))
+        .otherwise(F.concat(F.format_string(
+            '<sitemapindex>'
+            '<sitemap><loc>http://h%s.example.com/s/a.xml</loc></sitemap>'
+            '<sitemap><loc>http://h%s.example.com/s/b.xml</loc></sitemap>',
+            h, h), cyc, F.lit('</sitemapindex>'))))
+    seeds = spark.range(20).select(host.alias('host'),
+                                   seed_loc.alias('loc'),
+                                   seed_xml.alias('sitemap_xml'))
+    ev = spark.range(20).filter(h % 2 == 0)
+    a = (ev.filter(h % 10 != 6).select(
+        F.format_string('http://h%s.example.com/s/a.xml', h).alias('loc'),
+        F.format_string(
+            '<urlset><url><loc>http://h%s.example.com/pa/%s/0</loc></url>'
+            '<url><loc>http://h%s.example.com/pa/%s/1</loc></url>'
+            '</urlset>', h, h, h, h).alias('sitemap_xml')))
+    b = ev.select(
+        F.format_string('http://h%s.example.com/s/b.xml', h).alias('loc'),
+        F.when(h % 4 == 2, F.format_string(
+            '<urlset><url><loc>http://h%s.example.com/pb/%s</loc></url>'
+            '</urlset>', h, h))
+        .otherwise(F.format_string(
+            '<sitemapindex><sitemap>'
+            '<loc>http://h%s.example.com/s/c.xml</loc></sitemap>'
+            '</sitemapindex>', h)).alias('sitemap_xml'))
+    c = (ev.filter(h % 4 == 0).select(
+        F.format_string('http://h%s.example.com/s/c.xml', h).alias('loc'),
+        F.when(h == 0, F.lit(
+            '<sitemapindex><sitemap>'
+            '<loc>http://h0.example.com/s/d.xml</loc></sitemap>'
+            '</sitemapindex>'))
+        .otherwise(F.format_string(
+            '<urlset><url><loc>http://h%s.example.com/pc/%s</loc></url>'
+            '</urlset>', h, h)).alias('sitemap_xml')))
+    fetched = a.unionByName(b).unionByName(c)
+    return sitemap_discover(seeds, fetched, max_depth=2)
+
+
 def q_web_sitemap_urls(spark, sf_dir):
     """sitemaps.org discovery feed (kernels/sitemap.parse_sitemap →
     operators/weblinks.sitemap_entries): per host h, the sitemap is
@@ -4874,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_keep': q_dedup_cluster_keep,
         'catalog_roundtrip': q_catalog_roundtrip,
         'pack_plan_bfd': q_pack_plan_bfd,
+        'web_sitemap_discover': q_web_sitemap_discover,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6367,6 +6431,44 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # sitemap tree discovery: the Spark side walks the real
+        # fetch-join recursion over generated XML; the oracle states
+        # the final (host, url, depth, status) set closed-form from
+        # the same host arithmetic — the recursion's five outcomes
+        # (depth-0/1/2 pages, unfetched child, depth-capped child;
+        # cycle rows emit nothing) each its own UNION branch
+        'web_sitemap_discover': """
+            with hs as (select h from range(0, 20) t(h))
+            select concat('h', h, '.example.com') host,
+                   concat('http://h', h, '.example.com/p/', h, '/', k)
+                     url,
+                   cast(0 as bigint) depth, 'page' status
+            from hs, range(0, 3) u(k) where h % 2 = 1
+            union all
+            select concat('h', h, '.example.com'),
+                   concat('http://h', h, '.example.com/pa/', h, '/', k),
+                   cast(1 as bigint), 'page'
+            from hs, range(0, 2) u(k)
+            where h % 2 = 0 and h % 10 != 6
+            union all
+            select concat('h', h, '.example.com'),
+                   concat('http://h', h, '.example.com/s/a.xml'),
+                   cast(1 as bigint), 'unfetched'
+            from hs where h % 10 = 6
+            union all
+            select concat('h', h, '.example.com'),
+                   concat('http://h', h, '.example.com/pb/', h),
+                   cast(1 as bigint), 'page'
+            from hs where h % 4 = 2
+            union all
+            select concat('h', h, '.example.com'),
+                   concat('http://h', h, '.example.com/pc/', h),
+                   cast(2 as bigint), 'page'
+            from hs where h % 4 = 0 and h != 0
+            union all
+            select 'h0.example.com',
+                   'http://h0.example.com/s/d.xml',
+                   cast(3 as bigint), 'depth_capped'""",
         # BFD packing: the Spark-side per-shard greedy replayed as a
         # recursive CTE — one row per (shard, step) carrying the open
         # pack loads as LIST(BIGINT); best fit = list_max over the

@@ -447,6 +447,76 @@ def sitemap_entries(sitemaps: DataFrame, host_col: str = 'host',
     return sitemaps.select(host_col, xml_col).mapInPandas(kernel, schema)
 
 
+def sitemap_discover(seeds: DataFrame, fetched: DataFrame,
+                     max_depth: int = 2, host_col: str = 'host',
+                     loc_col: str = 'loc',
+                     xml_col: str = 'sitemap_xml') -> DataFrame:
+    """Bounded-depth sitemap TREE expansion — the sitemapindex →
+    child-fetch recursion :func:`sitemap_entries` stops short of:
+    seeds(host, loc, sitemap_xml) are parsed; ``urlset`` entries emit
+    page rows, ``sitemapindex`` entries are child sitemaps resolved
+    against ``fetched(loc, sitemap_xml)`` (the crawler's fetch store —
+    this sandbox has no network, a real deployment joins the fetch
+    layer's response table) and parsed next round.  Returns
+    (host, url, depth, status):
+
+    - ``page``         — a urlset entry; depth = its sitemap doc's depth
+    - ``unfetched``    — an index child with no row in ``fetched``
+    - ``depth_capped`` — an index child whose depth exceeds
+      ``max_depth`` (never fetched; sitemaps.org trees are ≤ 2 deep,
+      the cap is trap protection like frontier_plan's per-slot bound)
+
+    Cycle-safe: child locs are anti-joined against the per-host
+    visited set each round, so an index pointing back at an ancestor
+    (a real-crawl loop) is dropped silently instead of recursing.
+
+    Scale shape: ≤ ``max_depth`` + 1 rounds, each ONE mapInPandas
+    parse over the frontier (hosts-sized at depth 0, shrinking after)
+    + ONE loc-keyed join into the fetch store + ONE anti-join against
+    visited; visited/page accumulators localCheckpoint per round
+    (iterative-driver rule).  Nothing is ever corpus-quadratic — the
+    tree fanout is the site's own declared structure.
+    """
+    frontier = seeds.select(F.col(host_col).alias('host'),
+                            F.col(loc_col).alias('loc'),
+                            F.col(xml_col).alias('sitemap_xml'))
+    store = fetched.select(F.col(loc_col).alias('loc'),
+                           F.col(xml_col).alias('sitemap_xml'))
+    visited = frontier.select('host', 'loc')
+    out = None
+    depth = 0
+    while True:
+        parsed = sitemap_entries(frontier).localCheckpoint(eager=True)
+        pages = parsed.filter(F.col('kind') == 'urlset').select(
+            'host', F.col('loc').alias('url'),
+            F.lit(depth).cast('long').alias('depth'),
+            F.lit('page').alias('status'))
+        out = pages if out is None else out.unionByName(pages)
+        children = (parsed.filter(F.col('kind') == 'sitemapindex')
+                    .select('host', 'loc').distinct()
+                    .join(visited, ['host', 'loc'], 'left_anti'))
+        if depth + 1 > max_depth:
+            capped = children.select(
+                'host', F.col('loc').alias('url'),
+                F.lit(depth + 1).cast('long').alias('depth'),
+                F.lit('depth_capped').alias('status'))
+            return out.unionByName(capped)
+        resolved = children.join(store, 'loc', 'left')
+        unfetched = resolved.filter(F.col('sitemap_xml').isNull()).select(
+            'host', F.col('loc').alias('url'),
+            F.lit(depth + 1).cast('long').alias('depth'),
+            F.lit('unfetched').alias('status'))
+        out = out.unionByName(unfetched).localCheckpoint(eager=True)
+        frontier = (resolved.filter(F.col('sitemap_xml').isNotNull())
+                    .select('host', 'loc', 'sitemap_xml')
+                    .localCheckpoint(eager=True))
+        visited = (visited.unionByName(children)
+                   .localCheckpoint(eager=True))
+        depth += 1
+        if frontier.isEmpty():
+            return out
+
+
 def content_extract(pages: DataFrame, id_col: str = 'doc_id',
                     html_col: str = 'html', min_len: int = 30,
                     link_num: int = 1, link_den: int = 2) -> DataFrame:

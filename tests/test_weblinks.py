@@ -275,3 +275,45 @@ def test_content_extract_operator(spark):
     assert out[1]['content'].startswith('the quick brown fox')
     assert (out[1]['n_kept'], out[1]['n_dropped']) == (1, 1)
     assert (out[2]['content'], out[2]['n_kept']) == ('', 0)
+
+
+def test_sitemap_discover_recursion(spark):
+    """sitemap_discover: a 2-level index chain expands to pages at
+    each depth; a child loc missing from the fetch store reports
+    unfetched; a grandchild past max_depth reports depth_capped
+    (never fetched, even though the store HAS it); an index pointing
+    back at the seed (cycle) and a repeated child loc both emit
+    nothing extra."""
+    from jionlp_spark.operators.weblinks import sitemap_discover
+    sm = 'http://x/sitemap.xml'
+    seed_xml = ('<sitemapindex>'
+                '<sitemap><loc>http://x/a.xml</loc></sitemap>'
+                '<sitemap><loc>http://x/a.xml</loc></sitemap>'  # dup
+                '<sitemap><loc>http://x/missing.xml</loc></sitemap>'
+                f'<sitemap><loc>{sm}</loc></sitemap>'           # cycle
+                '</sitemapindex>')
+    a_xml = ('<sitemapindex>'
+             '<sitemap><loc>http://x/b.xml</loc></sitemap>'
+             '</sitemapindex>')
+    b_xml = ('<sitemapindex>'
+             '<sitemap><loc>http://x/deep.xml</loc></sitemap>'
+             '</sitemapindex>'
+             '')
+    seeds = spark.createDataFrame([('x', sm, seed_xml)],
+                                  'host string, loc string, '
+                                  'sitemap_xml string')
+    fetched = spark.createDataFrame(
+        [('http://x/a.xml', a_xml), ('http://x/b.xml', b_xml),
+         ('http://x/deep.xml',
+          '<urlset><url><loc>http://x/p</loc></url></urlset>')],
+        'loc string, sitemap_xml string')
+    rows = sitemap_discover(seeds, fetched, max_depth=2).collect()
+    got = sorted((r['url'], r['depth'], r['status']) for r in rows)
+    assert got == [('http://x/deep.xml', 3, 'depth_capped'),
+                   ('http://x/missing.xml', 1, 'unfetched')]
+
+    # raising the cap lets the same tree reach the depth-3 page
+    rows = sitemap_discover(seeds, fetched, max_depth=3).collect()
+    got = sorted((r['url'], r['depth'], r['status']) for r in rows)
+    assert got == [('http://x/missing.xml', 1, 'unfetched'),
+                   ('http://x/p', 3, 'page')]
