@@ -4608,6 +4608,73 @@ def q_streaming_curate(spark, sf_dir):
     return out
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """Streaming crawl-ingest admission (streaming/stream.
+    streaming_ingest) under the batch gate: the 2-micro-batch
+    mtime-ordered file stream carries raw HTML — the batch ingest
+    fixture's boilerplate wrap (nav/teaser/footer anchors, all
+    dropped by content_extract) around a main block that is
+    'rep rep rep rep' for id ≡ 0 (mod 7) (15 chars < min_len → empty
+    content → word-count floor → dropped_quality) and a 12-token
+    id%100-keyed body otherwise (passes every Gopher rule at
+    min_words=10 with the in-corpus stop list).  Closed form:
+    dropped_quality for id%7==0, else kept iff id is the first
+    surviving arrival of its id%100 content key — extract + quality
+    + dedup state all crossing the micro-batch boundary."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'ingest')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_ingest
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_streami', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(),
+            2000)
+    pages = spark.range(n).selectExpr(
+        'id as doc_id',
+        "concat('<html><body><div><a href=\"/\">home</a> "
+        "<a href=\"/x\">about &amp; contact</a></div><p>', "
+        "case when id % 7 = 0 then 'rep rep rep rep' else "
+        "concat('streaming ingest document number ', "
+        "cast(id % 100 as string), "
+        "' alpha beta gamma delta epsilon zeta eta') end, "
+        "'</p><div>read more: <a href=\"/m\">click here for more "
+        "stories now</a></div><footer>copyright</footer>"
+        "</body></html>') as html",
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, id, 0)"
+        ' as warc_ts')
+    half = (n // 2 // 100) * 100 or n
+    for i, pred in enumerate((f'doc_id < {half}', f'doc_id >= {half}')):
+        part = f'{src_dir}/batch_{i}'
+        pages.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,
+                          1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('doc_id long, html string, warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_ingest(
+        stream, gopher_kwargs=dict(
+            min_words=10,
+            stopwords=('streaming', 'ingest', 'document'),
+            min_stop_hits=2))
+    table = f'stream_ingest_{abs(hash(key)) % 10**8}'
+    _run_stream_lowstate(spark, result, table, ckpt)
+    out = spark.table(table).select(
+        F.col('doc_id').cast('long').alias('doc_id'), 'status')
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming sessionization (streaming/stream.streaming_sessions)
     under the batch gate: 20 users × 12 events at minutes
@@ -4938,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'catalog_roundtrip': q_catalog_roundtrip,
         'pack_plan_bfd': q_pack_plan_bfd,
         'web_sitemap_discover': q_web_sitemap_discover,
+        'streaming_ingest': q_streaming_ingest,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -7738,6 +7806,22 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                           when doc_id % 7 = 0 then 'dropped_quality'
                      end st
                    from documents where doc_id < 3000),
+            surv as (select id, row_number() over
+                       (partition by id % 100 order by id) rn
+                     from base where st is null)
+            select cast(b.id as bigint) doc_id,
+                   coalesce(b.st, case when s.rn = 1 then 'kept'
+                                       else 'dropped_exact' end) status
+            from base b left join surv s on b.id = s.id""",
+        # streaming ingest: same convention as streaming_curate —
+        # within the id-split micro-batches, 'first surviving arrival'
+        # of a content key is the min surviving id (warc_ts is
+        # monotone in id)
+        'streaming_ingest': """
+            with base as (select doc_id id,
+                     case when doc_id % 7 = 0 then 'dropped_quality'
+                     end st
+                   from documents where doc_id < 2000),
             surv as (select id, row_number() over
                        (partition by id % 100 order by id) rn
                      from base where st is null)

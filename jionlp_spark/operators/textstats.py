@@ -809,7 +809,8 @@ def gopher_quality(docs: DataFrame, text_col: str = 'text',
                    max_mean_len: float = 10.0,
                    min_alpha_frac: float = 0.8,
                    stopwords=GOPHER_STOPWORDS,
-                   min_stop_hits: int = 2) -> DataFrame:
+                   min_stop_hits: int = 2,
+                   passthrough: tuple = ()) -> DataFrame:
     """Gopher/MassiveText document-quality rules (Rae et al. 2021 §A1.1)
     — the published heuristics every LLM curation pipeline since has
     reused, complementing ``repetition_filters`` (the same paper's
@@ -817,7 +818,9 @@ def gopher_quality(docs: DataFrame, text_col: str = 'text',
     the minimum fraction of words containing an alphabetic character,
     and the stop-word-presence rule (≥ ``min_stop_hits`` distinct stop
     words — the cheap English-ness/structure check).  → per-doc
-    measurements, per-rule flags, and the composed ``gopher_pass``.
+    measurements, per-rule flags, and the composed ``gopher_pass``;
+    ``passthrough`` names input columns to carry into the output
+    unchanged (streaming callers can't join them back in).
 
     Engine parity: word/char counts are exact integers (character sums
     via a fixed higher-order fold); the mean/fraction compares are
@@ -855,6 +858,7 @@ def gopher_quality(docs: DataFrame, text_col: str = 'text',
     }
     return docs.selectExpr(
         f'{id_col} as doc_id',
+        *passthrough,
         f'cast({n} as bigint) as n_words',
         f'{mean_len} as mean_word_len',
         f'{alpha_frac} as alpha_frac',

@@ -320,6 +320,71 @@ def streaming_curate(docs_stream: DataFrame, langs=None,
     return verdicts.unionByName(rejected)
 
 
+def streaming_ingest(pages_stream: DataFrame, min_len: int = 30,
+                     link_num: int = 1, link_den: int = 2,
+                     gopher_kwargs: dict | None = None,
+                     watermark: str = '1 hour',
+                     ttl: str | None = None) -> DataFrame:
+    """Streaming crawl-INGEST admission — the streaming analog of the
+    batch ``web_ingest_pipeline`` composition, completing the pair the
+    way ``streaming_curate`` mirrors ``curate_corpus``: raw page HTML →
+    content_extract (structural boilerplate cut) → gopher_quality gate
+    → stateful exact dedup, over an unbounded fetch stream:
+
+        (doc_id, warc_ts, status)  status ∈ {kept, dropped_quality,
+                                             dropped_exact}
+
+    Stage priority matches the batch pipeline exactly: extraction and
+    the Gopher rules are STATELESS (one mapInPandas kernel node for
+    the HTML parse, then the per-row published-heuristic expression
+    tree — ``gopher_quality`` itself, via its ``passthrough``
+    parameter, so the rules live in one place), and only quality
+    survivors reach the stateful dedup (``stateful_dedup_stream``),
+    so a junk copy reports the earlier, cheaper reason and never
+    poisons the dedup state.  A page whose main block is dropped
+    (too short / link-dense) yields empty content, which the
+    word-count floor rejects — same path as the batch gate.
+
+    Plan shape: ONE Python parse node + a JVM projection on the
+    stateless branch, ONE hash-keyed applyInPandasWithState on the
+    survivor branch (the two Python nodes sit in DIFFERENT stages,
+    separated by the dedup groupBy — the fused-per-stage rule);
+    state is content-hash-keyed and event-time-TTL-bounded.
+    """
+    import pandas as pd
+
+    from jionlp_spark.kernels.content_extract import extract_content
+    from jionlp_spark.operators.textstats import gopher_quality
+
+    def kernel(batches):
+        for pdf in batches:
+            texts = [extract_content(h, min_len, link_num, link_den)[0]
+                     for h in pdf['html']]
+            yield pd.DataFrame({'doc_id': pdf['doc_id'],
+                                'warc_ts': pdf['warc_ts'],
+                                'text': pd.Series(texts, dtype=object)})
+
+    extracted = (pages_stream.select('doc_id', 'warc_ts', 'html')
+                 .mapInPandas(
+                     kernel,
+                     'doc_id long, warc_ts timestamp, text string'))
+    g = gopher_quality(extracted, text_col='text',
+                       passthrough=('warc_ts', 'text'),
+                       **(gopher_kwargs or {}))
+    rejected = (g.filter(~F.col('gopher_pass'))
+                .select('doc_id', 'warc_ts',
+                        F.lit('dropped_quality').alias('status')))
+    survivors = (g.filter(F.col('gopher_pass'))
+                 .select('doc_id', 'text', 'warc_ts'))
+    deduped = stateful_dedup_stream(survivors, watermark=watermark,
+                                    ttl=ttl)
+    verdicts = deduped.select(
+        'doc_id', 'warc_ts',
+        F.when(F.col('dup_index') == 0, F.lit('kept'))
+        .otherwise(F.lit('dropped_exact')).alias('status'))
+    return verdicts.unionByName(rejected)
+
+
 def streaming_sessions(events_stream: DataFrame,
                        gap_minutes: int = 30,
                        watermark: str = '1 hour') -> DataFrame:
