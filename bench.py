@@ -85,6 +85,8 @@ HEADLINE = [
     'kg_entity_salience', 'dedup_containment_pairs',
     'web_sitemap_urls', 'web_seed_ppr', 'web_content_extract',
     'quality_gopher', 'web_ingest_pipeline', 'kg_edges_extend',
+    # round-6 close additions
+    'pack_plan_bfd', 'web_sitemap_discover', 'streaming_ingest',
 ]
 
 
