@@ -1105,6 +1105,42 @@ def q_web_seed_ppr(spark, sf_dir):
             .select(F.col('v').alias('host'), 'ppr'))
 
 
+def q_web_robots_directives(spark, sf_dir):
+    """Non-rule robots.txt directives (operators/weblinks.
+    robots_directives ← kernels/robots.parse_robots_directives):
+    per host h mod 5 — 0: a ``*`` group with Crawl-delay h%7+1 and
+    three Sitemap lines (one duplicate, dropped; one appears INSIDE
+    the group — global per RFC 9309); 1: a specific 'jionlp' group
+    with no delay GOVERNS over a ``*`` group declaring delay 9 (emits
+    nothing — the specific-beats-star negative branch); 2: a
+    non-numeric delay skipped, then 0.5 accepted, one sitemap; 3:
+    sitemap with no group at all (null delay); 4: comment-only file
+    (nothing).  The Spark side parses through the kernel; the oracle
+    states the 32 directive rows closed-form."""
+    from jionlp_spark.operators.weblinks import robots_directives
+    h = F.col('id')
+    txt = (
+        F.when(h % 5 == 0, F.format_string(
+            'User-agent: *\nCrawl-delay: %s\n'
+            'Sitemap: http://h%s.example.com/s1.xml\nDisallow: /x\n'
+            'Sitemap: http://h%s.example.com/s2.xml\n'
+            'Sitemap: http://h%s.example.com/s1.xml\n',
+            (h % 7 + 1), h, h, h))
+        .when(h % 5 == 1, F.lit(
+            'User-agent: *\nCrawl-delay: 9\n'
+            'User-agent: jionlp\nDisallow: /p\n'))
+        .when(h % 5 == 2, F.format_string(
+            'User-agent: jio\nCrawl-delay: oops\nCrawl-delay: 0.5\n'
+            'Sitemap: http://h%s.example.com/m.xml\n', h))
+        .when(h % 5 == 3, F.format_string(
+            'Sitemap: http://h%s.example.com/only.xml\n', h))
+        .otherwise(F.lit('# nothing to see\n')))
+    robots = spark.range(40).select(
+        F.format_string('h%s.example.com', h).alias('host'),
+        txt.alias('robots_txt'))
+    return robots_directives(robots, agent='jionlpbot')
+
+
 def q_web_sitemap_discover(spark, sf_dir):
     """Bounded-depth sitemap tree expansion
     (operators/weblinks.sitemap_discover): 20 hosts — odd seeds are
@@ -5006,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pack_plan_bfd': q_pack_plan_bfd,
         'web_sitemap_discover': q_web_sitemap_discover,
         'streaming_ingest': q_streaming_ingest,
+        'web_robots_directives': q_web_robots_directives,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6499,6 +6536,25 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # robots directives: delay h%7+1 is int-derived (exact in
+        # double on both engines); the h%5∈{1,4} classes emit nothing
+        'web_robots_directives': """
+            with hs as (select h from range(0, 40) t(h))
+            select concat('h', h, '.example.com') host,
+                   cast(h % 7 + 1 as double) crawl_delay,
+                   concat('http://h', h, '.example.com/s', k, '.xml')
+                     sitemap_loc
+            from hs, range(1, 3) u(k) where h % 5 = 0
+            union all
+            select concat('h', h, '.example.com'),
+                   cast(0.5 as double),
+                   concat('http://h', h, '.example.com/m.xml')
+            from hs where h % 5 = 2
+            union all
+            select concat('h', h, '.example.com'),
+                   cast(null as double),
+                   concat('http://h', h, '.example.com/only.xml')
+            from hs where h % 5 = 3""",
         # sitemap tree discovery: the Spark side walks the real
         # fetch-join recursion over generated XML; the oracle states
         # the final (host, url, depth, status) set closed-form from

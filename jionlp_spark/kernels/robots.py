@@ -122,3 +122,84 @@ def robots_allowed(path: str, rules: list[RobotsRule]) -> tuple[bool, str | None
     if best is None:
         return True, None
     return bool(best[1]), best[2]
+
+
+class RobotsDirectives(NamedTuple):
+    crawl_delay: float | None   # seconds, from the agent's governing group
+    sitemaps: list[str]         # every Sitemap: line, global per RFC 9309
+
+
+def parse_robots_directives(text: str,
+                            agent: str = '*') -> RobotsDirectives:
+    """robots.txt body → the non-rule directives crawl control consumes:
+
+    - ``Sitemap:`` is GLOBAL (RFC 9309 §2.3 treats it as outside any
+      group — every major search engine collects it wherever it
+      appears), so every non-empty value is returned in file order,
+      deduplicated case-sensitively (sitemap URLs are opaque).
+    - ``Crawl-delay:`` is per-GROUP (non-standard but honored by most
+      crawlers): the value returned is the FIRST parseable one in the
+      group governing ``agent``, chosen by the same longest-prefix
+      group-selection rule as :func:`parse_robots` — a specific
+      group's delay beats ``*`` even when only ``*`` declares one
+      (an explicit group match means the site addressed this agent).
+      Non-numeric and negative values are ignored (tolerant parsing,
+      like unknown keys).
+
+    Group tracking mirrors parse_robots line-for-line so the governing
+    group never disagrees between rules and directives.
+    """
+    if text is None:
+        return RobotsDirectives(None, [])
+    agent_l = agent.lower()
+    delays: dict[str, float] = {}
+    groups: list[str] = []
+    sitemaps: list[str] = []
+    seen: set[str] = set()
+    current: list[str] = []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.lstrip('﻿')
+        hash_i = line.find('#')
+        if hash_i >= 0:
+            line = line[:hash_i]
+        line = line.strip()
+        if not line or ':' not in line:
+            continue
+        key, _, val = line.partition(':')
+        key = key.strip().lower()
+        val = val.strip()
+        if key == 'user-agent':
+            ua = val.lower()
+            if not in_group_header:
+                current = []
+                in_group_header = True
+            current.append(ua)
+            for u in current:
+                if u not in groups:
+                    groups.append(u)
+            continue
+        in_group_header = False
+        if key == 'sitemap':
+            if val and val not in seen:
+                seen.add(val)
+                sitemaps.append(val)
+            continue
+        if key == 'crawl-delay' and current:
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                for u in current:
+                    if u not in delays:
+                        delays[u] = d
+    best_ua = None
+    for ua in groups:
+        if ua != '*' and agent_l.startswith(ua):
+            if best_ua is None or len(ua) > len(best_ua):
+                best_ua = ua
+    if best_ua is None and '*' in groups:
+        best_ua = '*'
+    return RobotsDirectives(
+        delays.get(best_ua) if best_ua is not None else None, sitemaps)

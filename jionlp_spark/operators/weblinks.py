@@ -222,6 +222,54 @@ def robots_rules(robots: DataFrame, agent: str = '*',
     return robots.select(host_col, text_col).mapInPandas(kernel, schema)
 
 
+def robots_directives(robots: DataFrame, agent: str = '*',
+                      host_col: str = 'host',
+                      text_col: str = 'robots_txt') -> DataFrame:
+    """robots(host, robots_txt) → (host, crawl_delay, sitemap_loc):
+    the NON-rule robots.txt directives crawl control consumes
+    (kernels/robots.parse_robots_directives) — ``Crawl-delay`` from
+    the agent's governing group feeds politeness scheduling
+    (frontier_plan's per-host slots become per-host SECONDS via
+    delay-weighting), ``Sitemap:`` lines are the discovery bootstrap
+    (the seed feed for sitemap_discover: robots → sitemap tree →
+    frontier, the standard cold-start path).
+
+    One row per (host, sitemap_loc) in file order; a host with
+    directives but no sitemap emits one row with a null
+    ``sitemap_loc``; a host with neither emits nothing (downstream
+    treats absent delay as no-delay, the crawler default).
+    ``crawl_delay`` repeats on each of a host's rows — it is
+    host-level, the explode is on sitemaps only.
+
+    Scale shape: ONE mapInPandas node over the hosts-sized robots
+    table (the robots_rules/url_dedup lesson), fanout = declared
+    sitemap count.  Same kernel line-scan as robots_rules, so the
+    governing group never disagrees between rules and directives."""
+    from jionlp_spark.kernels import robots as _rb
+
+    def kernel(batches):
+        for pdf in batches:
+            hosts, delays, locs = [], [], []
+            for h, txt in zip(pdf[host_col], pdf[text_col]):
+                d = _rb.parse_robots_directives(txt, agent)
+                if d.crawl_delay is None and not d.sitemaps:
+                    continue
+                for loc in (d.sitemaps or [None]):
+                    hosts.append(h)
+                    delays.append(d.crawl_delay)
+                    locs.append(loc)
+            yield pd.DataFrame({
+                'host': pd.Series(hosts, dtype=object),
+                'crawl_delay': pd.Series(delays, dtype='float64'),
+                'sitemap_loc': pd.Series(locs, dtype=object)})
+
+    schema = T.StructType([
+        T.StructField('host', T.StringType()),
+        T.StructField('crawl_delay', T.DoubleType()),
+        T.StructField('sitemap_loc', T.StringType())])
+    return robots.select(host_col, text_col).mapInPandas(kernel, schema)
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   url_col: str = 'url') -> DataFrame:
     """→ (url, host, allowed, rule_path): RFC 9309 fetch-permission

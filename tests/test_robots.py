@@ -100,3 +100,33 @@ def test_declarative_filter_no_rule_host_allows(spark):
     assert rows['http://a.example.com/p/1'].allowed is False
     assert rows['http://b.example.com/p/2'].allowed is True
     assert rows['http://b.example.com/p/2'].rule_path is None
+
+
+def test_parse_robots_directives():
+    """Crawl-delay group selection mirrors parse_robots; Sitemap is
+    global, ordered, deduped; tolerant of junk values."""
+    from jionlp_spark.kernels.robots import parse_robots_directives as p
+
+    # sitemap lines collect globally (even inside a group), dedup,
+    # file order; * group's delay applies
+    r = p('Sitemap: http://a/s.xml\nUser-agent: *\nCrawl-delay: 2\n'
+          'Sitemap: http://a/s2.xml\nSitemap: http://a/s.xml\n')
+    assert r.sitemaps == ['http://a/s.xml', 'http://a/s2.xml']
+    assert r.crawl_delay == 2.0
+
+    # the governing group is the SPECIFIC one even when only * has a
+    # delay — a site that addressed this agent withheld a delay
+    r = p('User-agent: *\nCrawl-delay: 5\n'
+          'User-agent: jionlp\nDisallow: /x\n', agent='jionlpbot')
+    assert r.crawl_delay is None
+
+    # non-numeric skipped, first parseable wins, later ones ignored
+    r = p('User-agent: jio\nCrawl-delay: oops\nCrawl-delay: 1.5\n'
+          'Crawl-delay: 9\n', agent='jionlpbot')
+    assert r.crawl_delay == 1.5
+
+    # negative ignored; empty/None-safe; shared header run shares
+    assert p('User-agent: *\nCrawl-delay: -1\n').crawl_delay is None
+    assert p('') == (None, []) and p(None) == (None, [])
+    assert p('User-agent: a\nUser-agent: b\nCrawl-delay: 3\n',
+             agent='b-bot').crawl_delay == 3.0
