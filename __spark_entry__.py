@@ -1105,6 +1105,58 @@ def q_web_seed_ppr(spark, sf_dir):
             .select(F.col('v').alias('host'), 'ppr'))
 
 
+def q_web_warc_records(spark, sf_dir):
+    """WARC archive adapter (kernels/warc.parse_warc →
+    sources/pages.read_warc_segments): 60 single-file segments built
+    entirely from SQL string expressions (all-ASCII, so char length ==
+    byte length and Content-Length is exact) — every segment carries a
+    200 response; d ≡ 1 (mod 3) prepends a warcinfo record (no
+    Content-Type → verbatim block, null status), d ≡ 2 (mod 3)
+    appends a 404 response AND a truncated header tail (dropped per
+    kernel contract), d ≡ 0 (mod 5) opens with junk bytes (skipped to
+    the next record boundary).  The Spark side parses real bytes
+    through ONE mapInPandas node; the oracle states the record rows
+    closed-form.  Byte offsets are pinned by the unit test, not the
+    gate (their closed form would re-derive the fixture's arithmetic
+    rather than check the parser)."""
+    from jionlp_spark.sources.pages import read_warc_segments
+    d = F.col('id')
+    uri1 = F.format_string('http://h%s.example.com/p/%s', d % 9, d)
+    body1 = F.format_string('<p>doc %s</p>', d)
+    http1 = F.concat(
+        F.lit('HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n'),
+        body1)
+    rec1 = F.concat(
+        F.lit('WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: '),
+        uri1,
+        F.lit('\r\nWARC-Date: 2021-09-01T00:00:00Z\r\nContent-Type: '
+              'application/http; msgtype=response\r\nContent-Length: '),
+        F.length(http1).cast('string'), F.lit('\r\n\r\n'),
+        http1, F.lit('\r\n\r\n'))
+    info = F.lit('WARC/1.0\r\nWARC-Type: warcinfo\r\n'
+                 'Content-Length: 9\r\n\r\nops: test\r\n\r\n')
+    uri4 = F.format_string('http://h%s.example.com/gone/%s', d % 9, d)
+    body4 = F.format_string('gone %s', d)
+    http4 = F.concat(F.lit('HTTP/1.1 404 Not Found\r\n\r\n'), body4)
+    rec4 = F.concat(
+        F.lit('WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: '),
+        uri4,
+        F.lit('\r\nContent-Type: application/http\r\nContent-Length: '),
+        F.length(http4).cast('string'), F.lit('\r\n\r\n'),
+        http4, F.lit('\r\n\r\n'))
+    seg = F.concat(
+        F.when(d % 5 == 0, F.lit('junkjunk\r\n')).otherwise(F.lit('')),
+        F.when(d % 3 == 1, info).otherwise(F.lit('')),
+        rec1,
+        F.when(d % 3 == 2, rec4).otherwise(F.lit('')),
+        F.when(d % 3 == 2,
+               F.lit('WARC/1.0\r\nWARC-Type: resp')).otherwise(
+                   F.lit('')))
+    segments = spark.range(60).select(
+        d.alias('segment_id'), seg.cast('binary').alias('warc'))
+    return read_warc_segments(segments).drop('offset')
+
+
 def q_web_robots_directives(spark, sf_dir):
     """Non-rule robots.txt directives (operators/weblinks.
     robots_directives ← kernels/robots.parse_robots_directives):
@@ -5043,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_sitemap_discover': q_web_sitemap_discover,
         'streaming_ingest': q_streaming_ingest,
         'web_robots_directives': q_web_robots_directives,
+        'web_warc_records': q_web_warc_records,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6536,6 +6589,34 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # WARC records: the record order within a segment is
+        # [warcinfo?] response [404 response?]; junk prefixes and the
+        # truncated tail emit nothing — each class its own branch
+        'web_warc_records': """
+            with hs as (select d from range(0, 60) t(d))
+            select cast(d as bigint) segment_id, 'warcinfo' rec_type,
+                   cast(null as varchar) target_uri,
+                   cast(null as varchar) warc_date,
+                   cast(null as varchar) content_type,
+                   cast(null as bigint) http_status,
+                   'ops: test' body
+            from hs where d % 3 = 1
+            union all
+            select cast(d as bigint), 'response',
+                   concat('http://h', d % 9, '.example.com/p/', d),
+                   '2021-09-01T00:00:00Z',
+                   'application/http; msgtype=response',
+                   cast(200 as bigint),
+                   concat('<p>doc ', d, '</p>')
+            from hs
+            union all
+            select cast(d as bigint), 'response',
+                   concat('http://h', d % 9, '.example.com/gone/', d),
+                   cast(null as varchar),
+                   'application/http',
+                   cast(404 as bigint),
+                   concat('gone ', d)
+            from hs where d % 3 = 2""",
         # robots directives: delay h%7+1 is int-derived (exact in
         # double on both engines); the h%5∈{1,4} classes emit nothing
         'web_robots_directives': """

@@ -87,7 +87,7 @@ HEADLINE = [
     'quality_gopher', 'web_ingest_pipeline', 'kg_edges_extend',
     # round-6 close additions
     'pack_plan_bfd', 'web_sitemap_discover', 'streaming_ingest',
-    'web_robots_directives',
+    'web_robots_directives', 'web_warc_records',
 ]
 
 

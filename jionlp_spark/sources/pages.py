@@ -259,3 +259,66 @@ def read_pages_tsv(spark: SparkSession, path: str) -> DataFrame:
             .select('url', F.to_timestamp('warc_ts').alias('warc_ts'),
                     F.lit(None).cast('binary').alias('html'),
                     'text', 'lang'))
+
+
+def read_warc_segments(segments: DataFrame,
+                       segment_col: str = 'warc',
+                       id_col: str = 'segment_id') -> DataFrame:
+    """WARC archive adapter (kernels/warc.parse_warc): segments(
+    segment_id, warc binary) → one row per record —
+
+        (segment_id, offset, rec_type, target_uri, warc_date,
+         content_type, http_status, body)
+
+    The storage-format entry point next to the JSONL/TSV adapters: a
+    CommonCrawl-style dump lands as WARC segments, and this turns them
+    into the url/html page rows every downstream operator consumes
+    (``filter(rec_type = 'response')`` → url_dedup → content_extract
+    is the standard chain).  ``offset`` is the record's byte offset in
+    its segment — with (segment_id, offset) a row is a stable,
+    re-fetchable archive coordinate (the same pair CDX indexes key
+    on), so lineage survives re-parsing.
+
+    Scale shape: ONE mapInPandas node over the segments table, zero
+    shuffle; fanout = records per segment.  Segments are the
+    parallelism unit (a production layout is one parquet row per
+    WARC file of ~1 GB — size maxPartitionBytes accordingly);
+    truncated tails are dropped per kernel contract, never raised
+    mid-job."""
+    from jionlp_spark.kernels.warc import parse_warc
+
+    def kernel(batches):
+        for pdf in batches:
+            sids, offs, types, uris, dates, ctypes, stats, bodies = \
+                [], [], [], [], [], [], [], []
+            for sid, seg in zip(pdf[id_col], pdf[segment_col]):
+                for r in parse_warc(seg):
+                    sids.append(sid)
+                    offs.append(r.offset)
+                    types.append(r.rec_type)
+                    uris.append(r.target_uri)
+                    dates.append(r.warc_date)
+                    ctypes.append(r.content_type)
+                    stats.append(r.http_status)
+                    bodies.append(r.body)
+            yield pd.DataFrame({
+                'segment_id': pd.Series(sids, dtype='int64'),
+                'offset': pd.Series(offs, dtype='int64'),
+                'rec_type': pd.Series(types, dtype=object),
+                'target_uri': pd.Series(uris, dtype=object),
+                'warc_date': pd.Series(dates, dtype=object),
+                'content_type': pd.Series(ctypes, dtype=object),
+                'http_status': pd.Series(stats, dtype='object'),
+                'body': pd.Series(bodies, dtype=object)})
+
+    schema = T.StructType([
+        T.StructField('segment_id', T.LongType()),
+        T.StructField('offset', T.LongType()),
+        T.StructField('rec_type', T.StringType()),
+        T.StructField('target_uri', T.StringType()),
+        T.StructField('warc_date', T.StringType()),
+        T.StructField('content_type', T.StringType()),
+        T.StructField('http_status', T.LongType()),
+        T.StructField('body', T.StringType())])
+    return segments.select(id_col, segment_col).mapInPandas(
+        kernel, schema)
