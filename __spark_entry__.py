@@ -1105,6 +1105,64 @@ def q_web_seed_ppr(spark, sf_dir):
             .select(F.col('v').alias('host'), 'ppr'))
 
 
+def q_web_discovery_bootstrap(spark, sf_dir):
+    """The crawl cold-start composition: robots_directives pulls each
+    host's ``Sitemap:`` line (h ≡ 1 mod 2 declares none — never
+    bootstrapped) and Crawl-delay h%3+1, the declared seeds resolve
+    against the fetch store and walk the sitemap tree
+    (sitemap_discover, max_depth=2: h ≡ 0 mod 4 seeds are urlsets —
+    2 pages at depth 0; h ≡ 2 mod 4 seeds are indexes whose child is
+    a 1-page urlset at depth 1, except h=18's child is MISSING →
+    unfetched), and the politeness delay joins back onto every
+    discovered row — the (host, url, depth, status, crawl_delay)
+    table frontier scheduling consumes.  15 closed-form rows; the
+    robots parse, sitemap recursion, and delay plumbing are all live
+    under one oracle."""
+    from jionlp_spark.operators.weblinks import (robots_directives,
+                                                 sitemap_discover)
+    h = F.col('id')
+    txt = (
+        F.when(h % 2 == 0, F.format_string(
+            'User-agent: *\nCrawl-delay: %s\nDisallow: /tmp\n'
+            'Sitemap: http://h%s.example.com/sitemap.xml\n',
+            (h % 3 + 1), h))
+        .otherwise(F.lit('User-agent: *\nDisallow: /tmp\n')))
+    robots = spark.range(20).select(
+        F.format_string('h%s.example.com', h).alias('host'),
+        txt.alias('robots_txt'))
+    dirs = robots_directives(robots)
+
+    seed_xml = (
+        F.when(h % 4 == 0, F.format_string(
+            '<urlset><url><loc>http://h%s.example.com/p/%s/0</loc></url>'
+            '<url><loc>http://h%s.example.com/p/%s/1</loc></url>'
+            '</urlset>', h, h, h, h))
+        .otherwise(F.format_string(
+            '<sitemapindex><sitemap>'
+            '<loc>http://h%s.example.com/s/c.xml</loc></sitemap>'
+            '</sitemapindex>', h)))
+    seeds_store = (spark.range(20).filter(h % 2 == 0).select(
+        F.format_string('http://h%s.example.com/sitemap.xml', h)
+        .alias('loc'), seed_xml.alias('sitemap_xml')))
+    child_store = (spark.range(20)
+                   .filter((h % 4 == 2) & (h != 18)).select(
+                       F.format_string('http://h%s.example.com/s/c.xml',
+                                       h).alias('loc'),
+                       F.format_string(
+                           '<urlset><url>'
+                           '<loc>http://h%s.example.com/pc/%s</loc>'
+                           '</url></urlset>', h, h).alias('sitemap_xml')))
+    store = seeds_store.unionByName(child_store)
+
+    seeds = (dirs.filter(F.col('sitemap_loc').isNotNull())
+             .select('host', F.col('sitemap_loc').alias('loc'))
+             .join(store, 'loc')
+             .select('host', 'loc', 'sitemap_xml'))
+    found = sitemap_discover(seeds, store, max_depth=2)
+    delays = dirs.select('host', 'crawl_delay').distinct()
+    return found.join(F.broadcast(delays), 'host')
+
+
 def q_web_warc_records(spark, sf_dir):
     """WARC archive adapter (kernels/warc.parse_warc →
     sources/pages.read_warc_segments): 60 single-file segments built
@@ -5096,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_ingest': q_streaming_ingest,
         'web_robots_directives': q_web_robots_directives,
         'web_warc_records': q_web_warc_records,
+        'web_discovery_bootstrap': q_web_discovery_bootstrap,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6589,6 +6648,27 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # discovery bootstrap: robots → declared seeds → sitemap tree
+        # → delay-annotated frontier rows, stated closed-form
+        'web_discovery_bootstrap': """
+            with hs as (select h from range(0, 20) t(h))
+            select concat('h', h, '.example.com') host,
+                   concat('http://h', h, '.example.com/p/', h, '/', k)
+                     url,
+                   cast(0 as bigint) depth, 'page' status,
+                   cast(h % 3 + 1 as double) crawl_delay
+            from hs, range(0, 2) u(k) where h % 4 = 0
+            union all
+            select concat('h', h, '.example.com'),
+                   concat('http://h', h, '.example.com/pc/', h),
+                   cast(1 as bigint), 'page',
+                   cast(h % 3 + 1 as double)
+            from hs where h % 4 = 2 and h != 18
+            union all
+            select 'h18.example.com',
+                   'http://h18.example.com/s/c.xml',
+                   cast(1 as bigint), 'unfetched',
+                   cast(18 % 3 + 1 as double)""",
         # WARC records: the record order within a segment is
         # [warcinfo?] response [404 response?]; junk prefixes and the
         # truncated tail emit nothing — each class its own branch
