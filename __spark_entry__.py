@@ -1105,6 +1105,74 @@ def q_web_seed_ppr(spark, sf_dir):
             .select(F.col('v').alias('host'), 'ppr'))
 
 
+def q_web_warc_ingest(spark, sf_dir):
+    """Archive-to-corpus end-to-end: WARC segments (one SQL-built
+    response record per doc, the web_ingest_pipeline boilerplate wrap
+    as the HTTP body) → read_warc_segments → the HTTP-status fetch
+    gate (d ≡ 5 mod 23 records are 404s → dropped_fetch, the stage a
+    crawler applies before any parsing) → content_extract →
+    gopher_quality → exact-dedup keep-min.  Same admission semantics
+    as web_ingest_pipeline with the storage format and fetch gate in
+    front: verdict ∈ {kept, dropped_fetch, dropped_quality,
+    dropped_dup}, stage priority strictly upstream-first.  The oracle
+    is the ingest oracle with the fetch class split out — keep-min
+    runs over fetch-ok quality survivors on both sides."""
+    from jionlp_spark.operators.textstats import gopher_quality
+    from jionlp_spark.operators.weblinks import content_extract
+    from jionlp_spark.sources.pages import read_warc_segments
+    d = F.col('doc_id')
+    base = _docs(spark, sf_dir).select('doc_id', 'text')
+    p = base.select((F.col('doc_id') + 1).alias('doc_id'),
+                    F.col('text').alias('p_text'))
+    main = (F.when((d % 19 == 6) & F.col('p_text').isNotNull(),
+                   F.col('p_text'))
+            .when(d % 11 == 7, F.substring('text', 1, 10))
+            .otherwise(F.col('text')))
+    html = F.format_string(
+        '<html><body><div><a href="/">home</a> <a href="/x">about '
+        '&amp; contact</a></div><p>%s</p>'
+        '<div>read more: <a href="/m">click here for more stories '
+        'now</a></div><footer>copyright</footer></body></html>', main)
+    status = F.when(d % 23 == 5, F.lit(404)).otherwise(F.lit(200))
+    http = F.concat(F.lit('HTTP/1.1 '), status.cast('string'),
+                    F.lit(' OK\r\nContent-Type: text/html\r\n\r\n'),
+                    html)
+    rec = F.concat(
+        F.lit('WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: '),
+        F.format_string('http://h%s.example.com/p/%s', d % 50, d),
+        F.lit('\r\nContent-Type: application/http; msgtype=response'
+              '\r\nContent-Length: '),
+        F.length(http).cast('string'), F.lit('\r\n\r\n'),
+        http, F.lit('\r\n\r\n'))
+    segments = (base.join(p, 'doc_id', 'left')
+                .select(d.alias('segment_id'),
+                        rec.cast('binary').alias('warc')))
+    recs = read_warc_segments(segments).select(
+        F.col('segment_id').alias('doc_id'), 'http_status', 'body')
+    fetch_drop = (recs.filter(F.col('http_status') != 200)
+                  .select('doc_id',
+                          F.lit('dropped_fetch').alias('verdict')))
+    ok = recs.filter(F.col('http_status') == 200).select(
+        'doc_id', F.col('body').alias('html'))
+    ext = (content_extract(ok).select('doc_id', 'content')
+           .localCheckpoint())
+    g = gopher_quality(ext, text_col='content', min_words=50,
+                       stopwords=('join', 'hash', 'row'),
+                       min_stop_hits=2).select('doc_id', 'gopher_pass')
+    j = ext.join(g, 'doc_id').localCheckpoint()
+    surv = j.filter('gopher_pass').select('doc_id',
+                                          F.md5('content').alias('h'))
+    keep = surv.groupBy('h').agg(F.min('doc_id').alias('k'))
+    graded = (j.join(surv.join(keep, 'h').select('doc_id', 'k'),
+                     'doc_id', 'left')
+              .selectExpr(
+                  'doc_id',
+                  "case when not gopher_pass then 'dropped_quality' "
+                  "when doc_id <> k then 'dropped_dup' "
+                  "else 'kept' end as verdict"))
+    return graded.unionByName(fetch_drop)
+
+
 def q_web_discovery_bootstrap(spark, sf_dir):
     """The crawl cold-start composition: robots_directives pulls each
     host's ``Sitemap:`` line (h ≡ 1 mod 2 declares none — never
@@ -5155,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_robots_directives': q_web_robots_directives,
         'web_warc_records': q_web_warc_records,
         'web_discovery_bootstrap': q_web_discovery_bootstrap,
+        'web_warc_ingest': q_web_warc_ingest,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6648,6 +6717,54 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # WARC→corpus: the ingest oracle with the fetch class split
+        # out — keep-min runs over fetch-ok quality survivors only
+        'web_warc_ingest': """
+            with base as (select doc_id, text from documents),
+            mainx as (select d.doc_id,
+                   case when d.doc_id % 19 = 6 and p.text is not null
+                        then p.text
+                        when d.doc_id % 11 = 7
+                        then substr(d.text, 1, 10)
+                        else d.text end as main
+                 from base d
+                 left join base p on p.doc_id = d.doc_id - 1),
+            cont as (select doc_id,
+                   case when length(main) >= 30 then main
+                        else '' end as c
+                 from mainx where doc_id % 23 != 5),
+            w as (select doc_id, c, string_split(c, ' ') ws from cont),
+            g as (select doc_id, c,
+                   not ((len(ws) < 50) or (len(ws) > 100000)
+                        or (cast(list_sum(list_transform(ws,
+                              x -> len(x))) as double)
+                            / cast(len(ws) as double)
+                              < cast('3.0' as double)
+                            or cast(list_sum(list_transform(ws,
+                                 x -> len(x))) as double)
+                              / cast(len(ws) as double)
+                              > cast('10.0' as double))
+                        or (cast(len(list_filter(ws, x ->
+                              translate(x,
+                                'abcdefghijklmnopqrstuvwxyz', '')
+                              <> x)) as double)
+                            / cast(len(ws) as double)
+                              < cast('0.8' as double))
+                        or (len(list_intersect(list_distinct(ws),
+                              ['join', 'hash', 'row'])) < 2))
+                     gopher_pass
+                 from w),
+            keep as (select md5(c) h, min(doc_id) k from g
+                     where gopher_pass group by 1)
+            select g.doc_id,
+                   case when not gopher_pass then 'dropped_quality'
+                        when g.doc_id <> keep.k then 'dropped_dup'
+                        else 'kept' end verdict
+            from g
+            left join keep on gopher_pass and md5(g.c) = keep.h
+            union all
+            select doc_id, 'dropped_fetch' from base
+            where doc_id % 23 = 5""",
         # discovery bootstrap: robots → declared seeds → sitemap tree
         # → delay-annotated frontier rows, stated closed-form
         'web_discovery_bootstrap': """

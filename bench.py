@@ -88,7 +88,7 @@ HEADLINE = [
     # round-6 close additions
     'pack_plan_bfd', 'web_sitemap_discover', 'streaming_ingest',
     'web_robots_directives', 'web_warc_records',
-    'web_discovery_bootstrap',
+    'web_discovery_bootstrap', 'web_warc_ingest',
 ]
 
 
