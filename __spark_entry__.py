@@ -5148,8 +5148,13 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 156).  The
-    # r6 sessions grew the inventory from 94 to 156 queries; 72 of them
+    # Dict order is the driver's sampling order (first 50 of 163).  The
+    # r6 sessions grew the inventory from 94 to 163 queries (the 7
+    # round-close additions — pack_plan_bfd, web_sitemap_discover,
+    # streaming_ingest, web_robots_directives, web_warc_records,
+    # web_discovery_bootstrap, web_warc_ingest — sit at the head of
+    # the tail, i.e. first in the r7 rotation queue); 72 of the 156
+    # pre-close queries
     # have NEVER been driver-sampled (no row in CORRECTNESS_r04/r05 —
     # local-oracle-gate evidence only).  The r6 window therefore goes to
     # union coverage: 46 never-sampled queries (every family sessions
