@@ -1105,6 +1105,37 @@ def q_web_seed_ppr(spark, sf_dir):
             .select(F.col('v').alias('host'), 'ppr'))
 
 
+def q_web_politeness_schedule(spark, sf_dir):
+    """Slot-to-seconds politeness pricing (operators/weblinks.
+    politeness_schedule): a 37-host frontier plan (unique URLs,
+    keep_id = doc_id FIFO) joined to a robots-delay table — hosts
+    h ≡ 0 (mod 3) declare delay h%7+2, h ≡ 1 declare TWO rows (1.5
+    and 4.0 — the per-sitemap duplicate rows robots_directives emits;
+    collapsed by max, the conservative read), h ≡ 2 declare nothing
+    (default 1.0 floor).  fetch_after_sec = slot · max(delay,
+    default) as one identical bigint×double tree on both engines."""
+    from jionlp_spark.operators.weblinks import (frontier_plan,
+                                                 politeness_schedule)
+    d = F.col('doc_id')
+    frontier = _docs(spark, sf_dir).select(
+        F.format_string('http://h%s.example.com/p/%s', d % 37, d)
+        .alias('canon_url'), d.alias('keep_id'))
+    plan = frontier_plan(frontier, per_slot=2)
+    h = F.col('id')
+    host = F.format_string('h%s.example.com', h)
+    d1 = (spark.range(37).filter(h % 3 == 0)
+          .select(host.alias('host'),
+                  (h % 7 + 2).cast('double').alias('crawl_delay')))
+    d2 = (spark.range(37).filter(h % 3 == 1)
+          .select(host.alias('host'),
+                  F.lit(1.5).alias('crawl_delay')))
+    d3 = (spark.range(37).filter(h % 3 == 1)
+          .select(host.alias('host'),
+                  F.lit(4.0).alias('crawl_delay')))
+    delays = d1.unionByName(d2).unionByName(d3)
+    return politeness_schedule(plan, delays)
+
+
 def q_web_warc_ingest(spark, sf_dir):
     """Archive-to-corpus end-to-end: WARC segments (one SQL-built
     response record per doc, the web_ingest_pipeline boilerplate wrap
@@ -5229,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_warc_records': q_web_warc_records,
         'web_discovery_bootstrap': q_web_discovery_bootstrap,
         'web_warc_ingest': q_web_warc_ingest,
+        'web_politeness_schedule': q_web_politeness_schedule,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6722,6 +6754,35 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # politeness pricing: slot window identical to frontier_plan's
+        # (keep_id = doc_id FIFO), delay tree mirrored verbatim
+        'web_politeness_schedule': """
+            with f as (select
+                  concat('http://h', doc_id % 37, '.example.com/p/',
+                         doc_id) canon_url,
+                  concat('h', doc_id % 37, '.example.com') host,
+                  doc_id keep_id
+                from documents),
+            plan as (select canon_url, host,
+                  cast((row_number() over (partition by host
+                        order by keep_id, canon_url) - 1) // 2
+                    as bigint) slot,
+                  keep_id
+                from f),
+            dl as (select concat('h', h, '.example.com') host,
+                     cast(h % 7 + 2 as double) crawl_delay
+                   from range(0, 37) t(h) where h % 3 = 0
+                   union all
+                   select concat('h', h, '.example.com'),
+                     cast(4.0 as double)
+                   from range(0, 37) t(h) where h % 3 = 1)
+            select p.canon_url, p.host, p.slot, p.keep_id,
+                   dl.crawl_delay,
+                   cast(p.slot as double)
+                     * greatest(coalesce(dl.crawl_delay,
+                         cast('1.0' as double)),
+                         cast('1.0' as double)) fetch_after_sec
+            from plan p left join dl on p.host = dl.host""",
         # WARC→corpus: the ingest oracle with the fetch class split
         # out — keep-min runs over fetch-ok quality survivors only
         'web_warc_ingest': """

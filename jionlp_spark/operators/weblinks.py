@@ -190,6 +190,40 @@ def frontier_plan(frontier: DataFrame, per_slot: int = 2,
                     F.col(priority_col)))
 
 
+def politeness_schedule(plan: DataFrame, delays: DataFrame,
+                        default_delay: str = '1.0') -> DataFrame:
+    """frontier_plan slots × robots Crawl-delay → fetch TIMES:
+    (canon_url, host, slot, keep_id, crawl_delay, fetch_after_sec)
+    where ``fetch_after_sec = slot · max(crawl_delay, default)`` — a
+    slot is one politeness interval, so a host that declared
+    ``Crawl-delay: 5`` sees its slot-k URLs no earlier than 5k
+    seconds into the crawl, and undeclared hosts fall back to the
+    crawler's default interval.  This is the consumer Crawl-delay
+    exists for: frontier_plan bounds fetches PER slot, this prices
+    the slot in seconds per host.
+
+    ``delays`` is robots_directives output (host, crawl_delay) — or
+    any (host, seconds) table; duplicate host rows (one per declared
+    sitemap) are collapsed by max, the conservative read.  The delay
+    threshold enters as cast('<repr>' as double) and the product is
+    bigint-slot × double — one identical expression tree per row on
+    both engines (the repo float-parity rule).
+
+    Scale shape: ONE broadcast join (delays ∝ hosts ≪ URLs) + a
+    per-row projection over the already-built plan — no new shuffle
+    beyond frontier_plan's own window."""
+    d = (delays.groupBy('host')
+         .agg(F.max('crawl_delay').alias('crawl_delay')))
+    eff = F.greatest(
+        F.coalesce(F.col('crawl_delay'),
+                   F.expr(f"cast('{default_delay}' as double)")),
+        F.expr(f"cast('{default_delay}' as double)"))
+    return (plan.join(F.broadcast(d), 'host', 'left')
+            .select(*plan.columns, 'crawl_delay',
+                    (F.col('slot').cast('double') * eff)
+                    .alias('fetch_after_sec')))
+
+
 def robots_rules(robots: DataFrame, agent: str = '*',
                  host_col: str = 'host',
                  text_col: str = 'robots_txt') -> DataFrame:
