@@ -190,3 +190,32 @@ def test_edge_index_merge_is_exchange_free(spark, tmp_path):
     plan = _plan(read_edge_index(spark, f'{base}/kg'))
     assert 'Bucketed: true' in plan, plan
     assert len(re.findall(r'\bExchange\b', plan)) == 0, plan
+
+
+def test_round_close_query_plan_shapes(spark):
+    """r6-close plan guards: the WARC/robots adapters must stay ONE
+    Python node with ZERO exchanges (the mapInPandas black-box rule —
+    a column-append UDF re-evaluates around downstream exchanges);
+    pack_plan_bfd is one shard exchange into one Python greedy;
+    politeness_schedule must BROADCAST the hosts-sized delay table
+    (a shuffle join on the URL-sized plan side would be wrong at any
+    scale) and add no Python."""
+    import __spark_entry__ as entry
+    sf = '/root/testdata/sf0.01'
+
+    def counts(name):
+        p = _plan(entry.queries()[name](spark, sf))
+        return (len(re.findall(r'Exchange', p)),
+                len(re.findall(r'BroadcastExchange', p)),
+                len(re.findall(
+                    r'ArrowEvalPython|FlatMapGroupsInPandas'
+                    r'|MapInPandas', p)))
+
+    ex, _bc, py = counts('web_warc_records')
+    assert (ex, py) == (0, 1), (ex, py)
+    ex, _bc, py = counts('web_robots_directives')
+    assert (ex, py) == (0, 1), (ex, py)
+    ex, _bc, py = counts('pack_plan_bfd')
+    assert py == 1 and ex <= 2, (ex, py)
+    ex, bc, py = counts('web_politeness_schedule')
+    assert bc >= 1 and py == 0 and ex <= 5, (ex, bc, py)
