@@ -1275,8 +1275,16 @@ def q_web_warc_records(spark, sf_dir):
     through ONE mapInPandas node; the oracle states the record rows
     closed-form.  Byte offsets are pinned by the unit test, not the
     gate (their closed form would re-derive the fixture's arithmetic
-    rather than check the parser)."""
+    rather than check the parser); the CDX oracle
+    (q_web_cdx_index) DOES state them, by rebuilding the same strings
+    and measuring lengths."""
     from jionlp_spark.sources.pages import read_warc_segments
+    return read_warc_segments(_warc_fixture_segments(spark)) \
+        .drop('offset')
+
+
+def _warc_fixture_segments(spark):
+    """The shared 60-segment WARC fixture (see q_web_warc_records)."""
     d = F.col('id')
     uri1 = F.format_string('http://h%s.example.com/p/%s', d % 9, d)
     body1 = F.format_string('<p>doc %s</p>', d)
@@ -1309,9 +1317,23 @@ def q_web_warc_records(spark, sf_dir):
         F.when(d % 3 == 2,
                F.lit('WARC/1.0\r\nWARC-Type: resp')).otherwise(
                    F.lit('')))
-    segments = spark.range(60).select(
+    return spark.range(60).select(
         d.alias('segment_id'), seg.cast('binary').alias('warc'))
-    return read_warc_segments(segments).drop('offset')
+
+
+def q_web_cdx_index(spark, sf_dir):
+    """CDX archive index (sources/pages.cdx_entries over the shared
+    WARC fixture): response records only, SURT sort key
+    (host labels reversed + ')/' + path — com,example,h5)/p/3), and
+    the EXACT byte offsets — the oracle rebuilds the fixture's record
+    strings in SQL and measures their lengths (junk prefix + optional
+    warcinfo + the 200 record), so the parser's offset bookkeeping is
+    value-checked, not just the unit test's three hand cases.  Zero
+    Python beyond the parse node, zero shuffle — the index is a
+    projection of the record table."""
+    from jionlp_spark.sources.pages import (cdx_entries,
+                                            read_warc_segments)
+    return cdx_entries(read_warc_segments(_warc_fixture_segments(spark)))
 
 
 def q_web_robots_directives(spark, sf_dir):
@@ -5261,6 +5283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_discovery_bootstrap': q_web_discovery_bootstrap,
         'web_warc_ingest': q_web_warc_ingest,
         'web_politeness_schedule': q_web_politeness_schedule,
+        'web_cdx_index': q_web_cdx_index,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6754,6 +6777,54 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # CDX: the oracle REBUILDS the fixture's record strings and
+        # measures lengths — offsets are value-checked closed-form
+        # (junk 'junkjunk\r\n' = 10 bytes; the warcinfo record's
+        # length is computed from its own rebuilt literal)
+        'web_cdx_index': """
+            with hs as (select d from range(0, 60) t(d)),
+            s as (select d,
+               'http://h' || (d % 9) || '.example.com/p/' || d uri1,
+               'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+               'Content-Type: text/html' || chr(13) || chr(10) ||
+               chr(13) || chr(10) || '<p>doc ' || d || '</p>' http1,
+               'http://h' || (d % 9) || '.example.com/gone/' || d uri4,
+               length('WARC/1.0' || chr(13) || chr(10) ||
+                 'WARC-Type: warcinfo' || chr(13) || chr(10) ||
+                 'Content-Length: 9' || chr(13) || chr(10) ||
+                 chr(13) || chr(10) || 'ops: test' || chr(13) ||
+                 chr(10) || chr(13) || chr(10)) info_len
+              from hs),
+            r as (select d, uri1, uri4, info_len,
+               'WARC/1.0' || chr(13) || chr(10) ||
+               'WARC-Type: response' || chr(13) || chr(10) ||
+               'WARC-Target-URI: ' || uri1 || chr(13) || chr(10) ||
+               'WARC-Date: 2021-09-01T00:00:00Z' || chr(13) ||
+               chr(10) ||
+               'Content-Type: application/http; msgtype=response' ||
+               chr(13) || chr(10) || 'Content-Length: ' ||
+               length(http1) || chr(13) || chr(10) || chr(13) ||
+               chr(10) || http1 || chr(13) || chr(10) || chr(13) ||
+               chr(10) rec1
+              from s),
+            o as (select d, uri1, uri4,
+               (case when d % 5 = 0 then 10 else 0 end)
+               + (case when d % 3 = 1 then info_len else 0 end) off1,
+               (case when d % 5 = 0 then 10 else 0 end)
+               + (case when d % 3 = 1 then info_len else 0 end)
+               + length(rec1) off4
+              from r)
+            select 'com,example,h' || (d % 9) || ')/p/' || d surt_key,
+                   '2021-09-01T00:00:00Z' warc_date,
+                   uri1 target_uri, cast(200 as bigint) http_status,
+                   cast(d as bigint) segment_id,
+                   cast(off1 as bigint) "offset"
+            from o
+            union all
+            select 'com,example,h' || (d % 9) || ')/gone/' || d,
+                   cast(null as varchar), uri4, cast(404 as bigint),
+                   cast(d as bigint), cast(off4 as bigint)
+            from o where d % 3 = 2""",
         # politeness pricing: slot window identical to frontier_plan's
         # (keep_id = doc_id FIFO), delay tree mirrored verbatim
         'web_politeness_schedule': """

@@ -89,7 +89,7 @@ HEADLINE = [
     'pack_plan_bfd', 'web_sitemap_discover', 'streaming_ingest',
     'web_robots_directives', 'web_warc_records',
     'web_discovery_bootstrap', 'web_warc_ingest',
-    'web_politeness_schedule',
+    'web_politeness_schedule', 'web_cdx_index',
 ]
 
 

@@ -322,3 +322,43 @@ def read_warc_segments(segments: DataFrame,
         T.StructField('body', T.StringType())])
     return segments.select(id_col, segment_col).mapInPandas(
         kernel, schema)
+
+
+def cdx_entries(records: DataFrame) -> DataFrame:
+    """WARC records → CDX-style index rows, the lookup layer every
+    archive pairs with its segments (pywb/OpenWayback serve from
+    exactly this shape):
+
+        (surt_key, warc_date, target_uri, http_status,
+         segment_id, offset)
+
+    ``surt_key`` is the Sort-friendly URI Reordering Transform key
+    CDX files sort on — host labels reversed and comma-joined, then
+    ``)/`` and the path (``http://h5.example.com/p/3`` →
+    ``com,example,h5)/p/3``) — so one host's captures are CONTIGUOUS
+    under a range scan and a prefix query covers a whole domain
+    suffix.  Only ``response`` records index (requests/metadata are
+    not fetchable artifacts); the (segment_id, offset) pair is the
+    re-fetch coordinate ``read_warc_segments`` stamped.
+
+    Everything is built-in expressions — split/reverse/concat, zero
+    Python, zero shuffle: the index is a projection of the record
+    table.  Production path: write sorted-within-partitions by
+    surt_key and bucketed/partitioned by its first label through the
+    catalog, the same layout discipline as the BM25/edge indexes —
+    a range lookup then touches one file run, no exchange.
+    """
+    from pyspark.sql import functions as F
+    uri = F.col('target_uri')
+    rest = F.substring_index(uri, '://', -1)
+    host = F.substring_index(rest, '/', 1)
+    path = F.substring(rest, F.length(host) + 1, 2_000_000)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, '\\.')), ','),
+        F.lit(')'),
+        F.when(F.length(path) > 0, path).otherwise(F.lit('/')))
+    return (records
+            .filter((F.col('rec_type') == 'response')
+                    & uri.isNotNull())
+            .select(surt.alias('surt_key'), 'warc_date', 'target_uri',
+                    'http_status', 'segment_id', 'offset'))
