@@ -1321,6 +1321,41 @@ def _warc_fixture_segments(spark):
         d.alias('segment_id'), seg.cast('binary').alias('warc'))
 
 
+def q_web_robots_wildcard(spark, sf_dir):
+    """Wildcard-capable robots verdicts (operators/weblinks.
+    robots_filter_full): 30 hosts — h ≡ 0 (mod 3) literal-only rules
+    ride the declarative JVM path, h ≡ 1 mixes wildcard and literal
+    rules on ONE host ('/*?sess' at length 7 outranks the literal
+    Allow /p/ on session URLs, while /p/ still beats /p elsewhere —
+    the cross-kind precedence that forces whole-host kernel routing),
+    h ≡ 2 uses the '$' end-anchor (/x$ blocks exactly /x, not /x/y).
+    Four URL shapes per host drive every branch; the oracle states
+    all verdicts closed-form."""
+    from jionlp_spark.operators.weblinks import (robots_filter_full,
+                                                 robots_rules)
+    d = F.col('doc_id')
+    h = d % 30
+    path = (F.when(d % 4 == 0, F.format_string('/p/%s', d))
+            .when(d % 4 == 1, F.format_string('/p/%s?sess=%s', d, d))
+            .when((d % 4 == 2) & (h % 3 == 2), F.lit('/x'))
+            .when(d % 4 == 2, F.format_string('/x-%s', d))
+            .otherwise(F.format_string('/x/y/%s', d)))
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.format_string('http://h%s.example.com', h), path)
+        .alias('url'))
+    hid = F.col('id')
+    txt = (F.when(hid % 3 == 0,
+                  F.lit('User-agent: *\nDisallow: /p/\n'))
+           .when(hid % 3 == 1,
+                 F.lit('User-agent: *\nDisallow: /*?sess\n'
+                       'Allow: /p/\nDisallow: /p\n'))
+           .otherwise(F.lit('User-agent: *\nDisallow: /x$\n')))
+    robots = spark.range(30).select(
+        F.format_string('h%s.example.com', hid).alias('host'),
+        txt.alias('robots_txt'))
+    return robots_filter_full(urls, robots_rules(robots))
+
+
 def q_web_cdx_index(spark, sf_dir):
     """CDX archive index (sources/pages.cdx_entries over the shared
     WARC fixture): response records only, SURT sort key
@@ -5284,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_warc_ingest': q_web_warc_ingest,
         'web_politeness_schedule': q_web_politeness_schedule,
         'web_cdx_index': q_web_cdx_index,
+        'web_robots_wildcard': q_web_robots_wildcard,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6777,6 +6813,28 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # wildcard robots: verdicts stated closed-form per
+        # (host class, url shape); rule_path is the deciding pattern
+        'web_robots_wildcard': """
+            with u as (select doc_id d, doc_id % 30 h,
+                case doc_id % 4
+                  when 0 then '/p/' || doc_id
+                  when 1 then '/p/' || doc_id || '?sess=' || doc_id
+                  when 2 then case when (doc_id % 30) % 3 = 2
+                               then '/x' else '/x-' || doc_id end
+                  else '/x/y/' || doc_id end p
+              from documents)
+            select 'http://h' || h || '.example.com' || p url,
+                   'h' || h || '.example.com' host,
+                   case when h % 3 = 0 then (d % 4 >= 2)
+                        when h % 3 = 1 then (d % 4 = 0 or d % 4 >= 2)
+                        else not (d % 4 = 2) end allowed,
+                   case when h % 3 = 0 and d % 4 < 2 then '/p/'
+                        when h % 3 = 1 and d % 4 = 0 then '/p/'
+                        when h % 3 = 1 and d % 4 = 1 then '/*?sess'
+                        when h % 3 = 2 and d % 4 = 2 then '/x$'
+                   end rule_path
+            from u""",
         # CDX: the oracle REBUILDS the fixture's record strings and
         # measures lengths — offsets are value-checked closed-form
         # (junk 'junkjunk\r\n' = 10 bytes; the warcinfo record's

@@ -353,6 +353,73 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                     .alias('rule_path')))
 
 
+def robots_filter_full(urls: DataFrame, rules: DataFrame,
+                       url_col: str = 'url') -> DataFrame:
+    """RFC 9309 fetch verdicts INCLUDING wildcard rules — the hybrid
+    the pure-declarative :func:`robots_filter` points at when it
+    raises: hosts whose rule set is literal-prefix-only take the JVM
+    path (equi-join + window, the fast overwhelming majority), hosts
+    with ANY ``*``/``$`` rule route their URLs through the kernel
+    (``robots_allowed`` — Python ``re``, never Spark SQL regex), since
+    longest-match precedence interacts across BOTH rule kinds on the
+    same host and cannot be split per rule.
+
+    Output matches robots_filter: (url, host, allowed, rule_path).
+
+    Scale shape: the wildcard-host rule table is HOSTS-sized — it is
+    collected and broadcast as a per-host dict (the same bounded-
+    collect class as the IVF centroids / BPE vocab, documented
+    CLAUDE.md exceptions), and the kernel runs in ONE mapInPandas
+    node over only the wildcard hosts' URLs; everything else never
+    leaves the JVM.  Real-crawl ratio: a few percent of hosts declare
+    wildcards, so the Python node sees a sliver of the corpus."""
+    wc = F.col('pattern').contains('*') | F.col('pattern').endswith('$')
+    wc_hosts = rules.filter(wc).select('host').distinct()
+    lit_rules = rules.join(F.broadcast(wc_hosts), 'host', 'left_anti')
+
+    host = url_host(F.col(url_col))
+    u = urls.select(F.col(url_col).alias('url'), host.alias('host'))
+    lit_urls = u.join(F.broadcast(wc_hosts), 'host', 'left_anti')
+    wc_urls = u.join(F.broadcast(wc_hosts), 'host', 'left_semi')
+
+    lit_out = robots_filter(lit_urls.select('url'), lit_rules)
+
+    # bounded collect: wildcard hosts' rules (hosts-sized, like the
+    # admin maps); keep file order per host — precedence is decided
+    # by robots_allowed, not list order
+    from jionlp_spark.kernels.robots import RobotsRule, robots_allowed
+    by_host: dict = {}
+    for r in rules.join(F.broadcast(wc_hosts), 'host',
+                        'left_semi').collect():
+        by_host.setdefault(r['host'], []).append(
+            RobotsRule(r['allow'], r['pattern']))
+    spark = urls.sparkSession
+    bc = spark.sparkContext.broadcast(by_host)
+
+    def kernel(batches):
+        for pdf in batches:
+            alw, pat = [], []
+            for url, h in zip(pdf['url'], pdf['host']):
+                rest = url.split('://', 1)[-1]
+                slash = rest.find('/')
+                path = rest[slash:] if slash >= 0 else '/'
+                a, p = robots_allowed(path, bc.value.get(h, []))
+                alw.append(a)
+                pat.append(p)
+            yield pd.DataFrame({
+                'url': pdf['url'], 'host': pdf['host'],
+                'allowed': pd.Series(alw, dtype=bool),
+                'rule_path': pd.Series(pat, dtype=object)})
+
+    schema = T.StructType([
+        T.StructField('url', T.StringType()),
+        T.StructField('host', T.StringType()),
+        T.StructField('allowed', T.BooleanType()),
+        T.StructField('rule_path', T.StringType())])
+    wc_out = wc_urls.mapInPandas(kernel, schema)
+    return lit_out.unionByName(wc_out)
+
+
 def url_templates(urls: DataFrame, url_col: str = 'url') -> DataFrame:
     """→ (host, template, n_urls, example): URL path-template mining —
     numeric path segments generalize to ``{n}``, so ``/p/123`` and

@@ -130,3 +130,30 @@ def test_parse_robots_directives():
     assert p('') == (None, []) and p(None) == (None, [])
     assert p('User-agent: a\nUser-agent: b\nCrawl-delay: 3\n',
              agent='b-bot').crawl_delay == 3.0
+
+
+def test_robots_filter_full_hybrid_routing(spark):
+    """robots_filter_full: a literal-only host and a wildcard host get
+    identical verdict semantics; cross-kind precedence on the wildcard
+    host matches robots_allowed exactly."""
+    from jionlp_spark.operators.weblinks import (robots_filter_full,
+                                                 robots_rules)
+    robots = spark.createDataFrame(
+        [('lit.com', 'User-agent: *\nDisallow: /p/\n'),
+         ('wc.com', 'User-agent: *\nDisallow: /*?sess\n'
+                    'Allow: /p/\nDisallow: /p\n')],
+        'host string, robots_txt string')
+    urls = spark.createDataFrame(
+        [('http://lit.com/p/a',), ('http://lit.com/ok',),
+         ('http://wc.com/p/a',), ('http://wc.com/p/a?sess=1',),
+         ('http://wc.com/q',)], 'url string')
+    out = {r['url']: (r['allowed'], r['rule_path'])
+           for r in robots_filter_full(urls,
+                                       robots_rules(robots)).collect()}
+    assert out == {
+        'http://lit.com/p/a': (False, '/p/'),
+        'http://lit.com/ok': (True, None),
+        'http://wc.com/p/a': (True, '/p/'),        # allow 3 beats /p 2
+        'http://wc.com/p/a?sess=1': (False, '/*?sess'),  # 7 beats 3
+        'http://wc.com/q': (True, None),
+    }
