@@ -1321,6 +1321,53 @@ def _warc_fixture_segments(spark):
         d.alias('segment_id'), seg.cast('binary').alias('warc'))
 
 
+def q_web_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution end-to-end (kernels/warc Location
+    parsing → operators/weblinks.resolve_redirects): one WARC 301
+    record per redirect edge — 60 chains of length g%4+1 (nodes
+    /{g}/{i} → /{g}/{i+1}, the last node terminal), plus a 2-cycle
+    pair for g ≡ 7 (mod 10) — parsed, filtered to 3xx-with-Location,
+    and collapsed by POINTER DOUBLING (⌈log₂ L⌉ rounds, the
+    large-star lesson applied to redirects).  Closed form: node i of
+    chain g resolves to node g%4+1 in exactly g%4+1−i hops; cycle
+    members come back (null, null, cyclic=true)."""
+    from jionlp_spark.operators.weblinks import resolve_redirects
+    from jionlp_spark.sources.pages import read_warc_segments
+    g = F.col('id') % 60
+    i = (F.col('id') / 60).cast('long')
+    node = F.format_string('http://r.example.com/%s/%s', g, i)
+    node1 = F.format_string('http://r.example.com/%s/%s', g, i + 1)
+    chain = (spark.range(240)
+             .filter(i <= g % 4)
+             .select(node.alias('src'), node1.alias('dst')))
+    c = F.col('id')
+    ca = F.format_string('http://c.example.com/%s/a', c)
+    cb = F.format_string('http://c.example.com/%s/b', c)
+    cyc = spark.range(60).filter(c % 10 == 7)
+    pairs = (cyc.select(ca.alias('src'), cb.alias('dst'))
+             .unionByName(cyc.select(cb.alias('src'),
+                                     ca.alias('dst'))))
+    e = chain.unionByName(pairs)
+    http = F.concat(
+        F.lit('HTTP/1.1 301 Moved Permanently\r\nLocation: '),
+        F.col('dst'), F.lit('\r\n\r\n'))
+    rec = F.concat(
+        F.lit('WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: '),
+        F.col('src'),
+        F.lit('\r\nContent-Type: application/http\r\nContent-Length: '),
+        F.length(http).cast('string'), F.lit('\r\n\r\n'),
+        http, F.lit('\r\n\r\n'))
+    segments = (e.select(rec.cast('binary').alias('warc'))
+                .withColumn('segment_id',
+                            F.monotonically_increasing_id()))
+    recs = read_warc_segments(segments)
+    edges = (recs.filter(F.col('http_status').between(300, 399)
+                         & F.col('redirect_location').isNotNull())
+             .select(F.col('target_uri').alias('src'),
+                     F.col('redirect_location').alias('dst')))
+    return resolve_redirects(edges)
+
+
 def q_web_robots_wildcard(spark, sf_dir):
     """Wildcard-capable robots verdicts (operators/weblinks.
     robots_filter_full): 30 hosts — h ≡ 0 (mod 3) literal-only rules
@@ -5320,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_politeness_schedule': q_web_politeness_schedule,
         'web_cdx_index': q_web_cdx_index,
         'web_robots_wildcard': q_web_robots_wildcard,
+        'web_redirect_resolve': q_web_redirect_resolve,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6813,6 +6861,23 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # redirect chains: node i of chain g lands on the terminal
+        # node L=g%4+1 in exactly L-i hops; 2-cycles null out
+        'web_redirect_resolve': """
+            with ch as (select g, i from range(0, 60) t(g),
+                          range(0, 4) u(i)
+                        where i <= g % 4)
+            select 'http://r.example.com/' || g || '/' || i src,
+                   'http://r.example.com/' || g || '/' || (g % 4 + 1)
+                     final_url,
+                   cast(g % 4 + 1 - i as bigint) hops,
+                   false cyclic
+            from ch
+            union all
+            select 'http://c.example.com/' || g || '/' || s,
+                   cast(null as varchar), cast(null as bigint), true
+            from range(0, 60) t(g), unnest(['a', 'b']) u(s)
+            where g % 10 = 7""",
         # wildcard robots: verdicts stated closed-form per
         # (host class, url shape); rule_path is the deciding pattern
         'web_robots_wildcard': """
@@ -6991,7 +7056,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(null as varchar) warc_date,
                    cast(null as varchar) content_type,
                    cast(null as bigint) http_status,
-                   'ops: test' body
+                   'ops: test' body,
+                   cast(null as varchar) redirect_location
             from hs where d % 3 = 1
             union all
             select cast(d as bigint), 'response',
@@ -6999,7 +7065,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    '2021-09-01T00:00:00Z',
                    'application/http; msgtype=response',
                    cast(200 as bigint),
-                   concat('<p>doc ', d, '</p>')
+                   concat('<p>doc ', d, '</p>'),
+                   cast(null as varchar)
             from hs
             union all
             select cast(d as bigint), 'response',
@@ -7007,7 +7074,8 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(null as varchar),
                    'application/http',
                    cast(404 as bigint),
-                   concat('gone ', d)
+                   concat('gone ', d),
+                   cast(null as varchar)
             from hs where d % 3 = 2""",
         # robots directives: delay h%7+1 is int-derived (exact in
         # double on both engines); the h%5∈{1,4} classes emit nothing

@@ -90,7 +90,7 @@ HEADLINE = [
     'web_robots_directives', 'web_warc_records',
     'web_discovery_bootstrap', 'web_warc_ingest',
     'web_politeness_schedule', 'web_cdx_index',
-    'web_robots_wildcard',
+    'web_robots_wildcard', 'web_redirect_resolve',
 ]
 
 

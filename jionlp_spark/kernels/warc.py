@@ -57,6 +57,8 @@ class WarcRecord(NamedTuple):
     body: str                 # payload (HTTP body for responses),
     #                           utf-8 decoded with replacement
     offset: int               # byte offset of the record's version line
+    redirect_location: str | None = None  # response records: the HTTP
+    #                           Location header (3xx redirect target)
 
 
 def _parse_headers(raw: bytes) -> dict[bytes, bytes]:
@@ -104,6 +106,7 @@ def parse_warc(segment: bytes) -> list[WarcRecord]:
         rec_type = headers.get(b'warc-type')
         ctype = headers.get(b'content-type')
         status: int | None = None
+        location: bytes | None = None
         body = block
         is_http = (ctype is not None
                    and b'application/http' in ctype.lower())
@@ -119,6 +122,9 @@ def parse_warc(segment: bytes) -> list[WarcRecord]:
                     status = None
             http_end = block.find(_CRLF + _CRLF)
             body = block[http_end + 4:] if http_end >= 0 else b''
+            http_headers = _parse_headers(
+                block[:http_end if http_end >= 0 else len(block)])
+            location = http_headers.get(b'location')
 
         def _s(v: bytes | None) -> str | None:
             return v.decode('utf-8', 'replace') if v is not None else None
@@ -131,7 +137,8 @@ def parse_warc(segment: bytes) -> list[WarcRecord]:
             content_type=_s(ctype),
             http_status=status,
             body=body.decode('utf-8', 'replace'),
-            offset=pos))
+            offset=pos,
+            redirect_location=_s(location)))
         pos = block_end
         # the record separator is CRLF CRLF; tolerate its absence
         if segment.startswith(_CRLF + _CRLF, pos):

@@ -420,6 +420,65 @@ def robots_filter_full(urls: DataFrame, rules: DataFrame,
     return lit_out.unionByName(wc_out)
 
 
+def resolve_redirects(edges: DataFrame, src_col: str = 'src',
+                      dst_col: str = 'dst',
+                      max_iter: int = 16) -> DataFrame:
+    """Transitive HTTP-redirect resolution — 3xx ``Location`` edges
+    (from ``read_warc_segments``'s ``redirect_location`` column, or
+    any (src, dst) table) collapse to their FINAL landing URL:
+
+        (src, final_url, hops, cyclic)
+
+    ``hops`` is the exact chain length; redirect LOOPS (a→b→a, or a
+    chain feeding into one) resolve to ``final_url = null, hops =
+    null, cyclic = true`` — the row a crawler drops rather than
+    follows.  One redirect per src (min dst on malformed multi-Location
+    input, deterministic).
+
+    Scale shape: POINTER DOUBLING, not step-by-step walking — each
+    round joins the mapping with itself (a.dst = b.src), so a length-L
+    chain resolves in ⌈log₂ L⌉ rounds instead of L (the large-star
+    lesson from dedup_components applied to the redirect graph: at
+    100 TB, hop-at-a-time chasing of the long chains link farms build
+    is hundreds of sequential shuffles).  Rounds cut off early when no
+    row jumped; every shuffle is redirect-table-sized, never
+    corpus-sized; localCheckpoint per round (iterative-driver rule).
+    ``max_iter`` bounds chains at 2^max_iter hops — anything still
+    jumping after that is, by construction, in or feeding a cycle.
+    """
+    cur = (edges.groupBy(F.col(src_col).alias('src'))
+           .agg(F.min(F.col(dst_col)).alias('dst'))
+           .select('src', 'dst', F.lit(1).cast('long').alias('hops'))
+           .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        b = cur.select(F.col('src').alias('b_src'),
+                       F.col('dst').alias('b_dst'),
+                       F.col('hops').alias('b_hops'))
+        nxt = (cur.join(b, cur['dst'] == b['b_src'], 'left')
+               .select('src',
+                       F.coalesce('b_dst', 'dst').alias('dst'),
+                       (F.col('hops')
+                        + F.coalesce('b_hops', F.lit(0).cast('long')))
+                       .alias('hops'),
+                       F.col('b_src').isNotNull().alias('_jumped'))
+               .localCheckpoint(eager=True))
+        cur = nxt.drop('_jumped')
+        if nxt.filter('_jumped').isEmpty():
+            break
+    # anything whose final dst is still a redirect source never
+    # terminates: cycle (or chain into one)
+    # (equi-join, redirect-table-sized both sides — AQE broadcasts
+    # when small; never corpus-sized)
+    srcs = cur.select(F.col('src').alias('_s')).distinct()
+    return (cur.join(srcs, cur['dst'] == srcs['_s'], 'left')
+            .select('src',
+                    F.when(F.col('_s').isNull(), F.col('dst'))
+                    .alias('final_url'),
+                    F.when(F.col('_s').isNull(), F.col('hops'))
+                    .cast('long').alias('hops'),
+                    F.col('_s').isNotNull().alias('cyclic')))
+
+
 def url_templates(urls: DataFrame, url_col: str = 'url') -> DataFrame:
     """→ (host, template, n_urls, example): URL path-template mining —
     numeric path segments generalize to ``{n}``, so ``/p/123`` and

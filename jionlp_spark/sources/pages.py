@@ -289,8 +289,8 @@ def read_warc_segments(segments: DataFrame,
 
     def kernel(batches):
         for pdf in batches:
-            sids, offs, types, uris, dates, ctypes, stats, bodies = \
-                [], [], [], [], [], [], [], []
+            sids, offs, types, uris, dates, ctypes, stats, bodies, \
+                locs = [], [], [], [], [], [], [], [], []
             for sid, seg in zip(pdf[id_col], pdf[segment_col]):
                 for r in parse_warc(seg):
                     sids.append(sid)
@@ -301,6 +301,7 @@ def read_warc_segments(segments: DataFrame,
                     ctypes.append(r.content_type)
                     stats.append(r.http_status)
                     bodies.append(r.body)
+                    locs.append(r.redirect_location)
             yield pd.DataFrame({
                 'segment_id': pd.Series(sids, dtype='int64'),
                 'offset': pd.Series(offs, dtype='int64'),
@@ -309,7 +310,8 @@ def read_warc_segments(segments: DataFrame,
                 'warc_date': pd.Series(dates, dtype=object),
                 'content_type': pd.Series(ctypes, dtype=object),
                 'http_status': pd.Series(stats, dtype='object'),
-                'body': pd.Series(bodies, dtype=object)})
+                'body': pd.Series(bodies, dtype=object),
+                'redirect_location': pd.Series(locs, dtype=object)})
 
     schema = T.StructType([
         T.StructField('segment_id', T.LongType()),
@@ -319,7 +321,8 @@ def read_warc_segments(segments: DataFrame,
         T.StructField('warc_date', T.StringType()),
         T.StructField('content_type', T.StringType()),
         T.StructField('http_status', T.LongType()),
-        T.StructField('body', T.StringType())])
+        T.StructField('body', T.StringType()),
+        T.StructField('redirect_location', T.StringType())])
     return segments.select(id_col, segment_col).mapInPandas(
         kernel, schema)
 

@@ -64,3 +64,42 @@ def test_read_warc_segments_adapter(spark):
     assert [r['http_status'] for r in rows] == [200, 503]
     assert rows[0]['offset'] == 0 and rows[1]['offset'] > 0
     assert all(r['segment_id'] == 7 for r in rows)
+
+
+def test_parse_warc_redirect_location():
+    """3xx responses expose the HTTP Location header; 200s leave it
+    None; header name matches case-insensitively."""
+    seg = (b'WARC/1.0\r\nWARC-Type: response\r\n'
+           b'WARC-Target-URI: http://a/old\r\n'
+           b'Content-Type: application/http\r\nContent-Length: 56\r\n'
+           b'\r\n'
+           b'HTTP/1.1 301 Moved\r\nLOCATION: http://a/new\r\n\r\n'
+           b'moved body')
+    # block = 46 HTTP-header bytes + 10 body bytes
+    r = parse_warc(seg)[0]
+    assert r.http_status == 301
+    assert r.redirect_location == 'http://a/new'
+    assert r.body == 'moved body'
+    r2 = parse_warc(build_warc_response('http://a/x', 'd', 'ok'))[0]
+    assert r2.redirect_location is None
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    """Pointer doubling: exact hop counts on a length-4 chain; a pure
+    2-cycle AND a chain feeding into a cycle both flag cyclic with
+    null final/hops (the latter is the case a step-limit alone would
+    misreport as resolved)."""
+    from jionlp_spark.operators.weblinks import resolve_redirects
+    edges = spark.createDataFrame(
+        [('a1', 'a2'), ('a2', 'a3'), ('a3', 'a4'), ('a4', 'a5'),
+         ('x', 'y'), ('y', 'x'),
+         ('lead', 'x')],
+        'src string, dst string')
+    got = {r['src']: (r['final_url'], r['hops'], r['cyclic'])
+           for r in resolve_redirects(edges).collect()}
+    assert got == {
+        'a1': ('a5', 4, False), 'a2': ('a5', 3, False),
+        'a3': ('a5', 2, False), 'a4': ('a5', 1, False),
+        'x': (None, None, True), 'y': (None, None, True),
+        'lead': (None, None, True),
+    }
