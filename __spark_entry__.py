@@ -1321,6 +1321,46 @@ def _warc_fixture_segments(spark):
         d.alias('segment_id'), seg.cast('binary').alias('warc'))
 
 
+def q_web_canonical_map(spark, sf_dir):
+    """rel=canonical chain collapse (kernels/links.extract_canonical →
+    operators/weblinks.canonical_links → resolve_redirects): per doc d
+    — d ≡ 2 (mod 13) pages declare an ABSOLUTE cross-host canonical
+    (uppercase LINK/HREF/REL, href before rel), d ≡ 3 (mod 7)
+    self-canonicalize (the common idiom — dropped at the src≠dst
+    filter, NOT misread as a 1-cycle), d ≡ 0 (mod 5) carry only a
+    stylesheet-link decoy (no canonical), and everything else chains
+    RELATIVE '/p/{d-1}' hrefs resolved against the page host.  Chains
+    stop at the first non-declaring page, so final/hops are
+    closed-form (gap ≤ 5 — every 5 consecutive ids contain a
+    terminal)."""
+    from jionlp_spark.operators.weblinks import (canonical_links,
+                                                 resolve_redirects)
+    d = F.col('doc_id')
+    is_a = d % 13 == 2
+    url = (F.when(is_a,
+                  F.format_string('http://h.example.com/a/%s', d))
+           .otherwise(
+               F.format_string('http://h.example.com/p/%s', d)))
+    html = (
+        F.when(is_a, F.format_string(
+            '<head><LINK HREF="http://cdn.example.com/c/%s" '
+            'REL="canonical"/></head><body>x</body>', d))
+        .when(d % 7 == 3, F.format_string(
+            '<head><link href="http://h.example.com/p/%s" '
+            'rel="canonical"></head><body>x</body>', d))
+        .when(d % 5 == 0, F.lit(
+            '<head><link rel="stylesheet" href="/s.css"></head>'
+            '<body>x</body>'))
+        .otherwise(F.format_string(
+            '<head><link rel="canonical" href="/p/%s"></head>'
+            '<body>x</body>', d - 1)))
+    pages = _docs(spark, sf_dir).select(url.alias('url'),
+                                        html.alias('html'))
+    canon = canonical_links(pages)
+    edges = canon.filter(F.col('url') != F.col('canonical_url'))
+    return resolve_redirects(edges, 'url', 'canonical_url')
+
+
 def q_web_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution end-to-end (kernels/warc Location
     parsing → operators/weblinks.resolve_redirects): one WARC 301
@@ -5368,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_cdx_index': q_web_cdx_index,
         'web_robots_wildcard': q_web_robots_wildcard,
         'web_redirect_resolve': q_web_redirect_resolve,
+        'web_canonical_map': q_web_canonical_map,
         'kg_edge_pmi': q_kg_edge_pmi,
         'streaming_sessions': q_streaming_sessions,
         'length_quantiles': q_length_quantiles,
@@ -6861,6 +6902,35 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast((cum - len) // 1024 as bigint) pack_first,
                    cast((cum - 1) // 1024 as bigint) pack_last
             from cum""",
+        # canonical chains: a /p page chains to /p/{d-1} unless d is a
+        # terminal (mult. of 5 = no declaration, ≡3 mod 7 =
+        # self-canonical dropped, ≡2 mod 13 = the /a-class page whose
+        # /p URL no one declares); the first terminal below d is at
+        # most 5 ids away, so hops is a 5-branch CASE
+        'web_canonical_map': """
+            with ds as (select doc_id d from documents),
+            src as (select d from ds
+                    where d % 13 != 2 and d % 7 != 3 and d % 5 != 0),
+            res as (select d,
+              case when (d-1) % 13 = 2 or (d-1) % 7 = 3
+                     or (d-1) % 5 = 0 then 1
+                   when (d-2) % 13 = 2 or (d-2) % 7 = 3
+                     or (d-2) % 5 = 0 then 2
+                   when (d-3) % 13 = 2 or (d-3) % 7 = 3
+                     or (d-3) % 5 = 0 then 3
+                   when (d-4) % 13 = 2 or (d-4) % 7 = 3
+                     or (d-4) % 5 = 0 then 4
+                   else 5 end k
+              from src)
+            select 'http://h.example.com/p/' || d src,
+                   'http://h.example.com/p/' || (d - k) final_url,
+                   cast(k as bigint) hops, false cyclic
+            from res
+            union all
+            select 'http://h.example.com/a/' || d,
+                   'http://cdn.example.com/c/' || d,
+                   cast(1 as bigint), false
+            from ds where d % 13 = 2""",
         # redirect chains: node i of chain g lands on the terminal
         # node L=g%4+1 in exactly L-i hops; 2-cycles null out
         'web_redirect_resolve': """

@@ -91,6 +91,7 @@ HEADLINE = [
     'web_discovery_bootstrap', 'web_warc_ingest',
     'web_politeness_schedule', 'web_cdx_index',
     'web_robots_wildcard', 'web_redirect_resolve',
+    'web_canonical_map',
 ]
 
 

@@ -89,3 +89,37 @@ def extract_links(html: str, base_url: str) -> list[dict]:
         anchor = ' '.join(_TAG_RE.sub(' ', m.group(4)).split())
         out.append({'href': href, 'dst_host': dst, 'anchor': anchor})
     return out
+
+
+_LINK_TAG_RE = re.compile(r'<link\s[^>]*>', re.IGNORECASE | re.DOTALL)
+_REL_RE = re.compile(
+    r'''\brel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))''', re.IGNORECASE)
+_HREF_RE = re.compile(
+    r'''\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))''', re.IGNORECASE)
+
+
+def extract_canonical(html: str) -> str | None:
+    """The page's ``<link rel="canonical" href=...>`` declaration — the
+    author-side dedup hint crawlers fold into URL canonicalization
+    (url_dedup handles URL-shape variants; rel=canonical is the page
+    saying "I am a copy of X" across DIFFERENT shapes).  First
+    canonical link wins (browser behavior); rel may be a multi-token
+    value (``rel="canonical nofollow"``); attribute order, case, and
+    quoting are free; ``<link>`` tags without a canonical rel (icons,
+    stylesheets) are ignored.  Returns the href as written (resolution
+    is the operator's job), or None."""
+    if not html:
+        return None
+    for tag in _LINK_TAG_RE.findall(html):
+        rm = _REL_RE.search(tag)
+        if rm is None:
+            continue
+        rel = (rm.group(1) or rm.group(2) or rm.group(3) or '')
+        if 'canonical' not in rel.lower().split():
+            continue
+        hm = _HREF_RE.search(tag)
+        if hm is None:
+            continue
+        href = (hm.group(1) or hm.group(2) or hm.group(3) or '').strip()
+        return href or None
+    return None

@@ -420,6 +420,59 @@ def robots_filter_full(urls: DataFrame, rules: DataFrame,
     return lit_out.unionByName(wc_out)
 
 
+def canonical_links(pages: DataFrame, url_col: str = 'url',
+                    html_col: str = 'html') -> DataFrame:
+    """pages(url, html) → (url, canonical_url): each page's
+    ``rel=canonical`` declaration (kernels/links.extract_canonical) —
+    the author-side dedup signal url_dedup's URL-shape rules can't
+    see (a page saying "I am a copy of X" across different shapes).
+    Href resolution (deterministic, oracle-stated): absolute
+    ``http(s)://`` kept as written, protocol-relative ``//`` gets
+    ``http:``, path-relative ``/…`` resolves against the page's own
+    host, anything else (no authority to resolve against) emits
+    nothing; pages without a canonical link emit nothing.
+
+    Feed ``filter(url != canonical_url)`` into
+    :func:`resolve_redirects` to collapse canonical CHAINS (page A
+    canonicalizes to B which canonicalizes to C) exactly like
+    redirect chains — self-canonical pages (the common "I am
+    canonical" idiom) drop at that filter instead of reading as
+    1-cycles.
+
+    Scale shape: ONE mapInPandas node over the page table, zero
+    shuffle (the robots_rules/url_dedup lesson)."""
+    from jionlp_spark.kernels.links import extract_canonical, url_host
+
+    def kernel(batches):
+        for pdf in batches:
+            urls, canon = [], []
+            for u, html in zip(pdf[url_col], pdf[html_col]):
+                href = extract_canonical(html)
+                if not href:
+                    continue
+                if href.startswith('//'):
+                    c = 'http:' + href
+                elif href.startswith('/'):
+                    h = url_host(u)
+                    if h is None:
+                        continue
+                    c = 'http://' + h + href
+                elif href.startswith(('http://', 'https://')):
+                    c = href
+                else:
+                    continue
+                urls.append(u)
+                canon.append(c)
+            yield pd.DataFrame({
+                'url': pd.Series(urls, dtype=object),
+                'canonical_url': pd.Series(canon, dtype=object)})
+
+    schema = T.StructType([
+        T.StructField('url', T.StringType()),
+        T.StructField('canonical_url', T.StringType())])
+    return pages.select(url_col, html_col).mapInPandas(kernel, schema)
+
+
 def resolve_redirects(edges: DataFrame, src_col: str = 'src',
                       dst_col: str = 'dst',
                       max_iter: int = 16) -> DataFrame:

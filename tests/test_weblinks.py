@@ -317,3 +317,35 @@ def test_sitemap_discover_recursion(spark):
     got = sorted((r['url'], r['depth'], r['status']) for r in rows)
     assert got == [('http://x/missing.xml', 1, 'unfetched'),
                    ('http://x/p', 3, 'page')]
+
+
+def test_extract_canonical_kernel_and_operator(spark):
+    """rel=canonical: attribute order/case/quoting free, multi-token
+    rel, first-wins, decoys ignored; operator resolution — absolute
+    kept, '//' gets http:, '/' resolves to the page host, other
+    relatives and no-declaration pages emit nothing."""
+    from jionlp_spark.kernels.links import extract_canonical as ec
+    from jionlp_spark.operators.weblinks import canonical_links
+    assert ec('<LINK HREF="http://a/c" REL="canonical"/>') == 'http://a/c'
+    assert ec("<link rel='canonical nofollow' href='/x'>") == '/x'
+    assert ec('<link rel=stylesheet href=/s.css>'
+              '<link rel=canonical href=/y>') == '/y'
+    assert ec('<link rel="canonical" href="/1">'
+              '<link rel="canonical" href="/2">') == '/1'
+    assert ec('<link rel="icon" href="/i.ico">') is None
+    assert ec('<link rel="canonical">') is None
+    assert ec(None) is None and ec('') is None
+
+    pages = spark.createDataFrame(
+        [('http://h.com/1', '<link rel="canonical" href="/c1">'),
+         ('http://h.com/2', '<link rel="canonical" href="//m.com/c2">'),
+         ('http://h.com/3',
+          '<link rel="canonical" href="https://x.com/c3">'),
+         ('http://h.com/4', '<link rel="canonical" href="c4">'),  # drop
+         ('http://h.com/5', '<p>no link</p>')],
+        'url string, html string')
+    got = {r['url']: r['canonical_url']
+           for r in canonical_links(pages).collect()}
+    assert got == {'http://h.com/1': 'http://h.com/c1',
+                   'http://h.com/2': 'http://m.com/c2',
+                   'http://h.com/3': 'https://x.com/c3'}
