@@ -439,10 +439,13 @@ def pack_plan_bfd(docs: DataFrame, max_len: int = 1024,
     Scale shape: ONE shuffle into 16 md5 shards, then a per-shard
     greedy in applyInPandas — BFD is inherently sequential WITHIN a
     pack stream (same contract as pack_plan's cumulative sum); shards
-    are the parallelism unit.  The greedy is O(docs·open_packs) per
-    shard; open packs stay small because decreasing order fills them
-    tight (and a production run shards finer — the shard key is one
-    md5 substring away from 256/4096-way).
+    are the parallelism unit (a production run shards finer — the
+    shard key is one md5 substring away from 256/4096-way).  The
+    greedy is O(docs·log open_packs) per shard via a sorted-loads
+    index (open packs grow ∝ shard tokens — with max_len fixed, most
+    packs stay open forever since later, smaller docs still fit; a
+    naive all-bins scan is quadratic per shard, caught at the 100×
+    bench point).
     """
     import pandas as pd
 
@@ -453,25 +456,53 @@ def pack_plan_bfd(docs: DataFrame, max_len: int = 1024,
     d = d.withColumn('shard', F.substring('h', 1, 1))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # O(docs·log bins) best-fit: loads kept in a bisectable sorted
+        # list, each load mapping to a min-heap of bin ids — "largest
+        # load that fits, lowest bin id on load ties", identical to
+        # the naive scan (the scale bench caught the O(docs·bins)
+        # linear scan going quadratic per shard at 100×: most bins
+        # stay open forever because later, SMALLER docs still fit).
+        import bisect
+        import heapq
+
         pdf = pdf.sort_values(
             ['len', 'h', 'doc_id'], ascending=[False, True, True])
-        bins: list[int] = []
+        n_bins = 0
+        loads: list[int] = []            # sorted distinct load values
+        by_load: dict = {}               # load -> min-heap of bin ids
+        bin_load: list[int] = []         # bin id -> current load
         pack_id, pack_off = [], []
+
+        def _take(load):
+            heap = by_load[load]
+            b = heapq.heappop(heap)
+            if not heap:
+                del by_load[load]
+                loads.pop(bisect.bisect_left(loads, load))
+            return b
+
+        def _put(load, b):
+            if load not in by_load:
+                by_load[load] = []
+                bisect.insort(loads, load)
+            heapq.heappush(by_load[load], b)
+
         for ln in pdf['len']:
             ln = int(ln)
-            best = -1
-            for i, load in enumerate(bins):
-                if load + ln <= max_len and (best < 0
-                                             or load > bins[best]):
-                    best = i
-            if best < 0:
-                pack_id.append(len(bins))
+            pos = bisect.bisect_right(loads, max_len - ln) - 1
+            if pos < 0:
+                pack_id.append(n_bins)
                 pack_off.append(0)
-                bins.append(ln)
+                bin_load.append(ln)
+                _put(ln, n_bins)
+                n_bins += 1
             else:
-                pack_id.append(best)
-                pack_off.append(bins[best])
-                bins[best] += ln
+                load = loads[pos]
+                b = _take(load)
+                pack_id.append(b)
+                pack_off.append(load)
+                bin_load[b] = load + ln
+                _put(load + ln, b)
         pdf = pdf.assign(pack_id=pack_id, pack_off=pack_off,
                          oversize=pdf['len'] > max_len)
         return pdf[['doc_id', 'shard', 'pack_id', 'pack_off',
