@@ -5323,80 +5323,18 @@ def q_events_daily(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 163).  The
-    # r6 sessions grew the inventory from 94 to 163 queries (the 7
-    # round-close additions — pack_plan_bfd, web_sitemap_discover,
-    # streaming_ingest, web_robots_directives, web_warc_records,
-    # web_discovery_bootstrap, web_warc_ingest — sit at the head of
-    # the tail, i.e. first in the r7 rotation queue); 72 of the 156
-    # pre-close queries
-    # have NEVER been driver-sampled (no row in CORRECTNESS_r04/r05 —
-    # local-oracle-gate evidence only).  The r6 window therefore goes to
-    # union coverage: 46 never-sampled queries (every family sessions
-    # 2-6 added: graph/retrieval/web/curation/sketch/LM, preferring one
-    # representative per shared core — e.g. kg_transe_scores over
-    # kg_negative_samples which it composes, bm25_index_extend +
-    # bm25_topk over bm25_index_topk) plus the 4 r5-green queries whose
-    # SEMANTICS changed in r6 and need re-certification (ann_ivf_topk:
-    # arrow-default assigner, r5 verdict #4; dedup_incremental: bucketed
-    # exchange-free history join, verdict #5; dedup_cluster_keep:
-    # large-star/small-star components, verdict #3; catalog_roundtrip:
-    # bucketed publish).  Driver union after r6 = 134/156 distinct
-    # queries with >= 1 green row.  Tail order is the r7 rotation queue:
-    # first the 26 deferred never-sampled (their shared-core sibling IS
-    # in this window), then the 34 r4-aged rows (2 rounds old after r6
-    # - oldest refreshable evidence), then the r5-green remainder.
+    # Dict order is the driver's sampling order (first 50 of 168).  The
+    # r7 window is pure evidence placement (r6 verdict item 1): slots
+    # 1-38 are the 38 queries that have NEVER had a driver CORRECTNESS
+    # row (every late-r6 addition past the 50-slot window: the 12
+    # round-close web/storage queries + 26 mid-round entries), slots
+    # 39-50 are the 12 alphabetically-first r4-aged rows (oldest
+    # refreshable evidence, 2 rounds old).  Union coverage after a
+    # green r7 run = 168/168 distinct queries.  Tail order is the r8
+    # rotation queue: the 22 remaining r4-aged rows first, then the 46
+    # r5-green rows, then the 50 r6-green rows (freshest evidence
+    # last).
     return {
-        'streaming_to_incremental': q_streaming_to_incremental,
-        'decontam_report': q_decontam_report,
-        'lm_perplexity': q_lm_perplexity,
-        'kg_entity_pagerank': q_kg_entity_pagerank,
-        'training_mix': q_training_mix,
-        'repetition_filters': q_repetition_filters,
-        'curate_corpus': q_curate_corpus,
-        'ann_index_topk': q_ann_index_topk,
-        'ann_index_extend': q_ann_index_extend,
-        'dsir_weights': q_dsir_weights,
-        'semdedup_keep': q_semdedup_keep,
-        'streaming_curate': q_streaming_curate,
-        'kg_edge_confidence': q_kg_edge_confidence,
-        'pack_plan': q_pack_plan,
-        'kg_entity_similarity': q_kg_entity_similarity,
-        'kg_entity_canon': q_kg_entity_canon,
-        'leakage_safe_split': q_leakage_safe_split,
-        'dedup_substring_spans': q_dedup_substring_spans,
-        'kg_triangles': q_kg_triangles,
-        'kg_link_predict': q_kg_link_predict,
-        'ccnet_buckets': q_ccnet_buckets,
-        'web_link_graph': q_web_link_graph,
-        'hll_token_distinct': q_hll_token_distinct,
-        'cms_heavy_hitters': q_cms_heavy_hitters,
-        'kg_kcore': q_kg_kcore,
-        'ann_pq_topk': q_ann_pq_topk,
-        'bm25_topk': q_bm25_topk,
-        'web_url_dedup': q_web_url_dedup,
-        'bm25_index_extend': q_bm25_index_extend,
-        'hybrid_topk': q_hybrid_topk,
-        'lm_stupid_backoff': q_lm_stupid_backoff,
-        'web_random_walks': q_web_random_walks,
-        'web_robots_filter': q_web_robots_filter,
-        'kg_entity_types': q_kg_entity_types,
-        'dedup_paragraphs': q_dedup_paragraphs,
-        'web_frontier_pipeline': q_web_frontier_pipeline,
-        'kg_transe_scores': q_kg_transe_scores,
-        'web_host_hits': q_web_host_hits,
-        'kg_entity_salience': q_kg_entity_salience,
-        'dedup_containment_pairs': q_dedup_containment_pairs,
-        'web_sitemap_urls': q_web_sitemap_urls,
-        'web_seed_ppr': q_web_seed_ppr,
-        'web_content_extract': q_web_content_extract,
-        'quality_gopher': q_quality_gopher,
-        'web_ingest_pipeline': q_web_ingest_pipeline,
-        'kg_edges_extend': q_kg_edges_extend,
-        'ann_ivf_topk': q_ann_ivf_topk,
-        'dedup_incremental': q_dedup_incremental,
-        'dedup_cluster_keep': q_dedup_cluster_keep,
-        'catalog_roundtrip': q_catalog_roundtrip,
         'pack_plan_bfd': q_pack_plan_bfd,
         'web_sitemap_discover': q_web_sitemap_discover,
         'streaming_ingest': q_streaming_ingest,
@@ -5515,6 +5453,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_state_bounded': q_streaming_state_bounded,
         'kg_entity_counts_skew': q_kg_entity_counts_skew,
         'kg_recognize_location_full': q_kg_recognize_location_full,
+        'streaming_to_incremental': q_streaming_to_incremental,
+        'decontam_report': q_decontam_report,
+        'lm_perplexity': q_lm_perplexity,
+        'kg_entity_pagerank': q_kg_entity_pagerank,
+        'training_mix': q_training_mix,
+        'repetition_filters': q_repetition_filters,
+        'curate_corpus': q_curate_corpus,
+        'ann_index_topk': q_ann_index_topk,
+        'ann_index_extend': q_ann_index_extend,
+        'dsir_weights': q_dsir_weights,
+        'semdedup_keep': q_semdedup_keep,
+        'streaming_curate': q_streaming_curate,
+        'kg_edge_confidence': q_kg_edge_confidence,
+        'pack_plan': q_pack_plan,
+        'kg_entity_similarity': q_kg_entity_similarity,
+        'kg_entity_canon': q_kg_entity_canon,
+        'leakage_safe_split': q_leakage_safe_split,
+        'dedup_substring_spans': q_dedup_substring_spans,
+        'kg_triangles': q_kg_triangles,
+        'kg_link_predict': q_kg_link_predict,
+        'ccnet_buckets': q_ccnet_buckets,
+        'web_link_graph': q_web_link_graph,
+        'hll_token_distinct': q_hll_token_distinct,
+        'cms_heavy_hitters': q_cms_heavy_hitters,
+        'kg_kcore': q_kg_kcore,
+        'ann_pq_topk': q_ann_pq_topk,
+        'bm25_topk': q_bm25_topk,
+        'web_url_dedup': q_web_url_dedup,
+        'bm25_index_extend': q_bm25_index_extend,
+        'hybrid_topk': q_hybrid_topk,
+        'lm_stupid_backoff': q_lm_stupid_backoff,
+        'web_random_walks': q_web_random_walks,
+        'web_robots_filter': q_web_robots_filter,
+        'kg_entity_types': q_kg_entity_types,
+        'dedup_paragraphs': q_dedup_paragraphs,
+        'web_frontier_pipeline': q_web_frontier_pipeline,
+        'kg_transe_scores': q_kg_transe_scores,
+        'web_host_hits': q_web_host_hits,
+        'kg_entity_salience': q_kg_entity_salience,
+        'dedup_containment_pairs': q_dedup_containment_pairs,
+        'web_sitemap_urls': q_web_sitemap_urls,
+        'web_seed_ppr': q_web_seed_ppr,
+        'web_content_extract': q_web_content_extract,
+        'quality_gopher': q_quality_gopher,
+        'web_ingest_pipeline': q_web_ingest_pipeline,
+        'kg_edges_extend': q_kg_edges_extend,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'dedup_incremental': q_dedup_incremental,
+        'dedup_cluster_keep': q_dedup_cluster_keep,
+        'catalog_roundtrip': q_catalog_roundtrip,
     }
 
 
