@@ -103,8 +103,13 @@ def _pattern_regex(pattern: str) -> re.Pattern:
 
 def robots_allowed(path: str, rules: list[RobotsRule]) -> tuple[bool, str | None]:
     """(path, rules) → (allowed, deciding_pattern).  Longest-pattern
-    match wins; allow wins ties; no match → (True, None).  ``path``
-    must include the leading '/' (query string included per RFC)."""
+    match wins; allow wins ties; equal (len, allow) ties break to the
+    lexicographically-smallest pattern so the reported pattern is
+    identical to the declarative JVM path's (length desc, allow desc,
+    pattern asc) window order — rule-set order never leaks into the
+    verdict OR the deciding pattern.  No match → (True, None).
+    ``path`` must include the leading '/' (query string included per
+    RFC)."""
     if not path.startswith('/'):
         path = '/' + path
     best: tuple[int, int, str] | None = None    # (len, allow, pattern)
@@ -117,7 +122,8 @@ def robots_allowed(path: str, rules: list[RobotsRule]) -> tuple[bool, str | None
         elif not path.startswith(pattern):
             continue
         key = (len(pattern), 1 if allow else 0)
-        if best is None or key > (best[0], best[1]):
+        if (best is None or key > (best[0], best[1])
+                or (key == (best[0], best[1]) and pattern < best[2])):
             best = (key[0], key[1], pattern)
     if best is None:
         return True, None

@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _java_regex_literal(s: str) -> str:
+    """Escape ``s`` so Java's Pattern (the engine behind ``F.split``)
+    matches it literally: backslash every non-alphanumeric character
+    (Pattern treats ``\\<non-alpha>`` as the literal char; escaping an
+    alphanumeric would risk hitting a named construct like ``\\d``)."""
+    return ''.join(c if c.isalnum() else '\\' + c for c in s)
+
+
 def dedup_exact(docs: DataFrame, text_col: str = 'text',
                 id_col: str = 'doc_id') -> DataFrame:
     """→ (content_hash, cluster_size, keep_doc_id) for clusters > 1."""
@@ -855,10 +863,13 @@ def paragraph_dedup(docs: DataFrame, min_df: int = 5, sep: str = '\n',
     Spark-4.1 per-row rule).  An in-plan raise_error guard fires if the
     set exceeds ``max_boilerplate`` entries rather than silently
     building an unbroadcastable array (the winnowing hot-cap policy).
-    ``sep`` must be a literal string — it is used verbatim both as the
-    split pattern and the re-join glue."""
+    ``sep`` is a LITERAL separator on both sides: it is regex-escaped
+    before reaching ``F.split`` (which takes a Java regex) and used
+    verbatim as the re-join glue — a caller passing '.' or '|' gets
+    literal-dot/pipe paragraphs, not per-character splits."""
+    sep_pat = _java_regex_literal(sep)
     paras = (docs.select(F.col(id_col).alias('_id'),
-                         F.explode(F.split(F.col(text_col), sep))
+                         F.explode(F.split(F.col(text_col), sep_pat))
                          .alias('p'))
              .distinct())
     hot = (paras.groupBy('p')
@@ -869,7 +880,7 @@ def paragraph_dedup(docs: DataFrame, min_df: int = 5, sep: str = '\n',
         f"raise_error('paragraph_dedup: boilerplate set exceeds "
         f"{int(max_boilerplate)} entries — raise min_df or "
         f"max_boilerplate') else _hot end as _hot")
-    ps = F.split(F.col(text_col), sep)
+    ps = F.split(F.col(text_col), sep_pat)
     kept = F.filter(ps, lambda p: ~F.array_contains(F.col('_hot'), p))
     return (docs.crossJoin(F.broadcast(hot_row))
             .select(F.col(id_col),

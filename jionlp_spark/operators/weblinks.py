@@ -165,9 +165,21 @@ def url_dedup(df: DataFrame, url_col: str = 'url',
 
 
 def url_host(col):
-    """Host of a canonical URL by pure string ops (split on '://' then
-    '/') — engine-identical in DuckDB, no regex (CLAUDE.md rule)."""
-    return F.split(F.element_at(F.split(col, '://'), 2), '/')[0]
+    """Host of a canonical URL by pure string ops — engine-identical
+    in DuckDB, no regex (CLAUDE.md rule).  Mirrors
+    kernels/links.url_host: the authority ends at the first of
+    '/', '?', '#'; a 'user@' userinfo prefix and a ':port' suffix are
+    stripped, so URLs carrying either still join against kernel- or
+    caller-supplied bare hostnames (robots/delay tables).  Divergence
+    from the kernel: bracketed IPv6 literals ('[::1]:8080') truncate
+    at the first ':' here — out of scope for the web-host tables this
+    feeds."""
+    rest = F.element_at(F.split(col, '://'), 2)
+    auth = F.substring_index(
+        F.substring_index(F.substring_index(rest, '/', 1), '?', 1),
+        '#', 1)
+    return F.substring_index(F.element_at(F.split(auth, '@'), -1),
+                             ':', 1)
 
 
 def frontier_plan(frontier: DataFrame, per_slot: int = 2,

@@ -354,12 +354,20 @@ def cdx_entries(records: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     uri = F.col('target_uri')
     rest = F.substring_index(uri, '://', -1)
-    host = F.substring_index(rest, '/', 1)
+    # the authority ends at the FIRST of '/', '?', '#' — a query that
+    # begins before any path slash (http://h.com?x=1) must not fold
+    # into the reversed host labels
+    host = F.substring_index(
+        F.substring_index(F.substring_index(rest, '/', 1), '?', 1),
+        '#', 1)
     path = F.substring(rest, F.length(host) + 1, 2_000_000)
     surt = F.concat(
         F.array_join(F.reverse(F.split(host, '\\.')), ','),
         F.lit(')'),
-        F.when(F.length(path) > 0, path).otherwise(F.lit('/')))
+        F.when(F.length(path) == 0, F.lit('/'))
+        .when(F.substring(path, 1, 1) != '/',
+              F.concat(F.lit('/'), path))        # query/fragment-first
+        .otherwise(path))
     return (records
             .filter((F.col('rec_type') == 'response')
                     & uri.isNotNull())

@@ -157,3 +157,17 @@ def test_robots_filter_full_hybrid_routing(spark):
         'http://wc.com/p/a?sess=1': (False, '/*?sess'),  # 7 beats 3
         'http://wc.com/q': (True, None),
     }
+
+
+def test_equal_len_allow_tie_reports_lex_smallest_pattern():
+    """(len, allow) ties break to the lexicographically-smallest
+    pattern — rule-set ORDER never decides the reported rule_path, so
+    the kernel agrees with the declarative JVM window (length desc,
+    allow desc, pattern asc) on both verdict AND pattern."""
+    # two same-length wildcard disallows both matching '/xab'
+    tie = [(False, '/x*b'), (False, '/x*a')]
+    assert robots_allowed('/xab', tie) == (False, '/x*a')
+    assert robots_allowed('/xab', list(reversed(tie))) == (False, '/x*a')
+    # allow still wins the (len) tie before pattern order applies
+    mixed = [(False, '/x*a'), (True, '/x*b')]
+    assert robots_allowed('/xab', mixed) == (True, '/x*b')

@@ -349,3 +349,54 @@ def test_extract_canonical_kernel_and_operator(spark):
     assert got == {'http://h.com/1': 'http://h.com/c1',
                    'http://h.com/2': 'http://m.com/c2',
                    'http://h.com/3': 'https://x.com/c3'}
+
+
+def test_sql_url_host_strips_userinfo_port_and_cuts_query(spark):
+    """The SQL url_host helper mirrors kernels/links.url_host on the
+    shapes that reach robots/delay joins: authority ends at the first
+    of '/', '?', '#'; 'user@' and ':port' are stripped — URLs carrying
+    either still match kernel-derived bare hostnames."""
+    from jionlp_spark.operators.weblinks import url_host as sql_host
+    urls = ['http://h.example.com/p/1',
+            'http://h.example.com?x=1',          # query before any '/'
+            'http://h.example.com#frag',
+            'http://user@h.example.com/p',
+            'http://user:pw@h.example.com:8080/p',
+            'http://h.example.com:8080/p']
+    df = spark.createDataFrame([(u,) for u in urls], 'url string')
+    got = [r[0] for r in
+           df.select(sql_host(F.col('url'))).collect()]
+    assert got == ['h.example.com'] * len(urls)
+
+
+def test_paragraph_dedup_sep_is_literal(spark):
+    """A regex-meaningful separator ('.') splits literally — the split
+    pattern is escaped, the re-join glue stays verbatim."""
+    from jionlp_spark.operators.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(i, 'boiler.keep%d' % i) for i in range(5)],
+        'doc_id long, text string')
+    out = {r['doc_id']: (r['clean_text'], r['n_paras'], r['n_removed'])
+           for r in paragraph_dedup(docs, min_df=3, sep='.').collect()}
+    assert out == {i: ('keep%d' % i, 2, 1) for i in range(5)}
+
+
+def test_cdx_surt_key_query_before_slash(spark):
+    """A target URI whose query starts before any path slash must not
+    fold into the reversed host labels; its SURT path segment gets the
+    canonical ')/'."""
+    from jionlp_spark.kernels.warc import build_warc_response
+    from jionlp_spark.sources.pages import (cdx_entries,
+                                            read_warc_segments)
+    seg = (build_warc_response('http://h.example.com?x=1', 'd1', 'a')
+           + build_warc_response('http://h.example.com/p/1?x=1',
+                                 'd2', 'b')
+           + build_warc_response('http://h.example.com', 'd3', 'c'))
+    df = spark.createDataFrame([(1, bytearray(seg))],
+                               'segment_id long, warc binary')
+    rows = sorted(cdx_entries(read_warc_segments(df)).collect(),
+                  key=lambda r: r['offset'])
+    assert [r['surt_key'] for r in rows] == [
+        'com,example,h)/?x=1',
+        'com,example,h)/p/1?x=1',
+        'com,example,h)/']
