@@ -1609,9 +1609,14 @@ def q_dedup_containment_pairs(spark, sf_dir):
     Jaccard is diluted by the larger doc but whose containment is
     exactly 1.0 (every kept predecessor shingle appears in the
     wrapper; the global hot-cut removes a shingle from both sides, so
-    A ⊆ B survives it).  max_shingle_df=4 genuinely bites (the sf0.01
-    corpus has 151 natural 3-gram shingles at df ≥ 5, max 7) — the
-    gate certifies the stop-shingle path production needs."""
+    A ⊆ B survives it).  The cut runs the SCALE-STABLE form (r6
+    verdict #3): cap = greatest(4, ceil(0.011·n_docs)) = 6 at sf0.01
+    (500 docs) — the relative term dominates the absolute floor AND
+    still bites (the corpus has natural 3-gram shingles at df 7), so
+    both the boilerplate floor and the corpus-fraction path are live
+    under the gate, and pair semantics no longer tighten as the
+    corpus grows (the fixed-cap cut removed proportionally more
+    shingles at every 10×)."""
     from jionlp_spark.operators.dedup import containment_pairs, shingles
     d = _docs(spark, sf_dir).select('doc_id', 'text')
     p = d.select(F.col('doc_id').alias('p_id'),
@@ -1624,7 +1629,7 @@ def q_dedup_containment_pairs(spark, sf_dir):
                                    F.col('text')))
                    .otherwise(F.col('text')).alias('text')))
     return containment_pairs(shingles(inj, n=3), threshold=0.8,
-                             max_shingle_df=4)
+                             max_shingle_df=4, df_frac=0.011)
 
 
 def q_kg_entity_salience(spark, sf_dir):
@@ -8899,8 +8904,13 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                          array_to_string(toks[i:i+2], ' ') s
                   from w, lateral unnest(
                       range(1, greatest(len(toks) - 2, 1) + 1)) t(i)),
-            keep_s as (select s from g group by s
-                       having count(*) <= 4),
+            nd as (select cast(count(*) as bigint) n from inj),
+            keep_s as (select s from g, nd group by s, nd.n
+                       having count(*) <= greatest(
+                           cast(4 as bigint),
+                           cast(ceil(cast(0.011 as double)
+                                     * cast(nd.n as double))
+                                as bigint))),
             kept as (select g.doc_id, g.s from g join keep_s using (s)),
             sz as (select doc_id, cast(count(*) as bigint) sz
                    from kept group by doc_id),

@@ -68,10 +68,15 @@ def _decode(raw: str) -> str:
 
     def sub(em: re.Match) -> str:
         e = em.group(1)
-        if e[:2].lower() == '#x':
-            return chr(int(e[2:], 16))
         if e.startswith('#'):
-            return chr(int(e[1:]))
+            # tolerant: an out-of-range code point (&#99999999; — real
+            # feeds carry these) stays literal instead of raising
+            try:
+                cp = int(e[2:], 16) if e[:2].lower() == '#x' \
+                    else int(e[1:])
+                return chr(cp)
+            except (ValueError, OverflowError):
+                return em.group(0)
         return _NAMED[e.lower()]
 
     return _ENTITY_RE.sub(sub, v)

@@ -204,7 +204,7 @@ def _assign(emb: DataFrame, centroids: DataFrame, probes: int,
     impl='arrow' replaces the N·k interpreted-lambda crossJoin with a
     vectorized mapInPandas kernel — the coarse-assignment stage dominates
     IVF cost once k follows the n_centroids ∝ N rule (measured 99 s →
-    ~8 s at 200k vectors × k=800, scripts/dedup_scale_bench.py).  The
+    ~8 s at 200k vectors × k=800, scripts/scale_bench.py --families dedup).  The
     kernel folds dims left-to-right exactly like the Catalyst aggregate
     (bit-identical sims; see _cosine_pairs_arrow) and applies HALF_UP
     rounding.  Default since r6 — it is the only assignment that survives

@@ -891,7 +891,8 @@ def paragraph_dedup(docs: DataFrame, min_df: int = 5, sep: str = '\n',
 
 
 def containment_pairs(shingle_df: DataFrame, threshold: float = 0.8,
-                      max_shingle_df: int = 100) -> DataFrame:
+                      max_shingle_df: int = 100,
+                      df_frac: float | None = None) -> DataFrame:
     """→ (doc_a, doc_b, n_shared, size_a, size_b, containment): exact
     shingle-set containment C(A, B) = |A∩B| / min(|A|, |B|) — the
     ASYMMETRIC near-dup the Jaccard family structurally misses: a doc
@@ -915,12 +916,43 @@ def containment_pairs(shingle_df: DataFrame, threshold: float = 0.8,
     over exact bigints; the threshold compare splits identically in
     both engines (identical trees are bit-identical).
 
+    ``df_frac`` makes the cut SCALE-STABLE: with a fixed absolute cap,
+    growing the corpus silently tightens the cut (a shingle shared by
+    0.1% of docs is informative at 10k docs and axed at 10M), changing
+    which pairs are comparable as data grows.  When set, the effective
+    cap is ``greatest(max_shingle_df, ceil(df_frac · n_docs))`` — the
+    absolute cap stays as the small-corpus boilerplate floor.
+    ``n_docs`` rides in as a broadcast scalar (one count over the
+    per-doc shingle table — docs-sized, not posting-sized).
+
+    The price is EXPLICIT, not hidden: the pair join moves at most
+    cap·|postings| rows, so a cap ∝ N makes join work ∝ frac·N·postings
+    — inherently superlinear.  You cannot have both fully
+    scale-invariant pair semantics and a subquadratic posting join;
+    ``df_frac`` exists so the trade is a stated knob instead of a
+    silent semantic drift.  Production guidance at 100 TB: pick frac
+    so frac·N equals the df budget the cluster affords (e.g. 1e-6 at
+    1B docs = cap 1000), or keep the absolute cap and accept the
+    documented informative-shingle-domain semantics.  Measured
+    (BENCH/PLANS.md r7): at 10× the relative cap retains the base
+    corpus's pair set where the fixed cap silently drops part of it;
+    at 100× with frac=0.011 the join is ≥50× the 10× work — the
+    stated price, not a surprise quadratic.
+
     ``shingle_df`` is ``shingles()`` output — per-doc DISTINCT shingle
     arrays (array_distinct is the set contract the counts rely on)."""
     posts = (shingle_df.select('doc_id', F.explode('shingles').alias('s'))
              .localCheckpoint())
-    keep_s = (posts.groupBy('s').agg(F.count('*').alias('df'))
-              .filter(F.col('df') <= max_shingle_df).select('s'))
+    dfs = posts.groupBy('s').agg(F.count('*').alias('df'))
+    if df_frac is None:
+        cap = F.lit(int(max_shingle_df))
+    else:
+        nd = shingle_df.agg(F.count('*').alias('_nd'))
+        dfs = dfs.crossJoin(F.broadcast(nd))
+        cap = F.greatest(
+            F.lit(int(max_shingle_df)),
+            F.ceil(F.lit(float(df_frac)) * F.col('_nd')).cast('long'))
+    keep_s = dfs.filter(F.col('df') <= cap).select('s')
     kept = posts.join(keep_s, 's').localCheckpoint()
     sizes = kept.groupBy('doc_id').agg(
         F.count('*').cast('long').alias('sz'))

@@ -1,0 +1,255 @@
+"""Adversarial fuzz / property tests for the web-format kernels (r6
+verdict #5): the closed-form oracle fixtures exercise known branches;
+real crawl data is hostile — Content-Length lies, header injection,
+regex-metachar robots patterns, entity bombs, nested CDATA.  These pin
+crash-freedom plus the structural invariants each parser promises:
+WARC offsets monotone and octet lengths honest, robots verdicts total
+with the pattern matcher equivalent to a from-scratch wildcard oracle,
+sitemap entries always carrying a loc, URL normalization idempotent.
+
+Pure kernel tests — no Spark session."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jionlp_spark.kernels.robots import (_pattern_regex, parse_robots,
+                                         parse_robots_directives,
+                                         robots_allowed)
+from jionlp_spark.kernels.sitemap import parse_sitemap, sitemap_kind
+from jionlp_spark.kernels.urlnorm import normalize_url
+from jionlp_spark.kernels.warc import build_warc_response, parse_warc
+
+# ------------------------------------------------------------------ WARC
+
+_junk = st.binary(max_size=64)
+_html = st.text(
+    alphabet=st.characters(codec='utf-8',
+                           exclude_characters='\x00'),
+    max_size=200)
+_uri = st.text(alphabet=string.ascii_letters + string.digits + ':/._-',
+               min_size=1, max_size=60)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_warc_arbitrary_bytes_never_crash(blob):
+    """Any byte soup parses without raising; offsets are strictly
+    monotone and each points at a real 'WARC/' version line."""
+    recs = parse_warc(blob)
+    offs = [r.offset for r in recs]
+    assert offs == sorted(set(offs))
+    for r in recs:
+        assert blob[r.offset:r.offset + 5] == b'WARC/'
+
+
+@given(st.lists(st.tuples(_uri, _html,
+                          st.integers(min_value=100, max_value=599)),
+                min_size=1, max_size=5),
+       st.lists(_junk, min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_warc_roundtrip_with_junk_between_records(docs, junks):
+    """build → (junk) → parse recovers every record in order with the
+    exact uri/status/body — Content-Length counts OCTETS, so multi-byte
+    bodies survive, and junk between records is skipped, never folded
+    into a body.  Junk is sanitized of record boundaries (a literal
+    'WARC/' inside padding legitimately starts a scan attempt) and
+    newline-terminated when present — the parser's documented skip
+    finds the next '\\nWARC/' boundary, so a record glued directly to
+    junk with no newline is genuinely unreachable (contract, not bug)."""
+    segment = b''
+    for i, (uri, html, status) in enumerate(docs):
+        j = junks[i % len(junks)].replace(b'WARC/', b'xxxxx')
+        if j:
+            j += b'\n'
+        segment += j + build_warc_response(uri, html=html, status=status,
+                                           date='2021-01-01T00:00:00Z')
+    recs = [r for r in parse_warc(segment) if r.rec_type == 'response']
+    assert [r.target_uri for r in recs] == [d[0] for d in docs]
+    assert [r.http_status for r in recs] == [d[2] for d in docs]
+    assert [r.body for r in recs] == [d[1] for d in docs]
+
+
+@given(_uri, _html, st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=150, deadline=None)
+def test_warc_content_length_lies_drop_never_raise(uri, html, lie):
+    """A record whose declared Content-Length overruns the segment is
+    a truncated tail: dropped, parse stops, no exception — and records
+    BEFORE the liar still parse."""
+    good = build_warc_response(uri, '2021-01-01T00:00:00Z', html)
+    liar = build_warc_response(uri, '2021-01-01T00:00:00Z', html)
+    # inflate the declared length past the segment end
+    liar = liar.replace(
+        f'Content-Length: '.encode() , b'Content-Length: 9', 1)
+    # 'Content-Length: 9<orig digits>...' — prefixing a 9 multiplies
+    # the declared length ~10x, guaranteed past the tail
+    recs = parse_warc(good + liar)
+    assert len(recs) == 1
+    assert recs[0].body == html
+
+
+@given(_uri, st.integers(min_value=100, max_value=599))
+@settings(max_examples=100, deadline=None)
+def test_warc_header_injection_inside_body_is_inert(uri, status):
+    """A body that CONTAINS a full 'WARC/1.0' record text must not
+    spawn a phantom record — Content-Length framing consumes it as
+    payload bytes."""
+    inner = build_warc_response('http://evil/x', '2020-01-01T00:00:00Z',
+                                'pwned').decode('utf-8')
+    seg = (build_warc_response(uri, '2021-01-01T00:00:00Z', inner,
+                               status)
+           + build_warc_response('http://ok/2', '2021-01-01T00:00:00Z',
+                                 'tail'))
+    recs = parse_warc(seg)
+    assert [r.target_uri for r in recs] == [uri, 'http://ok/2']
+    assert 'http://evil/x' in recs[0].body     # payload, not a record
+
+
+# ---------------------------------------------------------------- robots
+
+_pattern = st.text(alphabet='/ab.?+()[]{}|^\\$*e', min_size=1,
+                   max_size=12)
+_path = st.text(alphabet='/ab.?+()[]{}|e', min_size=1, max_size=16)
+
+
+def _wildcard_oracle(pattern: str, path: str) -> bool:
+    """From-scratch RFC 9309 matcher: '*' spans anything, '$' only at
+    the very end anchors, every other char (regex metachars included)
+    is literal, and the match is a PREFIX match unless anchored."""
+    anchored = pattern.endswith('$')
+    body = pattern[:-1] if anchored else pattern
+    segs = body.split('*')
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:
+        return (len(path) == pos) if anchored else True
+    for s in segs[1:-1]:
+        i = path.find(s, pos)
+        if i < 0:
+            return False
+        pos = i + len(s)
+    last = segs[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
+@given(_pattern, _path)
+@settings(max_examples=500, deadline=None)
+def test_robots_pattern_regex_equals_wildcard_oracle(pattern, path):
+    """_pattern_regex's escaping is honest: on patterns stuffed with
+    regex metachars it agrees with a regex-free wildcard matcher —
+    '.', '+', '(', ')' etc. are LITERAL, only '*' and a trailing '$'
+    are special."""
+    got = _pattern_regex(pattern).match(path) is not None
+    assert got == _wildcard_oracle(pattern, path)
+
+
+@given(st.text(max_size=400), st.text(alphabet='/ab*$.', max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_robots_parse_and_verdict_total(text, path):
+    """parse_robots / parse_robots_directives never raise on arbitrary
+    text; robots_allowed is total — (bool, str-or-None) for any path,
+    and the deciding pattern is one of the parsed rules'."""
+    rules = parse_robots(text, 'anybot')
+    d = parse_robots_directives(text, 'anybot')
+    assert d.crawl_delay is None or d.crawl_delay >= 0
+    assert all(isinstance(s, str) for s in d.sitemaps)
+    allowed, pat = robots_allowed(path, rules)
+    assert isinstance(allowed, bool)
+    assert pat is None or pat in {p for _, p in rules}
+
+
+@given(st.lists(st.tuples(st.booleans(),
+                          st.text(alphabet='/ab*$', min_size=1,
+                                  max_size=6)),
+                max_size=8),
+       st.text(alphabet='/ab', min_size=1, max_size=10))
+@settings(max_examples=300, deadline=None)
+def test_robots_verdict_order_independent(rules, path):
+    """The verdict AND the deciding pattern are invariant under rule
+    order (the lex-smallest tie-break): shuffling the rule list can
+    never flip a fetch decision."""
+    fwd = robots_allowed(path, rules)
+    rev = robots_allowed(path, list(reversed(rules)))
+    assert fwd == rev
+
+
+# --------------------------------------------------------------- sitemap
+
+@given(st.text(max_size=600))
+@settings(max_examples=300, deadline=None)
+def test_sitemap_arbitrary_text_never_crashes(text):
+    """Entity bombs, nested CDATA, truncated tags — parse_sitemap never
+    raises; kind is one of the three contract values; every entry has
+    a non-empty loc."""
+    kind, entries = parse_sitemap(text)
+    assert kind in (None, 'urlset', 'sitemapindex')
+    assert kind == sitemap_kind(text)
+    if kind is None:
+        assert entries == []
+    for e in entries:
+        assert e.loc
+
+
+def test_sitemap_hostile_fixtures():
+    """Hand-built hostiles: recursive entity text stays TEXT (the
+    kernel never expands user entities), CDATA with a nested ']]'
+    survives, an unclosed <url> tail drops without raising."""
+    bomb = ('<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY a "aaaa">'
+            '<!ENTITY b "&a;&a;">]><urlset><url><loc>http://x/&b;'
+            '</loc></url></urlset>')
+    kind, entries = parse_sitemap(bomb)
+    assert kind == 'urlset'
+    # entity is NOT expanded (only the five XML built-ins are decoded)
+    assert entries and '&b;' in entries[0].loc
+    cdata = ('<urlset><url><loc><![CDATA[http://x/a]]b]]></loc></url>'
+             '</urlset>')
+    k2, e2 = parse_sitemap(cdata)
+    assert k2 == 'urlset'
+    trunc = '<urlset><url><loc>http://x/1</loc></url><url><loc>http:'
+    k3, e3 = parse_sitemap(trunc)
+    assert k3 == 'urlset' and [e.loc for e in e3] == ['http://x/1']
+
+
+# --------------------------------------------------------------- urlnorm
+
+@given(st.text(max_size=120))
+@settings(max_examples=500, deadline=None)
+def test_normalize_url_total_and_idempotent(url):
+    """normalize_url never raises; its output is a fixpoint
+    (normalize ∘ normalize = normalize) — the property url_dedup's
+    canonical-key groupBy depends on."""
+    out = normalize_url(url)
+    if out is None:
+        return
+    assert isinstance(out, str)
+    assert normalize_url(out) == out
+
+
+@given(st.from_regex(r'https?://[A-Za-z0-9.\-]{1,20}'
+                     r'(:[0-9]{1,4})?(/[A-Za-z0-9._\-/]{0,20})?'
+                     r'(\?[a-z0-9=&_]{0,20})?(#[a-z0-9]{0,8})?',
+                     fullmatch=True))
+@settings(max_examples=500, deadline=None)
+def test_normalize_url_realistic_shapes_idempotent(url):
+    """Same fixpoint property over realistic URL shapes (scheme, port,
+    dotted paths, query, fragment) where normalization actually fires."""
+    out = normalize_url(url)
+    if out is not None:
+        assert normalize_url(out) == out
+        assert '#' not in out.split('?')[0].split('://')[1].split('/')[0]
+
+
+def test_sitemap_out_of_range_entity_stays_literal():
+    """&#99999999; exceeds chr()'s range — tolerant decode keeps it
+    literal instead of raising (found by reading, pinned here)."""
+    xml = ('<urlset><url><loc>http://x/&#99999999;&#x110000;p</loc>'
+           '</url></urlset>')
+    kind, entries = parse_sitemap(xml)
+    assert kind == 'urlset'
+    assert entries[0].loc == 'http://x/&#99999999;&#x110000;p'

@@ -2025,6 +2025,46 @@ def test_containment_asymmetric_and_hot_cut(spark):
     assert not any(a >= 4 and b >= 4 for a, b in out)
 
 
+def test_containment_df_frac_scale_stable_cap(spark):
+    """df_frac makes the hot cut corpus-relative: the effective cap is
+    greatest(max_shingle_df, ceil(df_frac·n_docs)), so the same
+    fixture that cuts 'alpha beta gamma' under the absolute cap keeps
+    it once the relative term raises the cap past its df — and the
+    absolute floor still governs when the corpus is small."""
+    from jionlp_spark.operators.dedup import containment_pairs, shingles
+    rows = [
+        (1, 'alpha beta gamma delta epsilon zeta'),
+        (2, 'alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron'),
+        (3, 'alpha beta gamma completely different tail here now'),
+        (4, 'alpha beta gamma aa bb'), (5, 'alpha beta gamma cc dd'),
+        (6, 'alpha beta gamma ee ff'), (7, 'alpha beta gamma gg hh'),
+        (8, 'alpha beta gamma ii jj'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    sh = shingles(docs, n=3)
+    # relative term dominates: ceil(1.0·8)=8 ≥ df('alpha beta gamma')=8
+    # → nothing is cut; doc 1 keeps all 4 shingles, still ⊆ doc 2
+    rel = {(r['doc_a'], r['doc_b']): r
+           for r in containment_pairs(sh, threshold=0.8,
+                                      max_shingle_df=5,
+                                      df_frac=1.0).collect()}
+    assert rel[(1, 2)]['size_a'] == 4
+    assert rel[(1, 2)]['containment'] == 1.0
+    # absolute floor governs a tiny relative term: cap stays 5, the
+    # result is exactly the absolute-cap result
+    lo = {(r['doc_a'], r['doc_b']): (r['n_shared'], r['size_a'],
+                                     r['size_b'])
+          for r in containment_pairs(sh, threshold=0.8,
+                                     max_shingle_df=5,
+                                     df_frac=1e-9).collect()}
+    base = {(r['doc_a'], r['doc_b']): (r['n_shared'], r['size_a'],
+                                       r['size_b'])
+            for r in containment_pairs(sh, threshold=0.8,
+                                       max_shingle_df=5).collect()}
+    assert lo == base
+
+
 def test_personalized_pagerank_seed_confinement(spark):
     """personalized_pagerank: teleport mass returns only to seeds —
     hand-computed 2-round values on a cycle, an unreached non-seed
