@@ -163,6 +163,46 @@ def main() -> None:
     query_load['kg_pipeline_e2e'] = e2e_load
     total += e2e
 
+    # ---- e2e at the BASELINE.md scale (r6 verdict #4) ---------------------
+    # The 40k-page e2e above carries ~1.5-2 s of fixed session overhead
+    # that BASELINE.md's 160k-page figure has amortized away — reading
+    # only the driver artifact at 40k misreads a 0.74× "regression".
+    # Measure BOTH scales and label them; best-of-2 here (the row costs
+    # ~4× the 40k one).  BENCH_BASELINE_PAGES=0 disables.
+    BASELINE_PAGES = int(os.environ.get('BENCH_BASELINE_PAGES', '160000'))
+    baseline_e2e = baseline_triples = None
+    if BASELINE_PAGES and BASELINE_PAGES != N_PAGES:
+        bp_path = f'/tmp/bench_pages_{BASELINE_PAGES}_p256'
+        t0 = time.time()
+        if not os.path.exists(bp_path):
+            tmp = f'{bp_path}.tmp{os.getpid()}'
+            write_pages(spark, tmp, BASELINE_PAGES, num_partitions=256)
+            try:
+                os.rename(tmp, bp_path)
+            except OSError:
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
+        timings['e2e_baseline_corpus_materialize'] = \
+            round(time.time() - t0, 3)
+        query_runs['e2e_baseline_corpus_materialize'] = \
+            [timings['e2e_baseline_corpus_materialize']]
+        query_load['e2e_baseline_corpus_materialize'] = \
+            [round(os.getloadavg()[0], 2)]
+        total += timings['e2e_baseline_corpus_materialize']
+        b_runs, b_load = [], []
+        for _ in range(2):
+            b_load.append(round(os.getloadavg()[0], 2))
+            t0 = time.time()
+            bres = run_pipeline(spark, spark.read.parquet(bp_path))
+            baseline_triples = bres['triples'].count()
+            b_runs.append(time.time() - t0)
+        baseline_e2e = min(b_runs)
+        timings['kg_pipeline_e2e_baseline_scale'] = round(baseline_e2e, 3)
+        query_runs['kg_pipeline_e2e_baseline_scale'] = \
+            [round(t, 3) for t in b_runs]
+        query_load['kg_pipeline_e2e_baseline_scale'] = b_load
+        total += baseline_e2e
+
     # ---- headline queries -------------------------------------------------
     # The kg_* family shares one cached fused-extraction pass
     # (__spark_entry__._extracted); build it HERE as an explicitly-reported
@@ -221,6 +261,14 @@ def main() -> None:
         'query_load': query_load,
         'cpus': CPUS,
     }
+    if baseline_e2e is not None:
+        out['baseline_scale'] = {
+            'pages': BASELINE_PAGES,
+            'e2e_sec': round(baseline_e2e, 3),
+            'triples': baseline_triples,
+            'triples_per_sec': round(baseline_triples / baseline_e2e, 1),
+            'pages_per_sec': round(BASELINE_PAGES / baseline_e2e, 1),
+        }
     print(json.dumps(out))
     # Persist the full record in-repo too — stdout is not the system of
     # record for the per-run detail.
@@ -256,6 +304,13 @@ def main() -> None:
             'n_queries': len(timings),
             'queries': kept,
         }
+        if baseline_e2e is not None:
+            # the BASELINE.md-scale figure, labeled — the 40k-page e2e
+            # above carries fixed session overhead this one amortizes
+            compact['baseline_pages'] = BASELINE_PAGES
+            compact['baseline_e2e_sec'] = round(baseline_e2e, 3)
+            compact['baseline_triples_per_sec'] = \
+                round(baseline_triples / baseline_e2e, 1)
         if len(kept) < len(timings):
             omitted = [v for k, v in ordered if k not in kept]
             compact['queries_omitted'] = {

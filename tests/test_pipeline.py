@@ -365,6 +365,66 @@ def test_catalog_v1_manifest_compat(spark, tmp_path):
     assert catalog.read_snapshot(spark, path, 1).count() == 4
 
 
+def test_catalog_100_publish_chain_flat_cost(spark, tmp_path):
+    """Snapshot chain at depth (r6 verdict #7): 100 sequential
+    publishes with the production expire policy (keep_last=5 after
+    each) keep per-publish cost flat — the publish relinks the
+    retained snapshot store, so an UNBOUNDED chain grows per-publish
+    link work linearly with history; expiry is what bounds it.  The
+    lineage record survives every expiry (100 history entries),
+    validate_lineage stays correct queried MID-chain, time travel
+    reads retained snapshots with their own row counts and refuses
+    expired ones."""
+    import time as _time
+
+    from jionlp_spark.sources import catalog
+
+    path = str(tmp_path / 'tbl')
+    per_publish = []
+    for k in range(1, 101):
+        t0 = _time.time()
+        catalog.run_stage(
+            spark, path, 'stage',
+            # one output file per snapshot: the cost under test is the
+            # publish machinery, not a 32-file write fan-out
+            lambda k=k: spark.range(k).coalesce(1).selectExpr('id'),
+            input_fingerprint=f'fp{k}')
+        catalog.expire_snapshots(path, keep_last=5)
+        per_publish.append(_time.time() - t0)
+        if k == 50:      # lineage valid when queried mid-chain
+            snaps = catalog.validate_lineage(path)
+            assert [s['id'] for s in snaps] == list(range(1, 51))
+            assert catalog.read_snapshot(spark, path, 47).count() == 47
+
+    m = catalog.read_manifest(path)
+    assert m['current_snapshot_id'] == 100
+    snaps = catalog.validate_lineage(path)
+    assert [s['id'] for s in snaps] == list(range(1, 101))
+    assert [s['rows'] for s in snaps] == list(range(1, 101))
+
+    # retained = the last keep_last retired + current; older are
+    # expired records whose lineage entry survives
+    assert catalog.read_snapshot(spark, path, 100).count() == 100
+    assert catalog.read_snapshot(spark, path, 97).count() == 97
+    with pytest.raises(ValueError, match='expired'):
+        catalog.read_snapshot(spark, path, 50)
+
+    # flat cost: the median of the last 10 publishes must not drift
+    # away from the first 10's (bounded store ⇒ bounded relink work;
+    # 3x headroom for box noise — an unbounded chain's link work grows
+    # ~10x over this range)
+    import statistics
+    first = statistics.median(per_publish[5:15])   # skip warmup runs
+    last = statistics.median(per_publish[-10:])
+    assert last <= 3 * first, (first, last, per_publish)
+
+    # resume against the 100-deep chain still short-circuits
+    def must_not_run():
+        raise AssertionError('recomputed')
+    catalog.run_stage(spark, path, 'stage', must_not_run,
+                      input_fingerprint='fp100')
+
+
 def test_catalog_publish_crash_windows(spark, tmp_path):
     """The publish must be non-destructive until its commit (review
     finding r5): a partially-staged tmp never costs retired snapshots,
