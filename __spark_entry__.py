@@ -5327,6 +5327,38 @@ def q_events_daily(spark, sf_dir):
     )
 
 
+def q_event_asof_features(spark, sf_dir):
+    """Point-in-time feature join (operators/trends.asof_join): every
+    event picks up the snapshot row that was CURRENT at its timestamp
+    — the leakage-free feature-store join (joining the latest snapshot
+    instead would leak the future into training features).  Snapshots
+    = events with event_id ≡ 0 (mod 5), reduced to one row per
+    (user_id, ts) by max(value) (max over doubles picks one input
+    value — exact, no accumulation).  Spark runs the union-tag window
+    (ONE exchange on user_id, zero Python); DuckDB runs its NATIVE
+    ASOF LEFT JOIN — two engines, two different algorithms, value-hash
+    equal.  Timestamps compare as unix_micros ≡ epoch_us bigints (the
+    event_sessions TZ-safe pattern); events with no prior snapshot
+    yield nulls (live class: users whose first snapshot is late)."""
+    from jionlp_spark.operators.trends import asof_join, ntz_epoch_us
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    left = ev.select(F.col('event_id').cast('long').alias('event_id'),
+                     F.col('user_id').cast('long').alias('user_id'),
+                     'ts')
+    snaps = (ev.filter(F.col('event_id') % 5 == 0)
+             .groupBy(F.col('user_id').cast('long').alias('user_id'),
+                      'ts')
+             .agg(F.max('value').alias('value')))
+    j = asof_join(left, snaps, by_col='user_id', ts_col='ts',
+                  payload_cols=('value',))
+    return j.select(
+        'event_id', 'user_id',
+        ntz_epoch_us('ts').alias('ts_us'),
+        ntz_epoch_us('asof_ts').alias('asof_us'),
+        F.col('asof_value'),
+        (ntz_epoch_us('ts') - ntz_epoch_us('asof_ts')).alias('lag_us'))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's sampling order (first 50 of 168).  The
     # r7 window is pure evidence placement (r6 verdict item 1): slots
@@ -5378,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'web_mirror_pairs': q_web_mirror_pairs,
         'catalog_recrawl_plan': q_catalog_recrawl_plan,
         'event_sessions': q_event_sessions,
+        'event_asof_features': q_event_asof_features,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8499,6 +8532,24 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    cast(least(n, 91) as bigint) as final_state_rows,
                    cast(greatest(n - 91, 0) as bigint) as removed_total
             from c""",
+        # point-in-time feature join: DuckDB's NATIVE ASOF LEFT JOIN
+        # vs Spark's union-tag window — two algorithms, same rows
+        'event_asof_features': """
+            with snaps as (
+                select cast(user_id as bigint) user_id, ts,
+                       max("value") as v
+                from events where event_id % 5 = 0
+                group by 1, 2)
+            select cast(e.event_id as bigint) event_id,
+                   cast(e.user_id as bigint) user_id,
+                   epoch_us(e.ts) ts_us,
+                   epoch_us(s.ts) asof_us,
+                   s.v asof_value,
+                   epoch_us(e.ts) - epoch_us(s.ts) lag_us
+            from events e
+            asof left join snaps s
+              on cast(e.user_id as bigint) = s.user_id
+             and e.ts >= s.ts""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,

@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ntz_epoch_us(ts_col: str):
+    """TZ-independent epoch micros for NAIVE (timestamp_ntz) columns —
+    ≡ DuckDB's epoch_us on the same parquet: unix_micros() rejects NTZ,
+    and casting NTZ→timestamp re-interprets the wall clock in the
+    session tz — field arithmetic instead (datediff/hour/minute are
+    calendar-exact; extract(SECOND) is a decimal(8,6) carrying the
+    microsecond fraction, so the ×1e6 is exact decimal math, never a
+    float).  Takes a column NAME (extract needs one); null in → null
+    out."""
+    c = F.col(ts_col)
+    return (F.datediff(F.to_date(c),
+                       F.lit('1970-01-01').cast('date')).cast('long')
+            * F.lit(86_400_000_000)
+            + F.hour(c).cast('long') * F.lit(3_600_000_000)
+            + F.minute(c).cast('long') * F.lit(60_000_000)
+            + (F.expr(f'extract(SECOND FROM `{ts_col}`)')
+               * F.lit(1_000_000)).cast('long'))
+
+
 def burst_scores(events: DataFrame, key_col: str = 'event_type',
                  ts_col: str = 'ts', window_days: int = 7,
                  min_ratio: float = 0.0) -> DataFrame:
@@ -79,22 +98,8 @@ def sessionize(events: DataFrame, user_col: str = 'user_id',
     """
     from pyspark.sql import Window
     gap_us = int(gap_minutes) * 60 * 1_000_000
-    # tz-independent epoch micros for NAIVE (timestamp_ntz) columns:
-    # unix_micros() rejects NTZ, and casting NTZ→timestamp re-interprets
-    # the wall clock in the session tz — field arithmetic instead
-    # (datediff/hour/minute are calendar-exact; extract(SECOND) is a
-    # decimal(8,6) carrying the microsecond fraction, so the ×1e6 is
-    # exact decimal math, never a float)
-    c = F.col(ts_col)
-    ts_us = (F.datediff(F.to_date(c),
-                        F.lit('1970-01-01').cast('date')).cast('long')
-             * F.lit(86_400_000_000)
-             + F.hour(c).cast('long') * F.lit(3_600_000_000)
-             + F.minute(c).cast('long') * F.lit(60_000_000)
-             + (F.expr(f'extract(SECOND FROM `{ts_col}`)')
-                * F.lit(1_000_000)).cast('long'))
     ev = events.select(F.col(user_col).alias('user_id'),
-                       ts_us.alias('ts_us'))
+                       ntz_epoch_us(ts_col).alias('ts_us'))
     w = Window.partitionBy('user_id').orderBy('ts_us')
     flagged = ev.withColumn(
         'new_sess',
@@ -164,3 +169,68 @@ def winsorized_stats(events: DataFrame, key_col: str = 'event_type',
     return agg.select('key', 'n', 'cut',
                       'n_capped', win_sum.alias('win_sum'),
                       (win_sum / F.col('n')).alias('win_mean'))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              by_col: str = 'user_id', ts_col: str = 'ts',
+              payload_cols: tuple = ('value',),
+              tolerance_sec: int | None = None) -> DataFrame:
+    """Point-in-time (as-of) join: every ``left`` row picks up the
+    ``right`` row with the greatest ``ts`` at-or-before its own, per
+    ``by_col`` — the feature-store join every training pipeline needs
+    (label events joined to the feature/profile snapshot that was
+    CURRENT when the event happened; joining on the latest snapshot
+    instead leaks the future into the features).  → left columns +
+    ``asof_ts`` + ``asof_<payload>``... (+ nulls when no prior right
+    row, or when the match is older than ``tolerance_sec``).
+
+    Idiomatic-Spark shape — the union-tag trick, ONE shuffle: a naive
+    range join explodes to |left|·|right| per key before filtering and
+    a per-key sort-merge-with-state needs imperative code, but tagging
+    right rows (side 0) and left rows (side 1), unioning, and taking
+    ``last(payload, ignorenulls)`` over a (by) window ordered by
+    (ts, side) gives every left row the most recent right payload ≤
+    its ts in one window pass (right sorts BEFORE left at equal ts —
+    the ≤ tie).  One exchange on ``by_col``, per-key cost is the sorted
+    scan, hot keys are sort-bounded, zero Python.  DuckDB's native
+    ASOF LEFT JOIN is the oracle — two engines, two algorithms, same
+    rows.
+
+    ``right`` must be unique per (by, ts) — pre-reduce it (the gated
+    query groupBy-max's its snapshot table; this operator doesn't
+    hide a dedup the caller should see).  Ties at equal (by, ts)
+    inside ``right`` would otherwise make the picked payload
+    partition-order-dependent.
+    """
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(by_col).alias('_by'), F.col(ts_col).alias('_ts'),
+        F.lit(0).alias('_side'), pay.alias('_pay'))
+    lcols = left.columns
+    l = left.select(
+        F.col(by_col).alias('_by'), F.col(ts_col).alias('_ts'),
+        F.lit(1).alias('_side'), F.lit(None).cast(r.schema['_pay'].dataType).alias('_pay'),
+        F.struct(*[F.col(c) for c in lcols]).alias('_row'))
+    u = r.select('_by', '_ts', '_side', '_pay',
+                 F.lit(None).cast(l.schema['_row'].dataType)
+                 .alias('_row')).unionByName(l)
+    w = (Window.partitionBy('_by').orderBy('_ts', '_side')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (u
+               .withColumn('_m', F.last('_pay', ignorenulls=True).over(w))
+               .withColumn('_mts', F.last(
+                   F.when(F.col('_side') == 0, F.col('_ts')),
+                   ignorenulls=True).over(w))
+               .filter(F.col('_side') == 1))
+    if tolerance_sec is not None:
+        stale = (F.unix_timestamp('_ts') - F.unix_timestamp('_mts')
+                 > int(tolerance_sec))
+        matched = (matched
+                   .withColumn('_m', F.when(stale, F.lit(None))
+                               .otherwise(F.col('_m')))
+                   .withColumn('_mts', F.when(stale, F.lit(None))
+                               .otherwise(F.col('_mts'))))
+    out = [F.col(f'_row.{c}').alias(c) for c in lcols]
+    out.append(F.col('_mts').alias('asof_ts'))
+    out += [F.col(f'_m.{c}').alias(f'asof_{c}') for c in payload_cols]
+    return matched.select(*out)

@@ -2145,3 +2145,39 @@ def test_edge_index_extend_idempotent(spark, tmp_path):
     extend_edge_index(spark, f'{base}/kg',
                       m.filter('doc_id % 2 = 1'), batch_id='odd')
     assert snap() == got
+
+
+def test_asof_join_hand_case(spark):
+    """asof_join: ≤ semantics (a right row AT the left ts matches),
+    the most recent prior snapshot wins, no-prior-row yields nulls,
+    and tolerance nulls stale matches — hand-computed."""
+    from datetime import datetime
+
+    from jionlp_spark.operators.trends import asof_join
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, 1, T(2021, 1, 1, 0, 0, 5)),
+         (2, 1, T(2021, 1, 1, 0, 0, 2)),
+         (3, 1, T(2021, 1, 1, 0, 0, 1)),   # before any snapshot? no: eq
+         (4, 2, T(2021, 1, 1, 0, 0, 9)),   # user 2 has no snapshots
+         (5, 3, T(2021, 1, 1, 1, 0, 0))],  # match is 59:56 old
+        'event_id long, user_id long, ts timestamp')
+    right = spark.createDataFrame(
+        [(1, T(2021, 1, 1, 0, 0, 1), 10.0),
+         (1, T(2021, 1, 1, 0, 0, 4), 20.0),
+         (1, T(2021, 1, 1, 0, 0, 5), 30.0),
+         (3, T(2021, 1, 1, 0, 0, 4), 40.0)],
+        'user_id long, ts timestamp, value double')
+    got = {r['event_id']: (r['asof_ts'], r['asof_value'])
+           for r in asof_join(left, right).collect()}
+    assert got[1] == (T(2021, 1, 1, 0, 0, 5), 30.0)   # eq-ts matches
+    assert got[2] == (T(2021, 1, 1, 0, 0, 1), 10.0)
+    assert got[3] == (T(2021, 1, 1, 0, 0, 1), 10.0)
+    assert got[4] == (None, None)
+    assert got[5] == (T(2021, 1, 1, 0, 0, 4), 40.0)
+    # tolerance: event 5's match is 3596 s old → nulled at 3595
+    tol = {r['event_id']: (r['asof_ts'], r['asof_value'])
+           for r in asof_join(left, right,
+                              tolerance_sec=3595).collect()}
+    assert tol[5] == (None, None)
+    assert tol[1] == (T(2021, 1, 1, 0, 0, 5), 30.0)   # age 0 survives
