@@ -5359,18 +5359,35 @@ def q_event_asof_features(spark, sf_dir):
         (ntz_epoch_us('ts') - ntz_epoch_us('asof_ts')).alias('lag_us'))
 
 
+def q_training_shards(spark, sf_dir):
+    """Deterministic global training shuffle
+    (operators/curate.training_shards): every doc gets a pseudorandom
+    (shard, pos) from the first four md5 hex nibbles of ('r7:' ||
+    doc_id) mod 7 — a non-power-of-16 shard count so the mod genuinely
+    mixes nibble boundaries — with within-shard order (md5 hex,
+    doc_id).  Reproducible machine-to-machine (hash order, not RNG)
+    and reshuffleable by seed; ONE exchange + per-shard windows, no
+    global sort (the orderBy(rand()) trap).  The oracle replays the
+    nibble arithmetic with strpos and the same row_number."""
+    from jionlp_spark.operators.curate import training_shards
+    return training_shards(_docs(spark, sf_dir), n_shards=7, seed='r7')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 168).  The
-    # r7 window is pure evidence placement (r6 verdict item 1): slots
-    # 1-38 are the 38 queries that have NEVER had a driver CORRECTNESS
-    # row (every late-r6 addition past the 50-slot window: the 12
+    # Dict order is the driver's sampling order (first 50 of 170).  The
+    # r7 window is evidence placement (r6 verdict item 1): slots 1-38
+    # are the 38 queries that have NEVER had a driver CORRECTNESS row
+    # (every late-r6 addition past the 50-slot window: the 12
     # round-close web/storage queries + 26 mid-round entries), slots
-    # 39-50 are the 12 alphabetically-first r4-aged rows (oldest
-    # refreshable evidence, 2 rounds old).  Union coverage after a
-    # green r7 run = 168/168 distinct queries.  Tail order is the r8
-    # rotation queue: the 22 remaining r4-aged rows first, then the 46
-    # r5-green rows, then the 50 r6-green rows (freshest evidence
-    # last).
+    # 39-40 the two NEW r7 queries (event_asof_features,
+    # training_shards — new operators need driver evidence too), slots
+    # 41-50 the 10 alphabetically-first r4-aged rows (oldest
+    # refreshable evidence).  Union coverage after a green r7 run =
+    # 170/170 minus the 2 r4-aged rows displaced by the new queries
+    # (kg_extract_money, kg_extract_phone — they lead the r8 queue).
+    # Tail order is the r8 rotation queue: the remaining r4-aged rows
+    # first, then the 46 r5-green rows, then the 50 r6-green rows
+    # (freshest evidence last).
     return {
         'pack_plan_bfd': q_pack_plan_bfd,
         'web_sitemap_discover': q_web_sitemap_discover,
@@ -5411,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'catalog_recrawl_plan': q_catalog_recrawl_plan,
         'event_sessions': q_event_sessions,
         'event_asof_features': q_event_asof_features,
+        'training_shards': q_training_shards,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8550,6 +8568,23 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             asof left join snaps s
               on cast(e.user_id as bigint) = s.user_id
              and e.ts >= s.ts""",
+        # deterministic training shuffle: nibble arithmetic + the same
+        # per-shard row_number, strpos-decoded in SQL
+        'training_shards': """
+            with h as (select doc_id,
+                              md5('r7:' || cast(doc_id as varchar)) hx
+                       from documents),
+            s as (select doc_id, hx,
+                         ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 7 shard
+                  from h)
+            select cast(shard as bigint) shard,
+                   cast(row_number() over (partition by shard
+                        order by hx, doc_id) - 1 as bigint) pos,
+                   doc_id
+            from s""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,

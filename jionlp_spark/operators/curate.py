@@ -600,3 +600,43 @@ def host_curation(docs: DataFrame, min_avg_quality: str = '0.55',
         F.col('_sum_q').cast('string').cast('double')
         .alias('sum_quality'),
         verdict.alias('verdict'))
+
+
+def training_shards(docs: DataFrame, n_shards: int = 16,
+                    seed: str = '', id_col: str = 'doc_id') -> DataFrame:
+    """Deterministic global training shuffle → (shard, pos, doc_id):
+    every doc lands in a pseudorandom shard with a pseudorandom
+    position, reproducible run-to-run and machine-to-machine — the
+    pre-training data-ordering step (training quality is sensitive to
+    data order; the shuffle must be REPRODUCIBLE for restarts and
+    ablations, which ``orderBy(rand())`` is not, and seeded so epochs
+    can reshuffle by changing ``seed``).
+
+    shard = the first FOUR md5 hex nibbles of (seed ':' doc_id) read
+    as an integer (0..65535) mod ``n_shards`` — balanced in
+    expectation; pos = row_number within the shard ordered by (md5
+    hex, doc_id), a string order both engines share.  Reading shards
+    round-robin reproduces one global pseudorandom permutation.
+
+    Scale shape: the naive global shuffle is ``orderBy(rand())`` — a
+    full sort AND nondeterministic.  Here: ONE exchange on shard, then
+    per-shard windows (shards are the parallelism unit — size
+    n_shards ≥ cluster cores, e.g. one shard per output file, and
+    compose with pack_plan per shard).  No global sort ever happens,
+    nothing is ever single-reducer.  Everything is integer/string —
+    zero float surface, exact engine parity (the pack_plan nibble
+    rule)."""
+    if not 1 <= int(n_shards) <= 65536:
+        raise ValueError('n_shards must be in [1, 65536]')
+    from pyspark.sql.window import Window
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit(':'),
+                       F.col(id_col).cast('string')))
+    d = docs.select(F.col(id_col).alias('doc_id'), h.alias('_h'))
+    nib = [F.expr(f"instr('0123456789abcdef', substring(_h, {i}, 1)) - 1")
+           for i in (1, 2, 3, 4)]
+    v = nib[0] * 4096 + nib[1] * 256 + nib[2] * 16 + nib[3]
+    d = d.withColumn('shard', (v % int(n_shards)).cast('long'))
+    w = Window.partitionBy('shard').orderBy('_h', 'doc_id')
+    return (d.withColumn('pos', (F.row_number().over(w) - 1)
+                         .cast('long'))
+            .select('shard', 'pos', 'doc_id'))

@@ -253,3 +253,49 @@ def test_sitemap_out_of_range_entity_stays_literal():
     kind, entries = parse_sitemap(xml)
     assert kind == 'urlset'
     assert entries[0].loc == 'http://x/&#99999999;&#x110000;p'
+
+
+# ------------------------------------------------- html-facing kernels
+
+@given(st.text(max_size=800))
+@settings(max_examples=300, deadline=None)
+def test_content_extract_arbitrary_html_never_crashes(html):
+    """extract_content is total on hostile HTML (unclosed tags, nested
+    comments, script soup): kept + dropped always partition the
+    blocks, content is exactly the newline-join of kept text."""
+    from jionlp_spark.kernels.content_extract import (content_blocks,
+                                                      extract_content)
+    content, n_kept, n_dropped = extract_content(html)
+    bs = content_blocks(html)
+    assert n_kept + n_dropped == len(bs)
+    assert content == '\n'.join(b.text for b in bs if b.kept)
+
+
+@given(st.text(max_size=600),
+       st.from_regex(r'https?://[a-z0-9.\-]{1,15}(/[a-z0-9/]{0,10})?',
+                     fullmatch=True))
+@settings(max_examples=300, deadline=None)
+def test_extract_links_arbitrary_html_never_crashes(html, base):
+    """extract_links / extract_canonical are total on arbitrary
+    markup; every emitted link carries a non-empty href, and dst_host
+    (when present) round-trips through url_host's own rules."""
+    from jionlp_spark.kernels.links import (extract_canonical,
+                                            extract_links, url_host)
+    links = extract_links(html, base)
+    for lk in links:
+        assert lk['href']
+        if lk['dst_host'] is not None:
+            assert lk['dst_host'] == lk['dst_host'].lower()
+    c = extract_canonical(html)
+    assert c is None or isinstance(c, str)
+
+
+@given(st.text(max_size=800))
+@settings(max_examples=200, deadline=None)
+def test_clean_html_arbitrary_bytes_never_crash(html):
+    """The CleanHTML kernel is total on tag soup — returns a string
+    (and a meta dict) for anything."""
+    from jionlp_spark.kernels.html_clean import clean_html
+    out = clean_html(html)
+    text = out[0] if isinstance(out, tuple) else out
+    assert isinstance(text, str)

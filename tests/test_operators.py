@@ -2181,3 +2181,33 @@ def test_asof_join_hand_case(spark):
                               tolerance_sec=3595).collect()}
     assert tol[5] == (None, None)
     assert tol[1] == (T(2021, 1, 1, 0, 0, 5), 30.0)   # age 0 survives
+
+
+def test_training_shards_deterministic_permutation(spark):
+    """training_shards: a reproducible global pseudorandom shuffle —
+    identical output across runs, per-shard positions contiguous from
+    0, every doc exactly once, and a different seed produces a
+    different permutation over the same doc set."""
+    from jionlp_spark.operators.curate import training_shards
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 'doc_id long')
+    a = sorted(map(tuple, training_shards(docs, n_shards=7,
+                                          seed='s1').collect()))
+    b = sorted(map(tuple, training_shards(docs, n_shards=7,
+                                          seed='s1').collect()))
+    assert a == b                              # machine-deterministic
+    assert len(a) == 200
+    assert {t[2] for t in a} == set(range(200))   # every doc once
+    by_shard = {}
+    for shard, pos, _ in a:
+        assert 0 <= shard < 7
+        by_shard.setdefault(shard, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # contiguous
+    c = sorted(map(tuple, training_shards(docs, n_shards=7,
+                                          seed='s2').collect()))
+    assert c != a                              # seed reshuffles
+    assert {t[2] for t in c} == set(range(200))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        training_shards(docs, n_shards=0)
