@@ -5373,18 +5373,123 @@ def q_training_shards(spark, sf_dir):
     return training_shards(_docs(spark, sf_dir), n_shards=7, seed='r7')
 
 
+def _cooc_edges(ents):
+    """Symmetrized weighted co-occurrence edges (src, dst, w) from a
+    (doc_id, obj) mention table — the edge-builder every graph query
+    shares (w = distinct supporting docs; symmetrization satisfies
+    pagerank's out-degree-complete contract)."""
+    a, b = ents.alias('a'), ents.alias('b')
+    prs = (a.join(b, 'doc_id')
+           .filter(F.col('a.obj') < F.col('b.obj'))
+           .groupBy(F.col('a.obj').alias('ea'), F.col('b.obj').alias('eb'))
+           .agg(F.countDistinct('doc_id').cast('long').alias('w')))
+    return (prs.select(F.col('ea').alias('src'),
+                       F.col('eb').alias('dst'), 'w')
+            .union(prs.select(F.col('eb').alias('src'),
+                              F.col('ea').alias('dst'), 'w')))
+
+
+def q_kg_pagerank_warm(spark, sf_dir):
+    """Warm-start PageRank (operators/graph.pagerank_warm): the prior
+    vector is a 3-round cold run over the BASE graph (even doc_ids
+    only), then the full graph — base plus the odd-doc delta, with
+    entities the prior has never seen — runs just 2 warm rounds from
+    it: the index-maintenance move for graph analytics (pair of
+    kg_edges_extend on the storage side).  Both the base chain and the
+    warm chain replay in DuckDB round for round (suffixed CTE chains;
+    new nodes take the uniform 1/n start — the coalesce branch is live
+    because odd docs introduce entities the base graph lacks)."""
+    from jionlp_spark.operators.graph import pagerank, pagerank_warm
+    ents = _extracted(spark, sf_dir).filter(
+        F.col('mention_type').isin('cell_phone', 'id_card')) \
+        .select('doc_id', 'obj').persist()
+    prior = pagerank(_cooc_edges(ents.filter(F.col('doc_id') % 2 == 0)),
+                     iters=3, weight_col='w')
+    return pagerank_warm(_cooc_edges(ents), prior, iters=2,
+                         weight_col='w') \
+        .select(F.col('v').alias('entity'), 'pr')
+
+
+def q_kg_neighbor_agg(spark, sf_dir):
+    """GraphSAGE-style neighborhood feature aggregation
+    (operators/graph.neighbor_agg): each entity's layer-1 GNN input —
+    its own deterministic hash embedding next to the mean of its top-8
+    neighbors' embeddings by (weight desc, id asc) — over the
+    skew-shaped co-occurrence graph (one hot hub co-occurring with all
+    97 cold cities, so the max_neighbors cap is LIVE: the hub
+    aggregates 8 of its 97 neighbors, deg reports the true 97).  Means
+    ride the decimal-via-varchar exact sum divided by the bigint
+    n_used — one per-row double tree, engine-identical."""
+    from jionlp_spark.operators.graph import neighbor_agg
+    d = _docs(spark, sf_dir).select('doc_id')
+    m = d.select('doc_id',
+                 F.explode(F.sequence(F.lit(0), F.lit(9))).alias('k'))
+    ents = m.select(
+        'doc_id',
+        F.when((F.col('doc_id') + F.col('k')) % 2 == 0, F.lit('北京市'))
+        .otherwise(F.concat(F.lit('city_'),
+                            F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                   F.lit(97)))).alias('obj')).distinct()
+    return neighbor_agg(_cooc_edges(ents), dim=4, max_neighbors=8,
+                        weight_col='w')
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard datacard + integrity manifest
+    (operators/curate.shard_manifest) over the training_shards
+    assignment (n_shards=7, seed 'r7'): docs/tokens/chars/sources per
+    shard, pos_max (== n_docs - 1 is the contiguity invariant), and
+    the order-independent w32-fold checksum a shard file re-verifies
+    against after transfer — everything exact integers, zero float
+    surface.  The oracle replays the nibble shard assignment and the
+    same manifest aggregation."""
+    from jionlp_spark.operators.curate import shard_manifest, \
+        training_shards
+    docs = _docs(spark, sf_dir)
+    return shard_manifest(docs,
+                          training_shards(docs, n_shards=7, seed='r7'))
+
+
+def q_fuzzy_decontam(spark, sf_dir):
+    """FUZZY benchmark decontamination
+    (operators/decontam.fuzzy_decontaminate): MinHash-LSH candidates
+    between the corpus and a synthesized eval set, each verified with
+    the exact shingle Jaccard and flagged at ≥ 0.8 — the
+    paraphrased-leak complement to decontam_report's exact n-gram
+    pass.  The bench reuses corpus extracts at two mutation levels so
+    both verdict branches are live: doc_id%20==3 items keep all but
+    the last 2 tokens (jaccard ≈ 0.98 → flagged), doc_id%20==13 items
+    keep the first 3/5 (jaccard ≈ 0.6 → LSH may candidate them but
+    the verify REJECTS — the audit-row class).  Corpus rows never
+    shuffle: bench bands + shingles broadcast, intersection bounded
+    by matched shingles."""
+    from jionlp_spark.operators.decontam import fuzzy_decontaminate
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col('doc_id') % 10 == 3)
+             .selectExpr(
+                 'doc_id as bench_id',
+                 "array_join(slice(split(text, ' '), 1, greatest("
+                 "case when doc_id % 20 = 3 "
+                 "then size(split(text, ' ')) - 2 "
+                 "else (size(split(text, ' ')) * 3) div 5 end, 1)), ' ')"
+                 " as text"))
+    return fuzzy_decontaminate(docs, bench, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's sampling order (first 50 of 170).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
     # round-close web/storage queries + 26 mid-round entries), slots
-    # 39-40 the two NEW r7 queries (event_asof_features,
-    # training_shards — new operators need driver evidence too), slots
-    # 41-50 the 10 alphabetically-first r4-aged rows (oldest
-    # refreshable evidence).  Union coverage after a green r7 run =
-    # 170/170 minus the 2 r4-aged rows displaced by the new queries
-    # (kg_extract_money, kg_extract_phone — they lead the r8 queue).
+    # 39-44 the six NEW r7 queries (event_asof_features,
+    # training_shards, kg_pagerank_warm, kg_neighbor_agg,
+    # shard_manifest, fuzzy_decontam — new operators need driver
+    # evidence too), slots 45-50 the 6 alphabetically-first r4-aged
+    # rows (oldest refreshable evidence).  Union coverage after a
+    # green r7 run = 174/174 minus the 6 r4-aged rows displaced by
+    # the new queries (kg_check_person, kg_extract_money/phone/email/
+    # idcard/ip — they lead the r8 queue).
     # Tail order is the r8 rotation queue: the remaining r4-aged rows
     # first, then the 46 r5-green rows, then the 50 r6-green rows
     # (freshest evidence last).
@@ -5429,6 +5534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'event_sessions': q_event_sessions,
         'event_asof_features': q_event_asof_features,
         'training_shards': q_training_shards,
+        'kg_pagerank_warm': q_kg_pagerank_warm,
+        'kg_neighbor_agg': q_kg_neighbor_agg,
+        'shard_manifest': q_shard_manifest,
+        'fuzzy_decontam': q_fuzzy_decontam,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -5628,6 +5737,57 @@ def _lsh_bands_cte(src: str, suffix: str) -> str:
             bands{suffix} as ({band_rows})"""
 
 
+def _fuzzy_decontam_oracle(threshold: float = 0.8) -> str:
+    """fuzzy_decontam: the dedup_lsh_pairs md5 chain run over BOTH the
+    corpus and the synthesized bench (two _lsh_bands_cte blocks), band
+    join → candidates, exact shingle-intersection Jaccard as one
+    per-row double tree, threshold verdict in an outer select so the
+    jaccard expression is written once (like the Spark column
+    reuse)."""
+    return f"""
+            with bench0 as (select doc_id bench_id,
+                                   string_split(text, ' ') w
+                            from documents where doc_id % 10 = 3),
+            bench as (select bench_id doc_id,
+                             array_to_string(
+                               w[1:greatest(case when bench_id % 20 = 3
+                                                 then len(w) - 2
+                                                 else (len(w) * 3) // 5
+                                            end, 1)], ' ') as "text"
+                      from bench0),
+            {_lsh_bands_cte('documents', 'fd')},
+            {_lsh_bands_cte('bench', 'fb')},
+            nd as (select doc_id, cast(count(*) as bigint) n_doc
+                   from toksfd group by 1),
+            nb as (select doc_id bench_id,
+                          cast(count(*) as bigint) n_bench
+                   from toksfb group by 1),
+            inter as (select toksfd.doc_id, toksfb.doc_id bench_id,
+                             cast(count(*) as bigint) n_inter
+                      from toksfd join toksfb on toksfd.t = toksfb.t
+                      group by 1, 2),
+            cand as (select distinct bd.doc_id, bb.doc_id bench_id
+                     from bandsfd bd
+                     join bandsfb bb using (band_id, band_hash)),
+            j as (select cand.doc_id, cand.bench_id, nd.n_doc,
+                         nb.n_bench,
+                         cast(coalesce(inter.n_inter, 0) as bigint)
+                             n_inter,
+                         cast(coalesce(inter.n_inter, 0) as double)
+                           / cast(nd.n_doc + nb.n_bench
+                                  - coalesce(inter.n_inter, 0)
+                                  as double) jaccard
+                  from cand
+                  join nd using (doc_id)
+                  join nb using (bench_id)
+                  left join inter
+                    on cand.doc_id = inter.doc_id
+                   and cand.bench_id = inter.bench_id)
+            select doc_id, bench_id, n_doc, n_bench, n_inter, jaccard,
+                   (jaccard >= cast('{threshold!r}' as double)) flagged
+            from j"""
+
+
 def _pagerank_ctes(iters: int = 3, damping: float = 0.85) -> str:
     """CTE chain computing weighted PageRank over a mention CTE
     ``m(doc_id, obj)`` that the caller must have defined: co-occurrence
@@ -5656,30 +5816,57 @@ def _pagerank_edge_ctes(iters: int = 3, damping: float = 0.85) -> str:
     as a src (graph.pagerank's out-degree-complete contract); the
     web_host_pagerank oracle feeds a dangling-filtered directed host
     graph."""
+    return _pagerank_edge_ctes_sfx('', iters, damping)
+
+
+def _pagerank_edge_ctes_sfx(sfx: str, iters: int = 3,
+                            damping: float = 0.85,
+                            warm_from: str | None = None) -> str:
+    """Suffixed variant of ``_pagerank_edge_ctes`` so two independent
+    chains can coexist in one statement (the pagerank_warm oracle runs
+    a base chain over the base graph AND a warm chain over the full
+    graph): every CTE name gains ``sfx`` and the edge CTE must be named
+    ``e{sfx}``.  ``warm_from`` names a prior (v, pr) CTE — pr0 then
+    mirrors graph.pagerank_warm's start vector ``coalesce(prior.pr,
+    1.0/n)`` (new nodes at uniform mass) instead of the cold-start
+    uniform vector."""
     tele = 1.0 - damping
-    sql = """wd as (select src, sum(w) wdeg from e group by 1),
-            ew as (select e.src, e.dst, e.w, wd.wdeg
-                   from e join wd using (src)),
-            nodes as (select distinct src v from e),
-            nn as (select cast(count(*) as bigint) n from nodes),
-            pr0 as (select v, cast('1.0' as double) / n pr
-                    from nodes cross join nn)"""
+    if warm_from is None:
+        pr0 = f"""pr0{sfx} as (select v, cast('1.0' as double) / n pr
+                    from nodes{sfx} cross join nn{sfx})"""
+    else:
+        pr0 = f"""pr0{sfx} as (select nodes{sfx}.v,
+                         coalesce(p.pr, cast('1.0' as double) / nn{sfx}.n)
+                             pr
+                    from nodes{sfx}
+                    left join {warm_from} p on nodes{sfx}.v = p.v
+                    cross join nn{sfx})"""
+    sql = f"""wd{sfx} as (select src, sum(w) wdeg from e{sfx} group by 1),
+            ew{sfx} as (select e{sfx}.src, e{sfx}.dst, e{sfx}.w,
+                               wd{sfx}.wdeg
+                   from e{sfx} join wd{sfx} using (src)),
+            nodes{sfx} as (select distinct src v from e{sfx}),
+            nn{sfx} as (select cast(count(*) as bigint) n
+                        from nodes{sfx}),
+            {pr0}"""
     for k in range(1, iters + 1):
         sql += f""",
-            c{k} as (select ew.dst,
-                       sum(cast(cast(p.pr * ew.w / ew.wdeg as varchar)
+            c{k}{sfx} as (select ew{sfx}.dst,
+                       sum(cast(cast(p.pr * ew{sfx}.w / ew{sfx}.wdeg
+                                     as varchar)
                                 as decimal(38,18))) s
-                     from ew join pr{k - 1} p on ew.src = p.v
-                     group by ew.dst),
-            pr{k} as (select nodes.v,
-                        cast('{tele!r}' as double) / nn.n
+                     from ew{sfx} join pr{k - 1}{sfx} p
+                       on ew{sfx}.src = p.v
+                     group by ew{sfx}.dst),
+            pr{k}{sfx} as (select nodes{sfx}.v,
+                        cast('{tele!r}' as double) / nn{sfx}.n
                         + cast('{damping!r}' as double)
-                          * coalesce(cast(cast(c{k}.s as varchar)
+                          * coalesce(cast(cast(c{k}{sfx}.s as varchar)
                                           as double),
                                      cast('0.0' as double)) pr
-                      from nodes
-                      left join c{k} on nodes.v = c{k}.dst
-                      cross join nn)"""
+                      from nodes{sfx}
+                      left join c{k}{sfx} on nodes{sfx}.v = c{k}{sfx}.dst
+                      cross join nn{sfx})"""
     return sql
 
 
@@ -5767,6 +5954,91 @@ def _pagerank_oracle(phone: str, idc: str, iters: int = 3,
               select doc_id, {idc} as obj from documents),
             {_pagerank_ctes(iters, damping)}
             select v as entity, pr from pr{iters}"""
+
+
+def _cooc_edges_sql(sfx: str, src: str) -> str:
+    """CTE pair prs{sfx}/e{sfx}: symmetrized weighted co-occurrence
+    edges over mention CTE ``src(doc_id, obj)`` — the SQL mirror of
+    the entry module's _cooc_edges edge-builder."""
+    return f"""prs{sfx} as (select a.obj ea, b.obj eb,
+                           cast(count(distinct a.doc_id) as bigint) w
+                    from {src} a
+                    join {src} b on a.doc_id = b.doc_id
+                                and a.obj < b.obj
+                    group by 1, 2),
+            e{sfx} as (select ea src, eb dst, w from prs{sfx}
+                  union all select eb, ea, w from prs{sfx})"""
+
+
+def _pagerank_warm_oracle(phone: str, idc: str, base_iters: int = 3,
+                          warm_iters: int = 2,
+                          damping: float = 0.85) -> str:
+    """kg_pagerank_warm: TWO suffixed PageRank chains in one statement
+    — the base chain (cold, ``base_iters`` rounds over the even-doc
+    graph) produces the prior, the warm chain resumes from it over the
+    full graph for ``warm_iters`` rounds, with nodes absent from the
+    prior entering at the uniform 1/n (mirrors
+    operators/graph.pagerank_warm's coalesce start vector)."""
+    return f"""
+            with m as (
+              select doc_id, {phone} as obj from documents
+              union all
+              select doc_id, {idc} as obj from documents),
+            mb as (select * from m where doc_id % 2 = 0),
+            {_cooc_edges_sql('b', 'mb')},
+            {_pagerank_edge_ctes_sfx('b', base_iters, damping)},
+            {_cooc_edges_sql('f', 'm')},
+            {_pagerank_edge_ctes_sfx('f', warm_iters, damping,
+                                     warm_from=f'pr{base_iters}b')}
+            select v as entity, pr from pr{warm_iters}f"""
+
+
+def _w32(hex_col: str) -> str:
+    """The 8-nibble → 32-bit fold (operators/sketches.hll_w32_sql) —
+    dual-dialect (instr/substr exist in both engines); shared by the
+    shard_manifest checksum oracle."""
+    from jionlp_spark.operators.sketches import hll_w32_sql
+    return hll_w32_sql(hex_col)
+
+
+def _neighbor_agg_oracle(dim: int = 4, cap: int = 8) -> str:
+    """kg_neighbor_agg: the GraphSAGE mean-aggregation chain over the
+    skew mention graph — top-``cap`` neighbors by (w desc, dst asc)
+    via row_number, degree from a count window in the same projection,
+    hash-embedding components shared verbatim from operators/graph
+    (emb_hex_sql / emb_component_sql), means as decimal-via-varchar
+    exact sums divided by the bigint n_used."""
+    from jionlp_spark.operators.graph import (emb_component_sql,
+                                              emb_hex_sql)
+    hn = ', '.join(f"{emb_hex_sql('dst', j)} hn{j}" for j in range(dim))
+    cn = ', '.join(f"{emb_component_sql(f'hn{j}')} c{j}"
+                   for j in range(dim))
+    sn = ', '.join(f"sum(cast(cast(c{j} as varchar) as decimal(38,18)))"
+                   f" s{j}" for j in range(dim))
+    hs = ', '.join(f"{emb_hex_sql('src', j)} hs{j}" for j in range(dim))
+    outs = ', '.join(
+        [f"{emb_component_sql(f'hs{j}')} h_self{j}" for j in range(dim)]
+        + [f"cast(cast(s{j} as varchar) as double) / n_used h_nbr{j}"
+           for j in range(dim)])
+    return f"""
+            with m as ({_SKEW_MENTIONS_SQL}),
+            {_cooc_edges_sql('', 'm')},
+            t as (select src, dst,
+                         row_number() over (partition by src
+                             order by w desc, dst asc) rk,
+                         cast(count(*) over (partition by src)
+                              as bigint) deg
+                  from e),
+            capped as (select src, dst, deg from t where rk <= {cap}),
+            hx as (select src, deg, {hn} from capped),
+            comp as (select src, deg, {cn} from hx),
+            agg as (select src, max(deg) deg,
+                           cast(count(*) as bigint) n_used, {sn}
+                    from comp group by src),
+            ws as (select src, deg, n_used,
+                          {', '.join(f's{j}' for j in range(dim))}, {hs}
+                   from agg)
+            select src as v, deg, n_used, {outs} from ws"""
 
 
 # the skew-shaped synthetic mention table shared by the kg_edge_pmi and
@@ -8585,6 +8857,44 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                         order by hx, doc_id) - 1 as bigint) pos,
                    doc_id
             from s""",
+        'kg_pagerank_warm': _pagerank_warm_oracle(phone, idc),
+        'kg_neighbor_agg': _neighbor_agg_oracle(),
+        'fuzzy_decontam': _fuzzy_decontam_oracle(),
+        # per-shard datacard: the training_shards nibble chain joined
+        # back to the corpus, reduced to exact-integer manifest rows
+        # (w32 checksum = the HLL nibble fold, order-independent)
+        'shard_manifest': f"""
+            with h as (select doc_id,
+                              md5('r7:' || cast(doc_id as varchar)) hx
+                       from documents),
+            s as (select doc_id, hx,
+                         ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 7 shard
+                  from h),
+            sh as (select cast(shard as bigint) shard,
+                          cast(row_number() over (partition by shard
+                               order by hx, doc_id) - 1 as bigint) pos,
+                          doc_id
+                   from s),
+            d as (select doc_id,
+                         cast(len(string_split(text, ' ')) as bigint) ntk,
+                         cast(length(text) as bigint) nch,
+                         source src,
+                         md5('man|' || cast(doc_id as varchar)) mh
+                  from documents),
+            j as (select sh.shard, sh.pos, d.ntk, d.nch, d.src,
+                         {_w32('mh')} w32
+                  from sh join d using (doc_id))
+            select shard,
+                   cast(count(*) as bigint) n_docs,
+                   cast(sum(ntk) as bigint) n_tokens,
+                   cast(sum(nch) as bigint) n_chars,
+                   cast(count(distinct src) as bigint) n_sources,
+                   cast(max(pos) as bigint) pos_max,
+                   cast(sum(w32) as bigint) checksum
+            from j group by shard""",
         'events_daily': """
             select user_id, cast(ts as date) as day, event_type,
                    count(*) as n_events,

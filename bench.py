@@ -92,6 +92,9 @@ HEADLINE = [
     'web_politeness_schedule', 'web_cdx_index',
     'web_robots_wildcard', 'web_redirect_resolve',
     'web_canonical_map',
+    # round-7 additions
+    'event_asof_features', 'training_shards', 'kg_pagerank_warm',
+    'kg_neighbor_agg', 'shard_manifest', 'fuzzy_decontam',
 ]
 
 

@@ -640,3 +640,53 @@ def training_shards(docs: DataFrame, n_shards: int = 16,
     return (d.withColumn('pos', (F.row_number().over(w) - 1)
                          .cast('long'))
             .select('shard', 'pos', 'doc_id'))
+
+
+def shard_manifest(docs: DataFrame, shards: DataFrame,
+                   text_col: str = 'text', source_col: str = 'source',
+                   id_col: str = 'doc_id') -> DataFrame:
+    """→ (shard, n_docs, n_tokens, n_chars, n_sources, pos_max,
+    checksum) — the per-shard DATACARD + integrity manifest over a
+    ``training_shards`` assignment: how many docs/tokens/chars each
+    training shard carries, how many distinct sources feed it, the max
+    position (``pos_max == n_docs - 1`` is the contiguity invariant a
+    verifier checks), and an order-independent content checksum —
+    ``sum(w32(md5('man|' doc_id)))`` as an exact bigint — so a shard
+    file can be re-verified after transfer or republish without
+    re-reading the corpus that produced it.
+
+    This is the manifest a training job reads before consuming a
+    shard (token budget per shard → step accounting; source mix →
+    datacard reporting) and the artifact a catalog publish pins next
+    to the shard files.
+
+    Engine parity: everything is exact integers — token counts are the
+    whitespace rule (``size(split(text, ' '))``), the checksum folds
+    md5 hex nibbles positionally (the HLL w32 rule), sums stay bigint.
+    Zero float surface.
+
+    Scale shape: ONE join of the assignment with the corpus on the doc
+    id (both sides corpus-sized — the honest composition cost; a
+    caller holding docs WITH their shard column skips it), then ONE
+    map-side-combined groupBy at the shard grain — output is
+    n_shards rows.  The distinct-source count is a two-phase agg at
+    the same grain.  Zero Python.
+    """
+    from jionlp_spark.operators.sketches import hll_w32_sql
+
+    d = docs.select(
+        F.col(id_col).alias('doc_id'),
+        F.size(F.split(F.col(text_col), ' ')).cast('long').alias('_tok'),
+        F.length(text_col).cast('long').alias('_chr'),
+        F.col(source_col).alias('_src'),
+        F.md5(F.concat(F.lit('man|'), F.col(id_col).cast('string')))
+        .alias('_mh'))
+    d = d.withColumn('_w32', F.expr(hll_w32_sql('_mh')))
+    j = shards.select('shard', 'pos', 'doc_id').join(d, 'doc_id')
+    return (j.groupBy('shard')
+            .agg(F.count('*').cast('long').alias('n_docs'),
+                 F.sum('_tok').cast('long').alias('n_tokens'),
+                 F.sum('_chr').cast('long').alias('n_chars'),
+                 F.countDistinct('_src').cast('long').alias('n_sources'),
+                 F.max('pos').cast('long').alias('pos_max'),
+                 F.sum('_w32').cast('long').alias('checksum')))

@@ -90,3 +90,81 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
                     .alias('n_hit'),
                     (F.coalesce('n_hit', F.lit(0)) > 0)
                     .alias('contaminated')))
+
+
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
+                        threshold: float = 0.8, n: int = 3,
+                        num_hashes: int = 16, bands: int = 4,
+                        text_col: str = 'text', id_col: str = 'doc_id',
+                        bench_id_col: str = 'bench_id') -> DataFrame:
+    """→ (doc_id, bench_id, n_doc, n_bench, n_inter, jaccard, flagged)
+    — FUZZY benchmark decontamination: corpus docs whose shingle-set
+    Jaccard against an eval example clears ``threshold`` are flagged,
+    catching the paraphrased/reformatted eval leakage exact n-gram
+    overlap (``decontaminate``) misses — the complement every modern
+    open-data pipeline runs next to the exact pass (Dolma, the Llama
+    reports' "fuzzy dedup against evals").
+
+    One row per LSH CANDIDATE pair (a corpus doc and a bench example
+    sharing ≥ 1 minhash band), with the exact Jaccard verification and
+    the threshold verdict — candidates below threshold stay in the
+    output as audit rows (``flagged = false``), exactly like
+    ``decontaminate`` keeps its evidence counts.
+
+    Spark shape — the corpus must NOT shuffle (the exact-decontam
+    rule, applied to the banded representation):
+
+    - both sides reuse the dedup ladder's machinery verbatim
+      (``shingles`` → ``minhash_signatures`` → ``lsh_bands``: per-row
+      higher-order expressions, no shuffle);
+    - the benchmark's band table AND shingle table are benchmark-sized
+      → BROADCAST; the candidate join and the intersection join leave
+      corpus rows in place;
+    - only shingle rows that MATCH a benchmark shingle reach the
+      intersection aggregation — bounded by |bench shingles| ×
+      duplication, never corpus-sized (the decontaminate bound);
+    - the per-pair aggregation keys on (doc_id, bench_id) over that
+      bounded set.
+
+    Engine parity: shingle/minhash/band arithmetic is the oracle-gated
+    md5 chain of dedup_lsh_pairs; n_doc/n_bench/n_inter are exact
+    bigints; jaccard is ONE per-row double tree
+    (``cast(inter as double) / cast(nd + nb - inter as double)``) and
+    the threshold enters as a float literal / cast('<repr>' as
+    double), so verdicts split identically in both engines.
+    """
+    from jionlp_spark.operators.dedup import (lsh_bands,
+                                              minhash_signatures,
+                                              shingles)
+    dsh = shingles(docs, text_col, id_col, n).persist()
+    bsh = shingles(bench, text_col, bench_id_col, n).persist()
+    dband = lsh_bands(minhash_signatures(dsh, num_hashes), bands)
+    bband = (lsh_bands(minhash_signatures(bsh, num_hashes), bands)
+             .withColumnRenamed('doc_id', 'bench_id'))
+    cands = (dband.join(F.broadcast(bband), ['band_id', 'band_hash'])
+             .select('doc_id', 'bench_id').distinct())
+
+    dtok = dsh.select('doc_id', F.explode('shingles').alias('t'))
+    btok = bsh.select(F.col('doc_id').alias('bench_id'),
+                      F.explode('shingles').alias('t'))
+    nd = dsh.select('doc_id',
+                    F.size('shingles').cast('long').alias('n_doc'))
+    nb = bsh.select(F.col('doc_id').alias('bench_id'),
+                    F.size('shingles').cast('long').alias('n_bench'))
+    inter = (dtok.join(F.broadcast(btok), 't')
+             .groupBy('doc_id', 'bench_id')
+             .agg(F.count('*').cast('long').alias('n_inter')))
+
+    out = (cands.join(inter, ['doc_id', 'bench_id'], 'left')
+           .join(nd, 'doc_id')
+           .join(F.broadcast(nb), 'bench_id')
+           .select('doc_id', 'bench_id', 'n_doc', 'n_bench',
+                   F.coalesce('n_inter', F.lit(0)).cast('long')
+                   .alias('n_inter'))
+           .select('doc_id', 'bench_id', 'n_doc', 'n_bench', 'n_inter',
+                   (F.col('n_inter').cast('double')
+                    / (F.col('n_doc') + F.col('n_bench')
+                       - F.col('n_inter')).cast('double'))
+                   .alias('jaccard')))
+    return out.select('*', (F.col('jaccard') >= F.lit(float(threshold)))
+                      .alias('flagged'))

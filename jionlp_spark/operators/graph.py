@@ -48,8 +48,6 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     construction).  Dangling-node mass redistribution is deliberately
     out of scope — feed both directions of an undirected graph.
     """
-    tele = 1.0 - damping
-
     e = edges.select(F.col(src_col).alias('src'),
                      F.col(dst_col).alias('dst'),
                      F.col(weight_col).cast('long').alias('w'))
@@ -62,6 +60,20 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     pr = (nodes.crossJoin(F.broadcast(n_nodes))
           .select('v', (F.lit(1.0) / F.col('n')).alias('pr'))
           .localCheckpoint())
+    pr = _pagerank_rounds(ew, nodes, n_nodes, pr, iters, damping)
+    ew.unpersist()
+    return pr
+
+
+def _pagerank_rounds(ew: DataFrame, nodes: DataFrame, n_nodes: DataFrame,
+                     pr: DataFrame, iters: int,
+                     damping: float) -> DataFrame:
+    """The shared power-iteration body of ``pagerank`` /
+    ``pagerank_warm``: ``iters`` rounds of contribute → decimal-reduce →
+    teleport+damp over a persisted out-weighted edge table ``ew``, a
+    checkpointed node set, and a broadcastable node-count scalar.
+    Per-round localCheckpoint keeps the iterative plan flat."""
+    tele = 1.0 - damping
     for _ in range(iters):
         contrib = (
             ew.join(pr, ew['src'] == pr['v'])
@@ -79,6 +91,63 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                                     .cast('double'), F.lit(0.0)))
                       .alias('pr'))
               .localCheckpoint())
+    return pr
+
+
+def pagerank_warm(edges: DataFrame, prior: DataFrame, iters: int = 2,
+                  damping: float = 0.85, src_col: str = 'src',
+                  dst_col: str = 'dst', weight_col: str = 'weight',
+                  prior_v_col: str = 'v',
+                  prior_pr_col: str = 'pr') -> DataFrame:
+    """→ (v, pr) — WARM-START PageRank: resume the power iteration from
+    a prior score vector instead of the uniform vector.
+
+    The index-maintenance move for the graph ANALYTICS layer, pairing
+    with ``extend_edge_index`` on the storage layer: after a crawl
+    delta extends the edge table, yesterday's published scores already
+    sit near the new fixed point, so a couple of warm rounds recover
+    what a cold start needs many more rounds (and shuffles) to reach —
+    the power iteration is a damping-contraction (error shrinks by ≥ d
+    per round from ANY starting vector), so warm-starting changes only
+    the distance travelled, never the destination.
+
+    Nodes absent from ``prior`` (entities first seen in the delta)
+    enter at the uniform mass ``1/n`` over the NEW node set; prior mass
+    is used as-is, not renormalized — total-mass drift decays as d^k
+    through the same contraction.
+
+    Engine parity and scale shape are exactly ``pagerank``'s (shared
+    round body ``_pagerank_rounds``): per-edge contributions are
+    per-row double trees, per-target reductions ride decimal(38,18)
+    via varchar, one co-partitionable join + one map-side-combined
+    aggregation + a localCheckpoint per round; the prior is
+    entity-vocabulary-sized and BROADCASTs onto the node set.  Same
+    out-degree-complete contract as ``pagerank``; ``prior`` must be
+    unique per node (pagerank output is — a duplicate v would fan out
+    the start vector through the left join, the asof_join
+    right-uniqueness rule).
+
+    Reference: JioNLP has no graph runtime — KG-side functionality
+    added on top of the reference's extraction operators.
+    """
+    e = edges.select(F.col(src_col).alias('src'),
+                     F.col(dst_col).alias('dst'),
+                     F.col(weight_col).cast('long').alias('w'))
+    wdeg = e.groupBy('src').agg(F.sum('w').alias('wdeg'))
+    ew = e.join(wdeg, 'src').persist()
+
+    nodes = ew.select(F.col('src').alias('v')).distinct().localCheckpoint()
+    n_nodes = nodes.agg(F.count('*').cast('long').alias('n'))
+
+    p0 = prior.select(F.col(prior_v_col).alias('v'),
+                      F.col(prior_pr_col).cast('double').alias('_prior'))
+    pr = (nodes.join(F.broadcast(p0), 'v', 'left')
+          .crossJoin(F.broadcast(n_nodes))
+          .select('v',
+                  F.coalesce(F.col('_prior'),
+                             F.lit(1.0) / F.col('n')).alias('pr'))
+          .localCheckpoint())
+    pr = _pagerank_rounds(ew, nodes, n_nodes, pr, iters, damping)
     ew.unpersist()
     return pr
 
@@ -973,6 +1042,80 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
               .localCheckpoint())
     ew.unpersist()
     return pr.select('v', 'ppr')
+
+
+def neighbor_agg(edges: DataFrame, dim: int = 4, max_neighbors: int = 8,
+                 src_col: str = 'src', dst_col: str = 'dst',
+                 weight_col: str = 'weight') -> DataFrame:
+    """→ (v, deg, n_used, h_self0..{dim-1}, h_nbr0..{dim-1}) — the
+    GraphSAGE-style neighborhood aggregation step (Hamilton et al.
+    2017): each node's layer-1 input is its own feature vector next to
+    the MEAN of its neighbors' feature vectors, with the neighborhood
+    CAPPED at ``max_neighbors`` — GraphSAGE's neighbor sampling, made
+    deterministic: keep the top neighbors by (weight desc, id asc), a
+    total order both engines share, instead of a random sample.  The
+    cap is what makes the operator scale-safe: a 10M-degree hub costs
+    ``max_neighbors`` aggregation rows, not 10M (the max_hub_degree
+    lesson from link_predictions applied to feature prep).
+
+    Features are the deterministic hash embeddings of ``transe_scores``
+    (component j of node v = w32(md5('emb|' v '|' j))/2³² − 0.5) — the
+    random-init scheme with the RNG replaced by md5, so there is no
+    V×dim parameter table to ship and both engines derive identical
+    vectors; a real training loop swaps in its learned table at exactly
+    this boundary (the transe/multimodal model-state seam).
+
+    Engine parity: components are per-row double trees over md5 hex;
+    the cross-neighbor mean routes its sum through decimal(38,18) via
+    string (exact, order-independent — the pagerank reduction rule) and
+    divides by the exact bigint ``n_used`` as one per-row double tree.
+
+    Scale shape: ONE exchange on src — the row_number window that caps
+    hubs (a hub's cost is its sort, bounded by its edge list, never a
+    cross-join) — then the mean aggregation rides the SAME partitioning
+    (groupBy on the window's partition key adds no exchange); degree
+    comes from a count window in the same stage.  Zero Python anywhere.
+
+    Node ids must be strings (they feed md5 concat), and ``edges`` must
+    be unique per (src, dst) — an aggregated edge table (pair_counts /
+    edge_association output) is; duplicates would make the top-k
+    selection tie-order-dependent between engines.  Reference: JioNLP
+    has no graph runtime — KG-side functionality added on top of the
+    reference's extraction operators.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src_col).alias('src'),
+                     F.col(dst_col).alias('dst'),
+                     F.col(weight_col).cast('long').alias('w'))
+    win = Window.partitionBy('src').orderBy(F.desc('w'), F.asc('dst'))
+    t = e.select(
+        'src', 'dst',
+        F.row_number().over(win).alias('rk'),
+        F.count('*').over(Window.partitionBy('src')).cast('long')
+        .alias('deg'))
+    capped = t.filter(F.col('rk') <= int(max_neighbors))
+    hx = capped.selectExpr(
+        'src', 'deg',
+        *[f"{emb_hex_sql('dst', j)} as hn{j}" for j in range(dim)])
+    comps = hx.selectExpr(
+        'src', 'deg',
+        *[f"{emb_component_sql(f'hn{j}')} as c{j}" for j in range(dim)])
+    agg = comps.groupBy('src').agg(
+        F.max('deg').alias('deg'),
+        F.count('*').cast('long').alias('n_used'),
+        *[F.sum(F.col(f'c{j}').cast('string').cast('decimal(38,18)'))
+          .alias(f's{j}') for j in range(dim)])
+    withself = agg.selectExpr(
+        'src', 'deg', 'n_used',
+        *[f's{j}' for j in range(dim)],
+        *[f"{emb_hex_sql('src', j)} as hs{j}" for j in range(dim)])
+    return withself.selectExpr(
+        'src as v', 'deg', 'n_used',
+        *[f"{emb_component_sql(f'hs{j}')} as h_self{j}"
+          for j in range(dim)],
+        *[f"cast(cast(s{j} as string) as double) / n_used as h_nbr{j}"
+          for j in range(dim)])
 
 
 # ---------------------------------------------------------------------------

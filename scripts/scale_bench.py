@@ -645,6 +645,101 @@ def family_webstorage(spark, factors, run):
             lambda ss=segs: read_warc_segments(ss), cold_only=True)
 
 
+def family_r7ops(spark, factors, run):
+    """Round-7 operator additions.  asof_join / training_shards /
+    shard_manifest / neighbor_agg are one-exchange shapes whose
+    shuffle records must track input linearly; pagerank warm-vs-cold
+    at EQUAL rounds shares one shuffle shape (warm's win is needing
+    fewer rounds; the prior broadcast must add no corpus-sized
+    shuffle); fuzzy_decontaminate holds the bench side FIXED while
+    the corpus grows — the broadcast bound says corpus-side records
+    stay proportional to corpus rows, never corpus × bench."""
+    from pyspark.sql import functions as F
+
+    from jionlp_spark.operators.curate import (shard_manifest,
+                                               training_shards)
+    from jionlp_spark.operators.decontam import fuzzy_decontaminate
+    from jionlp_spark.operators.graph import (neighbor_agg, pagerank,
+                                              pagerank_warm)
+    from jionlp_spark.operators.trends import asof_join
+
+    bench_docs = (spark.read.parquet(f'{BASE_SF}/documents.parquet')
+                  .filter(F.col('doc_id') % 40 == 3)
+                  .selectExpr(
+                      'doc_id as bench_id',
+                      "array_join(slice(split(text, ' '), 1, "
+                      "greatest(size(split(text, ' ')) - 2, 1)), ' ') "
+                      "as text").localCheckpoint())
+
+    for factor in factors:
+        sf_dir = BASE_SF if factor == 1 else build_scale_dir(spark, factor)
+        docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+            .select('doc_id', 'text')
+        ids = docs.select('doc_id')
+
+        run(f'training_shards@x{factor}',
+            lambda d=ids: training_shards(d, n_shards=64),
+            cold_only=True)
+        dsm = docs.withColumn('source',
+                              (F.col('doc_id') % 13).cast('string'))
+        run(f'shard_manifest@x{factor}',
+            lambda d=dsm: shard_manifest(d, training_shards(d,
+                                                            n_shards=64)),
+            cold_only=True)
+
+        left = ids.select(
+            F.col('doc_id').alias('event_id'),
+            (F.col('doc_id') % 5000).alias('user_id'),
+            F.timestamp_seconds(F.col('doc_id') % 864000).alias('ts'))
+        right = (ids.filter(F.col('doc_id') % 5 == 0)
+                 .select((F.col('doc_id') % 5000).alias('user_id'),
+                         F.timestamp_seconds((F.col('doc_id') * 7)
+                                             % 864000).alias('ts'),
+                         (F.col('doc_id') % 97).alias('value'))
+                 .groupBy('user_id', 'ts')
+                 .agg(F.max('value').alias('value')))
+        run(f'asof_join@x{factor}',
+            lambda l=left, r=right: asof_join(l, r), cold_only=True)
+
+        vocab = 97 * factor
+        m = (ids.select('doc_id',
+                        F.explode(F.sequence(F.lit(0), F.lit(9)))
+                        .alias('k'))
+             .select('doc_id',
+                     F.when((F.col('doc_id') + F.col('k')) % 2 == 0,
+                            F.lit('北京市'))
+                     .otherwise(F.concat(
+                         F.lit('city_'),
+                         F.pmod(F.col('doc_id') * 10 + F.col('k'),
+                                F.lit(vocab)))).alias('obj'))
+             .distinct())
+        a, b = m.alias('a'), m.alias('b')
+        prs = (a.join(b, 'doc_id')
+               .filter(F.col('a.obj') < F.col('b.obj'))
+               .groupBy(F.col('a.obj').alias('ea'),
+                        F.col('b.obj').alias('eb'))
+               .agg(F.countDistinct('doc_id').cast('long').alias('w')))
+        edges = (prs.select(F.col('ea').alias('src'),
+                            F.col('eb').alias('dst'), 'w')
+                 .union(prs.select('eb', 'ea', 'w'))).localCheckpoint()
+        run(f'neighbor_agg@x{factor} (vocab={vocab + 1}, cap 8)',
+            lambda e=edges: neighbor_agg(e, weight_col='w'),
+            cold_only=True)
+        prior = pagerank(edges, iters=1,
+                         weight_col='w').localCheckpoint()
+        run(f'pagerank_cold2@x{factor}',
+            lambda e=edges: pagerank(e, iters=2, weight_col='w'),
+            cold_only=True)
+        run(f'pagerank_warm2@x{factor}',
+            lambda e=edges, p=prior: pagerank_warm(e, p, iters=2,
+                                                   weight_col='w'),
+            cold_only=True)
+
+        run(f'fuzzy_decontam@x{factor} (bench fixed)',
+            lambda d=docs, bb=bench_docs: fuzzy_decontaminate(d, bb),
+            cold_only=True)
+
+
 FAMILIES = {
     'dedup': family_dedup,
     'graph': family_graph,
@@ -652,6 +747,7 @@ FAMILIES = {
     'retrieval': family_retrieval,
     'web': family_web,
     'webstorage': family_webstorage,
+    'r7ops': family_r7ops,
 }
 
 

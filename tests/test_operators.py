@@ -2211,3 +2211,154 @@ def test_training_shards_deterministic_permutation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         training_shards(docs, n_shards=0)
+
+
+def test_pagerank_warm_same_fixed_point_and_faster(spark):
+    """pagerank_warm: (1) run long enough, warm and cold land on the
+    same fixed point (the start vector changes the distance travelled,
+    never the destination); (2) after a small edge delta, 2 warm
+    rounds from the base graph's scores sit strictly closer to the
+    converged vector than 2 cold rounds — the whole point of
+    warm-starting; (3) nodes absent from the prior (delta-only
+    entities) still get scored (uniform entry)."""
+    from jionlp_spark.operators.graph import pagerank, pagerank_warm
+
+    def sym(pairs):
+        rows = [(a, b, w) for a, b, w in pairs] + \
+               [(b, a, w) for a, b, w in pairs]
+        return spark.createDataFrame(rows, 'src string, dst string, '
+                                           'weight long')
+
+    # hub-skewed graph: the fixed point is FAR from uniform, so a
+    # cold uniform start has real distance to travel (a near-regular
+    # graph would make cold-start trivially converged and the
+    # comparison meaningless)
+    base_pairs = [('hub', f'n{i}', 3 * i + 1) for i in range(20)] + \
+                 [(f'n{i}', f'n{(i + 1) % 20}', 1) for i in range(20)]
+    delta_pairs = [('n0', 'x_new', 1), ('n5', 'x_new', 2)]
+    base, full = sym(base_pairs), sym(base_pairs + delta_pairs)
+
+    prior = pagerank(base, iters=6)
+    conv = {r['v']: r['pr'] for r in pagerank(full, iters=14).collect()}
+    warm = {r['v']: r['pr']
+            for r in pagerank_warm(full, prior, iters=2).collect()}
+    cold = {r['v']: r['pr'] for r in pagerank(full, iters=2).collect()}
+
+    assert set(warm) == set(conv) and 'x_new' in warm   # delta node in
+    l1_warm = sum(abs(warm[v] - conv[v]) for v in conv)
+    l1_cold = sum(abs(cold[v] - conv[v]) for v in conv)
+    assert l1_warm < l1_cold                  # warm start pays off
+    # same destination: the two trajectories CONTRACT toward each
+    # other at rate d^k (0.85¹² ≈ 0.14) — warm₁₄ vs cold₁₄ must be
+    # well inside a quarter of warm₂ vs cold₂
+    warm_long = {r['v']: r['pr']
+                 for r in pagerank_warm(full, prior, iters=14).collect()}
+    gap_2 = sum(abs(warm[v] - cold[v]) for v in conv)
+    gap_14 = sum(abs(warm_long[v] - conv[v]) for v in conv)
+    assert gap_14 < 0.25 * gap_2
+
+
+def test_neighbor_agg_cap_mean_and_self(spark):
+    """neighbor_agg: the hub keeps its TRUE degree but aggregates only
+    max_neighbors rows, selected by (weight desc, id asc); the mean is
+    over n_used, not deg; self components match the transe hash
+    embedding of the node id."""
+    from jionlp_spark.operators.graph import neighbor_agg
+
+    # hub h with 5 neighbors (weights 5..1), spoke s1 with 1 neighbor
+    rows = [('h', f's{i}', 6 - i) for i in range(1, 6)] + \
+           [(f's{i}', 'h', 6 - i) for i in range(1, 6)]
+    edges = spark.createDataFrame(rows, 'src string, dst string, '
+                                        'weight long')
+    out = {r['v']: r for r in
+           neighbor_agg(edges, dim=2, max_neighbors=3).collect()}
+    assert out['h']['deg'] == 5 and out['h']['n_used'] == 3
+    assert out['s1']['deg'] == 1 and out['s1']['n_used'] == 1
+
+    # the hub's top-3 by (w desc, dst asc) = s1, s2, s3
+    import hashlib
+
+    def comp(v, j):
+        hx = hashlib.md5(f'emb|{v}|{j}'.encode()).hexdigest()
+        return int(hx[2:10], 16) / 4294967296.0 - 0.5
+
+    for j in range(2):
+        want = sum(comp(f's{i}', j) for i in (1, 2, 3)) / 3
+        assert abs(out['h'][f'h_nbr{j}'] - want) < 1e-12
+        assert abs(out['h'][f'h_self{j}'] - comp('h', j)) < 1e-15
+    # s1's only neighbor is the hub: mean == hub's own embedding
+    for j in range(2):
+        assert abs(out['s1'][f'h_nbr{j}'] - comp('h', j)) < 1e-15
+
+
+def test_shard_manifest_invariants_and_checksum(spark):
+    """shard_manifest: per-shard counts add up to the corpus, pos_max
+    == n_docs - 1 (contiguity), the checksum is order-independent and
+    re-verifiable from the doc ids alone, and token/char sums match a
+    hand fold."""
+    from jionlp_spark.operators.curate import (shard_manifest,
+                                               training_shards)
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, 'a b  c' if i % 2 else 'xy z', f'src{i % 3}')
+         for i in range(60)],
+        'doc_id long, text string, source string')
+    shards = training_shards(docs, n_shards=4, seed='m')
+    man = shard_manifest(docs, shards).collect()
+
+    assert sum(r['n_docs'] for r in man) == 60
+    for r in man:
+        assert r['pos_max'] == r['n_docs'] - 1     # contiguous shards
+        assert 1 <= r['n_sources'] <= 3
+
+    # recompute one shard's checksum independently from the assignment
+    assign = {r['doc_id']: r['shard'] for r in shards.collect()}
+
+    def w32(i):
+        hx = hashlib.md5(f'man|{i}'.encode()).hexdigest()
+        return int(hx[2:10], 16)
+
+    for r in man:
+        ids = [i for i, s in assign.items() if s == r['shard']]
+        assert r['checksum'] == sum(w32(i) for i in ids)
+        # whitespace token rule: split(' ') counts empty runs too
+        want_tok = sum((4 if i % 2 else 2) for i in ids)
+        want_chr = sum((6 if i % 2 else 4) for i in ids)
+        assert r['n_tokens'] == want_tok and r['n_chars'] == want_chr
+
+
+def test_fuzzy_decontaminate_verify_and_threshold(spark):
+    """fuzzy_decontaminate: a bench item that is a corpus doc minus its
+    last token LSH-candidates with it and carries the exact Jaccard
+    (|A∩B|/|A∪B| over 3-gram shingles); the threshold splits the SAME
+    candidate into flagged/unflagged (verify rejects below cut); an
+    unrelated doc never pairs."""
+    from jionlp_spark.operators.decontam import fuzzy_decontaminate
+
+    toks = [f'w{i}' for i in range(30)]
+    docs = spark.createDataFrame(
+        [(1, ' '.join(toks)),
+         (3, ' '.join(f'z{i}' for i in range(30)))],
+        'doc_id long, text string')
+    bench = spark.createDataFrame(
+        [(101, ' '.join(toks[:-1])),                 # 27/28-shingle dup
+         (102, ' '.join(f'q{i}' for i in range(30)))],  # unrelated
+        'bench_id long, text string')
+
+    rows = {(r['doc_id'], r['bench_id']): r
+            for r in fuzzy_decontaminate(docs, bench,
+                                         threshold=0.8).collect()}
+    assert (1, 101) in rows
+    r = rows[(1, 101)]
+    # doc1: 28 shingles, bench101: 27, all shared → jaccard 27/28
+    assert (r['n_doc'], r['n_bench'], r['n_inter']) == (28, 27, 27)
+    assert abs(r['jaccard'] - 27 / 28) < 1e-15 and r['flagged']
+    assert not any(d == 3 for d, _ in rows)          # unrelated silent
+    assert not any(b == 102 for _, b in rows)
+
+    # same candidate, stricter cut → verify REJECTS (audit row stays)
+    strict = {(r['doc_id'], r['bench_id']): r
+              for r in fuzzy_decontaminate(docs, bench,
+                                           threshold=0.99).collect()}
+    assert (1, 101) in strict and not strict[(1, 101)]['flagged']
