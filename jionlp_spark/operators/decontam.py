@@ -155,8 +155,13 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
              .groupBy('doc_id', 'bench_id')
              .agg(F.count('*').cast('long').alias('n_inter')))
 
-    out = (cands.join(inter, ['doc_id', 'bench_id'], 'left')
-           .join(nd, 'doc_id')
+    # pair the bounded tables first (candidates ⋈ intersections are both
+    # bench-bounded), then stream the corpus-derived size table past a
+    # BROADCAST of the pairs — the r7 scale bench caught the unhinted
+    # version sort-merge-shuffling the corpus-sized nd (500k records at
+    # 100×) for a bench-bounded output, breaking this docstring's claim.
+    paired = cands.join(inter, ['doc_id', 'bench_id'], 'left')
+    out = (nd.join(F.broadcast(paired), 'doc_id')
            .join(F.broadcast(nb), 'bench_id')
            .select('doc_id', 'bench_id', 'n_doc', 'n_bench',
                    F.coalesce('n_inter', F.lit(0)).cast('long')
