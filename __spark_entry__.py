@@ -3154,6 +3154,63 @@ def q_training_mix(spark, sf_dir):
         {'en': 120, 'zh': 40, 'de': 30, 'fr': 25, 'es': 25})
 
 
+def q_training_mix_weights(spark, sf_dir):
+    """Temperature-based source mixing (operators/curate.mixing_weights):
+    p_i = c_i^alpha / Σ c_j^alpha over per-source token counts (the
+    XLM-R/Gopher exponent-smoothed sampling that DECIDES the mix
+    training_mix_sample materializes), with per-source token budgets
+    and the ~4-epoch repetition cap (Muennighoff et al. 2023).  The
+    corpus's 20 uniform sources are reshaped so doc_id % 97 == 3 docs
+    form a tiny 'curated_tail' source: α = 0.5 upweights it past its
+    proportional share until the epoch cap bites (capped = true), while
+    the bulk sources stay uncapped — both verdict branches live.  The
+    normalization constant is the decimal-via-string cross-row sum; all
+    downstream arithmetic is one per-row double tree."""
+    from jionlp_spark.operators.curate import mixing_weights
+    docs = _docs(spark, sf_dir).withColumn(
+        'source', F.when(F.col('doc_id') % 97 == 3,
+                         F.lit('curated_tail'))
+        .otherwise(F.col('source')))
+    return mixing_weights(docs, alpha=0.5, target_tokens=90_000,
+                          max_epochs=4.0)
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR's materialization step (operators/curate.weighted_sample
+    composed over dsir_logweights): deterministic weighted sampling
+    without replacement via Gumbel top-k — key = logweight +
+    (-ln(-ln(u))) with u a pure dyadic-double function of (seed,
+    doc_id) from the first 8 md5 hex nibbles, top-100 by (key desc,
+    doc_id).  Two-phase top-K (local per-partition cut first) so the
+    final window never sees the corpus; the oracle is the single
+    global row_number the two-phase plan must equal exactly."""
+    from jionlp_spark.operators.curate import (dsir_logweights,
+                                               weighted_sample)
+    d = _docs(spark, sf_dir).select('doc_id', 'text')
+    w = dsir_logweights(d, d.filter(F.col('doc_id') % 7 == 0))
+    return weighted_sample(w, k=100, logweight_col='dsir_logweight',
+                           seed='dr')
+
+
+def q_cluster_mix(spark, sf_dir):
+    """Cluster-balanced selection (operators/curate.cluster_mix_sample):
+    min(60, |cluster|) vectors per k-means cluster by md5(vec_id) order
+    — the diversity-flattening selection move cluster-based pipelines
+    (SemDeDup, D4) pair with per-cluster dedup, consuming the SAME
+    trained-centroid assignment as ann_ivf_topk (cached _ivf_centroids
+    + the arrow assigner).  At sf0.01 five clusters saturate the quota
+    and three come in under it — both branches live.  The oracle
+    reuses the shared _IVF_ASSIGN_CTES Lloyd chain + one global
+    per-bucket row_number, the spec the two-phase top-K must equal."""
+    from jionlp_spark.operators.ann import ivf_assign
+    from jionlp_spark.operators.curate import cluster_mix_sample
+    emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
+    assigned, _ = ivf_assign(emb, centroids=_ivf_centroids(spark, sf_dir))
+    return cluster_mix_sample(assigned, quota=60).select(
+        F.col('vec_id').cast('long').alias('vec_id'), 'bucket', 'rk')
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed training-data admission pipeline
     (operators/curate.curate_corpus): language allow-list → quality floor
@@ -3598,6 +3655,50 @@ def _charcheck_case(col_idx: int) -> str:
             + ' '.join(f'when {i} then {lit(v)}'
                        for i, v in enumerate(vals[:-1]))
             + f' else {lit(vals[-1])} end')
+
+
+def _hex_int_sql(col: str, n: int) -> str:
+    """SQL integer value of the first ``n`` hex chars of ``col``
+    (strpos nibble decode — the training_shards pattern)."""
+    return '(' + ' + '.join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        + (f' * {16 ** (n - 1 - i)}' if i < n - 1 else '')
+        for i in range(n)) + ')'
+
+
+# shared DSIR hashed-gram log-weight chain (dsir_weights /
+# dsir_resample): unigrams+bigrams → 2-hex-char buckets → add-one
+# smoothed target/raw log-ratio model → per-doc decimal-exact sums
+_DSIR_LW_CTES = """
+            with d as (select doc_id, string_split(text, ' ') w
+                       from documents),
+            g as (select doc_id, unnest(list_concat(w,
+                     case when len(w) > 1
+                          then list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])
+                          else [] end)) g
+                  from d),
+            gb as (select doc_id, substr(md5(g), 1, 2) b from g),
+            tgb as (select b from gb where doc_id % 7 = 0),
+            tm as (select b, cast(count(*) as bigint) ct
+                   from tgb group by b),
+            tt as (select cast(count(*) as bigint) tt from tgb),
+            rm as (select b, cast(count(*) as bigint) cr
+                   from gb group by b),
+            rt as (select cast(count(*) as bigint) rt from gb),
+            model as (select rm.b,
+                        ln(cast(coalesce(ct, 0) + 1 as double)
+                           / cast(tt + 256 as double))
+                      - ln(cast(cr + 1 as double)
+                           / cast(rt + 256 as double)) lnr
+                      from rm left join tm using (b)
+                      cross join tt cross join rt),
+            lw as (select doc_id, cast(count(*) as bigint) n_grams,
+                   cast(cast(sum(cast(cast(lnr as varchar)
+                                      as decimal(38,18))) as varchar)
+                        as double) dsir_logweight
+                   from gb join model using (b)
+                   group by doc_id)"""
 
 
 # shared simhash CTE (token md5 → per-bit majority → unsigned hugeint u)
@@ -5482,14 +5583,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
     # round-close web/storage queries + 26 mid-round entries), slots
-    # 39-44 the six NEW r7 queries (event_asof_features,
+    # 39-47 the nine NEW r7 queries (event_asof_features,
     # training_shards, kg_pagerank_warm, kg_neighbor_agg,
-    # shard_manifest, fuzzy_decontam — new operators need driver
-    # evidence too), slots 45-50 the 6 alphabetically-first r4-aged
-    # rows (oldest refreshable evidence).  Union coverage after a
-    # green r7 run = 174/174 minus the 6 r4-aged rows displaced by
-    # the new queries (kg_check_person, kg_extract_money/phone/email/
-    # idcard/ip — they lead the r8 queue).
+    # shard_manifest, fuzzy_decontam, training_mix_weights,
+    # dsir_resample, cluster_mix — new operators need driver evidence
+    # too), slots 48-50 the 3 alphabetically-first r4-aged rows
+    # (oldest refreshable evidence).  Union coverage after a green r7
+    # run = 177/177 minus the 9 r4-aged rows displaced by the new
+    # queries (kg_check_person, kg_extract_money/phone/email/idcard/
+    # ip/qq/url/wechat — they lead the r8 queue).
     # Tail order is the r8 rotation queue: the remaining r4-aged rows
     # first, then the 46 r5-green rows, then the 50 r6-green rows
     # (freshest evidence last).
@@ -5538,6 +5640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_neighbor_agg': q_kg_neighbor_agg,
         'shard_manifest': q_shard_manifest,
         'fuzzy_decontam': q_fuzzy_decontam,
+        'training_mix_weights': q_training_mix_weights,
+        'dsir_resample': q_dsir_resample,
+        'cluster_mix': q_cluster_mix,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -6335,14 +6440,11 @@ where rn <= 3""".replace(
         'TRAINWHERE', train_where)
 
 
-def _ivf_topk_oracle(train_where: str = '') -> str:
-    """IVF top-3 oracle: 1 Lloyd iteration from hash-seeded init (decimal
-    means keep the centroids bit-identical to Spark), index probes=1,
-    queries (vec_id<3) probe top-2 buckets.  ``train_where`` restricts
-    the TRAINING set (seeds + Lloyd assignment/means) while the indexed
-    corpus stays all vectors — the extend-index oracle trains on the
-    first batch only, exactly like the Spark side\'s stored centroids."""
-    return """
+# the trained-centroid ASSIGNMENT chain (hash-seeded init → 1 decimal
+# Lloyd round → every vector to its top-1 bucket), shared by the IVF
+# top-k oracle and cluster_mix (the `ranked1`/`assigned` CTEs are the
+# reusable product; TRAINWHERE restricts the training set only)
+_IVF_ASSIGN_CTES = """
             with emb as (select vec_id, embedding::DOUBLE[] e
                          from embeddings),
             seeds as (select vec_id, e,
@@ -6378,7 +6480,17 @@ def _ivf_topk_oracle(train_where: str = '') -> str:
             ranked1 as (select *, row_number() over (partition by vec_id
                                order by sim desc, cid) rn from sim1),
             assigned as (select vec_id, e, cid bucket
-                         from ranked1 where rn = 1),
+                         from ranked1 where rn = 1)"""
+
+
+def _ivf_topk_oracle(train_where: str = '') -> str:
+    """IVF top-3 oracle: 1 Lloyd iteration from hash-seeded init (decimal
+    means keep the centroids bit-identical to Spark), index probes=1,
+    queries (vec_id<3) probe top-2 buckets.  ``train_where`` restricts
+    the TRAINING set (seeds + Lloyd assignment/means) while the indexed
+    corpus stays all vectors — the extend-index oracle trains on the
+    first batch only, exactly like the Spark side\'s stored centroids."""
+    return (_IVF_ASSIGN_CTES + """,
             probes as (select vec_id, e, cid bucket
                        from ranked1 where rn <= 2 and vec_id < 3),
             joined as (select distinct q.vec_id qid, x.vec_id vec_id,
@@ -6390,7 +6502,7 @@ def _ivf_topk_oracle(train_where: str = '') -> str:
             select qid, vec_id, cos from
               (select *, row_number() over (partition by qid
                          order by cos desc, vec_id) rn from joined) t
-            where rn <= 3""".replace(
+            where rn <= 3""").replace(
         'TRAINWHERE', train_where)
 
 
@@ -6563,6 +6675,17 @@ def oracle_sql() -> dict[str, str]:
     # extend-index: centroids train on the even half only (the stored
     # centroids the Spark side extends against); index covers everything
     d['ann_index_extend'] = _ivf_topk_oracle('where vec_id % 2 = 0')
+    # cluster-balanced selection: the shared Lloyd assignment chain +
+    # one global per-bucket md5-ordered row_number cut at the quota
+    d['cluster_mix'] = (_IVF_ASSIGN_CTES + """
+            select cast(vec_id as bigint) vec_id,
+                   cast(bucket as bigint) bucket,
+                   cast(rk as bigint) rk from (
+              select vec_id, bucket,
+                     row_number() over (partition by bucket
+                       order by md5(cast(vec_id as varchar)), vec_id) rk
+              from assigned) t
+            where rk <= 60""").replace('TRAINWHERE', '')
     return d
 
 
@@ -7606,36 +7729,27 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the
         # EXACT Spark double tree; per-doc sums ride decimal via varchar
-        'dsir_weights': """
-            with d as (select doc_id, string_split(text, ' ') w
-                       from documents),
-            g as (select doc_id, unnest(list_concat(w,
-                     case when len(w) > 1
-                          then list_transform(range(1, len(w)),
-                               i -> w[i] || ' ' || w[i+1])
-                          else [] end)) g
-                  from d),
-            gb as (select doc_id, substr(md5(g), 1, 2) b from g),
-            tgb as (select b from gb where doc_id % 7 = 0),
-            tm as (select b, cast(count(*) as bigint) ct
-                   from tgb group by b),
-            tt as (select cast(count(*) as bigint) tt from tgb),
-            rm as (select b, cast(count(*) as bigint) cr
-                   from gb group by b),
-            rt as (select cast(count(*) as bigint) rt from gb),
-            model as (select rm.b,
-                        ln(cast(coalesce(ct, 0) + 1 as double)
-                           / cast(tt + 256 as double))
-                      - ln(cast(cr + 1 as double)
-                           / cast(rt + 256 as double)) lnr
-                      from rm left join tm using (b)
-                      cross join tt cross join rt)
-            select doc_id, cast(count(*) as bigint) n_grams,
-                   cast(cast(sum(cast(cast(lnr as varchar)
-                                      as decimal(38,18))) as varchar)
-                        as double) dsir_logweight
-            from gb join model using (b)
-            group by doc_id""",
+        'dsir_weights': f"""
+            {_DSIR_LW_CTES}
+            select doc_id, n_grams, dsir_logweight from lw""",
+        # DSIR resampling: the shared log-weight chain + the Gumbel
+        # top-k key (u = first 8 md5 nibbles of 'dr:'||doc_id as an
+        # exact dyadic double) — the oracle's single global
+        # row_number is the spec the two-phase top-K must equal
+        'dsir_resample': f"""
+            {_DSIR_LW_CTES},
+            hx as (select doc_id, dsir_logweight,
+                          md5('dr:' || cast(doc_id as varchar)) h
+                   from lw),
+            keyed as (select doc_id,
+                dsir_logweight + (-ln(-ln(
+                  (cast({_hex_int_sql('h', 8)} as double) + 0.5)
+                  / 4294967296.0))) as gumbel_key
+              from hx)
+            select doc_id, gumbel_key,
+                   cast(row_number() over (order by gumbel_key desc,
+                                           doc_id) as bigint) rk
+            from keyed order by gumbel_key desc, doc_id limit 100""",
         # Gopher repetition filters: per-row trees only — int/int
         # division and the list comprehensions mirror the Spark
         # higher-order expressions exactly; DuckDB lateral alias reuse
@@ -7678,6 +7792,33 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             select cast(doc_id as bigint) doc_id, lang,
                    cast(rk as bigint) rk
             from r join q using (lang) where rk <= quota""",
+        'training_mix_weights': """
+            with d as (
+              select case when doc_id % 97 = 3 then 'curated_tail'
+                          else source end as source,
+                     cast(len(string_split(text, ' ')) as bigint) tok
+              from documents),
+            per as (
+              select source, cast(count(*) as bigint) n_docs,
+                     cast(sum(tok) as bigint) n_tokens
+              from d group by source),
+            t as (
+              select source, n_docs, n_tokens,
+                     pow(cast(n_tokens as double), 0.5) term
+              from per),
+            dn as (
+              select cast(cast(sum(cast(cast(term as varchar)
+                                      as decimal(38,18))) as varchar)
+                          as double) denom
+              from t)
+            select source, n_docs, n_tokens,
+                   term / denom as weight,
+                   term / denom * 90000.0 as budget_tokens,
+                   least(term / denom * 90000.0
+                         / cast(n_tokens as double), 4.0) as epochs,
+                   (term / denom * 90000.0
+                    / cast(n_tokens as double)) > 4.0 as capped
+            from t, dn""",
         'kg_entity_counts_skew': """
             with m as (
               select doc_id, unnest(range(10)) as k from documents),

@@ -95,6 +95,7 @@ HEADLINE = [
     # round-7 additions
     'event_asof_features', 'training_shards', 'kg_pagerank_warm',
     'kg_neighbor_agg', 'shard_manifest', 'fuzzy_decontam',
+    'training_mix_weights', 'dsir_resample', 'cluster_mix',
 ]
 
 

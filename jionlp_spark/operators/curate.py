@@ -300,6 +300,148 @@ def training_mix_sample(docs: DataFrame, quotas: dict,
             .select('doc_id', 'lang', F.col('rk').cast('long').alias('rk')))
 
 
+def mixing_weights(docs: DataFrame, alpha: float = 0.5,
+                   target_tokens: int = 1_000_000, max_epochs: float = 4.0,
+                   source_col: str = 'source',
+                   text_col: str = 'text') -> DataFrame:
+    """→ (source, n_docs, n_tokens, weight, budget_tokens, epochs,
+    capped) — temperature-based source mixing: the step that DECIDES a
+    training mix before ``training_mix_sample`` materializes it.
+
+    Sampling proportional to raw size lets one giant crawl source
+    drown curated sources; uniform sampling over-trains tiny ones.
+    The standard compromise (multilingual BERT's exponent-smoothed
+    sampling, XLM-R §3, Gopher's mixing tables) samples source i with
+    ``p_i = c_i^alpha / sum_j c_j^alpha`` for token counts ``c_i`` and
+    a temperature ``alpha`` in [0, 1] (1 = proportional, 0 = uniform).
+    ``budget_tokens_i = p_i * target_tokens``; ``epochs_i =
+    budget_i / c_i`` is how many passes over source i the budget
+    implies, capped at ``max_epochs`` (repeating data beyond ~4 epochs
+    stops buying loss — Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"), with ``capped`` flagging
+    sources whose demanded repetition exceeded the cap.
+
+    Scale shape: ONE map-side-combinable aggregation over the corpus to
+    the sources-grain table (tens of rows at any corpus size); the
+    normalization constant is a cross-row sum over sources, reduced as
+    exact ``decimal(38,18)`` via string (cross-row double sums are
+    order-sensitive; the decimal route is the repo's engine-parity
+    rule) and re-emitted as the shortest-round-trip double.  Everything
+    downstream is one per-row double tree over engine-identical inputs.
+    alpha enters as ``pow(c, <repr>)`` in both engines.
+    """
+    per = (docs.groupBy(F.col(source_col).alias('source'))
+           .agg(F.count('*').cast('long').alias('n_docs'),
+                F.sum(F.size(F.split(F.col(text_col), ' '))
+                      .cast('long')).cast('long').alias('n_tokens')))
+    term = F.pow(F.col('n_tokens').cast('double'), F.lit(float(alpha)))
+    per = per.withColumn('term', term)
+    denom = (per.agg(
+        F.sum(F.col('term').cast('string').cast('decimal(38,18)'))
+        .cast('string').cast('double').alias('denom')))
+    out = (per.join(F.broadcast(denom))
+           .withColumn('weight', F.col('term') / F.col('denom'))
+           .withColumn('budget_tokens',
+                       F.col('weight') * F.lit(float(target_tokens)))
+           .withColumn('epochs_raw',
+                       F.col('budget_tokens')
+                       / F.col('n_tokens').cast('double')))
+    return (out.select(
+        'source', 'n_docs', 'n_tokens', 'weight', 'budget_tokens',
+        F.least(F.col('epochs_raw'), F.lit(float(max_epochs)))
+        .alias('epochs'),
+        (F.col('epochs_raw') > F.lit(float(max_epochs))).alias('capped')))
+
+
+def cluster_mix_sample(assigned: DataFrame, quota: int,
+                       id_col: str = 'vec_id',
+                       bucket_col: str = 'bucket') -> DataFrame:
+    """→ (vec_id, bucket, rk) — cluster-balanced selection: exactly
+    ``min(quota, |cluster|)`` items per embedding cluster, chosen by
+    md5(id) order.
+
+    Proportional sampling reproduces the corpus's semantic skew (a
+    crawl is mostly its few giant topic clusters); per-CLUSTER quotas
+    flatten it — the diversity-preserving selection move cluster-based
+    pipelines run after SemDeDup's per-cluster dedup (both consume the
+    same k-means assignment, e.g. Abbas et al. 2023 §3; Tirumala et
+    al. 2023's D4 pairs exactly this with its dedup).  Input is an
+    assignment table (``ann.ivf_assign`` / ``query_ann_index`` output
+    — train centroids once, reuse for dedup AND selection).
+
+    Deterministic (hash order, not RNG) and scale-shaped like
+    ``training_mix_sample``: exact two-phase top-K — per-(cluster,
+    input-partition) local cut first, so the global per-cluster window
+    sees ≤ quota × n_partitions rows, never a giant cluster's full
+    membership through one reducer.
+    """
+    from pyspark.sql.window import Window
+
+    d = (assigned.select(F.col(id_col).alias('vec_id'),
+                         F.col(bucket_col).alias('bucket'),
+                         F.md5(F.col(id_col).cast('string')).alias('hk'))
+         .withColumn('pid', F.spark_partition_id()))
+    local = Window.partitionBy('bucket', 'pid').orderBy('hk', 'vec_id')
+    cand = (d.withColumn('lrk', F.row_number().over(local))
+            .filter(F.col('lrk') <= quota))
+    final = Window.partitionBy('bucket').orderBy('hk', 'vec_id')
+    return (cand.withColumn('rk', F.row_number().over(final))
+            .filter(F.col('rk') <= quota)
+            .select('vec_id', F.col('bucket').cast('long').alias('bucket'),
+                    F.col('rk').cast('long').alias('rk')))
+
+
+def weighted_sample(items: DataFrame, k: int, logweight_col: str,
+                    id_col: str = 'doc_id',
+                    seed: str = 'ws') -> DataFrame:
+    """→ (doc_id, gumbel_key, rk) — DETERMINISTIC weighted sampling
+    without replacement: the top-``k`` rows by Gumbel-perturbed log
+    weight, which is distributed exactly as sequential sampling with
+    probability ∝ exp(logweight) without replacement (the Gumbel
+    top-k trick — Vieira 2014; equivalently Efraimidis & Spirakis
+    2006 with keys on the log scale).  This is the materialization
+    step importance-weighting schemes pair with their scores — DSIR
+    (Xie et al. 2023) resamples its pool exactly this way — and the
+    weighted complement of ``training_mix_sample``'s per-group
+    quotas.
+
+    Determinism: the Gumbel noise ``-ln(-ln(u))`` uses
+    ``u = (first-8-md5-hex-nibbles-of(seed:id) + 0.5) / 2^32`` — a
+    pure function of (seed, id), so the sample is reproducible
+    run-to-run and machine-to-machine and re-draws per epoch by seed
+    (``orderBy(rand())`` is neither); u > 0 by the +0.5 so ln never
+    sees zero; u is an exact dyadic double, so both engines perturb
+    bit-identical inputs.
+
+    Scale shape: a global ``row_number`` funnels the corpus through
+    ONE reducer — instead, exact two-phase top-K (the
+    ``training_mix_sample`` pattern): per-input-partition local top-K
+    first, so the final unpartitioned window sees ≤ k × n_partitions
+    candidate rows, never the corpus.  Ties break by id for a total
+    order.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f'{seed}:'),
+                       F.col(id_col).cast('string')))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast('double')
+          + F.lit(0.5)) / F.lit(4294967296.0))
+    key = F.col(logweight_col) + (-F.log(-F.log(u)))
+
+    d = (items.select(F.col(id_col).alias('doc_id'),
+                      key.alias('gumbel_key'))
+         .withColumn('pid', F.spark_partition_id()))
+    local = Window.partitionBy('pid').orderBy(F.desc('gumbel_key'),
+                                              'doc_id')
+    cand = (d.withColumn('lrk', F.row_number().over(local))
+            .filter(F.col('lrk') <= k))
+    final = Window.orderBy(F.desc('gumbel_key'), 'doc_id')
+    return (cand.withColumn('rk', F.row_number().over(final))
+            .filter(F.col('rk') <= k)
+            .select('doc_id', 'gumbel_key',
+                    F.col('rk').cast('long').alias('rk')))
+
+
 def dsir_logweights(raw: DataFrame, target: DataFrame,
                     text_col: str = 'text') -> DataFrame:
     """→ (doc_id, n_grams, dsir_logweight) — Data Selection with

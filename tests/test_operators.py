@@ -2362,3 +2362,118 @@ def test_fuzzy_decontaminate_verify_and_threshold(spark):
               for r in fuzzy_decontaminate(docs, bench,
                                            threshold=0.99).collect()}
     assert (1, 101) in strict and not strict[(1, 101)]['flagged']
+
+
+def test_mixing_weights_temperature_and_cap(spark):
+    """mixing_weights: alpha=0.5 upweights the small source past its
+    proportional share (p ∝ sqrt(c)); weights sum to 1; budgets sum to
+    the target; the epoch cap bites exactly the source whose demanded
+    repetition exceeds it; alpha=1 reproduces proportional sampling."""
+    import math
+
+    from jionlp_spark.operators.curate import mixing_weights
+
+    # big: 4 docs x 100 tokens = 400; small: 1 doc x 4 tokens
+    rows = [(i, 'big', ' '.join(f'w{j}' for j in range(100)))
+            for i in range(4)]
+    rows.append((9, 'small', 'a b c d'))
+    docs = spark.createDataFrame(rows, 'doc_id long, source string, '
+                                       'text string')
+
+    out = {r['source']: r for r in
+           mixing_weights(docs, alpha=0.5, target_tokens=1000,
+                          max_epochs=4.0).collect()}
+    big, small = out['big'], out['small']
+    assert (big['n_docs'], big['n_tokens']) == (4, 400)
+    assert (small['n_docs'], small['n_tokens']) == (1, 4)
+    den = math.sqrt(400) + math.sqrt(4)
+    assert abs(big['weight'] - 20 / den) < 1e-12
+    assert abs(small['weight'] - 2 / den) < 1e-12
+    # temperature: small's share (1/11) >> proportional (4/404)
+    assert small['weight'] > 4 / 404
+    assert abs(big['weight'] + small['weight'] - 1.0) < 1e-12
+    assert abs(big['budget_tokens'] + small['budget_tokens']
+               - 1000.0) < 1e-9
+    # small demands 1000*(2/22)/4 ≈ 22.7 epochs → capped at 4;
+    # big demands 1000*(20/22)/400 ≈ 2.27 → uncapped
+    assert small['capped'] and small['epochs'] == 4.0
+    assert not big['capped']
+    assert abs(big['epochs'] - (1000 * 20 / 22) / 400) < 1e-12
+
+    prop = {r['source']: r for r in
+            mixing_weights(docs, alpha=1.0, target_tokens=1000,
+                           max_epochs=100.0).collect()}
+    assert abs(prop['big']['weight'] - 400 / 404) < 1e-12
+    assert abs(prop['small']['epochs']
+               - (1000 * 4 / 404) / 4) < 1e-12
+
+
+def test_weighted_sample_gumbel_topk(spark):
+    """weighted_sample: key arithmetic matches the closed form
+    (md5-nibble u → -ln(-ln(u)) + logweight); exactly k rows with
+    contiguous ranks in (key desc, id) order — the two-phase plan
+    equals the global spec; deterministic across runs; the seed
+    re-draws; a dominant logweight always wins slot 1."""
+    import hashlib
+    import math
+
+    from jionlp_spark.operators.curate import weighted_sample
+
+    rows = [(i, float(-(i % 7))) for i in range(200)]
+    rows.append((999, 50.0))                      # dominant weight
+    items = spark.createDataFrame(rows, 'doc_id long, lw double')
+
+    def key(i, lw, seed='s1'):
+        h = hashlib.md5(f'{seed}:{i}'.encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 2 ** 32
+        return lw + (-math.log(-math.log(u)))
+
+    got = weighted_sample(items, k=25, logweight_col='lw',
+                          seed='s1').collect()
+    assert len(got) == 25
+    assert sorted(r['rk'] for r in got) == list(range(1, 26))
+    want = sorted(((key(i, lw), i) for i, lw in rows),
+                  key=lambda t: (-t[0], t[1]))[:25]
+    got_sorted = sorted(got, key=lambda r: r['rk'])
+    for r, (wk, wi) in zip(got_sorted, want):
+        assert r['doc_id'] == wi and abs(r['gumbel_key'] - wk) < 1e-9
+    assert got_sorted[0]['doc_id'] == 999          # dominant weight
+
+    again = weighted_sample(items, k=25, logweight_col='lw',
+                            seed='s1').collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    other = weighted_sample(items, k=25, logweight_col='lw',
+                            seed='s2').collect()
+    assert {r['doc_id'] for r in other} != {r['doc_id'] for r in got}
+
+
+def test_cluster_mix_sample_quota_and_order(spark):
+    """cluster_mix_sample: exactly min(quota, |cluster|) per cluster in
+    md5(id) order with contiguous ranks; the two-phase plan equals the
+    global per-cluster spec; items outside the sample hash strictly
+    later than every sampled item of their cluster."""
+    import hashlib
+
+    from jionlp_spark.operators.curate import cluster_mix_sample
+
+    # cluster 0: 5 members, cluster 1: 2 members; quota 3
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10, 1), (11, 1)],
+        'vec_id long, bucket int')
+    got = cluster_mix_sample(assigned, quota=3).collect()
+    by_b = {}
+    for r in got:
+        by_b.setdefault(r['bucket'], []).append(r)
+    assert len(by_b[0]) == 3 and len(by_b[1]) == 2
+    for b, rows in by_b.items():
+        assert sorted(r['rk'] for r in rows) == list(
+            range(1, len(rows) + 1))
+
+    def hk(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    want0 = sorted(range(5), key=lambda i: (hk(i), i))[:3]
+    got0 = [r['vec_id'] for r in sorted(by_b[0], key=lambda r: r['rk'])]
+    assert got0 == want0
+    left_out = set(range(5)) - set(want0)
+    assert all(hk(o) > max(hk(i) for i in want0) for o in left_out)

@@ -219,3 +219,50 @@ def test_round_close_query_plan_shapes(spark):
     assert py == 1 and ex <= 2, (ex, py)
     ex, bc, py = counts('web_politeness_schedule')
     assert bc >= 1 and py == 0 and ex <= 5, (ex, bc, py)
+
+
+def test_r7_operator_plan_shapes(spark):
+    """r7 operator plan guards.  fuzzy_decontam: the corpus side must
+    never shuffle — the only exchanges are the two BENCH-bounded
+    aggregations (candidate distinct + intersection groupBy) and the
+    only sort-merge join is the bench-bounded cands⋈inter pairing;
+    the corpus-sized shingle/size tables reach the output exclusively
+    through broadcast joins (the r7 scale bench caught an unhinted
+    verdict join shuffling 500k corpus records at 100× for a
+    134-row output — this pins the fix).  asof_join: ONE window
+    exchange + the snapshot reduce, zero Python, zero SMJ.
+    training_shards: exactly one exchange (shard) — a global sort
+    appearing here would be the orderBy(rand()) anti-pattern."""
+    import __spark_entry__ as entry
+    sf = '/root/testdata/sf0.01'
+
+    def counts(name):
+        p = _plan(entry.queries()[name](spark, sf))
+        return (len(re.findall(r'Exchange hashpartitioning', p)),
+                len(re.findall(r'SortMergeJoin', p)),
+                len(re.findall(r'BroadcastHashJoin', p)),
+                len(re.findall(
+                    r'ArrowEvalPython|FlatMapGroupsInPandas'
+                    r'|MapInPandas', p)))
+
+    ex, smj, bhj, py = counts('fuzzy_decontam')
+    assert ex <= 2 and smj <= 1 and bhj >= 3 and py == 0, \
+        (ex, smj, bhj, py)
+    ex, smj, _bhj, py = counts('event_asof_features')
+    assert ex <= 2 and smj == 0 and py == 0, (ex, smj, py)
+    ex, smj, _bhj, py = counts('training_shards')
+    assert ex == 1 and smj == 0 and py == 0, (ex, smj, py)
+
+    # neighbor_agg at the operator grain (the gated query's extra
+    # exchanges belong to its mention-graph construction): the window
+    # and the mean groupBy must share ONE partitioning.
+    from pyspark.sql import functions as F
+    from jionlp_spark.operators.graph import neighbor_agg
+    edges = spark.createDataFrame(
+        [('a', 'b', 2), ('b', 'a', 2), ('a', 'c', 1), ('c', 'a', 1)],
+        'src string, dst string, w long').localCheckpoint()
+    p = _plan(neighbor_agg(edges, weight_col='w'))
+    ex = len(re.findall(r'Exchange hashpartitioning', p))
+    py = len(re.findall(
+        r'ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas', p))
+    assert ex == 1 and py == 0, (ex, py)
