@@ -3192,6 +3192,26 @@ def q_dsir_resample(spark, sf_dir):
                            seed='dr')
 
 
+def q_epoch_expansion(spark, sf_dir):
+    """Fractional-epoch materialization (operators/curate.epoch_expand
+    composed over mixing_weights): every doc of a source with epochs=f
+    appears floor(f) times plus one more for the deterministic
+    f−floor(f) fraction (md5-nibble uniform < frac) — how
+    data-constrained schedules realize non-integer epoch counts.  ONE
+    broadcast join + per-row explode, zero shuffles beyond the mix's
+    own sources-grain aggregation; the oracle shares _MIX_W_CTES with
+    training_mix_weights and replays the uniform threshold."""
+    from jionlp_spark.operators.curate import (epoch_expand,
+                                               mixing_weights)
+    docs = _docs(spark, sf_dir).withColumn(
+        'source', F.when(F.col('doc_id') % 97 == 3,
+                         F.lit('curated_tail'))
+        .otherwise(F.col('source')))
+    mix = mixing_weights(docs, alpha=0.5, target_tokens=90_000,
+                         max_epochs=4.0)
+    return epoch_expand(docs, mix)
+
+
 def q_cluster_mix(spark, sf_dir):
     """Cluster-balanced selection (operators/curate.cluster_mix_sample):
     min(60, |cluster|) vectors per k-means cluster by md5(vec_id) order
@@ -3655,6 +3675,40 @@ def _charcheck_case(col_idx: int) -> str:
             + ' '.join(f'when {i} then {lit(v)}'
                        for i, v in enumerate(vals[:-1]))
             + f' else {lit(vals[-1])} end')
+
+
+# shared temperature-mix chain (training_mix_weights /
+# epoch_expansion): curated_tail reshape → per-source token counts →
+# alpha=0.5 terms → decimal-exact normalization → budgets + capped
+# epochs (target 90k tokens, cap 4.0)
+_MIX_W_CTES = """
+            with d as (
+              select case when doc_id % 97 = 3 then 'curated_tail'
+                          else source end as source,
+                     cast(len(string_split(text, ' ')) as bigint) tok
+              from documents),
+            per as (
+              select source, cast(count(*) as bigint) n_docs,
+                     cast(sum(tok) as bigint) n_tokens
+              from d group by source),
+            t as (
+              select source, n_docs, n_tokens,
+                     pow(cast(n_tokens as double), 0.5) term
+              from per),
+            dn as (
+              select cast(cast(sum(cast(cast(term as varchar)
+                                      as decimal(38,18))) as varchar)
+                          as double) denom
+              from t),
+            mixw as (
+              select source, n_docs, n_tokens,
+                     term / denom as weight,
+                     term / denom * 90000.0 as budget_tokens,
+                     least(term / denom * 90000.0
+                           / cast(n_tokens as double), 4.0) as epochs,
+                     (term / denom * 90000.0
+                      / cast(n_tokens as double)) > 4.0 as capped
+              from t, dn)"""
 
 
 def _hex_int_sql(col: str, n: int) -> str:
@@ -5583,15 +5637,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
     # round-close web/storage queries + 26 mid-round entries), slots
-    # 39-47 the nine NEW r7 queries (event_asof_features,
+    # 39-48 the ten NEW r7 queries (event_asof_features,
     # training_shards, kg_pagerank_warm, kg_neighbor_agg,
     # shard_manifest, fuzzy_decontam, training_mix_weights,
-    # dsir_resample, cluster_mix — new operators need driver evidence
-    # too), slots 48-50 the 3 alphabetically-first r4-aged rows
-    # (oldest refreshable evidence).  Union coverage after a green r7
-    # run = 177/177 minus the 9 r4-aged rows displaced by the new
-    # queries (kg_check_person, kg_extract_money/phone/email/idcard/
-    # ip/qq/url/wechat — they lead the r8 queue).
+    # dsir_resample, cluster_mix, epoch_expansion — new operators
+    # need driver evidence too), slots 49-50 the 2
+    # alphabetically-first r4-aged rows (oldest refreshable
+    # evidence).  Union coverage after a green r7 run = 178/178
+    # minus the 10 r4-aged rows displaced by the new queries
+    # (kg_check_person, kg_extract_money/phone/email/idcard/ip/qq/
+    # url/wechat + dataset_split_stats — they lead the r8 queue).
     # Tail order is the r8 rotation queue: the remaining r4-aged rows
     # first, then the 46 r5-green rows, then the 50 r6-green rows
     # (freshest evidence last).
@@ -5643,6 +5698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'training_mix_weights': q_training_mix_weights,
         'dsir_resample': q_dsir_resample,
         'cluster_mix': q_cluster_mix,
+        'epoch_expansion': q_epoch_expansion,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -7792,33 +7848,32 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             select cast(doc_id as bigint) doc_id, lang,
                    cast(rk as bigint) rk
             from r join q using (lang) where rk <= quota""",
-        'training_mix_weights': """
-            with d as (
-              select case when doc_id % 97 = 3 then 'curated_tail'
-                          else source end as source,
-                     cast(len(string_split(text, ' ')) as bigint) tok
-              from documents),
-            per as (
-              select source, cast(count(*) as bigint) n_docs,
-                     cast(sum(tok) as bigint) n_tokens
-              from d group by source),
-            t as (
-              select source, n_docs, n_tokens,
-                     pow(cast(n_tokens as double), 0.5) term
-              from per),
-            dn as (
-              select cast(cast(sum(cast(cast(term as varchar)
-                                      as decimal(38,18))) as varchar)
-                          as double) denom
-              from t)
-            select source, n_docs, n_tokens,
-                   term / denom as weight,
-                   term / denom * 90000.0 as budget_tokens,
-                   least(term / denom * 90000.0
-                         / cast(n_tokens as double), 4.0) as epochs,
-                   (term / denom * 90000.0
-                    / cast(n_tokens as double)) > 4.0 as capped
-            from t, dn""",
+        'training_mix_weights': f"""
+            {_MIX_W_CTES}
+            select source, n_docs, n_tokens, weight, budget_tokens,
+                   epochs, capped
+            from mixw""",
+        # epoch materialization of the SAME mix: floor(epochs) full
+        # copies per doc + one extra copy when the doc's md5-nibble
+        # uniform clears the fractional part
+        'epoch_expansion': f"""
+            {_MIX_W_CTES},
+            dd as (select doc_id,
+                          case when doc_id % 97 = 3 then 'curated_tail'
+                               else source end as source
+                   from documents),
+            j as (select dd.doc_id, dd.source,
+                         cast(floor(epochs) as int)
+                       + case when
+                           (cast({_hex_int_sql(
+                               "md5('ep:' || cast(doc_id as varchar))",
+                               8)} as double) + 0.5) / 4294967296.0
+                           < epochs - floor(epochs)
+                         then 1 else 0 end n_copies
+                  from dd join mixw using (source))
+            select doc_id, source,
+                   cast(unnest(range(n_copies)) as bigint) epoch
+            from j where n_copies >= 1""",
         'kg_entity_counts_skew': """
             with m as (
               select doc_id, unnest(range(10)) as k from documents),

@@ -96,6 +96,7 @@ HEADLINE = [
     'event_asof_features', 'training_shards', 'kg_pagerank_warm',
     'kg_neighbor_agg', 'shard_manifest', 'fuzzy_decontam',
     'training_mix_weights', 'dsir_resample', 'cluster_mix',
+    'epoch_expansion',
 ]
 
 

@@ -353,6 +353,51 @@ def mixing_weights(docs: DataFrame, alpha: float = 0.5,
         (F.col('epochs_raw') > F.lit(float(max_epochs))).alias('capped')))
 
 
+def epoch_expand(docs: DataFrame, mix: DataFrame,
+                 source_col: str = 'source', id_col: str = 'doc_id',
+                 seed: str = 'ep') -> DataFrame:
+    """→ (doc_id, source, epoch) — materialize a fractional-epoch mix:
+    one output row per (doc, repetition).
+
+    ``mixing_weights`` decides "2.6 epochs of source X"; a training
+    run needs actual rows.  Every doc of a source with ``epochs = f``
+    appears ``floor(f)`` times, and a deterministic ``f - floor(f)``
+    fraction of the source's docs appears once more — chosen by
+    ``u(doc) < frac`` with u the md5-nibble uniform of (seed, id), so
+    the extra-copy subset is reproducible, independent across seeds,
+    and every doc's inclusion is decided locally (no sampling shuffle;
+    expected total tokens = the source budget).  Repeating data this
+    way (full passes + a partial pass) is how data-constrained
+    training schedules realize non-integer epoch counts (Muennighoff
+    et al. 2023).
+
+    Scale shape: ONE broadcast join of the sources-grain mix table +
+    a per-row ``explode(sequence)`` — zero shuffles; output size is
+    Σ_i ceil-ish(f_i)·|source_i| rows, the training set itself.
+    ``epoch`` is 0-based; downstream ``training_shards`` can key on
+    (doc_id, epoch) to spread copies across shards.
+    """
+    m = F.broadcast(mix.select(F.col('source').alias('source'),
+                               F.col('epochs').alias('epochs')))
+    h = F.md5(F.concat(F.lit(f'{seed}:'),
+                       F.col(id_col).cast('string')))
+    u = ((F.conv(F.substring(h, 1, 8), 16, 10).cast('double')
+          + F.lit(0.5)) / F.lit(4294967296.0))
+    n_full = F.floor(F.col('epochs')).cast('int')
+    frac = F.col('epochs') - F.floor(F.col('epochs'))
+    n_copies = n_full + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    return (docs.select(F.col(id_col).alias('doc_id'),
+                        F.col(source_col).alias('source'))
+            .join(m, 'source')
+            .withColumn('n_copies', n_copies)
+            .filter(F.col('n_copies') >= 1)
+            .select('doc_id', 'source',
+                    F.explode(F.sequence(
+                        F.lit(0), F.col('n_copies') - 1)).alias('e'))
+            .select('doc_id', 'source',
+                    F.col('e').cast('long').alias('epoch')))
+
+
 def cluster_mix_sample(assigned: DataFrame, quota: int,
                        id_col: str = 'vec_id',
                        bucket_col: str = 'bucket') -> DataFrame:

@@ -656,8 +656,12 @@ def family_r7ops(spark, factors, run):
     stay proportional to corpus rows, never corpus × bench."""
     from pyspark.sql import functions as F
 
-    from jionlp_spark.operators.curate import (shard_manifest,
-                                               training_shards)
+    from jionlp_spark.operators.curate import (cluster_mix_sample,
+                                               epoch_expand,
+                                               mixing_weights,
+                                               shard_manifest,
+                                               training_shards,
+                                               weighted_sample)
     from jionlp_spark.operators.decontam import fuzzy_decontaminate
     from jionlp_spark.operators.graph import (neighbor_agg, pagerank,
                                               pagerank_warm)
@@ -738,6 +742,33 @@ def family_r7ops(spark, factors, run):
         run(f'fuzzy_decontam@x{factor} (bench fixed)',
             lambda d=docs, bb=bench_docs: fuzzy_decontaminate(d, bb),
             cold_only=True)
+
+        # selection tier: mixing_weights reduces the corpus to a
+        # sources-grain table; weighted_sample / cluster_mix_sample are
+        # two-phase top-K (one corpus exchange + a k-bounded final
+        # window — the record metric must stay ~linear, the final
+        # window input must not be); epoch_expand is broadcast +
+        # per-row explode (zero shuffle beyond the mix's own agg)
+        dsrc = docs.withColumn('source',
+                               (F.col('doc_id') % 13).cast('string'))
+        run(f'mixing_weights@x{factor}',
+            lambda d=dsrc: mixing_weights(d, target_tokens=10_000_000),
+            cold_only=True)
+        lw = ids.select('doc_id', (F.col('doc_id') % 13)
+                        .cast('double').alias('lw'))
+        run(f'weighted_sample@x{factor} (k=100)',
+            lambda d=lw: weighted_sample(d, k=100, logweight_col='lw'),
+            cold_only=True)
+        asg = ids.select('doc_id',
+                         (F.col('doc_id') % 64).alias('bucket'))
+        run(f'cluster_mix_sample@x{factor} (64 clusters, quota 100)',
+            lambda d=asg: cluster_mix_sample(d, quota=100,
+                                             id_col='doc_id'),
+            cold_only=True)
+        mixt = mixing_weights(dsrc, target_tokens=10_000_000) \
+            .localCheckpoint()
+        run(f'epoch_expand@x{factor}',
+            lambda d=dsrc, m=mixt: epoch_expand(d, m), cold_only=True)
 
 
 FAMILIES = {

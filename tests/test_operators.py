@@ -2477,3 +2477,48 @@ def test_cluster_mix_sample_quota_and_order(spark):
     assert got0 == want0
     left_out = set(range(5)) - set(want0)
     assert all(hk(o) > max(hk(i) for i in want0) for o in left_out)
+
+
+def test_epoch_expand_fractional_copies(spark):
+    """epoch_expand: floor(f) copies for every doc plus one more
+    exactly when the closed-form md5-nibble uniform clears the
+    fraction; contiguous 0-based epochs; integer epochs get no
+    extras; sub-1 epochs keep only the fractional subset; epochs=0
+    sources vanish."""
+    import hashlib
+
+    from jionlp_spark.operators.curate import epoch_expand
+
+    docs = spark.createDataFrame(
+        [(i, 'a') for i in range(20)]
+        + [(100 + i, 'b') for i in range(5)]
+        + [(200 + i, 'c') for i in range(10)]
+        + [(300, 'z')],
+        'doc_id long, source string')
+    mix = spark.createDataFrame(
+        [('a', 2.5), ('b', 3.0), ('c', 0.4), ('z', 0.0)],
+        'source string, epochs double')
+
+    got = epoch_expand(docs, mix).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r['doc_id'], []).append(r['epoch'])
+
+    def u(i):
+        h = hashlib.md5(f'ep:{i}'.encode()).hexdigest()
+        return (int(h[:8], 16) + 0.5) / 2 ** 32
+
+    for i in range(20):                        # source a: 2 or 3 copies
+        want = 3 if u(i) < 0.5 else 2
+        assert sorted(per[i]) == list(range(want)), i
+    assert any(len(per[i]) == 3 for i in range(20))
+    assert any(len(per[i]) == 2 for i in range(20))
+    for i in range(100, 105):                  # integer epochs: exact 3
+        assert sorted(per[i]) == [0, 1, 2]
+    for i in range(200, 210):                  # sub-1: fraction only
+        if u(i) < 0.4:
+            assert per[i] == [0]
+        else:
+            assert i not in per
+    assert 300 not in per                      # epochs=0 vanishes
+    assert {r['source'] for r in got} == {'a', 'b', 'c'}
