@@ -5631,6 +5631,120 @@ def q_fuzzy_decontam(spark, sf_dir):
     return fuzzy_decontaminate(docs, bench, threshold=0.8)
 
 
+def q_kg_schema_stats(spark, sf_dir):
+    """Predicate schema induction (operators/graph.predicate_schema):
+    PARIS functionality / inverse functionality (distinct subjects or
+    objects over distinct pairs — Suchanek et al., VLDB 2012) plus the
+    modal subj_type->obj_type signature per predicate, the cardinality
+    facts a fusion/ontology stage consumes.  Fixture: three synthetic
+    predicates over doc_id — has_phone (strictly functional, support
+    folds repeated assertions), located_in (functional with a 1/13
+    minority 'region' object type so sig_share < 1), mentions (3
+    entities per doc -> functionality 1/3).  Counts are exact bigints;
+    the three ratios are single-division per-row double trees."""
+    from jionlp_spark.operators.graph import predicate_schema
+    d = _docs(spark, sf_dir).select('doc_id')
+    j = F.col('doc_id') % 50
+    t = (d.select(
+            F.lit('has_phone').alias('pred'),
+            F.concat(F.lit('person_'), (F.col('doc_id') % 200)
+                     .cast('string')).alias('subj'),
+            F.concat(F.lit('phone_'), (F.col('doc_id') % 200)
+                     .cast('string')).alias('obj'),
+            F.lit('person').alias('subj_type'),
+            F.lit('phone').alias('obj_type'))
+         .union(d.select(
+            F.lit('located_in'),
+            F.concat(F.lit('city_'), j.cast('string')),
+            F.concat(F.lit('prov_'), (j % 7).cast('string')),
+            F.lit('city'),
+            F.when(F.col('doc_id') % 13 == 0, F.lit('region'))
+             .otherwise(F.lit('province'))))
+         .union(d.select(
+            'doc_id',
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias('k'))
+            .select(
+            F.lit('mentions'),
+            F.concat(F.lit('doc_'), F.col('doc_id').cast('string')),
+            F.concat(F.lit('ent_'), ((F.col('doc_id') * 3 + F.col('k'))
+                                     % 31).cast('string')),
+            F.lit('doc'), F.lit('entity'))))
+    return predicate_schema(t)
+
+
+def q_kg_conflicts(spark, sf_dir):
+    """Knowledge-fusion conflict resolution
+    (operators/graph.conflict_resolution): majority-vote truth
+    discovery (Dong et al. 2009 baseline) over a near-functional
+    predicate's contradicting assertions, gated by PARIS functionality
+    >= 0.8 so legitimately multi-valued predicates never read as
+    conflicted.  Fixture: capital_of has 25 subjects; country_1 gets a
+    MINORITY 'capx' assertion from the doc_id%4==1 quarter of its docs
+    (5 vs 15 — the support-majority branch) and country_3 splits
+    EXACTLY in half by doc parity (10 vs 10 — the obj-asc tie branch);
+    the mentions predicate (3 objects per subject, functionality 1/3)
+    proves the gate excludes multi-valued predicates.  Votes are
+    exact bigints; the gate compare is one bigint-division double
+    against a literal threshold, identical trees both engines."""
+    from jionlp_spark.operators.graph import conflict_resolution
+    d = _docs(spark, sf_dir).select('doc_id')
+    jj = F.col('doc_id') % 25
+    t = (d.select(
+            F.lit('capital_of').alias('pred'),
+            F.concat(F.lit('country_'), jj.cast('string')).alias('subj'),
+            F.when((jj == 1) & (F.col('doc_id') % 4 == 1),
+                   F.lit('capx_1'))
+             .when((jj == 3) & (F.col('doc_id') % 2 == 0),
+                   F.lit('capx_3'))
+             .otherwise(F.concat(F.lit('cap_'), jj.cast('string')))
+             .alias('obj'))
+         .union(d.select(
+            'doc_id',
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias('k'))
+            .select(
+            F.lit('mentions'),
+            F.concat(F.lit('doc_'), F.col('doc_id').cast('string')),
+            F.concat(F.lit('ent_'), ((F.col('doc_id') + F.col('k'))
+                                     % 31).cast('string')))))
+    return conflict_resolution(t, min_functionality=0.8)
+
+
+def q_kg_closure(spark, sf_dir):
+    """Transitive ancestor closure of the admin-style parent forest
+    (operators/graph.hierarchy_closure) by POINTER DOUBLING over
+    ancestor sets — depth-D ancestry in ceil(log2 D) self-join rounds
+    instead of the D sequential shuffles a hop-at-a-time walker (or
+    the oracle's recursive CTE — deliberately a DIFFERENT algorithm)
+    pays at 100 TB.  Fixture: a 4-level village->county->city->prov->
+    root tree derived from doc_id residues PLUS a 10-deep linear chain
+    (n_0..n_10) so the doubling genuinely runs 4 rounds; max_depth=12
+    exercises the bound without cutting the chain."""
+    from jionlp_spark.operators.graph import hierarchy_closure
+    d = _docs(spark, sf_dir).select('doc_id')
+    j = F.col('doc_id') % 50
+    edges = (d.select(
+                F.concat(F.lit('v_'), F.col('doc_id').cast('string'))
+                .alias('node'),
+                F.concat(F.lit('county_'), j.cast('string'))
+                .alias('parent'))
+             .union(d.select(
+                F.concat(F.lit('county_'), j.cast('string')),
+                F.concat(F.lit('city_'), (j % 10).cast('string')))
+                .distinct())
+             .union(d.select(
+                F.concat(F.lit('city_'), (j % 10).cast('string')),
+                F.concat(F.lit('prov_'), ((j % 10) % 3).cast('string')))
+                .distinct())
+             .union(d.select(
+                F.concat(F.lit('prov_'), ((j % 10) % 3).cast('string')),
+                F.lit('root')).distinct())
+             .union(d.filter(F.col('doc_id') < 10).select(
+                F.concat(F.lit('n_'), F.col('doc_id').cast('string')),
+                F.concat(F.lit('n_'), (F.col('doc_id') + 1)
+                         .cast('string')))))
+    return hierarchy_closure(edges, max_depth=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's sampling order (first 50 of 170).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
@@ -5699,6 +5813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dsir_resample': q_dsir_resample,
         'cluster_mix': q_cluster_mix,
         'epoch_expansion': q_epoch_expansion,
+        'kg_schema_stats': q_kg_schema_stats,
+        'kg_conflicts': q_kg_conflicts,
+        'kg_closure': q_kg_closure,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -7781,6 +7898,119 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             join df da on e.ent_a = da.ent
             join df db on e.ent_b = db.ent
             cross join nt""",
+        'kg_schema_stats': """
+            with t as (
+              select 'has_phone' pred,
+                     'person_' || cast(doc_id % 200 as varchar) subj,
+                     'phone_' || cast(doc_id % 200 as varchar) obj,
+                     'person' st, 'phone' ot
+              from documents
+              union all
+              select 'located_in',
+                     'city_' || cast(doc_id % 50 as varchar),
+                     'prov_' || cast((doc_id % 50) % 7 as varchar),
+                     'city',
+                     case when doc_id % 13 = 0 then 'region'
+                          else 'province' end
+              from documents
+              union all
+              select 'mentions',
+                     'doc_' || cast(doc_id as varchar),
+                     'ent_' || cast((doc_id * 3 + k) % 31 as varchar),
+                     'doc', 'entity'
+              from documents,
+                   lateral unnest(range(0, 3)) as u(k)),
+            sup as (select pred, subj, obj,
+                           cast(count(*) as bigint) support
+                    from t group by 1, 2, 3),
+            base as (select pred,
+                            cast(sum(support) as bigint) n_triples,
+                            cast(count(distinct subj) as bigint) n_subj,
+                            cast(count(distinct obj) as bigint) n_obj,
+                            cast(count(*) as bigint) n_pairs
+                     from sup group by pred),
+            sig as (select pred, st || '->' || ot sig,
+                           cast(count(*) as bigint) sig_n
+                    from t group by 1, 2),
+            top as (select pred, sig top_signature, sig_n,
+                           row_number() over (partition by pred
+                                              order by sig_n desc,
+                                                       sig asc) rk
+                    from sig)
+            select b.pred, n_triples, n_subj, n_obj, n_pairs,
+                   cast(n_subj as double) / cast(n_pairs as double)
+                     functionality,
+                   cast(n_obj as double) / cast(n_pairs as double)
+                     inv_functionality,
+                   top_signature,
+                   cast(sig_n as double) / cast(n_triples as double)
+                     sig_share
+            from base b join top on b.pred = top.pred and top.rk = 1""",
+        'kg_conflicts': """
+            with t as (
+              select 'capital_of' pred,
+                     'country_' || cast(doc_id % 25 as varchar) subj,
+                     case when doc_id % 25 = 1 and doc_id % 4 = 1
+                            then 'capx_1'
+                          when doc_id % 25 = 3 and doc_id % 2 = 0
+                            then 'capx_3'
+                          else 'cap_' || cast(doc_id % 25 as varchar)
+                     end obj
+              from documents
+              union all
+              select 'mentions',
+                     'doc_' || cast(doc_id as varchar),
+                     'ent_' || cast((doc_id + k) % 31 as varchar)
+              from documents,
+                   lateral unnest(range(0, 3)) as u(k)),
+            sup as (select pred, subj, obj,
+                           cast(count(*) as bigint) support
+                    from t group by 1, 2, 3),
+            fun as (select pred from sup group by pred
+                    having cast(count(distinct subj) as double)
+                           / cast(count(*) as double)
+                           >= cast('0.8' as double)),
+            c as (select s.pred, s.subj, s.obj, s.support,
+                         cast(count(*) over (partition by s.pred, s.subj)
+                              as bigint) n_alternatives,
+                         row_number() over (partition by s.pred, s.subj
+                                            order by s.support desc,
+                                                     s.obj asc) rk
+                  from sup s join fun using (pred))
+            select pred, subj, obj, support, n_alternatives,
+                   rk = 1 is_winner
+            from c where n_alternatives > 1""",
+        'kg_closure': """
+            with recursive e as (
+              select 'v_' || cast(doc_id as varchar) node,
+                     'county_' || cast(doc_id % 50 as varchar) parent
+              from documents
+              union
+              select distinct 'county_' || cast(doc_id % 50 as varchar),
+                     'city_' || cast((doc_id % 50) % 10 as varchar)
+              from documents
+              union
+              select distinct
+                     'city_' || cast((doc_id % 50) % 10 as varchar),
+                     'prov_' || cast(((doc_id % 50) % 10) % 3 as varchar)
+              from documents
+              union
+              select distinct
+                     'prov_' || cast(((doc_id % 50) % 10) % 3 as varchar),
+                     'root'
+              from documents
+              union
+              select 'n_' || cast(doc_id as varchar),
+                     'n_' || cast(doc_id + 1 as varchar)
+              from documents where doc_id < 10),
+            anc as (
+              select node, parent ancestor, cast(1 as bigint) depth
+              from e where node <> parent
+              union
+              select a.node, e.parent, a.depth + 1
+              from anc a join e on a.ancestor = e.node
+              where a.depth + 1 <= 12)
+            select node, ancestor, depth from anc""",
         # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the

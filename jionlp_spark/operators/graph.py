@@ -1191,3 +1191,168 @@ def read_edge_index(spark, base_path: str) -> DataFrame:
     t = catalog.read_table(spark, f'{base_path}/edges')
     return (t.groupBy('ent_a', 'ent_b')
             .agg(F.sum('n_ab').cast('long').alias('weight')))
+
+
+def predicate_schema(triples: DataFrame, subj_col: str = 'subj',
+                     pred_col: str = 'pred', obj_col: str = 'obj',
+                     subj_type_col: str = 'subj_type',
+                     obj_type_col: str = 'obj_type') -> DataFrame:
+    """→ (pred, n_triples, n_subj, n_obj, n_pairs, functionality,
+    inv_functionality, top_signature, sig_share): schema induction over
+    an extracted triple table — the KG-construction step that turns a
+    raw (subj, pred, obj) pile into per-predicate cardinality facts an
+    alignment/fusion stage consumes.
+
+    ``functionality`` follows PARIS (Suchanek, Abiteboul & Senellart,
+    VLDB 2012): fun(p) = #distinct subjects / #distinct (subj, obj)
+    pairs — 1.0 means each subject carries exactly one object (the
+    predicate behaves like a function); ``inv_functionality`` is the
+    object-side mirror.  ``top_signature`` is the modal
+    ``subj_type->obj_type`` pair with ties broken signature-asc, and
+    ``sig_share`` its fraction of the predicate's triples — the type
+    constraint an ontology-induction pass would declare.
+
+    Engine parity: every count is an exact bigint; the two ratios and
+    ``sig_share`` are single-division per-row double trees over those
+    bigints (the float-parity rule — no cross-row double sums).
+
+    Scale shape: ONE corpus-shuffle aggregation to (pred, subj, obj)
+    grain (map-side combined), then everything downstream operates on
+    distinct-triple and (pred, signature) grains — predicate-sized,
+    never corpus-sized.  The final join is pred ⋈ pred: both sides tiny,
+    broadcast.  No Python anywhere.
+    """
+    t = triples.select(F.col(pred_col).alias('pred'),
+                       F.col(subj_col).alias('subj'),
+                       F.col(obj_col).alias('obj'),
+                       F.col(subj_type_col).alias('st'),
+                       F.col(obj_type_col).alias('ot'))
+    # one corpus shuffle: distinct-triple grain with per-triple support
+    # and the modal type signature computed from the SAME reduction
+    sup = (t.groupBy('pred', 'subj', 'obj')
+           .agg(F.count('*').cast('long').alias('support')))
+    base = (sup.groupBy('pred')
+            .agg(F.sum('support').cast('long').alias('n_triples'),
+                 F.countDistinct('subj').cast('long').alias('n_subj'),
+                 F.countDistinct('obj').cast('long').alias('n_obj'),
+                 F.count('*').cast('long').alias('n_pairs')))
+    base = base.select(
+        'pred', 'n_triples', 'n_subj', 'n_obj', 'n_pairs',
+        (F.col('n_subj').cast('double')
+         / F.col('n_pairs').cast('double')).alias('functionality'),
+        (F.col('n_obj').cast('double')
+         / F.col('n_pairs').cast('double')).alias('inv_functionality'))
+    sig = (t.groupBy('pred', F.concat_ws('->', 'st', 'ot').alias('sig'))
+           .agg(F.count('*').cast('long').alias('sig_n')))
+    from pyspark.sql import Window
+    w = Window.partitionBy('pred').orderBy(F.col('sig_n').desc(),
+                                           F.col('sig').asc())
+    top = (sig.withColumn('rk', F.row_number().over(w))
+           .filter(F.col('rk') == 1)
+           .select('pred', F.col('sig').alias('top_signature'), 'sig_n'))
+    return (base.join(F.broadcast(top), 'pred')
+            .select('pred', 'n_triples', 'n_subj', 'n_obj', 'n_pairs',
+                    'functionality', 'inv_functionality', 'top_signature',
+                    (F.col('sig_n').cast('double')
+                     / F.col('n_triples').cast('double'))
+                    .alias('sig_share')))
+
+
+def conflict_resolution(triples: DataFrame, min_functionality: float = 0.8,
+                        subj_col: str = 'subj', pred_col: str = 'pred',
+                        obj_col: str = 'obj') -> DataFrame:
+    """→ (pred, subj, obj, support, n_alternatives, is_winner): knowledge
+    fusion over a functional predicate's conflicting assertions — the
+    truth-discovery step (majority vote, the Dong et al. 2009 baseline)
+    run after extraction has piled up contradicting (subj, pred, obj)
+    rows from different pages.
+
+    A predicate participates when its PARIS functionality (distinct
+    subjects / distinct pairs, see ``predicate_schema``) is ≥
+    ``min_functionality`` — near-functional predicates are exactly the
+    ones where two objects for one subject signal a CONFLICT rather
+    than legitimate multi-values.  For each conflicted (pred, subj)
+    (>1 distinct object), every alternative is emitted with its vote
+    count; the winner is the (support desc, obj asc) argmax — the
+    deterministic majority vote with the repo-wide lexicographic tie
+    rule.
+
+    Engine parity: votes are exact bigints; the functionality gate is
+    one bigint-division double compared against a literal threshold
+    (identical expression trees both engines).
+
+    Scale shape: ONE corpus shuffle to (pred, subj, obj) support grain
+    (map-side combined); the functionality gate reduces that to
+    pred-grain and comes back as a BROADCAST semi-join; the conflict
+    window partitions on (pred, subj) — within-subject alternative
+    lists are page-count-sized, never corpus-sized, and a hot
+    subject is bounded by its own distinct-object count.  No Python.
+    """
+    t = triples.select(F.col(pred_col).alias('pred'),
+                       F.col(subj_col).alias('subj'),
+                       F.col(obj_col).alias('obj'))
+    sup = (t.groupBy('pred', 'subj', 'obj')
+           .agg(F.count('*').cast('long').alias('support'))
+           .localCheckpoint())
+    fun = (sup.groupBy('pred')
+           .agg(F.countDistinct('subj').cast('long').alias('n_subj'),
+                F.count('*').cast('long').alias('n_pairs')))
+    functional = fun.filter(
+        (F.col('n_subj').cast('double') / F.col('n_pairs').cast('double'))
+        >= F.lit(min_functionality)).select('pred')
+    from pyspark.sql import Window
+    grp = Window.partitionBy('pred', 'subj')
+    w = grp.orderBy(F.col('support').desc(), F.col('obj').asc())
+    return (sup.join(F.broadcast(functional), 'pred')
+            .withColumn('n_alternatives',
+                        F.count('*').over(grp).cast('long'))
+            .filter(F.col('n_alternatives') > 1)
+            .withColumn('is_winner', F.row_number().over(w) == 1)
+            .select('pred', 'subj', 'obj', 'support', 'n_alternatives',
+                    'is_winner'))
+
+
+def hierarchy_closure(edges: DataFrame, max_depth: int = 16,
+                      node_col: str = 'node',
+                      parent_col: str = 'parent') -> DataFrame:
+    """→ (node, ancestor, depth): the transitive ancestor closure of a
+    parent forest (each node ≤ 1 parent — admin hierarchies, category
+    trees, canonical-entity chains), computed by POINTER DOUBLING over
+    ancestor SETS: round r joins the accumulated closure with itself
+    (n→a at d₁, a→b at d₂ ⇒ n→b at d₁+d₂), so depth-D ancestry
+    materializes in ⌈log₂ D⌉ rounds instead of the D sequential
+    shuffles a hop-at-a-time walker (or a recursive CTE) pays — the
+    redirect-resolution lesson applied to taxonomy expansion, but
+    keeping EVERY intermediate ancestor instead of only the terminal.
+
+    In a forest the n→b path is unique, so the same (node, ancestor)
+    pair re-derived through different split points always carries the
+    same exact-integer depth and the per-round ``distinct`` is a pure
+    dedup, never a semantic choice.  Ancestors beyond ``max_depth``
+    are cut (the cycle guard: a cycle would otherwise grow forever —
+    on forest input none exists, on dirty input the cut bounds the
+    damage and leaves cycle members with saturated depth rows).
+
+    Scale shape: closure size is Σ_n depth(n) ≤ N·max_depth — node-
+    table-sized with a small constant, never corpus-sized; each round
+    is ONE self-join (both sides keyed on the join node) + distinct,
+    ``localCheckpoint`` per round (iterative-driver rule).  Real
+    hierarchies are shallow (admin trees: ≤ 5), so 3 rounds close them.
+    """
+    anc = (edges.select(F.col(node_col).alias('node'),
+                        F.col(parent_col).alias('ancestor'))
+           .filter(F.col('node') != F.col('ancestor'))
+           .distinct()
+           .withColumn('depth', F.lit(1).cast('long'))
+           .localCheckpoint())
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        a, b = anc.alias('a'), anc.alias('b')
+        ext = (a.join(b, F.col('a.ancestor') == F.col('b.node'))
+               .select(F.col('a.node').alias('node'),
+                       F.col('b.ancestor').alias('ancestor'),
+                       (F.col('a.depth') + F.col('b.depth'))
+                       .alias('depth'))
+               .filter(F.col('depth') <= max_depth))
+        anc = anc.union(ext).distinct().localCheckpoint()
+    return anc

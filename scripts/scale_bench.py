@@ -771,6 +771,76 @@ def family_r7ops(spark, factors, run):
             lambda d=dsrc, m=mixt: epoch_expand(d, m), cold_only=True)
 
 
+def family_kgfusion(spark, factors, run):
+    """KG fusion tier (predicate_schema / conflict_resolution /
+    hierarchy_closure).  Schema induction and conflict resolution are
+    ONE corpus-shuffle shapes (map-side-combined support aggregation;
+    everything downstream pred- or pair-grain) — shuffle records must
+    track the distinct-triple count linearly, never triples², and the
+    functionality gate must come back as a broadcast.  The closure's
+    records must stay ~Σdepth(n) (node-linear at fixed depth) with a
+    CONSTANT round count — the pointer-doubling claim; entity vocab
+    scales with the corpus so the curve is not vocabulary-saturated."""
+    from pyspark.sql import functions as F
+
+    from jionlp_spark.operators.graph import (conflict_resolution,
+                                              hierarchy_closure,
+                                              predicate_schema)
+
+    for factor in factors:
+        sf_dir = BASE_SF if factor == 1 else build_scale_dir(spark, factor)
+        ids = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+               .select('doc_id'))
+        nsubj = 200 * factor
+        jj = F.col('doc_id') % (25 * factor)
+        t = (ids.select(
+                F.lit('has_phone').alias('pred'),
+                F.concat(F.lit('person_'), (F.col('doc_id') % nsubj)
+                         .cast('string')).alias('subj'),
+                F.concat(F.lit('phone_'), (F.col('doc_id') % nsubj)
+                         .cast('string')).alias('obj'),
+                F.lit('person').alias('subj_type'),
+                F.lit('phone').alias('obj_type'))
+             .union(ids.select(
+                F.lit('capital_of'),
+                F.concat(F.lit('country_'), jj.cast('string')),
+                F.when(F.col('doc_id') % 4 == 1,
+                       F.concat(F.lit('capx_'), jj.cast('string')))
+                 .otherwise(F.concat(F.lit('cap_'), jj.cast('string'))),
+                F.lit('place'), F.lit('city'))))
+        run(f'predicate_schema@x{factor}',
+            lambda tt=t: predicate_schema(tt), cold_only=True)
+        run(f'conflict_resolution@x{factor}',
+            lambda tt=t: conflict_resolution(tt), cold_only=True)
+
+        j = F.col('doc_id') % (50 * factor)
+        edges = (ids.select(
+                    F.concat(F.lit('v_'), F.col('doc_id').cast('string'))
+                    .alias('node'),
+                    F.concat(F.lit('county_'), j.cast('string'))
+                    .alias('parent'))
+                 .union(ids.select(
+                    F.concat(F.lit('county_'), j.cast('string')),
+                    F.concat(F.lit('city_'), (j % (10 * factor))
+                             .cast('string'))).distinct())
+                 .union(ids.select(
+                    F.concat(F.lit('city_'), (j % (10 * factor))
+                             .cast('string')),
+                    F.concat(F.lit('prov_'), ((j % (10 * factor)) % 31)
+                             .cast('string'))).distinct())
+                 .union(ids.select(
+                    F.concat(F.lit('prov_'), ((j % (10 * factor)) % 31)
+                             .cast('string')),
+                    F.lit('root')).distinct())
+                 .union(ids.filter(F.col('doc_id') < 10).select(
+                    F.concat(F.lit('n_'), F.col('doc_id').cast('string')),
+                    F.concat(F.lit('n_'), (F.col('doc_id') + 1)
+                             .cast('string')))))
+        run(f'hierarchy_closure@x{factor} (max_depth 12)',
+            lambda ee=edges: hierarchy_closure(ee, max_depth=12),
+            cold_only=True)
+
+
 FAMILIES = {
     'dedup': family_dedup,
     'graph': family_graph,
@@ -779,6 +849,7 @@ FAMILIES = {
     'web': family_web,
     'webstorage': family_webstorage,
     'r7ops': family_r7ops,
+    'kgfusion': family_kgfusion,
 }
 
 

@@ -2522,3 +2522,96 @@ def test_epoch_expand_fractional_copies(spark):
             assert i not in per
     assert 300 not in per                      # epochs=0 vanishes
     assert {r['source'] for r in got} == {'a', 'b', 'c'}
+
+
+def test_predicate_schema_functionality_and_signature(spark):
+    """predicate_schema on a hand triple pile: born_in is functional
+    (every subject one object, support folded into n_triples), works_at
+    is not (one subject two objects); the modal type signature wins by
+    count with signature-asc tie-break."""
+    from jionlp_spark.operators.graph import predicate_schema
+    rows = [
+        # born_in: 3 subjects, 3 pairs, 4 triples (s1 asserted twice)
+        ('s1', 'born_in', 'o1', 'person', 'city'),
+        ('s1', 'born_in', 'o1', 'person', 'city'),
+        ('s2', 'born_in', 'o2', 'person', 'city'),
+        ('s3', 'born_in', 'o3', 'person', 'country'),
+        # works_at: 1 subject, 2 pairs -> functionality 0.5
+        ('s1', 'works_at', 'w1', 'person', 'org'),
+        ('s1', 'works_at', 'w2', 'person', 'org'),
+    ]
+    t = spark.createDataFrame(
+        rows, 'subj string, pred string, obj string, '
+              'subj_type string, obj_type string')
+    got = {r['pred']: r for r in predicate_schema(t).collect()}
+    b = got['born_in']
+    assert (b['n_triples'], b['n_subj'], b['n_obj'], b['n_pairs']) \
+        == (4, 3, 3, 3)
+    assert b['functionality'] == 1.0
+    assert b['top_signature'] == 'person->city'
+    assert b['sig_share'] == 3 / 4
+    w = got['works_at']
+    assert w['functionality'] == 0.5
+    assert w['inv_functionality'] == 1.0
+    # tie-break: two signatures at equal count -> lexicographically first
+    t2 = spark.createDataFrame(
+        [('a', 'p', 'x', 't1', 'u1'), ('b', 'p', 'y', 't0', 'u9')],
+        'subj string, pred string, obj string, '
+        'subj_type string, obj_type string')
+    assert predicate_schema(t2).collect()[0]['top_signature'] == 't0->u9'
+
+
+def test_conflict_resolution_gate_vote_and_tie(spark):
+    """conflict_resolution: a near-functional predicate (9 clean
+    subjects + 1 conflicted -> fun 10/11) surfaces only the conflicted
+    subject with a support-majority winner; an equal-vote conflict
+    falls to the obj-asc tie rule; a non-functional predicate is
+    excluded by the gate even though it has multi-valued subjects."""
+    from jionlp_spark.operators.graph import conflict_resolution
+    rows = []
+    for i in range(9):
+        rows += [(f's{i}', 'cap', f'o{i}')] * 2
+    rows += [('sx', 'cap', 'right')] * 3 + [('sx', 'cap', 'wrong')]
+    # tie predicate: 8 clean + 1 conflicted at equal votes (fun 9/10)
+    for i in range(8):
+        rows += [(f's{i}', 'tie', f'o{i}')]
+    rows += [('st', 'tie', 'alpha'), ('st', 'tie', 'beta')]
+    # non-functional: every subject 3 objects (fun 1/3)
+    for i in range(3):
+        rows += [(f's{i}', 'multi', f'm{j}') for j in range(3)]
+    t = spark.createDataFrame(rows, 'subj string, pred string, obj string')
+    got = conflict_resolution(t, min_functionality=0.8).collect()
+    assert {r['pred'] for r in got} == {'cap', 'tie'}
+    cap = sorted([r for r in got if r['pred'] == 'cap'],
+                 key=lambda r: r['obj'])
+    assert [(r['subj'], r['obj'], r['support'], r['n_alternatives'],
+             r['is_winner']) for r in cap] == \
+        [('sx', 'right', 3, 2, True), ('sx', 'wrong', 1, 2, False)]
+    tie = {r['obj']: r['is_winner'] for r in got if r['pred'] == 'tie'}
+    assert tie == {'alpha': True, 'beta': False}
+
+
+def test_hierarchy_closure_chain_tree_cut_and_cycle(spark):
+    """hierarchy_closure: a depth-4 chain closes with exact per-hop
+    depths in log rounds; tree ancestry unions branches; max_depth
+    cuts deep ancestors; a 2-cycle terminates with bounded depths
+    instead of looping."""
+    from jionlp_spark.operators.graph import hierarchy_closure
+    edges = spark.createDataFrame(
+        [('a', 'b'), ('b', 'c'), ('c', 'd'), ('d', 'e'),
+         ('x', 'p'), ('y', 'p'), ('p', 'r')],
+        'node string, parent string')
+    got = {(r['node'], r['ancestor']): r['depth']
+           for r in hierarchy_closure(edges, max_depth=8).collect()}
+    assert {k: v for k, v in got.items() if k[0] == 'a'} == \
+        {('a', 'b'): 1, ('a', 'c'): 2, ('a', 'd'): 3, ('a', 'e'): 4}
+    assert {k: v for k, v in got.items() if k[0] == 'x'} == \
+        {('x', 'p'): 1, ('x', 'r'): 2}
+    cut = hierarchy_closure(edges, max_depth=2).collect()
+    assert max(r['depth'] for r in cut) == 2
+    assert ('a', 'd') not in {(r['node'], r['ancestor']) for r in cut}
+    cyc = hierarchy_closure(
+        spark.createDataFrame([('u', 'v'), ('v', 'u')],
+                              'node string, parent string'),
+        max_depth=4).collect()
+    assert cyc and max(r['depth'] for r in cyc) <= 4
