@@ -5745,6 +5745,105 @@ def q_kg_closure(spark, sf_dir):
     return hierarchy_closure(edges, max_depth=12)
 
 
+def q_kg_disambiguate(spark, sf_dir):
+    """Embedding-based entity disambiguation
+    (operators/graph.disambiguate_mentions): ambiguous surfaces s_0..s_9
+    each carry THREE KB senses whose prototype vectors are designated
+    rows of the embeddings table (vec_id 100..129 — the model-state
+    slot any learned-centroid table would fill); each doc mentions two
+    surfaces derived from its id and is scored by cosine between its
+    own embedding (vec_id ≡ doc_id) and each candidate prototype, best
+    sense = (cos desc, sense_id asc).  Cosine is the proven
+    ann_cosine_topk pairing: Spark aggregate(zip_with(...)) fold vs
+    DuckDB list_dot_product, both rounded to 6; the sense inventory is
+    broadcast, the only corpus shuffle the doc-keyed mentions ⋈ emb
+    join."""
+    from jionlp_spark.operators.graph import disambiguate_mentions
+    emb = (spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+           .repartition(spark.sparkContext.defaultParallelism))
+    senses = (emb.filter((F.col('vec_id') >= 100) & (F.col('vec_id') < 130))
+              .select(
+                  F.concat(F.lit('s_'),
+                           F.expr('(vec_id - 100) div 3').cast('string'))
+                  .alias('surface'),
+                  F.concat(F.lit('k'), ((F.col('vec_id') - 100) % 3)
+                           .cast('string')).alias('sense_id'),
+                  F.col('embedding').alias('proto')))
+    d = _docs(spark, sf_dir).select('doc_id')
+    mentions = (d.select('doc_id',
+                         F.concat(F.lit('s_'), (F.col('doc_id') % 10)
+                                  .cast('string')).alias('surface'))
+                .union(d.select(
+                    'doc_id',
+                    F.concat(F.lit('s_'), ((F.col('doc_id') * 7) % 10)
+                             .cast('string'))))
+                .distinct())
+    return disambiguate_mentions(mentions, senses, emb)
+
+
+def q_kg_typecheck(spark, sf_dir):
+    """Ontology type checking (operators/graph.signature_violations):
+    triples deviating from their predicate's modal subj_type->obj_type
+    signature where that signature is dominant (share ≥ 0.9) — the
+    knowledge-cleaning consumer of kg_schema_stats' induced
+    constraints.  Fixture = the schema fixture (located_in's 1/13
+    'region' minority → flagged against the 12/13 'province' modal
+    signature; has_phone/mentions are single-signature → nothing to
+    flag) PLUS a related_to predicate whose signature splits ~50/50 —
+    a contested signature asserts NO constraint, so its deviants are
+    correctly NOT flagged (the gate branch).  The constraint table is
+    pred-grain broadcast; flagging is a zero-shuffle per-row filter."""
+    from jionlp_spark.operators.graph import signature_violations
+    d = _docs(spark, sf_dir).select('doc_id')
+    j = F.col('doc_id') % 50
+    t = (d.select(
+            F.lit('has_phone').alias('pred'),
+            F.concat(F.lit('person_'), (F.col('doc_id') % 200)
+                     .cast('string')).alias('subj'),
+            F.concat(F.lit('phone_'), (F.col('doc_id') % 200)
+                     .cast('string')).alias('obj'),
+            F.lit('person').alias('subj_type'),
+            F.lit('phone').alias('obj_type'))
+         .union(d.select(
+            F.lit('located_in'),
+            F.concat(F.lit('city_'), j.cast('string')),
+            F.concat(F.lit('prov_'), (j % 7).cast('string')),
+            F.lit('city'),
+            F.when(F.col('doc_id') % 13 == 0, F.lit('region'))
+             .otherwise(F.lit('province'))))
+         .union(d.select(
+            'doc_id',
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias('k'))
+            .select(
+            F.lit('mentions'),
+            F.concat(F.lit('doc_'), F.col('doc_id').cast('string')),
+            F.concat(F.lit('ent_'), ((F.col('doc_id') * 3 + F.col('k'))
+                                     % 31).cast('string')),
+            F.lit('doc'), F.lit('entity')))
+         .union(d.select(
+            F.lit('related_to'),
+            F.concat(F.lit('x_'), F.col('doc_id').cast('string')),
+            F.concat(F.lit('y_'), F.col('doc_id').cast('string')),
+            F.when(F.col('doc_id') % 2 == 0, F.lit('person'))
+             .otherwise(F.lit('org')),
+            F.lit('thing'))))
+    return signature_violations(t, min_share=0.9)
+
+
+def q_quality_logit(spark, sf_dir):
+    """Hashed linear quality classifier
+    (operators/textstats.hashed_logit_quality): the fastText-shaped
+    classifier-filter slot of a curation stack with the learned weight
+    table replaced by a deterministic md5 draw — per-token weight
+    w16(md5('qw|' t))/2^16 − 0.5 is a 16-bit dyadic rational, so the
+    per-doc mean is EXACT in doubles and the in-array fold is
+    order-independent (no decimal detour, no rounding): the oracle's
+    list_sum agrees bit-for-bit.  threshold=0 splits the corpus near
+    half-half, both keep branches live; zero shuffle, zero Python."""
+    from jionlp_spark.operators.textstats import hashed_logit_quality
+    return hashed_logit_quality(_docs(spark, sf_dir), threshold=0.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's sampling order (first 50 of 170).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
@@ -5755,15 +5854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training_shards, kg_pagerank_warm, kg_neighbor_agg,
     # shard_manifest, fuzzy_decontam, training_mix_weights,
     # dsir_resample, cluster_mix, epoch_expansion — new operators
-    # need driver evidence too), slots 49-50 the 2
-    # alphabetically-first r4-aged rows (oldest refreshable
-    # evidence).  Union coverage after a green r7 run = 178/178
-    # minus the 10 r4-aged rows displaced by the new queries
-    # (kg_check_person, kg_extract_money/phone/email/idcard/ip/qq/
-    # url/wechat + dataset_split_stats — they lead the r8 queue).
-    # Tail order is the r8 rotation queue: the remaining r4-aged rows
-    # first, then the 46 r5-green rows, then the 50 r6-green rows
-    # (freshest evidence last).
+    # need driver evidence too), slots 49-50 the first 2 of the 5
+    # session-2 additions (kg_schema_stats, kg_conflicts; never
+    # sampled > aged-green).  Slots 51-53 (kg_closure,
+    # kg_disambiguate, quality_logit) plus the displaced r4-aged rows
+    # lead the r8 queue.  Tail order is the r8 rotation queue: the
+    # remaining r4-aged rows first, then the 46 r5-green rows, then
+    # the 50 r6-green rows (freshest evidence last).
     return {
         'pack_plan_bfd': q_pack_plan_bfd,
         'web_sitemap_discover': q_web_sitemap_discover,
@@ -5816,6 +5913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_schema_stats': q_kg_schema_stats,
         'kg_conflicts': q_kg_conflicts,
         'kg_closure': q_kg_closure,
+        'kg_disambiguate': q_kg_disambiguate,
+        'kg_typecheck': q_kg_typecheck,
+        'quality_logit': q_quality_logit,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -6848,6 +6948,120 @@ def oracle_sql() -> dict[str, str]:
     # extend-index: centroids train on the even half only (the stored
     # centroids the Spark side extends against); index covers everything
     d['ann_index_extend'] = _ivf_topk_oracle('where vec_id % 2 = 0')
+    # hashed linear quality classifier: per-token 16-bit dyadic weights
+    # (exact in doubles, so list_sum ≡ Spark's in-array left fold
+    # bit-for-bit); the w16 nibble decode is the SAME helper the Spark
+    # side compiles into its expression tree
+    import os as _os
+    import sys as _sys
+    _repo = _os.path.dirname(_os.path.abspath(__file__))
+    if _repo not in _sys.path:
+        _sys.path.insert(0, _repo)
+    from jionlp_spark.operators.textstats import _w16_sql
+    _w16 = _w16_sql("md5(concat('qw|', tok))")
+    d['quality_logit'] = f"""
+        with t as (select doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') toks
+                   from documents),
+        w as (select doc_id, cast(len(toks) as bigint) n_tokens,
+                     list_transform(toks, tok ->
+                       cast({_w16} as double)
+                       / cast('65536.0' as double)
+                       - cast('0.5' as double)) ws
+              from t)
+        select doc_id, n_tokens,
+               case when n_tokens = 0 then cast(null as double)
+                    else list_sum(ws) / cast(n_tokens as double)
+               end logit,
+               case when n_tokens = 0 then cast(null as boolean)
+                    else (list_sum(ws) / cast(n_tokens as double))
+                         > cast('0.0' as double)
+               end keep
+        from w"""
+    # ontology type check: the schema-fixture CTEs + a contested-
+    # signature predicate proving the share gate; constraint table is
+    # pred-grain, violations a per-row signature mismatch
+    d['kg_typecheck'] = """
+        with t as (
+          select 'has_phone' pred,
+                 'person_' || cast(doc_id % 200 as varchar) subj,
+                 'phone_' || cast(doc_id % 200 as varchar) obj,
+                 'person' st, 'phone' ot
+          from documents
+          union all
+          select 'located_in',
+                 'city_' || cast(doc_id % 50 as varchar),
+                 'prov_' || cast((doc_id % 50) % 7 as varchar),
+                 'city',
+                 case when doc_id % 13 = 0 then 'region'
+                      else 'province' end
+          from documents
+          union all
+          select 'mentions',
+                 'doc_' || cast(doc_id as varchar),
+                 'ent_' || cast((doc_id * 3 + k) % 31 as varchar),
+                 'doc', 'entity'
+          from documents,
+               lateral unnest(range(0, 3)) as u(k)
+          union all
+          select 'related_to',
+                 'x_' || cast(doc_id as varchar),
+                 'y_' || cast(doc_id as varchar),
+                 case when doc_id % 2 = 0 then 'person'
+                      else 'org' end,
+                 'thing'
+          from documents),
+        nt as (select pred, cast(count(*) as bigint) n_triples
+               from t group by pred),
+        sig as (select pred, st || '->' || ot sig,
+                       cast(count(*) as bigint) sig_n
+                from t group by 1, 2),
+        top as (select pred, sig top_signature, sig_n,
+                       row_number() over (partition by pred
+                                          order by sig_n desc,
+                                                   sig asc) rk
+                from sig),
+        cons as (select top.pred, top_signature,
+                        cast(sig_n as double)
+                        / cast(n_triples as double) sig_share
+                 from top join nt on top.pred = nt.pred and top.rk = 1
+                 where cast(sig_n as double) / cast(n_triples as double)
+                       >= cast('0.9' as double))
+        select t.pred, subj, obj, st || '->' || ot sig,
+               top_signature expected_signature, sig_share
+        from t join cons on t.pred = cons.pred
+        where st || '->' || ot <> top_signature"""
+    # embedding-based sense disambiguation: the ann_cosine_topk pairing
+    # (list_dot_product vs aggregate(zip_with), both rounded to 6)
+    d['kg_disambiguate'] = """
+        with emb as (select vec_id, embedding::DOUBLE[] e
+                     from embeddings),
+        senses as (select 's_' || cast((vec_id - 100) // 3 as varchar)
+                            surface,
+                          'k' || cast((vec_id - 100) % 3 as varchar)
+                            sense_id,
+                          e proto
+                   from emb where vec_id >= 100 and vec_id < 130),
+        m as (select doc_id,
+                     's_' || cast(doc_id % 10 as varchar) surface
+              from documents
+              union
+              select doc_id,
+                     's_' || cast((doc_id * 7) % 10 as varchar)
+              from documents),
+        j as (select m.doc_id, m.surface, s.sense_id,
+                     round(list_dot_product(d.e, s.proto)
+                       / (sqrt(list_dot_product(d.e, d.e))
+                        * sqrt(list_dot_product(s.proto, s.proto))), 6)
+                       cos
+              from m join emb d on d.vec_id = m.doc_id
+                     join senses s on s.surface = m.surface)
+        select doc_id, surface, sense_id, cos,
+               row_number() over (partition by doc_id, surface
+                                  order by cos desc, sense_id asc) = 1
+                 is_best
+        from j"""
     # cluster-balanced selection: the shared Lloyd assignment chain +
     # one global per-bucket md5-ordered row_number cut at the quota
     d['cluster_mix'] = (_IVF_ASSIGN_CTES + """

@@ -1356,3 +1356,103 @@ def hierarchy_closure(edges: DataFrame, max_depth: int = 16,
                .filter(F.col('depth') <= max_depth))
         anc = anc.union(ext).distinct().localCheckpoint()
     return anc
+
+
+_COS6 = (
+    "round("
+    "aggregate(zip_with({a}, {b}, (x,y)->cast(x as double)*cast(y as double)),"
+    " cast(0.0 as double), (p,q)->p+q)"
+    " / (sqrt(aggregate(transform({a}, x->cast(x as double)*cast(x as double)),"
+    " cast(0.0 as double), (p,q)->p+q))"
+    " * sqrt(aggregate(transform({b}, x->cast(x as double)*cast(x as double)),"
+    " cast(0.0 as double), (p,q)->p+q))), 6)")
+
+
+def disambiguate_mentions(mentions: DataFrame, senses: DataFrame,
+                          emb: DataFrame, doc_col: str = 'doc_id',
+                          surface_col: str = 'surface',
+                          vec_col: str = 'embedding',
+                          id_col: str = 'vec_id') -> DataFrame:
+    """→ (doc_id, surface, sense_id, cos, is_best): embedding-based
+    entity disambiguation — every ambiguous mention surface is scored
+    against each KB sense's PROTOTYPE vector by cosine with the
+    document's own embedding as context, and the best sense wins
+    (cos desc, sense_id asc) — the linking step between surface-form
+    canonicalization (``canonicalize_entities``, string-shape only)
+    and the KG edge table, for surfaces where one string names many
+    entities.
+
+    ``senses`` is (surface, sense_id, proto: array<float>) — the KB
+    sense inventory with one designated prototype vector per sense (a
+    learned-centroid table is the model-state boundary, same contract
+    as the multimodal embedding stub; any vector source works).
+    ``emb`` supplies the context vector per document id.
+
+    Engine parity: the cosine is the repo's proven per-row tree
+    (sequential ``aggregate(zip_with(...))`` fold ≡ DuckDB
+    ``list_dot_product``, both rounded to 6 — the ann_cosine_topk
+    contract); ranking uses the ROUNDED value so both engines order
+    identically, with sense_id breaking rounded ties.  Zero-norm
+    vectors raise (ANSI DIVIDE_BY_ZERO) — the caller's contract, as
+    with the Arrow cosine kernels.
+
+    Scale shape: ONE corpus-sized co-keyed join (mentions ⋈ emb on the
+    doc id), the sense inventory BROADCAST (KB-sized, not
+    corpus-sized), cosine in whole-stage codegen (zero Python), and
+    the argmax window partitioned on (doc, surface) — its input is
+    candidates-per-mention (senses sharing the surface), bounded by
+    the inventory's max ambiguity, never corpus-sized.
+    """
+    m = mentions.select(F.col(doc_col).alias('doc_id'),
+                        F.col(surface_col).alias('surface'))
+    e = emb.select(F.col(id_col).alias('doc_id'),
+                   F.col(vec_col).alias('dvec'))
+    s = senses.select('surface', 'sense_id', F.col('proto').alias('proto'))
+    scored = (m.join(e, 'doc_id')
+              .join(F.broadcast(s), 'surface')
+              .selectExpr('doc_id', 'surface', 'sense_id',
+                          _COS6.format(a='dvec', b='proto') + ' as cos'))
+    from pyspark.sql import Window
+    w = (Window.partitionBy('doc_id', 'surface')
+         .orderBy(F.col('cos').desc(), F.col('sense_id').asc()))
+    return (scored.withColumn('is_best', F.row_number().over(w) == 1)
+            .select('doc_id', 'surface', 'sense_id', 'cos', 'is_best'))
+
+
+def signature_violations(triples: DataFrame, min_share: float = 0.9,
+                         subj_col: str = 'subj', pred_col: str = 'pred',
+                         obj_col: str = 'obj',
+                         subj_type_col: str = 'subj_type',
+                         obj_type_col: str = 'obj_type') -> DataFrame:
+    """→ (pred, subj, obj, sig, expected_signature, sig_share): the
+    ontology type check — triples whose subj_type->obj_type signature
+    deviates from their predicate's MODAL signature, for predicates
+    where that signature is dominant (``sig_share`` ≥ ``min_share``) —
+    the knowledge-cleaning consumer of ``predicate_schema``'s induced
+    constraints (a predicate with a contested signature asserts no
+    constraint, so its triples are never flagged; the analog of
+    ``conflict_resolution``'s functionality gate on the type axis).
+
+    Engine parity: the share gate is one bigint-division double
+    against a literal; everything else is string equality.
+
+    Scale shape: ``predicate_schema`` contributes the ONE corpus
+    shuffle; the induced constraint table is pred-grain and comes back
+    as a BROADCAST onto a second corpus scan — flagging itself is a
+    zero-shuffle per-row filter.
+    """
+    schema = predicate_schema(triples, subj_col, pred_col, obj_col,
+                              subj_type_col, obj_type_col)
+    constraints = (schema
+                   .filter(F.col('sig_share') >= F.lit(min_share))
+                   .select('pred', 'top_signature', 'sig_share'))
+    t = triples.select(F.col(pred_col).alias('pred'),
+                       F.col(subj_col).alias('subj'),
+                       F.col(obj_col).alias('obj'),
+                       F.concat_ws('->', subj_type_col, obj_type_col)
+                       .alias('sig'))
+    return (t.join(F.broadcast(constraints), 'pred')
+            .filter(F.col('sig') != F.col('top_signature'))
+            .select('pred', 'subj', 'obj', 'sig',
+                    F.col('top_signature').alias('expected_signature'),
+                    'sig_share'))

@@ -865,3 +865,64 @@ def gopher_quality(docs: DataFrame, text_col: str = 'text',
         f'cast({stop_hits} as bigint) as stop_hits',
         *[f'{expr} as {name}' for name, expr in flags.items()],
         'not (' + ' or '.join(flags.values()) + ') as gopher_pass')
+
+
+def _w16_sql(hex_expr: str) -> str:
+    """First 4 hex nibbles of an md5 → 16-bit integer, as the exact
+    positional-nibble sum (the hll_w32_sql decode, truncated to 16
+    bits so derived weights are dyadic rationals with ≤ 16 binary
+    fraction digits — see hashed_logit_quality)."""
+    hexd = '0123456789abcdef'
+    terms = ' + '.join(
+        f"cast(instr('{hexd}', substr({hex_expr}, {1 + i}, 1)) - 1"
+        f" as bigint) * {16 ** (3 - i)}"
+        for i in range(4))
+    return f"({terms})"
+
+
+def hashed_logit_quality(docs: DataFrame, threshold: float = 0.0,
+                         seed: str = 'qw',
+                         text_col: str = 'text') -> DataFrame:
+    """→ (doc_id, n_tokens, logit, keep): a fastText-shaped hashed
+    LINEAR quality classifier — each token hashes to a weight, the doc
+    score is the mean token weight, and ``keep`` thresholds it — the
+    classifier-filter slot in a curation stack (CCNet's LM filter,
+    quality classifiers à la GPT-3/LLaMA data work), with the LEARNED
+    weight table replaced by a deterministic md5 draw (the
+    random-init-without-an-RNG move of transe_scores; shipping real
+    weights is the model-state boundary, and the Spark-side shape —
+    hash, look up, average, threshold — is identical either way).
+
+    Engine parity (the reason the weights are 16-bit): w(t) =
+    w16(md5(seed '|' t))/2¹⁶ − 0.5 is a dyadic rational with ≤ 16
+    binary fraction digits, so EVERY partial sum of ≤ 2³⁶ tokens is
+    exactly representable in a double — the in-array left fold is
+    order-independent and bit-identical to DuckDB's list_sum, no
+    decimal-through-string detour needed (CLAUDE.md float rule,
+    sidestepped by exactness instead of routed around).  The mean is
+    one correctly-rounded IEEE division; ``keep`` compares it against
+    a literal.  The sigmoid squash is deliberately OMITTED (libm exp
+    differs across engines in the last ulp; thresholding the logit is
+    the same decision).
+
+    Scale shape: ZERO shuffle — tokenize, hash, fold, and threshold
+    are one per-row expression tree in whole-stage codegen (the Spark
+    4.1 higher-order-function rule: per-doc computation never
+    explodes); md5 hashes once per token.  Empty docs yield null
+    logit/keep.
+    """
+    md5e = f"md5(concat('{seed}|', t))"
+    w = (f"cast({_w16_sql(md5e)} as double)"
+         f" / cast('65536.0' as double) - cast('0.5' as double)")
+    return docs.selectExpr(
+        'doc_id',
+        f"filter(split({text_col}, ' '), t -> t <> '') as _toks",
+    ).selectExpr(
+        'doc_id',
+        'cast(size(_toks) as bigint) as n_tokens',
+        f"case when size(_toks) = 0 then cast(null as double) else "
+        f"aggregate(transform(_toks, t -> {w}), cast(0.0 as double),"
+        f" (p,q)->p+q) / cast(size(_toks) as double) end as logit",
+    ).selectExpr(
+        'doc_id', 'n_tokens', 'logit',
+        f"logit > cast('{threshold!r}' as double) as keep")

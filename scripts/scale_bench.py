@@ -784,8 +784,10 @@ def family_kgfusion(spark, factors, run):
     from pyspark.sql import functions as F
 
     from jionlp_spark.operators.graph import (conflict_resolution,
+                                              disambiguate_mentions,
                                               hierarchy_closure,
                                               predicate_schema)
+    from jionlp_spark.operators.textstats import hashed_logit_quality
 
     for factor in factors:
         sf_dir = BASE_SF if factor == 1 else build_scale_dir(spark, factor)
@@ -804,12 +806,28 @@ def family_kgfusion(spark, factors, run):
              .union(ids.select(
                 F.lit('capital_of'),
                 F.concat(F.lit('country_'), jj.cast('string')),
-                F.when(F.col('doc_id') % 4 == 1,
+                # 1/8 of subjects carry a minority assertion from a
+                # third of their docs -> functionality 8/9 >= 0.8, so
+                # the gate passes and the conflict window is LIVE at
+                # EVERY factor (mod 3 because build_scale_dir's copy
+                # offset 10^7 is ≡ 0 mod 4/2500 — a mod-4 class would
+                # degenerate to all-minority subjects at 100×)
+                F.when((jj % 8 == 1) & (F.col('doc_id') % 3 == 1),
                        F.concat(F.lit('capx_'), jj.cast('string')))
                  .otherwise(F.concat(F.lit('cap_'), jj.cast('string'))),
                 F.lit('place'), F.lit('city'))))
-        run(f'predicate_schema@x{factor}',
-            lambda tt=t: predicate_schema(tt), cold_only=True)
+        # predicate_schema's expensive columns (the countDistinct pair)
+        # are prunable without changing cardinality, so the runner's
+        # .count() action measures a gutted plan (35 records at any
+        # factor — the distinct grain vanishes with the pruned
+        # columns).  A global max(digest) is STILL prunable (count of
+        # a keyless aggregate is 1 without evaluating it); the robust
+        # force is a DATA-DEPENDENT filter on the digest — Catalyst
+        # must compute every column to decide the row count.
+        run(f'predicate_schema@x{factor} (digest-forced)',
+            lambda tt=t: predicate_schema(tt)
+            .withColumn('d', F.md5(F.to_json(F.struct('*'))))
+            .filter(F.col('d') >= '0'), cold_only=True)
         run(f'conflict_resolution@x{factor}',
             lambda tt=t: conflict_resolution(tt), cold_only=True)
 
@@ -839,6 +857,40 @@ def family_kgfusion(spark, factors, run):
         run(f'hierarchy_closure@x{factor} (max_depth 12)',
             lambda ee=edges: hierarchy_closure(ee, max_depth=12),
             cold_only=True)
+
+        # zero-shuffle per-row classifier: digest-force (the logit
+        # column is otherwise prunable under .count()) so the wall
+        # number is the real tokenize+hash+fold cost
+        docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+            .select('doc_id', 'text')
+        run(f'hashed_logit_quality@x{factor} (digest-forced)',
+            lambda dd=docs: hashed_logit_quality(dd)
+            .withColumn('d', F.md5(F.to_json(F.struct('*'))))
+            .filter(F.col('d') >= '0'), cold_only=True)
+
+        # disambiguation: one mention per vector, a 30-sense broadcast
+        # inventory — the corpus-sized join is mentions ⋈ emb on the id
+        emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
+            .select('vec_id', 'embedding')
+        senses = (emb.filter(F.col('vec_id') < 30)
+                  .select(F.concat(F.lit('s_'),
+                                   F.expr('vec_id div 3').cast('string'))
+                          .alias('surface'),
+                          F.concat(F.lit('k'), (F.col('vec_id') % 3)
+                                   .cast('string')).alias('sense_id'),
+                          F.col('embedding').alias('proto'))
+                  .localCheckpoint())
+        mentions = emb.select(F.col('vec_id').alias('doc_id'),
+                              F.concat(F.lit('s_'), (F.col('vec_id') % 10)
+                                       .cast('string')).alias('surface'))
+        # digest-forced here too: count() doesn't reference cos/is_best,
+        # so column pruning removes the unused window AND the cosine —
+        # the unforced number times a bare join
+        run(f'disambiguate_mentions@x{factor} (30 senses, digest-forced)',
+            lambda mm=mentions, ss=senses, ee=emb:
+            disambiguate_mentions(mm, ss, ee, id_col='vec_id')
+            .withColumn('d', F.md5(F.to_json(F.struct('*'))))
+            .filter(F.col('d') >= '0'), cold_only=True)
 
 
 FAMILIES = {

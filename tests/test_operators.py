@@ -2615,3 +2615,143 @@ def test_hierarchy_closure_chain_tree_cut_and_cycle(spark):
                               'node string, parent string'),
         max_depth=4).collect()
     assert cyc and max(r['depth'] for r in cyc) <= 4
+
+
+def test_disambiguate_mentions_argmax_and_tie(spark):
+    """disambiguate_mentions on hand vectors: orthogonal prototypes pick
+    the aligned sense; an equidistant context falls to the sense-asc
+    tie rule on the ROUNDED cosine; every candidate row is emitted with
+    exactly one is_best per mention."""
+    from jionlp_spark.operators.graph import disambiguate_mentions
+    senses = spark.createDataFrame(
+        [('a', 'k0', [1.0, 0.0]), ('a', 'k1', [0.0, 1.0]),
+         ('b', 'k0', [1.0, 1.0])],
+        'surface string, sense_id string, proto array<float>')
+    emb = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [1.0, 1.0])],
+        'vec_id long, embedding array<float>')
+    mentions = spark.createDataFrame(
+        [(1, 'a'), (2, 'a'), (3, 'a'), (3, 'b')],
+        'doc_id long, surface string')
+    got = disambiguate_mentions(mentions, senses, emb).collect()
+    best = {(r['doc_id'], r['surface']): r['sense_id']
+            for r in got if r['is_best']}
+    assert best == {(1, 'a'): 'k0', (2, 'a'): 'k1',
+                    (3, 'a'): 'k0',      # tie 0.707107 both -> sense asc
+                    (3, 'b'): 'k0'}
+    by_mention = {}
+    for r in got:
+        by_mention.setdefault((r['doc_id'], r['surface']), []).append(r)
+    assert all(sum(r['is_best'] for r in v) == 1
+               for v in by_mention.values())
+    tie = sorted(r['cos'] for r in by_mention[(3, 'a')])
+    assert tie[0] == tie[1] == 0.707107
+    assert by_mention[(3, 'b')][0]['cos'] == 1.0
+
+
+def test_hashed_logit_quality_exact_and_branches(spark):
+    """hashed_logit_quality: the logit equals the closed-form Python
+    replay BIT-EXACTLY (16-bit dyadic weights make every partial sum
+    exact), keep thresholds it, multi-space runs contribute no empty
+    tokens, and an all-space doc yields null logit/keep."""
+    import hashlib
+    from jionlp_spark.operators.textstats import hashed_logit_quality
+    docs = spark.createDataFrame(
+        [(0, 'alpha beta gamma'), (1, 'alpha  alpha'), (2, ' ')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in
+           hashed_logit_quality(docs, threshold=0.0).collect()}
+
+    def w(tok):
+        h = hashlib.md5(f'qw|{tok}'.encode()).hexdigest()
+        return int(h[:4], 16) / 65536 - 0.5
+
+    exp0 = (w('alpha') + w('beta') + w('gamma')) / 3
+    assert got[0]['n_tokens'] == 3
+    assert got[0]['logit'] == exp0            # bit-exact, no tolerance
+    assert got[0]['keep'] == (exp0 > 0.0)
+    assert got[1]['n_tokens'] == 2
+    assert got[1]['logit'] == w('alpha')      # mean of two equal weights
+    assert got[2]['n_tokens'] == 0
+    assert got[2]['logit'] is None and got[2]['keep'] is None
+
+
+def test_signature_violations_share_gate(spark):
+    """signature_violations: a 9:1 dominant signature (share exactly
+    0.9) flags the deviant with the expected signature attached; a
+    50/50 contested signature asserts no constraint and flags
+    nothing."""
+    from jionlp_spark.operators.graph import signature_violations
+    rows = [('s%d' % i, 'p', 'o%d' % i, 'a', 'b') for i in range(9)]
+    rows += [('sx', 'p', 'ox', 'a', 'c'),
+             ('s1', 'q', 'o1', 'a', 'b'), ('s2', 'q', 'o2', 'a', 'c')]
+    t = spark.createDataFrame(
+        rows, 'subj string, pred string, obj string, '
+              'subj_type string, obj_type string')
+    got = signature_violations(t, min_share=0.9).collect()
+    assert [(r['pred'], r['subj'], r['sig'], r['expected_signature'],
+             r['sig_share']) for r in got] == \
+        [('p', 'sx', 'a->c', 'a->b', 0.9)]
+
+
+def test_hierarchy_closure_random_forests_vs_python(spark):
+    """hierarchy_closure ≡ a hop-at-a-time Python walk on seeded random
+    forests (parents always lower-numbered → acyclic by construction):
+    identical (node, ancestor, depth) sets including the max_depth
+    cut."""
+    import random
+    from jionlp_spark.operators.graph import hierarchy_closure
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        parent = {}
+        for i in range(1, 25):
+            if rng.random() < 0.7:
+                parent[i] = rng.randrange(i)
+        edges = spark.createDataFrame(
+            [(str(n), str(p)) for n, p in parent.items()],
+            'node string, parent string')
+        md = rng.choice([2, 4, 16])
+        got = {(r['node'], r['ancestor'], r['depth'])
+               for r in hierarchy_closure(edges, max_depth=md).collect()}
+        want = set()
+        for n in parent:
+            a, d = n, 0
+            while a in parent and d < md:
+                a, d = parent[a], d + 1
+                want.add((str(n), str(a), d))
+        assert got == want, (seed, md)
+
+
+def test_conflict_resolution_random_vs_python(spark):
+    """conflict_resolution ≡ a brute-force Python replay on seeded
+    random triple piles: same functionality gate, same conflicted
+    subjects, same (support desc, obj asc) winners."""
+    import random
+    from collections import Counter
+    from jionlp_spark.operators.graph import conflict_resolution
+    for seed in (3, 4, 5):
+        rng = random.Random(seed)
+        rows = [(f's{rng.randrange(6)}', f'p{rng.randrange(3)}',
+                 f'o{rng.randrange(3)}') for _ in range(120)]
+        t = spark.createDataFrame(rows,
+                                  'subj string, pred string, obj string')
+        got = {(r['pred'], r['subj'], r['obj'], r['support'],
+                r['n_alternatives'], r['is_winner'])
+               for r in conflict_resolution(t, 0.8).collect()}
+        sup = Counter(rows)
+        want = set()
+        for p in {r[1] for r in rows}:
+            pairs = {(s, o) for s, pp, o in sup if pp == p}
+            subjects = {s for s, o in pairs}
+            if len(subjects) / len(pairs) < 0.8:
+                continue
+            for s in subjects:
+                objs = sorted(o for ss, o in pairs if ss == s)
+                if len(objs) < 2:
+                    continue
+                ranked = sorted(objs,
+                                key=lambda o: (-sup[(s, p, o)], o))
+                for o in objs:
+                    want.add((p, s, o, sup[(s, p, o)], len(objs),
+                              o == ranked[0]))
+        assert got == want, seed
