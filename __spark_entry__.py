@@ -5157,6 +5157,63 @@ def q_streaming_curate(spark, sf_dir):
     return out
 
 
+def q_streaming_conflicts(spark, sf_dir):
+    """Streaming majority-vote conflict tracking
+    (streaming/stream.streaming_conflicts) under the batch gate: the
+    2-micro-batch mtime-ordered file stream carries (pred, subj, obj)
+    assertions — subj = s(id%20), obj = b(id%20) for id ≡ 0 (mod 3)
+    else a(id%20), so every subject accumulates BOTH alternatives with
+    a ~2:1 'a' majority.  Each micro-batch emits the touched subjects'
+    CURRENT verdict rows (votes, n_alternatives, winner by votes desc
+    / obj asc, overflow = 0 below the cap); the oracle replays both
+    batch-prefix vote states in SQL (batch-0 counts ∪ cumulative
+    counts) — per-key state crossing the micro-batch boundary is
+    exactly the difference between the two prefixes."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'conflicts')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_conflicts
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_streamk', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    half = n // 2
+    trips = spark.range(n).selectExpr(
+        'id as tid',
+        "'cap' as pred",
+        "concat('s', cast(id % 20 as string)) as subj",
+        "case when id % 3 = 0 then concat('b', cast(id % 20 as string))"
+        " else concat('a', cast(id % 20 as string)) end as obj",
+        "timestamp'2021-09-01 00:00:00' + make_dt_interval(0, 0, id, 0)"
+        ' as warc_ts')
+    for i, pred in enumerate((f'tid < {half}', f'tid >= {half}')):
+        part = f'{src_dir}/batch_{i}'
+        trips.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_600_000_000 + i * 3600,
+                                                  1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('tid long, pred string, subj string, obj string, '
+                      'warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_conflicts(stream)
+    table = f'stream_conflicts_{abs(hash(key)) % 10**8}'
+    _run_stream_lowstate(spark, result, table, ckpt)
+    out = spark.table(table).select('pred', 'subj', 'obj', 'votes',
+                                    'n_alternatives', 'is_winner',
+                                    'overflow')
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_ingest(spark, sf_dir):
     """Streaming crawl-ingest admission (streaming/stream.
     streaming_ingest) under the batch gate: the 2-micro-batch
@@ -5916,6 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_disambiguate': q_kg_disambiguate,
         'kg_typecheck': q_kg_typecheck,
         'quality_logit': q_quality_logit,
+        'streaming_conflicts': q_streaming_conflicts,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -9436,6 +9494,49 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                    coalesce(b.st, case when s.rn = 1 then 'kept'
                                        else 'dropped_exact' end) status
             from base b left join surv s on b.id = s.id""",
+        # streaming conflicts: both batch-prefix vote states replayed
+        # in SQL — the micro-batch state handoff IS the difference
+        # between the half-prefix and full-prefix counts
+        'streaming_conflicts': """
+            with t as (select doc_id id,
+                              concat('s', cast(doc_id % 20 as varchar))
+                                subj,
+                              case when doc_id % 3 = 0
+                                   then concat('b', cast(doc_id % 20
+                                                         as varchar))
+                                   else concat('a', cast(doc_id % 20
+                                                         as varchar))
+                              end obj
+                       from documents where doc_id < 3000),
+            h as (select cast(count(*) // 2 as bigint) half from t),
+            b0 as (select subj, obj, cast(count(*) as bigint) votes
+                   from t, h where id < half group by 1, 2),
+            e0 as (select 'cap' pred, subj, obj, votes,
+                          cast(count(*) over (partition by subj) as int)
+                            n_alternatives,
+                          row_number() over (partition by subj
+                                             order by votes desc,
+                                                      obj asc) = 1
+                            is_winner,
+                          cast(0 as bigint) overflow
+                   from b0
+                   where subj in (select subj from t, h where id < half)
+                   qualify count(*) over (partition by subj) >= 2),
+            b1 as (select subj, obj, cast(count(*) as bigint) votes
+                   from t group by 1, 2),
+            e1 as (select 'cap' pred, subj, obj, votes,
+                          cast(count(*) over (partition by subj) as int)
+                            n_alternatives,
+                          row_number() over (partition by subj
+                                             order by votes desc,
+                                                      obj asc) = 1
+                            is_winner,
+                          cast(0 as bigint) overflow
+                   from b1
+                   where subj in (select subj from t, h
+                                  where id >= half)
+                   qualify count(*) over (partition by subj) >= 2)
+            select * from e0 union all select * from e1""",
         # streaming ingest: same convention as streaming_curate —
         # within the id-split micro-batches, 'first surviving arrival'
         # of a content key is the min surviving id (warc_ts is

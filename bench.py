@@ -97,6 +97,9 @@ HEADLINE = [
     'kg_neighbor_agg', 'shard_manifest', 'fuzzy_decontam',
     'training_mix_weights', 'dsir_resample', 'cluster_mix',
     'epoch_expansion',
+    # round-7 session-2 additions (KG fusion tier + classifier filter)
+    'kg_schema_stats', 'kg_conflicts', 'kg_closure', 'kg_disambiguate',
+    'kg_typecheck', 'quality_logit', 'streaming_conflicts',
 ]
 
 
@@ -236,13 +239,25 @@ def main() -> None:
     # best-of-2 per query, both runs + per-run load recorded: the min of
     # two warm runs is the throughput the plan delivers; a reader compares
     # runs (and their loads) to tell neighbor load from plan cost.
+    # Every plan is digest-forced: a bare count() lets Catalyst prune
+    # value columns that don't change cardinality (pure per-group
+    # aggregates, unused windows — countDistinct/score trees vanish and
+    # the timing measures a gutted plan; the CLAUDE.md count-pruning
+    # rule).  The data-dependent filter makes the row count depend on
+    # every column; md5+json per OUTPUT row is a small uniform cost.
+    from pyspark.sql import functions as _F
+
+    def _force_full(df):
+        return (df.withColumn('__d', _F.md5(_F.to_json(_F.struct('*'))))
+                .filter(_F.col('__d') >= '0'))
+
     for name in HEADLINE:
         fn = qs[name]
         runs, loads = [], []
         for _ in range(2):
             loads.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
-            n = fn(spark, SF_DIR).count()
+            n = _force_full(fn(spark, SF_DIR)).count()
             runs.append(time.time() - t0)
         dt = min(runs)
         timings[name] = round(dt, 3)

@@ -17,7 +17,8 @@ ARROW_BATCH_ROWS = 512
 
 def get_spark(app_name: str = 'jionlp_spark',
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
     master = master or f'local[{cpus}]'
     shuffle_partitions = shuffle_partitions or max(cpus, 32)
@@ -60,5 +61,7 @@ def get_spark(app_name: str = 'jionlp_spark',
                 '/dev/shm/spark-local' if os.path.isdir('/dev/shm')
                 else '/tmp')
         .config('spark.ui.showConsoleProgress', 'false')
+        .config(map={str(k): str(v)
+                     for k, v in (extra_conf or {}).items()})
         .getOrCreate()
     )

@@ -536,3 +536,91 @@ def streaming_url_dedup(pages_stream: DataFrame,
             .applyInPandasWithState(dedup_fn, out_schema, 'n_seen int',
                                     'append',
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_conflicts(triples_stream: DataFrame,
+                        watermark: str = '1 hour',
+                        max_objs: int = 16,
+                        ttl: str | None = None) -> DataFrame:
+    """Streaming majority-vote conflict tracking — the fusion-tier
+    analog of ``operators/graph.conflict_resolution`` the way
+    streaming_curate mirrors curate_corpus: assertions arrive as a
+    stream of (pred, subj, obj, warc_ts) triples, per-(pred, subj)
+    vote state accumulates across micro-batches, and every batch
+    emits the CURRENT verdict rows for each subject it touched whose
+    cumulative alternative count is ≥ 2 (one row per tracked
+    alternative; winner = votes desc, obj asc — the batch operator's
+    exact tie rule, so stream ≡ batch on the same prefix).
+
+    State = one row per (pred, subj): parallel (objs, votes) arrays
+    capped at ``max_objs`` alternatives — a hot subject's state is
+    BOUNDED; objects arriving once the cap is full are tallied in
+    ``overflow`` (reported on every emission, never silently dropped
+    — the containment df-cap honesty rule).  Slots go to first
+    arrivals: a real conflict's contenders appear early, and the cap
+    exists for adversarial/hot keys, not the common case.  An
+    event-time TTL expires subjects quiet for ``ttl`` (default one
+    ``watermark``), bounding total state on an unbounded crawl.
+
+    The batch operator's functionality gate (near-functional
+    predicates only) is corpus-global and stays a batch-side decision:
+    feed this operator the predicates that gate admits.
+
+    Output: (pred, subj, obj, votes, n_alternatives, is_winner,
+    overflow) in append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    t = (triples_stream
+         .select('pred', 'subj', 'obj', 'warc_ts')
+         .withWatermark('warc_ts', watermark))
+    ttl_ms = _interval_ms(ttl if ttl is not None else watermark)
+    session_tz = triples_stream.sparkSession.conf.get(
+        'spark.sql.session.timeZone')
+
+    out_schema = ('pred string, subj string, obj string, votes long, '
+                  'n_alternatives int, is_winner boolean, overflow long')
+    state_schema = 'objs array<string>, votes array<long>, overflow long'
+    cols = ['pred', 'subj', 'obj', 'votes', 'n_alternatives',
+            'is_winner', 'overflow']
+
+    def vote_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            objs, votes, overflow = state.get
+            objs, votes = list(objs), list(votes)
+        else:
+            objs, votes, overflow = [], [], 0
+        idx = {o: i for i, o in enumerate(objs)}
+        max_ts = None
+        for pdf in pdf_iter:
+            for row in pdf.itertuples():
+                o = row.obj
+                if o in idx:
+                    votes[idx[o]] += 1
+                elif len(objs) < max_objs:
+                    idx[o] = len(objs)
+                    objs.append(o)
+                    votes.append(1)
+                else:
+                    overflow += 1
+                if max_ts is None or row.warc_ts > max_ts:
+                    max_ts = row.warc_ts
+        state.update((objs, votes, overflow))
+        state.setTimeoutTimestamp(_epoch_ms(max_ts, session_tz) + ttl_ms)
+        if len(objs) >= 2:
+            win = min(range(len(objs)),
+                      key=lambda i: (-votes[i], objs[i]))
+            yield pd.DataFrame(
+                [(key[0], key[1], objs[i], votes[i], len(objs),
+                  i == win, overflow) for i in range(len(objs))],
+                columns=cols)
+
+    return (t.groupBy('pred', 'subj')
+            .applyInPandasWithState(vote_fn, out_schema, state_schema,
+                                    'append',
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -146,20 +146,42 @@ def build_scale_dir(spark, factor: int) -> str:
     return out
 
 
+def _force_full(df):
+    """Make ``.count()`` evaluate EVERY column of ``df``.
+
+    The bare count action lets Catalyst prune anything that doesn't
+    change cardinality: value columns of aggregates vanish (a
+    countDistinct pair measured as a flat 35-record skeleton), UNUSED
+    WINDOW nodes are eliminated wholesale — taking their exchange and
+    any expensive expressions with them (asof_join/training_shards
+    measured as '1/32/32 flat' when their real plans shuffle
+    corpus-sized records), and a keyless final aggregate folds to one
+    row without evaluating at all.  A data-dependent filter on an
+    all-columns digest defeats every variant: the row count now
+    depends on every value, so the full plan must run.  The md5+json
+    per OUTPUT row is a small, factor-uniform overhead."""
+    from pyspark.sql import functions as F
+    return (df.withColumn('__d', F.md5(F.to_json(F.struct('*'))))
+            .filter(F.col('__d') >= '0'))
+
+
 class Recorder:
     """Shared run/record implementation: cold run (with shuffle-record
     delta), optional best-of-2 warm repeat, one JSON line per row, all
-    rows collected for the artifact."""
+    rows collected for the artifact.  Every measured plan is
+    digest-forced (see _force_full) so pruning can't gut it; pass
+    raw=True only for a plan whose count must stay bare."""
 
     def __init__(self, spark, family: str):
         self.spark = spark
         self.family = family
         self.rows: list[dict] = []
 
-    def __call__(self, name, fn, cold_only=False, extra=None):
+    def __call__(self, name, fn, cold_only=False, extra=None, raw=False):
+        force = (lambda d: d) if raw else _force_full
         s0 = shuffle_records(self.spark)
         t0 = time.time()
-        rows = fn().count()
+        rows = force(fn()).count()
         cold = time.time() - t0
         s1 = shuffle_records(self.spark)
         rec = (s1 - s0) if (s0 >= 0 and s1 >= 0) else -1
@@ -174,7 +196,7 @@ class Recorder:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                fn().count()
+                force(fn()).count()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
             out['warm_sec'] = round(best, 2)
@@ -816,18 +838,8 @@ def family_kgfusion(spark, factors, run):
                        F.concat(F.lit('capx_'), jj.cast('string')))
                  .otherwise(F.concat(F.lit('cap_'), jj.cast('string'))),
                 F.lit('place'), F.lit('city'))))
-        # predicate_schema's expensive columns (the countDistinct pair)
-        # are prunable without changing cardinality, so the runner's
-        # .count() action measures a gutted plan (35 records at any
-        # factor — the distinct grain vanishes with the pruned
-        # columns).  A global max(digest) is STILL prunable (count of
-        # a keyless aggregate is 1 without evaluating it); the robust
-        # force is a DATA-DEPENDENT filter on the digest — Catalyst
-        # must compute every column to decide the row count.
-        run(f'predicate_schema@x{factor} (digest-forced)',
-            lambda tt=t: predicate_schema(tt)
-            .withColumn('d', F.md5(F.to_json(F.struct('*'))))
-            .filter(F.col('d') >= '0'), cold_only=True)
+        run(f'predicate_schema@x{factor}',
+            lambda tt=t: predicate_schema(tt), cold_only=True)
         run(f'conflict_resolution@x{factor}',
             lambda tt=t: conflict_resolution(tt), cold_only=True)
 
@@ -858,15 +870,10 @@ def family_kgfusion(spark, factors, run):
             lambda ee=edges: hierarchy_closure(ee, max_depth=12),
             cold_only=True)
 
-        # zero-shuffle per-row classifier: digest-force (the logit
-        # column is otherwise prunable under .count()) so the wall
-        # number is the real tokenize+hash+fold cost
         docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
             .select('doc_id', 'text')
-        run(f'hashed_logit_quality@x{factor} (digest-forced)',
-            lambda dd=docs: hashed_logit_quality(dd)
-            .withColumn('d', F.md5(F.to_json(F.struct('*'))))
-            .filter(F.col('d') >= '0'), cold_only=True)
+        run(f'hashed_logit_quality@x{factor}',
+            lambda dd=docs: hashed_logit_quality(dd), cold_only=True)
 
         # disambiguation: one mention per vector, a 30-sense broadcast
         # inventory — the corpus-sized join is mentions ⋈ emb on the id
@@ -883,14 +890,10 @@ def family_kgfusion(spark, factors, run):
         mentions = emb.select(F.col('vec_id').alias('doc_id'),
                               F.concat(F.lit('s_'), (F.col('vec_id') % 10)
                                        .cast('string')).alias('surface'))
-        # digest-forced here too: count() doesn't reference cos/is_best,
-        # so column pruning removes the unused window AND the cosine —
-        # the unforced number times a bare join
-        run(f'disambiguate_mentions@x{factor} (30 senses, digest-forced)',
+        run(f'disambiguate_mentions@x{factor} (30 senses)',
             lambda mm=mentions, ss=senses, ee=emb:
-            disambiguate_mentions(mm, ss, ee, id_col='vec_id')
-            .withColumn('d', F.md5(F.to_json(F.struct('*'))))
-            .filter(F.col('d') >= '0'), cold_only=True)
+            disambiguate_mentions(mm, ss, ee, id_col='vec_id'),
+            cold_only=True)
 
 
 FAMILIES = {
@@ -941,9 +944,18 @@ def render_markdown(rows: list[dict]) -> str:
                 r = ops.get(f) or ops.get(None)
                 if r is None:
                     cells.append('—')
+                elif 'cold_sec' not in r:
+                    # deliberate-skip / annotation rows carry no timing
+                    cells.append('skipped: ' + r.get('skipped', '—')
+                                 if 'skipped' in r else '—')
                 else:
+                    rec = r.get('shuffle_records', -1)
+                    # the status API evicts old stages past its retention
+                    # window — a long family can roll it over mid-delta,
+                    # yielding a negative (meaningless) count
+                    rec_s = f'{rec:,}' if rec >= 0 else 'n/a (stage eviction)'
                     cells.append(f"{r['cold_sec']} / {r['rows']:,} / "
-                                 f"{r['shuffle_records']:,}")
+                                 f"{rec_s}")
             lines.append(f'| {base} | ' + ' | '.join(cells) + ' |')
     return '\n'.join(lines)
 
@@ -985,7 +997,12 @@ def main() -> None:
 
     if fams:
         from jionlp_spark.config import get_spark
-        spark = get_spark('scale-bench')
+        # the shuffle-record delta reads the status API's completed-stage
+        # list; the default retention (1000 stages) can roll over inside
+        # a long family and produce a negative delta — keep every stage
+        # (static conf: must be set at session build, not after)
+        spark = get_spark('scale-bench',
+                          extra_conf={'spark.ui.retainedStages': '100000'})
         spark.sparkContext.setLogLevel('ERROR')
         for fam in fams:
             if fam not in FAMILIES:

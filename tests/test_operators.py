@@ -2755,3 +2755,56 @@ def test_conflict_resolution_random_vs_python(spark):
                     want.add((p, s, o, sup[(s, p, o)], len(objs),
                               o == ranked[0]))
         assert got == want, seed
+
+
+def test_streaming_conflicts_handoff_winner_and_cap(spark, tmp_path):
+    """streaming_conflicts: votes accumulate across the micro-batch
+    boundary (batch-2 emissions carry cumulative counts), the winner
+    flips when the late alternative overtakes, the max_objs cap
+    tallies overflow instead of tracking a third alternative, and a
+    single-object subject never emits."""
+    import datetime
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_conflicts
+
+    src = str(tmp_path / 'src')
+    ckpt = str(tmp_path / 'ckpt')
+    os.makedirs(src)
+    t = lambda m: datetime.datetime(2021, 9, 1, 10, m)
+    batches = [
+        [('p', 's', 'a', t(0)), ('p', 's', 'a', t(1)),
+         ('p', 's', 'b', t(2)), ('p', 'solo', 'only', t(3))],
+        [('p', 's', 'b', t(10)), ('p', 's', 'b', t(11)),
+         ('p', 's', 'c', t(12)), ('p', 's', 'c', t(13)),
+         ('p', 'solo', 'only', t(14))],
+    ]
+    for i, rows in enumerate(batches):
+        part = f'{src}/batch_{i}'
+        spark.createDataFrame(
+            rows, 'pred string, subj string, obj string, '
+                  'warc_ts timestamp') \
+            .coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream
+              .schema('pred string, subj string, obj string, '
+                      'warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1').parquet(f'{src}/batch_*'))
+    q = (streaming_conflicts(stream, max_objs=2)
+         .writeStream.format('memory').queryName('confl_test')
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', ckpt).start())
+    q.awaitTermination(240)
+    got = [tuple(r) for r in spark.table('confl_test').collect()]
+    assert ('p', 'solo') not in {(p, s) for p, s, *_ in got}
+    b0 = sorted(r for r in got if r[6] == 0)
+    b1 = sorted(r for r in got if r[6] == 2)
+    assert b0 == [('p', 's', 'a', 2, 2, True, 0),
+                  ('p', 's', 'b', 1, 2, False, 0)]
+    # cumulative: b overtakes (3 > 2); 'c' arrived twice past the cap
+    assert b1 == [('p', 's', 'a', 2, 2, False, 2),
+                  ('p', 's', 'b', 3, 2, True, 2)]
+    assert len(got) == 4
