@@ -5901,6 +5901,91 @@ def q_quality_logit(spark, sf_dir):
     return hashed_logit_quality(_docs(spark, sf_dir), threshold=0.0)
 
 
+def q_kg_fact_intervals(spark, sf_dir):
+    """Temporal scoping (operators/graph.temporal_scoping): timestamped
+    functional assertions → validity INTERVALS per (pred, subj) by
+    run-length change detection — the YAGO2-style step that keeps the
+    whole reign history where conflict_resolution keeps one winner.
+    Fixture: capital_of over 10 subjects; the reigning object flips on
+    an a,a,b cadence in doc_id-decade eras (so an object RETURNS after
+    interruption — the reopen branch), ts is the doc_id itself (a
+    bigint version stamp — the operator is ts-type-generic), and docs
+    ≡ 0 (mod 97) inject a same-instant 'z' assertion so the (ts, obj
+    asc) tie rule is live.  Engine parity: pure integer window
+    arithmetic, exact bigints, no floats; the oracle replays the
+    identical lag→running-sum→lead cascade."""
+    from jionlp_spark.operators.graph import temporal_scoping
+    d = _docs(spark, sf_dir).select('doc_id')
+    j = (F.col('doc_id') % 10).cast('string')
+    era = F.expr('doc_id div 10')
+    t = (d.select(
+            F.lit('capital_of').alias('pred'),
+            F.concat(F.lit('s'), j).alias('subj'),
+            F.when(era % 3 < 2, F.concat(F.lit('a_'), j))
+             .otherwise(F.concat(F.lit('b_'), j)).alias('obj'),
+            F.col('doc_id').cast('long').alias('ts'))
+         .union(d.filter(F.col('doc_id') % 97 == 0).select(
+            F.lit('capital_of'),
+            F.concat(F.lit('s'), j),
+            F.concat(F.lit('z_'), j),
+            F.col('doc_id').cast('long'))))
+    return temporal_scoping(t)
+
+
+def q_kg_align(spark, sf_dir):
+    """Cross-KB entity alignment (operators/graph.align_entities):
+    PARIS-style fusion — A-entities match B-entities on shared
+    (pred, obj) values of INVERSE-FUNCTIONAL predicates (phone/idcard
+    identify; born_in's shared cities are excluded by the gate), with
+    the ph_shared placeholder value (10 subjects per side >
+    max_bucket=8) dropped by the hub cap before it costs 10×10 junk
+    pairs.  Classes live at sf0.01: two-evidence matches (k<15 share
+    phone+idcard, n_shared=2), one-evidence (k 15..39), the adup_5
+    decoy (best-for-A but NOT mutual — b_5's argmax is a_5 on score),
+    unmatched a_40..49 / b_40..59 (absent), and the cap-dropped
+    placeholder (absent).  Gate arithmetic both engines share: phone
+    71 objs / 131 union pairs = 0.542, idcard 15/30 = 0.5, born_in
+    7/~350 — threshold 0.5 admits exactly the first two."""
+    from jionlp_spark.operators.graph import align_entities
+    d = _docs(spark, sf_dir).select('doc_id')
+    ja = (F.col('doc_id') % 50).cast('string')
+    jb = (F.col('doc_id') % 60).cast('string')
+    kb_a = (d.select(
+                F.lit('phone').alias('pred'),
+                F.concat(F.lit('a_'), ja).alias('subj'),
+                F.concat(F.lit('ph_'), ja).alias('obj'))
+            .union(d.filter(F.col('doc_id') % 50 < 15).select(
+                F.lit('idcard'), F.concat(F.lit('a_'), ja),
+                F.concat(F.lit('id_'), ja)))
+            .union(d.filter(F.col('doc_id') % 50 < 10).select(
+                F.lit('phone'), F.concat(F.lit('a_'), ja),
+                F.lit('ph_shared')))
+            .union(d.filter(F.col('doc_id') % 50 == 5).select(
+                F.lit('phone'), F.lit('adup_5'), F.lit('ph_5')))
+            .union(d.select(
+                F.lit('born_in'), F.concat(F.lit('a_'), ja),
+                F.concat(F.lit('city_'), (F.col('doc_id') % 7)
+                         .cast('string')))))
+    kb_b = (d.select(
+                F.lit('phone').alias('pred'),
+                F.concat(F.lit('b_'), jb).alias('subj'),
+                F.when(F.col('doc_id') % 60 < 40,
+                       F.concat(F.lit('ph_'), jb))
+                 .otherwise(F.concat(F.lit('phx_'), jb)).alias('obj'))
+            .union(d.filter(F.col('doc_id') % 60 < 15).select(
+                F.lit('idcard'), F.concat(F.lit('b_'), jb),
+                F.concat(F.lit('id_'), jb)))
+            .union(d.filter(F.col('doc_id') % 60 < 10).select(
+                F.lit('phone'), F.concat(F.lit('b_'), jb),
+                F.lit('ph_shared')))
+            .union(d.select(
+                F.lit('born_in'), F.concat(F.lit('b_'), jb),
+                F.concat(F.lit('city_'), (F.col('doc_id') % 7)
+                         .cast('string')))))
+    return align_entities(kb_a, kb_b, min_inv_functionality=0.5,
+                          max_bucket=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is the driver's sampling order (first 50 of 170).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
@@ -5974,6 +6059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_typecheck': q_kg_typecheck,
         'quality_logit': q_quality_logit,
         'streaming_conflicts': q_streaming_conflicts,
+        'kg_fact_intervals': q_kg_fact_intervals,
+        'kg_align': q_kg_align,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8283,6 +8370,122 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
               from anc a join e on a.ancestor = e.node
               where a.depth + 1 <= 12)
             select node, ancestor, depth from anc""",
+        # temporal scoping: the identical lag → running-sum → lead
+        # window cascade (pure integer arithmetic, no floats); ts is
+        # the doc_id itself as a bigint version stamp
+        'kg_fact_intervals': """
+            with t as (
+              select 'capital_of' pred,
+                     's' || cast(doc_id % 10 as varchar) subj,
+                     case when (doc_id // 10) % 3 < 2
+                          then 'a_' || cast(doc_id % 10 as varchar)
+                          else 'b_' || cast(doc_id % 10 as varchar)
+                     end obj,
+                     cast(doc_id as bigint) ts
+              from documents
+              union all
+              select 'capital_of',
+                     's' || cast(doc_id % 10 as varchar),
+                     'z_' || cast(doc_id % 10 as varchar),
+                     cast(doc_id as bigint)
+              from documents where doc_id % 97 = 0),
+            r as (select *,
+                    case when lag(obj) over w is null
+                              or lag(obj) over w <> obj
+                         then 1 else 0 end chg
+                  from t
+                  window w as (partition by pred, subj
+                               order by ts asc, obj asc)),
+            s as (select *,
+                    sum(chg) over (partition by pred, subj
+                                   order by ts asc, obj asc
+                                   rows between unbounded preceding
+                                   and current row) run_id
+                  from r),
+            iv as (select pred, subj, run_id, obj,
+                          min(ts) valid_from,
+                          cast(count(*) as bigint) n_assertions
+                   from s group by 1, 2, 3, 4)
+            select pred, subj, obj, valid_from,
+                   lead(valid_from) over w2 valid_to,
+                   n_assertions,
+                   lead(valid_from) over w2 is null is_current
+            from iv
+            window w2 as (partition by pred, subj
+                          order by run_id asc)""",
+        # PARIS-lite alignment: distinct (pred, obj, subj) per KB, the
+        # inverse-functionality gate over the union pool, the per-value
+        # bucket cap per side, then the evidence join + two argmax
+        # windows — exact bigints and one gate division, both engines
+        'kg_align': """
+            with a as (select distinct pred, obj, subj ent_a from (
+                select 'phone' pred, 'a_' || cast(doc_id % 50 as varchar)
+                       subj, 'ph_' || cast(doc_id % 50 as varchar) obj
+                from documents
+                union all
+                select 'idcard', 'a_' || cast(doc_id % 50 as varchar),
+                       'id_' || cast(doc_id % 50 as varchar)
+                from documents where doc_id % 50 < 15
+                union all
+                select 'phone', 'a_' || cast(doc_id % 50 as varchar),
+                       'ph_shared'
+                from documents where doc_id % 50 < 10
+                union all
+                select 'phone', 'adup_5', 'ph_5'
+                from documents where doc_id % 50 = 5
+                union all
+                select 'born_in', 'a_' || cast(doc_id % 50 as varchar),
+                       'city_' || cast(doc_id % 7 as varchar)
+                from documents)),
+            b as (select distinct pred, obj, subj ent_b from (
+                select 'phone' pred, 'b_' || cast(doc_id % 60 as varchar)
+                       subj,
+                       case when doc_id % 60 < 40
+                            then 'ph_' || cast(doc_id % 60 as varchar)
+                            else 'phx_' || cast(doc_id % 60 as varchar)
+                       end obj
+                from documents
+                union all
+                select 'idcard', 'b_' || cast(doc_id % 60 as varchar),
+                       'id_' || cast(doc_id % 60 as varchar)
+                from documents where doc_id % 60 < 15
+                union all
+                select 'phone', 'b_' || cast(doc_id % 60 as varchar),
+                       'ph_shared'
+                from documents where doc_id % 60 < 10
+                union all
+                select 'born_in', 'b_' || cast(doc_id % 60 as varchar),
+                       'city_' || cast(doc_id % 7 as varchar)
+                from documents)),
+            pool as (select pred, obj, ent_a subj from a
+                     union
+                     select pred, obj, ent_b from b),
+            gate as (select pred from pool group by pred
+                     having cast(count(distinct obj) as double)
+                            / cast(count(*) as double) >= 0.5),
+            aa as (select * from (
+                     select a.*, count(*) over
+                       (partition by pred, obj) bn
+                     from a join gate using (pred))
+                   where bn <= 8),
+            bb as (select * from (
+                     select b.*, count(*) over
+                       (partition by pred, obj) bn
+                     from b join gate using (pred))
+                   where bn <= 8),
+            cand as (select ent_a, ent_b,
+                            cast(count(distinct aa.pred || chr(1)
+                                       || aa.obj) as bigint) n_shared
+                     from aa join bb using (pred, obj)
+                     group by 1, 2)
+            select ent_a, ent_b, n_shared,
+                   row_number() over (partition by ent_a
+                                      order by n_shared desc,
+                                               ent_b asc) = 1 is_best_a,
+                   row_number() over (partition by ent_b
+                                      order by n_shared desc,
+                                               ent_a asc) = 1 is_best_b
+            from cand""",
         # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the

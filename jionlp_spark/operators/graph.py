@@ -1456,3 +1456,152 @@ def signature_violations(triples: DataFrame, min_share: float = 0.9,
             .select('pred', 'subj', 'obj', 'sig',
                     F.col('top_signature').alias('expected_signature'),
                     'sig_share'))
+
+
+def temporal_scoping(triples: DataFrame, subj_col: str = 'subj',
+                     pred_col: str = 'pred', obj_col: str = 'obj',
+                     ts_col: str = 'ts') -> DataFrame:
+    """→ (pred, subj, obj, valid_from, valid_to, n_assertions,
+    is_current): temporal scoping of functional facts — turn a pile of
+    TIMESTAMPED assertions into validity INTERVALS per (pred, subj),
+    the step that makes a KG answer "who was the value of p(s) in
+    2019" instead of only "what is it now" (the YAGO2 extension of the
+    fusion tier: conflict_resolution picks one winner per subject,
+    this operator keeps the whole reign history).
+
+    Semantics are run-length change detection: assertions for one
+    (pred, subj) are ordered by (ts, obj) — obj breaks same-instant
+    ties deterministically — and consecutive runs of the SAME object
+    collapse into one interval.  ``valid_from`` is the run's first
+    assertion time, ``valid_to`` the NEXT run's first time (the reign
+    ends when the replacement is first asserted; null = still
+    current), ``n_assertions`` the run's support.  An object that
+    returns after an interruption (A, B, A) opens a NEW interval —
+    re-assertion after replacement is new evidence, not a merge
+    (interval semantics; dedup-by-object is conflict_resolution's
+    job).  Feed it the near-functional predicates predicate_schema's
+    gate admits — for multi-valued predicates "reigns" are undefined.
+
+    Engine parity: timestamps pass through untouched, counts are exact
+    bigints, the run segmentation is integer window arithmetic —
+    identical trees both engines, no floats anywhere.
+
+    Scale shape: ONE corpus shuffle to the (pred, subj) window (the
+    lag + running-sum segmentation and the interval reduction reuse
+    the SAME partitioning — Catalyst plans one Exchange), then a
+    runs-grain window for valid_to.  A hot subject is bounded by its
+    own assertion count (sort within one partition's key group);
+    output is runs-grain ≤ assertions-grain.  No Python.
+    """
+    from pyspark.sql import Window
+    t = triples.select(F.col(pred_col).alias('pred'),
+                       F.col(subj_col).alias('subj'),
+                       F.col(obj_col).alias('obj'),
+                       F.col(ts_col).alias('ts'))
+    w = Window.partitionBy('pred', 'subj').orderBy(F.col('ts').asc(),
+                                                   F.col('obj').asc())
+    runs = (t.withColumn(
+                'chg',
+                F.when(F.lag('obj').over(w).isNull()
+                       | (F.lag('obj').over(w) != F.col('obj')),
+                       F.lit(1)).otherwise(F.lit(0)))
+            .withColumn('run_id', F.sum('chg').over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    iv = (runs.groupBy('pred', 'subj', 'run_id', 'obj')
+          .agg(F.min('ts').alias('valid_from'),
+               F.count('*').cast('long').alias('n_assertions')))
+    w2 = Window.partitionBy('pred', 'subj').orderBy(F.col('run_id').asc())
+    return (iv.withColumn('valid_to', F.lead('valid_from').over(w2))
+            .select('pred', 'subj', 'obj', 'valid_from', 'valid_to',
+                    'n_assertions',
+                    F.col('valid_to').isNull().alias('is_current')))
+
+
+def align_entities(kb_a: DataFrame, kb_b: DataFrame,
+                   min_inv_functionality: float = 0.8,
+                   max_bucket: int = 64,
+                   subj_col: str = 'subj', pred_col: str = 'pred',
+                   obj_col: str = 'obj') -> DataFrame:
+    """→ (ent_a, ent_b, n_shared, is_best_a, is_best_b): cross-KB
+    entity alignment — the FUSION step proper: two independently
+    extracted KBs are matched entity-to-entity by the identifying
+    (pred, obj) values they share, the PARIS principle (Suchanek,
+    Abiteboul & Senellart, VLDB 2012): sharing the value of an
+    INVERSE-FUNCTIONAL predicate (phone number, id-card, plate — one
+    object names one subject) is alignment evidence; sharing a common
+    multi-valued object (both "mention" the same city) is not.
+
+    Identifying predicates are selected by PARIS inverse functionality
+    (distinct objects / distinct pairs, see ``predicate_schema``)
+    computed over the UNION of both KBs — the evidence pool the
+    alignment will draw from — gated at ``min_inv_functionality``.
+    Candidate pairs share ≥ 1 identifying (pred, obj); ``n_shared``
+    counts the DISTINCT shared (pred, obj) values (assertion
+    repetition is extraction noise, not evidence).  ``is_best_a``
+    marks each A-entity's argmax (n_shared desc, ent_b asc — the
+    repo-wide lexicographic tie rule), ``is_best_b`` the B-side
+    mirror; a pair with both flags is a mutual best match, the
+    high-precision accept of iterative aligners.
+
+    Dirty-data bound: a (pred, obj) bucket asserted for more than
+    ``max_bucket`` subjects per side (a placeholder phone, an empty-
+    string id) is DROPPED from the evidence pool before the join —
+    the hub-cap rule: without it one garbage value costs |A|×|B|
+    pairs.  The cap is per-value honesty, not sampling: real
+    identifying values have ~1 subject per side by the gate's own
+    definition.
+
+    Engine parity: counts are exact bigints; the gate is one
+    bigint-division double against a literal threshold; ranking is
+    integer + lexicographic.
+
+    Scale shape: ONE shuffle per KB to distinct (pred, obj, subj)
+    grain, ``localCheckpoint``'d because BOTH the gate pool and the
+    capped evidence side read it (Spark plans no ReusedExchange across
+    the differing projections — without the checkpoint each KB's
+    corpus distinct runs twice; the conflict_resolution support-grain
+    pattern); the gate table is pred-grain and BROADCAST back; the
+    alignment join keys on (pred, obj) — with the inverse-functional
+    gate each key carries ~1 subject per side, so join output ≈
+    evidence size, and the cap bounds the adversarial case; the two
+    argmax windows run on candidate-pair grain.  No Python.
+    """
+    from pyspark.sql import Window
+    a = (kb_a.select(F.col(pred_col).alias('pred'),
+                     F.col(obj_col).alias('obj'),
+                     F.col(subj_col).alias('ent_a')).distinct()
+         .localCheckpoint())
+    b = (kb_b.select(F.col(pred_col).alias('pred'),
+                     F.col(obj_col).alias('obj'),
+                     F.col(subj_col).alias('ent_b')).distinct()
+         .localCheckpoint())
+    pairs_union = (a.select('pred', 'obj', F.col('ent_a').alias('subj'))
+                   .union(b.select('pred', 'obj',
+                                   F.col('ent_b').alias('subj')))
+                   .distinct())
+    inv = (pairs_union.groupBy('pred')
+           .agg(F.countDistinct('obj').cast('long').alias('n_obj'),
+                F.count('*').cast('long').alias('n_pairs')))
+    identifying = inv.filter(
+        (F.col('n_obj').cast('double') / F.col('n_pairs').cast('double'))
+        >= F.lit(min_inv_functionality)).select('pred')
+    aa = a.join(F.broadcast(identifying), 'pred')
+    bb = b.join(F.broadcast(identifying), 'pred')
+    cap = F.lit(max_bucket).cast('long')
+    va = Window.partitionBy('pred', 'obj')
+    aa = (aa.withColumn('bn', F.count('*').over(va).cast('long'))
+          .filter(F.col('bn') <= cap).drop('bn'))
+    bb = (bb.withColumn('bn', F.count('*').over(va).cast('long'))
+          .filter(F.col('bn') <= cap).drop('bn'))
+    cand = (aa.join(bb, ['pred', 'obj'])
+            .groupBy('ent_a', 'ent_b')
+            .agg(F.countDistinct('pred', 'obj').cast('long')
+                 .alias('n_shared')))
+    wa = Window.partitionBy('ent_a').orderBy(F.col('n_shared').desc(),
+                                             F.col('ent_b').asc())
+    wb = Window.partitionBy('ent_b').orderBy(F.col('n_shared').desc(),
+                                             F.col('ent_a').asc())
+    return (cand.withColumn('is_best_a', F.row_number().over(wa) == 1)
+            .withColumn('is_best_b', F.row_number().over(wb) == 1)
+            .select('ent_a', 'ent_b', 'n_shared', 'is_best_a',
+                    'is_best_b'))

@@ -895,6 +895,51 @@ def family_kgfusion(spark, factors, run):
             disambiguate_mentions(mm, ss, ee, id_col='vec_id'),
             cold_only=True)
 
+        # temporal scoping: assertions = corpus rows, subjects scale
+        # with the factor — records must track assertions linearly
+        # (ONE window exchange; runs-grain downstream)
+        from jionlp_spark.operators.graph import (align_entities,
+                                                  temporal_scoping)
+        js = (F.col('doc_id') % (10 * factor)).cast('string')
+        tt = ids.select(
+            F.lit('capital_of').alias('pred'),
+            F.concat(F.lit('s'), js).alias('subj'),
+            F.when(F.expr('doc_id div 10') % 3 < 2,
+                   F.concat(F.lit('a_'), js))
+             .otherwise(F.concat(F.lit('b_'), js)).alias('obj'),
+            F.col('doc_id').cast('long').alias('ts'))
+        run(f'temporal_scoping@x{factor}',
+            lambda x=tt: temporal_scoping(x), cold_only=True)
+
+        # alignment: entity vocab scales with the factor; evidence
+        # pool (distinct grain) linear, candidates ≈ matched entities —
+        # the inverse-functional gate keeps the (pred, obj) join keys
+        # ~1-subject-per-side so records track the pool, never pool²
+        na, nb = 50 * factor, 60 * factor
+        ja = (F.col('doc_id') % na).cast('string')
+        jb = (F.col('doc_id') % nb).cast('string')
+        kb_a = (ids.select(
+                    F.lit('phone').alias('pred'),
+                    F.concat(F.lit('a_'), ja).alias('subj'),
+                    F.concat(F.lit('ph_'), ja).alias('obj'))
+                .union(ids.filter(F.col('doc_id') % na < 10).select(
+                    F.lit('phone'), F.concat(F.lit('a_'), ja),
+                    F.lit('ph_shared'))))
+        kb_b = (ids.select(
+                    F.lit('phone').alias('pred'),
+                    F.concat(F.lit('b_'), jb).alias('subj'),
+                    F.when(F.col('doc_id') % nb < F.lit(40 * factor),
+                           F.concat(F.lit('ph_'), jb))
+                     .otherwise(F.concat(F.lit('phx_'), jb))
+                    .alias('obj'))
+                .union(ids.filter(F.col('doc_id') % nb < 10).select(
+                    F.lit('phone'), F.concat(F.lit('b_'), jb),
+                    F.lit('ph_shared'))))
+        run(f'align_entities@x{factor} (vocab {na}/{nb})',
+            lambda a=kb_a, b=kb_b:
+            align_entities(a, b, min_inv_functionality=0.5,
+                           max_bucket=8), cold_only=True)
+
 
 FAMILIES = {
     'dedup': family_dedup,

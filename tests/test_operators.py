@@ -2808,3 +2808,88 @@ def test_streaming_conflicts_handoff_winner_and_cap(spark, tmp_path):
     assert b1 == [('p', 's', 'a', 2, 2, False, 2),
                   ('p', 's', 'b', 3, 2, True, 2)]
     assert len(got) == 4
+
+
+def test_temporal_scoping_runs_ties_and_current(spark):
+    """temporal_scoping: consecutive same-object runs collapse into one
+    interval, a replaced object RE-OPENS a new interval on return,
+    valid_to = the next run's valid_from, the last run is current
+    (null valid_to), and same-instant ties order by obj asc."""
+    import datetime
+
+    from jionlp_spark.operators.graph import temporal_scoping
+
+    t = lambda m: datetime.datetime(2021, 9, 1, 10, m)
+    rows = [
+        # s: A,A,B,A -> three intervals, A returns after interruption
+        ('p', 's', 'A', t(0)), ('p', 's', 'A', t(1)),
+        ('p', 's', 'B', t(2)), ('p', 's', 'A', t(3)),
+        # s2: same-instant tie -> A (obj asc) reigns first, B current
+        ('p', 's2', 'B', t(0)), ('p', 's2', 'A', t(0)),
+        # s3: one object only -> single current interval, support 2
+        ('p', 's3', 'X', t(0)), ('p', 's3', 'X', t(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, 'pred string, subj string, obj string, ts timestamp')
+    got = {(r.subj, r.obj, r.valid_from, r.valid_to, r.n_assertions,
+            r.is_current)
+           for r in temporal_scoping(df).collect()}
+    want = {
+        ('s', 'A', t(0), t(2), 2, False),
+        ('s', 'B', t(2), t(3), 1, False),
+        ('s', 'A', t(3), None, 1, True),
+        ('s2', 'A', t(0), t(0), 1, False),
+        ('s2', 'B', t(0), None, 1, True),
+        ('s3', 'X', t(0), None, 2, True),
+    }
+    assert got == want
+
+
+def test_align_entities_gate_cap_scores_and_mutual(spark):
+    """align_entities: the inverse-functionality gate excludes the
+    multi-valued predicate's shared objects, the max_bucket cap drops
+    the placeholder value's would-be |A|x|B| explosion, n_shared
+    counts DISTINCT shared (pred, obj) (assertion repetition is not
+    evidence), and the best/mutual flags follow (n_shared desc,
+    ent asc)."""
+    from jionlp_spark.operators.graph import align_entities
+
+    kb_a = spark.createDataFrame(
+        [('phone', 'a1', 'ph1'), ('phone', 'a1', 'ph1'),  # dup assertion
+         ('phone', 'a2', 'ph2'), ('phone', 'a3', 'ph9'),
+         ('phone', 'adup5', 'ph5'), ('phone', 'a5', 'ph5'),
+         ('idcard', 'a2', 'id2'),
+         # placeholder value: 3 subjects per side > max_bucket=2
+         ('phone', 'x1', 'hot'), ('phone', 'x2', 'hot'),
+         ('phone', 'x3', 'hot'),
+         # multi-valued predicate: everyone shares c1 -> gate excludes
+         ('mentions', 'a1', 'c1'), ('mentions', 'a2', 'c1'),
+         ('mentions', 'a3', 'c1')],
+        'pred string, subj string, obj string')
+    kb_b = spark.createDataFrame(
+        [('phone', 'b1', 'ph1'), ('phone', 'b2', 'ph2'),
+         ('phone', 'b2', 'ph9'), ('phone', 'b5', 'ph5'),
+         ('idcard', 'b2', 'id2'),
+         ('phone', 'y1', 'hot'), ('phone', 'y2', 'hot'),
+         ('phone', 'y3', 'hot'),
+         ('mentions', 'b1', 'c1'), ('mentions', 'b2', 'c1')],
+        'pred string, subj string, obj string')
+    got = {(r.ent_a, r.ent_b): (r.n_shared, r.is_best_a, r.is_best_b)
+           for r in align_entities(kb_a, kb_b,
+                                   min_inv_functionality=0.3,
+                                   max_bucket=2).collect()}
+    # gate arithmetic: phone = 5 distinct objs / 15 distinct union
+    # pairs = 0.333, idcard = 1/2 = 0.5 (both pass 0.3); mentions =
+    # 1 obj / 5 pairs = 0.2 (excluded)
+    assert ('a1', 'b1') in got and got[('a1', 'b1')] == (1, True, True)
+    # b2 matches a2 via phone+idcard (2) and a3 via ph9 (1)
+    assert got[('a2', 'b2')] == (2, True, True)
+    assert got[('a3', 'b2')] == (1, True, False)
+    # adup5 ties a5 on ph5; b5's best is a5 (ent_a asc on equal score)
+    assert got[('a5', 'b5')] == (1, True, True)
+    assert got[('adup5', 'b5')] == (1, True, False)
+    # the hot placeholder must contribute NO pairs, and the
+    # gate-excluded mentions predicate none either
+    ents = {e for pair in got for e in pair}
+    assert not ents & {'x1', 'x2', 'x3', 'y1', 'y2', 'y3'}
+    assert len(got) == 5
