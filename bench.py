@@ -100,7 +100,7 @@ HEADLINE = [
     # round-7 session-2 additions (KG fusion tier + classifier filter)
     'kg_schema_stats', 'kg_conflicts', 'kg_closure', 'kg_disambiguate',
     'kg_typecheck', 'quality_logit', 'streaming_conflicts',
-    'kg_fact_intervals', 'kg_align',
+    'kg_fact_intervals', 'kg_align', 'kg_rule_mining', 'kg_rule_infer',
 ]
 
 

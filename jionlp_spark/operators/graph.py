@@ -1605,3 +1605,136 @@ def align_entities(kb_a: DataFrame, kb_b: DataFrame,
             .withColumn('is_best_b', F.row_number().over(wb) == 1)
             .select('ent_a', 'ent_b', 'n_shared', 'is_best_a',
                     'is_best_b'))
+
+
+def mine_path_rules(triples: DataFrame, min_support: int = 2,
+                    max_fanout: int = 1000,
+                    subj_col: str = 'subj', pred_col: str = 'pred',
+                    obj_col: str = 'obj',
+                    _pool: DataFrame | None = None) -> DataFrame:
+    """→ (head_pred, body_pred1, body_pred2, support, n_body_pairs,
+    confidence): Horn-rule mining over the KG — every path rule of
+    shape ``head(x, z) ⇐ body1(x, y) ∧ body2(y, z)`` with its standard
+    confidence, the AMIE baseline (Galárraga, Teflioudi, Hose &
+    Suchanek, WWW 2013) restricted to length-2 closed path rules —
+    the KB-completion signal a fusion stage mines after alignment and
+    conflict resolution have cleaned the triple pile.
+
+    ``n_body_pairs`` counts DISTINCT (x, z) pairs the body derives,
+    ``support`` the subset of those that exist as head assertions, and
+    ``confidence = support / n_body_pairs`` (standard confidence —
+    AMIE's PCA variant conditions the denominator on functionality;
+    this is the deliberate baseline).  Rules below ``min_support``
+    are cut (AMIE's own head-coverage pruning analog).
+
+    Dirty-data bound: the body join's shared variable y is a hub risk
+    (a country node appearing as object of 10⁶ born_in triples and
+    subject of 10³ located_in triples costs 10⁹ body pairs); per
+    (pred, y), sides with more than ``max_fanout`` distinct partners
+    are DROPPED from the body pool — the align_entities/containment
+    hub-cap honesty rule (documented cut, not silent sampling).
+
+    Engine parity: counts are exact bigints; confidence is one
+    bigint division per rule row.
+
+    Scale shape: ONE corpus shuffle to distinct-triple grain
+    (``localCheckpoint``'d — three projections read it); the body
+    join keys on y (both sides fanout-capped, so output ≤
+    max_fanout × pool, never pool²); body dedup + size aggregation
+    reuse the (q, r, x, z) grain; the head join keys on (x, z) with
+    heads distinct-grain; rule rows are pred³-bounded — tiny.  No
+    Python.
+
+    ``_pool`` lets a composing caller (``infer_triples``) pass an
+    already-checkpointed distinct pool so the corpus shuffle runs
+    once, not twice.
+    """
+    from pyspark.sql import Window
+    t = _pool if _pool is not None else (
+        triples.select(F.col(pred_col).alias('pred'),
+                       F.col(subj_col).alias('subj'),
+                       F.col(obj_col).alias('obj'))
+        .distinct().localCheckpoint())
+    cap = F.lit(max_fanout).cast('long')
+    q_side = (t.select(F.col('pred').alias('q'), F.col('subj').alias('x'),
+                       F.col('obj').alias('y'))
+              .withColumn('deg', F.count('*').over(
+                  Window.partitionBy('q', 'y')).cast('long'))
+              .filter(F.col('deg') <= cap).drop('deg'))
+    r_side = (t.select(F.col('pred').alias('r'), F.col('subj').alias('y'),
+                       F.col('obj').alias('z'))
+              .withColumn('deg', F.count('*').over(
+                  Window.partitionBy('r', 'y')).cast('long'))
+              .filter(F.col('deg') <= cap).drop('deg'))
+    body = (q_side.join(r_side, 'y')
+            .select('q', 'r', 'x', 'z').distinct())
+    bsize = (body.groupBy('q', 'r')
+             .agg(F.count('*').cast('long').alias('n_body_pairs')))
+    heads = t.select(F.col('pred').alias('head_pred'),
+                     F.col('subj').alias('x'), F.col('obj').alias('z'))
+    support = (body.join(heads, ['x', 'z'])
+               .groupBy('head_pred', 'q', 'r')
+               .agg(F.count('*').cast('long').alias('support')))
+    return (support.join(F.broadcast(bsize), ['q', 'r'])
+            .filter(F.col('support') >= F.lit(min_support).cast('long'))
+            .select('head_pred', F.col('q').alias('body_pred1'),
+                    F.col('r').alias('body_pred2'), 'support',
+                    'n_body_pairs',
+                    (F.col('support').cast('double')
+                     / F.col('n_body_pairs').cast('double'))
+                    .alias('confidence')))
+
+
+def infer_triples(triples: DataFrame, min_support: int = 2,
+                  min_confidence: float = 0.5, max_fanout: int = 1000,
+                  subj_col: str = 'subj', pred_col: str = 'pred',
+                  obj_col: str = 'obj') -> DataFrame:
+    """→ (pred, subj, obj, body_pred1, body_pred2, confidence): KB
+    completion — apply the rules ``mine_path_rules`` admits (support ≥
+    ``min_support``, confidence ≥ ``min_confidence``) back onto the KG
+    and emit the head triples the body DERIVES but the KG does not yet
+    assert, each with its rule provenance (the fusion loop's last
+    step: aligned, conflict-resolved, type-checked triples in —
+    high-confidence candidate facts out, carrying the evidence a
+    curator or a downstream truth-discovery pass needs).
+
+    One inferred fact may arrive through several rules — one row per
+    (fact, rule): provenance is the point, and a consumer dedups on
+    (pred, subj, obj) at whatever confidence policy it runs.
+
+    Engine parity: the admission compares are a bigint threshold and
+    one double-vs-literal; everything else is exact joins.
+
+    Scale shape: rule mining's shuffles (see ``mine_path_rules``) plus
+    ONE body re-derivation under the admitted-rule BROADCAST
+    (rules are pred³-bounded) and ONE anti-join against the
+    distinct-head grain keyed (pred, x, z).  No Python.
+    """
+    from pyspark.sql import Window
+    t = (triples.select(F.col(pred_col).alias('pred'),
+                        F.col(subj_col).alias('subj'),
+                        F.col(obj_col).alias('obj'))
+         .distinct().localCheckpoint())
+    rules = (mine_path_rules(triples, min_support=min_support,
+                             max_fanout=max_fanout, _pool=t)
+             .filter(F.col('confidence') >= F.lit(min_confidence))
+             .select('head_pred', 'body_pred1', 'body_pred2',
+                     'confidence'))
+    cap = F.lit(max_fanout).cast('long')
+    q_side = (t.select(F.col('pred').alias('body_pred1'),
+                       F.col('subj').alias('x'), F.col('obj').alias('y'))
+              .withColumn('deg', F.count('*').over(
+                  Window.partitionBy('body_pred1', 'y')).cast('long'))
+              .filter(F.col('deg') <= cap).drop('deg'))
+    r_side = (t.select(F.col('pred').alias('body_pred2'),
+                       F.col('subj').alias('y'), F.col('obj').alias('z'))
+              .withColumn('deg', F.count('*').over(
+                  Window.partitionBy('body_pred2', 'y')).cast('long'))
+              .filter(F.col('deg') <= cap).drop('deg'))
+    derived = (q_side.join(r_side, 'y')
+               .join(F.broadcast(rules), ['body_pred1', 'body_pred2'])
+               .select(F.col('head_pred').alias('pred'),
+                       F.col('x').alias('subj'), F.col('z').alias('obj'),
+                       'body_pred1', 'body_pred2', 'confidence')
+               .distinct())
+    return derived.join(t, ['pred', 'subj', 'obj'], 'left_anti')

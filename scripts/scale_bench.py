@@ -940,6 +940,42 @@ def family_kgfusion(spark, factors, run):
             align_entities(a, b, min_inv_functionality=0.5,
                            max_bucket=8), cold_only=True)
 
+        # AMIE rule mining + inference: person/city/province vocab
+        # scales with the factor — body pairs are distinct-grain
+        # (person-vocab-sized), so records must track the pool
+        # linearly; the fanout cap is the pool² guard
+        from jionlp_spark.operators.graph import (infer_triples,
+                                                  mine_path_rules)
+        np_, nc, nv = 100 * factor, 20 * factor, 5 * factor
+        # residues from xxhash64, NOT doc_id % np_: the scale-dir copy
+        # offset 10^7 is ≡ 0 mod any divisor of 10^7 (10000 at ×100),
+        # which would alias the person vocab down to the base-id range
+        # and silently saturate the distinct grain
+        kk = F.pmod(F.xxhash64(F.col('doc_id')), F.lit(np_))
+        kcs = (kk % nc).cast('string')
+        rt = (ids.select(
+                 F.lit('born_in').alias('pred'),
+                 F.concat(F.lit('p_'), kk.cast('string')).alias('subj'),
+                 F.concat(F.lit('c_'), kcs).alias('obj'))
+              .union(ids.select(
+                 F.lit('located_in'),
+                 F.concat(F.lit('c_'), (kk % nc).cast('string')),
+                 F.concat(F.lit('v_'), ((kk % nc) % nv)
+                          .cast('string'))))
+              .union(ids.select(
+                 F.lit('citizen_of'),
+                 F.concat(F.lit('p_'), kk.cast('string')),
+                 F.when(kk % 9 == 0, F.lit('v_x'))
+                  .otherwise(F.concat(F.lit('v_'), ((kk % nc) % nv)
+                                      .cast('string'))))))
+        run(f'mine_path_rules@x{factor} (vocab {np_})',
+            lambda x=rt: mine_path_rules(x, min_support=10),
+            cold_only=True)
+        run(f'infer_triples@x{factor} (vocab {np_})',
+            lambda x=rt: infer_triples(x, min_support=10,
+                                       min_confidence=0.5),
+            cold_only=True)
+
 
 FAMILIES = {
     'dedup': family_dedup,

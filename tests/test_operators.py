@@ -2893,3 +2893,57 @@ def test_align_entities_gate_cap_scores_and_mutual(spark):
     ents = {e for pair in got for e in pair}
     assert not ents & {'x1', 'x2', 'x3', 'y1', 'y2', 'y3'}
     assert len(got) == 5
+
+
+def test_mine_path_rules_support_confidence_and_cap(spark):
+    """mine_path_rules: the born_in ∧ located_in ⇒ citizen_of rule is
+    found with distinct-pair support/body counts (duplicate assertions
+    are not evidence), empty-body predicate combos never emit, the
+    min_support cut holds, and a hub y past max_fanout contributes no
+    body pairs."""
+    from jionlp_spark.operators.graph import mine_path_rules
+
+    rows = [
+        ('born_in', 'p1', 'c1'), ('born_in', 'p1', 'c1'),  # dup
+        ('born_in', 'p2', 'c1'), ('born_in', 'p3', 'c2'),
+        ('located_in', 'c1', 'v1'), ('located_in', 'c2', 'v2'),
+        ('citizen_of', 'p1', 'v1'), ('citizen_of', 'p3', 'v2'),
+        # hub: 3 born_in rows share chub > max_fanout=2 -> dropped
+        ('born_in', 'p4', 'chub'), ('born_in', 'p5', 'chub'),
+        ('born_in', 'p6', 'chub'), ('located_in', 'chub', 'v1'),
+    ]
+    t = spark.createDataFrame(rows, 'pred string, subj string, obj string')
+    got = {(r.head_pred, r.body_pred1, r.body_pred2):
+           (r.support, r.n_body_pairs, r.confidence)
+           for r in mine_path_rules(t, min_support=2,
+                                    max_fanout=2).collect()}
+    # body (born_in, located_in) = {(p1,v1),(p2,v1),(p3,v2)}; heads
+    # citizen_of match 2 of 3; the chub pairs are cap-dropped
+    assert got == {('citizen_of', 'born_in', 'located_in'):
+                   (2, 3, 2.0 / 3.0)}
+    # min_support above the support -> cut
+    assert mine_path_rules(t, min_support=3, max_fanout=2).count() == 0
+
+
+def test_infer_triples_anti_join_and_provenance(spark):
+    """infer_triples: the admitted rule derives exactly the head
+    triples the KG lacks (p2's citizenship), carries rule provenance +
+    confidence, and a min_confidence above the rule's kills all
+    inferences."""
+    from jionlp_spark.operators.graph import infer_triples
+
+    rows = [
+        ('born_in', 'p1', 'c1'), ('born_in', 'p2', 'c1'),
+        ('born_in', 'p3', 'c2'),
+        ('located_in', 'c1', 'v1'), ('located_in', 'c2', 'v2'),
+        ('citizen_of', 'p1', 'v1'), ('citizen_of', 'p3', 'v2'),
+    ]
+    t = spark.createDataFrame(rows, 'pred string, subj string, obj string')
+    got = [(r.pred, r.subj, r.obj, r.body_pred1, r.body_pred2,
+            r.confidence)
+           for r in infer_triples(t, min_support=2,
+                                  min_confidence=0.5).collect()]
+    assert got == [('citizen_of', 'p2', 'v1', 'born_in', 'located_in',
+                    2.0 / 3.0)]
+    assert infer_triples(t, min_support=2,
+                         min_confidence=0.7).count() == 0
