@@ -3705,7 +3705,7 @@ _RULE_CTES = """
                case when (doc_id % 100) % 9 = 0 then 'v_x'
                     else 'v_' || cast(((doc_id % 100) % 20) % 5
                                       as varchar) end
-        from documents
+        from documents where (doc_id % 100) % 7 <> 3
         union all
         select 'met_in', 'p_' || cast(doc_id % 100 as varchar),
                'c_' || cast((doc_id % 100) % 20 as varchar)
@@ -3724,6 +3724,11 @@ _RULE_CTES = """
     sup as (select h.pred head_pred, b.q, b.r,
                    cast(count(*) as bigint) support
             from body b join t h on b.x = h.subj and b.z = h.obj
+            group by 1, 2, 3),
+    pca as (select hs.head_pred, b.q, b.r,
+                   cast(count(*) as bigint) n_pca_pairs
+            from body b join (select distinct pred head_pred, subj x
+                              from t) hs on b.x = hs.x
             group by 1, 2, 3)"""
 
 _MIX_W_CTES = """
@@ -6034,10 +6039,13 @@ def q_kg_align(spark, sf_dir):
 def _rule_fixture(spark, sf_dir):
     """Shared triple fixture for the AMIE-tier queries: two parallel
     person→city predicates (born_in / works_in on the SAME mapping),
-    the city→province forest, citizen_of with a 12%-wrong tail (doc_id
-    %100 ≡ 0 mod 9 points at the out-of-KB 'v_x'), and a 5-subject
-    met_in predicate whose rule lands support 4 — below the gated
-    min_support=10 cut."""
+    the city→province forest, citizen_of asserted only for persons
+    k%7≠3 (the 14 silent persons make the PCA denominator genuinely
+    smaller than the body count — open-world class) with an 11-person
+    wrong tail among the asserted (k ≡ 0 mod 9 minus the overlap k=45
+    points at the out-of-KB 'v_x'), and a 5-subject met_in predicate
+    whose rule lands support 3 — below the gated min_support=10
+    cut."""
     d = _docs(spark, sf_dir).select('doc_id')
     k = F.col('doc_id') % 100
     ks = k.cast('string')
@@ -6056,7 +6064,7 @@ def _rule_fixture(spark, sf_dir):
                          .cast('string')),
                 F.concat(F.lit('v_'), ((F.col('doc_id') % 20) % 5)
                          .cast('string'))))
-            .union(d.select(
+            .union(d.filter(k % 7 != 3).select(
                 F.lit('citizen_of'), F.concat(F.lit('p_'), ks),
                 F.when(k % 9 == 0, F.lit('v_x'))
                  .otherwise(F.concat(F.lit('v_'), v))))
@@ -6067,26 +6075,28 @@ def _rule_fixture(spark, sf_dir):
 
 def q_kg_rule_mining(spark, sf_dir):
     """Horn-rule mining (operators/graph.mine_path_rules): AMIE-style
-    length-2 closed path rules (Galárraga et al., WWW 2013 baseline)
-    with distinct-pair support / body counts and standard confidence.
+    length-2 closed path rules (Galárraga et al., WWW 2013) with
+    distinct-pair support / body counts and BOTH confidences.
     Fixture: born_in ∧ located_in ⇒ citizen_of AND works_in ∧
-    located_in ⇒ citizen_of both mine at support 88 / body 100 /
-    confidence 0.88 (the 12 k≡0(mod 9) persons assert the wrong
-    province); met_in's support-4 rule is CUT by min_support=10 (the
-    pruning branch); all other predicate combos have empty bodies and
-    never emit."""
+    located_in ⇒ citizen_of both mine at support 75 / body 100 / PCA
+    body 86 — standard confidence 0.75, PCA 75/86 ≈ 0.872 (the 14
+    k≡3(mod 7) persons assert NO citizenship, so PCA's open-world
+    denominator genuinely shrinks; the 11 asserted-but-wrong persons
+    count against both); met_in's support-3 rule is CUT by
+    min_support=10 (the pruning branch); all other predicate combos
+    have empty bodies and never emit."""
     from jionlp_spark.operators.graph import mine_path_rules
     return mine_path_rules(_rule_fixture(spark, sf_dir), min_support=10)
 
 
 def q_kg_rule_infer(spark, sf_dir):
     """KB completion (operators/graph.infer_triples): the rules
-    kg_rule_mining admits (support ≥ 10, confidence ≥ 0.5) applied
-    back onto the KG — the 12 persons whose citizen_of points at the
-    out-of-KB 'v_x' get their rule-derived correct province as a
-    candidate fact, once per deriving rule (12 × 2 = 24 rows with
-    provenance + confidence); every already-asserted head is
-    anti-joined away."""
+    kg_rule_mining admits (support ≥ 10, standard confidence ≥ 0.5)
+    applied back onto the KG — the 11 persons whose citizen_of points
+    at the out-of-KB 'v_x' AND the 14 persons with no citizenship at
+    all get their rule-derived province as a candidate fact, once per
+    deriving rule (25 × 2 = 50 rows with provenance + confidence);
+    every already-asserted head is anti-joined away."""
     from jionlp_spark.operators.graph import infer_triples
     return infer_triples(_rule_fixture(spark, sf_dir), min_support=10,
                          min_confidence=0.5)
@@ -8600,10 +8610,13 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
         'kg_rule_mining': f"""
             {_RULE_CTES}
             select head_pred, q body_pred1, r body_pred2, support,
-                   n_body_pairs,
+                   n_body_pairs, n_pca_pairs,
                    cast(support as double)
-                   / cast(n_body_pairs as double) confidence
-            from sup join bsize using (q, r)
+                   / cast(n_body_pairs as double) confidence,
+                   cast(support as double)
+                   / cast(n_pca_pairs as double) pca_confidence
+            from sup join pca using (head_pred, q, r)
+                     join bsize using (q, r)
             where support >= 10""",
         # KB completion: admitted rules re-derive the body under a
         # rule join; the anti join removes already-asserted heads

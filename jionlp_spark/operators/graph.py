@@ -1613,19 +1613,23 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
                     obj_col: str = 'obj',
                     _pool: DataFrame | None = None) -> DataFrame:
     """→ (head_pred, body_pred1, body_pred2, support, n_body_pairs,
-    confidence): Horn-rule mining over the KG — every path rule of
-    shape ``head(x, z) ⇐ body1(x, y) ∧ body2(y, z)`` with its standard
-    confidence, the AMIE baseline (Galárraga, Teflioudi, Hose &
-    Suchanek, WWW 2013) restricted to length-2 closed path rules —
-    the KB-completion signal a fusion stage mines after alignment and
-    conflict resolution have cleaned the triple pile.
+    n_pca_pairs, confidence, pca_confidence): Horn-rule mining over
+    the KG — every path rule of shape ``head(x, z) ⇐ body1(x, y) ∧
+    body2(y, z)`` with both AMIE confidences (Galárraga, Teflioudi,
+    Hose & Suchanek, WWW 2013) restricted to length-2 closed path
+    rules — the KB-completion signal a fusion stage mines after
+    alignment and conflict resolution have cleaned the triple pile.
 
     ``n_body_pairs`` counts DISTINCT (x, z) pairs the body derives,
-    ``support`` the subset of those that exist as head assertions, and
-    ``confidence = support / n_body_pairs`` (standard confidence —
-    AMIE's PCA variant conditions the denominator on functionality;
-    this is the deliberate baseline).  Rules below ``min_support``
-    are cut (AMIE's own head-coverage pruning analog).
+    ``support`` the subset that exist as head assertions, and
+    ``confidence = support / n_body_pairs`` (standard, closed-world).
+    ``pca_confidence = support / n_pca_pairs`` restricts the
+    denominator to body pairs whose x carries SOME head assertion —
+    AMIE's partial-completeness assumption, the right score on an
+    open-world KG where an absent head is unknown, not false
+    (support ≤ n_pca_pairs ≤ n_body_pairs, so pca ≥ standard).
+    Rules below ``min_support`` are cut (AMIE's head-coverage
+    pruning analog).
 
     Dirty-data bound: the body join's shared variable y is a hub risk
     (a country node appearing as object of 10⁶ born_in triples and
@@ -1675,14 +1679,26 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
     support = (body.join(heads, ['x', 'z'])
                .groupBy('head_pred', 'q', 'r')
                .agg(F.count('*').cast('long').alias('support')))
-    return (support.join(F.broadcast(bsize), ['q', 'r'])
+    # PCA denominator (AMIE §4.2): body pairs whose x carries SOME
+    # head assertion — the partial-completeness reading that a subject
+    # with any head value has all of them, so only those pairs can
+    # witness a counterexample
+    head_subj = heads.select('head_pred', 'x').distinct()
+    pca = (body.join(head_subj, 'x')
+           .groupBy('head_pred', 'q', 'r')
+           .agg(F.count('*').cast('long').alias('n_pca_pairs')))
+    return (support.join(pca, ['head_pred', 'q', 'r'])
+            .join(F.broadcast(bsize), ['q', 'r'])
             .filter(F.col('support') >= F.lit(min_support).cast('long'))
             .select('head_pred', F.col('q').alias('body_pred1'),
                     F.col('r').alias('body_pred2'), 'support',
-                    'n_body_pairs',
+                    'n_body_pairs', 'n_pca_pairs',
                     (F.col('support').cast('double')
                      / F.col('n_body_pairs').cast('double'))
-                    .alias('confidence')))
+                    .alias('confidence'),
+                    (F.col('support').cast('double')
+                     / F.col('n_pca_pairs').cast('double'))
+                    .alias('pca_confidence')))
 
 
 def infer_triples(triples: DataFrame, min_support: int = 2,

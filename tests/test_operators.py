@@ -2914,13 +2914,17 @@ def test_mine_path_rules_support_confidence_and_cap(spark):
     ]
     t = spark.createDataFrame(rows, 'pred string, subj string, obj string')
     got = {(r.head_pred, r.body_pred1, r.body_pred2):
-           (r.support, r.n_body_pairs, r.confidence)
+           (r.support, r.n_body_pairs, r.n_pca_pairs, r.confidence,
+            r.pca_confidence)
            for r in mine_path_rules(t, min_support=2,
                                     max_fanout=2).collect()}
     # body (born_in, located_in) = {(p1,v1),(p2,v1),(p3,v2)}; heads
-    # citizen_of match 2 of 3; the chub pairs are cap-dropped
+    # citizen_of match 2 of 3; the chub pairs are cap-dropped.  p2 has
+    # NO citizen_of at all, so the PCA denominator drops its pair:
+    # standard confidence 2/3, PCA 2/2 (open-world: p2's absent head
+    # is unknown, not a counterexample)
     assert got == {('citizen_of', 'born_in', 'located_in'):
-                   (2, 3, 2.0 / 3.0)}
+                   (2, 3, 2, 2.0 / 3.0, 1.0)}
     # min_support above the support -> cut
     assert mine_path_rules(t, min_support=3, max_fanout=2).count() == 0
 
