@@ -6102,8 +6102,40 @@ def q_kg_rule_infer(spark, sf_dir):
                          min_confidence=0.5)
 
 
+def q_kg_truth_discovery(spark, sf_dir):
+    """Iterative source-trust truth discovery
+    (operators/graph.truth_discovery, Dong et al. VLDB 2009 /
+    TruthFinder family): fact confidence = decimal-exact sum of the
+    asserting sources' trust, normalized per (pred, subj) by the
+    window max; trust = mean of a source's normalized confidences;
+    two rounds.  Fixture: 20 hosts × 25 subjects, hosts 0-4 are junk
+    — on the 5 minority-class subjects (j≡0 mod 5) they assert
+    'awrong_j' against 15 good hosts, which costs them trust; on the 5
+    TIE-class subjects (j≡1 mod 5) the vote is 5-vs-5 (hosts 10-19
+    silent) and 'awrong_j' < 'cap_j' lexicographically, so
+    conflict_resolution's majority+tie rule would pick the junk — the
+    trust carried over from the minority class picks 'cap_j' (the
+    showcase branch, pinned by the unit test's iters=1 contrast).
+    20 conflicted rows; unanimous subjects never emit."""
+    from jionlp_spark.operators.graph import truth_discovery
+    d = _docs(spark, sf_dir).select('doc_id')
+    j = F.col('doc_id') % 25
+    m = F.expr('doc_id div 25') % 20
+    js = j.cast('string')
+    claims = (d.filter(~((j % 5 == 1) & (m >= 10)))
+              .select(
+                  F.lit('cap').alias('pred'),
+                  F.concat(F.lit('co_'), js).alias('subj'),
+                  F.when((j % 5 < 2) & (m < 5),
+                         F.concat(F.lit('awrong_'), js))
+                   .otherwise(F.concat(F.lit('cap_'), js)).alias('obj'),
+                  F.concat(F.lit('host_'), m.cast('string'))
+                  .alias('source')))
+    return truth_discovery(claims, iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 170).  The
+    # Dict order is the driver's sampling order (first 50 of 190).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
@@ -6179,6 +6211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_align': q_kg_align,
         'kg_rule_mining': q_kg_rule_mining,
         'kg_rule_infer': q_kg_rule_infer,
+        'kg_truth_discovery': q_kg_truth_discovery,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8638,6 +8671,58 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             select d.* from derived d
             anti join t on d.pred = t.pred and d.subj = t.subj
                        and d.obj = t.obj""",
+        # truth discovery: two unrolled rounds — per-fact trust sums
+        # and per-source nconf means both ride decimal(38,18) via
+        # varchar (the pagerank float-parity rule); normalization is
+        # one double division by an exact window max
+        'kg_truth_discovery': """
+            with c as (select distinct * from (
+                select 'cap' pred,
+                       'co_' || cast(doc_id % 25 as varchar) subj,
+                       case when (doc_id % 25) % 5 < 2
+                                 and (doc_id // 25) % 20 < 5
+                            then 'awrong_' || cast(doc_id % 25
+                                                   as varchar)
+                            else 'cap_' || cast(doc_id % 25 as varchar)
+                       end obj,
+                       'host_' || cast((doc_id // 25) % 20 as varchar)
+                         source
+                from documents
+                where not ((doc_id % 25) % 5 = 1
+                           and (doc_id // 25) % 20 >= 10))),
+            r1 as (select pred, subj, obj,
+                          cast(count(*) as bigint) n_sources,
+                          cast(cast(sum(cast(cast(cast(0.5 as double)
+                            as varchar) as decimal(38,18))) as varchar)
+                            as double) confidence
+                   from c group by 1, 2, 3),
+            n1 as (select *,
+                          confidence / max(confidence) over
+                            (partition by pred, subj) nconf
+                   from r1),
+            t1 as (select source,
+                          cast(cast(sum(cast(cast(nconf as varchar)
+                            as decimal(38,18))) as varchar) as double)
+                          / cast(count(*) as double) trust
+                   from c join n1 using (pred, subj, obj)
+                   group by source),
+            r2 as (select pred, subj, obj,
+                          cast(count(*) as bigint) n_sources,
+                          cast(cast(sum(cast(cast(trust as varchar)
+                            as decimal(38,18))) as varchar) as double)
+                            confidence
+                   from c join t1 using (source)
+                   group by 1, 2, 3),
+            n2 as (select *,
+                          cast(count(*) over (partition by pred, subj)
+                               as bigint) n_alternatives
+                   from r2)
+            select pred, subj, obj, n_sources, n_alternatives,
+                   confidence,
+                   row_number() over (partition by pred, subj
+                                      order by confidence desc,
+                                               obj asc) = 1 is_winner
+            from n2 where n_alternatives > 1""",
         # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the

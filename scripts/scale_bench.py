@@ -976,6 +976,53 @@ def family_kgfusion(spark, factors, run):
                                        min_confidence=0.5),
             cold_only=True)
 
+        # truth discovery: subjects and hosts scale with the factor;
+        # per-round shuffles are claims-bounded (fact-grain agg +
+        # source-grain agg), so records must stay linear per round
+        from jionlp_spark.operators.graph import truth_discovery
+        nsub, nhost = 25 * factor, 20 * factor
+        jt = F.pmod(F.xxhash64(F.col('doc_id')), F.lit(nsub))
+        mt = F.pmod(F.xxhash64(F.col('doc_id') + 1), F.lit(nhost))
+        claims = (ids.filter(~((jt % 5 == 1) & (mt >= 10)))
+                  .select(
+                      F.lit('cap').alias('pred'),
+                      F.concat(F.lit('co_'), jt.cast('string'))
+                      .alias('subj'),
+                      F.when((jt % 5 < 2) & (mt < 5),
+                             F.concat(F.lit('awrong_'),
+                                      jt.cast('string')))
+                       .otherwise(F.concat(F.lit('cap_'),
+                                           jt.cast('string')))
+                      .alias('obj'),
+                      F.concat(F.lit('host_'), mt.cast('string'))
+                      .alias('source')))
+        run(f'truth_discovery@x{factor} (subjects {nsub})',
+            lambda x=claims: truth_discovery(x, iters=2),
+            cold_only=True)
+        # fixed-hosts variant: with the source axis pinned, the
+        # distinct-claim grain tracks the corpus and the per-round
+        # claims-bounded shape shows as a clean linear curve (the
+        # scaled-hosts run above sparsifies the (fact, source) key
+        # space ∝ factor², so its distinct grain grows faster than
+        # claims at low factors — fixture density, not operator cost)
+        mt20 = F.pmod(F.xxhash64(F.col('doc_id') + 1), F.lit(20))
+        claims20 = (ids.filter(~((jt % 5 == 1) & (mt20 >= 10)))
+                    .select(
+                        F.lit('cap').alias('pred'),
+                        F.concat(F.lit('co_'), jt.cast('string'))
+                        .alias('subj'),
+                        F.when((jt % 5 < 2) & (mt20 < 5),
+                               F.concat(F.lit('awrong_'),
+                                        jt.cast('string')))
+                         .otherwise(F.concat(F.lit('cap_'),
+                                             jt.cast('string')))
+                        .alias('obj'),
+                        F.concat(F.lit('host_'), mt20.cast('string'))
+                        .alias('source')))
+        run(f'truth_discovery@x{factor} (subjects {nsub}, 20 hosts)',
+            lambda x=claims20: truth_discovery(x, iters=2),
+            cold_only=True)
+
 
 FAMILIES = {
     'dedup': family_dedup,

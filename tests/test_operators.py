@@ -2951,3 +2951,41 @@ def test_infer_triples_anti_join_and_provenance(spark):
                     2.0 / 3.0)]
     assert infer_triples(t, min_support=2,
                          min_confidence=0.7).count() == 0
+
+
+def test_truth_discovery_trust_beats_vote_tie(spark):
+    """truth_discovery: a 5-claim world where bad sources b1/b2 lose
+    trust on a minority subject, so a 2-vs-2 VOTE TIE on subject t
+    resolves toward the trusted sources' object 'ct' — even though
+    'at' wins the lexicographic rule a flat-trust round (iters=1, ≡
+    weighted majority) falls back to.  Unanimous subjects never
+    emit."""
+    from jionlp_spark.operators.graph import truth_discovery
+
+    rows = []
+    for s in ('b1', 'b2'):
+        rows += [('cap', 'm', 'aw', s), ('cap', 't', 'at', s),
+                 ('cap', 'u', 'cu', s)]
+    for s in ('g1', 'g2'):
+        rows += [('cap', 'm', 'cm', s), ('cap', 't', 'ct', s),
+                 ('cap', 'u', 'cu', s)]
+    rows += [('cap', 'm', 'cm', 'g3'), ('cap', 'u', 'cu', 'g3'),
+             ('cap', 'm', 'cm', 'g3')]          # dup claim: no effect
+    claims = spark.createDataFrame(
+        rows, 'pred string, subj string, obj string, source string')
+
+    out = {(r.subj, r.obj): (r.n_sources, r.n_alternatives,
+                             r.confidence, r.is_winner)
+           for r in truth_discovery(claims, iters=2).collect()}
+    assert set(out) == {('m', 'aw'), ('m', 'cm'), ('t', 'at'),
+                        ('t', 'ct')}
+    assert out[('m', 'cm')][3] and not out[('m', 'aw')][3]
+    # the showcase: votes tie 2-2 and 'at' < 'ct', but trust decides
+    assert out[('t', 'ct')][3] and not out[('t', 'at')][3]
+    assert out[('t', 'ct')][2] > out[('t', 'at')][2]
+    assert out[('t', 'ct')][:2] == (2, 2)
+    # flat-trust baseline (one round): the tie falls to obj asc -> the
+    # WRONG 'at' wins, proving the iteration carries the signal
+    base = {(r.subj, r.obj): r.is_winner
+            for r in truth_discovery(claims, iters=1).collect()}
+    assert base[('t', 'at')] and not base[('t', 'ct')]
