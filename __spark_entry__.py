@@ -5264,6 +5264,68 @@ def q_streaming_conflicts(spark, sf_dir):
     return out
 
 
+def q_streaming_fact_intervals(spark, sf_dir):
+    """Streaming temporal scoping (streaming/stream.
+    streaming_fact_intervals) under the batch gate: the 2-micro-batch
+    mtime-ordered file stream carries the kg_fact_intervals cadence
+    (10 subjects, a,a,b object flips per doc_id decade, z-injections
+    at id ≡ 0 mod 97 exercising the same-instant (ts, obj asc) tie) at
+    ts_us = epoch-us base + id minutes; each interval emits when its
+    replacing assertion arrives, with run support accumulating across
+    the batch boundary.  The oracle is the BATCH operator's cascade
+    (lag → running-sum → lead) minus the is_current rows — closed
+    intervals are exactly the rows whose replacement exists in the
+    full prefix, so stream ≡ batch with no per-batch replay needed."""
+    key = (spark.sparkContext.applicationId, sf_dir, 'fintervals')
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_fact_intervals
+    _ensure_shipped(spark)
+
+    base = _work_dir('jionlp_streamf', sf_dir)
+    src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
+    os.makedirs(src_dir)
+
+    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    half = n // 2
+    trips = spark.range(n).selectExpr(
+        'id as tid',
+        "'capital_of' as pred",
+        "concat('s', cast(id % 10 as string)) as subj",
+        "case when (id div 10) % 3 < 2"
+        " then concat('a_', cast(id % 10 as string))"
+        " else concat('b_', cast(id % 10 as string)) end as obj",
+        'timestamp_micros(1630454400000000 + id * 60000000) as warc_ts'
+    ).union(spark.range(n).filter('id % 97 = 0').selectExpr(
+        'id', "'capital_of'",
+        "concat('s', cast(id % 10 as string))",
+        "concat('z_', cast(id % 10 as string))",
+        'timestamp_micros(1630454400000000 + id * 60000000)'))
+    for i, pred in enumerate((f'tid < {half}', f'tid >= {half}')):
+        part = f'{src_dir}/batch_{i}'
+        trips.filter(pred).coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_600_000_000 + i * 3600,
+                                                  1_600_000_000 + i * 3600))
+
+    stream = (spark.readStream
+              .schema('tid long, pred string, subj string, obj string, '
+                      'warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1')
+              .parquet(f'{src_dir}/batch_*'))
+    result = streaming_fact_intervals(stream)
+    table = f'stream_fint_{abs(hash(key)) % 10**8}'
+    _run_stream_lowstate(spark, result, table, ckpt)
+    out = spark.table(table).select('pred', 'subj', 'obj',
+                                    'valid_from_us', 'valid_to_us',
+                                    'n_assertions')
+    _STREAM_CACHE[key] = out
+    return out
+
+
 def q_streaming_ingest(spark, sf_dir):
     """Streaming crawl-ingest admission (streaming/stream.
     streaming_ingest) under the batch gate: the 2-micro-batch
@@ -6135,7 +6197,7 @@ def q_kg_truth_discovery(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 190).  The
+    # Dict order is the driver's sampling order (first 50 of 191).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
@@ -6212,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_rule_mining': q_kg_rule_mining,
         'kg_rule_infer': q_kg_rule_infer,
         'kg_truth_discovery': q_kg_truth_discovery,
+        'streaming_fact_intervals': q_streaming_fact_intervals,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8723,6 +8786,55 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
                                       order by confidence desc,
                                                obj asc) = 1 is_winner
             from n2 where n_alternatives > 1""",
+        # streaming temporal scoping: the BATCH cascade on the same
+        # prefix minus is_current rows — a closed interval is exactly
+        # a run whose replacement exists in the full prefix
+        'streaming_fact_intervals': """
+            with d as (select doc_id from documents
+                       where doc_id < 3000),
+            t as (
+              select 'capital_of' pred,
+                     's' || cast(doc_id % 10 as varchar) subj,
+                     case when (doc_id // 10) % 3 < 2
+                          then 'a_' || cast(doc_id % 10 as varchar)
+                          else 'b_' || cast(doc_id % 10 as varchar)
+                     end obj,
+                     cast(1630454400000000 + doc_id * 60000000
+                          as bigint) ts
+              from d
+              union all
+              select 'capital_of',
+                     's' || cast(doc_id % 10 as varchar),
+                     'z_' || cast(doc_id % 10 as varchar),
+                     cast(1630454400000000 + doc_id * 60000000
+                          as bigint)
+              from d where doc_id % 97 = 0),
+            r as (select *,
+                    case when lag(obj) over w is null
+                              or lag(obj) over w <> obj
+                         then 1 else 0 end chg
+                  from t
+                  window w as (partition by pred, subj
+                               order by ts asc, obj asc)),
+            s as (select *,
+                    sum(chg) over (partition by pred, subj
+                                   order by ts asc, obj asc
+                                   rows between unbounded preceding
+                                   and current row) run_id
+                  from r),
+            iv as (select pred, subj, run_id, obj,
+                          min(ts) valid_from,
+                          cast(count(*) as bigint) n_assertions
+                   from s group by 1, 2, 3, 4),
+            led as (select pred, subj, obj, valid_from,
+                           lead(valid_from) over w2 valid_to,
+                           n_assertions
+                    from iv
+                    window w2 as (partition by pred, subj
+                                  order by run_id asc))
+            select pred, subj, obj, valid_from valid_from_us,
+                   valid_to valid_to_us, n_assertions
+            from led where valid_to is not null""",
         # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the

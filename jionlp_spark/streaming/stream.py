@@ -624,3 +624,92 @@ def streaming_conflicts(triples_stream: DataFrame,
             .applyInPandasWithState(vote_fn, out_schema, state_schema,
                                     'append',
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_fact_intervals(triples_stream: DataFrame,
+                             watermark: str = '1 hour',
+                             ttl: str | None = None) -> DataFrame:
+    """Streaming temporal scoping — the batch/stream pair of
+    ``operators/graph.temporal_scoping`` the way streaming_conflicts
+    pairs conflict_resolution: timestamped (pred, subj, obj, warc_ts)
+    assertions arrive as a stream, and each (pred, subj) validity
+    interval is emitted WHEN IT CLOSES — i.e. when the replacing
+    object's first assertion arrives; the still-open run lives in
+    state and is never emitted (it is exactly the batch operator's
+    ``is_current`` row set, which a reader gets from state-store
+    snapshots or a final batch pass).
+
+    Stream ≡ batch (``temporal_scoping`` minus is_current rows, at
+    epoch-microsecond grain) under the prefix contract the other
+    streaming analogs share: micro-batches partition the event-time
+    axis in arrival order.  Within a batch, rows replay in (ts, obj)
+    order, so same-instant ties match the batch (ts, obj asc) rule;
+    interval arithmetic runs on ``unix_micros(warc_ts)`` — an exact
+    bigint round-trip of ``timestamp_micros``, no float or timezone
+    anywhere in the output.
+
+    State = ONE row per (pred, subj): (cur_obj, valid_from_us, n) —
+    BOUNDED regardless of history length.  An event-time TTL
+    (default one ``watermark``) expires subjects quiet past it; the
+    expired subject's open run is dropped with it — the documented
+    price of bounded state on an unbounded crawl (a re-appearing
+    object then opens a fresh run, exactly like a first sighting).
+
+    Output: (pred, subj, obj, valid_from_us, valid_to_us,
+    n_assertions) in append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    t = (triples_stream
+         .select('pred', 'subj', 'obj', 'warc_ts')
+         .withWatermark('warc_ts', watermark)
+         .withColumn('ts_us', F.unix_micros('warc_ts')))
+    ttl_ms = _interval_ms(ttl if ttl is not None else watermark)
+    session_tz = triples_stream.sparkSession.conf.get(
+        'spark.sql.session.timeZone')
+
+    out_schema = ('pred string, subj string, obj string, '
+                  'valid_from_us long, valid_to_us long, '
+                  'n_assertions long')
+    state_schema = 'cur_obj string, valid_from_us long, n long'
+    cols = ['pred', 'subj', 'obj', 'valid_from_us', 'valid_to_us',
+            'n_assertions']
+
+    def scope_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        rows = (pd.concat(parts, ignore_index=True)
+                if len(parts) > 1 else parts[0])
+        rows = rows.sort_values(['ts_us', 'obj'], kind='mergesort')
+        if state.exists:
+            cur, vf, n = state.get
+        else:
+            cur = None
+            vf = n = 0
+        out = []
+        max_ts = None
+        for r in rows.itertuples():
+            if cur is None:
+                cur, vf, n = r.obj, int(r.ts_us), 1
+            elif r.obj == cur:
+                n += 1
+            else:
+                out.append((key[0], key[1], cur, vf, int(r.ts_us), n))
+                cur, vf, n = r.obj, int(r.ts_us), 1
+            if max_ts is None or r.warc_ts > max_ts:
+                max_ts = r.warc_ts
+        state.update((cur, vf, n))
+        state.setTimeoutTimestamp(_epoch_ms(max_ts, session_tz) + ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (t.groupBy('pred', 'subj')
+            .applyInPandasWithState(scope_fn, out_schema, state_schema,
+                                    'append',
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -2989,3 +2989,55 @@ def test_truth_discovery_trust_beats_vote_tie(spark):
     base = {(r.subj, r.obj): r.is_winner
             for r in truth_discovery(claims, iters=1).collect()}
     assert base[('t', 'at')] and not base[('t', 'ct')]
+
+
+def test_streaming_fact_intervals_closes_across_batches(spark, tmp_path):
+    """streaming_fact_intervals: a run's interval emits when its
+    replacement arrives (valid_to = the replacing assertion's ts),
+    support accumulates ACROSS the micro-batch boundary, same-instant
+    ties replay in (ts, obj asc) order, and the final open run never
+    emits."""
+    import datetime
+    import os
+
+    from jionlp_spark.streaming.stream import streaming_fact_intervals
+
+    t = lambda m: datetime.datetime(2021, 9, 1, 10, m)
+    us = lambda m: int(t(m).replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    batches = [
+        # s: A,A then B -> A closes in-batch; B stays open in state
+        [('p', 's', 'A', t(0)), ('p', 's', 'A', t(1)),
+         ('p', 's', 'B', t(2)),
+         # s2: same-instant tie -> A first (obj asc), closed by B at t0
+         ('p', 's2', 'B', t(0)), ('p', 's2', 'A', t(0))],
+        # s: B again (accumulates n=2), then A -> B closes with n=2
+        [('p', 's', 'B', t(10)), ('p', 's', 'A', t(11))],
+    ]
+    src, ckpt = str(tmp_path / 'src'), str(tmp_path / 'ckpt')
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        part = f'{src}/batch_{i}'
+        spark.createDataFrame(
+            rows, 'pred string, subj string, obj string, '
+                  'warc_ts timestamp') \
+            .coalesce(1).write.parquet(part)
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn),
+                         (1_600_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream
+              .schema('pred string, subj string, obj string, '
+                      'warc_ts timestamp')
+              .option('maxFilesPerTrigger', '1').parquet(f'{src}/batch_*'))
+    q = (streaming_fact_intervals(stream)
+         .writeStream.format('memory').queryName('fint_test')
+         .outputMode('append').trigger(availableNow=True)
+         .option('checkpointLocation', ckpt).start())
+    q.awaitTermination(240)
+    got = sorted(tuple(r) for r in spark.table('fint_test').collect())
+    assert got == sorted([
+        ('p', 's', 'A', us(0), us(2), 2),
+        ('p', 's', 'B', us(2), us(11), 2),
+        ('p', 's2', 'A', us(0), us(0), 1),
+    ])
