@@ -3731,6 +3731,46 @@ _RULE_CTES = """
                               from t) hs on b.x = hs.x
             group by 1, 2, 3)"""
 
+def _align_chain_sql(sfx: str, threshold: str = '0.5',
+                     cap: int = 8) -> str:
+    """CTE chain pool{sfx}…rk{sfx}: one align_entities round over
+    evidence CTEs a{sfx}(pred, obj, ent_a) / b{sfx}(pred, obj, ent_b)
+    — the inverse-functionality gate on the union pool, per-side
+    per-value bucket caps, the evidence join with distinct-shared
+    scoring, and both argmax flags (mirrors the kg_align oracle,
+    suffix-parameterized so kg_align_iterated can unroll rounds)."""
+    s = sfx
+    return f"""pool{s} as (select pred, obj, ent_a subj from a{s}
+                     union
+                     select pred, obj, ent_b from b{s}),
+            gate{s} as (select pred from pool{s} group by pred
+                     having cast(count(distinct obj) as double)
+                            / cast(count(*) as double) >= {threshold}),
+            aa{s} as (select * from (
+                     select a{s}.*, count(*) over
+                       (partition by pred, obj) bn
+                     from a{s} join gate{s} using (pred))
+                   where bn <= {cap}),
+            bb{s} as (select * from (
+                     select b{s}.*, count(*) over
+                       (partition by pred, obj) bn
+                     from b{s} join gate{s} using (pred))
+                   where bn <= {cap}),
+            cand{s} as (select ent_a, ent_b,
+                            cast(count(distinct aa{s}.pred || chr(1)
+                                       || aa{s}.obj) as bigint) n_shared
+                     from aa{s} join bb{s} using (pred, obj)
+                     group by 1, 2),
+            rk{s} as (select ent_a, ent_b, n_shared,
+                   row_number() over (partition by ent_a
+                                      order by n_shared desc,
+                                               ent_b asc) = 1 is_best_a,
+                   row_number() over (partition by ent_b
+                                      order by n_shared desc,
+                                               ent_a asc) = 1 is_best_b
+            from cand{s})"""
+
+
 _MIX_W_CTES = """
             with d as (
               select case when doc_id % 97 = 3 then 'curated_tail'
@@ -6196,8 +6236,42 @@ def q_kg_truth_discovery(spark, sf_dir):
     return truth_discovery(claims, iters=2)
 
 
+def q_kg_align_iterated(spark, sf_dir):
+    """PARIS-iterated alignment
+    (operators/graph.align_entities_iterated): round 1 matches the
+    orgs on their shared phones (9 of 10 — orgB_7's phone is altered,
+    the unmatched-forever branch); round 2 rewrites KB-B's works_at
+    objects through the accepted org matches, so the persons — who
+    share NO literal — align via their now-shared employers (9
+    pairs).  18 rows, all mutual; persons/orgs of the k=7 family stay
+    absent at both rounds.  Gate arithmetic both engines share:
+    phone 11 objs / 20 union pairs = 0.55, works_at 1.0 in round 1
+    and 11/20 = 0.55 after the rewrite — threshold 0.5."""
+    from jionlp_spark.operators.graph import align_entities_iterated
+    d = _docs(spark, sf_dir).select('doc_id')
+    k = (F.col('doc_id') % 10).cast('string')
+    kb_a = (d.select(
+                F.lit('phone').alias('pred'),
+                F.concat(F.lit('orgA_'), k).alias('subj'),
+                F.concat(F.lit('ph_'), k).alias('obj'))
+            .union(d.select(
+                F.lit('works_at'), F.concat(F.lit('perA_'), k),
+                F.concat(F.lit('orgA_'), k))))
+    kb_b = (d.select(
+                F.lit('phone').alias('pred'),
+                F.concat(F.lit('orgB_'), k).alias('subj'),
+                F.when(F.col('doc_id') % 10 == 7, F.lit('ph_alt7'))
+                 .otherwise(F.concat(F.lit('ph_'), k)).alias('obj'))
+            .union(d.select(
+                F.lit('works_at'), F.concat(F.lit('perB_'), k),
+                F.concat(F.lit('orgB_'), k))))
+    return align_entities_iterated(kb_a, kb_b, rounds=2,
+                                   min_inv_functionality=0.5,
+                                   max_bucket=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 191).  The
+    # Dict order is the driver's sampling order (first 50 of 192).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
@@ -6275,6 +6349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_rule_infer': q_kg_rule_infer,
         'kg_truth_discovery': q_kg_truth_discovery,
         'streaming_fact_intervals': q_streaming_fact_intervals,
+        'kg_align_iterated': q_kg_align_iterated,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8835,6 +8910,44 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             select pred, subj, obj, valid_from valid_from_us,
                    valid_to valid_to_us, n_assertions
             from led where valid_to is not null""",
+        # PARIS-iterated alignment: the suffix-parameterized align
+        # chain unrolled twice, with the accepted round-1 matches
+        # rewriting b-evidence objects between rounds
+        'kg_align_iterated': f"""
+            with base_a as (select distinct pred, obj, subj ent_a from (
+                select 'phone' pred,
+                       'orgA_' || cast(doc_id % 10 as varchar) subj,
+                       'ph_' || cast(doc_id % 10 as varchar) obj
+                from documents
+                union all
+                select 'works_at',
+                       'perA_' || cast(doc_id % 10 as varchar),
+                       'orgA_' || cast(doc_id % 10 as varchar)
+                from documents)),
+            base_b as (select distinct pred, obj, subj ent_b from (
+                select 'phone' pred,
+                       'orgB_' || cast(doc_id % 10 as varchar) subj,
+                       case when doc_id % 10 = 7 then 'ph_alt7'
+                            else 'ph_' || cast(doc_id % 10 as varchar)
+                       end obj
+                from documents
+                union all
+                select 'works_at',
+                       'perB_' || cast(doc_id % 10 as varchar),
+                       'orgB_' || cast(doc_id % 10 as varchar)
+                from documents)),
+            a1 as (select * from base_a),
+            b1 as (select * from base_b),
+            {_align_chain_sql('1')},
+            acc as (select ent_a, ent_b from rk1
+                    where is_best_a and is_best_b and n_shared >= 1),
+            a2 as (select * from base_a),
+            b2 as (select distinct b.pred,
+                          coalesce(m.ent_a, b.obj) obj, b.ent_b
+                   from base_b b left join acc m on b.obj = m.ent_b),
+            {_align_chain_sql('2')}
+            select ent_a, ent_b, n_shared, is_best_a, is_best_b
+            from rk2""",
         # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the

@@ -101,7 +101,7 @@ HEADLINE = [
     'kg_schema_stats', 'kg_conflicts', 'kg_closure', 'kg_disambiguate',
     'kg_typecheck', 'quality_logit', 'streaming_conflicts',
     'kg_fact_intervals', 'kg_align', 'kg_rule_mining', 'kg_rule_infer',
-    'kg_truth_discovery', 'streaming_fact_intervals',
+    'kg_truth_discovery', 'streaming_fact_intervals', 'kg_align_iterated',
 ]
 
 

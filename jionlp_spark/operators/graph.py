@@ -1830,3 +1830,53 @@ def truth_discovery(claims: DataFrame, iters: int = 2,
             .withColumn('is_winner', F.row_number().over(wk) == 1)
             .select('pred', 'subj', 'obj', 'n_sources', 'n_alternatives',
                     'confidence', 'is_winner'))
+
+
+def align_entities_iterated(kb_a: DataFrame, kb_b: DataFrame,
+                            rounds: int = 2,
+                            min_inv_functionality: float = 0.8,
+                            max_bucket: int = 64, min_accept: int = 1,
+                            subj_col: str = 'subj',
+                            pred_col: str = 'pred',
+                            obj_col: str = 'obj') -> DataFrame:
+    """→ (ent_a, ent_b, n_shared, is_best_a, is_best_b): PARIS-style
+    ITERATED alignment — ``align_entities`` is round 1; each further
+    round takes the accepted matches (mutual best with ``n_shared ≥
+    min_accept``) and REWRITES KB-B's entity-valued objects into
+    KB-A's namespace through them, so relations pointing AT matched
+    entities become shared evidence for the entities pointing at
+    them.  This is the fixpoint step of PARIS (Suchanek et al., VLDB
+    2012 §5): two people with no shared literal align once their
+    employers do — evidence literal matching alone can never see.
+    The final round's full candidate table is returned (it supersedes
+    earlier rounds; every earlier accepted pair re-derives from the
+    same evidence plus the unlocked relations).
+
+    Rewrites go OBJECT-side only and always from the ORIGINAL kb_b
+    under the latest match map: subjects keep their B identity (they
+    are what is being matched), and literals never collide with
+    entity ids under the caller's namespace discipline.
+
+    Engine parity and the per-round scale shape are
+    ``align_entities``'s; the match map is matched-pair-sized and
+    BROADCAST into the rewrite, so each round adds one broadcast
+    projection over kb_b plus a fresh alignment — rounds are a small
+    fixed count (PARIS converges in a handful).
+    """
+    out = align_entities(kb_a, kb_b, min_inv_functionality,
+                         max_bucket, subj_col, pred_col, obj_col)
+    b_raw = kb_b.select(F.col(pred_col).alias('pred'),
+                        F.col(subj_col).alias('subj'),
+                        F.col(obj_col).alias('obj'))
+    for _ in range(max(1, rounds) - 1):
+        accepted = (out.filter(F.col('is_best_a') & F.col('is_best_b')
+                               & (F.col('n_shared')
+                                  >= F.lit(min_accept).cast('long')))
+                    .select('ent_a', 'ent_b'))
+        b2 = (b_raw.join(F.broadcast(accepted),
+                         b_raw['obj'] == accepted['ent_b'], 'left')
+              .select('pred', 'subj',
+                      F.coalesce('ent_a', 'obj').alias('obj')))
+        out = align_entities(kb_a, b2, min_inv_functionality,
+                             max_bucket, 'subj', 'pred', 'obj')
+    return out

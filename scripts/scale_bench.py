@@ -940,6 +940,22 @@ def family_kgfusion(spark, factors, run):
             align_entities(a, b, min_inv_functionality=0.5,
                            max_bucket=8), cold_only=True)
 
+        # iterated alignment: a works_at person layer on the same
+        # orgs — round 2's rewrite must stay matched-pair-broadcast
+        # and the two rounds together ~2× one round's records
+        from jionlp_spark.operators.graph import align_entities_iterated
+        kb_a2 = kb_a.union(ids.select(
+            F.lit('works_at'), F.concat(F.lit('perA_'), ja),
+            F.concat(F.lit('a_'), ja)))
+        kb_b2 = kb_b.union(ids.select(
+            F.lit('works_at'), F.concat(F.lit('perB_'), jb),
+            F.concat(F.lit('b_'), jb)))
+        run(f'align_iterated@x{factor} (vocab {na}/{nb}, 2 rounds)',
+            lambda a=kb_a2, b=kb_b2:
+            align_entities_iterated(a, b, rounds=2,
+                                    min_inv_functionality=0.5,
+                                    max_bucket=8), cold_only=True)
+
         # AMIE rule mining + inference: person/city/province vocab
         # scales with the factor — body pairs are distinct-grain
         # (person-vocab-sized), so records must track the pool

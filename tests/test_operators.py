@@ -3041,3 +3041,34 @@ def test_streaming_fact_intervals_closes_across_batches(spark, tmp_path):
         ('p', 's', 'B', us(2), us(11), 2),
         ('p', 's2', 'A', us(0), us(0), 1),
     ])
+
+
+def test_align_entities_iterated_relation_unlock(spark):
+    """align_entities_iterated: round 1 matches the orgs on their
+    shared phone but CANNOT match the persons (their works_at objects
+    live in disjoint namespaces); round 2 rewrites KB-B's works_at
+    objects through the accepted org match and the persons align via
+    the now-shared employer — while a person whose employer never
+    matched stays unmatched."""
+    from jionlp_spark.operators.graph import (align_entities,
+                                              align_entities_iterated)
+
+    kb_a = spark.createDataFrame(
+        [('phone', 'oA1', 'ph1'), ('works_at', 'pA1', 'oA1'),
+         ('phone', 'oA2', 'ph2'), ('works_at', 'pA2', 'oA2')],
+        'pred string, subj string, obj string')
+    kb_b = spark.createDataFrame(
+        [('phone', 'oB1', 'ph1'), ('works_at', 'pB1', 'oB1'),
+         ('phone', 'oB2', 'phX'), ('works_at', 'pB2', 'oB2')],
+        'pred string, subj string, obj string')
+
+    r1 = {(r.ent_a, r.ent_b)
+          for r in align_entities(kb_a, kb_b,
+                                  min_inv_functionality=0.5).collect()}
+    assert r1 == {('oA1', 'oB1')}
+    got = {(r.ent_a, r.ent_b): (r.n_shared, r.is_best_a, r.is_best_b)
+           for r in align_entities_iterated(
+               kb_a, kb_b, rounds=2,
+               min_inv_functionality=0.5).collect()}
+    assert got == {('oA1', 'oB1'): (1, True, True),
+                   ('pA1', 'pB1'): (1, True, True)}
