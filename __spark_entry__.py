@@ -6270,8 +6270,44 @@ def q_kg_align_iterated(spark, sf_dir):
                                    max_bucket=8)
 
 
+def q_kg_rule_mining3(spark, sf_dir):
+    """Length-3 Horn-rule mining (operators/graph.mine_path_rules3):
+    the depth-3 chain born_in ∧ located_in ∧ part_of ⇒ region_citizen
+    over the person→city→province→region taxonomy — support 80 / body
+    100 / PCA body 91 (9 k≡4(mod 11) persons assert no region — the
+    PCA open-world class; 11 asserted persons point at the out-of-KB
+    'r_x'), standard confidence 0.80 vs PCA 80/91; every other
+    predicate combination has an empty 3-hop body.  Both shared
+    variables carry the per-(pred, node) fanout cap (the second cap
+    stage a 3-atom body needs)."""
+    from jionlp_spark.operators.graph import mine_path_rules3
+    d = _docs(spark, sf_dir).select('doc_id')
+    k = F.col('doc_id') % 100
+    ks = k.cast('string')
+    t = (d.select(
+            F.lit('born_in').alias('pred'),
+            F.concat(F.lit('p_'), ks).alias('subj'),
+            F.concat(F.lit('c_'), (k % 20).cast('string')).alias('obj'))
+         .union(d.select(
+            F.lit('located_in'),
+            F.concat(F.lit('c_'), (F.col('doc_id') % 20).cast('string')),
+            F.concat(F.lit('v_'), ((F.col('doc_id') % 20) % 5)
+                     .cast('string'))))
+         .union(d.select(
+            F.lit('part_of'),
+            F.concat(F.lit('v_'), (F.col('doc_id') % 5).cast('string')),
+            F.concat(F.lit('r_'), ((F.col('doc_id') % 5) % 2)
+                     .cast('string'))))
+         .union(d.filter(k % 11 != 4).select(
+            F.lit('region_citizen'), F.concat(F.lit('p_'), ks),
+            F.when(k % 9 == 0, F.lit('r_x'))
+             .otherwise(F.concat(F.lit('r_'), (((k % 20) % 5) % 2)
+                                 .cast('string'))))))
+    return mine_path_rules3(t, min_support=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is the driver's sampling order (first 50 of 192).  The
+    # Dict order is the driver's sampling order (first 50 of 193).  The
     # r7 window is evidence placement (r6 verdict item 1): slots 1-38
     # are the 38 queries that have NEVER had a driver CORRECTNESS row
     # (every late-r6 addition past the 50-slot window: the 12
@@ -6350,6 +6386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_truth_discovery': q_kg_truth_discovery,
         'streaming_fact_intervals': q_streaming_fact_intervals,
         'kg_align_iterated': q_kg_align_iterated,
+        'kg_rule_mining3': q_kg_rule_mining3,
         'bpe_byte_codec': q_bpe_byte_codec,
         'cws_tags': q_cws_tags,
         'dataset_split_stats': q_dataset_split_stats,
@@ -8948,6 +8985,72 @@ def _oracle_sql_dict(phone, idc, born) -> dict[str, str]:
             {_align_chain_sql('2')}
             select ent_a, ent_b, n_shared, is_best_a, is_best_b
             from rk2""",
+        # length-3 rule mining: the 3-hop body chain with BOTH shared
+        # variables fanout-capped; same AMIE measures as length 2
+        'kg_rule_mining3': """
+            with t as (select distinct * from (
+                select 'born_in' pred,
+                       'p_' || cast(doc_id % 100 as varchar) subj,
+                       'c_' || cast((doc_id % 100) % 20 as varchar) obj
+                from documents
+                union all
+                select 'located_in',
+                       'c_' || cast(doc_id % 20 as varchar),
+                       'v_' || cast((doc_id % 20) % 5 as varchar)
+                from documents
+                union all
+                select 'part_of',
+                       'v_' || cast(doc_id % 5 as varchar),
+                       'r_' || cast((doc_id % 5) % 2 as varchar)
+                from documents
+                union all
+                select 'region_citizen',
+                       'p_' || cast(doc_id % 100 as varchar),
+                       case when (doc_id % 100) % 9 = 0 then 'r_x'
+                            else 'r_' || cast((((doc_id % 100) % 20)
+                                               % 5) % 2 as varchar) end
+                from documents where (doc_id % 100) % 11 <> 4)),
+            qs as (select q, x, y from (
+                     select pred q, subj x, obj y,
+                            count(*) over (partition by pred, obj) deg
+                     from t) where deg <= 1000),
+            rs as (select r, y, z from (
+                     select r, y, z,
+                            count(*) over (partition by r, z) deg2
+                     from (select pred r, subj y, obj z,
+                                  count(*) over (partition by pred,
+                                                 subj) deg
+                           from t) where deg <= 1000)
+                   where deg2 <= 1000),
+            ss as (select s, z, w from (
+                     select pred s, subj z, obj w,
+                            count(*) over (partition by pred, subj) deg
+                     from t) where deg <= 1000),
+            body as (select distinct q, r, s, x, w
+                     from qs join rs using (y) join ss using (z)),
+            bsize as (select q, r, s,
+                             cast(count(*) as bigint) n_body_pairs
+                      from body group by 1, 2, 3),
+            sup as (select h.pred head_pred, b.q, b.r, b.s,
+                           cast(count(*) as bigint) support
+                    from body b join t h on b.x = h.subj
+                                        and b.w = h.obj
+                    group by 1, 2, 3, 4),
+            pca as (select hs.head_pred, b.q, b.r, b.s,
+                           cast(count(*) as bigint) n_pca_pairs
+                    from body b join (select distinct pred head_pred,
+                                             subj x from t) hs
+                         on b.x = hs.x
+                    group by 1, 2, 3, 4)
+            select head_pred, q body_pred1, r body_pred2, s body_pred3,
+                   support, n_body_pairs, n_pca_pairs,
+                   cast(support as double)
+                   / cast(n_body_pairs as double) confidence,
+                   cast(support as double)
+                   / cast(n_pca_pairs as double) pca_confidence
+            from sup join pca using (head_pred, q, r, s)
+                     join bsize using (q, r, s)
+            where support >= 10""",
         # DSIR: grams = unigrams + bigrams (DuckDB range(1, len) is
         # exclusive → matches the Spark sequence(1, size-1) guard);
         # bucket = first two md5 hex chars; each bucket log-ratio is the

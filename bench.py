@@ -102,6 +102,7 @@ HEADLINE = [
     'kg_typecheck', 'quality_logit', 'streaming_conflicts',
     'kg_fact_intervals', 'kg_align', 'kg_rule_mining', 'kg_rule_infer',
     'kg_truth_discovery', 'streaming_fact_intervals', 'kg_align_iterated',
+    'kg_rule_mining3',
 ]
 
 

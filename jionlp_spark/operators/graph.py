@@ -1880,3 +1880,86 @@ def align_entities_iterated(kb_a: DataFrame, kb_b: DataFrame,
         out = align_entities(kb_a, b2, min_inv_functionality,
                              max_bucket, 'subj', 'pred', 'obj')
     return out
+
+
+def _rule_side(t: DataFrame, pred_as: str, s_as: str, o_as: str,
+               cap_key: str, max_fanout: int) -> DataFrame:
+    """One fanout-capped body atom for the rule miners: the distinct
+    pool projected to (pred_as, s_as, o_as) with rows dropped where
+    the predicate's ``cap_key``-side partner count exceeds
+    ``max_fanout`` (the hub-join guard)."""
+    from pyspark.sql import Window
+    return (t.select(F.col('pred').alias(pred_as),
+                     F.col('subj').alias(s_as),
+                     F.col('obj').alias(o_as))
+            .withColumn('deg', F.count('*').over(
+                Window.partitionBy(pred_as, cap_key)).cast('long'))
+            .filter(F.col('deg') <= F.lit(max_fanout).cast('long'))
+            .drop('deg'))
+
+
+def mine_path_rules3(triples: DataFrame, min_support: int = 2,
+                     max_fanout: int = 1000,
+                     subj_col: str = 'subj', pred_col: str = 'pred',
+                     obj_col: str = 'obj') -> DataFrame:
+    """→ (head_pred, body_pred1, body_pred2, body_pred3, support,
+    n_body_pairs, n_pca_pairs, confidence, pca_confidence): length-3
+    closed path rules ``head(x, w) ⇐ b1(x, y) ∧ b2(y, z) ∧ b3(z, w)``
+    — the depth-3 extension of ``mine_path_rules`` (same AMIE
+    measures, same distinct-pair semantics, same PCA denominator).
+
+    Both shared variables (y and z) are hub risks, so BOTH carry the
+    per-(pred, node) ``max_fanout`` cap on each joining side — the
+    second cap stage a 3-atom body needs (without it a single hub z
+    multiplies an already-joined (x, z) pair set).  The rule space is
+    pred⁴-bounded; prune aggressively with ``min_support`` — real
+    miners also restrict the predicate sets per slot, which a caller
+    does by filtering ``triples`` before the call.
+
+    Scale shape: ONE corpus shuffle to the checkpointed distinct
+    pool; two y-/z-keyed body joins (each side capped, output ≤
+    max_fanout × previous stage); body dedup on (b1, b2, b3, x, w);
+    head join on (x, w); everything downstream body-grain.  No
+    Python.
+    """
+    t = (triples.select(F.col(pred_col).alias('pred'),
+                        F.col(subj_col).alias('subj'),
+                        F.col(obj_col).alias('obj'))
+         .distinct().localCheckpoint())
+    from pyspark.sql import Window
+    q_side = _rule_side(t, 'q', 'x', 'y', 'y', max_fanout)
+    # the middle atom joins through BOTH its variables — cap each
+    r_side = (_rule_side(t, 'r', 'y', 'z', 'y', max_fanout)
+              .withColumn('deg2', F.count('*').over(
+                  Window.partitionBy('r', 'z')).cast('long'))
+              .filter(F.col('deg2') <= F.lit(max_fanout).cast('long'))
+              .drop('deg2'))
+    s_side = _rule_side(t, 's', 'z', 'w', 'z', max_fanout)
+    body = (q_side.join(r_side, 'y')
+            .select('q', 'r', 'x', 'z')
+            .join(s_side, 'z')
+            .select('q', 'r', 's', 'x', 'w').distinct())
+    bsize = (body.groupBy('q', 'r', 's')
+             .agg(F.count('*').cast('long').alias('n_body_pairs')))
+    heads = t.select(F.col('pred').alias('head_pred'),
+                     F.col('subj').alias('x'), F.col('obj').alias('w'))
+    support = (body.join(heads, ['x', 'w'])
+               .groupBy('head_pred', 'q', 'r', 's')
+               .agg(F.count('*').cast('long').alias('support')))
+    head_subj = heads.select('head_pred', 'x').distinct()
+    pca = (body.join(head_subj, 'x')
+           .groupBy('head_pred', 'q', 'r', 's')
+           .agg(F.count('*').cast('long').alias('n_pca_pairs')))
+    return (support.join(pca, ['head_pred', 'q', 'r', 's'])
+            .join(F.broadcast(bsize), ['q', 'r', 's'])
+            .filter(F.col('support') >= F.lit(min_support).cast('long'))
+            .select('head_pred', F.col('q').alias('body_pred1'),
+                    F.col('r').alias('body_pred2'),
+                    F.col('s').alias('body_pred3'), 'support',
+                    'n_body_pairs', 'n_pca_pairs',
+                    (F.col('support').cast('double')
+                     / F.col('n_body_pairs').cast('double'))
+                    .alias('confidence'),
+                    (F.col('support').cast('double')
+                     / F.col('n_pca_pairs').cast('double'))
+                    .alias('pca_confidence')))

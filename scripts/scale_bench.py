@@ -992,6 +992,27 @@ def family_kgfusion(spark, factors, run):
                                        min_confidence=0.5),
             cold_only=True)
 
+        # length-3 rules: one more chain hop (province -> region) and
+        # a region-grain head — the 3-hop body must stay pool-linear
+        # under the double fanout cap
+        from jionlp_spark.operators.graph import mine_path_rules3
+        nr = 2 * factor
+        rt3 = (rt.union(ids.select(
+                  F.lit('part_of'),
+                  F.concat(F.lit('v_'), ((kk % nc) % nv).cast('string')),
+                  F.concat(F.lit('r_'), (((kk % nc) % nv) % nr)
+                           .cast('string'))))
+               .union(ids.filter(kk % 11 != 4).select(
+                  F.lit('region_citizen'),
+                  F.concat(F.lit('p_'), kk.cast('string')),
+                  F.when(kk % 9 == 0, F.lit('r_x'))
+                   .otherwise(F.concat(F.lit('r_'),
+                                       (((kk % nc) % nv) % nr)
+                                       .cast('string'))))))
+        run(f'mine_path_rules3@x{factor} (vocab {np_})',
+            lambda x=rt3: mine_path_rules3(x, min_support=10),
+            cold_only=True)
+
         # truth discovery: subjects and hosts scale with the factor;
         # per-round shuffles are claims-bounded (fact-grain agg +
         # source-grain agg), so records must stay linear per round

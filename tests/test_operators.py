@@ -3072,3 +3072,26 @@ def test_align_entities_iterated_relation_unlock(spark):
                min_inv_functionality=0.5).collect()}
     assert got == {('oA1', 'oB1'): (1, True, True),
                    ('pA1', 'pB1'): (1, True, True)}
+
+
+def test_mine_path_rules3_chain_support_and_pca(spark):
+    """mine_path_rules3: the 3-hop chain rule born_in ∧ located_in ∧
+    part_of ⇒ region_citizen mines with distinct-pair support/body
+    counts; p2 derives the body pair but asserts no head — standard
+    confidence 2/3, PCA 2/2; no other predicate combo forms a body."""
+    from jionlp_spark.operators.graph import mine_path_rules3
+
+    rows = [
+        ('born_in', 'p1', 'c1'), ('born_in', 'p2', 'c1'),
+        ('born_in', 'p3', 'c2'),
+        ('located_in', 'c1', 'v1'), ('located_in', 'c2', 'v2'),
+        ('part_of', 'v1', 'r1'), ('part_of', 'v2', 'r1'),
+        ('region_citizen', 'p1', 'r1'), ('region_citizen', 'p3', 'r1'),
+    ]
+    t = spark.createDataFrame(rows, 'pred string, subj string, obj string')
+    got = {(r.head_pred, r.body_pred1, r.body_pred2, r.body_pred3):
+           (r.support, r.n_body_pairs, r.n_pca_pairs, r.confidence,
+            r.pca_confidence)
+           for r in mine_path_rules3(t, min_support=2).collect()}
+    assert got == {('region_citizen', 'born_in', 'located_in',
+                    'part_of'): (2, 3, 2, 2.0 / 3.0, 1.0)}
