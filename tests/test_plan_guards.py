@@ -266,3 +266,32 @@ def test_r7_operator_plan_shapes(spark):
     py = len(re.findall(
         r'ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas', p))
     assert ex == 1 and py == 0, (ex, py)
+
+
+def test_temporal_scoping_single_hash_exchange(spark):
+    """temporal_scoping's cascade (lag window → run reduction → lead
+    window, all on (pred, subj)) must plan exactly ONE hash Exchange —
+    the partitioning is reused across all three stages (the
+    PLANS.md claim); and the plan carries no Python node."""
+    import __spark_entry__ as entry
+    df = entry.queries()['kg_fact_intervals'](spark,
+                                              '/root/testdata/sf0.01')
+    plan = _plan(df)
+    n_hash = len(re.findall(r'Exchange hashpartitioning', plan))
+    assert n_hash == 1, f'{n_hash} hash exchanges (want 1)'
+    assert 'EvalPython' not in plan
+
+
+def test_rule_mining_broadcast_and_no_python(spark):
+    """mine_path_rules joins the pred²-sized body-size table as a
+    BROADCAST (never a shuffled join on rule keys), and the whole
+    AMIE tier plans zero Python nodes."""
+    import __spark_entry__ as entry
+    for name in ('kg_rule_mining', 'kg_rule_mining3', 'kg_rule_infer',
+                 'kg_align', 'kg_align_iterated', 'kg_truth_discovery'):
+        plan = _plan(entry.queries()[name](spark,
+                                           '/root/testdata/sf0.01'))
+        assert 'EvalPython' not in plan, name
+    plan = _plan(entry.queries()['kg_rule_mining'](
+        spark, '/root/testdata/sf0.01'))
+    assert 'BroadcastHashJoin' in plan or 'BroadcastExchange' in plan
