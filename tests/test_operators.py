@@ -3095,3 +3095,163 @@ def test_mine_path_rules3_chain_support_and_pca(spark):
            for r in mine_path_rules3(t, min_support=2).collect()}
     assert got == {('region_citizen', 'born_in', 'located_in',
                     'part_of'): (2, 3, 2, 2.0 / 3.0, 1.0)}
+
+
+def test_temporal_scoping_random_vs_python(spark):
+    """Seeded-random cross-check: temporal_scoping over random
+    assertion piles (small ts domain → plenty of same-instant ties)
+    equals an independent pure-Python run-length replay, value for
+    value, across seeds."""
+    import random
+
+    from jionlp_spark.operators.graph import temporal_scoping
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = [(f'p{rng.randrange(2)}', f's{rng.randrange(5)}',
+                 f'o{rng.randrange(3)}', rng.randrange(20))
+                for _ in range(200)]
+        df = spark.createDataFrame(
+            rows, 'pred string, subj string, obj string, ts long')
+        got = {(r.pred, r.subj, r.obj, r.valid_from, r.valid_to,
+                r.n_assertions, r.is_current)
+               for r in temporal_scoping(df).collect()}
+        want = set()
+        keys = {(p, s) for p, s, _o, _t in rows}
+        for p, s in keys:
+            seq = sorted(((t, o) for pp, ss, o, t in rows
+                          if (pp, ss) == (p, s)))
+            runs = []
+            for t, o in seq:
+                if runs and runs[-1][0] == o:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([o, t, 1])
+            for i, (o, vf, n) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else None
+                want.add((p, s, o, vf, vt, n, vt is None))
+        assert got == want, seed
+
+
+def test_align_entities_random_vs_python(spark):
+    """Seeded-random cross-check: align_entities over random two-KB
+    evidence equals an independent brute-force Python replay of the
+    gate, the bucket caps, the distinct-shared scores, and both argmax
+    flags."""
+    import random
+
+    from jionlp_spark.operators.graph import align_entities
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        mk = lambda side, n: [(f'q{rng.randrange(3)}',
+                               f'{side}{rng.randrange(8)}',
+                               f'v{rng.randrange(6)}')
+                              for _ in range(n)]
+        ra, rb = mk('a', 120), mk('b', 120)
+        kb_a = spark.createDataFrame(
+            ra, 'pred string, subj string, obj string')
+        kb_b = spark.createDataFrame(
+            rb, 'pred string, subj string, obj string')
+        thr, cap = 0.3, 3
+        got = {(r.ent_a, r.ent_b): (r.n_shared, r.is_best_a,
+                                    r.is_best_b)
+               for r in align_entities(
+                   kb_a, kb_b, min_inv_functionality=thr,
+                   max_bucket=cap).collect()}
+
+        a = {(p, o, s) for p, s, o in ra}
+        b = {(p, o, s) for p, s, o in rb}
+        pool = {(p, o, s) for p, o, s in a} | {(p, o, s)
+                                              for p, o, s in b}
+        preds = {p for p, _o, _s in pool}
+        gate = set()
+        for p in preds:
+            pairs = [(o, s) for pp, o, s in pool if pp == p]
+            if len({o for o, _s in pairs}) / len(pairs) >= thr:
+                gate.add(p)
+        fa = [(p, o, s) for p, o, s in a if p in gate]
+        fb = [(p, o, s) for p, o, s in b if p in gate]
+        fa = [(p, o, s) for p, o, s in fa
+              if sum(1 for pp, oo, _s in fa
+                     if (pp, oo) == (p, o)) <= cap]
+        fb = [(p, o, s) for p, o, s in fb
+              if sum(1 for pp, oo, _s in fb
+                     if (pp, oo) == (p, o)) <= cap]
+        shared: dict = {}
+        for p, o, sa in fa:
+            for pp, oo, sb in fb:
+                if (p, o) == (pp, oo):
+                    shared.setdefault((sa, sb), set()).add((p, o))
+        want = {}
+        for (sa, sb), ev in shared.items():
+            want[(sa, sb)] = len(ev)
+        best_a = {}
+        best_b = {}
+        for (sa, sb), n in want.items():
+            ka, kb_ = (-n, sb), (-n, sa)
+            if sa not in best_a or ka < best_a[sa][0]:
+                best_a[sa] = (ka, sb)
+            if sb not in best_b or kb_ < best_b[sb][0]:
+                best_b[sb] = (kb_, sa)
+        expect = {(sa, sb): (n, best_a[sa][1] == sb,
+                             best_b[sb][1] == sa)
+                  for (sa, sb), n in want.items()}
+        assert got == expect, seed
+
+
+def test_truth_discovery_random_vs_python(spark):
+    """Seeded-random cross-check: truth_discovery equals a pure-Python
+    replay of the two-round trust iteration using the SAME arithmetic
+    contract (per-fact trust sums and per-source nconf sums as exact
+    Decimals via str, cast back through str to double; normalization
+    and trust divisions as plain float ops) — confidences compare
+    BIT-EXACTLY, not approximately."""
+    import random
+    from decimal import Decimal, localcontext
+
+    from jionlp_spark.operators.graph import truth_discovery
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        rows = [('p', f's{rng.randrange(6)}', f'o{rng.randrange(3)}',
+                 f'h{rng.randrange(5)}') for _ in range(150)]
+        df = spark.createDataFrame(
+            rows, 'pred string, subj string, obj string, source string')
+        got = {(r.pred, r.subj, r.obj): (r.n_sources, r.n_alternatives,
+                                         r.confidence, r.is_winner)
+               for r in truth_discovery(df, iters=2).collect()}
+
+        claims = sorted({(p, s, o, src) for p, s, o, src in rows})
+        sources = sorted({src for *_x, src in claims})
+        facts = sorted({(p, s, o) for p, s, o, _src in claims})
+        srcs_of = {f: [src for p, s, o, src in claims
+                       if (p, s, o) == f] for f in facts}
+        facts_of = {src: [f for f in facts if src in srcs_of[f]]
+                    for src in sources}
+        with localcontext() as ctx:
+            ctx.prec = 50
+            trust = {src: 0.5 for src in sources}
+            conf = nconf = None
+            for _ in range(2):
+                conf = {f: float(str(sum(Decimal(str(trust[src]))
+                                         for src in srcs_of[f])))
+                        for f in facts}
+                nconf = {}
+                for f in facts:
+                    mx = max(conf[g] for g in facts
+                             if g[:2] == f[:2])
+                    nconf[f] = conf[f] / mx
+                trust = {src: float(str(sum(Decimal(str(nconf[f]))
+                                            for f in facts_of[src])))
+                         / float(len(facts_of[src]))
+                         for src in sources}
+        want = {}
+        for f in facts:
+            alts = [g for g in facts if g[:2] == f[:2]]
+            if len(alts) < 2:
+                continue
+            ranked = sorted(alts, key=lambda g: (-conf[g], g[2]))
+            want[f] = (len(srcs_of[f]), len(alts), conf[f],
+                       ranked[0] == f)
+        assert got == want, seed
