@@ -4541,9 +4541,16 @@ def q_idiom_next(spark, sf_dir):
 
     d = _docs(spark, sf_dir).selectExpr(
         'doc_id', 'doc_id % 4 as seed_id', f'{_case4(_IDIOM_IN)} as idiom')
-    return d.select('doc_id', 'idiom',
-                    idiom_udf(F.col('seed_id'), F.col('idiom'))
-                    .alias('next_idiom'))
+    # the output is a pure function of (seed_id, idiom) — a 4-value key —
+    # so run the kernel once per DISTINCT pair and broadcast-join back
+    # (guide §8: decide on small rows): UDF cost drops from corpus-linear
+    # to key-cardinality, rows/values identical
+    keys = d.select('seed_id', 'idiom').distinct()
+    mapped = keys.select('seed_id', 'idiom',
+                         idiom_udf(F.col('seed_id'), F.col('idiom'))
+                         .alias('next_idiom'))
+    return (d.join(F.broadcast(mapped), ['seed_id', 'idiom'])
+            .select('doc_id', 'idiom', 'next_idiom'))
 
 
 _AUG_IN = ('民盟发言人：昂山素季目前情况良好',
@@ -4564,10 +4571,15 @@ def q_textaug_swap(spark, sf_dir):
     d = (_docs(spark, sf_dir)
          .selectExpr('doc_id', 'doc_id % 4 as seed_id',
                      f'{_case4(_AUG_IN)} as text_zh'))
-    return (augment_swap(d, augmentation_num=2, swap_ratio=0.08,
-                         base_seed=0, text_col='text_zh',
-                         seed_col='seed_id')
-            .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
+    # pure function of (seed_id, text_zh) — 4 distinct pairs (guide §8)
+    keys = d.select('seed_id', 'text_zh').distinct()
+    aug = (augment_swap(keys, augmentation_num=2, swap_ratio=0.08,
+                        base_seed=0, text_col='text_zh',
+                        seed_col='seed_id', id_col='seed_id')
+           .select(F.col('doc_id').alias('seed_id'),
+                   F.col('text').alias('text_zh'), 'augmented'))
+    return (d.join(F.broadcast(aug), ['seed_id', 'text_zh'])
+            .select('doc_id', 'text_zh', 'augmented'))
 
 
 _HOMO_IN = (
@@ -4593,10 +4605,16 @@ def q_textaug_homophone(spark, sf_dir):
     d = (_docs(spark, sf_dir)
          .selectExpr('doc_id', 'doc_id % 4 as seed_id',
                      f'{_case4(_HOMO_IN)} as text_zh'))
-    return (augment_homophone(d, augmentation_num=2, homo_ratio=0.1,
-                              base_seed=0, text_col='text_zh',
-                              seed_col='seed_id')
-            .select('doc_id', F.col('text').alias('text_zh'), 'augmented'))
+    # pure function of (seed_id, text_zh) — 4 distinct pairs: run the
+    # FMM-trie kernel per distinct pair, broadcast-join back (guide §8)
+    keys = d.select('seed_id', 'text_zh').distinct()
+    aug = (augment_homophone(keys, augmentation_num=2, homo_ratio=0.1,
+                             base_seed=0, text_col='text_zh',
+                             seed_col='seed_id', id_col='seed_id')
+           .select(F.col('doc_id').alias('seed_id'),
+                   F.col('text').alias('text_zh'), 'augmented'))
+    return (d.join(F.broadcast(aug), ['seed_id', 'text_zh'])
+            .select('doc_id', 'text_zh', 'augmented'))
 
 
 _BT_IN = (
@@ -4662,9 +4680,16 @@ def q_kg_recognize_location_full(spark, sf_dir):
     d = _docs(spark, sf_dir).selectExpr(
         'doc_id',
         f'case doc_id % 5 {whens} else array({last}) end as words')
-    out = recognize_location_full(d)
-    return out.select(F.col('doc_id').cast('long').alias('doc_id'),
-                      *[c for c in out.columns if c != 'doc_id'])
+    # pure function of the words array — 5 distinct values: run the
+    # recognizer cascade per distinct array, broadcast-join back (guide §8)
+    keys = d.select('words').distinct()
+    mapped = (recognize_location_full(keys, id_col='words')
+              .withColumnRenamed('doc_id', 'words'))
+    out_cols = ('dom_province', 'dom_city', 'dom_county', 'dom_votes',
+                'for_country', 'for_city', 'for_votes', 'others')
+    return (d.join(F.broadcast(mapped), 'words')
+            .select(F.col('doc_id').cast('long').alias('doc_id'),
+                    *out_cols))
 
 
 def _locrec_sql_case(field_idx: int, cast: str | None = None) -> str:

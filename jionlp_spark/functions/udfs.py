@@ -396,6 +396,11 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None,
     from jionlp_spark.kernels.money_extract import get_money_extractor
     from jionlp_spark.kernels.time_extract import get_time_extractor
 
+    # worker-persistent location-parse memo (the UDF object lives across
+    # batches in a reused worker): distinct place strings are tiny next to
+    # mention volume — same rationale as make_lexicon_linked_udf's memo
+    _loc_memo: dict = {}
+
     @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
     def linked_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
         bundle = bundle_broadcast.value
@@ -442,14 +447,19 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None,
                                        sort_keys=True))
                 return key, 'time', pre_norm
             if mtype == 'lexicon:location':
-                res = bundle.location.parse(t)
-                key = '/'.join(x for x in (res['province'], res['city'],
-                                           res['county']) if x)
-                return (key or t, 'location',
-                        json.dumps({'province': res['province'],
-                                    'city': res['city'],
-                                    'county': res['county']},
-                                   ensure_ascii=False))
+                hit = _loc_memo.get(t)
+                if hit is None:
+                    res = bundle.location.parse(t)
+                    key = '/'.join(x for x in (res['province'], res['city'],
+                                               res['county']) if x)
+                    hit = (key or t, 'location',
+                           json.dumps({'province': res['province'],
+                                       'city': res['city'],
+                                       'county': res['county']},
+                                      ensure_ascii=False))
+                    if len(_loc_memo) < 200000:
+                        _loc_memo[t] = hit
+                return hit
             if mtype == 'licence_plate':
                 from jionlp_spark.kernels.plate import parse_licence_plate
                 res = parse_licence_plate(t)

@@ -37,6 +37,39 @@ class IdiomSolitaire:
         self.rng_np = rng_np if rng_np is not None else np.random
         self.rng_py = rng_py if rng_py is not None else _random
         self.already_used_idioms: set = set()
+        # O(1) membership + lazy first-syllable/char indexes whose per-key
+        # lists preserve dictionary order, so the backup list (and hence the
+        # np.random.choice stream) is unchanged; built on first use so any
+        # malformed-entry error still surfaces on the call that needs it
+        self._pure_set = set(self.pure_idiom_list)
+        self._by_first_syl: dict | None = None
+        self._by_first_syl_toneless: dict | None = None
+        self._by_first_char: dict | None = None
+        self._pinyin_last: dict | None = None
+
+    def _syl_index(self) -> dict:
+        if self._by_first_syl is None:
+            idx: dict = {}
+            for e in self.idiom_list:
+                idx.setdefault(e['pinyin'][0], []).append(e)
+            self._by_first_syl = idx
+        return self._by_first_syl
+
+    def _syl_toneless_index(self) -> dict:
+        if self._by_first_syl_toneless is None:
+            idx: dict = {}
+            for e in self.idiom_list:
+                idx.setdefault(e['pinyin'][0][:-1], []).append(e)
+            self._by_first_syl_toneless = idx
+        return self._by_first_syl_toneless
+
+    def _char_index(self) -> dict:
+        if self._by_first_char is None:
+            idx: dict = {}
+            for e in self.idiom_list:
+                idx.setdefault(e['idiom'][0], []).append(e)
+            self._by_first_char = idx
+        return self._by_first_char
 
     def __call__(self, cur_idiom: str, same_pinyin: bool = True,
                  check_idiom: bool = False, same_tone: bool = True,
@@ -46,36 +79,27 @@ class IdiomSolitaire:
         if restart:
             self.already_used_idioms = set()
 
-        if cur_idiom not in self.pure_idiom_list:
+        if cur_idiom not in self._pure_set:
             if check_idiom:
                 return 'wrong input idiom'
         else:
             self.already_used_idioms.add(cur_idiom)
 
+        used = self.already_used_idioms
         if same_pinyin:
             # the reference recomputes the input's pinyin via Pinyin(); the
             # injected entry table carries the same values for known idioms
             cur_last = self._pinyin_of(cur_idiom)
             if cur_last is None:
                 return 'can not find next'
-            backup = []
             if same_tone:
-                for e in self.idiom_list:
-                    if e['idiom'] in self.already_used_idioms:
-                        continue
-                    if cur_last == e['pinyin'][0]:
-                        backup.append(e)
+                pool = self._syl_index().get(cur_last, ())
             else:
-                for e in self.idiom_list:
-                    if e['idiom'] in self.already_used_idioms:
-                        continue
-                    if cur_last[:-1] == e['pinyin'][0][:-1]:
-                        backup.append(e)
+                pool = self._syl_toneless_index().get(cur_last[:-1], ())
+            backup = [e for e in pool if e['idiom'] not in used]
         else:
-            cur_last_char = cur_idiom[-1]
-            backup = [e for e in self.idiom_list
-                      if e['idiom'] not in self.already_used_idioms
-                      and cur_last_char == e['idiom'][0]]
+            pool = self._char_index().get(cur_idiom[-1], ())
+            backup = [e for e in pool if e['idiom'] not in used]
 
         if len(backup) == 0:
             return 'can not find next'
@@ -93,7 +117,10 @@ class IdiomSolitaire:
     def _pinyin_of(self, idiom: str):
         if self.pinyin_fn is not None:
             return self.pinyin_fn(idiom, formater='simple')[-1]
-        for e in self.idiom_list:
-            if e['idiom'] == idiom:
-                return e['pinyin'][-1]
-        return None
+        if self._pinyin_last is None:
+            # first occurrence wins, matching the linear scan it replaces
+            tbl: dict = {}
+            for e in self.idiom_list:
+                tbl.setdefault(e['idiom'], e['pinyin'][-1])
+            self._pinyin_last = tbl
+        return self._pinyin_last.get(idiom)

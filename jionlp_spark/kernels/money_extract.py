@@ -29,6 +29,11 @@ class MoneyExtractor:
         self._span_seg = re.compile('[-~—－～]+')
         self._kuai_jiao_fen = re.compile(P.MONEY_KUAI_JIAO_FEN)
         self._qianwan_yuan_digit = re.compile(r'[k千仟w万萬亿]元[0-9]')
+        # bounded memos: _filter is pure in s except the num-only branch
+        # (which consults the candidate context — kept live via the 'num'
+        # sentinel); parse failures are pure in the normalized substring
+        self._filter_memo: dict = {}
+        self._parse_fail_memo: set = set()
 
     def candidates(self, text: str) -> list:
         """Char-class sweep → candidate spans with ±5 chars of context
@@ -58,27 +63,35 @@ class MoneyExtractor:
 
     def _filter(self, s: str, candidate: dict) -> bool:
         """Fake-positive rules (money_extractor.py:147-189)."""
-        if s[0] in '，,' or s[-1] in '，,':
-            return False
-        if self._num_only.search(s):
+        v = self._filter_memo.get(s)
+        if v is None:
+            if s[0] in '，,' or s[-1] in '，,':
+                v = False
+            elif self._num_only.search(s):
+                v = 'num'   # decided per-candidate below (context cue)
+            elif self._qianwan_yuan_digit.search(s):
+                v = False  # e.g. `359万元2`
+            else:
+                unit_m = self._unit.search(s)
+                span_m = self._span_seg.search(s)
+                v = True
+                if unit_m is None:
+                    if span_m is None:
+                        v = False
+                    elif len(self._span_seg.findall(s)) > 1:
+                        v = False  # `132017-04-09`
+                    elif 'k' not in s and 'w' not in s:
+                        v = False  # need `12w~19w` style
+                if v and unit_m:
+                    a, b = unit_m.span()
+                    if b - a == len(s):
+                        v = False  # unit only, no amount
+            if len(self._filter_memo) < 200000:
+                self._filter_memo[s] = v
+        if v == 'num':
             # bare numerals count only with 金额/钱 cue in context
             return '金额' in candidate['context'] or '钱' in candidate['context']
-        if self._qianwan_yuan_digit.search(s):
-            return False  # e.g. `359万元2`
-        unit_m = self._unit.search(s)
-        span_m = self._span_seg.search(s)
-        if unit_m is None:
-            if span_m is None:
-                return False
-            if len(self._span_seg.findall(s)) > 1:
-                return False  # `132017-04-09`
-            if 'k' not in s and 'w' not in s:
-                return False  # need `12w~19w` style
-        if unit_m:
-            a, b = unit_m.span()
-            if b - a == len(s):
-                return False  # unit only, no amount
-        return True
+        return v
 
     def grid_search(self, money_candidate: str, candidate: dict):
         """Longest-first substring trial (money_extractor.py:198-225)."""
@@ -89,9 +102,14 @@ class MoneyExtractor:
                 sub = money_candidate[j: offset[1]]
                 if not self._filter(sub, candidate):
                     continue
+                norm = sub.replace(' ', '')
+                if norm in self._parse_fail_memo:
+                    continue
                 try:
-                    result = self.parser.parse(sub.replace(' ', ''))
+                    result = self.parser.parse(norm)
                 except (MoneyParseError, Exception):
+                    if len(self._parse_fail_memo) < 200000:
+                        self._parse_fail_memo.add(norm)
                     continue
                 return sub, result, offset
         return None, None, None

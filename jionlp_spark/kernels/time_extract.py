@@ -59,6 +59,30 @@ class TimeExtractor:
         self._num = re.compile(r'[０-９0-9一二三四五六七八九十百千万]')
         self._four_num_year = re.compile(r'^[\d]{4}$')
         self._unit = re.compile(r'(多)?[万亿元]')
+        # single-char predicate caches: grid_search runs _fake_start/_fake_end
+        # /_num on ONE char per trial — a dict hit replaces a regex search
+        # (bounded by the distinct chars seen, i.e. the charset)
+        self._fs_chars: dict = {}
+        self._fe_chars: dict = {}
+        self._num_chars: dict = {}
+
+    def _is_fake_start(self, ch: str) -> bool:
+        v = self._fs_chars.get(ch)
+        if v is None:
+            v = self._fs_chars[ch] = self._fake_start.search(ch) is not None
+        return v
+
+    def _is_fake_end(self, ch: str) -> bool:
+        v = self._fe_chars.get(ch)
+        if v is None:
+            v = self._fe_chars[ch] = self._fake_end.search(ch) is not None
+        return v
+
+    def _is_num_char(self, ch: str) -> bool:
+        v = self._num_chars.get(ch)
+        if v is None:
+            v = self._num_chars[ch] = self._num.search(ch) is not None
+        return v
 
     def candidates(self, text: str) -> list:
         out = []
@@ -79,13 +103,15 @@ class TimeExtractor:
         return out
 
     def _filter(self, sub: str) -> bool:
-        if self._fake_start.search(sub[0]):
+        # same predicates as the reference, single-char tests via the
+        # char caches ('的' in sub[0] ≡ sub[0] == '的' for a 1-char string)
+        if self._is_fake_start(sub[0]):
             return False
-        if self._fake_end.search(sub[-1]) and sub[-2:] not in ('夏至', '冬至'):
+        if self._is_fake_end(sub[-1]) and sub[-2:] not in ('夏至', '冬至'):
             return False
         if len(sub) != len(sub.strip()):
             return False
-        if '的' in sub[0] or '的' in sub[-1]:
+        if sub[0] == '的' or sub[-1] == '的':
             return False
         if sub[0] in ')）' or sub[-1] in '(（':
             return False
@@ -101,17 +127,21 @@ class TimeExtractor:
                     if not self._filter(sub):
                         continue
                     for_parse = sub.replace('的', '').replace(' ', '')
-                    inner = _extract_brackets(for_parse)
-                    if '周' in ''.join(inner) or '星期' in ''.join(inner):
-                        for_parse = _remove_brackets(for_parse)
+                    # _extract_brackets returns [] unless an OPENING bracket
+                    # exists (a closer never matches an empty stack) — skip
+                    # the char scan for the bracket-free common case
+                    if '(' in for_parse or '（' in for_parse:
+                        inner = _extract_brackets(for_parse)
+                        if '周' in ''.join(inner) or '星期' in ''.join(inner):
+                            for_parse = _remove_brackets(for_parse)
                     # digit-bounded strings glued to more digits are id
                     # fragments, not times (time_extractor.py:211-220)
-                    if self._num.search(for_parse[0]) and j - 1 >= 0 and \
-                            self._num.search(time_candidate[j - 1]):
+                    if self._is_num_char(for_parse[0]) and j - 1 >= 0 and \
+                            self._is_num_char(time_candidate[j - 1]):
                         continue
-                    if self._num.search(for_parse[-1]) and \
+                    if self._is_num_char(for_parse[-1]) and \
                             offset[1] < length and \
-                            self._num.search(time_candidate[offset[1]]):
+                            self._is_num_char(time_candidate[offset[1]]):
                         continue
                     result = self.parser.parse(
                         for_parse, time_base=time_base, strict=True)

@@ -215,6 +215,8 @@ def _search(pattern: re.Pattern, s: str) -> str:
 
 class TimeDeltaParser:
     def __init__(self) -> None:
+        # bounded memo of (time_string, time_type) pairs known to yield None
+        self._span_none_memo: set = set()
         self.exception_standard_delta = re.compile(
             r'(([12]\d{3}|[一二三四五六七八九零〇]{2}|[一二三四五六七八九零〇]{4})年)')
         self.ambivalent_delta_point = re.compile(
@@ -288,6 +290,18 @@ class TimeDeltaParser:
         return first, second
 
     def parse_time_delta_span(self, time_string, time_type=None):
+        # Pure in (time_string, time_type); only the None (no-delta) result
+        # is memoized — the common grid-search rejection path — so returned
+        # delta dicts are always freshly built (no aliasing with callers).
+        key = (time_string, time_type)
+        if key in self._span_none_memo:
+            return None
+        res = self._parse_time_delta_span(time_string, time_type)
+        if res is None and len(self._span_none_memo) < 200000:
+            self._span_none_memo.add(key)
+        return res
+
+    def _parse_time_delta_span(self, time_string, time_type=None):
         first = _search(self.first_span, time_string) or None
         second = (_search(self.second_1_span, time_string) or
                   _search(self.second_2_span, time_string) or None)
@@ -508,6 +522,10 @@ class TimeParser:
         self.string_strict = False
         self.ret_future = False
         self.lunar_date = True
+        # pure-selection memos for parse_time_point / parse_span_2_2_point
+        # (bounded; see the method docstrings)
+        self._point_sel_memo: dict = {}
+        self._span22_memo: dict = {}
 
     # -- patterns -------------------------------------------------------------
 
@@ -1130,6 +1148,17 @@ class TimeParser:
         return time_string.replace('䶵', '-').strip()
 
     def parse_span_2_2_point(self, time_string):
+        # pure in time_string (regex splits only → immutable string pair);
+        # memoized per instance, bounded like _point_sel_memo
+        memo = self._span22_memo.get(time_string)
+        if memo is not None:
+            return memo
+        res = self._parse_span_2_2_point(time_string)
+        if len(self._span22_memo) < 200000:
+            self._span22_memo[time_string] = res
+        return res
+
+    def _parse_span_2_2_point(self, time_string):
         time_string = self._seg_or_not_first(time_string)
 
         if self.first_1_span.search(time_string):
@@ -1317,47 +1346,66 @@ class TimeParser:
 
     def parse_time_point(self, time_string, time_base_handler):
         """Longest-match pattern pair selection + handler merge
-        (time_parser.py:1462-1696)."""
-        ymd_strings, ymd_funcs = [], []
-        empty_seen = False
-        for pattern, func in self.ymd_funcs:
-            s = _search(pattern, time_string)
-            if s != '':
-                ymd_strings.append(s)
-                ymd_funcs.append(func)
-            elif not empty_seen:
-                ymd_strings.append('')
-                ymd_funcs.append(func)
-                empty_seen = True
+        (time_parser.py:1462-1696).
 
-        hms_strings, hms_funcs = [], []
-        empty_seen = False
-        for pattern, func in self.hms_funcs:
-            s = _search(pattern, time_string)
-            if s != '':
-                hms_strings.append(s)
-                hms_funcs.append(func)
-            elif not empty_seen:
-                hms_strings.append('')
-                hms_funcs.append(func)
-                empty_seen = True
+        The pattern-pair SELECTION (the ~75-regex _search battery plus the
+        longest-match scan) is a pure function of ``time_string`` — the
+        time base only enters in the handler funcs below — so it is
+        memoized per parser instance (bounded; grid_search retries the
+        same substrings across candidates and documents, and the battery
+        dominated the extraction profile).  Selection results are
+        immutable (strings, bound methods, bools): no aliasing risk."""
+        sel = self._point_sel_memo.get(time_string)
+        if sel is None:
+            ymd_strings, ymd_funcs = [], []
+            empty_seen = False
+            for pattern, func in self.ymd_funcs:
+                s = _search(pattern, time_string)
+                if s != '':
+                    ymd_strings.append(s)
+                    ymd_funcs.append(func)
+                elif not empty_seen:
+                    ymd_strings.append('')
+                    ymd_funcs.append(func)
+                    empty_seen = True
 
-        cur_ymd_func = cur_hms_func = None
-        cur_ymd = cur_hms = ''
-        done = False
-        for ys, yf in zip(ymd_strings, ymd_funcs):
-            for hs, hf in zip(hms_strings, hms_funcs):
-                if len(ys) + len(hs) > len(cur_ymd) + len(cur_hms):
-                    cur_ymd_func, cur_hms_func = yf, hf
-                    cur_ymd, cur_hms = ys, hs
-                if cur_ymd + cur_hms == time_string:
-                    done = True
+            hms_strings, hms_funcs = [], []
+            empty_seen = False
+            for pattern, func in self.hms_funcs:
+                s = _search(pattern, time_string)
+                if s != '':
+                    hms_strings.append(s)
+                    hms_funcs.append(func)
+                elif not empty_seen:
+                    hms_strings.append('')
+                    hms_funcs.append(func)
+                    empty_seen = True
+
+            cur_ymd_func = cur_hms_func = None
+            cur_ymd = cur_hms = ''
+            done = False
+            for ys, yf in zip(ymd_strings, ymd_funcs):
+                for hs, hf in zip(hms_strings, hms_funcs):
+                    if len(ys) + len(hs) > len(cur_ymd) + len(cur_hms):
+                        cur_ymd_func, cur_hms_func = yf, hf
+                        cur_ymd, cur_hms = ys, hs
+                    if cur_ymd + cur_hms == time_string:
+                        done = True
+                        break
+                if done:
                     break
-            if done:
-                break
 
-        if len(cur_ymd + cur_hms) < len(time_string.replace(' ', '')):
-            if self.chinese_char.search(time_string):
+            covered = (len(cur_ymd + cur_hms) >=
+                       len(time_string.replace(' ', '')))
+            has_cn = self.chinese_char.search(time_string) is not None
+            sel = (cur_ymd, cur_hms, cur_ymd_func, cur_hms_func,
+                   covered, has_cn)
+            if len(self._point_sel_memo) < 200000:
+                self._point_sel_memo[time_string] = sel
+        cur_ymd, cur_hms, cur_ymd_func, cur_hms_func, covered, has_cn = sel
+
+        if not covered:
+            if has_cn:
                 if self.string_strict:
                     raise TimeParseError(time_string)
             else:
