@@ -24,6 +24,32 @@ from jionlp_spark.kernels.idcard import IdCardParser
 from jionlp_spark.kernels.phone_loc import PhoneLocator
 
 # ---------------------------------------------------------------------------
+# Worker-side broadcast cache.
+#
+# PySpark's Broadcast.value caches on the INSTANCE, but every task unpickles
+# a fresh closure → fresh Broadcast instance → re-reads and re-unpickles the
+# executor-local dump file (pyspark/broadcast.py).  For the lexicon bundles
+# (tens of MB of dicts) that re-unpickle was costing ~0.5 s per task — more
+# than the kernel work itself.  Cache values per PROCESS keyed by the dump
+# path (stable per broadcast id on an executor); bounded so a long-lived
+# worker holding many session broadcasts cannot grow without limit.
+
+_BC_VALUE_CACHE: dict = {}
+
+
+def _bc_value(bc):
+    path = getattr(bc, '_path', None)
+    if path is None:
+        return bc.value
+    v = _BC_VALUE_CACHE.get(path)
+    if v is None:
+        if len(_BC_VALUE_CACHE) >= 8:   # oldest-first eviction
+            _BC_VALUE_CACHE.pop(next(iter(_BC_VALUE_CACHE)))
+        v = _BC_VALUE_CACHE[path] = bc.value
+    return v
+
+
+# ---------------------------------------------------------------------------
 # Schemas
 
 MENTION_FIELDS = [
@@ -167,7 +193,7 @@ def make_lexicon_mentions_udf(trie_broadcast, merge_adjacent: bool = True):
     """
     @pandas_udf(MENTIONS_ARRAY)
     def lexicon_mentions_udf(text: pd.Series) -> pd.Series:
-        trie = trie_broadcast.value
+        trie = _bc_value(trie_broadcast)
 
         def scan(t):
             if t is None:
@@ -213,13 +239,22 @@ class LexiconBundle:
         return spark.sparkContext.broadcast(self)
 
 
+_TRIE_BC_CACHE: dict = {}
+
+
 def build_location_trie(spark: SparkSession, dict_dir: str | None = None):
     """Broadcast FMM trie over the admin-division lexicon (the
     'Aho-Corasick dictionary matching' of the north star, with the
-    reference's FMM semantics preserved — lexicon_ner.py:59-76)."""
-    from jionlp_spark.kernels.trie import build_trie
-    trie = build_trie({'location': lexicons.location_ner_words(dict_dir)})
-    return spark.sparkContext.broadcast(trie)
+    reference's FMM semantics preserved — lexicon_ner.py:59-76).
+    Broadcast once per session (applicationId-keyed like build_bundle):
+    re-broadcasting per pipeline call made every worker re-deserialize
+    the trie on each run."""
+    key = (spark.sparkContext.applicationId, dict_dir)
+    if key not in _TRIE_BC_CACHE:
+        from jionlp_spark.kernels.trie import build_trie
+        trie = build_trie({'location': lexicons.location_ner_words(dict_dir)})
+        _TRIE_BC_CACHE[key] = spark.sparkContext.broadcast(trie)
+    return _TRIE_BC_CACHE[key]
 
 
 def make_link_udf(bundle_broadcast):
@@ -234,7 +269,7 @@ def make_link_udf(bundle_broadcast):
     @pandas_udf(LINK_RESULT)
     def link_udf(mention_type: pd.Series, text: pd.Series,
                  norm_in: pd.Series) -> pd.DataFrame:
-        bundle = bundle_broadcast.value
+        bundle = _bc_value(bundle_broadcast)
         objs, obj_types, norms = [], [], []
         for mtype, t, pre_norm in zip(mention_type, text, norm_in):
             if t is None:
@@ -334,8 +369,8 @@ def make_lexicon_linked_udf(trie_broadcast, bundle_broadcast,
     pin their own Python workers, which dominates at small inputs."""
     @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
     def lexicon_linked_udf(text: pd.Series) -> pd.Series:
-        trie = trie_broadcast.value
-        location = bundle_broadcast.value.location
+        trie = _bc_value(trie_broadcast)
+        location = _bc_value(bundle_broadcast).location
         cleaner = get_cleaner() if normalize else None
         memo: dict = {}
 
@@ -403,8 +438,8 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None,
 
     @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
     def linked_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
-        bundle = bundle_broadcast.value
-        trie = trie_broadcast.value if trie_broadcast is not None else None
+        bundle = _bc_value(bundle_broadcast)
+        trie = _bc_value(trie_broadcast) if trie_broadcast is not None else None
         cleaner = get_cleaner() if source is not None else None
         ex = get_extractor()
         mex = get_money_extractor()
@@ -572,7 +607,7 @@ class NormBundle:
 def make_tra2sim_udf(bundle_broadcast):
     @pandas_udf(NORM_TEXT_RESULT)
     def tra2sim_udf(text: pd.Series) -> pd.DataFrame:
-        conv = bundle_broadcast.value.tsconv
+        conv = _bc_value(bundle_broadcast).tsconv
         return pd.DataFrame({
             'sim_word': text.map(lambda t: conv.tra2sim(t, mode='word')),
             'sim_char': text.map(lambda t: conv.tra2sim(t, mode='char'))})
@@ -584,7 +619,7 @@ def make_stopword_udf(bundle_broadcast, sep: str = '|'):
     reference cascade incl. negation keep-list, remove_stopwords.py:139)."""
     @pandas_udf(T.StringType())
     def stopword_udf(tokens: pd.Series) -> pd.Series:
-        filt = bundle_broadcast.value.stopwords
+        filt = _bc_value(bundle_broadcast).stopwords
         return tokens.map(
             lambda s: sep.join(filt.filter(s.split(sep))))
     return stopword_udf
@@ -606,7 +641,7 @@ def make_chartext_udf(bundle_broadcast):
     """Fused pinyin + radical/structure lookup (one Python pass per batch)."""
     @pandas_udf(CHARTEXT_RESULT)
     def chartext_udf(text: pd.Series) -> pd.DataFrame:
-        b = bundle_broadcast.value
+        b = _bc_value(bundle_broadcast)
         pys, rads, structs = [], [], []
         for t in text:
             pys.append(' '.join(b.pinyin(t)))
@@ -632,7 +667,7 @@ def make_sentiment_udf(analyzer_broadcast):
     (ref algorithm/sentiment/sentiment_analysis.py:94-201)."""
     @pandas_udf(T.DoubleType())
     def sentiment_udf(text: pd.Series) -> pd.Series:
-        sa = analyzer_broadcast.value
+        sa = _bc_value(analyzer_broadcast)
         return text.map(lambda t: sa(t) if t is not None else None)
     return sentiment_udf
 
@@ -650,7 +685,7 @@ def make_location_town_udf(bundle_broadcast):
 
     @pandas_udf(schema)
     def location_town_udf(text: pd.Series) -> pd.DataFrame:
-        lp = bundle_broadcast.value.location
+        lp = _bc_value(bundle_broadcast).location
         rows = [lp.parse(t, town_village=True) if t is not None else {}
                 for t in text]
         return pd.DataFrame({k: [r.get(k) for r in rows]

@@ -1357,11 +1357,13 @@ class TimeParser:
         immutable (strings, bound methods, bools): no aliasing risk."""
         sel = self._point_sel_memo.get(time_string)
         if sel is None:
+            # _search inlined: the battery is the profile's hottest loop and
+            # the wrapper call was pure overhead (m.group() or '' unchanged)
             ymd_strings, ymd_funcs = [], []
             empty_seen = False
             for pattern, func in self.ymd_funcs:
-                s = _search(pattern, time_string)
-                if s != '':
+                m = pattern.search(time_string)
+                if m is not None and (s := m.group()) != '':
                     ymd_strings.append(s)
                     ymd_funcs.append(func)
                 elif not empty_seen:
@@ -1372,8 +1374,8 @@ class TimeParser:
             hms_strings, hms_funcs = [], []
             empty_seen = False
             for pattern, func in self.hms_funcs:
-                s = _search(pattern, time_string)
-                if s != '':
+                m = pattern.search(time_string)
+                if m is not None and (s := m.group()) != '':
                     hms_strings.append(s)
                     hms_funcs.append(func)
                 elif not empty_seen:

@@ -409,13 +409,15 @@ def robots_filter_full(urls: DataFrame, rules: DataFrame,
     bc = spark.sparkContext.broadcast(by_host)
 
     def kernel(batches):
+        from jionlp_spark.functions.udfs import _bc_value
+        rules = _bc_value(bc)   # once per task, process-cached across tasks
         for pdf in batches:
             alw, pat = [], []
             for url, h in zip(pdf['url'], pdf['host']):
                 rest = url.split('://', 1)[-1]
                 slash = rest.find('/')
                 path = rest[slash:] if slash >= 0 else '/'
-                a, p = robots_allowed(path, bc.value.get(h, []))
+                a, p = robots_allowed(path, rules.get(h, []))
                 alw.append(a)
                 pat.append(p)
             yield pd.DataFrame({
