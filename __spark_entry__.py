@@ -29,6 +29,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 # ---------------------------------------------------------------------------
 # shared deterministic injection formulas (Spark SQL + DuckDB dialects agree
@@ -407,6 +408,7 @@ def q_kg_redact(spark, sf_dir):
         T.StructField('redact_qq', T.StringType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def redact(text: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.extractors import get_extractor
@@ -433,6 +435,7 @@ def q_kg_parentheses(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
     _ensure_shipped(spark)
 
+    @_ndet
     @pandas_udf('string')
     def paren(text: pd.Series) -> pd.Series:
         from jionlp_spark.kernels.extractors import get_extractor
@@ -485,6 +488,7 @@ def q_kg_char_checks(spark, sf_dir):
         T.StructField('replaced', T.StringType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def checks(cand: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.extractors import (RuleExtractor,
@@ -543,6 +547,7 @@ def q_norm_lunar_solar(spark, sf_dir):
         T.StructField('roundtrip', T.StringType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def conv(solar: pd.Series) -> pd.DataFrame:
         import datetime
@@ -575,6 +580,7 @@ def q_cws_tags(spark, sf_dir):
         T.StructField('roundtrip', T.StringType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def conv(text: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.ner_convert import (cws_tag2word,
@@ -3353,6 +3359,7 @@ def q_kg_span_f1(spark, sf_dir):
         T.StructField('n_pred', T.LongType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def span_f1(doc_id: pd.Series, ents: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.ner_convert import entity_f1
@@ -3497,6 +3504,7 @@ def q_kg_entity_compare(spark, sf_dir):
         T.StructField('n_other', T.LongType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def compare(doc_id: pd.Series, ents: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.ner_convert import entity_compare
@@ -3601,11 +3609,13 @@ def q_sentence_split(spark, sf_dir):
     counts per doc (the injection layout fixes the expected counts)."""
     from pyspark.sql.functions import pandas_udf
 
+    @_ndet
     @pandas_udf('long')
     def n_coarse(text: pd.Series) -> pd.Series:
         from jionlp_spark.kernels.sentence import split_sentence
         return text.map(lambda t: len(split_sentence(t, 'coarse')))
 
+    @_ndet
     @pandas_udf('long')
     def n_fine(text: pd.Series) -> pd.Series:
         from jionlp_spark.kernels.sentence import split_sentence
@@ -4468,6 +4478,7 @@ def q_kg_mentions_bioes(spark, sf_dir):
             F.col('offset_start').alias('s'), F.col('offset_end').alias('e'),
             F.col('mention_type').alias('t')))).alias('ents'))
 
+    @_ndet
     @pandas_udf('string')
     def bioes(ents: pd.Series) -> pd.Series:
         from jionlp_spark.kernels.ner_convert import entity2tag
@@ -4525,6 +4536,7 @@ def q_idiom_next(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
     _ensure_shipped(spark)
 
+    @_ndet
     @pandas_udf('string')
     def idiom_udf(seed: pd.Series, idiom: pd.Series) -> pd.Series:
         import numpy as np
@@ -4766,6 +4778,7 @@ def q_bpe_byte_codec(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
     _ensure_shipped(spark)
 
+    @_ndet
     @pandas_udf('encoded string, decoded string')
     def codec(text: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.bpe import (byte_level_decode,

@@ -22,6 +22,7 @@ from jionlp_spark.kernels.extractors import get_extractor
 from jionlp_spark.kernels.html_clean import clean_html
 from jionlp_spark.kernels.idcard import IdCardParser
 from jionlp_spark.kernels.phone_loc import PhoneLocator
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 # ---------------------------------------------------------------------------
 # Worker-side broadcast cache.
@@ -92,12 +93,14 @@ def _normalize_only(cleaner, body: str, strip_tags: bool) -> str:
         remove_url=False, remove_email=False, remove_phone_number=False)
 
 
+@_ndet
 @pandas_udf(T.StringType())
 def clean_text_udf(text: pd.Series) -> pd.Series:
     cleaner = get_cleaner()
     return text.map(lambda t: cleaner.clean_text(t) if t is not None else None)
 
 
+@_ndet
 @pandas_udf(CLEAN_RESULT)
 def clean_html_text_udf(html: pd.Series) -> pd.DataFrame:
     """html:binary → (clean, extract_text, meta json).  Fused kernel: strip
@@ -119,6 +122,7 @@ def clean_html_text_udf(html: pd.Series) -> pd.DataFrame:
                          'meta': metas})
 
 
+@_ndet
 @pandas_udf(T.StringType())
 def extract_text_udf(text: pd.Series) -> pd.Series:
     """Normalization ONLY (no redaction chain): for stages that consume just
@@ -130,6 +134,7 @@ def extract_text_udf(text: pd.Series) -> pd.Series:
                     if t is not None else None)
 
 
+@_ndet
 @pandas_udf(CLEAN_RESULT)
 def clean_plain_text_udf(text: pd.Series) -> pd.DataFrame:
     """text:string (pre-extracted body) → (clean, extract_text, meta=None)."""
@@ -148,6 +153,7 @@ def clean_plain_text_udf(text: pd.Series) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # Stage-2 mention sweep
 
+@_ndet
 @pandas_udf(MENTIONS_ARRAY)
 def rule_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
     """One fused pass per document: all regex extractors + the money and
@@ -191,6 +197,7 @@ def make_lexicon_mentions_udf(trie_broadcast, merge_adjacent: bool = True):
     '湖北省'+'襄樊市' → '湖北省襄樊市' — so the location linker sees whole
     admin phrases.
     """
+    @_ndet
     @pandas_udf(MENTIONS_ARRAY)
     def lexicon_mentions_udf(text: pd.Series) -> pd.Series:
         trie = _bc_value(trie_broadcast)
@@ -266,6 +273,7 @@ def make_link_udf(bundle_broadcast):
       money               → '<num><case>' from the extraction-time parse
       email               → lowercased address; url → as-is; others → text
     """
+    @_ndet
     @pandas_udf(LINK_RESULT)
     def link_udf(mention_type: pd.Series, text: pd.Series,
                  norm_in: pd.Series) -> pd.DataFrame:
@@ -367,6 +375,7 @@ def make_lexicon_linked_udf(trie_broadcast, bundle_broadcast,
     tiny next to mention volume.  ``normalize=True`` folds the extract_text
     normalization into the same pass — chained ArrowEvalPython stages each
     pin their own Python workers, which dominates at small inputs."""
+    @_ndet
     @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
     def lexicon_linked_udf(text: pd.Series) -> pd.Series:
         trie = _bc_value(trie_broadcast)
@@ -436,6 +445,7 @@ def make_linked_mentions_udf(bundle_broadcast, trie_broadcast=None,
     # mention volume — same rationale as make_lexicon_linked_udf's memo
     _loc_memo: dict = {}
 
+    @_ndet
     @pandas_udf(T.ArrayType(LINKED_MENTION_TYPE))
     def linked_mentions_udf(text: pd.Series, warc_ts: pd.Series) -> pd.Series:
         bundle = _bc_value(bundle_broadcast)
@@ -605,6 +615,7 @@ class NormBundle:
 
 
 def make_tra2sim_udf(bundle_broadcast):
+    @_ndet
     @pandas_udf(NORM_TEXT_RESULT)
     def tra2sim_udf(text: pd.Series) -> pd.DataFrame:
         conv = _bc_value(bundle_broadcast).tsconv
@@ -617,6 +628,7 @@ def make_tra2sim_udf(bundle_broadcast):
 def make_stopword_udf(bundle_broadcast, sep: str = '|'):
     """tokens joined by `sep` → filtered tokens joined by `sep` (the full
     reference cascade incl. negation keep-list, remove_stopwords.py:139)."""
+    @_ndet
     @pandas_udf(T.StringType())
     def stopword_udf(tokens: pd.Series) -> pd.Series:
         filt = _bc_value(bundle_broadcast).stopwords
@@ -625,12 +637,14 @@ def make_stopword_udf(bundle_broadcast, sep: str = '|'):
     return stopword_udf
 
 
+@_ndet
 @pandas_udf(T.StringType())
 def money_num2char_sim_udf(num: pd.Series) -> pd.Series:
     from jionlp_spark.kernels.money_fmt import money_num2char
     return num.map(lambda n: money_num2char(n, 'sim'))
 
 
+@_ndet
 @pandas_udf(T.StringType())
 def money_num2char_tra_udf(num: pd.Series) -> pd.Series:
     from jionlp_spark.kernels.money_fmt import money_num2char
@@ -639,6 +653,7 @@ def money_num2char_tra_udf(num: pd.Series) -> pd.Series:
 
 def make_chartext_udf(bundle_broadcast):
     """Fused pinyin + radical/structure lookup (one Python pass per batch)."""
+    @_ndet
     @pandas_udf(CHARTEXT_RESULT)
     def chartext_udf(text: pd.Series) -> pd.DataFrame:
         b = _bc_value(bundle_broadcast)
@@ -653,6 +668,7 @@ def make_chartext_udf(bundle_broadcast):
     return chartext_udf
 
 
+@_ndet
 @pandas_udf(T.BooleanType())
 def check_person_name_udf(text: pd.Series) -> pd.Series:
     """Surname-heuristic person-name predicate
@@ -665,6 +681,7 @@ def check_person_name_udf(text: pd.Series) -> pd.Series:
 def make_sentiment_udf(analyzer_broadcast):
     """Lexicon sentiment score in [0,1]
     (ref algorithm/sentiment/sentiment_analysis.py:94-201)."""
+    @_ndet
     @pandas_udf(T.DoubleType())
     def sentiment_udf(text: pd.Series) -> pd.Series:
         sa = _bc_value(analyzer_broadcast)
@@ -683,6 +700,7 @@ def make_location_town_udf(bundle_broadcast):
         T.StructField('village', T.StringType()),
     ])
 
+    @_ndet
     @pandas_udf(schema)
     def location_town_udf(text: pd.Series) -> pd.DataFrame:
         lp = _bc_value(bundle_broadcast).location

@@ -24,6 +24,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 
 def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
@@ -238,6 +239,7 @@ def bpe_encode(docs: DataFrame, merges: list, text_col: str = 'text',
 
     merge_list = [tuple(m) for m in merges]
 
+    @_ndet
     @pandas_udf('array<string>')
     def encode_udf(text: pd.Series) -> pd.Series:
         def enc_word(word):

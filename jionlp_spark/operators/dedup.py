@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 
 def _java_regex_literal(s: str) -> str:
@@ -172,6 +173,7 @@ def simhash64(docs: DataFrame, text_col: str = 'text',
 
     import numpy as np
 
+    @_ndet
     @pandas_udf(T.LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:
         def sim(t):

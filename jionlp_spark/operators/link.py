@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jionlp_spark.functions.udfs import LexiconBundle, make_link_udf
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 
 _BUNDLE_CACHE: dict = {}
@@ -167,7 +168,7 @@ def recognize_location_full(words_per_doc: DataFrame,
     # real annotation objects: this module uses `from __future__ import
     # annotations`, so inline hints would be unresolvable strings
     rec.__annotations__ = {'words': pd.Series, 'return': pd.DataFrame}
-    rec = pandas_udf(rec, schema)
+    rec = _ndet(pandas_udf(rec, schema))
 
     out = rec(F.col(words_col))
     return words_per_doc.select(

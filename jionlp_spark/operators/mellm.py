@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 
 def normalize_grades(grades: DataFrame,
@@ -30,6 +31,7 @@ def normalize_grades(grades: DataFrame,
     answered nonsense)."""
     from pyspark.sql.functions import pandas_udf
 
+    @_ndet
     @pandas_udf('score double, valid boolean')
     def norm(text: pd.Series) -> pd.DataFrame:
         from jionlp_spark.kernels.mellm import normalize_grading_score

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 
 def augment_swap(docs: DataFrame, augmentation_num: int = 3,
@@ -25,6 +26,7 @@ def augment_swap(docs: DataFrame, augmentation_num: int = 3,
     The RNG seed per row is base_seed + `seed_col` (default: the id)."""
     from pyspark.sql.functions import pandas_udf
 
+    @_ndet
     @pandas_udf('string')
     def swap_udf(seed: pd.Series, text: pd.Series) -> pd.Series:
         import numpy as np
@@ -53,6 +55,7 @@ def augment_add_delete(docs: DataFrame, augmentation_num: int = 3,
     singleton in the kernel layer, ~400 KB)."""
     from pyspark.sql.functions import pandas_udf
 
+    @_ndet
     @pandas_udf('string')
     def ad_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         import numpy as np
@@ -112,6 +115,7 @@ def augment_homophone(docs: DataFrame, augmentation_num: int = 3,
     segmentation).  RNG per row = RandomState(base_seed + seed_col)."""
     from pyspark.sql.functions import pandas_udf
 
+    @_ndet
     @pandas_udf('string')
     def homo_udf(seed: pd.Series, text: pd.Series) -> pd.Series:
         import numpy as np
@@ -145,6 +149,7 @@ def augment_back_translation(docs: DataFrame, apis=None,
     """
     from pyspark.sql.functions import pandas_udf
 
+    @_ndet
     @pandas_udf('string')
     def bt_udf(text: pd.Series) -> pd.Series:
         from jionlp_spark.kernels.backtrans import (BackTranslation,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 # tiny per-language marker lexicons (deterministic heuristic; the synthetic
 # corpus' lang column is the ground truth to score against)
@@ -178,6 +179,7 @@ def _winnow_arrow_udf(k: int, w: int):
     weights = np.array([pow(31, k - 1 - j, mod) for j in range(k)],
                        dtype=np.int64)
 
+    @_ndet
     @pandas_udf('array<struct<p: bigint, v: bigint>>')
     def winnow(text: pd.Series) -> pd.Series:
         def one(t):
@@ -547,46 +549,76 @@ def repetition_filters(docs: DataFrame, text_col: str = 'text',
       the published Gopher cutoffs for the comparable line-less
       signals).
 
-    Everything is ONE per-row higher-order-expression tree — no explode,
-    no shuffle, no Python; the whole operator is a projection that scales
-    embarrassingly.  The top-unigram count is O(distinct·n) per row —
-    bounded by document length, never corpus size.  Int/int division
-    yields identical doubles in both engines, so the threshold compares
-    split identically (repo float-parity rule).
+    ONE map stage, no explode, no shuffle: the integer n-gram COUNTS come
+    from a single Arrow batch pass (hash-count per doc — O(n) per row;
+    the previous all-JVM higher-order-expression tree was O(distinct·n)
+    per row AND ran fully interpreted, since array lambda expressions are
+    CodegenFallback — the most expensive projection in the suite), while
+    every DIVISION and comparison stays in JVM SQL over those ints, so
+    the doubles and threshold splits are bit-identical to the old
+    expression tree (repo float-parity rule: int/int division written
+    identically in both engines).
 
     Reference: JioNLP's quality screens are keyword lists
     (pornography/sensitive dicts — keyword_flags above); repetition
     signals are the training-data-pipeline extension the brief adds.
     """
-    toks = F.split(F.col(text_col), ' ')
-    n = F.size(toks)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def ngrams(k):
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.concat_ws(' ', F.slice(toks, i + 1, k)))
+    schema = ('n long, topc long, g2 long, d2 long, g3 long, d3 long')
 
-    top_uni = (F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda t: t == w))))
-        / F.greatest(n, F.lit(1)))
+    def counts(text):
+        ns, tops, g2s, d2s, g3s, d3s = [], [], [], [], [], []
+        for t in text:
+            if t is None:
+                ns.append(None); tops.append(None)
+                g2s.append(None); d2s.append(None)
+                g3s.append(None); d3s.append(None)
+                continue
+            toks = t.split(' ')     # == split(text, ' '): '' → ['']
+            n = len(toks)
+            freq: dict = {}
+            for w in toks:
+                freq[w] = freq.get(w, 0) + 1
+            ns.append(n)
+            tops.append(max(freq.values()))
+            g2 = n - 1
+            g2s.append(g2)
+            d2s.append(len({(toks[i], toks[i + 1])
+                            for i in range(g2)}) if g2 > 0 else 0)
+            g3 = n - 2
+            g3s.append(g3)
+            d3s.append(len({(toks[i], toks[i + 1], toks[i + 2])
+                            for i in range(g3)}) if g3 > 0 else 0)
+        return pd.DataFrame({'n': ns, 'topc': tops, 'g2': g2s, 'd2': d2s,
+                             'g3': g3s, 'd3': d3s})
 
-    def dup_frac(k):
-        g = ngrams(k)
-        return (F.when(n >= k,
-                       (F.size(g) - F.size(F.array_distinct(g)))
-                       / F.size(g))
-                .otherwise(F.lit(0.0)))
+    counts.__annotations__ = {'text': pd.Series, 'return': pd.DataFrame}
+    counts = _ndet(pandas_udf(counts, schema))
 
-    d2, d3 = dup_frac(2), dup_frac(3)
-    return docs.select(
-        F.col(id_col).alias('doc_id'),
-        n.cast('long').alias('n_tokens'),
-        top_uni.alias('top_unigram_frac'),
-        d2.alias('dup_bigram_frac'),
-        d3.alias('dup_trigram_frac'),
-        ((top_uni > top_unigram_max) | (d2 > dup_bigram_max)
-         | (d3 > dup_trigram_max)).alias('repetition_flagged'))
+    return (docs
+            .select(F.col(id_col).alias('doc_id'),
+                    counts(F.col(text_col)).alias('c'))
+            .select('doc_id',
+                    F.col('c.n').cast('long').alias('n_tokens'),
+                    (F.col('c.topc')
+                     / F.greatest(F.col('c.n'), F.lit(1)))
+                    .alias('top_unigram_frac'),
+                    F.when(F.col('c.n') >= 2,
+                           (F.col('c.g2') - F.col('c.d2')) / F.col('c.g2'))
+                    .otherwise(F.lit(0.0)).alias('dup_bigram_frac'),
+                    F.when(F.col('c.n') >= 3,
+                           (F.col('c.g3') - F.col('c.d3')) / F.col('c.g3'))
+                    .otherwise(F.lit(0.0)).alias('dup_trigram_frac'))
+            .withColumn(
+                'repetition_flagged',
+                (F.col('top_unigram_frac') > top_unigram_max)
+                | (F.col('dup_bigram_frac') > dup_bigram_max)
+                | (F.col('dup_trigram_frac') > dup_trigram_max))
+            .select('doc_id', 'n_tokens', 'top_unigram_frac',
+                    'dup_bigram_frac', 'dup_trigram_frac',
+                    'repetition_flagged'))
 
 
 def length_quantiles(docs: DataFrame, probs=(0.25, 0.5, 0.9, 0.99),

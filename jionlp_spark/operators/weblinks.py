@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from jionlp_spark.kernels import links as _k
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 LINK_TYPE = T.StructType([
     T.StructField('href', T.StringType()),
@@ -43,6 +44,7 @@ LINK_TYPE = T.StructType([
 ])
 
 
+@_ndet
 @pandas_udf(T.ArrayType(LINK_TYPE))
 def _links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     out = []
@@ -117,6 +119,7 @@ def anchor_stats(links: DataFrame, k: int = 3) -> DataFrame:
                   .filter(F.col('rank') <= k))
 
 
+@_ndet
 @pandas_udf(T.StringType())
 def _canon_udf(url: pd.Series) -> pd.Series:
     from jionlp_spark.kernels import urlnorm

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from jionlp_spark.operators.clean import clean_pages
 from jionlp_spark.operators.mentions import extract_mentions
+from jionlp_spark.functions.ndet import ndet as _ndet
 
 _INTERVAL_MS = {'second': 1000, 'minute': 60_000, 'hour': 3600_000,
                 'day': 86_400_000, 'week': 604_800_000}
@@ -499,7 +500,7 @@ def streaming_url_dedup(pages_stream: DataFrame,
     # real annotation objects (the module uses `from __future__ import
     # annotations`, so inline hints would be unresolvable strings)
     _canon_fn.__annotations__ = {'url': pd.Series, 'return': pd.Series}
-    _canon = pandas_udf(_canon_fn, 'string')
+    _canon = _ndet(pandas_udf(_canon_fn, 'string'))
 
     canoned = (pages_stream
                .select(_canon(F.col('url')).alias('canon_url'),
