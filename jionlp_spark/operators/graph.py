@@ -1803,7 +1803,8 @@ def truth_discovery(claims: DataFrame, iters: int = 2,
              .withColumn('trust', F.lit(float(init_trust))))
     grp = Window.partitionBy('pred', 'subj')
     nconf = None
-    for _ in range(max(1, iters)):
+    n_iters = max(1, iters)
+    for i in range(n_iters):
         conf = (c.join(trust, 'source')
                 .groupBy('pred', 'subj', 'obj')
                 .agg(F.sum(F.col('trust').cast('string')
@@ -1814,6 +1815,11 @@ def truth_discovery(claims: DataFrame, iters: int = 2,
                 .drop('cs'))
         nconf = conf.withColumn(
             'nconf', F.col('confidence') / F.max('confidence').over(grp))
+        if i == n_iters - 1:
+            # only nconf is consumed after the loop — the final trust
+            # update was one wasted claims-join + source aggregation job
+            # per call (ADVICE r7)
+            break
         trust = (c.join(nconf.select('pred', 'subj', 'obj', 'nconf'),
                         ['pred', 'subj', 'obj'])
                  .groupBy('source')
@@ -1863,11 +1869,18 @@ def align_entities_iterated(kb_a: DataFrame, kb_b: DataFrame,
     projection over kb_b plus a fresh alignment — rounds are a small
     fixed count (PARIS converges in a handful).
     """
-    out = align_entities(kb_a, kb_b, min_inv_functionality,
-                         max_bucket, subj_col, pred_col, obj_col)
+    # canonicalize BOTH KBs to (pred, subj, obj) once at entry: rounds >= 2
+    # re-call align_entities with default column names, which silently
+    # mis-selected (or raised) for callers using non-default columns
+    # (ADVICE r7); with default names the rename is a no-op projection
+    a_raw = kb_a.select(F.col(pred_col).alias('pred'),
+                        F.col(subj_col).alias('subj'),
+                        F.col(obj_col).alias('obj'))
     b_raw = kb_b.select(F.col(pred_col).alias('pred'),
                         F.col(subj_col).alias('subj'),
                         F.col(obj_col).alias('obj'))
+    out = align_entities(a_raw, b_raw, min_inv_functionality,
+                         max_bucket, 'subj', 'pred', 'obj')
     for _ in range(max(1, rounds) - 1):
         accepted = (out.filter(F.col('is_best_a') & F.col('is_best_b')
                                & (F.col('n_shared')
@@ -1877,7 +1890,7 @@ def align_entities_iterated(kb_a: DataFrame, kb_b: DataFrame,
                          b_raw['obj'] == accepted['ent_b'], 'left')
               .select('pred', 'subj',
                       F.coalesce('ent_a', 'obj').alias('obj')))
-        out = align_entities(kb_a, b2, min_inv_functionality,
+        out = align_entities(a_raw, b2, min_inv_functionality,
                              max_bucket, 'subj', 'pred', 'obj')
     return out
 

@@ -591,6 +591,12 @@ def streaming_conflicts(triples_stream: DataFrame,
         if state.hasTimedOut:
             state.remove()
             return
+        # scope_fn's empty-input guard, mirrored (ADVICE r7): a key whose
+        # batch delivers only empty chunks would leave max_ts None and
+        # crash _epoch_ms mid-micro-batch
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
         if state.exists:
             objs, votes, overflow = state.get
             objs, votes = list(objs), list(votes)
@@ -598,7 +604,7 @@ def streaming_conflicts(triples_stream: DataFrame,
             objs, votes, overflow = [], [], 0
         idx = {o: i for i, o in enumerate(objs)}
         max_ts = None
-        for pdf in pdf_iter:
+        for pdf in parts:
             for row in pdf.itertuples():
                 o = row.obj
                 if o in idx:
