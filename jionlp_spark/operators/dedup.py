@@ -87,14 +87,69 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16,
                else f"x & 4294967295))")).alias(f'mh{k}')
             for k in range(num_hashes)]
         return hashed.select('doc_id', *mh)
-    salt_cols = [
-        F.expr(f"transform(shingles, s -> md5(concat('{g}', s)))")
-        .alias(f'_h{g}') for g in range((num_hashes + 3) // 4)]
-    hashed = base.select('doc_id', *salt_cols)
-    mh = [F.expr(f"array_min(transform(_h{k // 4}, "
-                 f"x -> substring(x, {(k % 4) * 8 + 1}, 8)))")
-          .alias(f'mh{k}') for k in range(num_hashes)]
-    return hashed.select('doc_id', *mh)
+    # md5 path: ONE Arrow batch pass (hashlib md5 == Spark md5 over the
+    # same UTF-8 bytes; ASCII-hex min == UTF8String binary array_min, with
+    # the same null-skipping).  Replaces the per-row higher-order
+    # expression tree, which (a) ran interpreted — array lambdas are
+    # CodegenFallback — and (b) being deterministic, was relocated by
+    # Catalyst below the spread-repartition when a caller filtered on the
+    # signature output, collapsing the whole stage onto the scan's task
+    # count (audited: one 7 s task on the single-file test corpus).  The
+    # UDF is non-deterministic-marked so the optimizer cannot move or
+    # duplicate it; values are bit-identical (asserted vs the old
+    # expression tree in tests/test_operators.py).
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from jionlp_spark.functions.ndet import ndet as _ndet
+
+    n_salts = (num_hashes + 3) // 4
+    schema = ('_keep boolean, '
+              + ', '.join(f'mh{k} string' for k in range(num_hashes)))
+
+    def _sig(shingles):
+        import hashlib
+        md5 = hashlib.md5
+        keeps: list = []
+        cols: list = [[] for _ in range(num_hashes)]
+        for arr in shingles:
+            # the old pre-filter `size(shingles) > 0`, folded in so its
+            # (heavy, interpreted) shingle expression cannot be pushed
+            # below the spread-repartition: null or empty → dropped,
+            # all-null elements → kept with null minima, exactly as
+            # filter + array_min behaved
+            if arr is None or len(arr) == 0:
+                keeps.append(False)
+                for k in range(num_hashes):
+                    cols[k].append(None)
+                continue
+            keeps.append(True)
+            per_salt = []
+            for g in range(n_salts):
+                pre = str(g).encode('utf-8')
+                per_salt.append(
+                    [md5(pre + s.encode('utf-8')).hexdigest()
+                     for s in arr if s is not None])
+            for k in range(num_hashes):
+                hs = per_salt[k // 4]
+                off = (k % 4) * 8
+                cols[k].append(
+                    min((h[off:off + 8] for h in hs), default=None))
+        out = {'_keep': keeps}
+        out.update({f'mh{k}': cols[k] for k in range(num_hashes)})
+        return pd.DataFrame(out)
+
+    _sig.__annotations__ = {'shingles': pd.Series, 'return': pd.DataFrame}
+    sig_udf = _ndet(pandas_udf(_sig, schema))
+    # alias the struct ONCE, extract fields in a separate projection: a
+    # nondeterministic call is exempt from subexpression elimination, so
+    # per-field references would each evaluate the UDF
+    return (shingle_df
+            .select('doc_id', sig_udf(F.col('shingles')).alias('_s'))
+            .filter(F.col('_s._keep'))
+            .select('doc_id',
+                    *[F.col(f'_s.mh{k}').alias(f'mh{k}')
+                      for k in range(num_hashes)]))
 
 
 def lsh_bands(signatures: DataFrame, bands: int = 4) -> DataFrame:

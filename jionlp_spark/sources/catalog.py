@@ -205,6 +205,24 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+# (applicationId, table-name) → snapshot id of the last DDL declaration
+_READ_TABLE_REG: dict = {}
+
+
+def _parquet_rows(path: str) -> int:
+    """Sum of footer row counts over every parquet part under ``path``
+    (recursive — partitioned layouts nest directories).  Identical to a
+    Spark count() over the same files, without launching a job."""
+    import pyarrow.parquet as pq
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith('.parquet'):
+                total += pq.ParquetFile(
+                    os.path.join(root, name)).metadata.num_rows
+    return total
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Manifest-aware read of a catalog table.  Plain tables come back
     as a parquet scan; tables published with ``bucket_by`` come back as
@@ -218,7 +236,26 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     import hashlib
     tbl = '_cat_' + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
-    fields = spark.read.parquet(path).schema.fields
+    # DDL round trips are driver-side overhead (~3 SQL commands per read);
+    # a re-declare is only NEEDED when the table was republished (snapshot
+    # id advanced) — the declaration is just metadata over the path, and
+    # re-declaring also invalidates the cached file listing, which is the
+    # point after a republish.  Cache per (session, path, snapshot).
+    reg_key = (spark.sparkContext.applicationId, tbl)
+    # snapshot id alone can alias (a re-created work dir restarts at 1):
+    # include the file-lineage hash so any republish re-declares
+    snap = (m.get('current_snapshot_id', 1),
+            hashlib.md5(json.dumps(m.get('files', ''), sort_keys=True)
+                        .encode()).hexdigest())
+    if _READ_TABLE_REG.get(reg_key) == snap:
+        return spark.table(tbl)
+    if m.get('schema'):
+        # the manifest records the published schema — re-deriving it via a
+        # JVM parquet footer inference per read was pure overhead
+        from pyspark.sql.types import StructType
+        fields = StructType.fromJson(m['schema']).fields
+    else:
+        fields = spark.read.parquet(path).schema.fields
     ddl = ', '.join(f'`{f.name}` {f.dataType.simpleString()}'
                     for f in fields)
     cols = ', '.join(f'`{c}`' for c in spec['columns'])
@@ -229,6 +266,7 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         f"CREATE TABLE {tbl} ({ddl}) USING parquet "
         f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
         f"INTO {spec['n_buckets']} BUCKETS LOCATION '{os.path.abspath(path)}'")
+    _READ_TABLE_REG[reg_key] = snap
     return spark.table(tbl)
 
 
@@ -285,7 +323,9 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
         writer.parquet(tmp)
 
     out = spark.read.parquet(tmp)
-    rows = out.count()
+    # manifest row count from the parquet footers (exact, and no Spark
+    # job — a count() here was one extra cluster round-trip per publish)
+    rows = _parquet_rows(tmp)
 
     prev = read_manifest(path)
     history: list = []

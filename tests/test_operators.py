@@ -36,6 +36,35 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 5) not in pairs      # unrelated languages don't
 
 
+def test_minhash_arrow_matches_expression_tree(docs, spark):
+    """The r8 Arrow md5-signature pass must be bit-identical to the
+    higher-order-expression tree it replaced — same salt-concat-md5-
+    substring-min chain, including null-element skipping and the
+    empty-shingles drop."""
+    from pyspark.sql import functions as F
+
+    from jionlp_spark.operators.dedup import minhash_signatures, shingles
+    extra = spark.createDataFrame(
+        [(100, 'a  b   c'),          # multi-space → empty tokens
+         (101, 'ab'), (102, '')],    # single/empty text
+        'doc_id long, text string')
+    sh = shingles(docs.select('doc_id', 'text').union(extra), n=3)
+    got = {r['doc_id']: (r['mh0'], r['mh3'], r['mh7'])
+           for r in minhash_signatures(sh, num_hashes=8).collect()}
+
+    # reference: the pre-r8 expression formulation, inline
+    salt_cols = [
+        F.expr(f"transform(shingles, s -> md5(concat('{g}', s)))")
+        .alias(f'_h{g}') for g in range(2)]
+    hashed = sh.filter(F.size('shingles') > 0).select('doc_id', *salt_cols)
+    mh = [F.expr(f"array_min(transform(_h{k // 4}, "
+                 f"x -> substring(x, {(k % 4) * 8 + 1}, 8)))")
+          .alias(f'mh{k}') for k in range(8)]
+    want = {r['doc_id']: (r['mh0'], r['mh3'], r['mh7'])
+            for r in hashed.select('doc_id', *mh).collect()}
+    assert got == want and len(got) > 5
+
+
 def test_simhash_near_dups(docs):
     from jionlp_spark.operators.dedup import simhash64, simhash_near_dups
     sims = simhash64(docs)
