@@ -217,6 +217,8 @@ class TimeDeltaParser:
     def __init__(self) -> None:
         # bounded memo of (time_string, time_type) pairs known to yield None
         self._span_none_memo: set = set()
+        # lazy regex_gate prescreens for the delta battery
+        self._delta_req: list | None = None
         self.exception_standard_delta = re.compile(
             r'(([12]\d{3}|[一二三四五六七八九零〇]{2}|[一二三四五六七八九零〇]{4})年)')
         self.ambivalent_delta_point = re.compile(
@@ -324,9 +326,16 @@ class TimeDeltaParser:
         funcs = [(self.standard_delta, self._normalize_standard),
                  (self.law_delta, self._normalize_law),
                  (self.special_delta, self._normalize_special)]
+        if self._delta_req is None:
+            from .regex_gate import required_chars
+            self._delta_req = [required_chars(p) for p, _f in funcs]
+        chars = set(time_string)
         cur_func, cur_string = None, ''
-        for pattern, func in funcs:
-            s = _search(pattern, time_string)
+        for (pattern, func), req in zip(funcs, self._delta_req):
+            if req is not None and req.isdisjoint(chars):
+                s = ''
+            else:
+                s = _search(pattern, time_string)
             if len(s) > len(cur_string):
                 cur_func, cur_string = func, s
             if cur_string == time_string:
@@ -526,6 +535,13 @@ class TimeParser:
         # (bounded; see the method docstrings)
         self._point_sel_memo: dict = {}
         self._span22_memo: dict = {}
+        # sound must-contain-char gates for the selection batteries: a
+        # pattern whose every match provably contains a char the string
+        # lacks cannot match — skip its search (kernels/regex_gate.py;
+        # None = unprovable, always search)
+        from .regex_gate import required_chars
+        self._ymd_req = [required_chars(p) for p, _f in self.ymd_funcs]
+        self._hms_req = [required_chars(p) for p, _f in self.hms_funcs]
 
     # -- patterns -------------------------------------------------------------
 
@@ -1357,12 +1373,16 @@ class TimeParser:
         immutable (strings, bound methods, bools): no aliasing risk."""
         sel = self._point_sel_memo.get(time_string)
         if sel is None:
-            # _search inlined: the battery is the profile's hottest loop and
-            # the wrapper call was pure overhead (m.group() or '' unchanged)
+            # _search inlined (the battery is the profile's hottest loop;
+            # m.group() or '' semantics unchanged) + the regex_gate char
+            # prescreen: a gated pattern provably cannot match when the
+            # string lacks all its anchor chars
+            chars = set(time_string)
             ymd_strings, ymd_funcs = [], []
             empty_seen = False
-            for pattern, func in self.ymd_funcs:
-                m = pattern.search(time_string)
+            for (pattern, func), req in zip(self.ymd_funcs, self._ymd_req):
+                m = None if (req is not None and req.isdisjoint(chars)) \
+                    else pattern.search(time_string)
                 if m is not None and (s := m.group()) != '':
                     ymd_strings.append(s)
                     ymd_funcs.append(func)
@@ -1373,8 +1393,9 @@ class TimeParser:
 
             hms_strings, hms_funcs = [], []
             empty_seen = False
-            for pattern, func in self.hms_funcs:
-                m = pattern.search(time_string)
+            for (pattern, func), req in zip(self.hms_funcs, self._hms_req):
+                m = None if (req is not None and req.isdisjoint(chars)) \
+                    else pattern.search(time_string)
                 if m is not None and (s := m.group()) != '':
                     hms_strings.append(s)
                     hms_funcs.append(func)
