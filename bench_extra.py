@@ -84,7 +84,7 @@ def main() -> int:
         results[f'e2e_{args.e2e}'] = {
             'min': min(runs), 'runs': runs, 'loads': loads, 'triples': n}
 
-    if args.queries:
+    if args.queries and args.runs:
         # warm the shared caches exactly like bench.py does, so the first
         # kg_* query measured doesn't absorb the corpus extraction pass
         warm_names = set(args.queries)
@@ -112,8 +112,9 @@ def main() -> int:
             t0 = time.time()
             n = _force_full(fn(spark, SF_DIR)).count()
             runs.append(round(time.time() - t0, 3))
-        results[name] = {'min': min(runs), 'runs': runs, 'loads': loads,
-                         'rows': n}
+        if runs:     # --runs 0 = explain-only capture
+            results[name] = {'min': min(runs), 'runs': runs, 'loads': loads,
+                             'rows': n}
         spark.sparkContext.setJobDescription(None)
 
     line = json.dumps(results)

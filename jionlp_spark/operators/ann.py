@@ -158,7 +158,7 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
     # inside the loop its lineage runs once per iteration anyway.
     centroids = _hash_seed_centroids(train, k, vec_col, id_col)
     if iters == 0:
-        return centroids.localCheckpoint()
+        return centroids.localCheckpoint(eager=False)
     for _ in range(iters):
         assigned = _assign(train, centroids, probes=1, vec_col=vec_col,
                            id_col=id_col, impl=impl)
@@ -175,7 +175,7 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 1,
                      .select(F.col('bucket').alias('centroid_id'),
                              F.expr('transform(s, x -> x.m)')
                              .alias('centroid'))
-                     .localCheckpoint())
+                     .localCheckpoint(eager=False))
     return centroids
 
 
@@ -664,7 +664,7 @@ def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 64,
           .select('sub_id', 'code_id',
                   F.expr(f'slice(centroid, sub_id * {sub_d} + 1, {sub_d})')
                   .alias('code'))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     if iters == 0:
         return cb
     esub = (None if impl == 'arrow'
@@ -687,7 +687,7 @@ def pq_codebooks(emb: DataFrame, m: int = 8, k: int = 64,
                    .alias('s'))
               .select('sub_id', 'code_id',
                       F.expr('transform(s, x -> x.mv)').alias('code'))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     return cb
 
 

@@ -198,7 +198,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
     # localCheckpoint truncates lineage each round — without it the plan
     # nests one fold expression per merge and analysis time grows
     # quadratically with n_merges
-    vocab = _word_vocab(docs, text_col).localCheckpoint()
+    vocab = _word_vocab(docs, text_col).localCheckpoint(eager=False)
     merges: list = []
     rounds = 0
     while len(merges) < n_merges:
@@ -222,7 +222,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
         merges.extend(batch)
         for a, b in batch:  # compatible merges: one fused rewrite, then
             vocab = vocab.select(_merge_expr(a, b).alias('symbols'), 'freq')
-        vocab = vocab.localCheckpoint()  # one checkpoint per ROUND
+        vocab = vocab.localCheckpoint(eager=False)  # one checkpoint per ROUND
     if stats is not None:
         stats['rounds'] = rounds
     return merges

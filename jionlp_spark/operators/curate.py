@@ -99,13 +99,13 @@ def curate_corpus(docs: DataFrame, langs=DEFAULT_LANGS,
              .select('doc_id', 'text',
                      (F.col('doc_id') != F.col('keep_id'))
                      .alias('exact_dup'))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
 
     # near-dup over exact survivors only (LSH sees the smallest set)
     surv2 = surv1.filter(~F.col('exact_dup')).select('doc_id', 'text')
     pairs = lsh_candidate_pairs(
         minhash_signatures(shingles(surv2, n=shingle_n), num_hashes),
-        bands=bands).localCheckpoint()
+        bands=bands).localCheckpoint(eager=False)
     clusters = dedup_keep_list(pairs)
     # a pair member is dropped iff it is not ANY cluster's keep
     # (components assign each member exactly one cluster)
@@ -188,7 +188,7 @@ def incremental_curate(spark, state_path: str, new_docs, batch_id: str,
              .select('doc_id', 'text', 'h',
                      (F.col('doc_id') != F.col('keep_id'))
                      .alias('exact_within'))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
 
     exact_drop = surv1.filter('exact_within').select('doc_id')
     if have_state:
@@ -198,13 +198,13 @@ def incremental_curate(spark, state_path: str, new_docs, batch_id: str,
                       .filter(F.col('n.doc_id') != F.col('i.doc_id'))
                       .select(F.col('n.doc_id').alias('doc_id')))
         exact_drop = exact_drop.union(exact_hist)
-    exact_drop = exact_drop.distinct().localCheckpoint()
+    exact_drop = exact_drop.distinct().localCheckpoint(eager=False)
 
     surv2 = surv1.join(exact_drop, 'doc_id', 'left_anti') \
         .select('doc_id', 'text')
     bands_new = lsh_bands(
         minhash_signatures(shingles(surv2, n=shingle_n), num_hashes),
-        bands=bands).localCheckpoint()
+        bands=bands).localCheckpoint(eager=False)
 
     within = (bands_new.alias('a')
               .join(bands_new.alias('b'), ['band_id', 'band_hash'])
@@ -222,7 +222,7 @@ def incremental_curate(spark, state_path: str, new_docs, batch_id: str,
                      .filter(F.col('n.doc_id') != F.col('i.doc_id'))
                      .select(F.col('n.doc_id').alias('doc_id')))
         near_drop = near_drop.union(near_hist)
-    near_drop = near_drop.distinct().localCheckpoint()
+    near_drop = near_drop.distinct().localCheckpoint(eager=False)
 
     verdict = (staged.select('doc_id', 'early')
                .join(exact_drop.withColumn('_ex', F.lit(True)),
@@ -540,10 +540,10 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     # + each scalar total is its own subtree (first cut: 5 scans / 10
     # exchanges → 1 live scan / 2 model-build passes)
     tm = tgt_b.groupBy('b').agg(F.count('*').cast('long').alias('ct')) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     tt = tm.agg(F.sum('ct').cast('long').alias('tt'))
     rm = raw_b.groupBy('b').agg(F.count('*').cast('long').alias('cr')) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     rt = rm.agg(F.sum('cr').cast('long').alias('rt'))
 
     model = (rm.join(tm, 'b', 'left')

@@ -561,14 +561,14 @@ def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
                                       F.col('a').alias('b')))
              .distinct().persist())
     labels = (edges.select(F.col('a').alias('v')).distinct()
-              .withColumn('label', F.col('v')).localCheckpoint())
+              .withColumn('label', F.col('v')).localCheckpoint(eager=False))
     converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges['a'] == labels['v'])
                  .select(F.col('b').alias('v'), 'label'))
         new = (labels.select('v', 'label').union(neigh)
                .groupBy('v').agg(F.min('label').alias('label'))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         changed = (new.alias('n')
                    .join(labels.alias('o'), 'v')
                    .filter(F.col('n.label') != F.col('o.label')).count())
@@ -605,10 +605,10 @@ def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
     vertex set.
     """
     verts = (edges.select('a').union(edges.select(F.col('b').alias('a')))
-             .distinct().select(F.col('a').alias('v')).localCheckpoint())
+             .distinct().select(F.col('a').alias('v')).localCheckpoint(eager=False))
     e = (edges.select(F.greatest('a', 'b').alias('u'),
                       F.least('a', 'b').alias('v'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     n_prev = e.count()
     converged = False
     for _ in range(max_iter):
@@ -627,7 +627,7 @@ def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
                       F.least('v', 'm').alias('v'))
               .union(smin.select('u', F.col('m').alias('v')))
               .filter(F.col('u') != F.col('v'))
-              .distinct().localCheckpoint())
+              .distinct().localCheckpoint(eager=False))
         # fixed-point test = multiset equality (count match + one-sided
         # exceptAll empty, both tables distinct).  The exceptAll probe is
         # a full extra shuffle job — run it only when the counts agree

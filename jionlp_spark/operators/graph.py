@@ -54,12 +54,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     wdeg = e.groupBy('src').agg(F.sum('w').alias('wdeg'))
     ew = e.join(wdeg, 'src').persist()
 
-    nodes = ew.select(F.col('src').alias('v')).distinct().localCheckpoint()
+    nodes = ew.select(F.col('src').alias('v')).distinct().localCheckpoint(eager=False)
     n_nodes = nodes.agg(F.count('*').cast('long').alias('n'))
 
     pr = (nodes.crossJoin(F.broadcast(n_nodes))
           .select('v', (F.lit(1.0) / F.col('n')).alias('pr'))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     pr = _pagerank_rounds(ew, nodes, n_nodes, pr, iters, damping)
     ew.unpersist()
     return pr
@@ -90,7 +90,7 @@ def _pagerank_rounds(ew: DataFrame, nodes: DataFrame, n_nodes: DataFrame,
                        * F.coalesce(F.col('s').cast('string')
                                     .cast('double'), F.lit(0.0)))
                       .alias('pr'))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     return pr
 
 
@@ -136,7 +136,7 @@ def pagerank_warm(edges: DataFrame, prior: DataFrame, iters: int = 2,
     wdeg = e.groupBy('src').agg(F.sum('w').alias('wdeg'))
     ew = e.join(wdeg, 'src').persist()
 
-    nodes = ew.select(F.col('src').alias('v')).distinct().localCheckpoint()
+    nodes = ew.select(F.col('src').alias('v')).distinct().localCheckpoint(eager=False)
     n_nodes = nodes.agg(F.count('*').cast('long').alias('n'))
 
     p0 = prior.select(F.col(prior_v_col).alias('v'),
@@ -146,7 +146,7 @@ def pagerank_warm(edges: DataFrame, prior: DataFrame, iters: int = 2,
           .select('v',
                   F.coalesce(F.col('_prior'),
                              F.lit(1.0) / F.col('n')).alias('pr'))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     pr = _pagerank_rounds(ew, nodes, n_nodes, pr, iters, damping)
     ew.unpersist()
     return pr
@@ -189,7 +189,7 @@ def edge_association(mentions: DataFrame, doc_col: str = 'doc_id',
     # exchanges → 2 / 8 checkpointed)
     m = (mentions.select(F.col(doc_col).alias('doc_id'),
                          F.col(ent_col).alias('ent'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     n_total = m.select(F.countDistinct('doc_id').cast('long').alias('n'))
     df = m.groupBy('ent').agg(F.countDistinct('doc_id').cast('long')
                               .alias('n_ent'))
@@ -242,7 +242,7 @@ def edge_confidence(mentions: DataFrame, iters: int = 3,
     # input AND the final join — lazy reuse re-derives the whole
     # association subtree per consumer (first cut: 20 scans / 52
     # exchanges → flat after checkpointing here and in edge_association)
-    assoc = edge_association(mentions, doc_col, ent_col).localCheckpoint()
+    assoc = edge_association(mentions, doc_col, ent_col).localCheckpoint(eager=False)
     edges = (assoc.select(F.col('ent_a').alias('src'),
                           F.col('ent_b').alias('dst'),
                           F.col('n_ab').alias('w'))
@@ -1293,7 +1293,7 @@ def conflict_resolution(triples: DataFrame, min_functionality: float = 0.8,
                        F.col(obj_col).alias('obj'))
     sup = (t.groupBy('pred', 'subj', 'obj')
            .agg(F.count('*').cast('long').alias('support'))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     fun = (sup.groupBy('pred')
            .agg(F.countDistinct('subj').cast('long').alias('n_subj'),
                 F.count('*').cast('long').alias('n_pairs')))
@@ -1344,7 +1344,7 @@ def hierarchy_closure(edges: DataFrame, max_depth: int = 16,
            .filter(F.col('node') != F.col('ancestor'))
            .distinct()
            .withColumn('depth', F.lit(1).cast('long'))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     rounds = max(1, (max_depth - 1).bit_length())
     for _ in range(rounds):
         a, b = anc.alias('a'), anc.alias('b')
@@ -1354,7 +1354,7 @@ def hierarchy_closure(edges: DataFrame, max_depth: int = 16,
                        (F.col('a.depth') + F.col('b.depth'))
                        .alias('depth'))
                .filter(F.col('depth') <= max_depth))
-        anc = anc.union(ext).distinct().localCheckpoint()
+        anc = anc.union(ext).distinct().localCheckpoint(eager=False)
     return anc
 
 
@@ -1570,11 +1570,11 @@ def align_entities(kb_a: DataFrame, kb_b: DataFrame,
     a = (kb_a.select(F.col(pred_col).alias('pred'),
                      F.col(obj_col).alias('obj'),
                      F.col(subj_col).alias('ent_a')).distinct()
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     b = (kb_b.select(F.col(pred_col).alias('pred'),
                      F.col(obj_col).alias('obj'),
                      F.col(subj_col).alias('ent_b')).distinct()
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     pairs_union = (a.select('pred', 'obj', F.col('ent_a').alias('subj'))
                    .union(b.select('pred', 'obj',
                                    F.col('ent_b').alias('subj')))
@@ -1658,7 +1658,7 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
         triples.select(F.col(pred_col).alias('pred'),
                        F.col(subj_col).alias('subj'),
                        F.col(obj_col).alias('obj'))
-        .distinct().localCheckpoint())
+        .distinct().localCheckpoint(eager=False))
     cap = F.lit(max_fanout).cast('long')
     q_side = (t.select(F.col('pred').alias('q'), F.col('subj').alias('x'),
                        F.col('obj').alias('y'))
@@ -1730,7 +1730,7 @@ def infer_triples(triples: DataFrame, min_support: int = 2,
     t = (triples.select(F.col(pred_col).alias('pred'),
                         F.col(subj_col).alias('subj'),
                         F.col(obj_col).alias('obj'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     rules = (mine_path_rules(triples, min_support=min_support,
                              max_fanout=max_fanout, _pool=t)
              .filter(F.col('confidence') >= F.lit(min_confidence))
@@ -1798,7 +1798,7 @@ def truth_discovery(claims: DataFrame, iters: int = 2,
                        F.col(subj_col).alias('subj'),
                        F.col(obj_col).alias('obj'),
                        F.col(source_col).alias('source'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     trust = (c.select('source').distinct()
              .withColumn('trust', F.lit(float(init_trust))))
     grp = Window.partitionBy('pred', 'subj')
@@ -1827,7 +1827,7 @@ def truth_discovery(claims: DataFrame, iters: int = 2,
                              .cast('decimal(38,18)'))
                        .cast('string').cast('double')
                        / F.count('*').cast('double')).alias('trust'))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     wk = grp.orderBy(F.col('confidence').desc(), F.col('obj').asc())
     return (nconf
             .withColumn('n_alternatives',
@@ -1938,7 +1938,7 @@ def mine_path_rules3(triples: DataFrame, min_support: int = 2,
     t = (triples.select(F.col(pred_col).alias('pred'),
                         F.col(subj_col).alias('subj'),
                         F.col(obj_col).alias('obj'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     from pyspark.sql import Window
     q_side = _rule_side(t, 'q', 'x', 'y', 'y', max_fanout)
     # the middle atom joins through BOTH its variables — cap each

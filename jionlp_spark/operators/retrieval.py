@@ -89,15 +89,15 @@ def bm25_topk(docs: DataFrame, queries: DataFrame | None = None,
     # (q·terms rows), the 1-row scalars, and the MATCHED posting lists
     # (query-term-bounded, never corpus-bounded) collapses the plan to
     # the three eager build passes + tiny downstream joins
-    queries = queries.localCheckpoint()
+    queries = queries.localCheckpoint(eager=False)
     tf = term_frequencies(docs, text_col, id_col)
     scalars = docs.select(
         F.count('*').cast('long').alias('n_docs'),
         F.sum(F.size(F.split(F.col(text_col), ' ')).cast('long'))
-        .alias('total_len')).localCheckpoint()
+        .alias('total_len')).localCheckpoint(eager=False)
     # posting lists of query terms only — broadcast the tiny term list
     posts = tf.join(F.broadcast(queries.select('token').distinct()),
-                    'token').localCheckpoint()
+                    'token').localCheckpoint(eager=False)
     df_tbl = (posts.groupBy('token')
               .agg(F.count('*').cast('long').alias('df')))
     part = _BM25_PART.format(N='n_docs', total_len='total_len')
@@ -165,7 +165,7 @@ def query_text_index(spark, base_path: str, queries: DataFrame,
     # so its (possibly corpus-sized) derivation runs once; the postings
     # scans stay LAZY on purpose: they are bucketed (exchange-free) and
     # a checkpoint would erase the bucket info the plan guard pins
-    queries = queries.localCheckpoint()
+    queries = queries.localCheckpoint(eager=False)
     posts = tf.join(F.broadcast(queries.select('token').distinct()),
                     'token')
     df_tbl = (posts.groupBy('token')
@@ -281,11 +281,11 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame, k: int = 10,
     sparse = _with_rank(
         bm25_topk(docs, n_queries=n_queries, n_terms=n_terms, k=depth,
                   text_col=text_col),
-        'score', 'doc_id').localCheckpoint()
+        'score', 'doc_id').localCheckpoint(eager=False)
     dense_q = emb.filter(F.col('vec_id') < n_queries).select(
         F.col('vec_id').alias('qid'), F.col('embedding').alias('qe'))
     dense = _with_rank(
         brute_force_topk(emb, dense_q, k=depth)
         .withColumnRenamed('vec_id', 'doc_id'),
-        'cos', 'doc_id').localCheckpoint()
+        'cos', 'doc_id').localCheckpoint(eager=False)
     return rrf_fuse(sparse, dense, k=k)

@@ -140,7 +140,7 @@ def dataset_split_stats(docs: DataFrame, class_col: str = 'lang',
     # the whole corpus, and FIVE downstream branches consume it — without
     # this the plan replicates the corpus aggregation per branch (8 scans)
     counts = assigned.groupBy('split', 'class') \
-        .agg(F.count('*').alias('n_docs')).localCheckpoint()
+        .agg(F.count('*').alias('n_docs')).localCheckpoint(eager=False)
     split_tot = counts.groupBy('split').agg(F.sum('n_docs').alias('s_tot'))
     whole = (counts.groupBy('class').agg(F.sum('n_docs').alias('w_n')))
     whole_tot = F.broadcast(
@@ -422,7 +422,7 @@ def _bigram_lm(bigrams: DataFrame, docs: DataFrame, toks) -> DataFrame:
     rides a broadcast-scalar crossJoin.  ln terms are per-row trees on
     exact integer counts → bit-identical across engines."""
     pair_counts = bigrams.groupBy('w1', 'w2').agg(
-        F.count('*').cast('long').alias('c12')).localCheckpoint()
+        F.count('*').cast('long').alias('c12')).localCheckpoint(eager=False)
     ctx_counts = pair_counts.groupBy('w1').agg(
         F.sum('c12').cast('long').alias('c1'))
     vocab = docs.select(F.explode(toks).alias('w')) \
@@ -521,7 +521,7 @@ def window_perplexity(docs: DataFrame, window: int = 50,
                 F.expr(f'i div {int(window)}').cast('long')
                 .alias('win_idx'),
                 F.col('p.w1').alias('w1'), F.col('p.w2').alias('w2')))
-    bigrams = bigrams.localCheckpoint()
+    bigrams = bigrams.localCheckpoint(eager=False)
     model = _bigram_lm(bigrams, docs, toks)
     scored = (bigrams.join(model, ['w1', 'w2'])
               .groupBy('doc_id', 'win_idx')
@@ -733,7 +733,7 @@ def ccnet_buckets(docs: DataFrame, grid: int = 1000,
               .select('doc_id', 'lang',
                       F.floor(-F.col('avg_logprob') * F.lit(int(grid)))
                       .cast('long').alias('nlp_grid'))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     counts = (scored.groupBy('lang', 'nlp_grid')
               .agg(F.count('*').cast('long').alias('cnt')))
     w = Window.partitionBy('lang').orderBy('nlp_grid') \
@@ -783,12 +783,12 @@ def stupid_backoff_scores(train: DataFrame, docs: DataFrame,
                    f"size(split({text_col}, ' ')) - 1)"))).alias('p'))
         .select(F.col('p.0').alias('w1'), F.col('p.1').alias('w2')))
     pc = (tbg.groupBy('w1', 'w2')
-          .agg(F.count('*').cast('long').alias('c12')).localCheckpoint())
+          .agg(F.count('*').cast('long').alias('c12')).localCheckpoint(eager=False))
     cc = pc.groupBy('w1').agg(F.sum('c12').cast('long').alias('c1'))
     uni = (train.select(F.explode(F.split(F.col(text_col), ' '))
                         .alias('w2'))
            .groupBy('w2').agg(F.count('*').cast('long').alias('cu'))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     n_tok = uni.agg(F.sum('cu').cast('long').alias('n_tok'))
 
     dbg = (docs.select(

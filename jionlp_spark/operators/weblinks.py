@@ -654,7 +654,7 @@ def mirror_pairs(docs: DataFrame, url_col: str = 'url',
     kept = (hh.withColumn('_nh', n_hosts)
             .filter(F.col('_nh') <= hot_host_limit)
             .drop('_nh')
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     sizes = kept.groupBy('host').agg(
         F.count('*').cast('long').alias('n'))
     pairs = (kept.alias('a')
