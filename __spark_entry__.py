@@ -4051,7 +4051,8 @@ def q_bm25_topk(spark, sf_dir):
     sized join, per-term parts decimal-summed.  All score inputs are
     exact bigints; the score tree is written identically in DuckDB."""
     from jionlp_spark.operators.retrieval import bm25_topk
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
     return bm25_topk(docs, n_queries=3, n_terms=4, k=10).select(
         F.col('qid').cast('long'), F.col('doc_id').cast('long'), 'score')
 
@@ -4067,7 +4068,8 @@ def q_bm25_index_topk(spark, sf_dir):
     from jionlp_spark.operators.retrieval import (publish_text_index,
                                                   query_terms_from_docs,
                                                   query_text_index)
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
     base = _work_dir('jionlp_textidx', sf_dir)
     publish_text_index(spark, f'{base}/bm25', docs,
                        input_fingerprint=f'docs@{sf_dir}')
@@ -4090,7 +4092,8 @@ def q_bm25_index_extend(spark, sf_dir):
                                                   publish_text_index,
                                                   query_terms_from_docs,
                                                   query_text_index)
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
     base = _work_dir('jionlp_textidx_ext', sf_dir)
     publish_text_index(spark, f'{base}/bm25',
                        docs.filter(F.col('doc_id') % 2 == 0),
@@ -4112,7 +4115,8 @@ def q_hybrid_topk(spark, sf_dir):
     The oracle rebuilds both rank lists (shared _BM25_CTES chain; the
     proven round-6 cosine tree) and the same full-outer fusion."""
     from jionlp_spark.operators.retrieval import hybrid_topk
-    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .repartition(spark.sparkContext.defaultParallelism)
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
         .repartition(spark.sparkContext.defaultParallelism)
     return hybrid_topk(docs, emb, k=10, depth=20).select(

@@ -75,21 +75,50 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
     if broadcast_bench:
         bg = F.broadcast(bg)
 
-    grams = docs.select(F.col(id_col).alias('doc_id'),
-                        word_ngrams(docs, n, text_col).alias('grams'))
-    hits = (grams.select('doc_id', F.explode('grams').alias('gram'))
-            .join(bg, 'gram')
-            .groupBy('doc_id')
-            .agg(F.count('*').alias('n_hit')))  # grams pre-distinct per doc
+    # corpus-side n-grams via ONE Arrow batch pass (identical values to
+    # the word_ngrams expression: str.split(' ') ≡ split(text, ' '),
+    # first-occurrence distinct, exact-length grams only, null/short →
+    # []), non-deterministic-marked so a caller's filter on the output
+    # cannot relocate the heavy projection below the spread-repartition
+    # (the audited single-scan-task collapse).  explode_outer keeps
+    # every doc (null gram for empty arrays), the broadcast left join
+    # marks benchmark hits without moving corpus rows, and ONE
+    # map-side-combined doc-grain aggregation replaces the old
+    # hits-groupBy + second doc-keyed join.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    return (grams.select('doc_id', F.size('grams').alias('n_ngrams'))
-            .join(hits, 'doc_id', 'left')
+    from jionlp_spark.functions.ndet import ndet as _ndet
+
+    def _grams(text):
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            toks = t.split(' ')
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(list(dict.fromkeys(
+                ' '.join(toks[i:i + n])
+                for i in range(len(toks) - n + 1))))
+        return pd.Series(out)
+
+    _grams.__annotations__ = {'text': pd.Series, 'return': pd.Series}
+    grams_udf = _ndet(pandas_udf(_grams, 'array<string>'))
+
+    ex = (docs.select(F.col(id_col).alias('doc_id'),
+                      grams_udf(F.col(text_col)).alias('grams'))
+          .select('doc_id', F.size('grams').alias('n_ngrams'),
+                  F.explode_outer('grams').alias('gram')))
+    return (ex.join(bg.withColumn('_hit', F.lit(1)), 'gram', 'left')
+            .groupBy('doc_id', 'n_ngrams')
+            .agg(F.count('_hit').alias('n_hit'))
             .select('doc_id',
                     F.col('n_ngrams').cast('long').alias('n_ngrams'),
-                    F.coalesce('n_hit', F.lit(0)).cast('long')
-                    .alias('n_hit'),
-                    (F.coalesce('n_hit', F.lit(0)) > 0)
-                    .alias('contaminated')))
+                    F.col('n_hit').cast('long').alias('n_hit'),
+                    (F.col('n_hit') > 0).alias('contaminated')))
 
 
 def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,

@@ -843,7 +843,7 @@ def duplicate_substring_spans(docs: DataFrame, n: int = 20,
     ).otherwise(F.array().cast('array<string>'))
     grams = (docs.select(F.col(id_col).alias('doc_id'),
                          F.posexplode(grams_arr).alias('pos', 'k')))
-    grams = grams.localCheckpoint()
+    grams = grams.localCheckpoint(eager=False)
     dup = (grams.groupBy('k')
            .agg(F.count('*').alias('cnt'))
            .filter(F.col('cnt') >= int(min_count))
@@ -999,7 +999,7 @@ def containment_pairs(shingle_df: DataFrame, threshold: float = 0.8,
     ``shingle_df`` is ``shingles()`` output — per-doc DISTINCT shingle
     arrays (array_distinct is the set contract the counts rely on)."""
     posts = (shingle_df.select('doc_id', F.explode('shingles').alias('s'))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     dfs = posts.groupBy('s').agg(F.count('*').alias('df'))
     if df_frac is None:
         cap = F.lit(int(max_shingle_df))
@@ -1010,7 +1010,7 @@ def containment_pairs(shingle_df: DataFrame, threshold: float = 0.8,
             F.lit(int(max_shingle_df)),
             F.ceil(F.lit(float(df_frac)) * F.col('_nd')).cast('long'))
     keep_s = dfs.filter(F.col('df') <= cap).select('s')
-    kept = posts.join(keep_s, 's').localCheckpoint()
+    kept = posts.join(keep_s, 's').localCheckpoint(eager=False)
     sizes = kept.groupBy('doc_id').agg(
         F.count('*').cast('long').alias('sz'))
     a, b = kept.alias('a'), kept.alias('b')

@@ -290,7 +290,7 @@ def entity_neighbor_similarity(mentions: DataFrame,
     """
     m = (mentions.select(F.col(doc_col).alias('doc_id'),
                          F.col(ent_col).alias('ent'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     a, b = m.alias('a'), m.alias('b')
     prs = (a.join(b, 'doc_id')
            .filter(F.col('a.ent') < F.col('b.ent'))
@@ -303,7 +303,7 @@ def entity_neighbor_similarity(mentions: DataFrame,
         deg = edges.groupBy('z').agg(F.count('*').alias('_deg'))
         edges = (edges.join(deg.filter(F.col('_deg') <= max_hub_degree)
                             .select('z'), 'z'))
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
 
     norms = edges.groupBy('x').agg(
         F.sum(F.col('w') * F.col('w')).cast('long').alias('sq'))
@@ -366,7 +366,7 @@ def canonicalize_entities(mentions: DataFrame,
              .select('ent_a', 'ent_b'))
     m = (mentions.select(F.col(doc_col).alias('doc_id'),
                          F.col(ent_col).alias('ent'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     a, b = m.alias('a'), m.alias('b')
     direct = (a.join(b, 'doc_id')
               .filter(F.col('a.ent') < F.col('b.ent'))
@@ -416,7 +416,7 @@ def k_core(edges: DataFrame, k: int = 2, src_col: str = 'src',
     edge-table-sized and shrink monotonically."""
     cur = (edges.select(F.col(src_col).alias('src'),
                         F.col(dst_col).alias('dst'))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     n_edges = cur.count()
     for _ in range(max_rounds):
         deg = cur.groupBy('src').agg(F.count('*').alias('deg'))
@@ -426,7 +426,7 @@ def k_core(edges: DataFrame, k: int = 2, src_col: str = 'src',
                         'left_semi')
                   .join(keep.withColumnRenamed('v', 'dst'), 'dst',
                         'left_semi')
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         n_next = nxt.count()
         if n_next == n_edges:
             return (cur.groupBy('src').agg(
@@ -494,7 +494,7 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
     e = (edges.select(F.col(src_col).alias('src'),
                       F.col(dst_col).alias('dst'), w.alias('w'))
          .persist())
-    seeds = seeds.select('v', 'label').localCheckpoint()
+    seeds = seeds.select('v', 'label').localCheckpoint(eager=False)
     labels = seeds
     win = _W.partitionBy('src').orderBy(
         F.col('wt').desc(), F.col('label').asc())
@@ -508,7 +508,7 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
                 .select(F.col('src').alias('v'), 'label'))
         labels = (seeds.unionByName(
             best.join(seeds.select('v'), 'v', 'left_anti'))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     return labels.join(
         seeds.select('v', F.lit(True).alias('_s')), 'v', 'left') \
         .select('v', 'label',
@@ -545,12 +545,12 @@ def negative_samples(edges: DataFrame, k: int = 3, draws: int = 6,
     # re-derives the caller's (often corpus-sized) edge construction
     e = (edges.select(F.col(src_col).alias('src'),
                       F.col(dst_col).alias('dst'))
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col('src').alias('v'))
              .union(e.select('dst')).distinct()
              .withColumn('idx', F.row_number().over(
                  _W.orderBy(F.col('v').asc())) - 1)
-             .localCheckpoint())          # V-sized; single-reducer window
+             .localCheckpoint(eager=False))          # V-sized; single-reducer window
     n_nodes = nodes.count()
     props = (e.select(
         'src', 'dst',
@@ -603,11 +603,11 @@ def triangle_stats(edges: DataFrame, a_col: str = 'ent_a',
     canon = (edges.select(F.least(a_col, b_col).alias('x'),
                           F.greatest(a_col, b_col).alias('y'))
              .filter(F.col('x') != F.col('y'))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     deg = (canon.select(F.col('x').alias('v'))
            .union(canon.select(F.col('y').alias('v')))
            .groupBy('v').agg(F.count('*').cast('long').alias('d'))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     ed = (canon
           .join(deg.select(F.col('v').alias('x'),
                            F.col('d').alias('dx')), 'x')
@@ -619,7 +619,7 @@ def triangle_stats(edges: DataFrame, a_col: str = 'ent_a',
         F.when(x_first, F.col('x')).otherwise(F.col('y')).alias('src'),
         F.when(x_first, F.col('y')).otherwise(F.col('x')).alias('dst'),
         F.when(x_first, F.col('dy')).otherwise(F.col('dx')).alias('dd'))
-        .localCheckpoint())
+        .localCheckpoint(eager=False))
     o1, o2 = oriented.alias('o1'), oriented.alias('o2')
     b_first = (F.col('o1.dd') < F.col('o2.dd')) | \
               ((F.col('o1.dd') == F.col('o2.dd'))
@@ -675,7 +675,7 @@ def link_predictions(edges: DataFrame, a_col: str = 'ent_a',
     canon = (edges.select(F.least(a_col, b_col).alias('x'),
                           F.greatest(a_col, b_col).alias('y'))
              .filter(F.col('x') != F.col('y'))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     sym = (canon.select(F.col('x').alias('z'), F.col('y').alias('n'))
            .union(canon.select(F.col('y').alias('z'),
                                F.col('x').alias('n'))))
@@ -727,7 +727,7 @@ def entity_profiles(mentions: DataFrame, k: int = 3,
     # the association table TWICE, and plans are trees — lazy reuse
     # re-derives the whole per-doc self-join per branch (measured 17
     # exchanges → 5 checkpointed)
-    assoc = edge_association(mentions, doc_col, ent_col).localCheckpoint()
+    assoc = edge_association(mentions, doc_col, ent_col).localCheckpoint(eager=False)
     sym = (assoc.select(F.col('ent_a').alias('ent'),
                         F.col('ent_b').alias('other'), 'n_ab', 'npmi')
            .union(assoc.select(F.col('ent_b').alias('ent'),
@@ -765,7 +765,7 @@ def random_walks(edges: DataFrame, walk_len: int = 3,
     cur = (adj.select('node').distinct()
            .select(F.col('node').alias('start'),
                    F.lit(0).alias('step'), 'node')
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     paths = [cur]
     for t in range(1, walk_len + 1):
         from pyspark.sql.window import Window
@@ -777,7 +777,7 @@ def random_walks(edges: DataFrame, walk_len: int = 3,
                .filter(F.col('_rn') == 1)
                .select('start', F.lit(t).alias('step'),
                        F.col('_dst').alias('node'))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         paths.append(cur)
     out = paths[0]
     for p in paths[1:]:
@@ -901,7 +901,7 @@ def hits(edges: DataFrame, iters: int = 2, src_col: str = 'src',
                      F.col(dst_col).alias('dst'),
                      w.alias('w')).persist()
     nodes = (e.select(F.col('src').alias('v'))
-             .union(e.select('dst')).distinct().localCheckpoint())
+             .union(e.select('dst')).distinct().localCheckpoint(eager=False))
     hub = nodes.select('v', F.lit(1).cast('long').alias('hub'))
     auth = None
     for _ in range(iters):
@@ -912,7 +912,7 @@ def hits(edges: DataFrame, iters: int = 2, src_col: str = 'src',
                 .select(nodes['v'],
                         F.coalesce(F.col('s'), F.lit(0))
                         .cast('long').alias('auth'))
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
         h = (e.join(auth, e['dst'] == auth['v'])
              .groupBy('src')
              .agg(F.sum(F.col('w') * F.col('auth')).alias('s')))
@@ -920,7 +920,7 @@ def hits(edges: DataFrame, iters: int = 2, src_col: str = 'src',
                .select(nodes['v'],
                        F.coalesce(F.col('s'), F.lit(0))
                        .cast('long').alias('hub'))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     e.unpersist()
     return (hub.join(auth, 'v')
             .select('v', 'hub', 'auth'))
@@ -1010,7 +1010,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     nodes = (nodes.join(F.broadcast(sd), 'v', 'left')
              .select('v', F.coalesce(F.col('_s'), F.lit(False))
                      .alias('is_seed'))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     n_seeds = (nodes.filter('is_seed')
                .agg(F.count('*').cast('long').alias('n')))
 
@@ -1019,7 +1019,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                   F.when(F.col('is_seed'),
                          F.lit(1.0) / F.col('n'))
                   .otherwise(F.lit(0.0)).alias('ppr'))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     for _ in range(iters):
         contrib = (
             ew.join(pr, ew['src'] == pr['v'])
@@ -1039,7 +1039,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                        * F.coalesce(F.col('s').cast('string')
                                     .cast('double'), F.lit(0.0)))
                       .alias('ppr'))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     ew.unpersist()
     return pr.select('v', 'ppr')
 
@@ -1133,7 +1133,7 @@ def pair_counts(mentions: DataFrame, doc_col: str = 'doc_id',
     DISJOINT doc batches sum to the global count."""
     m = (mentions.select(F.col(doc_col).alias('doc_id'),
                          F.col(ent_col).alias('ent'))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     a, b = m.alias('a'), m.alias('b')
     return (a.join(b, 'doc_id')
             .filter(F.col('a.ent') < F.col('b.ent'))

@@ -519,7 +519,7 @@ def resolve_redirects(edges: DataFrame, src_col: str = 'src',
     cur = (edges.groupBy(F.col(src_col).alias('src'))
            .agg(F.min(F.col(dst_col)).alias('dst'))
            .select('src', 'dst', F.lit(1).cast('long').alias('hops'))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     for _ in range(max_iter):
         b = cur.select(F.col('src').alias('b_src'),
                        F.col('dst').alias('b_dst'),
@@ -531,7 +531,7 @@ def resolve_redirects(edges: DataFrame, src_col: str = 'src',
                         + F.coalesce('b_hops', F.lit(0).cast('long')))
                        .alias('hops'),
                        F.col('b_src').isNotNull().alias('_jumped'))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         cur = nxt.drop('_jumped')
         if nxt.filter('_jumped').isEmpty():
             break
@@ -764,7 +764,7 @@ def sitemap_discover(seeds: DataFrame, fetched: DataFrame,
     out = None
     depth = 0
     while True:
-        parsed = sitemap_entries(frontier).localCheckpoint(eager=True)
+        parsed = sitemap_entries(frontier).localCheckpoint(eager=False)
         pages = parsed.filter(F.col('kind') == 'urlset').select(
             'host', F.col('loc').alias('url'),
             F.lit(depth).cast('long').alias('depth'),
@@ -784,12 +784,12 @@ def sitemap_discover(seeds: DataFrame, fetched: DataFrame,
             'host', F.col('loc').alias('url'),
             F.lit(depth + 1).cast('long').alias('depth'),
             F.lit('unfetched').alias('status'))
-        out = out.unionByName(unfetched).localCheckpoint(eager=True)
+        out = out.unionByName(unfetched).localCheckpoint(eager=False)
         frontier = (resolved.filter(F.col('sitemap_xml').isNotNull())
                     .select('host', 'loc', 'sitemap_xml')
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
         visited = (visited.unionByName(children)
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
         depth += 1
         if frontier.isEmpty():
             return out
