@@ -40,16 +40,33 @@ PINYIN_MISPRONOUNCE = {
     'ing': 'in', 'ang': 'an', 'eng': 'en'}
 
 
+def _joined_pinyin(pairs) -> str:
+    """''.join(c + v) over either form of the pairs column: parsed
+    [(c, v), ...] or the vendored raw 'c,v|c,v' string (one comma per
+    segment by construction — split(',', 1) semantics preserved)."""
+    if isinstance(pairs, str):
+        return ''.join(p.replace(',', '', 1) for p in pairs.split('|'))
+    return ''.join(c + v for c, v in pairs)
+
+
+def _parsed_pairs(pairs) -> list:
+    """[(consonant, vowel), ...] from either form."""
+    if isinstance(pairs, str):
+        return [tuple(p.split(',', 1)) for p in pairs.split('|')]
+    return pairs
+
+
 def build_word_pinyin_dict(word_distribution) -> dict:
     """Reference _construct_word_pinyin_dict (:76-112) over
-    [(word, count, [(consonant, vowel), ...])] rows (insertion order =
-    dictionary file order, which the weighted choice depends on).
+    [(word, count, pairs)] rows where pairs is [(consonant, vowel), ...]
+    or its raw vendored string form (insertion order = dictionary file
+    order, which the weighted choice depends on).
 
     → {pinyin: ([words], [probs])}
     """
     grouped: dict = {}
     for word, cnt, pairs in word_distribution:
-        wp = ''.join(c + v for c, v in pairs)
+        wp = _joined_pinyin(pairs)
         grouped.setdefault(wp, {})[word] = cnt
 
     out = {}
@@ -117,14 +134,24 @@ class HomophoneSubstitution:
         from the vocabulary read ('', '') — the PY_UNK detail, which
         vetoes substitution (a narrower injected boundary than the
         reference; see tests/test_homophone.py::test_oov_char_fallback)."""
-        pairs = self._pinyin.get(seg)
+        pairs = self._pin_of(seg)
         if pairs is not None:
             return pairs
         if self._pinyin_kernel is not None:
             return [(d['consonant'], d['vowel'])
                     for d in self._pinyin_kernel(seg, formater='detail')]
         return [p for ch in seg
-                for p in [self._pinyin.get(ch, [('', '')])[0]]]
+                for p in [(self._pin_of(ch) or [('', '')])[0]]]
+
+    def _pin_of(self, word: str):
+        """Distribution pinyin for a word, parsing the raw vendored form
+        lazily — only segments that actually occur in inputs ever parse
+        (the eager parse of all 193k rows dominated the build)."""
+        v = self._pinyin.get(word)
+        if isinstance(v, str):
+            v = [tuple(p.split(',', 1)) for p in v.split('|')]
+            self._pinyin[word] = v
+        return v
 
     def __call__(self, text: str, augmentation_num: int = 3,
                  homo_ratio: float | None = None,

@@ -644,6 +644,25 @@ def load_word_distribution(dict_dir: str | None = None) -> list:
     return out
 
 
+def load_word_distribution_raw(dict_dir: str | None = None) -> list:
+    """load_word_distribution with the pairs column UNPARSED (the raw
+    'c,v|c,v' vendored string): the homophone build only ever looks up
+    pinyin for segments that occur in its inputs, so the eager parse of
+    all ~193k rows was pure build-time overhead — the kernel parses
+    lazily (kernels/homophone._pin_of).  Falls back to the parsed form
+    for a full JioNLP dict dir (live pinyin computation)."""
+    d = _dict_dir(dict_dir)
+    if d and os.path.exists(os.path.join(d, 'word_distribution.json')):
+        return load_word_distribution(dict_dir)
+    out = []
+    with open(os.path.join(_DATA_DIR, 'word_distribution.tsv'),
+              encoding='utf-8') as f:
+        for line in f:
+            word, cnt, pairs = line.rstrip('\n').split('\t')
+            out.append((word, int(cnt), pairs))
+    return out
+
+
 def load_wordset(filename: str, dict_dir: str | None = None,
                  default: tuple = (), require: bool = False) -> set:
     """Generic one-word-per-line dictionary (first tab-separated column) —

@@ -96,7 +96,7 @@ def _get_homophone():
         from jionlp_spark import lexicons
         from jionlp_spark.kernels.chartext import Pinyin
         from jionlp_spark.kernels.homophone import HomophoneSubstitution
-        wd = lexicons.load_word_distribution()
+        wd = lexicons.load_word_distribution_raw()
         phrase, pchar, _rad = lexicons.load_char_info()
         _HOMOPHONE_SINGLETON.append(
             HomophoneSubstitution(wd, rng=np.random.RandomState(0),
