@@ -585,6 +585,45 @@ def dedup_components(pairs: DataFrame, a_col: str = 'doc_a',
                          F.col('label').alias('cluster'))
 
 
+# pair sets at or under this size short-circuit to driver union-find
+# (~a few MB collected); larger sets take the distributed star rounds
+_SMALL_COMPONENTS_CUTOFF = 100_000
+
+
+def _components_driver(e: DataFrame) -> DataFrame:
+    """Exact min-label components for a BOUNDED (u, v) edge table via
+    driver-side union-find (union-by-min keeps every root the component
+    minimum).  → (doc_id, cluster) over all endpoints, the same rows the
+    star fixed point produces."""
+    from pyspark.sql import types as T
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    verts = set()
+    for r in rows:
+        u, v = r['u'], r['v']
+        verts.add(u)
+        verts.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(x, find(x)) for x in sorted(verts)]
+    schema = T.StructType([
+        T.StructField('doc_id', e.schema['u'].dataType),
+        T.StructField('cluster', e.schema['u'].dataType)])
+    return e.sparkSession.createDataFrame(out, schema)
+
+
 def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star rounds until the edge set is a
     fixed point (disjoint min-centered stars).  Per round:
@@ -610,6 +649,15 @@ def _components_star(edges: DataFrame, max_iter: int) -> DataFrame:
                       F.least('a', 'b').alias('v'))
          .distinct().localCheckpoint(eager=False))
     n_prev = e.count()
+    if n_prev <= _SMALL_COMPONENTS_CUTOFF:
+        # bounded pair sets (the count above is exact) resolve on the
+        # driver with union-find — each star ROUND costs several driver-
+        # planned jobs, which dominates wall time for edge tables this
+        # size; the collect is pair-set-bounded (same class as the
+        # centroid/codebook collects), and output is identical: every
+        # endpoint labelled with its component's min id.  Above the
+        # cutoff the diameter-independent star rounds run unchanged.
+        return _components_driver(e)
     converged = False
     for _ in range(max_iter):
         both = e.union(e.select(F.col('v').alias('u'),

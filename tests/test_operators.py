@@ -36,6 +36,35 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 5) not in pairs      # unrelated languages don't
 
 
+def test_components_driver_matches_star(spark):
+    """The r8 small-edge-set driver union-find must label identically to
+    the distributed star rounds (min id per component, every endpoint
+    present) — random graphs incl. chains, stars, singleton pairs."""
+    import random
+
+    from jionlp_spark.operators import dedup as dd
+    rng = random.Random(13)
+    cases = [
+        [(1, 2)],
+        [(1, 2), (2, 3), (3, 4), (10, 11)],             # chain + pair
+        [(5, i) for i in range(6, 20)],                  # star
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(150)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, 'doc_a long, doc_b long')
+        small = {(r['doc_id'], r['cluster'])
+                 for r in dd.dedup_components(df).collect()}
+        old_cut = dd._SMALL_COMPONENTS_CUTOFF
+        dd._SMALL_COMPONENTS_CUTOFF = -1      # force the star rounds
+        try:
+            star = {(r['doc_id'], r['cluster'])
+                    for r in dd.dedup_components(df).collect()}
+        finally:
+            dd._SMALL_COMPONENTS_CUTOFF = old_cut
+        assert small == star and small
+
+
 def test_minhash_arrow_matches_expression_tree(docs, spark):
     """The r8 Arrow md5-signature pass must be bit-identical to the
     higher-order-expression tree it replaced — same salt-concat-md5-
