@@ -75,8 +75,8 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16,
     arrays are dropped, matching the explode formulation's semantics."""
     if hash_fn not in ('md5', 'xxhash64'):
         raise ValueError(f'hash_fn must be md5 or xxhash64, got {hash_fn!r}')
-    base = shingle_df.filter(F.size('shingles') > 0)
     if hash_fn == 'xxhash64':
+        base = shingle_df.filter(F.size('shingles') > 0)
         salt_cols = [
             F.expr(f"transform(shingles, s -> xxhash64('{g}', s))")
             .alias(f'_h{g}') for g in range((num_hashes + 1) // 2)]

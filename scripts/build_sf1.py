@@ -7,7 +7,7 @@ foreign — offset by copy*10_000_000, so join cardinalities scale linearly
 and referential integrity holds across copies; region/nation stay fixed
 (dimension tables do not scale with SF in TPC-H either).
 
-documents/embeddings reuse scripts/dedup_scale_bench.build_scale_dir —
+documents/embeddings reuse scripts/scale_bench.build_scale_dir —
 copy k>0 of each document perturbs CONTENT (seeded char-rotation +
 word shuffle), so minhash/simhash see a genuinely 10x-bigger corpus, not
 a 10-way-duplicated one; embeddings are fresh seeded unit-normals with
@@ -48,7 +48,7 @@ TABLES = [
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from dedup_scale_bench import build_scale_dir
+    from scale_bench import build_scale_dir  # consolidated in r6 (r8 repair)
     from jionlp_spark.config import get_spark
 
     done = [f'{OUT}/{t}.parquet' for t, _ in TABLES] + \
