@@ -190,6 +190,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism))
 
 
+def _parquet_nrows(path: str) -> int:
+    """Row count of a parquet file/directory from the footers — exactly
+    what a Spark count() over the same path returns, without launching a
+    job (used only to SIZE parameters like k ∝ N; recomputed from the
+    input every call)."""
+    import pyarrow.parquet as pq
+    if _os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        _dirs[:] = [d for d in _dirs if not d.startswith(('_', '.'))]
+        for name in files:
+            if name.endswith('.parquet'):
+                total += pq.ParquetFile(
+                    _os.path.join(root, name)).metadata.num_rows
+    return total
+
+
 # the injected text as an ordered parts list, so redaction oracles can
 # reconstruct the text with any single part substituted (safer than SQL
 # replace(), which would also hit accidental substring collisions)
@@ -1736,7 +1754,7 @@ def q_semdedup_keep(spark, sf_dir):
     from jionlp_spark.operators.dedup import semantic_dedup
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
         .repartition(spark.sparkContext.defaultParallelism)
-    k = max(8, emb.count() // 250)
+    k = max(8, _parquet_nrows(f'{sf_dir}/embeddings.parquet') // 250)
     return semantic_dedup(emb, threshold=0.4, n_centroids=k).select(
         F.col('vec_id').cast('long').alias('vec_id'),
         F.col('keep_id').cast('long').alias('keep_id'), 'kept')
@@ -3960,7 +3978,7 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     from jionlp_spark.operators.dedup import embedding_near_dups
     emb = spark.read.parquet(f'{sf_dir}/embeddings.parquet') \
         .repartition(spark.sparkContext.defaultParallelism)
-    k = max(8, emb.count() // 250)
+    k = max(8, _parquet_nrows(f'{sf_dir}/embeddings.parquet') // 250)
     return embedding_near_dups(emb, threshold=0.4, n_centroids=k).select(
         F.col('vec_a').cast('long').alias('vec_a'),
         F.col('vec_b').cast('long').alias('vec_b'), 'cos')
@@ -5150,7 +5168,7 @@ def q_streaming_dedup(spark, sf_dir):
     # query tests; volume adds nothing (doc_id is contiguous from 0).  The
     # input is synthesized with range() — documents only supplies the row
     # count (a metadata-only parquet read)
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 3000)
     docs = spark.range(n).selectExpr(
         'id as doc_id',
         "concat('stream doc ', cast(id % 100 as string)) as text",
@@ -5203,7 +5221,7 @@ def q_streaming_url_dedup(spark, sf_dir):
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 3000)
     docs = spark.range(n).selectExpr(
         'id as doc_id',
         "case when id % 5 = 0 then concat('http://h',"
@@ -5271,7 +5289,7 @@ def q_streaming_curate(spark, sf_dir):
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 3000)
     docs = spark.range(n).selectExpr(
         'id as doc_id',
         "case when id % 7 = 0 then 'rep rep rep rep'"
@@ -5327,7 +5345,7 @@ def q_streaming_conflicts(spark, sf_dir):
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 3000)
     half = n // 2
     trips = spark.range(n).selectExpr(
         'id as tid',
@@ -5384,7 +5402,7 @@ def q_streaming_fact_intervals(spark, sf_dir):
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 3000)
     half = n // 2
     trips = spark.range(n).selectExpr(
         'id as tid',
@@ -5447,7 +5465,7 @@ def q_streaming_ingest(spark, sf_dir):
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(),
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'),
             2000)
     pages = spark.range(n).selectExpr(
         'id as doc_id',
@@ -5565,7 +5583,7 @@ def q_streaming_window_counts(spark, sf_dir):
     src_dir, ckpt = f'{base}/src', f'{base}/ckpt'
     os.makedirs(src_dir)
 
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 3000)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 3000)
     docs = spark.range(n).withColumnRenamed('id', 'doc_id')
     t = (n // 3 // 10) * 10
     fresh_ts = ("timestamp'2021-09-01 00:00:00' "
@@ -5633,7 +5651,7 @@ def q_streaming_state_bounded(spark, sf_dir):
     # by enough to show growth (500 at sf0.01 → 1500 at sf0.1+); every
     # key is its own applyInPandasWithState group (~4ms of state-store +
     # pandas overhead each), so the cap directly bounds wall time
-    n = min(spark.read.parquet(f'{sf_dir}/documents.parquet').count(), 1500)
+    n = min(_parquet_nrows(f'{sf_dir}/documents.parquet'), 1500)
     docs = spark.range(n).selectExpr(
         'id as doc_id',
         "concat('unique doc ', cast(id as string)) as text",

@@ -312,7 +312,17 @@ def run_stage(spark: SparkSession, path: str, stage: str, build,
         wtbl = ('_cat_stage_'
                 + hashlib.md5(tmp.encode()).hexdigest()[:12])
         spark.sql(f'DROP TABLE IF EXISTS {wtbl}')
-        (df.write.format('parquet').mode('overwrite')
+        # ONE file per bucket: co-partition on the bucket columns before
+        # the write (HashPartitioning and the bucket-id hash are the same
+        # Murmur3 family, so partition i == bucket i).  Without this,
+        # every write task emits a sliver of every bucket — input
+        # partitions × n_buckets tiny files per publish (the §6
+        # small-files anti-pattern), and every downstream footer walk,
+        # snapshot hardlink retirement, and bucketed file listing pays
+        # it.  Per-bucket write parallelism = n_buckets — the layout's
+        # own parallelism knob (raise n_buckets for bigger tables).
+        (df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
+         .write.format('parquet').mode('overwrite')
          .bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by)
          .option('path', os.path.abspath(tmp)).saveAsTable(wtbl))
         spark.sql(f'DROP TABLE IF EXISTS {wtbl}')
@@ -379,7 +389,9 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
     Uses the session warehouse (saveAsTable — bucketing metadata lives in
     the catalog, plain parquet paths can't carry it).
     """
-    w = df.write.format('parquet').mode('overwrite') \
+    # one file per bucket (see run_stage's bucketed write)
+    w = df.repartition(n_buckets, F.col(bucket_col)) \
+        .write.format('parquet').mode('overwrite') \
         .bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

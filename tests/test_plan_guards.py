@@ -4,6 +4,20 @@ the bench/oracle registries must stay complete."""
 
 import re
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _cold_cache(spark):
+    """Plan guards pin the COLD plan shape.  Earlier tests (the oracle
+    replay especially) leave operator-internal persist()s in the
+    CacheManager; a matching subtree then plans as InMemoryRelation,
+    whose toString EMBEDS the cached plan (with AQE Initial+Final
+    duplication) — the regex node counts below would read the embedded
+    text, not the executed plan."""
+    spark.catalog.clearCache()
+    yield
+
 
 def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
