@@ -6119,10 +6119,11 @@ def q_quality_logit(spark, sf_dir):
     classifier-filter slot of a curation stack with the learned weight
     table replaced by a deterministic md5 draw — per-token weight
     w16(md5('qw|' t))/2^16 − 0.5 is a 16-bit dyadic rational, so the
-    per-doc mean is EXACT in doubles and the in-array fold is
-    order-independent (no decimal detour, no rounding): the oracle's
-    list_sum agrees bit-for-bit.  threshold=0 splits the corpus near
-    half-half, both keep branches live; zero shuffle, zero Python."""
+    per-doc mean is EXACT in doubles and the fold is order-independent
+    (no decimal detour, no rounding): the oracle's list_sum agrees
+    bit-for-bit.  threshold=0 splits the corpus near half-half, both
+    keep branches live; zero shuffle, ONE ndet Arrow pass (the
+    per-token HOF fold was CodegenFallback — see the operator)."""
     from jionlp_spark.operators.textstats import hashed_logit_quality
     return hashed_logit_quality(_docs(spark, sf_dir), threshold=0.0)
 

@@ -937,24 +937,54 @@ def hashed_logit_quality(docs: DataFrame, threshold: float = 0.0,
     differs across engines in the last ulp; thresholding the logit is
     the same decision).
 
-    Scale shape: ZERO shuffle — tokenize, hash, fold, and threshold
-    are one per-row expression tree in whole-stage codegen (the Spark
-    4.1 higher-order-function rule: per-doc computation never
-    explodes); md5 hashes once per token.  Empty docs yield null
-    logit/keep.
+    Scale shape: ZERO shuffle — one ndet Arrow batch pass computes
+    (n_tokens, logit) per row, the threshold stays a JVM compare.  The
+    original formulation was the per-token expression tree
+    (transform + aggregate fold over an md5 per token), but array
+    higher-order lambdas are CodegenFallback — the whole per-token md5
+    battery ran INTERPRETED (the repetition_filters finding, guide
+    §4.2); hashlib in one Python pass is ~3× cheaper and, because every
+    partial sum is exact, provably bit-identical: the fold's value IS
+    (Σ w16 − 32768·n)/65536 exactly (dyadic, ≤16 fraction bits, exact
+    associativity), and the kernel performs the same single IEEE
+    division by n the SQL did.  Empty docs yield null logit/keep.
     """
-    md5e = f"md5(concat('{seed}|', t))"
-    w = (f"cast({_w16_sql(md5e)} as double)"
-         f" / cast('65536.0' as double) - cast('0.5' as double)")
-    return docs.selectExpr(
-        'doc_id',
-        f"filter(split({text_col}, ' '), t -> t <> '') as _toks",
-    ).selectExpr(
-        'doc_id',
-        'cast(size(_toks) as bigint) as n_tokens',
-        f"case when size(_toks) = 0 then cast(null as double) else "
-        f"aggregate(transform(_toks, t -> {w}), cast(0.0 as double),"
-        f" (p,q)->p+q) / cast(size(_toks) as double) end as logit",
-    ).selectExpr(
-        'doc_id', 'n_tokens', 'logit',
-        f"logit > cast('{threshold!r}' as double) as keep")
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pre = f'{seed}|'.encode('utf-8')
+
+    def score(text):
+        md5 = hashlib.md5
+        ns, ls = [], []
+        for t in text:
+            if t is None:
+                ns.append(None)
+                ls.append(None)
+                continue
+            toks = [w for w in t.split(' ') if w != '']
+            n = len(toks)
+            ns.append(n)
+            if n == 0:
+                ls.append(None)
+                continue
+            sw = 0
+            for w in toks:
+                sw += int(md5(pre + w.encode('utf-8'))
+                          .hexdigest()[:4], 16)
+            # exact fold value, then ONE correctly-rounded division —
+            # identical bits to the SQL aggregate()/size path
+            ls.append(((sw - 32768 * n) / 65536.0) / n)
+        return pd.DataFrame({'n': ns, 'l': ls})
+
+    score.__annotations__ = {'text': pd.Series, 'return': pd.DataFrame}
+    score = _ndet(pandas_udf(score, 'n long, l double'))
+    return (docs
+            .select('doc_id', score(F.col(text_col)).alias('_s'))
+            .select('doc_id',
+                    F.col('_s.n').cast('bigint').alias('n_tokens'),
+                    F.col('_s.l').alias('logit'))
+            .selectExpr('doc_id', 'n_tokens', 'logit',
+                        f"logit > cast('{threshold!r}' as double) as keep"))

@@ -2715,7 +2715,8 @@ def test_hashed_logit_quality_exact_and_branches(spark):
     import hashlib
     from jionlp_spark.operators.textstats import hashed_logit_quality
     docs = spark.createDataFrame(
-        [(0, 'alpha beta gamma'), (1, 'alpha  alpha'), (2, ' ')],
+        [(0, 'alpha beta gamma'), (1, 'alpha  alpha'), (2, ' '),
+         (3, None)],
         'doc_id long, text string')
     got = {r['doc_id']: r for r in
            hashed_logit_quality(docs, threshold=0.0).collect()}
@@ -2732,6 +2733,9 @@ def test_hashed_logit_quality_exact_and_branches(spark):
     assert got[1]['logit'] == w('alpha')      # mean of two equal weights
     assert got[2]['n_tokens'] == 0
     assert got[2]['logit'] is None and got[2]['keep'] is None
+    # null text: size(null) is null → every output field null
+    assert got[3]['n_tokens'] is None
+    assert got[3]['logit'] is None and got[3]['keep'] is None
 
 
 def test_signature_violations_share_gate(spark):
